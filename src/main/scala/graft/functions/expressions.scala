@@ -77,6 +77,13 @@ object TextFunctions {
   def name_similarity(a: Column, b: Column): Column =
     column(NameSimilarity(expression(a), expression(b)))
 
+  /** Crossref DOI pattern filter (reference doi.py:31,132-149) — plain
+    * `rlike`, which is already codegen'd and pushdown-friendly; Java regex
+    * handles the (?=.*\d) lookahead. Unanchored like Python re.search.
+    */
+  def valid_doi(c: Column): Column =
+    c.isNotNull && c.rlike("(?i)10\\.\\d{4,9}/(?=.*\\d)[-._;()/:A-Z0-9]+$")
+
   /** Register SQL-callable names (clean_html, normalize_doi, ...). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

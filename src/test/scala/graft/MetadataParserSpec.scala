@@ -1,0 +1,146 @@
+package graft
+
+import graft.ingest.{DoiOps, EntityResolution, MetadataParser}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden parse tests ported from reference tests/test_parser.py:131-219,
+  * plus the batch author-repair edge cases (tests/test_parser.py:31-128)
+  * driven through the real column pipeline (not unit-level string calls).
+  */
+class MetadataParserSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("parser-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fixture(name: String): String =
+    scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/graft/$name"), "UTF-8").mkString
+
+  test("openaire_v2_simple parses to the golden article") {
+    import spark.implicits._
+    val raw = Seq(("10.5281/zenodo.4650794", fixture("openaire_v2_simple.json")))
+      .toDF("doi", "payload")
+    val rows = MetadataParser
+      .parseEnvelope(raw, citedByCountYear = Some(2024))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("doi") == "10.5281/zenodo.4650794")
+    assert(r.getAs[String]("title") == "CCG Starter Data Kit: Liberia")
+    assert(r.getAs[String]("abstract") == "A starter data kit for Liberia")
+    assert(r.getAs[String]("publisher") == "Zenodo")
+    assert(r.getAs[String]("journal") == "")
+    assert(r.getAs[String]("result_type") == "dataset")
+    assert(r.getAs[String]("resource_type") == null)
+    assert(r.getAs[Int]("publication_year") == 2021)
+    assert(r.getAs[Int]("publication_month") == 3)
+    assert(r.getAs[Int]("publication_day") == 31)
+    assert(r.getAs[Int]("cited_by_count_date") == 2024)
+    val authors = r.getSeq[Row](r.fieldIndex("authors"))
+    assert(authors.length == 1)
+    val a = authors.head
+    assert(a.getAs[String]("first_name") == "Lucy")
+    assert(a.getAs[String]("last_name") == "Allington")
+    assert(a.getAs[String]("orcid") == "https://orcid.org/0000-0003-1801-899x")
+    assert(a.getAs[Int]("rank") == 1)
+  }
+
+  /** reference tests/test_parser.py:31-128 edge cases, through the array
+    * pipeline. Each input is one element of an authors array.
+    */
+  test("author repair edge cases") {
+    import spark.implicits._
+    val payload =
+      """{"results":[{"mainTitle":"t","publicationDate":"2021-01-01","authors":[
+        |{"fullName":"Usher, Will","name":"Will","surname":"Usher","rank":5,
+        | "pid":{"id":{"scheme":"orcid","value":"0000-0001-9367-1791"}}},
+        |{"fullName":"No Pid","name":"No","surname":"Pid","rank":2,"pid":{}},
+        |{"fullName":"Stephanie Hirmer","surname":"Stephanie Hirmer","rank":3},
+        |{"rank":13,"fullName":"not a name"},
+        |{"fullName":"HABINSHUTI Antoinette","name":"Antoinette",
+        | "surname":"HABINSHUTI Antoinette","rank":4}
+        |]}]}""".stripMargin.replace("\n", "")
+    val raw = Seq(("10.1/x1", payload)).toDF("doi", "payload")
+    val out = MetadataParser.parseEnvelope(raw, citedByCountYear = Some(2024))
+      .select(explode($"authors").as("a")).select("a.*").collect()
+      .map(r => (r.getAs[String]("first_name"), r.getAs[String]("last_name"),
+        r.getAs[String]("orcid"), r.getAs[Int]("rank")))
+
+    assert(out.contains(("Will", "Usher",
+      "https://orcid.org/0000-0001-9367-1791", 5)))
+    assert(out.contains(("No", "Pid", null, 2)))
+    // surname duplicated into both fields -> split repair
+    assert(out.contains(("Stephanie", "Hirmer", null, 3)))
+    // first name contained in surname -> containment strip + title case
+    assert(out.contains(("Antoinette", "Habinshuti", null, 4)))
+    // {"fullName":"not a name"}: name/surname missing and no legacy `$` key
+    // -> dropped, exactly like the reference golden (test_parser.py:120-128)
+    assert(out.length == 4)
+  }
+
+  test("end-to-end slice: fixture -> resolution -> edges (SURVEY §7.3)") {
+    import spark.implicits._
+    val raw = Seq(("10.5281/zenodo.4650794", fixture("openaire_v2_simple.json")))
+      .toDF("doi", "payload")
+    val parsed = MetadataParser.parseEnvelope(raw, citedByCountYear = Some(2024))
+
+    val emptyOutputs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], graft.model.Schemas.output)
+    val emptyAuthors = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], graft.model.Schemas.author)
+
+    val newOut = EntityResolution.newOutputs(parsed, emptyOutputs)
+    val mentions = newOut
+      .select($"doi", $"uuid".as("output_uuid"),
+        posexplode($"authors").as(Seq("mention_order", "a")))
+      .select($"doi", $"output_uuid", $"a.first_name", $"a.last_name",
+        $"a.orcid", $"a.rank", $"mention_order".cast("long"))
+    val resolved = EntityResolution.resolveAuthors(mentions, emptyAuthors)
+
+    assert(resolved.count() == 1)
+    val row = resolved.head()
+    assert(row.getAs[String]("resolved_by") == "minted")
+    // deterministic uuid: same natural key -> same uuid on re-run
+    val again = EntityResolution.resolveAuthors(mentions, emptyAuthors).head()
+    assert(row.getAs[String]("author_uuid") == again.getAs[String]("author_uuid"))
+
+    val edges = EntityResolution.authorOfEdges(resolved)
+    assert(edges.count() == 1)
+    assert(edges.head().getAs[Int]("rank") == 1)
+
+    // countries: "Liberia" is mentioned in the abstract
+    val countries = Seq(("LBR", "Liberia"), ("TCD", "Chad")).toDF("id", "name")
+    val links = graft.enrich.CountryLinker.newLinks(
+      newOut.withColumnRenamed("doi", "_doi"), countries,
+      spark.emptyDataFrame.select(lit("").as("src"), lit("").as("dst")).limit(0),
+      field = "abstract")
+    val got = links.collect().map(r => r.getString(1))
+    assert(got.sameElements(Array("LBR")))
+  }
+
+  test("DOI tracker: validate + dedup flags") {
+    import spark.implicits._
+    val dois = Seq(
+      "https://doi.org/10.5281/zenodo.11395518",
+      "10.5281/zenodo.11395518.",      // same after normalization -> duplicate
+      "not-a-doi",
+      " 10.1371/journal.pclm.0000331 ").zipWithIndex
+      .map { case (d, i) => (d, i.toLong) }.toDF("raw_doi", "submission_order")
+    val t = DoiOps.validate(dois)
+    val m = t.collect().map(r => r.getAs[String]("doi") ->
+      (r.getAs[Boolean]("valid_pattern"), r.getAs[Boolean]("duplicate"))).toMap
+    assert(m("10.5281/zenodo.11395518") == ((true, false)) ||
+           m("10.5281/zenodo.11395518") == ((true, true)))
+    assert(t.filter($"doi" === "10.5281/zenodo.11395518" && $"duplicate").count() == 1)
+    assert(m("not-a-doi")._1 == false)
+    assert(m("10.1371/journal.pclm.0000331")._1 == true)
+  }
+}
