@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over [[CorpusKernels]] — the dedup / text-analysis
+  * primitives as codegen'd scalar functions. Each is a direct static call
+  * inside whole-stage codegen; signatures/buckets are deterministic across
+  * executors (seeded MurmurHash3), which is what makes the LSH band joins
+  * in [[graft.ops.Dedup]] correct on a real cluster.
+  */
+
+private[graft] trait StaticCall { self: Expression =>
+  /** fully-qualified static target, e.g. "graft.functions.CorpusKernels.simHash" */
+  def staticMethod: String
+}
+
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(CorpusKernels.minHashSignature(
+      input.asInstanceOf[UTF8String].toString, k, numHashes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.CorpusKernels.minHashSignature($c.toString(), $k, $numHashes))")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CorpusKernels.simHash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CorpusKernels.simHash($c.toString())")
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+case class DocFingerprint(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CorpusKernels.fingerprint(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CorpusKernels.fingerprint($c.toString())")
+  override protected def withNewChildInternal(c: Expression): DocFingerprint =
+    copy(child = c)
+  override def prettyName: String = "doc_fingerprint"
+}
+
+case class Winnow(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(CorpusKernels.winnow(
+      input.asInstanceOf[UTF8String].toString, k, window))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.CorpusKernels.winnow($c.toString(), $k, $window))")
+  override protected def withNewChildInternal(c: Expression): Winnow =
+    copy(child = c)
+  override def prettyName: String = "winnow"
+}
+
+case class LangId(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      CorpusKernels.langId(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.CorpusKernels.langId($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): LangId =
+    copy(child = c)
+  override def prettyName: String = "lang_id"
+}
+
+case class TokenCountBpeIsh(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    CorpusKernels.tokenCountBpeIsh(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CorpusKernels.tokenCountBpeIsh($c.toString())")
+  override protected def withNewChildInternal(c: Expression): TokenCountBpeIsh =
+    copy(child = c)
+  override def prettyName: String = "token_count_bpeish"
+}
+
+case class JaccardWordShingles(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CorpusKernels.jaccardWordShingles(
+      l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.CorpusKernels.jaccardWordShingles($l.toString(), $r.toString(), $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardWordShingles =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_word_shingles"
+}
+
+case class JaccardCharShingles(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CorpusKernels.jaccardShingles(
+      l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.CorpusKernels.jaccardShingles($l.toString(), $r.toString(), $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardCharShingles =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_char_shingles"
+}
+
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(CorpusKernels.wordShingleHashes(
+      input.asInstanceOf[UTF8String].toString, n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.CorpusKernels.wordShingleHashes($c.toString(), $n))")
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
+/** Cosine similarity of two float vectors (array<float>). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CorpusKernels.cosine(
+      l.asInstanceOf[ArrayData].toFloatArray(),
+      r.asInstanceOf[ArrayData].toFloatArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.CorpusKernels.cosine($l.toFloatArray(), $r.toFloatArray())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Random-hyperplane LSH signature of a float vector: `planes` sign bits
+  * packed into a long. Hyperplanes are deterministic (seeded) — identical
+  * on every executor, so bucket joins are correct distributed.
+  */
+case class HyperplaneSig(child: Expression, planes: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 64, "1..64 planes fit a long")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CorpusKernels.hyperplaneSig(
+      input.asInstanceOf[ArrayData].toFloatArray(), planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CorpusKernels.hyperplaneSig($c.toFloatArray(), $planes)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}
+
+/** Column-level API for the corpus operators. */
+object CorpusFunctions {
+  def minhash_sig(c: Column, k: Int = 5, numHashes: Int = 128): Column =
+    column(MinHashSig(expression(c), k, numHashes))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def doc_fingerprint(c: Column): Column = column(DocFingerprint(expression(c)))
+  def winnow(c: Column, k: Int = 8, window: Int = 4): Column =
+    column(Winnow(expression(c), k, window))
+  def lang_id(c: Column): Column = column(LangId(expression(c)))
+  def token_count_bpeish(c: Column): Column =
+    column(TokenCountBpeIsh(expression(c)))
+  def jaccard_word_shingles(a: Column, b: Column, n: Int = 3): Column =
+    column(JaccardWordShingles(expression(a), expression(b), n))
+  def jaccard_char_shingles(a: Column, b: Column, k: Int = 5): Column =
+    column(JaccardCharShingles(expression(a), expression(b), k))
+  def word_shingles(c: Column, n: Int = 3): Column =
+    column(WordShingles(expression(c), n))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+  def hyperplane_sig(c: Column, planes: Int = 16): Column =
+    column(HyperplaneSig(expression(c), planes))
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("doc_fingerprint", es => DocFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "built-in")
+    reg.createOrReplaceTempFunction("token_count_bpeish", es => TokenCountBpeIsh(es.head), "built-in")
+  }
+}

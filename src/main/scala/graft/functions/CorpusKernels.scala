@@ -1,0 +1,330 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+/** Static kernels for corpus-scale dedup / text-analysis operators
+  * (SURVEY.md §4 note 3; BASELINE.json north star). Pure JVM functions with
+  * static forwarders so the Catalyst expressions in [[graft.functions]]
+  * codegen direct calls.
+  *
+  * All hashing is seeded MurmurHash3 (public algorithm, stable across JVMs
+  * and executors) — determinism is load-bearing: signatures computed on
+  * different executors must agree, and re-runs must reproduce buckets.
+  */
+object CorpusKernels {
+
+  // --- shingling + MinHash ----------------------------------------------
+
+  /** Character k-shingle hash set (sorted, distinct) of a string. */
+  def shingleHashes(text: String, k: Int): Array[Int] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = MurmurHash3.stringHash(text.substring(i, i + k), 0x9747b28c)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // distinct in place
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Word n-gram shingle hashes (whitespace tokens), sorted distinct. */
+  def wordShingleHashes(text: String, n: Int): Array[Int] = {
+    if (text == null) return Array.empty
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return Array.empty
+    val m = words.length - n + 1
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      out(i) = MurmurHash3.orderedHash(
+        words.iterator.slice(i, i + n).toSeq, 0x85ebca6b).toInt
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  private final val MersennePrime = (1L << 61) - 1
+
+  /** splitmix64 finalizer (public-domain avalanche mix) — a full-period
+    * 64-bit bijection; XORing a per-function seed before mixing yields an
+    * effectively random permutation per hash function, which is exactly the
+    * MinHash requirement (P[min agree] = Jaccard). A linear (a·x+b) mod p
+    * with small coefficients is NOT acceptable here: it is order-preserving
+    * on most of the domain and collapses agreement (found the hard way).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L
+    z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over the shingle set: numHashes independent
+    * pseudo-permutations h_i(x) = mix64(x ^ seed_i).
+    */
+  def minHashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val shingles = shingleHashes(text, k)
+    val sig = new Array[Long](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      val seed = mix64(0x9e3779b97f4a7c15L * (h + 1))
+      var best = Long.MaxValue
+      var i = 0
+      while (i < shingles.length) {
+        val x = shingles(i).toLong & 0xffffffffL
+        val v = mix64(x ^ seed)
+        if (v < best) best = v
+        i += 1
+      }
+      sig(h) = if (shingles.isEmpty) -1L else best
+      h += 1
+    }
+    sig
+  }
+
+  /** Jaccard similarity of the two strings' char-k-shingle sets. */
+  def jaccardShingles(a: String, b: String, k: Int): Double = {
+    val sa = shingleHashes(a, k)
+    val sb = shingleHashes(b, k)
+    jaccardSorted(sa, sb)
+  }
+
+  /** Jaccard similarity of word-n-gram sets. */
+  def jaccardWordShingles(a: String, b: String, n: Int): Double = {
+    jaccardSorted(wordShingleHashes(a, n), wordShingleHashes(b, n))
+  }
+
+  private def jaccardSorted(sa: Array[Int], sb: Array[Int]): Double = {
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
+  }
+
+  // --- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace word hashes (Charikar): each word votes
+    * its hash bits weight +1/-1; sign of the tally is the output bit.
+    */
+  def simHash(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    val it = text.split("\\s+").iterator.filter(_.nonEmpty)
+    while (it.hasNext) {
+      val w = it.next()
+      val h = (MurmurHash3.stringHash(w, 0xc2b2ae35).toLong << 32) |
+        (MurmurHash3.stringHash(w, 0x27d4eb2f).toLong & 0xffffffffL)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  // --- rolling-hash document fingerprint ---------------------------------
+
+  /** a·b mod 2^61-1 without overflow: fold the 128-bit product with
+    * 2^64 ≡ 8 (mod p).
+    */
+  private def mulmodM61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & MersennePrime) + ((hi << 3) | (lo >>> 61))
+    r = (r & MersennePrime) + (r >>> 61)
+    if (r >= MersennePrime) r - MersennePrime else r
+  }
+
+  /** Polynomial rolling hash (base-257 mod 2^61-1) of the normalized text —
+    * a whole-document fingerprint robust to whitespace variation.
+    */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    var h = 0L
+    var i = 0
+    var lastSpace = true
+    while (i < text.length) {
+      val c0 = text.charAt(i)
+      val isSpace = Character.isWhitespace(c0)
+      // collapse whitespace runs, lowercase: normalization inside the hash
+      val emit: Int =
+        if (isSpace && lastSpace) -1
+        else if (isSpace) ' '
+        else Character.toLowerCase(c0)
+      if (emit >= 0) {
+        h = mulmodM61(h, 257) + emit
+        if (h >= MersennePrime) h -= MersennePrime
+      }
+      lastSpace = isSpace
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): minimum
+    * shingle hash per sliding window — the standard local document
+    * fingerprint for near-dup detection at corpus scale.
+    */
+  def winnow(text: String, k: Int, window: Int): Array[Int] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val hs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = MurmurHash3.stringHash(text.substring(i, i + k), 0x9747b28c)
+      i += 1
+    }
+    if (n <= window) return Array(hs.min)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var w = 0
+    var prevMinPos = -1
+    while (w <= n - window) {
+      var minPos = w
+      var j = w + 1
+      while (j < w + window) {
+        if (hs(j) <= hs(minPos)) minPos = j
+        j += 1
+      }
+      if (minPos != prevMinPos) { out += hs(minPos); prevMinPos = minPos }
+      w += 1
+    }
+    out.toArray
+  }
+
+  // --- language id + quality --------------------------------------------
+
+  /** Tiny deterministic stopword profiles for the corpus's language set.
+    * N-gram/stopword heuristic — NOT a trained model (none available
+    * offline); precision is bounded but the operator shape (dictionary
+    * broadcast + per-doc scoring in one pass) is the scale-correct one.
+    */
+  private val profiles: Array[(String, Array[String])] = Array(
+    "en" -> Array("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es" -> Array("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Array("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Array("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"),
+    "pt" -> Array("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
+    "it" -> Array("il", "di", "che", "e", "la", "per", "un", "in", "non", "sono"))
+  private val profileSets: Array[(String, java.util.HashSet[String])] =
+    profiles.map { case (l, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (l, s)
+    }
+
+  /** Heuristic language id: argmax stopword-hit rate; "und" (undetermined)
+    * when nothing scores.
+    */
+  def langId(text: String): String = {
+    if (text == null) return "und"
+    val words = text.toLowerCase.split("\\s+")
+    var bestLang = "und"
+    var bestScore = 0
+    var i = 0
+    while (i < profileSets.length) {
+      val (lang, set) = profileSets(i)
+      var score = 0
+      var j = 0
+      while (j < words.length) {
+        if (set.contains(words(j))) score += 1
+        j += 1
+      }
+      if (score > bestScore) { bestScore = score; bestLang = lang }
+      i += 1
+    }
+    bestLang
+  }
+
+  /** BPE-ish sub-word token count: word-boundary regex pieces plus a
+    * 4-chars-per-piece continuation estimate — a deterministic, offline
+    * stand-in for a real tokenizer with the right asymptotics.
+    */
+  def tokenCountBpeIsh(text: String): Int = {
+    if (text == null) return 0
+    var count = 0
+    val m = BpePiece.matcher(text)
+    while (m.find()) {
+      val len = m.end() - m.start()
+      count += 1 + (len - 1) / 4
+    }
+    count
+  }
+  private val BpePiece =
+    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]")
+
+  // --- vector math -------------------------------------------------------
+
+  /** Cosine similarity of two float vectors (0.0 on zero-norm input). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Deterministic pseudo-gaussian hyperplane component for (plane, dim):
+    * sum of three uniform hashes, centered — Irwin–Hall(3) ≈ normal, cheap
+    * and reproducible everywhere.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var s = 0.0
+    var t = 0
+    while (t < 3) {
+      val h = MurmurHash3.productHash((plane, dim, t), 0x2545f491)
+      s += (h.toDouble / Int.MaxValue)
+      t += 1
+    }
+    s
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors, Charikar'02) signature:
+    * bit p = sign(v · g_p) for deterministic pseudo-gaussian g_p.
+    */
+  def hyperplaneSig(v: Array[Float], planes: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) {
+        dot += v(d) * planeComponent(p, d)
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.functions.CorpusFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Five tiers, cheapest-first, all expressed as shuffle-minimal DataFrame
+  * plans (no collect, no cross joins — every pairing goes through a
+  * blocking key so the shuffle carries candidates, not the corpus):
+  *
+  *  1. exact        — hash group-by on the normalized fingerprint
+  *  2. minhashLSH   — shingle → MinHash signature → banded bucket join
+  *  3. simhash      — 64-bit SimHash, near-dup via band blocking + hamming
+  *  4. ngramJaccard — word-n-gram inverted-index join, exact Jaccard verify
+  *  5. embedding    — cosine near-dup, see [[Similarity]]
+  *
+  * At 100 TB: signatures are one narrow codegen'd pass; every subsequent
+  * join keys on (band, bucket-hash) so Catalyst plans plain hash-shuffle
+  * equi-joins, AQE coalescing the (skewed) bucket partitions.
+  */
+object Dedup {
+
+  /** Exact dedup on the whitespace/case-normalized rolling-hash fingerprint.
+    * Returns docs annotated (dup_group_size, is_canonical); canonical = min
+    * id per fingerprint group.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("_fp")
+    docs.withColumn("_fp", doc_fingerprint(col(textCol)))
+      .withColumn("dup_group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical",
+        col(idCol) === min(col(idCol)).over(w))
+      .drop("_fp")
+  }
+
+  /** Exact-dup groups only: fingerprint → ids, for groups of ≥ 2. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    docs.select(doc_fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(idCol)).as("ids"))
+      .filter(col("n_docs") > 1)
+  }
+
+  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
+    *
+    * signature (numHashes) → bands of rows (bandRows each) → per-band bucket
+    * key = hash(band slice) → self-join inside buckets → distinct pairs →
+    * verify jaccard ≥ threshold on the original text.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
+                 shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = docs.select(col(idCol).as("_id"), col(textCol).as("_text"),
+      minhash_sig(col(textCol), shingleK, numHashes).as("_sig"))
+
+    // fan out band keys: (band_idx, hash(slice)) — bands is a plan-time
+    // constant, so the key array is built statically (pure codegen'd exprs)
+    val bandKeys = array((0 until bands).map(b =>
+      hash(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val banded = sig.select(col("_id"), col("_text"),
+      posexplode(bandKeys).as(Seq("_band", "_bucket")))
+
+    val l = banded.select(col("_band"), col("_bucket"),
+      col("_id").as("id_a"), col("_text").as("text_a"))
+    val r = banded.select(col("_band"), col("_bucket"),
+      col("_id").as("id_b"), col("_text").as("text_b"))
+    val cand = l.join(r, Seq("_band", "_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "text_a", "text_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand.withColumn("jaccard",
+      jaccard_char_shingles(col("text_a"), col("text_b"), shingleK))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ maxHamming.
+    *
+    * Blocking: split the 64-bit hash into (maxHamming+1) bands — by
+    * pigeonhole any pair within the distance agrees on ≥ 1 full band, so a
+    * band equi-join finds all of them without a cross join (Manku et al.,
+    * WWW'07 — the Google near-dup crawl design).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val sig = docs.select(col(idCol).as("_id"),
+      simhash64(col(textCol)).as("_sh"))
+    val bandKeys = array((0 until nBands).map(b =>
+      shiftrightunsigned(col("_sh"), b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1))): _*)
+    val banded = sig.select(col("_id"), col("_sh"),
+      posexplode(bandKeys).as(Seq("_band", "_key")))
+    val l = banded.select(col("_band"), col("_key"),
+      col("_id").as("id_a"), col("_sh").as("sh_a"))
+    val r = banded.select(col("_band"), col("_key"),
+      col("_id").as("id_b"), col("_sh").as("sh_b"))
+    l.join(r, Seq("_band", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word-n-gram Jaccard pairs via inverted-index blocking: explode distinct
+    * shingle hashes, equi-join on shingle, count shared shingles per pair,
+    * compute exact Jaccard from set sizes — no re-scan of the text, no
+    * verify pass needed (intersection is exact).
+    *
+    * minSharedShingles prunes the long tail of accidental single-shingle
+    * collisions before the pair aggregation (the scale lever).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        minSharedShingles: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shingled = docs.select(col(idCol).as("_id"),
+      word_shingles(col(textCol), n).as("_sh"))
+      .withColumn("_setsize", size(col("_sh")))
+      .filter(col("_setsize") > 0)
+    val inv = shingled.select(col("_id"), col("_setsize"),
+      explode(col("_sh")).as("_shingle"))
+    val pairs = inv.select(col("_shingle"), col("_id").as("id_a"),
+        col("_setsize").as("size_a"))
+      .join(inv.select(col("_shingle"), col("_id").as("id_b"),
+        col("_setsize").as("size_b")), Seq("_shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("_inter"))
+      .filter(col("_inter") >= minSharedShingles)
+    pairs.withColumn("jaccard",
+      col("_inter") / (col("size_a") + col("size_b") - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Distinct word-n-gram shingle hashes as a column (array<int>). */
+  def word_shingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.WordShingles(Bridge.expression(c), n))
+  }
+
+  /** Embedding-cosine near-dup pairs — delegates to the LSH-bucketed
+    * similarity join (see [[Similarity.cosinePairs]]).
+    */
+  def embeddingPairs(embeddings: DataFrame, threshold: Double = 0.95,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    Similarity.cosinePairs(embeddings, threshold, idCol, vecCol)
+}

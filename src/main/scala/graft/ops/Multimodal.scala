@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed iterator-to-iterator per partition.
+  *
+  * The decode step is STUBBED (no image/audio codecs ship in this
+  * container): `decodeStub` derives deterministic fake features from the
+  * bytes. Everything around it — schema, batch shape, partition-wise
+  * execution, metadata threading — is the real distributed plumbing: swap
+  * `decodeStub` for a codec (JNI/FFI or an external model server) and the
+  * plan is unchanged. mapPartitions keeps per-partition setup (codec init,
+  * model load) amortized across rows, the same shape a Pandas-UDF/Arrow
+  * batch path gives PySpark.
+  */
+object Multimodal {
+
+  /** Typed asset row: modality ∈ {image, audio, video}. */
+  case class Asset(asset_id: Long, modality: String, bytes: Array[Byte],
+                   mime: String, width: Int, height: Int, duration_ms: Long)
+
+  case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Int,
+                           checksum: Long, feature: Array[Float])
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("bytes", BinaryType),
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** STUB decode: a real implementation would decode pixels/samples here.
+    * ??? is replaced by a deterministic byte-derived feature so the
+    * distributed path is testable end-to-end offline.
+    */
+  private[ops] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // ??? <- real codec goes here (libjpeg / ffmpeg / model server call)
+    val out = new Array[Float](dim)
+    if (bytes == null) return out
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    var d = 0
+    while (d < dim) { out(d) = out(d) / math.max(1, bytes.length / dim); d += 1 }
+    out
+  }
+
+  private def checksum(bytes: Array[Byte]): Long = {
+    val crc = new java.util.zip.CRC32()
+    if (bytes != null) crc.update(bytes)
+    crc.getValue
+  }
+
+  /** Feature extraction: one iterator-to-iterator pass per partition.
+    * Codec/model initialization happens once per partition (the `dim`
+    * capture stands in for it), NOT once per row.
+    */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[AssetFeatures] = {
+    implicit val enc = Encoders.product[AssetFeatures]
+    assets.mapPartitions { it =>
+      // per-partition setup (codec init) would run here, once
+      it.map { a =>
+        AssetFeatures(a.asset_id, a.modality,
+          if (a.bytes == null) 0 else a.bytes.length,
+          checksum(a.bytes), decodeStub(a.bytes, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video assets: emit one row per sampled frame index
+    * (every `everyMs` of duration) — the fan-out is a generator
+    * (flatMap), not a driver loop; frame decode itself is stubbed.
+    */
+  def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(_.modality == "video")
+      .flatMap { a =>
+        val n = math.max(1, (a.duration_ms / everyMs).toInt)
+        (0 until n).map(i => (a.asset_id, i, i * everyMs,
+          decodeStub(a.bytes, 8)))
+      }
+      .toDF("asset_id", "frame_idx", "frame_ts_ms", "frame_feature")
+  }
+
+  /** Deterministic synthetic asset table for tests/demos (no real media in
+    * the container).
+    */
+  def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val id = i
+      val modality = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val bytes = Array.tabulate[Byte](64 + (id % 64).toInt)(j =>
+        ((id * 31 + j * 7) % 256 - 128).toByte)
+      Asset(id, modality, bytes,
+        modality match {
+          case "image" => "image/jpeg"; case "audio" => "audio/wav"
+          case _ => "video/mp4"
+        },
+        if (modality == "image") 64 else 0,
+        if (modality == "image") 48 else 0,
+        if (modality == "video") 5000 + (id % 5) * 1000 else 0)
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.functions.CorpusFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the query set,
+  *    one shuffle-free scan of the corpus, per-query top-k via window.
+  *    The correctness baseline; right answer whenever |queries| is small.
+  *  - [[annTopK]] / [[cosinePairs]]: random-hyperplane LSH bucketing —
+  *    the 100 TB path. Candidates come from multi-probe band joins
+  *    (hash-shuffle equi-joins on (band, bucket)); exact cosine re-ranks
+  *    only candidates. Recall is tunable via bands × planes.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector.
+    *
+    * @param queries (query_id, vector) — must be broadcast-sized
+    * @param corpus  (id, vector)
+    * @return (query_id, id, cosine, rank) with rank ≤ k per query
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                     queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"), col(vecCol).as("_cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine_sim(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share ≥ 1 signature band
+    * with the query; exact cosine re-ranks candidates only.
+    *
+    * planes per band is planes/bands; fewer planes per band → bigger
+    * buckets → higher recall, more compute. 16 planes / 4 bands ≈ 4-bit
+    * bands: on clustered data this recalls near-duplicate-grade neighbors
+    * while touching a small corpus fraction.
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              planes: Int = 16, bands: Int = 4,
+              queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val bandBits = planes / bands
+    val mask = (1L << bandBits) - 1
+
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val sig = hyperplane_sig(col("_v"), planes)
+      val bandKeys = array((0 until bands).map(b =>
+        shiftrightunsigned(sig, b * bandBits).bitwiseAND(lit(mask))): _*)
+      df.select(col("_id").as(idAs), col("_v").as(vecAs),
+        posexplode(bandKeys).as(Seq("_band", "_key")))
+    }
+
+    val qb = banded(queries.select(col(queryIdCol).as("_id"),
+      col(vecCol).as("_v")), "query_id", "_qv")
+    val cb = banded(corpus.select(col(corpusIdCol).as("_id"),
+      col(vecCol).as("_v")), "vec_id", "_cv")
+
+    val cands = qb.join(cb, Seq("_band", "_key"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine", cosine_sim(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** All corpus pairs with cosine ≥ threshold, via hyperplane-band blocking
+    * (the embedding-cosine near-dup tier of [[Dedup]]).
+    */
+  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val bandBits = planes / bands
+    val mask = (1L << bandBits) - 1
+    val base = embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_sig", hyperplane_sig(col("_v"), planes))
+    val bandKeys = array((0 until bands).map(b =>
+      shiftrightunsigned(col("_sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    val banded = base.select(col("_id"), col("_v"),
+      posexplode(bandKeys).as(Seq("_band", "_key")))
+    val l = banded.select(col("_band"), col("_key"),
+      col("_id").as("id_a"), col("_v").as("_va"))
+    val r = banded.select(col("_band"), col("_key"),
+      col("_id").as("id_b"), col("_v").as("_vb"))
+    l.join(r, Seq("_band", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine_sim(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.functions.CorpusFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language id, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything is a narrow projection (no shuffle): one pass over the corpus
+  * computes all signals. The heuristic pieces (lang-id profiles, BPE-ish
+  * token estimate) are deterministic offline stand-ins with the right
+  * operator shape — swap the kernel, keep the plan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count — pure builtin, stays in codegen. */
+  def tokenCountWhitespace(c: Column): Column =
+    size(split(trim(c), "\\s+"))
+
+  /** Ratio of non-alphanumeric-non-space chars to total length. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double")
+        / length(c))
+
+  /** Ratio of uppercase letters to all letters. */
+  def upperRatio(c: Column): Column = {
+    val letters = length(regexp_replace(c, "[^A-Za-z]", ""))
+    when(letters === 0, 0.0).otherwise(
+      (letters - length(regexp_replace(c, "[^a-z]", ""))).cast("double") / letters)
+  }
+
+  /** English stopword hit ratio over whitespace tokens — builtin-only
+    * (split + array_intersect-free contains chain would not scale;
+    * array-based filter does).
+    */
+  def stopwordRatio(c: Column): Column = {
+    val stops = array(Seq("the", "and", "of", "to", "a", "in", "is", "that",
+      "for", "it", "on", "as", "with", "are", "this").map(lit): _*)
+    val toks = split(lower(trim(c)), "\\s+")
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1] — length, punctuation, casing and
+    * stopword signals, Gopher/C4-style filters distilled to a scalar:
+    * long-enough, not punctuation-soup, not shouting, has function words.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
+    val casePenalty = greatest(lit(0.0), lit(1.0) - upperRatio(c))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    round((lenScore * 0.3 + punctPenalty * 0.25 + casePenalty * 0.15 +
+      stopScore * 0.3), 6)
+  }
+
+  /** One-pass corpus annotation: all signals as new columns. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("lang_pred", lang_id(t))
+      .withColumn("n_tokens_ws", tokenCountWhitespace(t))
+      .withColumn("n_tokens_bpeish", token_count_bpeish(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", doc_fingerprint(t))
+  }
+
+  /** Language distribution report (predicted vs labeled when available). */
+  def langReport(docs: DataFrame, textCol: String = "text",
+                 labelCol: String = "lang"): DataFrame = {
+    val base = docs.withColumn("lang_pred", lang_id(col(textCol)))
+    if (docs.columns.contains(labelCol))
+      base.groupBy(labelCol, "lang_pred").count()
+    else base.groupBy("lang_pred").count()
+  }
+}

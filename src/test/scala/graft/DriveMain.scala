@@ -38,6 +38,23 @@ object DriveMain {
     val plan = dirty.select(clean_html($"raw")).queryExecution.executedPlan.toString
     println("HAS_WSCG=" + plan.contains("*("))
 
+    println("== corpus ops over real testdata ==")
+    import graft.functions.CorpusFunctions._
+    import graft.ops.{Dedup, Similarity, TextAnalysis}
+    val realDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dups = Dedup.minhashLsh(realDocs, threshold = 0.5)
+    println("minhash near-dup pairs at sf0.001: " + dups.count())
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = Similarity.bruteForceTopK(
+      emb.limit(3).select($"vec_id".as("query_id"), $"embedding"), emb, k = 3)
+    topk.show(9, false)
+    TextAnalysis.annotate(realDocs)
+      .select($"doc_id", $"lang_pred", $"n_tokens_ws", $"quality", $"fingerprint")
+      .show(3, false)
+    val simPlan = realDocs.select(simhash64($"text")).queryExecution
+      .executedPlan.toString
+    println("CORPUS_WSCG=" + simPlan.contains("*("))
+
     println("== probes: null / empty ==")
     Seq(Option.empty[String], Some(""), Some("ok<b>x</b>")).toDF("s")
       .select(clean_html($"s").as("c"), normalize_doi($"s").as("d")).show()
