@@ -1,13 +1,584 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.CorpusFunctions._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per operator family from
+  * SURVEY.md §2 (reference parity) plus the corpus/training-data operators
+  * (dedup, similarity, text analysis). Each SQL-expressible entry has a
+  * DuckDB oracle in [[oracleSql]] with column names AND types aligned
+  * (counts → BIGINT, size()/year() → INTEGER casts on the oracle side;
+  * computed float aggregates rounded identically on both sides; raw double
+  * columns passed through untouched).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench
+    * sessions). Normalize to a microsecond TimestampType column either way.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => df
+    }
+  }
+
+  /** Flagship query on sf=0.001: revenue per nation (J2 multi-join + agg). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_equi_join_agg")(spark, "/root/testdata/sf0.001")
+
+  // shared fragments -------------------------------------------------------
+
+  private val stopwords15 =
+    Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
+      "on", "as", "with", "are", "this")
+
+  /** Word-level 3-gram STRING shingles (distinct) — builtin-only, matches
+    * the oracle's string_split construction exactly.
+    */
+  private def shingles3(text: org.apache.spark.sql.Column) = {
+    val w = split(text, " ")
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(0), size(w) - 3), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+            element_at(w, i + 3))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- scans / filters / projections (S1, P5, P6; pushdown) -----------
+    "q_scan_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    "q_regex_filter" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("text").rlike("(fast|slow) (key|join)"))
+        .select("doc_id", "lang")
+    }),
+
+    // --- scalar functions (F2/F3/F9/F11/F13 analogues) ------------------
+    "q_string_funcs" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        regexp_replace(col("p_name"), " ", "_").as("slug"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"))
+    }),
+
+    "q_date_funcs" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+    }),
+
+    "q_json_funcs" -> ((s, d) => {
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    }),
+
+    // --- joins (J1/J5-J8 semi/anti/equi; J4 theta; J10 fallback) --------
+    "q_semi_join" -> ((s, d) => {
+      val big = t(s, d, "lineitem").filter(col("l_quantity") > 45)
+      t(s, d, "orders").join(big, col("o_orderkey") === col("l_orderkey"),
+        "left_semi").select("o_orderkey")
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    "q_equi_join_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q_contains_theta_join" -> ((s, d) => {
+      // J4: country-mention analogue — substring containment theta-join
+      // against a broadcast dimension (the 100 TB-safe shape: BNLJ with a
+      // tiny build side, one pass over the big table)
+      val words = t(s, d, "documents").filter(col("doc_id") < 5)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "").distinct()
+      t(s, d, "documents").join(broadcast(words),
+        col("text").contains(col("word")))
+        .groupBy("word").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    "q_theta_top1_per_key" -> ((s, d) => {
+      // L3: CALL { ... LIMIT 1 } per dimension row -> window top-1
+      val words = t(s, d, "documents").filter(col("doc_id") < 5)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "").distinct()
+      val pairs = t(s, d, "documents").join(broadcast(words),
+        col("text").contains(col("word")))
+      val w = Window.partitionBy("word").orderBy("doc_id")
+      pairs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select("word", "doc_id")
+    }),
+
+    "q_fallback_join" -> ((s, d) => {
+      // J10/J5->J6 fallback chain: primary match, else fallback, else -1
+      val sup = t(s, d, "supplier")
+      val cust = t(s, d, "customer")
+      val primary = cust.groupBy(col("c_nationkey").as("p_nationkey"))
+        .agg(min(when(col("c_acctbal") > 5000, col("c_custkey")))
+          .as("primary_custkey"))
+      val fallback = cust.groupBy(col("c_nationkey").as("f_nationkey"))
+        .agg(min(col("c_custkey")).as("fallback_custkey"))
+      sup
+        .join(broadcast(primary), col("s_nationkey") === col("p_nationkey"),
+          "left_outer")
+        .join(broadcast(fallback), col("s_nationkey") === col("f_nationkey"),
+          "left_outer")
+        .select(col("s_suppkey"),
+          coalesce(col("primary_custkey"), col("fallback_custkey"), lit(-1L))
+            .as("matched_custkey"),
+          when(col("primary_custkey").isNotNull, "primary")
+            .when(col("fallback_custkey").isNotNull, "fallback")
+            .otherwise("none").as("matched_by"))
+    }),
+
+    // --- window functions (L3, rank/lag, running) -----------------------
+    "q_window_top1" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      events(s, d).select(
+        col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+    }),
+
+    "q_window_rank_lag" -> ((s, d) => {
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      t(s, d, "supplier").select(
+        col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+        dense_rank().over(w).as("bal_rank"),
+        lag(col("s_acctbal"), 1).over(w).as("prev_bal"))
+    }),
+
+    // --- aggregations (A1/A2/A3/A5) -------------------------------------
+    "q_agg_basic" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          max(col("l_discount")).as("max_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q_agg_conditional" -> ((s, d) => {
+      t(s, d, "orders").agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L)).as("n_p"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0))), 2).as("f_totalprice"),
+        sum(when(col("o_orderpriority").startsWith("1"), 1L)
+          .otherwise(0L)).as("n_prio1"))
+    }),
+
+    "q_dedup_exact" -> ((s, d) => {
+      // A3 duplicate detection == exact-dedup group census
+      t(s, d, "documents").groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"))
+    }),
+
+    "q_census" -> ((s, d) => {
+      t(s, d, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- sort / limit (L2) ----------------------------------------------
+    "q_orderby_limit" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice").limit(20)
+    }),
+
+    // --- set operations --------------------------------------------------
+    "q_union_distinct" -> ((s, d) => {
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    }),
+
+    "q_except" -> ((s, d) => {
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").filter(col("s_acctbal") > 8000)
+          .select(col("s_nationkey").as("nationkey")))
+    }),
+
+    // --- generators (G1/G2/G3) ------------------------------------------
+    "q_explode_wordcount" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 50)
+    }),
+
+    "q_posexplode" -> ((s, d) => {
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    }),
+
+    // --- corpus ops: dedup / similarity / text analysis -----------------
+    "q_ngram_jaccard_pairs" -> ((s, d) => {
+      // word-3-gram inverted-index join on a subset; integer outputs only
+      // (inter/size counts) so the oracle compare is exact
+      val sh = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("id_a"),
+          col("setsize").as("size_a")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"),
+          col("setsize").as("size_b")), Seq("id_b"))
+        .select("id_a", "id_b", "inter", "size_a", "size_b")
+    }),
+
+    "q_token_stats" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stops = array(stopwords15.map(lit): _*)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("text_len"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, x => array_contains(stops, x))).as("n_stopwords"))
+    }),
+
+    "q_sim_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val c = emb.select(col("vec_id"), col("embedding").as("_cv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("_cos").desc, col("vec_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("_cos", cosine_sim(col("_qv"), col("_cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "vec_id", "rank")
+    }),
+
+    "q_emb_near_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("_va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("_vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine_sim(col("_va"), col("_vb")))
+        .filter(col("cos") >= 0.3)
+        .select("id_a", "id_b")
+    }),
+
+    // --- streaming-shaped (tumbling-window agg, batch-equivalent) -------
+    "q_tumbling_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // --- non-SQL-expressible operators (rows-only driver check) ---------
+    "q_dedup_minhash" -> ((s, d) => {
+      graft.ops.Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5)
+    }),
+
+    "q_dedup_simhash" -> ((s, d) => {
+      graft.ops.Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 7)
+    }),
+
+    "q_text_annotate" -> ((s, d) => {
+      graft.ops.TextAnalysis.annotate(t(s, d, "documents"))
+        .select("doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpeish",
+          "punct_ratio", "stopword_ratio", "quality", "fingerprint")
+    }),
+
+    "q_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.annTopK(q, emb, k = 5, planes = 16, bands = 8)
+        .select("query_id", "vec_id", "rank")
+    }),
+
+    "q_name_similarity" -> ((s, d) => {
+      // F4 difflib-ratio surface over real string data
+      t(s, d, "customer").limit(500).select(
+        col("c_custkey"),
+        name_similarity(col("c_name"),
+          concat(lit("Customer#"), lpad(col("c_custkey") + 1, 9, "0")))
+          .as("sim_next"))
+    }),
+
+    "q_clean_html" -> ((s, d) => {
+      // F1 surface: clean synthetic markup injected around real text
+      t(s, d, "documents").limit(200).select(
+        col("doc_id"),
+        clean_html(concat(lit("<p>"), col("text"), lit("</p>\n&amp;amp;")))
+          .as("cleaned"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_regex_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_matches(text, '(fast|slow) (key|join)')""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up_name,
+        |  substring(p_name, 1, 5) AS pre5,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS slug,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  split_part(p_name, ' ', 1) AS first_word
+        |FROM part""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS o_day,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        |FROM orders""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q_equi_join_agg" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_contains_theta_join" ->
+      """SELECT w.word, count(*) AS n_docs
+        |FROM documents d
+        |JOIN (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        |      FROM documents WHERE doc_id < 5) w
+        |  ON w.word <> '' AND contains(d.text, w.word)
+        |GROUP BY w.word""".stripMargin,
+
+    "q_theta_top1_per_key" ->
+      """SELECT w.word, min(d.doc_id) AS doc_id
+        |FROM documents d
+        |JOIN (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        |      FROM documents WHERE doc_id < 5) w
+        |  ON w.word <> '' AND contains(d.text, w.word)
+        |GROUP BY w.word""".stripMargin,
+
+    "q_fallback_join" ->
+      """WITH primary_m AS (
+        |  SELECT c_nationkey,
+        |    min(CASE WHEN c_acctbal > 5000 THEN c_custkey END) AS primary_custkey
+        |  FROM customer GROUP BY c_nationkey),
+        |fallback_m AS (
+        |  SELECT c_nationkey, min(c_custkey) AS fallback_custkey
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT s_suppkey,
+        |  coalesce(p.primary_custkey, f.fallback_custkey, -1) AS matched_custkey,
+        |  CASE WHEN p.primary_custkey IS NOT NULL THEN 'primary'
+        |       WHEN f.fallback_custkey IS NOT NULL THEN 'fallback'
+        |       ELSE 'none' END AS matched_by
+        |FROM supplier
+        |LEFT JOIN primary_m p ON s_nationkey = p.c_nationkey
+        |LEFT JOIN fallback_m f ON s_nationkey = f.c_nationkey""".stripMargin,
+
+    "q_window_top1" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id), 2)
+        |    AS running_value
+        |FROM events""".stripMargin,
+
+    "q_window_rank_lag" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS bal_rank,
+        |  lag(s_acctbal, 1) OVER w AS prev_bal
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey)""".stripMargin,
+
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  max(l_discount) AS max_disc, count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_conditional" ->
+      """SELECT count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+        |    AS f_totalprice,
+        |  CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_prio1
+        |FROM orders""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_docs,
+        |  min(doc_id) AS first_id
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_census" ->
+      """SELECT lang, source, count(*) AS n FROM documents
+        |GROUP BY lang, source""".stripMargin,
+
+    "q_orderby_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT SELECT s_nationkey FROM supplier
+        |WHERE s_acctbal > 8000""".stripMargin,
+
+    "q_explode_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word HAVING count(*) >= 50""".stripMargin,
+
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, u.word FROM (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id < 20) t,
+        |LATERAL (SELECT unnest(ws) AS word,
+        |  unnest(generate_series(1, len(ws))) AS i) u""".stripMargin,
+
+    "q_ngram_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 20 = 0) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |sizes AS (SELECT doc_id, count(*) AS setsize FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, inter, sa.setsize AS size_a, sb.setsize AS size_b
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains(
+        |    ['the','and','of','to','a','in','is','that','for','it',
+        |     'on','as','with','are','this'], x))) AS INTEGER) AS n_stopwords
+        |FROM documents""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q, embeddings e WHERE q.query_id <> e.vec_id)
+        |SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "q_emb_near_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+        |  AND a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }
