@@ -336,7 +336,7 @@ object SparkEntry {
     }),
 
     "q_dedup_simhash" -> ((s, d) => {
-      graft.ops.Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 7)
+      graft.ops.Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
     }),
 
     "q_text_annotate" -> ((s, d) => {

@@ -147,6 +147,52 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Sorted distinct char-k-shingle hash array of a string. */
+case class SortedShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(CorpusKernels.sortedShingles(
+      input.asInstanceOf[UTF8String].toString, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.CorpusKernels.sortedShingles($c.toString(), $k))")
+  override protected def withNewChildInternal(c: Expression): SortedShingles =
+    copy(child = c)
+  override def prettyName: String = "sorted_shingles"
+}
+
+/** Jaccard of two pre-sorted distinct int arrays (merge intersection). */
+case class JaccardSortedArrays(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CorpusKernels.jaccardSortedArrays(
+      l.asInstanceOf[ArrayData].toIntArray(), r.asInstanceOf[ArrayData].toIntArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.CorpusKernels.jaccardSortedArrays($l.toIntArray(), $r.toIntArray())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedArrays =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted_arrays"
+}
+
+/** MinHash-signature agreement fraction (Jaccard estimator). */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CorpusKernels.sigAgreement(
+      l.asInstanceOf[ArrayData].toLongArray(), r.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.CorpusKernels.sigAgreement($l.toLongArray(), $r.toLongArray())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_agreement"
+}
+
 /** Cosine similarity of two float vectors (array<float>). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -199,6 +245,12 @@ object CorpusFunctions {
     column(JaccardCharShingles(expression(a), expression(b), k))
   def word_shingles(c: Column, n: Int = 3): Column =
     column(WordShingles(expression(c), n))
+  def sorted_shingles(c: Column, k: Int = 5): Column =
+    column(SortedShingles(expression(c), k))
+  def jaccard_sorted_arrays(a: Column, b: Column): Column =
+    column(JaccardSortedArrays(expression(a), expression(b)))
+  def sig_agreement(a: Column, b: Column): Column =
+    column(SigAgreement(expression(a), expression(b)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def hyperplane_sig(c: Column, planes: Int = 16): Column =

@@ -110,6 +110,29 @@ object CorpusKernels {
     jaccardSorted(wordShingleHashes(a, n), wordShingleHashes(b, n))
   }
 
+  /** Jaccard of two pre-sorted distinct int arrays (merge intersection) —
+    * the verify step of MinHash LSH without re-hashing any text.
+    */
+  def jaccardSortedArrays(sa: Array[Int], sb: Array[Int]): Double =
+    jaccardSorted(sa, sb)
+
+  /** Fraction of agreeing positions of two MinHash signatures — the
+    * unbiased Jaccard estimate (σ ≈ sqrt(j(1-j)/H)).
+    */
+  def sigAgreement(a: Array[Long], b: Array[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  /** Sorted distinct char-k-shingle hashes — precomputed once per doc and
+    * carried through the LSH join so verification is a merge, not a re-hash.
+    */
+  def sortedShingles(text: String, k: Int): Array[Int] = shingleHashes(text, k)
+
   private def jaccardSorted(sa: Array[Int], sb: Array[Int]): Double = {
     if (sa.isEmpty && sb.isEmpty) return 1.0
     if (sa.isEmpty || sb.isEmpty) return 0.0

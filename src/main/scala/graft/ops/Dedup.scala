@@ -59,27 +59,37 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(col(idCol).as("_id"), col(textCol).as("_text"),
-      minhash_sig(col(textCol), shingleK, numHashes).as("_sig"))
+    // one narrow pass per doc: signature + sorted shingle set (verification
+    // is then a merge over int arrays — the text is never re-hashed)
+    val sig = docs.select(col(idCol).as("_id"),
+      minhash_sig(col(textCol), shingleK, numHashes).as("_sig"),
+      sorted_shingles(col(textCol), shingleK).as("_sh"))
 
     // fan out band keys: (band_idx, hash(slice)) — bands is a plan-time
     // constant, so the key array is built statically (pure codegen'd exprs)
     val bandKeys = array((0 until bands).map(b =>
       hash(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-    val banded = sig.select(col("_id"), col("_text"),
+    val banded = sig.select(col("_id"),
       posexplode(bandKeys).as(Seq("_band", "_bucket")))
 
-    val l = banded.select(col("_band"), col("_bucket"),
-      col("_id").as("id_a"), col("_text").as("text_a"))
-    val r = banded.select(col("_band"), col("_bucket"),
-      col("_id").as("id_b"), col("_text").as("text_b"))
+    val l = banded.select(col("_band"), col("_bucket"), col("_id").as("id_a"))
+    val r = banded.select(col("_band"), col("_bucket"), col("_id").as("id_b"))
     val cand = l.join(r, Seq("_band", "_bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    cand.withColumn("jaccard",
-      jaccard_char_shingles(col("text_a"), col("text_b"), shingleK))
+    // staged verify: cheap signature-agreement estimate prunes the long
+    // tail of low-similarity band collisions; exact sorted-merge Jaccard
+    // confirms survivors (no false positives; the estimate margin keeps
+    // boundary recall loss ≈ P[est < t-0.05 | j >= t] — 3 sigma-ish)
+    val a = sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a"),
+      col("_sh").as("_sh_a"))
+    val b = sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b"),
+      col("_sh").as("_sh_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .filter(sig_agreement(col("_sig_a"), col("_sig_b")) >= threshold - 0.05)
+      .withColumn("jaccard", jaccard_sorted_arrays(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
