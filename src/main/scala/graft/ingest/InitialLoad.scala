@@ -1,0 +1,124 @@
+package graft.ingest
+
+import graft.graph.GraphStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `--initialise` seed load: seven CSVs → node/edge tables, set-at-a-time.
+  *
+  * Reference `create_graph.py:277-314` loads each CSV with pandas and
+  * upserts row-at-a-time over Bolt. Here every file is one DataFrame job:
+  * schema-checked read → column transforms → (for memberships) the J10
+  * orcid-preferred-else-exact-name resolution join → GraphStore upsert.
+  * CSV schemas are pinned in FIXTURES.md §8 (including the capital-O
+  * `Orcid` header in authors.csv).
+  */
+object InitialLoad {
+
+  private def csv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.option("header", "true").option("quote", "\"").schema(schema)
+      .csv(path)
+
+  val workstreamSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("description", StringType), StructField("theme", StringType)))
+
+  val subwsSchema: StructType = StructType(Seq(
+    StructField("parent", StringType), StructField("child", StringType)))
+
+  val partnerSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("dbpedia", StringType), StructField("ror", StringType),
+    StructField("openalex", StringType)))
+
+  val authorSchema: StructType = StructType(Seq(
+    StructField("uuid", StringType), StructField("first_name", StringType),
+    StructField("last_name", StringType), StructField("Orcid", StringType),
+    StructField("google_scholar", StringType), StructField("pubmed", StringType),
+    StructField("institution_url", StringType), StructField("gender", StringType)))
+
+  val memberSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("role", StringType), StructField("orcid", StringType),
+    StructField("start", StringType), StructField("end", StringType)))
+
+  val partnerMemberSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("orcid", StringType)))
+
+  /** countries.csv: 68 mledoze/countries columns; only these four are
+    * consumed (create_graph.py:106-123).
+    */
+  val countrySchemaConsumed: Seq[String] =
+    Seq("name.common", "name.official", "cca3", "latlng")
+
+  /** Dependency-ordered full load (reference create_graph.py:277-314). */
+  def run(spark: SparkSession, store: GraphStore, dir: String): Unit = {
+    // 1. workstreams
+    val ws = csv(spark, s"$dir/workstream.csv", workstreamSchema)
+      .select(col("id"), col("name"), lit("workstream").as("unit_type"),
+        lit(null).cast("string").as("dbpedia"),
+        lit(null).cast("string").as("ror"),
+        lit(null).cast("string").as("openalex"))
+    store.upsertNodes("units", ws, key = "id")
+
+    // 2. unit_of hierarchy (child -> parent)
+    val subws = csv(spark, s"$dir/subws.csv", subwsSchema)
+      .select(col("child").as("src"), col("parent").as("dst"))
+    store.mergeEdges("unit_of", subws)
+
+    // 3. partners (dual-label Partner:Unit -> same units table)
+    val partners = csv(spark, s"$dir/project_partners.csv", partnerSchema)
+      .select(col("id"), col("name"), lit("partner").as("unit_type"),
+        col("dbpedia"), col("ror"), col("openalex"))
+    store.upsertNodes("units", partners, key = "id")
+
+    // 4. authors (seed uuids are authoritative; Orcid header is capital-O)
+    val authors = csv(spark, s"$dir/authors.csv", authorSchema)
+      .select(col("uuid"), col("first_name"), col("last_name"),
+        col("Orcid").as("orcid"), lit(null).cast("string").as("openalex"))
+    store.upsertNodes("authors", authors, key = "uuid")
+
+    // 5+6. memberships: orcid-preferred else exact-name (J10), then
+    //      member_of edges; unmatched rows are dropped (reference logs them)
+    val authorsNow = store.nodeTable("authors")
+    def resolveMembers(members: DataFrame): DataFrame = {
+      val byOrcid = authorsNow.filter(col("orcid").isNotNull)
+        .select(col("orcid"), col("uuid").as("_uuid_orcid"))
+        .dropDuplicates("orcid")
+      val byName = authorsNow
+        .select(concat_ws(" ", col("first_name"), col("last_name")).as("_nm"),
+          col("uuid").as("_uuid_name"))
+        .dropDuplicates("_nm")
+      members
+        .join(broadcast(byOrcid), Seq("orcid"), "left_outer")
+        .withColumn("_nm", col("name"))
+        .join(broadcast(byName), Seq("_nm"), "left_outer")
+        .withColumn("author_uuid",
+          coalesce(col("_uuid_orcid"), col("_uuid_name")))
+        .filter(col("author_uuid").isNotNull)
+    }
+    val wpMembers = resolveMembers(
+      csv(spark, s"$dir/wp_members.csv", memberSchema))
+      .select(col("author_uuid").as("src"), col("id").as("dst"))
+    store.mergeEdges("member_of", wpMembers)
+    val pMembers = resolveMembers(
+      csv(spark, s"$dir/partner_members.csv", partnerMemberSchema))
+      .select(col("author_uuid").as("src"), col("id").as("dst"))
+    store.mergeEdges("member_of", pMembers)
+
+    // 7. countries: dbpedia slug (F11) + latlng split (F12)
+    val rawCountries = spark.read.option("header", "true")
+      .option("quote", "\"").csv(s"$dir/countries.csv")
+    val countries = rawCountries.select(
+      col("cca3").as("id"),
+      col("`name.common`").as("name"),
+      col("`name.official`").as("official_name"),
+      concat(lit("http://dbpedia.org/resource/"),
+        regexp_replace(col("`name.official`"), " ", "_")).as("dbpedia"),
+      element_at(split(col("latlng"), ","), 1).cast("double").as("latitude"),
+      element_at(split(col("latlng"), ","), 2).cast("double").as("longitude"))
+    store.upsertNodes("countries", countries, key = "id")
+  }
+}

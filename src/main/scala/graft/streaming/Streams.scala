@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface.
+  *
+  * The reference is a batch CLI — its only "stream" is the sequential
+  * per-DOI ingest loop (SURVEY.md §2.10). Two streaming capabilities:
+  *
+  *  1. [[doiLandingIngest]] — the reference ingest loop as an incremental
+  *     pipeline: DOI-list files land in a directory; each micro-batch runs
+  *     the same batch dataflow. Idempotent by construction (the dedup
+  *     anti-joins J1/J7 make redelivery safe), Trigger.AvailableNow for
+  *     catch-up-then-stop semantics.
+  *  2. [[tumblingCounts]] / [[sessionize]] — event-stream analytics for
+  *     the training-data pipeline: watermarked tumbling-window aggregates
+  *     and gap-based sessionization with typed state
+  *     (flatMapGroupsWithState), the canonical stateful-op shapes.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window counts per event type — streaming
+    * equivalent of SparkEntry q_tumbling_window.
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Int,
+                          totalValue: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Int,
+                     total_value: Double)
+
+  /** Gap-based sessionization: a user's session closes after `gapMs` of
+    * inactivity (event-time, driven by the watermark). Typed state via
+    * flatMapGroupsWithState — the custom-state shape that windowed aggs
+    * can't express.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // session closed by watermark passing the gap
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents, s.totalValue))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Incremental DOI ingest: watch a landing directory of DOI-list files,
+    * run the batch dataflow per micro-batch. AvailableNow processes the
+    * backlog and stops — the streaming re-expression of the reference CLI
+    * loop (create_graph_from_doi.py:218-254) with exactly-once-per-DOI
+    * effects via the pipeline's own dedup joins.
+    */
+  def doiLandingIngest(spark: SparkSession, landingDir: String,
+                       payloads: DataFrame, store: graft.graph.GraphStore,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lines = spark.readStream.text(landingDir)
+    lines.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val doiList = batch
+          .withColumn("submission_order", monotonically_increasing_id())
+          .select(trim(col("value")).as("raw_doi"), col("submission_order"))
+          .filter(col("raw_doi") =!= "")
+        if (!doiList.isEmpty) {
+          graft.ingest.Ingest.run(spark, store, doiList, payloads)
+          ()
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.graph.{GraphOps, GraphStore}
+import graft.ingest.InitialLoad
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graph-stream-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("unit hierarchy transitive closure") {
+    import spark.implicits._
+    // ws1 <- ws2 <- ws3 ; ws1 <- ws4
+    val unitOf = Seq(("ws2", "ws1"), ("ws3", "ws2"), ("ws4", "ws1"))
+      .toDF("src", "dst")
+    val closure = GraphOps.unitHierarchy(unitOf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(closure == Set(
+      ("ws2", "ws1", 1), ("ws3", "ws2", 1), ("ws4", "ws1", 1),
+      ("ws3", "ws1", 2)))
+  }
+
+  test("coauthor connected components + pagerank") {
+    import spark.implicits._
+    // outputs o1(a1,a2), o2(a2,a3) -> {a1,a2,a3}; o3(a4) -> {a4}
+    val authorOf = Seq(("a1", "o1"), ("a2", "o1"), ("a2", "o2"), ("a3", "o2"),
+      ("a4", "o3")).toDF("src", "dst")
+    val cc = GraphOps.coauthorComponents(authorOf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cc("a1") == cc("a2") && cc("a2") == cc("a3"))
+    assert(cc("a1") != cc("a4"))
+    val pr = GraphOps.authorRank(authorOf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a2 bridges both outputs -> highest centrality in its component
+    assert(pr("a2") > pr("a1") && pr("a2") > pr("a3"))
+  }
+
+  test("initial seed load end-to-end") {
+    val dir = Files.createTempDirectory("seed").toString
+    def write(name: String, content: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/$name"), content)
+    write("workstream.csv",
+      "id,name,description,theme\nws1,Energy,desc,t\nws2,Transport,d,t\n")
+    write("subws.csv", "parent,child\nws1,ws2\n")
+    write("project_partners.csv",
+      "id,name,dbpedia,ror,openalex\npt1,Uni A,,ror1,oa1\n")
+    write("authors.csv",
+      "uuid,first_name,last_name,Orcid,google_scholar,pubmed,institution_url,gender\n" +
+        "u1,Ada,Lovelace,https://orcid.org/0000-0001,,,,f\n" +
+        "u2,Alan,Turing,,,,,m\n")
+    write("wp_members.csv",
+      "id,name,role,orcid,start,end\n" +
+        "ws1,Ada Lovelace,lead,https://orcid.org/0000-0001,,\n" + // orcid match
+        "ws2,Alan Turing,member,,,\n" +                            // name match
+        "ws2,No Body,member,,,\n")                                 // unmatched
+    write("partner_members.csv", "id,name,orcid\npt1,Alan Turing,\n")
+    write("countries.csv",
+      "name.common,name.official,cca3,latlng\n" +
+        "\"Liberia\",\"Republic of Liberia\",LBR,\"6.5,-9.5\"\n")
+
+    val wh = Files.createTempDirectory("wh").toString
+    val store = new GraphStore(spark, wh)
+    InitialLoad.run(spark, store, dir)
+
+    assert(store.nodeTable("units").count() == 3) // 2 ws + 1 partner
+    assert(store.edgeTable("unit_of").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet == Set(("ws2", "ws1")))
+    val members = store.edgeTable("member_of").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(members == Set(("u1", "ws1"), ("u2", "ws2"), ("u2", "pt1")))
+    val c = store.nodeTable("countries").head()
+    assert(c.getAs[String]("id") == "LBR")
+    assert(c.getAs[String]("dbpedia") ==
+      "http://dbpedia.org/resource/Republic_of_Liberia")
+    assert(c.getAs[Double]("latitude") == 6.5)
+    assert(c.getAs[Double]("longitude") == -9.5)
+    // idempotent re-load
+    InitialLoad.run(spark, store, dir)
+    assert(store.nodeTable("units").count() == 3)
+    assert(store.edgeTable("member_of").count() == 3)
+  }
+
+  test("streaming tumbling counts with watermark (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.tumblingCounts(mem.toDF(), "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(12), 2, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    mem.addData(Event(4, ts(60), 1, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling").collect()
+    q.stop()
+    val byKey = rows.map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey((ts(0).getTime, "click")) == ((2L, 3.0)))
+    assert(byKey((ts(10).getTime, "view")) == ((1L, 3.0)))
+  }
+
+  test("streaming sessionization closes sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 10 * 60_000L,
+      watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    // user 1: two events 5 min apart (one session), then silence
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+    q.processAllAvailable()
+    // an event far in the future moves the watermark past the gap
+    mem.addData(Event(3, ts(120), 2, "click", 9.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(240), 2, "click", 9.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sessions").as[Streams.Session].collect()
+    q.stop()
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1.length == 1)
+    assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+    assert(u1.head.session_start == ts(0) && u1.head.session_end == ts(5))
+  }
+
+  test("doi landing-dir streaming ingest (AvailableNow)") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("landing").toString
+    val checkpoint = Files.createTempDirectory("ckpt").toString
+    val wh = Files.createTempDirectory("wh2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$landing/batch1.txt"),
+      "10.5281/zenodo.4650794\n")
+    val payload = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/openaire_v2_simple.json"), "UTF-8")
+      .mkString
+    val payloads = Seq(("10.5281/zenodo.4650794", payload))
+      .toDF("doi", "payload")
+    val store = new GraphStore(spark, wh)
+    val q = Streams.doiLandingIngest(spark, landing, payloads, store, checkpoint)
+    q.awaitTermination(120000)
+    assert(store.nodeTable("outputs").count() == 1)
+    assert(store.nodeTable("authors").count() == 1)
+    assert(store.edgeTable("author_of").count() == 1)
+  }
+}
