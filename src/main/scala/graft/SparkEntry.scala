@@ -353,6 +353,39 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     }),
 
+    "q_dedup_clusters" -> ((s, d) => {
+      // LSH pairs -> connected components -> canonical doc per cluster
+      graft.ops.Dedup.clusters(t(s, d, "documents"), threshold = 0.5)
+    }),
+
+    "q_graph_components" -> ((s, d) => {
+      // co-supplier graph: suppliers linked when they supply the same
+      // order (the co-authorship connected-components analogue)
+      val supplierOrders = t(s, d, "lineitem").select(
+        col("l_suppkey").cast("string").as("src"),
+        col("l_orderkey").cast("string").as("dst"))
+      graft.graph.GraphOps.coauthorComponents(supplierOrders)
+        .select(col("author_uuid").cast("long").as("supp_key"),
+          col("component_id"))
+    }),
+
+    "q_multimodal_features" -> ((s, d) => {
+      // binary-column decode/feature-extract plumbing (decode stubbed,
+      // partition-wise execution real) over the documents corpus
+      graft.ops.Multimodal.extractFeatures(
+        graft.ops.Multimodal.assetsFromDocuments(t(s, d, "documents")))
+        .toDF()
+        .select("asset_id", "modality", "n_bytes", "checksum")
+    }),
+
+    "q_multimodal_frames" -> ((s, d) => {
+      // video frame-sampling fan-out: generator over duration, one row per
+      // sampled frame — deterministic, so oracle-checked
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.assetsFromDocuments(t(s, d, "documents")))
+        .select("asset_id", "frame_idx", "frame_ts_ms")
+    }),
+
     "q_name_similarity" -> ((s, d) => {
       // F4 difflib-ratio surface over real string data
       t(s, d, "customer").limit(500).select(
@@ -579,6 +612,14 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS asset_id, CAST(u.i AS INTEGER) AS frame_idx,
+        |  CAST(u.i * 1000 AS BIGINT) AS frame_ts_ms
+        |FROM documents,
+        |LATERAL (SELECT unnest(generate_series(
+        |  0, CAST(doc_id % 5 AS INTEGER))) AS i) u
+        |WHERE doc_id % 3 = 2""".stripMargin
   )
 }

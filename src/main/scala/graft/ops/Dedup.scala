@@ -155,6 +155,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Dedup clustering: near-dup pairs → connected components → one
+    * canonical doc per cluster (the standard post-LSH step: keep
+    * `is_canonical`, drop the rest). GraphX Pregel CC, O(cluster diameter)
+    * supersteps; near-dup clusters are shallow (dup chains, not paths), so
+    * this converges in a few rounds even at corpus scale. Vertex id is the
+    * doc id itself — no hashing, and the component id (min vertex id in the
+    * component) is therefore the min doc id: deterministic across runs.
+    *
+    * @return (doc_id, cluster_id, is_canonical); singletons keep their own
+    *   id as cluster_id
+    */
+  def clusters(docs: DataFrame, threshold: Double = 0.8, shingleK: Int = 5,
+               numHashes: Int = 128, bands: Int = 32,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = minhashLsh(docs, threshold, shingleK, numHashes, bands,
+      idCol, textCol)
+    val verts = docs.select(col(idCol).cast("long")).rdd
+      .map(r => (r.getLong(0), ()))
+    val edges = pairs.select(col("id_a"), col("id_b")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph(verts, edges).connectedComponents().vertices
+      .toDF(idCol, "cluster_id")
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
   /** Distinct word-n-gram shingle hashes as a column (array<int>). */
   def word_shingles(c: Column, n: Int): Column = {
     import org.apache.spark.sql.graft.Bridge

@@ -90,6 +90,36 @@ object Multimodal {
       .toDF("asset_id", "frame_idx", "frame_ts_ms", "frame_feature")
   }
 
+  /** Bind the opaque-binary Asset schema to a real corpus table: bytes =
+    * UTF-8 of the text column (standing in for media payloads, which the
+    * container lacks), modality round-robin by id, video duration derived
+    * from the id. Fully deterministic, so downstream checksums/features are
+    * stable and the frame fan-out is oracle-checkable.
+    */
+  def assetsFromDocuments(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val modality = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val bytes =
+          if (text == null) Array.empty[Byte]
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Asset(id, modality, bytes,
+          modality match {
+            case "image" => "image/jpeg"; case "audio" => "audio/wav"
+            case _ => "video/mp4"
+          },
+          if (modality == "image") 64 else 0,
+          if (modality == "image") 48 else 0,
+          if (modality == "video") (1 + id % 5) * 1000 else 0L)
+      }
+  }
+
   /** Deterministic synthetic asset table for tests/demos (no real media in
     * the container).
     */

@@ -136,6 +136,43 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp1 == fp2)
   }
 
+  test("dedup clusters: CC over LSH pairs, canonical = min doc id") {
+    val cl = Dedup.clusters(docsDF, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(cl.size == 6, "every doc gets a cluster row")
+    // 0,1,3 are near-dups of each other -> one cluster, canonical 0
+    assert(cl(0L) == ((0L, true)))
+    assert(cl(1L) == ((0L, false)))
+    assert(cl(3L) == ((0L, false)))
+    // 4 and 5 are unrelated singletons
+    assert(cl(4L) == ((4L, true)))
+    assert(cl(5L) == ((5L, true)))
+  }
+
+  test("assets from documents: deterministic bytes, oracle-shaped frames") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats.length == texts.size)
+    feats.foreach { f =>
+      assert(f.n_bytes ==
+        texts(f.asset_id).getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    }
+    // deterministic checksums across two runs
+    val again = Multimodal.extractFeatures(assets).collect()
+      .map(f => f.asset_id -> f.checksum).toMap
+    feats.foreach(f => assert(again(f.asset_id) == f.checksum))
+    // frame fan-out: video assets (id % 3 == 2) emit 1 + id % 5 frames
+    val frames = Multimodal.sampleFrames(assets)
+      .groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames.keySet == texts.keySet.filter(_ % 3 == 2))
+    frames.foreach { case (id, n) => assert(n == 1 + id % 5) }
+  }
+
   test("multimodal plumbing: features + frame sampling") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val feats = Multimodal.extractFeatures(assets, dim = 16)
