@@ -27,7 +27,9 @@ object SparkEntry {
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer div, not `/ 1000` (double division rounds ns epochs beyond
+        // double's 53-bit mantissa, off-by-1us near hour boundaries)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }
@@ -271,10 +273,17 @@ object SparkEntry {
     // --- corpus ops: dedup / similarity / text analysis -----------------
     "q_ngram_jaccard_pairs" -> ((s, d) => {
       // word-3-gram inverted-index join on a subset; integer outputs only
-      // (inter/size counts) so the oracle compare is exact
-      val sh = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+      // (inter/size counts) so the oracle compare is exact. The df-cap (a
+      // shingle in >100 docs is boilerplate: k² candidate rows, no signal)
+      // is part of the query DEFINITION — mirrored in the oracle's HAVING —
+      // so results stay engine-equal at every SF while the join is
+      // skew-proof at corpus scale.
+      val sh0 = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
         .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
+      val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
+      val rare = sh0.groupBy("sh").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= 100).select("sh")
+      val sh = sh0.join(rare, Seq("sh"))
       val a = sh.select(col("doc_id").as("id_a"), col("sh"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh"))
       a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
@@ -353,20 +362,48 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     }),
 
-    "q_dedup_clusters" -> ((s, d) => {
+    "q_dedup_minhash_clusters" -> ((s, d) => {
       // LSH pairs -> connected components -> canonical doc per cluster
+      // (hash-based blocking: rows-only driver check)
       graft.ops.Dedup.clusters(t(s, d, "documents"), threshold = 0.5)
+    }),
+
+    "q_dedup_clusters" -> ((s, d) => {
+      // exact n-gram Jaccard pairs (SQL-reproducible, same construction as
+      // q_ngram_jaccard_pairs) -> connected components -> canonical per
+      // cluster. cluster_id = min doc id in the cluster, so the whole
+      // result is a deterministic function the oracle replays as a
+      // min-label fixpoint (WITH RECURSIVE).
+      val docs = t(s, d, "documents")
+      val sh = docs
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
+      val pairs = sh.select(col("doc_id").as("id_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("id_a"),
+          col("setsize").as("size_a")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"),
+          col("setsize").as("size_b")), Seq("id_b"))
+        .filter(col("inter") / (col("size_a") + col("size_b") - col("inter"))
+          >= 0.5)
+        .select("id_a", "id_b")
+      graft.ops.Dedup.clustersFromPairs(docs, pairs)
     }),
 
     "q_graph_components" -> ((s, d) => {
       // co-supplier graph: suppliers linked when they supply the same
-      // order (the co-authorship connected-components analogue)
+      // order (the co-authorship connected-components analogue). Keys are
+      // zero-padded so the component label (min member key, a string min)
+      // agrees with numeric min — letting the oracle replay the components
+      // as a recursive-CTE reachability fixpoint.
       val supplierOrders = t(s, d, "lineitem").select(
-        col("l_suppkey").cast("string").as("src"),
+        lpad(col("l_suppkey").cast("string"), 10, "0").as("src"),
         col("l_orderkey").cast("string").as("dst"))
       graft.graph.GraphOps.coauthorComponents(supplierOrders)
         .select(col("author_uuid").cast("long").as("supp_key"),
-          col("component_id"))
+          col("component_id").cast("long").as("component_id"))
     }),
 
     "q_multimodal_features" -> ((s, d) => {
@@ -387,8 +424,9 @@ object SparkEntry {
     }),
 
     "q_name_similarity" -> ((s, d) => {
-      // F4 difflib-ratio surface over real string data
-      t(s, d, "customer").limit(500).select(
+      // F4 difflib-ratio surface over real string data (key filter, not an
+      // unordered limit — deterministic row set)
+      t(s, d, "customer").filter(col("c_custkey") <= 500).select(
         col("c_custkey"),
         name_similarity(col("c_name"),
           concat(lit("Customer#"), lpad(col("c_custkey") + 1, 9, "0")))
@@ -396,11 +434,28 @@ object SparkEntry {
     }),
 
     "q_clean_html" -> ((s, d) => {
-      // F1 surface: clean synthetic markup injected around real text
-      t(s, d, "documents").limit(200).select(
+      // F1 surface: clean synthetic markup injected around real text. The
+      // corpus text is tag/entity-free single-spaced ASCII, so the cleaned
+      // value is SQL-reproducible: tags stripped, \n -> space,
+      // '&amp;amp;' -> '&amp;' (literal pass) -> '&' (entity unescape).
+      t(s, d, "documents").filter(col("doc_id") < 200).select(
         col("doc_id"),
         clean_html(concat(lit("<p>"), col("text"), lit("</p>\n&amp;amp;")))
           .as("cleaned"))
+    }),
+
+    "q_quality_score" -> ((s, d) => {
+      // text-quality scoring surface with an EXACT oracle: ratios and the
+      // composite score are emitted as floor(x*1e6) integers — floor is
+      // exact on identical IEEE doubles, so no rounding-mode divergence
+      import graft.ops.TextAnalysis._
+      val txt = col("text")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCountWhitespace(txt).as("n_tokens_ws"),
+        floor(punctRatio(txt) * 1e6).cast("long").as("punct_u6"),
+        floor(stopwordRatio(txt) * 1e6).cast("long").as("stopword_u6"),
+        floor(qualityScoreRaw(txt) * 1e6).cast("long").as("quality_u6"))
     })
   )
 
@@ -563,12 +618,14 @@ object SparkEntry {
         |  unnest(generate_series(1, len(ws))) AS i) u""".stripMargin,
 
     "q_ngram_jaccard_pairs" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |        WHERE doc_id % 20 = 0) t,
         |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
-        |sizes AS (SELECT doc_id, count(*) AS setsize FROM sh GROUP BY doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS setsize FROM sh0 GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc_id, s FROM sh0 JOIN rare USING (s)),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -577,6 +634,79 @@ object SparkEntry {
         |FROM pairs
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |sizes AS (SELECT doc_id, count(*) AS setsize FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p0
+        |  JOIN sizes sa ON sa.doc_id = p0.id_a
+        |  JOIN sizes sb ON sb.doc_id = p0.id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.setsize + sb.setsize - inter) >= 0.5),
+        |sym AS (SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(x, y) AS (SELECT x, y FROM sym
+        |  UNION SELECT r.x, s2.y FROM reach r JOIN sym s2 ON r.y = s2.x)
+        |SELECT d.doc_id,
+        |  CAST(least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS BIGINT)
+        |    AS cluster_id,
+        |  least(d.doc_id, coalesce(min(r.y), d.doc_id)) = d.doc_id
+        |    AS is_canonical
+        |FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q_graph_components" ->
+      """WITH RECURSIVE co AS (
+        |  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey),
+        |reach(x, y) AS (
+        |  SELECT x, y FROM co
+        |  UNION
+        |  SELECT r.x, c.y FROM reach r JOIN co c ON r.y = c.x)
+        |SELECT CAST(x AS BIGINT) AS supp_key,
+        |  CAST(min(y) AS BIGINT) AS component_id
+        |FROM reach GROUP BY x""".stripMargin,
+
+    "q_clean_html" ->
+      """SELECT doc_id, text || ' &' AS cleaned FROM documents
+        |WHERE doc_id < 200""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+        |    AS n_tokens_ws,
+        |  CAST(floor((CAST(length(text) - length(
+        |      regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / length(text)) * 1000000.0) AS BIGINT) AS punct_u6,
+        |  CAST(floor((CAST(len(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','that',
+        |        'for','it','on','as','with','are','this'], x))) AS DOUBLE)
+        |    / len(regexp_split_to_array(lower(trim(text)), '\s+')))
+        |    * 1000000.0) AS BIGINT) AS stopword_u6,
+        |  CAST(floor((
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+        |    + greatest(0.0, 1.0 - (CAST(length(text) - length(
+        |        regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |        / length(text)) * 4.0) * 0.25
+        |    + (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0
+        |       THEN 1.0 ELSE greatest(0.0, 1.0 -
+        |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |           - length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |         / length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) END) * 0.15
+        |    + least((CAST(len(list_filter(
+        |        regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        x -> list_contains(['the','and','of','to','a','in','is','that',
+        |          'for','it','on','as','with','are','this'], x))) AS DOUBLE)
+        |      / len(regexp_split_to_array(lower(trim(text)), '\s+'))) * 4.0, 1.0)
+        |      * 0.3
+        |  ) * 1000000.0) AS BIGINT) AS quality_u6
+        |FROM documents""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len,

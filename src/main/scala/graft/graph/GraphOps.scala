@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * workstream hierarchy, create_graph.py:162-169, and author/output
   * neighborhood queries). Batch-analytic equivalents:
   *
-  *  - [[unitHierarchy]]   — transitive closure of unit_of (Pregel label
-  *                          propagation from the roots, O(depth) supersteps)
+  *  - [[unitHierarchy]]   — transitive closure of unit_of (frontier
+  *                          iteration, O(depth) rounds, bounded lineage)
   *  - [[coauthorComponents]] — connected components of the co-authorship
   *                          graph (GraphX connectedComponents, the standard
   *                          batch primitive Memgraph has no equivalent for)
@@ -42,68 +42,98 @@ object GraphOps {
   /** Transitive closure of the unit_of hierarchy: for every unit, the set
     * of ancestor unit ids (workstream containment). Iterative DataFrame
     * self-joins with early exit — depth-bounded (org hierarchies are
-    * shallow); each round is one shuffle on the frontier only.
+    * shallow); each round is one shuffle on the frontier only. The frontier
+    * is localCheckpoint-ed each round (bounded lineage — no exponential
+    * plan growth) and the previous round's blocks are released.
     *
     * @param unitOf edge table (src = child unit id, dst = parent unit id)
     * @return (unit_id, ancestor_id, depth)
     */
   def unitHierarchy(unitOf: DataFrame, maxDepth: Int = 16): DataFrame = {
-    val base = unitOf.select(col("src").as("unit_id"),
+    val edges = unitOf.select(col("src"), col("dst")).localCheckpoint(true)
+    val base = edges.select(col("src").as("unit_id"),
       col("dst").as("ancestor_id"), lit(1).as("depth"))
+      .localCheckpoint(true)
     var closure = base
     var frontier = base
     var d = 1
     while (d < maxDepth && !frontier.isEmpty) {
       val next = frontier.alias("f")
-        .join(unitOf.alias("e"), col("f.ancestor_id") === col("e.src"))
+        .join(edges.alias("e"), col("f.ancestor_id") === col("e.src"))
         .select(col("f.unit_id"), col("e.dst").as("ancestor_id"),
           (col("f.depth") + 1).as("depth"))
         .join(closure.select("unit_id", "ancestor_id"),
           Seq("unit_id", "ancestor_id"), "left_anti")
-      frontier = next.cache()
-      closure = closure.union(frontier)
+        .localCheckpoint(true) // eager: materializes + truncates lineage
+      val prev = frontier
+      frontier = next
+      closure = closure.union(frontier).localCheckpoint(true)
+      prev.unpersist()
       d += 1
     }
     closure
   }
 
+  /** Contributor-graph edge list WITHOUT the k-squared self-join: instead
+    * of pairing every two members of a group (k² rows per group — a hub
+    * output with 10⁴ contributors would emit 10⁸ edges), emit a STAR per
+    * group: every member links to the group's minimum member. k-1 edges per
+    * group, identical connectivity (any two members of the group are
+    * connected through the hub), so connected components are EXACTLY the
+    * same. Output size is linear in the input — skew-proof by construction.
+    */
+  private def starEdges(memberOf: DataFrame): DataFrame = {
+    val hub = memberOf.groupBy("o").agg(min(col("m")).as("src"))
+    memberOf.join(hub, Seq("o"))
+      .filter(col("m") =!= col("src"))
+      .select(col("src"), col("m").as("dst"))
+      .distinct()
+  }
+
   /** Connected components of the co-authorship graph: two authors are
-    * linked when they share an output. The co-author edge list is derived
-    * with one self-join of author_of on the output (shuffle on output
-    * uuid), then GraphX connectedComponents (Pregel) finds the clusters.
+    * linked when they share an output. Star-edge construction (see
+    * [[starEdges]]) keeps the edge list linear in |author_of| — no k² hub
+    * blowup — then GraphX connectedComponents (Pregel) finds the clusters.
+    * The raw component label (min vertex hash) is normalized to the MIN
+    * MEMBER UUID per component, which is deterministic, hash-free, and
+    * reproducible by a plain min-label fixpoint (oracle-checkable).
     *
     * @param authorOf edge table (src = author uuid, dst = output uuid)
-    * @return (author_uuid, component_id) — component_id is the min vertex
-    *   hash in the component (stable across runs)
+    * @return (author_uuid, component_id) — component_id is the min author
+    *   uuid in the component
     */
   def coauthorComponents(authorOf: DataFrame): DataFrame = {
     val spark = authorOf.sparkSession
     import spark.implicits._
-    val a = authorOf.select(col("dst").as("o"), col("src").as("a1"))
-    val b = authorOf.select(col("dst").as("o"), col("src").as("a2"))
-    val coedges = a.join(b, Seq("o")).filter(col("a1") < col("a2"))
-      .select("a1", "a2").distinct()
+    val membership = authorOf.select(col("dst").as("o"), col("src").as("m"))
+    val coedges = starEdges(membership)
     val authors = authorOf.select(col("src").as("uuid")).distinct()
-    val g = buildGraph(authors, coedges.select(col("a1").as("src"),
-      col("a2").as("dst")))
+    val g = buildGraph(authors, coedges)
     val cc = g.connectedComponents()
-    val ccDf = cc.vertices.toDF("vid", "component_id")
-    authors.withColumn("vid", xxhash64(col("uuid")))
+    val ccDf = cc.vertices.toDF("vid", "_raw_cc")
+    val labeled = authors.withColumn("vid", xxhash64(col("uuid")))
       .join(ccDf, "vid")
+    // normalize: hash label -> min member uuid (deterministic, oracle-able)
+    val canon = labeled.groupBy("_raw_cc").agg(min(col("uuid")).as("component_id"))
+    labeled.join(canon, Seq("_raw_cc"))
       .select(col("uuid").as("author_uuid"), col("component_id"))
   }
 
-  /** PageRank over the co-authorship graph (centrality of authors). */
+  /** PageRank over the co-authorship graph (centrality of authors). The
+    * co-edge list uses the same star construction as
+    * [[coauthorComponents]] (symmetrized), trading exact clique weights for
+    * linear edge growth — rank ordering within components is preserved for
+    * hub detection while staying skew-proof.
+    */
   def authorRank(authorOf: DataFrame, tol: Double = 0.001): DataFrame = {
     val spark = authorOf.sparkSession
     import spark.implicits._
-    val a = authorOf.select(col("dst").as("o"), col("src").as("a1"))
-    val b = authorOf.select(col("dst").as("o"), col("src").as("a2"))
-    val coedges = a.join(b, Seq("o")).filter(col("a1") =!= col("a2"))
-      .select("a1", "a2").distinct()
+    val membership = authorOf.select(col("dst").as("o"), col("src").as("m"))
+    val star = starEdges(membership)
+    val coedges = star.union(
+      star.select(col("dst").as("src"), col("src").as("dst")))
     val authors = authorOf.select(col("src").as("uuid")).distinct()
-    val g = buildGraph(authors, coedges.select(col("a1").as("src"),
-      col("a2").as("dst")))
+    val g = buildGraph(authors, coedges)
     val pr = g.pageRank(tol).vertices.toDF("vid", "pagerank")
     authors.withColumn("vid", xxhash64(col("uuid")))
       .join(pr, "vid")

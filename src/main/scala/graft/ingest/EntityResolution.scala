@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * sequential first-occurrence-wins semantics deterministically, SURVEY.md
   * §7.5.2).
   *
-  * Scale notes: the authors dimension is broadcast when small; at 100 TB the
-  * join keys (orcid, name keys) are hash-shuffled equi-joins — never a cross
-  * join. The fuzzy score only runs on ORCID-hit rows (a filter after an
-  * equi-join), not as a similarity join.
+  * Scale notes: the authors dimension is joined WITHOUT a broadcast hint —
+  * Catalyst broadcasts it from size stats while it is small and AQE falls
+  * back to a shuffled equi-join once it grows past the threshold (the
+  * dimension is unbounded: forcing broadcast would OOM at 100×). The fuzzy
+  * score only runs on ORCID-hit rows (a filter after an equi-join), not as
+  * a similarity join.
   *
   * Note the reference bugs we deliberately do NOT reproduce (SURVEY.md
   * §7.5.3): it interpolates the literal `"https://orcid.org/{orcid}"` into
@@ -83,8 +85,11 @@ object EntityResolution {
       row_number().over(Window.partitionBy("_init_key").orderBy("_init_uuid")))
       .filter(col("_rn") === 1).drop("_rn")
 
-    // Stage 1: ORCID equi-join (J5) …
-    val s1 = mentions.join(broadcast(dbOrcid1), Seq("orcid"), "left_outer")
+    // Stage 1: ORCID equi-join (J5). No forced broadcast: the authors
+    // dimension is unbounded (tens of GB at 100×), so let Catalyst/AQE pick
+    // broadcast from file-size stats when it IS small and fall back to a
+    // shuffled equi-join when it isn't.
+    val s1 = mentions.join(dbOrcid1, Seq("orcid"), "left_outer")
     // … Stage 2: fuzzy-verify the hit (J9) — score only computed on hits
     val verified = s1.withColumn("_orcid_ok",
       col("_orcid_uuid").isNotNull &&
@@ -93,7 +98,7 @@ object EntityResolution {
     // Stage 3: initial+surname fallback (P3) for misses and failed verifies
     val s3 = verified
       .withColumn("_init_key", initialName)
-      .join(broadcast(dbByInitial1), Seq("_init_key"), "left_outer")
+      .join(dbByInitial1, Seq("_init_key"), "left_outer")
 
     val resolvedExisting = s3.withColumn("author_uuid",
       when(col("_orcid_ok"), col("_orcid_uuid"))

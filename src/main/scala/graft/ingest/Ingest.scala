@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *   doi list ─validate/dedup─ tracker
   *        └─ payloads (pre-fetched JSON dir; the HTTP fetch is outside the
   *           engine, reference get_metadata.py:40-87)
-  *             └─ parse (G2/G3/F1/F5-F10, narrow)
-  *                └─ J7 new-output anti-join ── outputs append
+  *             └─ parse (G2/G3/F1/F5-F10, narrow) + OpenAlex join (S4:
+  *                openalex id + cited_by_count, reference parser.py:185-186)
+  *                └─ J7 new-output anti-join ── outputs append (or, in
+  *                   update mode, merge-on-key property refresh — S7/update)
   *                └─ posexplode authors → J5/J9/J6 resolution → minted
   *                   authors append → J2 author_of MERGE
   *   then country enrichment (J4/J8/L3) and the metrics report (A2/A3).
@@ -27,11 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** One full ingestion run. Returns the metrics report (1 row). */
+  /** One full ingestion run. Returns the 14-counter metrics report (1 row).
+    *
+    * @param openAlex optional OpenAlex works table (doi, id, cited_by_count)
+    *   — the prefetched-JSON analogue of the reference's per-DOI OpenAlex
+    *   fetch (get_metadata.py:69-87). When given, outputs carry
+    *   openalex + cited_by_count and the openalex_success counter counts
+    *   the DOIs that matched.
+    * @param update reference `--update`: re-process DOIs that already exist,
+    *   refreshing their properties in place (merge-on-key write).
+    */
   def run(spark: SparkSession, store: GraphStore, doiList: DataFrame,
-          payloads: DataFrame, countriesSeed: Option[DataFrame] = None,
+          payloads: DataFrame, openAlex: Option[DataFrame] = None,
+          countriesSeed: Option[DataFrame] = None,
           limit: Option[Int] = None, update: Boolean = false,
-          citedByCountYear: Option[Int] = None): DataFrame = {
+          citedByCountYear: Option[Int] = None,
+          totalTimeSeconds: Double = 0.0): DataFrame = {
 
     // 1. validate + existence (tracker stays small: --limit default 50)
     val tracker0 = DoiOps.validate(doiList, limit)
@@ -43,13 +56,17 @@ object Ingest {
     //    hold anything; only this batch's DOIs flow on)
     val batch = payloads.join(ingest.select("doi").hint("broadcast"),
       Seq("doi"), "left_semi")
-    val parsed = MetadataParser.parseEnvelope(batch,
+    val parsed = MetadataParser.parseEnvelope(batch, openAlex = openAlex,
       citedByCountYear = citedByCountYear).cache()
 
-    // 3. outputs: J7 anti-join, deterministic uuids, append
-    val newOut = EntityResolution.newOutputs(parsed, store.nodeTable("outputs"))
+    // 3. outputs: deterministic uuid from the DOI; insert-if-absent, or in
+    //    update mode a merge-on-key property refresh (doi.py:215-250)
+    val newOut = parsed.dropDuplicates("doi")
+      .withColumn("uuid",
+        EntityResolution.mintUuid(concat(lit("output:"), col("doi"))))
       .cache()
-    store.upsertNodes("outputs", newOut, key = "doi")
+    if (update) store.mergeNodes("outputs", newOut, key = "doi")
+    else store.upsertNodes("outputs", newOut, key = "doi")
 
     // 4. authors: fan out mentions (G3), resolve (J5/J9/J6), mint, append
     val mentions = newOut.select(col("doi"), col("uuid").as("output_uuid"),
@@ -78,15 +95,59 @@ object Ingest {
     }
 
     // 7. metrics (A2/A3) — enrich tracker with per-stage success flags
-    val okDois = parsed.select("doi").distinct()
-      .withColumn("openaire_metadata", lit(true))
-    val report = Metrics.ingestionReport(
+    //    (openaire = parsed, openalex = parsed AND matched an OpenAlex work)
+    val okDois = parsed.groupBy("doi").agg(
+      max(lit(true)).as("openaire_metadata"),
+      (count(col("openalex")) > 0).as("openalex_metadata"))
+    Metrics.ingestionReport(
       tracker.join(okDois, Seq("doi"), "left_outer")
         .withColumn("openaire_metadata",
           coalesce(col("openaire_metadata"), lit(false)))
+        .withColumn("openalex_metadata",
+          coalesce(col("openalex_metadata"), lit(false)))
         .withColumn("ingestion_success",
-          col("openaire_metadata") && col("valid_pattern")))
-    report
+          col("openaire_metadata") && col("valid_pattern")),
+      update = update, totalTimeSeconds = totalTimeSeconds)
+  }
+
+  /** Raw-JSON payload sink — the reference's `--write-metadata`
+    * (get_metadata.py:29-38): one `{doi with '/' stripped}.json` file per
+    * DOI. Written through the Hadoop FileSystem API per partition (works on
+    * file:/hdfs:/s3a:); this is an export sink for small fetch batches, not
+    * a hot-path operator.
+    */
+  def writeMetadata(payloads: DataFrame, dir: String): Unit = {
+    val confBc = payloads.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        payloads.sparkSession.sessionState.newHadoopConf()))
+    payloads.select(
+      regexp_replace(col("doi"), "/", "").as("_key"), col("payload"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(confBc.value.value)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+        rows.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".json"), true)
+          try out.write(r.getString(1).getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+  }
+
+  /** Read a `--write-metadata`-layout payload dir into (doi, payload) rows,
+    * joining the filename key (F13) back to the validated DOI list.
+    */
+  def readPayloadDir(spark: SparkSession, doiList: DataFrame,
+                     payloadDir: String): DataFrame = {
+    val payloads = spark.read.option("wholetext", "true").text(payloadDir)
+      .withColumn("_file", input_file_name())
+      .select(regexp_extract(col("_file"), "([^/]+)\\.json$", 1).as("file_key"),
+        col("value").as("payload"))
+    DoiOps.validate(doiList)
+      .withColumn("file_key", regexp_replace(col("doi"), "/", ""))
+      .select("doi", "file_key").distinct()
+      .join(payloads, Seq("file_key")).drop("file_key")
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,20 +162,15 @@ object Ingest {
 
     val store = new GraphStore(spark, warehouse)
     val doiList = DoiOps.readDoiList(spark, doiListPath)
-    // payload dir: one {doi stripped of '/'}.json per DOI (S5/S6 layout)
-    import spark.implicits._
-    val payloads = spark.read.option("wholetext", "true").text(payloadDir)
-      .withColumn("_file", input_file_name())
-      .select(regexp_extract(col("_file"), "([^/]+)\\.json$", 1).as("file_key"),
-        col("value").as("payload"))
-    // file_key joins back to the tracker's filename key (F13)
-    val keyed = DoiOps.validate(doiList)
-      .withColumn("file_key", regexp_replace(col("doi"), "/", ""))
-      .select("doi", "file_key").distinct()
-      .join(payloads, Seq("file_key")).drop("file_key")
+    val keyed = readPayloadDir(spark, doiList, payloadDir)
 
-    val report = Ingest.run(spark, store, doiList, keyed)
-    report.show(truncate = false)
+    val t0 = System.nanoTime()
+    val report = Ingest.run(spark, store, doiList, keyed,
+      totalTimeSeconds = 0.0)
+    report.drop("total_time_seconds")
+      .withColumn("total_time_seconds",
+        round(lit((System.nanoTime() - t0) / 1e9), 3))
+      .show(truncate = false)
     val violations = store.assertConstraints()
     println(s"constraint violations: $violations")
     println("nodes/authors=" + store.nodeTable("authors").count() +

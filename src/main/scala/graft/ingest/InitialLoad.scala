@@ -91,10 +91,12 @@ object InitialLoad {
         .select(concat_ws(" ", col("first_name"), col("last_name")).as("_nm"),
           col("uuid").as("_uuid_name"))
         .dropDuplicates("_nm")
+      // no forced broadcast — authors is unbounded; Catalyst broadcasts
+      // from size stats while small, AQE shuffles once it grows
       members
-        .join(broadcast(byOrcid), Seq("orcid"), "left_outer")
+        .join(byOrcid, Seq("orcid"), "left_outer")
         .withColumn("_nm", col("name"))
-        .join(broadcast(byName), Seq("_nm"), "left_outer")
+        .join(byName, Seq("_nm"), "left_outer")
         .withColumn("author_uuid",
           coalesce(col("_uuid_orcid"), col("_uuid_name")))
         .filter(col("author_uuid").isNotNull)
@@ -115,8 +117,9 @@ object InitialLoad {
       col("cca3").as("id"),
       col("`name.common`").as("name"),
       col("`name.official`").as("official_name"),
-      concat(lit("http://dbpedia.org/resource/"),
-        regexp_replace(col("`name.official`"), " ", "_")).as("dbpedia"),
+      // bare slug, no URL prefix — reference stores '_'.join(official.split())
+      // (create_graph.py:109)
+      regexp_replace(col("`name.official`"), " ", "_").as("dbpedia"),
       element_at(split(col("latlng"), ","), 1).cast("double").as("latitude"),
       element_at(split(col("latlng"), ","), 2).cast("double").as("longitude"))
     store.upsertNodes("countries", countries, key = "id")

@@ -102,7 +102,11 @@ object MetadataParser {
     val rt = col("r.resourcetype")
     val parsed = art.select(
       col("doi"),
-      clean_html(col("r.mainTitle")).as("title"),
+      // cleaned TWICE, matching the reference (parser.py:110 cleans at parse,
+      // parser.py:174 cleans again building AnonymousArticle). Not idempotent:
+      // '&lt;b&gt;x&lt;/b&gt;' -> pass 1 unescapes to '<b>x</b>', pass 2
+      // strips the now-literal tags.
+      clean_html(clean_html(col("r.mainTitle"))).as("title"),
       // reference parse_metadata does NOT clean the abstract (parser.py:127)
       element_at(col("r.descriptions"), 1).as("abstract"),
       repairedAuthors(col("r.authors")).as("authors"),

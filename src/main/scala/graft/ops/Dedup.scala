@@ -81,14 +81,16 @@ object Dedup {
 
     // staged verify: cheap signature-agreement estimate prunes the long
     // tail of low-similarity band collisions; exact sorted-merge Jaccard
-    // confirms survivors (no false positives; the estimate margin keeps
-    // boundary recall loss ≈ P[est < t-0.05 | j >= t] — 3 sigma-ish)
+    // confirms survivors (no false positives). The estimator's stddev at
+    // jaccard=t is sqrt(t(1-t)/numHashes), so a 3-sigma margin keeps
+    // boundary recall loss ~0.1% of true pairs the band join found.
+    val margin = 3.0 * math.sqrt(threshold * (1.0 - threshold) / numHashes)
     val a = sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a"),
       col("_sh").as("_sh_a"))
     val b = sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b"),
       col("_sh").as("_sh_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .filter(sig_agreement(col("_sig_a"), col("_sig_b")) >= threshold - 0.05)
+      .filter(sig_agreement(col("_sig_a"), col("_sig_b")) >= threshold - margin)
       .withColumn("jaccard", jaccard_sorted_arrays(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -129,18 +131,34 @@ object Dedup {
     * compute exact Jaccard from set sizes — no re-scan of the text, no
     * verify pass needed (intersection is exact).
     *
-    * minSharedShingles prunes the long tail of accidental single-shingle
-    * collisions before the pair aggregation (the scale lever).
+    * Two scale levers:
+    *  - maxDocFreq: a shingle occurring in k docs generates k² candidate
+    *    rows, so ONE boilerplate shingle shared by 10⁶ docs would emit
+    *    10¹² join rows. Shingles above the document-frequency cap carry no
+    *    similarity signal (they are corpus-wide boilerplate) and are
+    *    dropped BEFORE the self-join. Slightly conservative on recall
+    *    (a pair must share a sub-cap shingle to be found); the default cap
+    *    of 1000 bounds per-shingle fan-out at 10⁶ rows regardless of
+    *    corpus size.
+    *  - minSharedShingles prunes the long tail of accidental
+    *    single-shingle collisions before the pair aggregation.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                        minSharedShingles: Int = 2,
+                        minSharedShingles: Int = 2, maxDocFreq: Int = 1000,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val shingled = docs.select(col(idCol).as("_id"),
       word_shingles(col(textCol), n).as("_sh"))
       .withColumn("_setsize", size(col("_sh")))
       .filter(col("_setsize") > 0)
-    val inv = shingled.select(col("_id"), col("_setsize"),
+    val inv0 = shingled.select(col("_id"), col("_setsize"),
       explode(col("_sh")).as("_shingle"))
+    // df-cap: one extra agg pass over the inverted index, then only
+    // informative shingles enter the quadratic join
+    val rare = inv0.groupBy("_shingle")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq)
+      .select("_shingle")
+    val inv = inv0.join(rare, Seq("_shingle"))
     val pairs = inv.select(col("_shingle"), col("_id").as("id_a"),
         col("_setsize").as("size_a"))
       .join(inv.select(col("_shingle"), col("_id").as("id_b"),
@@ -168,16 +186,27 @@ object Dedup {
     */
   def clusters(docs: DataFrame, threshold: Double = 0.8, shingleK: Int = 5,
                numHashes: Int = 128, bands: Int = 32,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    clustersFromPairs(docs,
+      minhashLsh(docs, threshold, shingleK, numHashes, bands, idCol, textCol),
+      idCol)
+
+  /** Connected-components clustering over an arbitrary near-dup pair set
+    * (id_a, id_b) — composes with ANY pair generator above (minhashLsh,
+    * simhashPairs, ngramJaccardPairs, embeddingPairs). Vertex id is the doc
+    * id itself, so cluster_id (GraphX CC label = min vertex id) is the min
+    * doc id: deterministic across runs and reproducible by a plain
+    * min-label fixpoint (oracle-checkable when the pair set is).
+    */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = minhashLsh(docs, threshold, shingleK, numHashes, bands,
-      idCol, textCol)
     val verts = docs.select(col(idCol).cast("long")).rdd
       .map(r => (r.getLong(0), ()))
-    val edges = pairs.select(col("id_a"), col("id_b")).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     Graph(verts, edges).connectedComponents().vertices
       .toDF(idCol, "cluster_id")
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))

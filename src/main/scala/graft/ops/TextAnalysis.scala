@@ -48,13 +48,18 @@ object TextAnalysis {
     * stopword signals, Gopher/C4-style filters distilled to a scalar:
     * long-enough, not punctuation-soup, not shouting, has function words.
     */
-  def qualityScore(c: Column): Column = {
+  def qualityScore(c: Column): Column = round(qualityScoreRaw(c), 6)
+
+  /** Unrounded quality score — exact IEEE arithmetic, reproducible
+    * term-for-term in ANSI SQL (the oracle mirrors this parenthesization).
+    */
+  def qualityScoreRaw(c: Column): Column = {
     val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
     val casePenalty = greatest(lit(0.0), lit(1.0) - upperRatio(c))
     val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
-    round((lenScore * 0.3 + punctPenalty * 0.25 + casePenalty * 0.15 +
-      stopScore * 0.3), 6)
+    lenScore * 0.3 + punctPenalty * 0.25 + casePenalty * 0.15 +
+      stopScore * 0.3
   }
 
   /** One-pass corpus annotation: all signals as new columns. */

@@ -10,30 +10,57 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
-  /** Tracker columns consumed: valid_pattern, duplicate, already_exists,
+  /** Full 14-counter report, mirroring `doi.py ingestion_metrics()`.
+    *
+    * Tracker columns consumed: valid_pattern, duplicate, already_exists,
     * openaire_metadata, openalex_metadata, ingestion_success (the last three
-    * optional — absent columns count as false).
+    * optional — absent columns count as false). The reference's tracker is a
+    * dict keyed by DOI, so every per-DOI counter here is scoped to
+    * `!duplicate` rows (one row per distinct DOI); only `submitted_dois` and
+    * `duplicated_submissions` look at the raw submission multiset.
+    *
+    * Reference semantics pinned:
+    *  - processed = valid_pattern if update-mode else new (valid, first
+    *    submission, not already present) — doi.py:205-207
+    *  - metadata_pass / metadata_failure / openalex_success /
+    *    openaire_success are scoped to processed (so a valid DOI that
+    *    already exists and was never attempted is NOT a failure)
+    *  - updated_existing_dois = processed && success && already_exists
+    *  - ingested_dois is NOT processed-scoped (doi.py:235-239)
+    *
+    * @param totalTimeSeconds injectable wall-clock (reference stamps
+    *   end_time - start_time; injected for determinism)
     */
-  def ingestionReport(tracker: DataFrame): DataFrame = {
-    val t = Seq("openaire_metadata", "openalex_metadata", "ingestion_success")
+  def ingestionReport(tracker: DataFrame, update: Boolean = false,
+                      totalTimeSeconds: Double = 0.0): DataFrame = {
+    val t = Seq("openaire_metadata", "openalex_metadata", "ingestion_success",
+      "already_exists")
       .foldLeft(tracker)((d, c) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(false)))
     def cnt(c: org.apache.spark.sql.Column) =
       coalesce(sum(when(c, 1L)), lit(0L))
+    val distinctDoi = !col("duplicate")
+    val newDoi = distinctDoi && col("valid_pattern") && !col("already_exists")
+    val processed =
+      if (update) distinctDoi && col("valid_pattern") else newDoi
     t.agg(
-      count(lit(1)).as("dois_submitted"),
+      count(lit(1)).as("submitted_dois"),
       cnt(col("duplicate")).as("duplicated_submissions"),
-      cnt(col("valid_pattern")).as("valid_pattern"),
-      cnt(!col("valid_pattern")).as("invalid_pattern"),
-      cnt(col("already_exists")).as("already_exists"),
-      cnt(col("valid_pattern") && !col("duplicate") && !col("already_exists"))
-        .as("new_dois"),
-      cnt(col("openaire_metadata")).as("openaire_metadata_success"),
-      cnt(col("openalex_metadata")).as("openalex_metadata_success"),
-      cnt(col("ingestion_success")).as("ingested"),
-      cnt(col("valid_pattern") && !col("ingestion_success"))
-        .as("failed_ingestion"))
+      cnt(processed).as("processed_dois"),
+      cnt(newDoi).as("new_dois"),
+      cnt(distinctDoi && col("already_exists")).as("existing_dois"),
+      cnt(processed && col("ingestion_success") && col("already_exists"))
+        .as("updated_existing_dois"),
+      cnt(distinctDoi && col("ingestion_success")).as("ingested_dois"),
+      cnt(processed && col("ingestion_success")).as("metadata_pass"),
+      cnt(processed && !col("ingestion_success")).as("metadata_failure"),
+      cnt(distinctDoi && col("valid_pattern")).as("valid_pattern_dois"),
+      cnt(distinctDoi && !col("valid_pattern")).as("invalid_pattern_dois"),
+      cnt(processed && col("openalex_metadata")).as("openalex_success"),
+      cnt(processed && col("openaire_metadata")).as("openaire_success"))
+      .withColumn("total_time_seconds",
+        round(lit(totalTimeSeconds), 3))
   }
 
   /** Duplicate-submission detail (A3, doi.py:209-213): DOIs submitted more

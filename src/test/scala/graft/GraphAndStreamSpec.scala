@@ -42,9 +42,11 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val authorOf = Seq(("a1", "o1"), ("a2", "o1"), ("a2", "o2"), ("a3", "o2"),
       ("a4", "o3")).toDF("src", "dst")
     val cc = GraphOps.coauthorComponents(authorOf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(cc("a1") == cc("a2") && cc("a2") == cc("a3"))
     assert(cc("a1") != cc("a4"))
+    // component_id is the min member uuid — deterministic, hash-free
+    assert(cc("a1") == "a1" && cc("a4") == "a4")
     val pr = GraphOps.authorRank(authorOf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     // a2 bridges both outputs -> highest centrality in its component
@@ -86,8 +88,8 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(members == Set(("u1", "ws1"), ("u2", "ws2"), ("u2", "pt1")))
     val c = store.nodeTable("countries").head()
     assert(c.getAs[String]("id") == "LBR")
-    assert(c.getAs[String]("dbpedia") ==
-      "http://dbpedia.org/resource/Republic_of_Liberia")
+    // bare slug, matching reference create_graph.py:109
+    assert(c.getAs[String]("dbpedia") == "Republic_of_Liberia")
     assert(c.getAs[Double]("latitude") == 6.5)
     assert(c.getAs[Double]("longitude") == -9.5)
     // idempotent re-load
