@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] executes all 32 task threads inside this one JVM: an 8g heap
+  // GC-thrashes under concurrent shuffle/agg state (5-10x timing variance
+  // observed). The box has 128 GiB; give the single-JVM "cluster" room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

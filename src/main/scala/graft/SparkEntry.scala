@@ -19,6 +19,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance an under-partitioned scan before expression-heavy narrow
+    * work. The local testdata is ONE single-row-group parquet file per
+    * table, which Spark cannot split — every downstream narrow op would run
+    * in a single task. On a real multi-file/multi-row-group layout (any
+    * production table) the scan already yields >= defaultParallelism splits
+    * and this is a no-op; predicate pushdown and column pruning both pass
+    * through Repartition, so scans stay pruned either way.
+    */
+  private def par(s: SparkSession, df: DataFrame): DataFrame = {
+    val n = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench
     * sessions). Normalize to a microsecond TimestampType column either way.
@@ -278,7 +291,7 @@ object SparkEntry {
       // is part of the query DEFINITION — mirrored in the oracle's HAVING —
       // so results stay engine-equal at every SF while the join is
       // skew-proof at corpus scale.
-      val sh0 = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+      val sh0 = par(s, t(s, d, "documents")).filter(col("doc_id") % 20 === 0)
         .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
       val rare = sh0.groupBy("sh").agg(count(lit(1)).as("_df"))
@@ -341,15 +354,15 @@ object SparkEntry {
 
     // --- non-SQL-expressible operators (rows-only driver check) ---------
     "q_dedup_minhash" -> ((s, d) => {
-      graft.ops.Dedup.minhashLsh(t(s, d, "documents"), threshold = 0.5)
+      graft.ops.Dedup.minhashLsh(par(s, t(s, d, "documents")), threshold = 0.5)
     }),
 
     "q_dedup_simhash" -> ((s, d) => {
-      graft.ops.Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
+      graft.ops.Dedup.simhashPairs(par(s, t(s, d, "documents")), maxHamming = 3)
     }),
 
     "q_text_annotate" -> ((s, d) => {
-      graft.ops.TextAnalysis.annotate(t(s, d, "documents"))
+      graft.ops.TextAnalysis.annotate(par(s, t(s, d, "documents")))
         .select("doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpeish",
           "punct_ratio", "stopword_ratio", "quality", "fingerprint")
     }),
@@ -365,7 +378,7 @@ object SparkEntry {
     "q_dedup_minhash_clusters" -> ((s, d) => {
       // LSH pairs -> connected components -> canonical doc per cluster
       // (hash-based blocking: rows-only driver check)
-      graft.ops.Dedup.clusters(t(s, d, "documents"), threshold = 0.5)
+      graft.ops.Dedup.clusters(par(s, t(s, d, "documents")), threshold = 0.5)
     }),
 
     "q_dedup_clusters" -> ((s, d) => {
@@ -374,9 +387,14 @@ object SparkEntry {
       // cluster. cluster_id = min doc id in the cluster, so the whole
       // result is a deterministic function the oracle replays as a
       // min-label fixpoint (WITH RECURSIVE).
-      val docs = t(s, d, "documents")
+      val docs = par(s, t(s, d, "documents"))
+      // shingles hashed to 8-byte keys before the self-join (same pair
+      // counts; strings never shuffle); the pair aggregation runs FIRST
+      // and only the surviving (small) pair table re-joins the tiny sizes
+      // dimension (broadcast)
       val sh = docs
-        .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("_s"))
+        .select(col("doc_id"), xxhash64(col("_s")).as("sh"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
       val pairs = sh.select(col("doc_id").as("id_a"), col("sh"))
         .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
@@ -398,7 +416,7 @@ object SparkEntry {
       // zero-padded so the component label (min member key, a string min)
       // agrees with numeric min — letting the oracle replay the components
       // as a recursive-CTE reachability fixpoint.
-      val supplierOrders = t(s, d, "lineitem").select(
+      val supplierOrders = par(s, t(s, d, "lineitem")).select(
         lpad(col("l_suppkey").cast("string"), 10, "0").as("src"),
         col("l_orderkey").cast("string").as("dst"))
       graft.graph.GraphOps.coauthorComponents(supplierOrders)
@@ -410,7 +428,7 @@ object SparkEntry {
       // binary-column decode/feature-extract plumbing (decode stubbed,
       // partition-wise execution real) over the documents corpus
       graft.ops.Multimodal.extractFeatures(
-        graft.ops.Multimodal.assetsFromDocuments(t(s, d, "documents")))
+        graft.ops.Multimodal.assetsFromDocuments(par(s, t(s, d, "documents"))))
         .toDF()
         .select("asset_id", "modality", "n_bytes", "checksum")
     }),
@@ -419,7 +437,7 @@ object SparkEntry {
       // video frame-sampling fan-out: generator over duration, one row per
       // sampled frame — deterministic, so oracle-checked
       graft.ops.Multimodal.sampleFrames(
-        graft.ops.Multimodal.assetsFromDocuments(t(s, d, "documents")))
+        graft.ops.Multimodal.assetsFromDocuments(par(s, t(s, d, "documents"))))
         .select("asset_id", "frame_idx", "frame_ts_ms")
     }),
 
@@ -450,7 +468,7 @@ object SparkEntry {
       // exact on identical IEEE doubles, so no rounding-mode divergence
       import graft.ops.TextAnalysis._
       val txt = col("text")
-      t(s, d, "documents").select(
+      par(s, t(s, d, "documents")).select(
         col("doc_id"),
         tokenCountWhitespace(txt).as("n_tokens_ws"),
         floor(punctRatio(txt) * 1e6).cast("long").as("punct_u6"),

@@ -27,14 +27,20 @@ object GraphOps {
 
   private def vid(c: org.apache.spark.sql.Column) = xxhash64(c)
 
-  /** Build a GraphX graph from node uuids and (src, dst) edge tables. */
+  /** Build a GraphX graph from node uuids and (src, dst) edge tables.
+    * Inputs are localCheckpoint-ed first: GraphX iterates its RDDs many
+    * times, and an uncached .rdd view of a Catalyst plan re-executes the
+    * whole upstream dataflow (including broadcast subplans) on every pass.
+    */
   def buildGraph(nodes: DataFrame, edges: DataFrame,
                  uuidCol: String = "uuid"): Graph[String, Int] = {
     val verts: RDD[(VertexId, String)] = nodes
       .select(vid(col(uuidCol)).as("vid"), col(uuidCol))
+      .localCheckpoint(true)
       .rdd.map(r => (r.getLong(0), r.getString(1)))
     val es: RDD[Edge[Int]] = edges
       .select(vid(col("src")).as("s"), vid(col("dst")).as("d"))
+      .localCheckpoint(true)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     Graph(verts, es)
   }
@@ -103,20 +109,42 @@ object GraphOps {
     *   uuid in the component
     */
   def coauthorComponents(authorOf: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
     val spark = authorOf.sparkSession
     import spark.implicits._
-    val membership = authorOf.select(col("dst").as("o"), col("src").as("m"))
-    val coedges = starEdges(membership)
-    val authors = authorOf.select(col("src").as("uuid")).distinct()
-    val g = buildGraph(authors, coedges)
+    // hash member keys to longs ONCE up front: every downstream shuffle
+    // (hub agg, star join, distinct, GraphX) then moves 8-byte keys, not
+    // strings. (o, vid) is deduped first — a member appearing k times in
+    // one group is one membership.
+    val membership = authorOf
+      .select(col("dst").as("o"), col("src").as("m"))
+      .withColumn("vid", vid(col("m")))
+      .dropDuplicates("o", "vid")
+    val hub = membership.groupBy("o").agg(min(col("vid")).as("h"))
+    val starLong = membership.join(hub, Seq("o"))
+      .filter(col("vid") =!= col("h"))
+      .select(col("h"), col("vid")).distinct()
+    // materialize before the GraphX handoff (Pregel re-iterates its input
+    // RDDs; an uncached Catalyst plan would re-execute per pass)
+    val verts = membership.select(col("vid"), col("m")).distinct()
+      .localCheckpoint(true)
+    val starCk = starLong.localCheckpoint(true)
+    val vertRdd = verts.select("vid").rdd.map(r => (r.getLong(0), ()))
+    val edgeRdd = starCk.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph(vertRdd, edgeRdd)
     val cc = g.connectedComponents()
     val ccDf = cc.vertices.toDF("vid", "_raw_cc")
-    val labeled = authors.withColumn("vid", xxhash64(col("uuid")))
-      .join(ccDf, "vid")
+    val labeled = verts.join(ccDf, "vid")
     // normalize: hash label -> min member uuid (deterministic, oracle-able)
-    val canon = labeled.groupBy("_raw_cc").agg(min(col("uuid")).as("component_id"))
-    labeled.join(canon, Seq("_raw_cc"))
-      .select(col("uuid").as("author_uuid"), col("component_id"))
+    val canon = labeled.groupBy("_raw_cc").agg(min(col("m")).as("component_id"))
+    // pin the small result, then release every upstream cache (leaked
+    // graph blocks degrade later queries in a long-lived session)
+    val out = labeled.join(canon, Seq("_raw_cc"))
+      .select(col("m").as("author_uuid"), col("component_id"))
+      .localCheckpoint(true)
+    cc.unpersist(); g.unpersist()
+    verts.unpersist(); starCk.unpersist()
+    out
   }
 
   /** PageRank over the co-authorship graph (centrality of authors). The

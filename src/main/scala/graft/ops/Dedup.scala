@@ -203,13 +203,29 @@ object Dedup {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = docs.sparkSession
     import spark.implicits._
-    val verts = docs.select(col(idCol).cast("long")).rdd
-      .map(r => (r.getLong(0), ()))
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    Graph(verts, edges).connectedComponents().vertices
+    // materialize BEFORE the GraphX handoff: Pregel iterates over these
+    // RDDs many times, and an uncached .rdd view of a Catalyst plan would
+    // re-execute the whole pair-generation dataflow (incl. its broadcast
+    // subplans) on every pass. localCheckpoint = one evaluation, bounded
+    // lineage, plain cached blocks under the iteration.
+    val vertDf = docs.select(col(idCol).cast("long")).localCheckpoint(true)
+    val pairDf = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .localCheckpoint(true)
+    val verts = vertDf.rdd.map(r => (r.getLong(0), ()))
+    val edges = pairDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph(verts, edges)
+    val cc = g.connectedComponents()
+    // pin the (small) result, then release every upstream cache — leaked
+    // graph/checkpoint blocks otherwise accumulate across queries in a
+    // long-lived session and degrade everything after via GC pressure
+    val out = cc.vertices
       .toDF(idCol, "cluster_id")
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+      .localCheckpoint(true)
+    cc.unpersist(); g.unpersist()
+    vertDf.unpersist(); pairDf.unpersist()
+    out
   }
 
   /** Distinct word-n-gram shingle hashes as a column (array<int>). */
