@@ -53,6 +53,25 @@ class MetadataParserSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.getAs[Int]("rank") == 1)
   }
 
+  test("title is double-cleaned like the reference (parser.py:110 + 174)") {
+    import spark.implicits._
+    // clean_html is NOT idempotent: pass 1 unescapes entities into literal
+    // markup, pass 2 strips it. Goldens verified against the reference's
+    // clean_html(clean_html(...)) chain.
+    val cases = Seq(
+      ("10.1/t1", "&lt;b&gt;Energy &amp; Climate&lt;/b&gt;",
+        "Energy & Climate"),
+      ("10.1/t2", "CO&lt;sub&gt;2&lt;/sub&gt; emissions", "CO2 emissions"),
+      ("10.1/t3", "A &amp;amp; B", "A & B"))
+    val raw = cases.map { case (doi, title, _) =>
+      (doi, s"""{"results":[{"mainTitle":"$title","publicationDate":"2021-01-01","authors":[]}]}""")
+    }.toDF("doi", "payload")
+    val got = MetadataParser.parseEnvelope(raw, citedByCountYear = Some(2024))
+      .select("doi", "title").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (doi, _, want) => assert(got(doi) == want, doi) }
+  }
+
   /** reference tests/test_parser.py:31-128 edge cases, through the array
     * pipeline. Each input is one element of an authors array.
     */
