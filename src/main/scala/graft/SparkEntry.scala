@@ -462,6 +462,39 @@ object SparkEntry {
           .as("cleaned"))
     }),
 
+    // --- corpus curation: splits / sampling / banding / scrubbing --------
+    "q_hash_split" -> ((s, d) => {
+      // deterministic md5-bucket train/val/test assignment (CorpusOps):
+      // membership is a pure function of the key, so incremental corpus
+      // refreshes never reshuffle existing rows across splits
+      t(s, d, "documents").select(col("doc_id"),
+        graft.ops.CorpusOps.hashSplit("doc_id", 80, 10).as("split"))
+    }),
+
+    "q_stratified_sample" -> ((s, d) => {
+      // deterministic per-language downsample: en kept at 50%, others 20%
+      t(s, d, "documents")
+        .filter(graft.ops.CorpusOps.stratifiedKeep(
+          "doc_id", "lang", Map("en" -> 50), defaultPct = 20))
+        .select("doc_id", "lang")
+    }),
+
+    "q_length_band" -> ((s, d) => {
+      // exact within-language length-percentile trim (Gopher-style)
+      graft.ops.CorpusOps.lengthBand(
+        t(s, d, "documents"), "text", "lang", 0.05, 0.95)
+        .select("doc_id", "lang")
+    }),
+
+    "q_scrub_text" -> ((s, d) => {
+      // PII-style scrub over text with deterministically injected
+      // email/number tokens (the raw corpus is synthetic and clean)
+      val dirty = concat(col("text"), lit(" user"), col("doc_id"),
+        lit("@example.com id"), (col("doc_id") + 1) * 1234567890L)
+      t(s, d, "documents").select(col("doc_id"),
+        graft.ops.CorpusOps.scrubText(dirty).as("scrubbed"))
+    }),
+
     "q_quality_score" -> ((s, d) => {
       // text-quality scoring surface with an EXACT oracle: ratios and the
       // composite score are emitted as floor(x*1e6) integers — floor is
@@ -693,6 +726,45 @@ object SparkEntry {
     "q_clean_html" ->
       """SELECT doc_id, text || ' &' AS cleaned FROM documents
         |WHERE doc_id < 200""".stripMargin,
+
+    "q_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100
+        |    AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+        |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16
+        |   + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100
+        |    AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)""".stripMargin,
+
+    "q_length_band" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY length(text)) AS pr
+        |  FROM documents)
+        |WHERE pr >= 0.05 AND pr <= 0.95""".stripMargin,
+
+    "q_scrub_text" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com id'
+        |        || CAST((doc_id + 1) * 1234567890 AS VARCHAR),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
 
     "q_quality_score" ->
       """SELECT doc_id,
