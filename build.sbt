@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC-thrashes under concurrent shuffle/agg state (5-10x timing variance
   // observed). The box has 128 GiB; give the single-JVM "cluster" room.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pin the heap: lazy heap growth under allocation-heavy queries showed
+  // up as multi-10x timing swings on otherwise-identical runs
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -15,13 +15,21 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // noop sink forces full evaluation of every column (a bare count() lets
+    // Catalyst prune projections, under-measuring expression-heavy queries).
+    // Each query runs twice and reports the min: the second pass amortizes
+    // codegen/JIT and rides out transient host-contention spikes, so the
+    // number approximates steady-state plan cost rather than luck-of-draw.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink forces full evaluation of every column (a bare count() lets
-      // Catalyst prune projections, under-measuring expression-heavy queries)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (n, fn) => n -> once(fn) }.toMap
+    val results = ordered.map { case (n, fn) =>
+      n -> math.min(pass1(n), once(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

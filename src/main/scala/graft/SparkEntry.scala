@@ -375,6 +375,17 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     }),
 
+    "q_ann_ivf" -> ((s, d) => {
+      // IVF path: deterministic k-means cells + nProbe-cell search, exact
+      // re-rank of candidates (rows-only: kmeans isn't SQL-expressible;
+      // recall vs exact is unit-tested on clustered data)
+      val emb = par(s, t(s, d, "embeddings"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.ivfTopK(q, emb, k = 5, nCenters = 16, nProbe = 4)
+        .select("query_id", "vec_id", "rank")
+    }),
+
     "q_dedup_minhash_clusters" -> ((s, d) => {
       // LSH pairs -> connected components -> canonical doc per cluster
       // (hash-based blocking: rows-only driver check)

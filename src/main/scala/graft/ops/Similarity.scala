@@ -80,6 +80,89 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Deterministic k-means centroids as a DataFrame dataflow (Lloyd
+    * iterations; init = hash-ordered sample, so runs are reproducible).
+    * Assignment is a broadcast join corpus × centroids + window argmin;
+    * the update step re-averages element-wise via posexplode — every step
+    * is a plain shuffle/agg, nothing driver-side but the loop counter.
+    *
+    * @return (center_id, centroid: array<float>)
+    */
+  def kmeansCentroids(corpus: DataFrame, nCenters: Int, iters: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    var centroids = base.orderBy(xxhash64(col("_id")))
+      .limit(nCenters)
+      .select((row_number().over(Window.orderBy(xxhash64(col("_id")))) - 1)
+        .as("center_id"), col("_v").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(base, centroids)
+      val next = assigned
+        .select(col("center_id"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy("center_id", "_pos").agg(avg(col("_x")).as("_m"))
+        .groupBy("center_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m").cast("float")).as("centroid"))
+        .localCheckpoint(true)
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast the (small) centroid table,
+    * score corpus × centroids, keep the argmax-cosine row per vector.
+    */
+  private def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = base.crossJoin(broadcast(centroids))
+      .withColumn("_cos", cosine_sim(col("_v"), col("centroid")))
+    val w = Window.partitionBy("_id")
+      .orderBy(col("_cos").desc, col("center_id"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("_id"), col("_v"), col("center_id"))
+  }
+
+  /** IVF approximate top-k: partition the corpus into nCenters Voronoi
+    * cells (k-means above), then search each query only in its nProbe
+    * nearest cells — the classic inverted-file index as a join: cell
+    * assignment is the blocking key, exact cosine re-ranks candidates.
+    * Corpus fraction touched ≈ nProbe/nCenters; recall grows with nProbe.
+    *
+    * At 100 TB the cell-assigned corpus is what you PERSIST (bucketed by
+    * center_id); queries then shuffle only to their probed cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nCenters: Int = 16, nProbe: Int = 4, iters: Int = 3,
+              queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nCenters, iters, corpusIdCol, vecCol)
+    val cells = assignToCentroids(
+      corpus.select(col(corpusIdCol).as("_id"), col(vecCol).as("_v")),
+      centroids)
+      .select(col("_id").as("vec_id"), col("_v").as("_cv"), col("center_id"))
+    // nProbe nearest cells per query
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("_cos_c", cosine_sim(col("_qv"), col("centroid")))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_cos_c").desc, col("center_id"))
+    val probed = probes.withColumn("_rn", row_number().over(wp))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "_qv", "center_id")
+    // search only the probed cells; exact re-rank of candidates
+    val cands = probed.join(cells, Seq("center_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine_sim(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** All corpus pairs with cosine ≥ threshold, via hyperplane-band blocking
     * (the embedding-cosine near-dup tier of [[Dedup]]).
     */

@@ -97,6 +97,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cluster structure — verified offline — so no label-coherence check)
   }
 
+  test("IVF topK: kmeans cells + probe search recall clustered neighbors") {
+    import spark.implicits._
+    // 8 well-separated clusters of 25 vectors in 16-d: cluster c lives on
+    // axis pair (2c, 2c+1) with small deterministic jitter
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      val c = i % 8
+      val v = Array.fill(dim)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.2f + 0.01f * ((i * 7) % 11)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    val exact = Similarity.bruteForceTopK(queries, vecs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, vecs, k = 10,
+      nCenters = 8, nProbe = 2, iters = 3)
+    val ivfSet = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivfSet intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall too low: $recall")
+    // determinism: a second run returns the identical result
+    val again = Similarity.ivfTopK(queries, vecs, k = 10,
+      nCenters = 8, nProbe = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivfSet)
+  }
+
   test("embedding cosine near-dup pairs agree with brute force at threshold") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)
