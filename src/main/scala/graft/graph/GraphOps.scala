@@ -113,20 +113,22 @@ object GraphOps {
     val spark = authorOf.sparkSession
     import spark.implicits._
     // hash member keys to longs ONCE up front: every downstream shuffle
-    // (hub agg, star join, distinct, GraphX) then moves 8-byte keys, not
-    // strings. (o, vid) is deduped first — a member appearing k times in
-    // one group is one membership.
+    // moves 8-byte keys, not strings. Star edges come out of a SINGLE
+    // aggregation: collect_set dedupes members per group with map-side
+    // partial aggregation, the set-min is the hub — no membership-dedup
+    // shuffle, no hub join. Caveat: one group's member set is one row, so
+    // beyond ~10^6 members per group prefer a groupBy-min + join.
     val membership = authorOf
-      .select(col("dst").as("o"), col("src").as("m"))
-      .withColumn("vid", vid(col("m")))
-      .dropDuplicates("o", "vid")
-    val hub = membership.groupBy("o").agg(min(col("vid")).as("h"))
-    val starLong = membership.join(hub, Seq("o"))
+      .select(col("dst").as("o"), vid(col("src")).as("vid"))
+    val starLong = membership.groupBy("o")
+      .agg(collect_set(col("vid")).as("_vs"))
+      .select(array_min(col("_vs")).as("h"), explode(col("_vs")).as("vid"))
       .filter(col("vid") =!= col("h"))
-      .select(col("h"), col("vid")).distinct()
+      .distinct()
     // materialize before the GraphX handoff (Pregel re-iterates its input
     // RDDs; an uncached Catalyst plan would re-execute per pass)
-    val verts = membership.select(col("vid"), col("m")).distinct()
+    val verts = authorOf.select(col("src").as("m")).distinct()
+      .select(vid(col("m")).as("vid"), col("m"))
       .localCheckpoint(true)
     val starCk = starLong.localCheckpoint(true)
     val vertRdd = verts.select("vid").rdd.map(r => (r.getLong(0), ()))

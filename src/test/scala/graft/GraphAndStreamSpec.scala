@@ -147,6 +147,43 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u1.head.session_start == ts(0) && u1.head.session_end == ts(5))
   }
 
+  test("stream-static enrichment join decorates events per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streams.enrichedEvents(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 3, "view", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(rows(1L) == "gold")
+    assert(rows(2L) == null) // unmatched key survives (left outer)
+  }
+
+  test("streaming dedup within watermark drops redelivered events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupedEvents(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    mem.addData(Event(1, ts(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    // redelivery of event 1 (same key) plus a fresh event
+    mem.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "view", 2.0))
+    q.processAllAvailable()
+    val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.sameElements(Array(1L, 2L)))
+  }
+
   test("doi landing-dir streaming ingest (AvailableNow)") {
     import spark.implicits._
     val landing = Files.createTempDirectory("landing").toString
