@@ -437,11 +437,15 @@ object SparkEntry {
 
     "q_multimodal_features" -> ((s, d) => {
       // binary-column decode/feature-extract plumbing (decode stubbed,
-      // partition-wise execution real) over the documents corpus
+      // partition-wise execution real) over the documents corpus. The
+      // selected columns ride the full mapPartitions path but are
+      // SQL-reproducible (bytes = UTF-8 of text), so the distributed
+      // plumbing is oracle-checked end-to-end; checksum/feature stay
+      // covered by unit tests.
       graft.ops.Multimodal.extractFeatures(
         graft.ops.Multimodal.assetsFromDocuments(par(s, t(s, d, "documents"))))
         .toDF()
-        .select("asset_id", "modality", "n_bytes", "checksum")
+        .select("asset_id", "modality", "n_bytes")
     }),
 
     "q_multimodal_frames" -> ((s, d) => {
@@ -844,6 +848,13 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS asset_id, CAST(u.i AS INTEGER) AS frame_idx,

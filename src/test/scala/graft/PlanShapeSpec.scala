@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the properties that make these queries
+  * scale are asserted, not just spot-audited — filters reach the scans,
+  * small dimensions broadcast, top-1 windows take the group-limit path,
+  * and no similarity pairing ever degenerates to an unblocked product.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("plan-shape-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("scan-filter-project pushes filters and prunes columns") {
+    val p = plan("q_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)")
+      || p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filters should reach the parquet scan")
+    assert(!p.contains("l_comment"), "unused columns should be pruned")
+    assert(p.contains("*("), "whole-stage codegen expected")
+  }
+
+  test("multi-join agg broadcasts the small dimension") {
+    val p = plan("q_equi_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "nation should broadcast")
+  }
+
+  test("top-1 window takes the WindowGroupLimit path") {
+    val p = plan("q_window_top1")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=1 filter should push a group limit below the window")
+  }
+
+  test("containment theta-join is a broadcast BNLJ (tiny build side)") {
+    val p = plan("q_contains_theta_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "theta join should be BNLJ with the broadcast word list")
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner + dedup") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("similarity pairings never degenerate to an unblocked product") {
+    // every LSH/banded path must join on a blocking key; only the
+    // documented exact baselines (q_sim_topk, q_emb_near_pairs) may cross
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ann_topk",
+        "q_ngram_jaccard_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+    }
+  }
+
+  test("sorted limit plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q_orderby_limit").contains("TakeOrderedAndProject"))
+  }
+}
