@@ -198,7 +198,7 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doi", "payload")
     val store = new GraphStore(spark, wh)
     val q = Streams.doiLandingIngest(spark, landing, payloads, store, checkpoint)
-    q.awaitTermination(120000)
+    q.awaitTermination(240000) // generous: suite runs under parallel load
     assert(store.nodeTable("outputs").count() == 1)
     assert(store.nodeTable("authors").count() == 1)
     assert(store.edgeTable("author_of").count() == 1)
