@@ -72,11 +72,15 @@ object GraphOps {
           Seq("unit_id", "ancestor_id"), "left_anti")
         .localCheckpoint(true) // eager: materializes + truncates lineage
       val prev = frontier
+      val prevClosure = closure
       frontier = next
       closure = closure.union(frontier).localCheckpoint(true)
       prev.unpersist()
+      prevClosure.unpersist()
       d += 1
     }
+    edges.unpersist()
+    if (!(frontier eq closure)) frontier.unpersist()
     closure
   }
 

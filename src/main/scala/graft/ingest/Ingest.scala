@@ -99,7 +99,7 @@ object Ingest {
     val okDois = parsed.groupBy("doi").agg(
       max(lit(true)).as("openaire_metadata"),
       (count(col("openalex")) > 0).as("openalex_metadata"))
-    Metrics.ingestionReport(
+    val report = Metrics.ingestionReport(
       tracker.join(okDois, Seq("doi"), "left_outer")
         .withColumn("openaire_metadata",
           coalesce(col("openaire_metadata"), lit(false)))
@@ -108,6 +108,12 @@ object Ingest {
         .withColumn("ingestion_success",
           col("openaire_metadata") && col("valid_pattern")),
       update = update, totalTimeSeconds = totalTimeSeconds)
+      // pin the (1-row) report, then release the run's caches — a
+      // long-lived session (streaming micro-batches) must not accumulate
+      // per-run blocks
+      .localCheckpoint(true)
+    Seq(tracker, parsed, newOut, resolved).foreach(_.unpersist())
+    report
   }
 
   /** Raw-JSON payload sink — the reference's `--write-metadata`
