@@ -343,6 +343,21 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    "q_asof_join" -> ((s, d) => {
+      // point-in-time join: every click decorated with the latest prior
+      // view's value per user (union + ordered window — one shuffle, no
+      // range fan-out; see ops.AsOfJoin)
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(round(max(col("value")), 2).as("view_value"))
+      graft.ops.AsOfJoin.asofLeft(clicks, views, Seq("user_id"), "ts",
+        Seq("view_value"))
+        .select("event_id", "user_id", "asof_ts", "asof_view_value")
+    }),
+
     // --- streaming-shaped (tumbling-window agg, batch-equivalent) -------
     "q_tumbling_window" -> ((s, d) => {
       events(s, d)
@@ -842,6 +857,17 @@ object SparkEntry {
         |  AND a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, round(max(value), 2) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(r.ts AS TIMESTAMP) AS asof_ts,
+        |  r.view_value AS asof_view_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
     "q_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively, built
+  * from the union + ordered-window composition rather than a range join:
+  *
+  *   left row @ t matches the LATEST right row with right.ts <= t per key.
+  *
+  * Tag both inputs, union, and take `last(value, ignoreNulls)` over a
+  * per-key window ordered by (ts, side) with right rows sorting before
+  * left rows at equal timestamps (inclusive <= semantics). ONE shuffle on
+  * the key, rows processed in timestamp order — no per-row range probe
+  * and no candidate fan-out, so a hot key costs O(its rows), not
+  * O(left x right). This is the scale-correct shape for "decorate every
+  * event with the latest dimension state as of its timestamp".
+  *
+  * Right rows should be unique per (keys, ts) — pre-aggregate otherwise
+  * (ties at identical timestamps would be arbitrary).
+  */
+object AsOfJoin {
+
+  /** Left as-of join: every left row, plus `asof_<v>` columns from the
+    * matched right row and `asof_ts` (null when no right row precedes).
+    */
+  def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, valCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val leftOther = left.columns.filterNot(c => keys.contains(c))
+    val tsType = right.schema(tsCol).dataType
+
+    val l2 = valCols.foldLeft(
+      left.withColumn("_side", lit(1))
+        .withColumn("_asof_ts", lit(null).cast(tsType))) { (d, v) =>
+      d.withColumn(s"_v_$v", lit(null).cast(right.schema(v).dataType))
+    }
+    val r2cols: Seq[Column] =
+      keys.map(col) ++
+        leftOther.map(c =>
+          if (c == tsCol) col(tsCol)
+          else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("_side"), col(tsCol).as("_asof_ts")) ++
+        valCols.map(v => col(v).as(s"_v_$v"))
+    val r2 = right.select(r2cols: _*)
+      .select(l2.columns.map(col).toIndexedSeq: _*) // align column order
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valCols.foldLeft(
+      l2.unionByName(r2)
+        .withColumn(prefix + "ts", last(col("_asof_ts"), true).over(w))) {
+      (d, v) => d.withColumn(prefix + v, last(col(s"_v_$v"), true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .drop(("_side" +: "_asof_ts" +: valCols.map(v => s"_v_$v")): _*)
+  }
+}

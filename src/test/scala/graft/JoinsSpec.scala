@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{AsOfJoin, Joins}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("joins-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Int) = new Timestamp(min * 60_000L)
+
+  test("asofLeft matches latest right row at-or-before each left ts") {
+    import spark.implicits._
+    val quotes = Seq( // (user, ts, price)
+      (1L, ts(0), 10.0), (1L, ts(10), 20.0), (1L, ts(20), 30.0),
+      (2L, ts(5), 99.0))
+      .toDF("user_id", "ts", "price")
+    val trades = Seq( // (id, user, ts)
+      (100L, 1L, ts(5)),   // -> 10.0 @ ts(0)
+      (101L, 1L, ts(10)),  // inclusive: -> 20.0 @ ts(10)
+      (102L, 1L, ts(25)),  // -> 30.0 @ ts(20)
+      (103L, 2L, ts(4)),   // no prior quote -> null
+      (104L, 3L, ts(9)))   // unknown key -> null
+      .toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.asofLeft(trades, quotes, Seq("user_id"), "ts",
+      Seq("price"))
+      .select("event_id", "asof_ts", "asof_price").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)), Option(r.get(2)))))
+      .toMap
+    assert(got(100L) == ((Some(ts(0)), Some(10.0))))
+    assert(got(101L) == ((Some(ts(10)), Some(20.0))))
+    assert(got(102L) == ((Some(ts(20)), Some(30.0))))
+    assert(got(103L) == ((None, None)))
+    assert(got(104L) == ((None, None)))
+    assert(got.size == 5) // every left row survives (left join)
+  }
+
+  test("saltedJoin equals the plain join on skewed data") {
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail
+    val big = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong)))
+      .toDF("key", "payload")
+    val small = (Seq(("hot", "H")) ++ (1 to 100).map(i => (s"k$i", s"V$i")))
+      .toDF("key", "tag")
+    val plain = big.join(small, Seq("key")).select("key", "payload", "tag")
+      .collect().map(_.toString).sorted
+    val salted = Joins.saltedJoin(big, small, "key", salts = 8)
+      .select("key", "payload", "tag")
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+    // and the hot key really is spread across salts
+    val spread = big.withColumn("_salt",
+      pmod(xxhash64(struct(col("key"), col("payload"))), lit(8)))
+      .filter(col("key") === "hot")
+      .select("_salt").distinct().count()
+    assert(spread == 8)
+  }
+}
