@@ -2,8 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val jvmStart = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getStartTime
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,24 +20,39 @@ object Bench {
     catch { case _: Throwable => }
     // noop sink forces full evaluation of every column (a bare count() lets
     // Catalyst prune projections, under-measuring expression-heavy queries).
-    // Each query runs twice and reports the min: the second pass amortizes
-    // codegen/JIT and rides out transient host-contention spikes, so the
-    // number approximates steady-state plan cost rather than luck-of-draw.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Each query runs `passes` times (default 3) and reports the min: later
+    // passes amortize codegen/JIT and ride out transient host-contention
+    // spikes, so the number approximates steady-state plan cost. A failing
+    // query is REPORTED (errors map + nonzero rc), never silently timed.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (n, fn) => n -> once(fn) }.toMap
-    val results = ordered.map { case (n, fn) =>
-      n -> math.min(pass1(n), once(fn))
+    val perPass = (1 to passes).map { _ =>
+      ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = ordered.map { case (n, _) =>
+      n -> perPass.map(_(n)).min
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) =>
+      if (errors.contains(k)) s"${jstr(k)}:{\"err\":${jstr(errors(k))}}"
+      else s"${jstr(k)}:$v"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    // wall seconds since JVM start: a contended host shows wall >> measured
+    val wall = (System.currentTimeMillis() - jvmStart) / 1e3
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"n_errors":${errors.size},"jvm_wall_sec":$wall}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -103,7 +103,8 @@ object GraphOps {
   /** Connected components of the co-authorship graph: two authors are
     * linked when they share an output. Star-edge construction (see
     * [[starEdges]]) keeps the edge list linear in |author_of| — no k² hub
-    * blowup — then GraphX connectedComponents (Pregel) finds the clusters.
+    * blowup — then the alternating large/small-star DataFrame CC
+    * ([[ConnectedComponents]]) finds the clusters without leaving Catalyst.
     * The raw component label (min vertex hash) is normalized to the MIN
     * MEMBER UUID per component, which is deterministic, hash-free, and
     * reproducible by a plain min-label fixpoint (oracle-checkable).
@@ -113,9 +114,6 @@ object GraphOps {
     *   uuid in the component
     */
   def coauthorComponents(authorOf: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    val spark = authorOf.sparkSession
-    import spark.implicits._
     // hash member keys to longs ONCE up front: every downstream shuffle
     // moves 8-byte keys, not strings. Star edges come out of a SINGLE
     // aggregation: collect_set dedupes members per group with map-side
@@ -124,32 +122,24 @@ object GraphOps {
     // beyond ~10^6 members per group prefer a groupBy-min + join.
     val membership = authorOf
       .select(col("dst").as("o"), vid(col("src")).as("vid"))
-    val starLong = membership.groupBy("o")
+    val star = membership.groupBy("o")
       .agg(collect_set(col("vid")).as("_vs"))
-      .select(array_min(col("_vs")).as("h"), explode(col("_vs")).as("vid"))
-      .filter(col("vid") =!= col("h"))
-      .distinct()
-    // materialize before the GraphX handoff (Pregel re-iterates its input
-    // RDDs; an uncached Catalyst plan would re-execute per pass)
+      .select(array_min(col("_vs")).as("src"), explode(col("_vs")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // the vertex map is reused on both sides of the label normalization;
+    // pin it once, release after the (small) result is materialized
     val verts = authorOf.select(col("src").as("m")).distinct()
       .select(vid(col("m")).as("vid"), col("m"))
       .localCheckpoint(true)
-    val starCk = starLong.localCheckpoint(true)
-    val vertRdd = verts.select("vid").rdd.map(r => (r.getLong(0), ()))
-    val edgeRdd = starCk.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val g = Graph(vertRdd, edgeRdd)
-    val cc = g.connectedComponents()
-    val ccDf = cc.vertices.toDF("vid", "_raw_cc")
-    val labeled = verts.join(ccDf, "vid")
+    val cc = graft.graph.ConnectedComponents.run(
+      verts.select(col("vid").as("id")), star)
+    val labeled = verts.join(cc, verts("vid") === cc("id"))
     // normalize: hash label -> min member uuid (deterministic, oracle-able)
-    val canon = labeled.groupBy("_raw_cc").agg(min(col("m")).as("component_id"))
-    // pin the small result, then release every upstream cache (leaked
-    // graph blocks degrade later queries in a long-lived session)
-    val out = labeled.join(canon, Seq("_raw_cc"))
-      .select(col("m").as("author_uuid"), col("component_id"))
+    val canon = labeled.groupBy("component_id").agg(min(col("m")).as("_cm"))
+    val out = labeled.join(canon, Seq("component_id"))
+      .select(col("m").as("author_uuid"), col("_cm").as("component_id"))
       .localCheckpoint(true)
-    cc.unpersist(); g.unpersist()
-    verts.unpersist(); starCk.unpersist()
+    verts.unpersist()
     out
   }
 

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *   1. ORCID equality match (P1/J5)
   *   2. fuzzy name verification of the ORCID hit (≥ 0.8 difflib ratio,
   *      reversed-order retry); on mismatch fall back to
-  *   3. initial+surname match (P3) [CLI path] / exact full-name match (P2)
-  *      [models path]
+  *   3. exact full-name match (P2) [models path], then initial+surname
+  *      match (P3) [CLI path] — both reference entry points covered
   *   4. else create a new Author node.
   *
-  * Here the whole chain is three staged left-outer joins + a coalesce
+  * Here the whole chain is staged left-outer joins + a coalesce
   * priority, executed set-at-a-time. Intra-batch duplicates are canonicalized
   * with a window (first submission wins — reproducing the reference's
   * sequential first-occurrence-wins semantics deterministically, SURVEY.md
@@ -52,6 +52,13 @@ object EntityResolution {
 
   /** Resolve author mentions against the existing authors table.
     *
+    * Fallback priority per mention: verified ORCID (J5+J9) → exact full
+    * name (P2, the models.py:232-240 `Author.save` path) → initial+surname
+    * (P3, the CLI create_graph_from_doi.py path) → mint. Implementing BOTH
+    * name stages covers the reference's two entry points; `resolved_by`
+    * records which stage won ("name" = exact full name, "initial" =
+    * initial+surname).
+    *
     * @param mentions  exploded author mentions:
     *   (doi, output_uuid, first_name, last_name, orcid, rank, mention_order)
     *   where mention_order is a global arrival index (for deterministic
@@ -60,7 +67,7 @@ object EntityResolution {
     * @param threshold ORCID-hit fuzzy verification threshold (default 0.8,
     *   reference config.py:20-25)
     * @return mentions + (author_uuid, resolved_by ∈
-    *   {orcid, orcid_name_fallback, name, minted})
+    *   {orcid, name, initial, minted})
     */
   def resolveAuthors(mentions: DataFrame, authors: DataFrame,
                      threshold: Double = 0.8): DataFrame = {
@@ -75,6 +82,13 @@ object EntityResolution {
     // one row per distinct key — LIMIT 1 any-match semantics (models.py:43)
     val dbOrcid1 = dbOrcid.withColumn("_rn",
       row_number().over(Window.partitionBy("orcid").orderBy("_orcid_uuid")))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    val dbByName = authors.select(
+      concat_ws(" ", col("first_name"), col("last_name")).as("_name_key"),
+      col("uuid").as("_name_uuid"))
+    val dbByName1 = dbByName.withColumn("_rn",
+      row_number().over(Window.partitionBy("_name_key").orderBy("_name_uuid")))
       .filter(col("_rn") === 1).drop("_rn")
 
     val dbByInitial = authors.select(
@@ -95,19 +109,23 @@ object EntityResolution {
       col("_orcid_uuid").isNotNull &&
         name_similarity(col("_orcid_name"), fullName) >= threshold)
 
-    // Stage 3: initial+surname fallback (P3) for misses and failed verifies
-    val s3 = verified
+    // Stage 2.5: exact full-name lookup (P2, models.py:232-240)
+    val s2 = verified
+      .withColumn("_name_key", fullName)
+      .join(dbByName1, Seq("_name_key"), "left_outer")
+
+    // Stage 3: initial+surname fallback (P3) for the remaining misses
+    val s3 = s2
       .withColumn("_init_key", initialName)
       .join(dbByInitial1, Seq("_init_key"), "left_outer")
 
     val resolvedExisting = s3.withColumn("author_uuid",
       when(col("_orcid_ok"), col("_orcid_uuid"))
-        .otherwise(col("_init_uuid")))
+        .otherwise(coalesce(col("_name_uuid"), col("_init_uuid"))))
       .withColumn("resolved_by",
         when(col("_orcid_ok"), lit("orcid"))
-          .when(col("_orcid_uuid").isNotNull && col("_init_uuid").isNotNull,
-            lit("orcid_name_fallback"))
-          .when(col("_init_uuid").isNotNull, lit("name")))
+          .when(col("_name_uuid").isNotNull, lit("name"))
+          .when(col("_init_uuid").isNotNull, lit("initial")))
 
     // Stage 4: mint new authors for the rest. Canonical row per natural key
     // = first arrival (reference processes sequentially; first wins).
@@ -121,8 +139,8 @@ object EntityResolution {
       .withColumn("resolved_by", coalesce(col("resolved_by"), lit("minted")))
       .withColumn("_is_canonical",
         col("resolved_by") =!= "minted" || row_number().over(w) === 1)
-      .drop("_orcid_uuid", "_orcid_name", "_orcid_ok", "_init_key",
-        "_init_uuid")
+      .drop("_orcid_uuid", "_orcid_name", "_orcid_ok", "_name_key",
+        "_name_uuid", "_init_key", "_init_uuid")
   }
 
   /** New-author node rows from a resolution result: one row per minted

@@ -53,8 +53,37 @@ object InitialLoad {
   val countrySchemaConsumed: Seq[String] =
     Seq("name.common", "name.official", "cca3", "latlng")
 
-  /** Dependency-ordered full load (reference create_graph.py:277-314). */
-  def run(spark: SparkSession, store: GraphStore, dir: String): Unit = {
+  /** Membership resolution (J10): orcid-preferred else exact-name join
+    * against the current authors table. Returns ALL input rows annotated
+    * with `author_uuid` (null = unresolved) — callers split matched from
+    * quarantine instead of silently dropping rejects (the reference logs
+    * every member it cannot resolve, create_graph.py:196).
+    */
+  def resolveMembers(authorsNow: DataFrame, members: DataFrame): DataFrame = {
+    val byOrcid = authorsNow.filter(col("orcid").isNotNull)
+      .select(col("orcid"), col("uuid").as("_uuid_orcid"))
+      .dropDuplicates("orcid")
+    val byName = authorsNow
+      .select(concat_ws(" ", col("first_name"), col("last_name")).as("_nm"),
+        col("uuid").as("_uuid_name"))
+      .dropDuplicates("_nm")
+    // no forced broadcast — authors is unbounded; Catalyst broadcasts
+    // from size stats while small, AQE shuffles once it grows
+    members
+      .join(byOrcid, Seq("orcid"), "left_outer")
+      .withColumn("_nm", col("name"))
+      .join(byName, Seq("_nm"), "left_outer")
+      .withColumn("author_uuid",
+        coalesce(col("_uuid_orcid"), col("_uuid_name")))
+  }
+
+  /** Dependency-ordered full load (reference create_graph.py:277-314).
+    *
+    * @return the quarantine: membership rows that resolved to no author
+    *   (source, id, name, orcid) — the reference warn-logs each of these;
+    *   surfacing them as data keeps the reject set queryable at scale.
+    */
+  def run(spark: SparkSession, store: GraphStore, dir: String): DataFrame = {
     // 1. workstreams
     val ws = csv(spark, s"$dir/workstream.csv", workstreamSchema)
       .select(col("id"), col("name"), lit("workstream").as("unit_type"),
@@ -81,34 +110,27 @@ object InitialLoad {
     store.upsertNodes("authors", authors, key = "uuid")
 
     // 5+6. memberships: orcid-preferred else exact-name (J10), then
-    //      member_of edges; unmatched rows are dropped (reference logs them)
+    //      member_of edges; unresolved rows land in the returned quarantine
     val authorsNow = store.nodeTable("authors")
-    def resolveMembers(members: DataFrame): DataFrame = {
-      val byOrcid = authorsNow.filter(col("orcid").isNotNull)
-        .select(col("orcid"), col("uuid").as("_uuid_orcid"))
-        .dropDuplicates("orcid")
-      val byName = authorsNow
-        .select(concat_ws(" ", col("first_name"), col("last_name")).as("_nm"),
-          col("uuid").as("_uuid_name"))
-        .dropDuplicates("_nm")
-      // no forced broadcast — authors is unbounded; Catalyst broadcasts
-      // from size stats while small, AQE shuffles once it grows
-      members
-        .join(byOrcid, Seq("orcid"), "left_outer")
-        .withColumn("_nm", col("name"))
-        .join(byName, Seq("_nm"), "left_outer")
-        .withColumn("author_uuid",
-          coalesce(col("_uuid_orcid"), col("_uuid_name")))
-        .filter(col("author_uuid").isNotNull)
-    }
-    val wpMembers = resolveMembers(
+    val wpAll = resolveMembers(authorsNow,
       csv(spark, s"$dir/wp_members.csv", memberSchema))
-      .select(col("author_uuid").as("src"), col("id").as("dst"))
-    store.mergeEdges("member_of", wpMembers)
-    val pMembers = resolveMembers(
+    store.mergeEdges("member_of", wpAll.filter(col("author_uuid").isNotNull)
+      .select(col("author_uuid").as("src"), col("id").as("dst")))
+    val pAll = resolveMembers(authorsNow,
       csv(spark, s"$dir/partner_members.csv", partnerMemberSchema))
-      .select(col("author_uuid").as("src"), col("id").as("dst"))
-    store.mergeEdges("member_of", pMembers)
+    store.mergeEdges("member_of", pAll.filter(col("author_uuid").isNotNull)
+      .select(col("author_uuid").as("src"), col("id").as("dst")))
+    def rejects(all: DataFrame, source: String) =
+      all.filter(col("author_uuid").isNull)
+        .select(lit(source).as("source"), col("id"), col("name"), col("orcid"))
+    val quarantine = rejects(wpAll, "wp_members")
+      .unionByName(rejects(pAll, "partner_members"))
+      .localCheckpoint(true) // pin: store tables get rewritten by later loads
+    val nRejects = quarantine.count()
+    if (nRejects > 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"seed load: $nRejects membership row(s) matched no author " +
+          "(reference create_graph.py:196 warn-logs each)")
 
     // 7. countries: dbpedia slug (F11) + latlng split (F12)
     val rawCountries = spark.read.option("header", "true")
@@ -123,5 +145,7 @@ object InitialLoad {
       element_at(split(col("latlng"), ","), 1).cast("double").as("latitude"),
       element_at(split(col("latlng"), ","), 2).cast("double").as("longitude"))
     store.upsertNodes("countries", countries, key = "id")
+
+    quarantine
   }
 }

@@ -194,38 +194,20 @@ object Dedup {
   /** Connected-components clustering over an arbitrary near-dup pair set
     * (id_a, id_b) — composes with ANY pair generator above (minhashLsh,
     * simhashPairs, ngramJaccardPairs, embeddingPairs). Vertex id is the doc
-    * id itself, so cluster_id (GraphX CC label = min vertex id) is the min
-    * doc id: deterministic across runs and reproducible by a plain
-    * min-label fixpoint (oracle-checkable when the pair set is).
+    * id itself, so cluster_id (CC label = min vertex id) is the min doc id:
+    * deterministic across runs and reproducible by a plain min-label
+    * fixpoint (oracle-checkable when the pair set is). Components run as a
+    * pure DataFrame dataflow (alternating large/small-star,
+    * [[graft.graph.ConnectedComponents]]) — no RDD/GraphX handoff; near-dup
+    * graphs are star-shaped and converge in 1-2 rounds.
     */
   def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
                         idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // materialize BEFORE the GraphX handoff: Pregel iterates over these
-    // RDDs many times, and an uncached .rdd view of a Catalyst plan would
-    // re-execute the whole pair-generation dataflow (incl. its broadcast
-    // subplans) on every pass. localCheckpoint = one evaluation, bounded
-    // lineage, plain cached blocks under the iteration.
-    val vertDf = docs.select(col(idCol).cast("long")).localCheckpoint(true)
-    val pairDf = pairs
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .localCheckpoint(true)
-    val verts = vertDf.rdd.map(r => (r.getLong(0), ()))
-    val edges = pairDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val g = Graph(verts, edges)
-    val cc = g.connectedComponents()
-    // pin the (small) result, then release every upstream cache — leaked
-    // graph/checkpoint blocks otherwise accumulate across queries in a
-    // long-lived session and degrade everything after via GC pressure
-    val out = cc.vertices
-      .toDF(idCol, "cluster_id")
+    val verts = docs.select(col(idCol).cast("long").as("id"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.graph.ConnectedComponents.run(verts, edges)
+      .select(col("id").as(idCol), col("component_id").as("cluster_id"))
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
-      .localCheckpoint(true)
-    cc.unpersist(); g.unpersist()
-    vertDf.unpersist(); pairDf.unpersist()
-    out
   }
 
   /** Distinct word-n-gram shingle hashes as a column (array<int>). */

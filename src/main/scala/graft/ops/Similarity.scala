@@ -92,10 +92,16 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val base = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    var centroids = base.orderBy(xxhash64(col("_id")))
-      .limit(nCenters)
-      .select((row_number().over(Window.orderBy(xxhash64(col("_id")))) - 1)
-        .as("center_id"), col("_v").as("centroid"))
+    // center ids via array positions over the (≤ nCenters-row) hash-ordered
+    // sample — no global window (a partition-less WindowExec would both
+    // warn and single-task; collect_list on ≤ nCenters rows is trivial)
+    var centroids = base
+      .select(struct(xxhash64(col("_id")).as("_h"), col("_v").as("_v"))
+        .as("_s"))
+      .orderBy(col("_s._h")).limit(nCenters)
+      .agg(array_sort(collect_list(col("_s"))).as("_a"))
+      .select(posexplode(col("_a")).as(Seq("center_id", "_s")))
+      .select(col("center_id"), col("_s._v").as("centroid"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(base, centroids)
@@ -114,46 +120,70 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: broadcast the (small) centroid table,
-    * score corpus × centroids, keep the argmax-cosine row per vector.
+    * score corpus × centroids, keep the argmax-cosine row per vector via a
+    * plain aggregate — `max_by(struct)` gets map-side partial aggregation
+    * (each task reduces its corpus×centroids rows to one buffered candidate
+    * per vector before any shuffle), where a `Window.partitionBy(_id)`
+    * would shuffle ALL scored rows into per-vector sort groups first.
+    * The argmax ordinal `(cosine, -center_id)` is unique per group
+    * (center ids are distinct), so ties cannot make `max_by` pick
+    * non-deterministically: highest cosine wins, then lowest center id —
+    * same pick order as the window it replaces.
     */
   private def assignToCentroids(base: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = base.crossJoin(broadcast(centroids))
+    base.crossJoin(broadcast(centroids))
       .withColumn("_cos", cosine_sim(col("_v"), col("centroid")))
-    val w = Window.partitionBy("_id")
-      .orderBy(col("_cos").desc, col("center_id"))
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("_id"), col("_v"), col("center_id"))
+      .groupBy("_id")
+      .agg(max_by(struct(col("center_id"), col("_v")),
+        struct(col("_cos"), -col("center_id"))).as("_best"))
+      .select(col("_id"), col("_best._v").as("_v"),
+        col("_best.center_id").as("center_id"))
   }
 
-  /** IVF approximate top-k: partition the corpus into nCenters Voronoi
-    * cells (k-means above), then search each query only in its nProbe
-    * nearest cells — the classic inverted-file index as a join: cell
-    * assignment is the blocking key, exact cosine re-ranks candidates.
-    * Corpus fraction touched ≈ nProbe/nCenters; recall grows with nProbe.
-    *
-    * At 100 TB the cell-assigned corpus is what you PERSIST (bucketed by
-    * center_id); queries then shuffle only to their probed cells.
+  /** A built IVF index: the (small) centroid table plus the cell-assigned
+    * corpus `(vec_id, _cv, center_id)`, both pinned in storage. This is the
+    * artifact a deployment persists ONCE (at 100 TB: write `cells` bucketed
+    * by `center_id`, e.g. via [[graft.ops.Bucketing.writeBucketed]]) and
+    * probes many times — the build cost (Lloyd iterations + assignment)
+    * never appears on the query path.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-              nCenters: Int = 16, nProbe: Int = 4, iters: Int = 3,
-              queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame) {
+    /** Drop the pinned blocks (the index is unusable afterwards). */
+    def release(): Unit = { centroids.unpersist(); cells.unpersist() }
+  }
+
+  /** Build the IVF index: deterministic k-means centroids + nearest-cell
+    * assignment of the full corpus, materialized (`localCheckpoint`) so
+    * probes read pinned blocks instead of re-running the build dataflow.
+    */
+  def buildIvfIndex(corpus: DataFrame, nCenters: Int = 16, iters: Int = 3,
+                    corpusIdCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfIndex = {
     val centroids = kmeansCentroids(corpus, nCenters, iters, corpusIdCol, vecCol)
     val cells = assignToCentroids(
       corpus.select(col(corpusIdCol).as("_id"), col(vecCol).as("_v")),
       centroids)
       .select(col("_id").as("vec_id"), col("_v").as("_cv"), col("center_id"))
-    // nProbe nearest cells per query
+      .localCheckpoint(true)
+    IvfIndex(centroids, cells)
+  }
+
+  /** Probe a prebuilt IVF index: rank cells per query against the (tiny)
+    * centroid table, search only the nProbe nearest cells, exact-cosine
+    * re-rank of candidates. Corpus fraction touched ≈ nProbe/nCenters.
+    */
+  def ivfProbe(queries: DataFrame, index: IvfIndex, k: Int = 10,
+               nProbe: Int = 4, queryIdCol: String = "query_id",
+               vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("_cos_c", cosine_sim(col("_qv"), col("centroid")))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("_cos_c").desc, col("center_id"))
     val probed = probes.withColumn("_rn", row_number().over(wp))
       .filter(col("_rn") <= nProbe)
       .select("query_id", "_qv", "center_id")
-    // search only the probed cells; exact re-rank of candidates
-    val cands = probed.join(cells, Seq("center_id"))
+    val cands = probed.join(index.cells, Seq("center_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", cosine_sim(col("_qv"), col("_cv")))
     val w = Window.partitionBy("query_id")
@@ -162,6 +192,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cosine", "rank")
   }
+
+  /** One-shot IVF top-k (build + probe). Convenience for ad-hoc use and
+    * tests; anything that probes more than once should [[buildIvfIndex]]
+    * once and [[ivfProbe]] against it (and `release()` when done).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nCenters: Int = 16, nProbe: Int = 4, iters: Int = 3,
+              queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    ivfProbe(queries, buildIvfIndex(corpus, nCenters, iters, corpusIdCol, vecCol),
+      k, nProbe, queryIdCol, vecCol)
 
   /** All corpus pairs with cosine ≥ threshold, via hyperplane-band blocking
     * (the embedding-cosine near-dup tier of [[Dedup]]).

@@ -78,7 +78,12 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val wh = Files.createTempDirectory("wh").toString
     val store = new GraphStore(spark, wh)
-    InitialLoad.run(spark, store, dir)
+    val quarantine = InitialLoad.run(spark, store, dir)
+    // the unmatched membership row is REPORTED, not silently dropped
+    // (reference create_graph.py:196 warn-logs it)
+    assert(quarantine.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(("wp_members", "ws2", "No Body")))
 
     assert(store.nodeTable("units").count() == 3) // 2 ws + 1 partner
     assert(store.edgeTable("unit_of").collect()

@@ -145,6 +145,34 @@ class MetadataParserSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sameElements(Array("LBR")))
   }
 
+  test("resolveAuthors: exact-full-name stage (P2) beats initial+surname") {
+    import spark.implicits._
+    // db has two authors sharing initial key "A Lovelace"; the initial-stage
+    // lookup (LIMIT-1 by uuid) would pick u-alan — the exact-name stage
+    // (models.py:232-240) must win for the mention "Ada Lovelace"
+    val authors = Seq(
+      ("u-alan", "Alan", "Lovelace", null.asInstanceOf[String], null.asInstanceOf[String]),
+      ("u-beta", "Ada", "Lovelace", null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("uuid", "first_name", "last_name", "orcid", "openalex")
+    val mentions = Seq(
+      // misses ORCID (none), hits exact full name
+      ("10.1/x", "out1", "Ada", "Lovelace", null.asInstanceOf[String], 1, 0L),
+      // misses ORCID and exact name, hits initial+surname ("G Lovelace"? no)
+      ("10.1/x", "out1", "A.", "Lovelace", null.asInstanceOf[String], 2, 1L),
+      // misses everything -> minted
+      ("10.1/x", "out1", "Grace", "Hopper", null.asInstanceOf[String], 3, 2L))
+      .toDF("doi", "output_uuid", "first_name", "last_name", "orcid",
+        "rank", "mention_order")
+    val got = EntityResolution.resolveAuthors(mentions, authors)
+      .select("rank", "author_uuid", "resolved_by")
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got(1) == (("u-beta", "name")))
+    // "A. Lovelace" -> initial key "A Lovelace" -> LIMIT-1 winner u-alan
+    assert(got(2) == (("u-alan", "initial")))
+    assert(got(3)._2 == "minted")
+  }
+
   test("DOI tracker: validate + dedup flags") {
     import spark.implicits._
     val dois = Seq(
