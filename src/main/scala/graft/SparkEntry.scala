@@ -364,6 +364,48 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_ts", "asof_view_value")
     }),
 
+    "q_range_join" -> ((s, d) => {
+      // interval join as a binned equi-join (ops.RangeJoin): every click
+      // inside a 30-minute attribution window opened by a view of the same
+      // user. Bin width = window length, so each interval fans out to at
+      // most 2 bins and the join is a plain hash equi-join on
+      // (user_id, bin) — no nested loop at any scale.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+      graft.ops.RangeJoin.pointInInterval(clicks, views, Seq("user_id"),
+        "ts", "win_start", "win_end", binWidth = 30L * 60 * 1000 * 1000)
+        .select("click_id", "view_id", "user_id")
+    }),
+
+    "q_heavy_hitters" -> ((s, d) => {
+      // exact top-k heavy hitters per group (ops.Sketches): two-stage agg,
+      // deterministic tie-break — the exact sibling of the sketch path
+      val li = t(s, d, "lineitem")
+      graft.ops.Sketches.heavyHitters(li, Seq("l_returnflag"), "l_partkey",
+        k = 3)
+        .select(col("l_returnflag"), col("l_partkey"), col("n"), col("rank"))
+    }),
+
+    "q_sketch_quantiles" -> ((s, d) => {
+      // per-group quantiles; accuracy (10k) exceeds every group's row count
+      // at verify scale, so the GK summary is exact there and the DuckDB
+      // quantile_disc oracle matches hash-exactly (percentile_approx
+      // returns an actual element, i.e. the discrete quantile)
+      val ev = events(s, d)
+      graft.ops.Sketches.approxQuantiles(ev, Seq("event_type"), "value",
+        probs = Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("event_type"),
+          round(element_at(col("quantiles"), 1), 6).as("q25"),
+          round(element_at(col("quantiles"), 2), 6).as("q50"),
+          round(element_at(col("quantiles"), 3), 6).as("q75"),
+          round(element_at(col("quantiles"), 4), 6).as("q95"))
+    }),
+
     // --- streaming-shaped (tumbling-window agg, batch-equivalent) -------
     "q_tumbling_window" -> ((s, d) => {
       events(s, d)
@@ -425,6 +467,20 @@ object SparkEntry {
         .localCheckpoint(true)
       idx.release()
       out
+    }),
+
+    "q_sketch_distinct" -> ((s, d) => {
+      // HLL distinct via the partial-sketch → union path (ops.Sketches):
+      // per-(type, day) binary sketches rolled up to per-type estimates —
+      // the persist-partials re-aggregation pattern (rows-only: estimates
+      // are sketch-defined; exactness siblings q_census / q_heavy_hitters
+      // are oracle-checked, and the merge-losslessness is unit-tested)
+      val ev = events(s, d)
+        .withColumn("day", to_date(col("ts")))
+      val partials = graft.ops.Sketches.hllPartials(ev,
+        Seq("event_type"), "day", "user_id")
+      graft.ops.Sketches.hllMerge(partials, Seq("event_type"))
+        .select(col("event_type"), col("approx_distinct"))
     }),
 
     "q_dedup_minhash_clusters" -> ((s, d) => {
@@ -910,6 +966,35 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |             CAST(ts AS TIMESTAMP) AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id,
+        |        CAST(ts AS TIMESTAMP) AS win_start,
+        |        CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS win_end
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, v.view_id, c.user_id
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND c.cts >= v.win_start AND c.cts <= v.win_end""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT l_returnflag, l_partkey, n, CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT l_returnflag, l_partkey, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_partkey) AS rank
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_sketch_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_disc(value, 0.25), 6) AS q25,
+        |  round(quantile_disc(value, 0.50), 6) AS q50,
+        |  round(quantile_disc(value, 0.75), 6) AS q75,
+        |  round(quantile_disc(value, 0.95), 6) AS q95
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id AS asset_id,

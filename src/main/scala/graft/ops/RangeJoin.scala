@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+/** Interval (range) join — "point t inside [start, end]" — as a binned
+  * equi-join.
+  *
+  * Catalyst's only native plan for a pure range predicate is a (broadcast)
+  * nested-loop join: fine when the interval side fits in a broadcast,
+  * catastrophic otherwise. Quantizing the domain into fixed-width bins
+  * turns it into a plain hash-shuffle equi-join: every interval fans out
+  * to the bins it overlaps, every point lands in exactly ONE bin, the join
+  * keys on (equality keys, bin), and the exact range predicate runs as a
+  * cheap post-filter. Because the point owns a single bin, each
+  * (point, interval) candidate meets exactly once — no dedup pass.
+  *
+  * Cost model: interval fan-out ≈ length/binWidth + 1 rows; candidates per
+  * point ≈ intervals overlapping its bin. Pick binWidth near the typical
+  * (p50–p90) interval length — too small explodes the interval side, too
+  * large degrades the post-filter selectivity. Both failure modes stay
+  * linear; neither is the quadratic blowup of the nested loop. Skewed hot
+  * bins are split by AQE like any other shuffle skew.
+  */
+object RangeJoin {
+
+  /** Normalize a point/bound column to a long: timestamps → epoch micros,
+    * dates → epoch days, integrals pass through.
+    */
+  private def rep(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case DateType      => datediff(col(c), lit("1970-01-01").cast("date")).cast("long")
+      case _             => col(c).cast("long")
+    }
+
+  /** Floor-division bin id over the named (long) column `c`. `pmod` is
+    * non-negative so the numerator is exactly divisible, and `div` keeps
+    * the arithmetic in longs end-to-end (`/` would detour through double,
+    * which rounds integers past 2^53).
+    */
+  private def bin(c: String, w: Long): Column =
+    expr(s"($c - pmod($c, ${w}L)) div ${w}L")
+
+  /** Inner point-in-interval join: each `points` row joins every
+    * `intervals` row sharing `keys` with startCol <= pointCol <= endCol
+    * (inclusive both ends).
+    *
+    * Column names of the two inputs must be disjoint apart from `keys`
+    * (rename before the call otherwise). Intervals with end < start are
+    * dropped (no bins). binWidth is in the normalized unit of the bound
+    * columns: micros for timestamps, days for dates, the raw unit for
+    * integrals.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      keys: Seq[String], pointCol: String,
+                      startCol: String, endCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("_pv", rep(points, pointCol))
+      .withColumn("_bin", bin("_pv", binWidth))
+      .drop("_pv")
+    val iv = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("_sv", rep(intervals, startCol))
+      .withColumn("_ev", rep(intervals, endCol))
+      .withColumn("_bin",
+        explode(sequence(bin("_sv", binWidth), bin("_ev", binWidth))))
+      .drop("_sv", "_ev")
+    p.join(iv, keys :+ "_bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_bin")
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.ops.{AsOfJoin, Joins}
+import graft.ops.{AsOfJoin, Joins, RangeJoin}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -45,6 +45,44 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(103L) == ((None, None)))
     assert(got(104L) == ((None, None)))
     assert(got.size == 5) // every left row survives (left join)
+  }
+
+  test("pointInInterval equals the brute-force range join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // longs spanning negative and positive domains, intervals of varied
+    // length (0 to ~3 bins wide at binWidth=100), some degenerate
+    val points = (1 to 300).map(i =>
+      (i.toLong, (i % 5).toLong, rnd.nextInt(2000) - 1000L))
+      .toDF("pid", "k", "t")
+    val intervals = (1 to 80).map { i =>
+      val s = rnd.nextInt(2000) - 1000L
+      (i.toLong, (i % 5).toLong, s, s + rnd.nextInt(350) - 10L) // some end<start
+    }.toDF("iid", "k", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "t", "lo", "hi", binWidth = 100L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivs = intervals.as[(Long, Long, Long, Long)].collect()
+    val brute = points.as[(Long, Long, Long)].collect().flatMap {
+      case (pid, pk, t) =>
+        ivs.collect {
+          case (iid, ik, lo, hi) if ik == pk && t >= lo && t <= hi =>
+            (pid, iid)
+        }
+    }.toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("pointInInterval handles timestamp bounds inclusively") {
+    import spark.implicits._
+    val clicks = Seq((1L, 1L, ts(30)), (2L, 1L, ts(0)), (3L, 1L, ts(31)))
+      .toDF("click_id", "user_id", "t")
+    val wins = Seq((10L, 1L, ts(0), ts(30))).toDF("win_id", "user_id", "s", "e")
+    val got = RangeJoin.pointInInterval(clicks, wins, Seq("user_id"),
+      "t", "s", "e", binWidth = 30L * 60 * 1000 * 1000)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L)) // both ends inclusive, 31min excluded
   }
 
   test("saltedJoin equals the plain join on skewed data") {

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Sketches
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("sketches-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def data = {
+    import spark.implicits._
+    // 3 groups with known distinct cardinalities (500 / 200 / 50) and a
+    // deterministic slice (day) per row
+    (1 to 5000).map { i =>
+      val g = i % 10 match {
+        case x if x < 5 => ("a", i % 500)
+        case x if x < 8 => ("b", i % 200)
+        case _          => ("c", i % 50)
+      }
+      (g._1, s"u${g._2}", s"d${i % 7}")
+    }.toDF("grp", "uid", "day")
+  }
+
+  test("HLL distinct within 5% of exact per group") {
+    val exact = data.groupBy("grp").agg(countDistinct(col("uid")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.hllDistinct(data, Seq("grp"), "uid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, n) <- exact) {
+      val rel = math.abs(approx(g) - n) / n.toDouble
+      assert(rel < 0.05, s"group $g: approx ${approx(g)} vs exact $n")
+    }
+  }
+
+  test("HLL partial-sketch union is lossless vs direct sketch") {
+    val direct = Sketches.hllDistinct(data, Seq("grp"), "uid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = Sketches.hllMerge(
+      Sketches.hllPartials(data, Seq("grp"), "day", "uid"), Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct) // union of per-day sketches == unsliced sketch
+  }
+
+  test("heavyHitters: exact counts, deterministic tie-break") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("w") ++
+      Seq("z")).map(("g", _)).toDF("grp", "v")
+    val got = Sketches.heavyHitters(df, Seq("grp"), "v", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    // ties (y=3, w=3) break by value: w before y
+    assert(got.toSeq == Seq(("x", 5L, 1), ("w", 3L, 2), ("y", 3L, 3)))
+  }
+
+  test("approxQuantiles exact when group fits the summary") {
+    import spark.implicits._
+    val df = (1 to 1001).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val q = Sketches.approxQuantiles(df, Seq("grp"), "v",
+      probs = Seq(0.25, 0.5, 0.75), accuracy = 10000)
+      .select(explode(col("quantiles"))).collect().map(_.getDouble(0))
+    // n=1001 < accuracy -> exact discrete quantiles
+    assert(q.toSeq == Seq(251.0, 501.0, 751.0))
+  }
+}
