@@ -406,6 +406,37 @@ object SparkEntry {
           round(element_at(col("quantiles"), 4), 6).as("q95"))
     }),
 
+    "q_sessionize" -> ((s, d) => {
+      // batch sessionization (ops.Sessions): gap>30min splits sessions;
+      // boundary-flag -> prefix-sum over ONE per-key sort, then per-session
+      // rollup — the backfill twin of the streaming mapGroupsWithState path
+      val ev = events(s, d).select("user_id", "ts")
+      val sess = graft.ops.Sessions.sessionize(ev, Seq("user_id"), "ts",
+        gapSeconds = 1800)
+      graft.ops.Sessions.sessionStats(sess, Seq("user_id"), "ts")
+        .select(col("user_id"), col("session_index"), col("session_start"),
+          col("session_end"), col("duration_us"), col("n_events"))
+    }),
+
+    "q_tfidf" -> ((s, d) => {
+      // top-3 characteristic terms per document by TF-IDF (ops.TextAnalysis):
+      // tf on (doc, term), df on term (no re-explode), broadcast df join
+      graft.ops.TextAnalysis.tfidfTopTerms(par(s, t(s, d, "documents")), k = 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rank"))
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      // hierarchical totals in one pass: ROLLUP expands to the grouping-set
+      // lattice inside a single aggregation (partial-agg friendly), not a
+      // self-union of three scans
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
     // --- streaming-shaped (tumbling-window agg, batch-equivalent) -------
     "q_tumbling_window" -> ((s, d) => {
       events(s, d)
@@ -966,6 +997,46 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |b AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |          THEN 1 ELSE 0 END AS boundary
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_index
+        |      FROM b)
+        |SELECT user_id, session_index,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf AS tf, df.df AS df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM r
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,

@@ -75,6 +75,47 @@ object TextAnalysis {
       .withColumn("fingerprint", doc_fingerprint(t))
   }
 
+  /** TF-IDF scored terms per document.
+    *
+    * Classic two-aggregation dataflow, shuffle-minimal: explode whitespace
+    * tokens once, aggregate term frequency on (doc, term) (map-side
+    * partials absorb repeated terms), aggregate document frequency on term
+    * from the tf table (already one row per doc-term — no re-explode),
+    * join tf × df on term, score tf · ln(N / df). Both shuffles key on the
+    * term or (doc, term) — no hot-document fan-out, and the df table is
+    * dimension-sized so Catalyst broadcasts it while small.
+    *
+    * Deterministic, pure-SQL semantics (natural log, raw counts — the
+    * standard Salton formulation) so the whole pipeline is
+    * oracle-checkable. Returns (id, term, tf, df, tfidf).
+    */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val n = docs.select(countDistinct(col(idCol)).as("_n"))
+    val terms = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .crossJoin(n) // 1-row count table: literal-style broadcast
+      .withColumn("tfidf",
+        round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF (deterministic
+    * tie-break on term).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tfidf(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

@@ -70,4 +70,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sorted limit plans as TakeOrderedAndProject (no full sort)") {
     assert(plan("q_orderby_limit").contains("TakeOrderedAndProject"))
   }
+
+  test("range join is a binned equi-join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval containment must join on (keys, bin), not a product")
+  }
+
+  test("dedup-cluster pair stage joins on the df-capped shingle key") {
+    val p = plan("q_dedup_clusters")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay an equi-join on the shingle hash")
+  }
 }

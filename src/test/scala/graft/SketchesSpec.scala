@@ -61,6 +61,28 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(("x", 5L, 1), ("w", 3L, 2), ("y", 3L, 3)))
   }
 
+  test("batch sessionize: strict-gap boundaries, per-key indexing") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(min * 60_000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(30)),  // gap == 30min: NOT a boundary (strict >)
+      (1L, ts(61)),               // gap 31min: new session
+      (2L, ts(5)))                // separate key: own session 0
+      .toDF("user_id", "ts")
+    val got = graft.ops.Sessions.sessionize(ev, Seq("user_id"), "ts",
+      gapSeconds = 1800)
+      .select("user_id", "ts", "session_index").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, ts(0), 0L), (1L, ts(30), 0L), (1L, ts(61), 1L), (2L, ts(5), 0L)))
+    val stats = graft.ops.Sessions.sessionStats(
+      graft.ops.Sessions.sessionize(ev, Seq("user_id"), "ts", 1800),
+      Seq("user_id"), "ts")
+      .filter(col("user_id") === 1 && col("session_index") === 0).head()
+    assert(stats.getAs[Long]("n_events") == 2L)
+    assert(stats.getAs[Long]("duration_us") == 30L * 60 * 1000 * 1000)
+  }
+
   test("approxQuantiles exact when group fits the summary") {
     import spark.implicits._
     val df = (1 to 1001).map(i => ("g", i.toDouble)).toDF("grp", "v")
