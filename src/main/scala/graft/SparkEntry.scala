@@ -426,6 +426,17 @@ object SparkEntry {
           col("tfidf"), col("rank"))
     }),
 
+    "q_pivot" -> ((s, d) => {
+      // pivot with EXPLICIT values: one aggregation pass, no extra
+      // distinct-scan to discover columns (the implicit-values form runs a
+      // collect at plan time — never at 100 TB)
+      events(s, d).groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+    }),
+
     "q_rollup" -> ((s, d) => {
       // hierarchical totals in one pass: ROLLUP expands to the grouping-set
       // lattice inside a single aggregation (partial-agg friendly), not a
@@ -1030,6 +1041,15 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM r
         |WHERE rank <= 3""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
