@@ -104,6 +104,34 @@ object Streams {
                      key: String): DataFrame =
     events.join(dim, Seq(key), "left_outer")
 
+  /** Stream-STREAM interval join: clicks attributed to the view (same
+    * user) they followed within `attributionWindow`. Both sides carry
+    * watermarks and the join condition bounds event-time from both ends,
+    * so Spark derives a state-retention horizon for each side — state is
+    * evicted as the watermark advances instead of growing forever (the
+    * condition every production stream-stream join must satisfy).
+    *
+    * Inner join: a click emits once per qualifying view; unmatched clicks
+    * drop (left-outer would emit them after the watermark horizon).
+    */
+  def attributedClicks(clicks: DataFrame, views: DataFrame,
+                       watermark: String = "1 hour",
+                       attributionWindow: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val v = views
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("view_user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    c.join(v,
+      col("user_id") === col("view_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
   /** Streaming exact dedup within the watermark: drop redelivered events
     * by key, state expiring with the watermark (bounded state — the
     * at-least-once -> effectively-once repair stage in front of any

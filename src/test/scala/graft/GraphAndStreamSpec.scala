@@ -171,6 +171,27 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2L) == null) // unmatched key survives (left outer)
   }
 
+  test("stream-stream interval join attributes clicks to views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = Streams.attributedClicks(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    views.addData(Event(10, ts(0), 1, "view", 0.0))
+    clicks.addData(
+      Event(100, ts(10), 1, "click", 1.0), // within 30 min -> attributed
+      Event(101, ts(40), 1, "click", 1.0), // past the window -> dropped
+      Event(102, ts(10), 2, "click", 1.0)) // other user -> dropped
+    q.processAllAvailable()
+    val rows = spark.table("attrib").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 10L)))
+  }
+
   test("streaming dedup within watermark drops redelivered events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
