@@ -53,11 +53,13 @@ object SparkEntry {
 
   // shared fragments -------------------------------------------------------
 
-  /** Session-lifetime IVF index per data dir (see q_ann_ivf): probe queries
-    * hit a prebuilt index, mirroring the build-once/probe-many deployment.
+  /** Session-lifetime IVF index per (session, data dir) — see q_ann_ivf:
+    * probe queries hit a prebuilt index, mirroring the build-once/
+    * probe-many deployment. Keyed by the session too so a cached index
+    * pinned to a stopped session can never leak into a new one.
     */
   private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Similarity.IvfIndex]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.IvfIndex]
 
   private val stopwords15 =
     Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
@@ -490,7 +492,7 @@ object SparkEntry {
       val emb = par(s, t(s, d, "embeddings"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val idx = ivfIndexCache.computeIfAbsent(d, _ =>
+      val idx = ivfIndexCache.computeIfAbsent((s, d), _ =>
         graft.ops.Similarity.buildIvfIndex(emb, nCenters = 16))
       graft.ops.Similarity.ivfProbe(q, idx, k = 5, nProbe = 4)
         .select("query_id", "vec_id", "rank")
@@ -547,9 +549,14 @@ object SparkEntry {
       // engine-equal while the self-join is skew-proof at corpus scale.
       // Set sizes stay PRE-cap so the Jaccard denominator is the true set
       // size (capping only shrinks the intersection — conservative).
+      // pin the exploded shingle table ONCE: it feeds four consumers
+      // (sizes, the df-cap, both self-join sides) and would otherwise
+      // re-run the explode+hash per consumer where exchange reuse doesn't
+      // kick in. ~16 bytes/row pinned, released before returning.
       val sh0 = docs
         .select(col("doc_id"), explode(shingles3(col("text"))).as("_s"))
         .select(col("doc_id"), xxhash64(col("_s")).as("sh"))
+        .localCheckpoint(true)
       val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
       val rare = sh0.groupBy("sh").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= 100).select("sh")
@@ -565,7 +572,12 @@ object SparkEntry {
         .filter(col("inter") / (col("size_a") + col("size_b") - col("inter"))
           >= 0.5)
         .select("id_a", "id_b")
-      graft.ops.Dedup.clustersFromPairs(docs, pairs)
+      // clustersFromPairs' CC loop eagerly materializes both its edge set
+      // and its result (localCheckpoint), so nothing downstream re-reads
+      // sh0 — safe to release before returning the (pinned) clusters
+      val out = graft.ops.Dedup.clustersFromPairs(docs, pairs)
+      sh0.unpersist()
+      out
     }),
 
     "q_graph_components" -> ((s, d) => {
