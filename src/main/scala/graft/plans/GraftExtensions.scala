@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Engine-level integration: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * registers graft's optimizer rules (and is the place future custom
+  * strategies/functions plug in) — users keep writing plain declarative
+  * joins and the engine substitutes the scale-correct plan.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import graft.functions.{CleanHtml, NameSimilarity, NormalizeDoi, PythonTitle}
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // SQL-callable kernel expressions, injected at session build so every
+    // extension-configured session (including thrift/connect ones that
+    // never touch the Scala API) gets them without a registerAll call
+    def info(name: String, clazz: Class[_]) =
+      new ExpressionInfo(clazz.getName, name)
+    ext.injectFunction((FunctionIdentifier("clean_html"),
+      info("clean_html", classOf[CleanHtml]),
+      (es: Seq[Expression]) => CleanHtml(es.head)))
+    ext.injectFunction((FunctionIdentifier("normalize_doi"),
+      info("normalize_doi", classOf[NormalizeDoi]),
+      (es: Seq[Expression]) => NormalizeDoi(es.head)))
+    ext.injectFunction((FunctionIdentifier("python_title"),
+      info("python_title", classOf[PythonTitle]),
+      (es: Seq[Expression]) => PythonTitle(es.head)))
+    ext.injectFunction((FunctionIdentifier("name_similarity"),
+      info("name_similarity", classOf[NameSimilarity]),
+      (es: Seq[Expression]) => NameSimilarity(es(0), es(1))))
+  }
+}
+
+/** Rewrites an inner join whose condition contains interval containment —
+  * `p >= s AND p <= e` with `p` from one side and `s`, `e` from the
+  * other — into the binned equi-join of [[graft.ops.RangeJoin]]: without
+  * this, Catalyst's only physical choice for the range predicate is a
+  * (broadcast) nested-loop join, quadratic off-broadcast.
+  *
+  * The rewrite adds a floor-div bin column on the point side, explodes the
+  * interval side over its overlapped bins (`sequence`), and appends
+  * `bin = bin` to the join condition — the planner then picks a hash join
+  * on the bin (plus any existing equality conjuncts) and keeps the original
+  * range predicate as the post-filter. Output schema and semantics are
+  * untouched: each (point, interval) candidate meets in exactly the
+  * point's bin, so no duplicates are introduced.
+  *
+  * Opt-in and explicitly sized: set `spark.graft.rangeJoin.binWidth` to a
+  * positive long in the UNIT OF THE BOUND COLUMNS (disabled at 0, the
+  * default) — bin width is a physical-design choice (near the typical
+  * interval length), not something to guess from a plan. v1 applies to
+  * integral bound columns only; timestamp/date flows use
+  * [[graft.ops.RangeJoin.pointInInterval]] which normalizes units
+  * explicitly.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BinCol = "_graft_bin"
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** floor(v / w) in pure long arithmetic: pmod is non-negative, so the
+    * numerator is exactly divisible and truncating IntegralDivide IS the
+    * floor — no double detour (exact past 2^53), no negative-skew.
+    */
+  private def binOf(e: Expression, w: Long): Expression = {
+    val v = asLong(e)
+    val wl = Literal(w, LongType)
+    IntegralDivide(Subtract(v, Pmod(v, wl)), wl)
+  }
+
+  /** (lower, upper) bound comparisons normalized to (point, bound). */
+  private def bounds(conjuncts: Seq[Expression], pointSet: AttributeSet,
+                     boundSet: AttributeSet): Option[(Expression, Expression, Expression)] = {
+    def pointAndBound(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && a.references.subsetOf(pointSet) &&
+        b.references.nonEmpty && b.references.subsetOf(boundSet) &&
+        integral(a) && integral(b) && a.deterministic && b.deterministic
+    val lowers = conjuncts.collect {
+      case GreaterThanOrEqual(p, s) if pointAndBound(p, s) => (p, s)
+      case LessThanOrEqual(s, p) if pointAndBound(p, s) => (p, s)
+    }
+    val uppers = conjuncts.collect {
+      case LessThanOrEqual(p, e) if pointAndBound(p, e) => (p, e)
+      case GreaterThanOrEqual(e, p) if pointAndBound(p, e) => (p, e)
+    }
+    (for {
+      (pl, s) <- lowers
+      (pu, e) <- uppers
+      if pl.semanticEquals(pu)
+    } yield (pl, s, e)).headOption
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = conf.getConfString("spark.graft.rangeJoin.binWidth", "0").toLong
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          // idempotence: our own rewrite carries BinCol attrs in the cond
+          if !cond.references.exists(_.name.startsWith(BinCol)) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val fromLeft = bounds(conjuncts, left.outputSet, right.outputSet)
+          .map(b => (b, true))
+        val hit = fromLeft.orElse(
+          bounds(conjuncts, right.outputSet, left.outputSet).map(b => (b, false)))
+        hit match {
+          case Some(((p, s, e), pointIsLeft)) =>
+            val origOutput = j.output
+            val pAlias = Alias(binOf(p, w), BinCol + "_p")()
+            val gOut = AttributeReference(BinCol + "_i", LongType,
+              nullable = false)()
+            // Sequence is TimeZoneAware: without an explicit zone it stays
+            // unresolved and fails post-optimizer plan validation
+            val gen = Explode(Sequence(binOf(s, w), binOf(e, w), None,
+              Some(conf.sessionLocalTimeZone)))
+            val (newLeft, newRight) =
+              if (pointIsLeft)
+                (Project(left.output :+ pAlias, left),
+                  Generate(gen, Nil, outer = false, None, Seq(gOut), right))
+              else
+                (Generate(gen, Nil, outer = false, None, Seq(gOut), left),
+                  Project(right.output :+ pAlias, right))
+            val newCond = And(cond, EqualTo(pAlias.toAttribute, gOut))
+            Project(origOutput,
+              Join(newLeft, newRight, Inner, Some(newCond), hint))
+          case None => j
+        }
+    }
+  }
+}

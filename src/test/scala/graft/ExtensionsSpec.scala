@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.graft.rangeJoin.binWidth", "100")
+    .config("spark.ui.enabled", "false")
+    .appName("extensions-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def data = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 200).map(i =>
+      (i.toLong, (i % 3).toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "k", "t")
+    val intervals = (1 to 50).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, (i % 3).toLong, s, s + rnd.nextInt(220).toLong)
+    }.toDF("iid", "k2", "lo", "hi")
+    (points, intervals)
+  }
+
+  test("naive range-predicate join is rewritten to a binned equi-join") {
+    val (points, intervals) = data
+    val joined = points.join(intervals,
+      col("k") === col("k2") && col("t") >= col("lo") && col("t") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join should rewrite to a hash join, got:\n$plan")
+
+    // results identical to brute force
+    import spark.implicits._
+    val got = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ps = points.as[(Long, Long, Long)].collect()
+    val ivs = intervals.as[(Long, Long, Long, Long)].collect()
+    val brute = (for {
+      (pid, k, t) <- ps
+      (iid, k2, lo, hi) <- ivs
+      if k == k2 && t >= lo && t <= hi
+    } yield (pid, iid)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("rewrite is off at binWidth=0 (falls back to nested loop)") {
+    val (points, intervals) = data
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "0")
+    try {
+      val plan = points.join(intervals,
+        col("k") === col("k2") && col("t") >= col("lo") && col("t") <= col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct") ||
+        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.graft.rangeJoin.binWidth", "100")
+  }
+
+  test("kernel expressions are SQL-callable via the extension") {
+    val r = spark.sql(
+      "SELECT clean_html('<b>Energy &amp; Climate</b>') AS t, " +
+        "normalize_doi('https://doi.org/10.1/x.') AS d, " +
+        "round(name_similarity('Will Usher', 'W Usher'), 4) AS s").head()
+    assert(r.getString(0) == "Energy & Climate")
+    assert(r.getString(1) == "10.1/x")
+    assert(r.getDouble(2) > 0.5)
+  }
+
+  test("pure range condition (no equi keys) also rewrites") {
+    import spark.implicits._
+    val points = (0L until 100L).map(t => (t, t)).toDF("pid", "t")
+    val intervals = Seq((1L, 10L, 40L), (2L, 35L, 36L), (3L, 90L, 250L))
+      .toDF("iid", "lo", "hi")
+    val joined = points.join(intervals,
+      col("t") >= col("lo") && col("t") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    val n = joined.count()
+    assert(n == 31 + 2 + 10) // [10,40], [35,36], [90,99]
+  }
+}
