@@ -142,14 +142,15 @@ object Ingest {
   }
 
   /** Read a `--write-metadata`-layout payload dir into (doi, payload) rows,
-    * joining the filename key (F13) back to the validated DOI list.
+    * joining the filename key (F13) back to the validated DOI list. Uses
+    * the graft-payload V2 source ([[graft.sources.PayloadSource]]): files
+    * are size-balanced into parallelism-many splits at planning time —
+    * `text(wholetext)` would schedule one task per file, which at a
+    * millions-of-tiny-JSON cache is pure scheduler overhead.
     */
   def readPayloadDir(spark: SparkSession, doiList: DataFrame,
                      payloadDir: String): DataFrame = {
-    val payloads = spark.read.option("wholetext", "true").text(payloadDir)
-      .withColumn("_file", input_file_name())
-      .select(regexp_extract(col("_file"), "([^/]+)\\.json$", 1).as("file_key"),
-        col("value").as("payload"))
+    val payloads = spark.read.format("graft-payload").load(payloadDir)
     DoiOps.validate(doiList)
       .withColumn("file_key", regexp_replace(col("doi"), "/", ""))
       .select("doi", "file_key").distinct()
