@@ -394,13 +394,14 @@ object SparkEntry {
     }),
 
     "q_sketch_quantiles" -> ((s, d) => {
-      // per-group quantiles; accuracy (10k) exceeds every group's row count
-      // at verify scale, so the GK summary is exact there and the DuckDB
-      // quantile_disc oracle matches hash-exactly (percentile_approx
-      // returns an actual element, i.e. the discrete quantile)
+      // per-group quantiles; accuracy (100k) exceeds every group's row
+      // count through sf0.5, so the GK summary is exact at any verify
+      // scale and the DuckDB quantile_disc oracle matches hash-exactly
+      // (percentile_approx returns an actual element, i.e. the discrete
+      // quantile)
       val ev = events(s, d)
       graft.ops.Sketches.approxQuantiles(ev, Seq("event_type"), "value",
-        probs = Seq(0.25, 0.5, 0.75, 0.95))
+        probs = Seq(0.25, 0.5, 0.75, 0.95), accuracy = 100000)
         .select(col("event_type"),
           round(element_at(col("quantiles"), 1), 6).as("q25"),
           round(element_at(col("quantiles"), 2), 6).as("q50"),
