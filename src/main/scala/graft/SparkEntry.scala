@@ -429,6 +429,31 @@ object SparkEntry {
           col("tfidf"), col("rank"))
     }),
 
+    "q_vocab" -> ((s, d) => {
+      // frequency-ranked vocabulary (ops.TextAnalysis.buildVocab):
+      // distributed sort + zipWithIndex rank, no single-task window
+      graft.ops.TextAnalysis.buildVocab(par(s, t(s, d, "documents")),
+        minCount = 5)
+    }),
+
+    "q_encode_docs" -> ((s, d) => {
+      // docs -> vocab-id sequences (OOV = -1), order restored inside the
+      // aggregation buffer (array_sort on (pos, id) structs), not a window
+      val docs = par(s, t(s, d, "documents"))
+      val vocab = graft.ops.TextAnalysis.buildVocab(docs, minCount = 5)
+      graft.ops.TextAnalysis.encodeDocs(docs, vocab)
+    }),
+
+    "q_pack" -> ((s, d) => {
+      // token-budget sequence packing (ops.CorpusOps): sharded exclusive
+      // cumsum, pack = exclusive-total div budget. shard = doc_id % 8 here
+      // (SQL-reproducible); default is hash-sharding for arbitrary keys
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.CorpusOps.packByTokenBudget(docs, budget = 2048,
+        shardBy = Some(pmod(col("doc_id"), lit(8))))
+        .select("doc_id", "shard", "n_tokens", "pack_id")
+    }),
+
     "q_pivot" -> ((s, d) => {
       // pivot with EXPLICIT values: one aggregation pass, no extra
       // distinct-scan to discover columns (the implicit-values form runs a
@@ -1054,6 +1079,41 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM r
         |WHERE rank <= 3""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS id
+        |FROM (SELECT w[i] AS term, count(*) AS n
+        |      FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |            FROM documents) t,
+        |      LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |      WHERE w[i] <> '' GROUP BY 1 HAVING count(*) >= 5)""".stripMargin,
+
+    "q_encode_docs" ->
+      """WITH toks AS (SELECT doc_id, w[i] AS term, i AS pos
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> ''),
+        |vocab AS (SELECT term,
+        |    CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS id
+        |  FROM (SELECT term, count(*) AS n FROM toks GROUP BY 1
+        |        HAVING count(*) >= 5)),
+        |enc AS (SELECT t.doc_id,
+        |    list(coalesce(v.id, -1) ORDER BY t.pos) AS ids
+        |  FROM toks t LEFT JOIN vocab v USING (term) GROUP BY 1)
+        |SELECT doc_id, ids FROM enc""".stripMargin,
+
+    "q_pack" ->
+      """SELECT doc_id, doc_id % 8 AS shard,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  CAST((sum(len(string_split_regex(trim(text), '\s+')))
+        |          OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING)
+        |        - len(string_split_regex(trim(text), '\s+'))) // 2048
+        |    AS BIGINT) AS pack_id
+        |FROM documents""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

@@ -69,4 +69,36 @@ object CorpusOps {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     regexp_replace(email, "[0-9]{9,}", "<NUM>")
   }
+
+  /** Sequence packing: assign documents to fixed token-budget packs —
+    * the "concatenate docs into ~budget-token training sequences" step.
+    * Streaming-chunk semantics: docs are taken in deterministic id order
+    * and a pack is the contiguous run whose EXCLUSIVE running token total
+    * stays under the budget (a doc straddling the boundary starts in the
+    * pack where its first token lands).
+    *
+    * Packing is sharded (`nShards` by id-hash) so the running-sum window
+    * is partitioned — no global single-task sort — and each shard packs
+    * independently (pack identity = (shard, local index)). Exclusive
+    * cumsum + integer div keeps it SQL-reproducible.
+    *
+    * @return input + (shard, n_tokens, pack_id) with pack_id local to the
+    *   shard
+    */
+  def packByTokenBudget(docs: DataFrame, budget: Long,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        nShards: Int = 8,
+                        shardBy: Option[Column] = None): DataFrame = {
+    require(budget > 0 && nShards > 0)
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard",
+        shardBy.getOrElse(pmod(xxhash64(col(idCol)), lit(nShards))))
+      .withColumn("n_tokens",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"_cum div ${budget}L"))
+      .drop("_cum")
+  }
 }

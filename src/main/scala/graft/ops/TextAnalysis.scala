@@ -116,6 +116,55 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Frequency-ranked vocabulary: (term, n, id) with id = dense position
+    * under (count desc, term asc) — the deterministic "sort by frequency,
+    * break ties lexically" vocab every tokenizer build uses.
+    *
+    * The rank is assigned by a range-partitioned SORT + per-partition
+    * offsets (`zipWithIndex`), NOT a global row_number window: a window
+    * with no partition key drags the whole vocabulary into one task, while
+    * zipWithIndex keeps the sort distributed and adds only a lightweight
+    * partition-size job. (This is the one legitimate RDD drop-down in the
+    * ops layer — Catalyst has no distributed rank-without-partition.)
+    */
+  def buildVocab(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", minCount: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    val counts = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("term"))
+    val indexed = counts.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i)
+    }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(counts.schema.fields :+
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** Encode documents as vocab-id sequences: tokenize with position,
+    * equi-join the vocab (dimension-sized → broadcast while small),
+    * reassemble in token order. OOV terms encode as -1. One shuffle on the
+    * doc id; order restored by the position sort inside the aggregation
+    * buffer, not a window.
+    */
+  def encodeDocs(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(split(lower(trim(col(textCol))), "\\s+"))
+        .as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    toks.join(vocab.select(col("term"), col("id")), Seq("term"), "left_outer")
+      .withColumn("_tid", coalesce(col("id"), lit(-1L)))
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("_tid")))),
+        s => s.getField("_tid")).as("ids"))
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

@@ -83,6 +83,40 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.getAs[Long]("duration_us") == 30L * 60 * 1000 * 1000)
   }
 
+  test("vocab build + doc encoding: frequency rank, order, OOV") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the dog zzz")).toDF("doc_id", "text")
+    val vocab = graft.ops.TextAnalysis.buildVocab(docs)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // rank by (count desc, term asc): the(3)=0, cat(2)=1, then dog/ran/sat/zzz
+    assert(v("the") == 0L && v("cat") == 1L)
+    assert(v("dog") == 2L && v("ran") == 3L && v("sat") == 4L && v("zzz") == 5L)
+
+    val capped = graft.ops.TextAnalysis.buildVocab(docs, minCount = 2)
+    val enc = graft.ops.TextAnalysis.encodeDocs(docs, capped)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // capped vocab: the=0, cat=1; everything else OOV=-1, order preserved
+    assert(enc(1L) == Seq(0L, 1L, -1L))
+    assert(enc(3L) == Seq(0L, -1L, -1L))
+  }
+
+  test("packByTokenBudget: exclusive-cumsum chunking per shard") {
+    import spark.implicits._
+    // one shard; budget 5; token counts 3,3,2,4 -> exclusive cums 0,3,6,8
+    // -> packs 0,0,1,1
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h"), (4L, "i j k l"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps.packByTokenBudget(docs, budget = 5,
+      nShards = 1, shardBy = Some(lit(0L)))
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("approxQuantiles exact when group fits the summary") {
     import spark.implicits._
     val df = (1 to 1001).map(i => ("g", i.toDouble)).toDF("grp", "v")
