@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Timed best-of-N over a query map through the noop sink. Returns
+    * (per-query min seconds, per-query error) — errors are RECORDED, not
+    * swallowed: a failing query must show up as `err` in the artifact
+    * rather than as a suspiciously fast time.
+    */
+  def run(queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+          spark: SparkSession, sfDir: String,
+          passes: Int): (Seq[(String, Double)], Map[String, String]) = {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = queries.toSeq.sortBy(_._1)
+    val perPass = (1 to passes).map { _ =>
+      ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
+    }
+    (ordered.map { case (n, _) => n -> perPass.map(_(n)).min },
+      errors.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val jvmStart = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getStartTime
@@ -20,29 +49,10 @@ object Bench {
     catch { case _: Throwable => }
     // noop sink forces full evaluation of every column (a bare count() lets
     // Catalyst prune projections, under-measuring expression-heavy queries).
-    // Each query runs `passes` times (default 3) and reports the min: later
-    // passes amortize codegen/JIT and ride out transient host-contention
-    // spikes, so the number approximates steady-state plan cost. A failing
-    // query is REPORTED (errors map + nonzero rc), never silently timed.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def once(name: String,
-             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val perPass = (1 to passes).map { _ =>
-      ordered.map { case (n, fn) => n -> once(n, fn) }.toMap
-    }
-    val results = ordered.map { case (n, _) =>
-      n -> perPass.map(_(n)).min
-    }
+    // Best-of-`passes` (default 3): later passes amortize codegen/JIT and
+    // ride out transient host-contention spikes, approximating steady-state
+    // plan cost rather than luck-of-draw.
+    val (results, errors) = run(SparkEntry.queries, spark, sfDir, passes)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) =>
       if (errors.contains(k)) s"${jstr(k)}:{\"err\":${jstr(errors(k))}}"

@@ -84,4 +84,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"),
       "pair generation must stay an equi-join on the shingle hash")
   }
+
+  test("tfidf and doc encoding stay equi-join dataflows") {
+    for (q <- Seq("q_tfidf", "q_encode_docs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("bench records a failing query as err, not as a fast time") {
+    val broken = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "q_ok" -> ((s, d) => s.range(5).toDF("n")),
+      "q_broken" -> ((s, _) =>
+        s.range(1).selectExpr("assert_true(id > 99, 'boom') AS x")))
+    val (results, errors) = Bench.run(broken, spark, d, passes = 1)
+    assert(results.map(_._1) == Seq("q_broken", "q_ok"))
+    assert(errors.contains("q_broken") && errors("q_broken").nonEmpty)
+    assert(!errors.contains("q_ok"))
+  }
 }
