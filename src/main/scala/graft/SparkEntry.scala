@@ -429,6 +429,24 @@ object SparkEntry {
           col("tfidf"), col("rank"))
     }),
 
+    "q_decontaminate" -> ((s, d) => {
+      // eval-set decontamination (ops.Dedup.decontaminate shape): flag
+      // train docs sharing >= 2 word-3-grams with any eval doc. eval =
+      // doc_id < 50 (stand-in benchmark). Inverted-index join — the eval
+      // side is benchmark-sized, so no quadratic term in the train side.
+      val docs = par(s, t(s, d, "documents"))
+      val sh = docs
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("_s"))
+        .select(col("doc_id"), xxhash64(col("_s")).as("sh"))
+      val train = sh.filter(col("doc_id") >= 50)
+        .select(col("doc_id").as("train_id"), col("sh"))
+      val ev = sh.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("eval_id"), col("sh"))
+      train.join(ev, Seq("sh"))
+        .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    }),
+
     "q_vocab" -> ((s, d) => {
       // frequency-ranked vocabulary (ops.TextAnalysis.buildVocab):
       // distributed sort + zipWithIndex rank, no single-task window
@@ -1079,6 +1097,17 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM r
         |WHERE rank <= 3""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g)
+        |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+        |  count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.s = b.s
+        |WHERE a.doc_id >= 50 AND b.doc_id < 50
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "q_vocab" ->
       """SELECT term, n,

@@ -173,6 +173,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Eval-set decontamination: flag training documents that share at least
+    * `minSharedShingles` word-n-grams with ANY eval/benchmark document —
+    * the contamination filter every LLM training pipeline runs before a
+    * corpus ships.
+    *
+    * Shape: inverted-index join of train shingles against EVAL shingles
+    * (the eval side is benchmark-sized — thousands of docs — so its
+    * exploded index broadcasts; no self-join, no quadratic term in the
+    * 100 TB train side). Returns one row per CONTAMINATED train doc with
+    * the eval doc and overlap count; anti-join against it to clean.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
+                    minSharedShingles: Int = 2,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def inv(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), explode(word_shingles(col(textCol), n))
+        .as("_shingle"))
+    inv(train, "train_id")
+      .join(inv(eval, "eval_id"), Seq("_shingle"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedShingles)
+  }
+
   /** Dedup clustering: near-dup pairs → connected components → one
     * canonical doc per cluster (the standard post-LSH step: keep
     * `is_canonical`, drop the rest). GraphX Pregel CC, O(cluster diameter)

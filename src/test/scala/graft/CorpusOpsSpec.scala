@@ -78,6 +78,21 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("decontaminate flags train docs overlapping the eval set") {
+    import spark.implicits._
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "prefix words then the quick brown fox jumps over something"),
+      (101L, "completely unrelated text with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(train, eval, n = 3, minSharedShingles = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 100 shares "the quick brown","quick brown fox","brown fox jumps",
+    // "fox jumps over" -> 4 shingles; 101 shares none
+    assert(hits.toSeq == Seq((100L, 1L, 4L)))
+  }
+
   test("brute-force cosine topK on real embeddings; ANN recalls neighbors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
