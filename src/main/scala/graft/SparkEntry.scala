@@ -456,10 +456,17 @@ object SparkEntry {
 
     "q_encode_docs" -> ((s, d) => {
       // docs -> vocab-id sequences (OOV = -1), order restored inside the
-      // aggregation buffer (array_sort on (pos, id) structs), not a window
+      // aggregation buffer (array_sort on (pos, id) structs), not a window.
+      // The array column is CSV-flattened for the oracle compare (the
+      // driver's hasher needs scalar cells); encodeDocs itself keeps the
+      // typed array<long> for downstream consumers.
       val docs = par(s, t(s, d, "documents"))
       val vocab = graft.ops.TextAnalysis.buildVocab(docs, minCount = 5)
       graft.ops.TextAnalysis.encodeDocs(docs, vocab)
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          array_join(transform(col("ids"), _.cast("string")), ",")
+            .as("ids_csv"))
     }),
 
     "q_pack" -> ((s, d) => {
@@ -1132,7 +1139,8 @@ object SparkEntry {
         |enc AS (SELECT t.doc_id,
         |    list(coalesce(v.id, -1) ORDER BY t.pos) AS ids
         |  FROM toks t LEFT JOIN vocab v USING (term) GROUP BY 1)
-        |SELECT doc_id, ids FROM enc""".stripMargin,
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+        |  array_to_string(ids, ',') AS ids_csv FROM enc""".stripMargin,
 
     "q_pack" ->
       """SELECT doc_id, doc_id % 8 AS shard,
