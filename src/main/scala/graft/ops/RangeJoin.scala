@@ -35,6 +35,18 @@ object RangeJoin {
       case _             => col(c).cast("long")
     }
 
+  /** The unit `rep` normalizes a column into. Mixed units across the three
+    * range columns (e.g. a DateType point against TimestampType bounds)
+    * would bin days against micros — every join silently empty — so
+    * [[pointInInterval]] rejects that up front.
+    */
+  private def unitOf(df: DataFrame, c: String): String =
+    df.schema(c).dataType match {
+      case TimestampType => "epoch-micros"
+      case DateType      => "epoch-days"
+      case _             => "integral"
+    }
+
   /** Floor-division bin id over the named (long) column `c`. `pmod` is
     * non-negative so the numerator is exactly divisible, and `div` keeps
     * the arithmetic in longs end-to-end (`/` would detour through double,
@@ -58,6 +70,11 @@ object RangeJoin {
                       startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val units = Seq(unitOf(points, pointCol), unitOf(intervals, startCol),
+      unitOf(intervals, endCol))
+    require(units.distinct.size == 1,
+      s"point/start/end must normalize to one unit; got " +
+        s"$pointCol=${units(0)}, $startCol=${units(1)}, $endCol=${units(2)}")
     val p = points.withColumn("_pv", rep(points, pointCol))
       .withColumn("_bin", bin("_pv", binWidth))
       .drop("_pv")

@@ -124,12 +124,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // unresolved and fails post-optimizer plan validation
             val gen = Explode(Sequence(binOf(s, w), binOf(e, w), None,
               Some(conf.sessionLocalTimeZone)))
+            // Inverted intervals (e < s) can never satisfy the original
+            // p >= s AND p <= e conjuncts, but an unfiltered Sequence would
+            // step DOWNWARD through them (default step -1) — a dirty row
+            // with distant bounds then fans out |binOf(s)-binOf(e)|+1 rows
+            // or throws "too long sequence". Drop them before the Generate;
+            // null bounds are dropped too (the conjuncts reject them).
+            val valid = Filter(GreaterThanOrEqual(e, s), _: LogicalPlan)
             val (newLeft, newRight) =
               if (pointIsLeft)
                 (Project(left.output :+ pAlias, left),
-                  Generate(gen, Nil, outer = false, None, Seq(gOut), right))
+                  Generate(gen, Nil, outer = false, None, Seq(gOut), valid(right)))
               else
-                (Generate(gen, Nil, outer = false, None, Seq(gOut), left),
+                (Generate(gen, Nil, outer = false, None, Seq(gOut), valid(left)),
                   Project(right.output :+ pAlias, right))
             val newCond = And(cond, EqualTo(pAlias.toAttribute, gOut))
             Project(origOutput,

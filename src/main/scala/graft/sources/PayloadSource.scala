@@ -80,29 +80,39 @@ private[sources] class PayloadTable(dir: String) extends Table with SupportsRead
           val i = buckets.indices.minBy(buckets(_)._2)
           buckets(i) = (buckets(i)._1 :+ f, buckets(i)._2 + len)
         }
-        // ship only the non-default hadoop conf entries (Configuration
-        // itself is not serializable)
-        val confMap = hconf.iterator().asScala
-          .map(e => e.getKey -> e.getValue).toMap
         buckets.filter(_._1.nonEmpty)
-          .map(b => PayloadPartition(b._1, confMap): InputPartition)
+          .map(b => PayloadPartition(b._1): InputPartition)
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
-        (partition: InputPartition) =>
-          new PayloadReader(partition.asInstanceOf[PayloadPartition])
+      // Configuration itself is not serializable, so the hadoop conf rides
+      // along as a string map — on the FACTORY, which Spark serializes once
+      // into the task binary, not on every InputPartition. Note
+      // Configuration.iterator() returns ALL entries including loaded
+      // defaults (several hundred), which is exactly why it must not be
+      // duplicated per partition.
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val hconf = SparkSession.active.sessionState.newHadoopConf()
+        PayloadReaderFactory(
+          hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+      }
     }
 }
 
-private[sources] case class PayloadPartition(files: Seq[String],
-                                             conf: Map[String, String])
+private[sources] case class PayloadPartition(files: Seq[String])
   extends InputPartition
 
-private[sources] class PayloadReader(part: PayloadPartition)
+private[sources] case class PayloadReaderFactory(conf: Map[String, String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PayloadReader(partition.asInstanceOf[PayloadPartition], conf)
+}
+
+private[sources] class PayloadReader(part: PayloadPartition,
+                                     conf: Map[String, String])
   extends PartitionReader[InternalRow] {
   private val hconf = {
     val c = new Configuration(false)
-    part.conf.foreach { case (k, v) => c.set(k, v) }
+    conf.foreach { case (k, v) => c.set(k, v) }
     c
   }
   private val it = part.files.iterator

@@ -67,6 +67,24 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.graft.rangeJoin.binWidth", "100")
   }
 
+  test("inverted intervals (end < start) are dropped, not fanned out") {
+    import spark.implicits._
+    val points = (0L until 50L).map(t => (t, t)).toDF("pid", "t")
+    // iid=2 is dirty: hi < lo with bounds ~1e9 apart — an unfiltered
+    // Sequence would step downward through ~1e7 bins (or throw)
+    val intervals = Seq((1L, 10L, 20L), (2L, 1000000000L, 30L), (3L, 40L, 45L))
+      .toDF("iid", "lo", "hi")
+    val joined = points.join(intervals,
+      col("t") >= col("lo") && col("t") <= col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    val got = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ((10L to 20L).map((_, 1L)) ++ (40L to 45L).map((_, 3L))).toSet
+    assert(got == want)
+  }
+
   test("kernel expressions are SQL-callable via the extension") {
     val r = spark.sql(
       "SELECT clean_html('<b>Energy &amp; Climate</b>') AS t, " +

@@ -85,6 +85,18 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L, 2L)) // both ends inclusive, 31min excluded
   }
 
+  test("pointInInterval rejects mixed units (date point vs timestamp bounds)") {
+    import spark.implicits._
+    val points = Seq((1L, java.sql.Date.valueOf("2024-01-15")))
+      .toDF("pid", "t")
+    val wins = Seq((10L, ts(0), ts(30))).toDF("win_id", "s", "e")
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, wins, Seq.empty, "t", "s", "e",
+        binWidth = 1000L)
+    }
+    assert(err.getMessage.contains("one unit"))
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     import spark.implicits._
     // 10k rows of one hot key + a long tail
