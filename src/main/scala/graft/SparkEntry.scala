@@ -56,10 +56,19 @@ object SparkEntry {
   /** Session-lifetime IVF index per (session, data dir) — see q_ann_ivf:
     * probe queries hit a prebuilt index, mirroring the build-once/
     * probe-many deployment. Keyed by the session too so a cached index
-    * pinned to a stopped session can never leak into a new one.
+    * pinned to a stopped session can never leak into a new one; entries
+    * keyed by stopped sessions are evicted on every lookup (via
+    * [[cachedIvfIndex]]) so a long-lived multi-session host doesn't
+    * accumulate dead session objects.
     */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.IvfIndex]
+
+  private def cachedIvfIndex(s: SparkSession, d: String,
+                             build: => graft.ops.Similarity.IvfIndex) = {
+    ivfIndexCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfIndexCache.computeIfAbsent((s, d), _ => build)
+  }
 
   private val stopwords15 =
     Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
@@ -543,7 +552,7 @@ object SparkEntry {
       val emb = par(s, t(s, d, "embeddings"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val idx = ivfIndexCache.computeIfAbsent((s, d), _ =>
+      val idx = cachedIvfIndex(s, d,
         graft.ops.Similarity.buildIvfIndex(emb, nCenters = 16))
       graft.ops.Similarity.ivfProbe(q, idx, k = 5, nProbe = 4)
         .select("query_id", "vec_id", "rank")
@@ -732,6 +741,36 @@ object SparkEntry {
         floor(punctRatio(txt) * 1e6).cast("long").as("punct_u6"),
         floor(stopwordRatio(txt) * 1e6).cast("long").as("stopword_u6"),
         floor(qualityScoreRaw(txt) * 1e6).cast("long").as("quality_u6"))
+    }),
+
+    "q_source_quota" -> ((s, d) => {
+      // per-source corpus share cap: at most 40 docs per source, chosen in
+      // md5-hash order (deterministic, crawl-order-unbiased)
+      graft.ops.CorpusOps.sourceQuota(
+        par(s, t(s, d, "documents")), "source", "doc_id", maxPerSource = 40)
+        .select("doc_id", "source")
+    }),
+
+    "q_repetition" -> ((s, d) => {
+      // Gopher-style within-doc repetition filter: duplicate word-bigram
+      // fraction, floor(x*1e6) for an exact oracle
+      par(s, t(s, d, "documents")).select(col("doc_id"),
+        floor(graft.ops.CorpusOps.repetitionRatio(col("text"), 2) * 1e6)
+          .cast("long").as("rep2_u6"))
+    }),
+
+    "q_chunk" -> ((s, d) => {
+      // overlapping context-window chunking: 40-token windows, stride 30
+      graft.ops.CorpusOps.chunkDocs(
+        par(s, t(s, d, "documents")), chunkTokens = 40, stride = 30)
+    }),
+
+    "q_suppress_rare" -> ((s, d) => {
+      // k-anonymity-style suppression: drop (user_id, event_type) combos
+      // seen fewer than 3 times
+      graft.ops.CorpusOps.suppressSmallGroups(
+        events(s, d), Seq("user_id", "event_type"), k = 3)
+        .select("event_id", "user_id", "event_type")
     })
   )
 
@@ -1024,6 +1063,45 @@ object SparkEntry {
         |      * 0.3
         |  ) * 1000000.0) AS BIGINT) AS quality_u6
         |FROM documents""".stripMargin,
+
+    "q_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 40""".stripMargin,
+
+    "q_repetition" ->
+      """WITH grams AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s),
+        |agg AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+        |        FROM grams GROUP BY 1)
+        |SELECT d.doc_id, CAST(floor(
+        |    (CASE WHEN a.total IS NULL THEN 0.0
+        |          ELSE 1.0 - CAST(a.dist AS DOUBLE) / a.total END) * 1000000.0)
+        |  AS BIGINT) AS rep2_u6
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    greatest(CAST(ceil(len(w) / 30.0) AS INTEGER), 1) AS nc FROM t),
+        |x AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS k FROM c)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+        |  array_to_string(w[k*30+1 : k*30+40], ' ') AS chunk_text,
+        |  CAST(len(w[k*30+1 : k*30+40]) AS BIGINT) AS chunk_n_tokens
+        |FROM x""".stripMargin,
+
+    "q_suppress_rare" ->
+      """SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e
+        |JOIN (SELECT user_id, event_type FROM events
+        |      GROUP BY 1, 2 HAVING count(*) >= 3) g
+        |  USING (user_id, event_type)""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len,

@@ -85,6 +85,83 @@ object CorpusOps {
     * @return input + (shard, n_tokens, pack_id) with pack_id local to the
     *   shard
     */
+  /** Per-source quota cap: keep at most `maxPerSource` docs per source,
+    * chosen deterministically by key-hash order (md5, lexicographic) — the
+    * "cap any one domain's share of the corpus" step. Hash order (not file
+    * or id order) keeps the sample unbiased w.r.t. crawl order, and md5
+    * (engine-portable, unlike xxhash64) keeps it oracle-checkable. One
+    * window shuffle on the source key; skewed hot sources are one group
+    * each (row_number streams — no buffering) and AQE splits the stragglers.
+    */
+  def sourceQuota(df: DataFrame, sourceCol: String, idCol: String,
+                  maxPerSource: Int): DataFrame = {
+    require(maxPerSource > 0)
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerSource)
+      .drop("_rn")
+  }
+
+  /** Within-document repetition ratio (Gopher-style repetition filter):
+    * fraction of duplicate word n-grams, `1 - distinct/total` (0 for docs
+    * shorter than n words). Entirely narrow — per-row array ops, no
+    * shuffle, codegen'd — so it composes with any scan for free.
+    */
+  def repetitionRatio(textCol: Column, n: Int = 2): Column = {
+    val w = split(textCol, " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double")
+        / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Overlapping fixed-width token chunks: each doc fans out to windows of
+    * `chunkTokens` words advancing by `stride` (the context-window prep
+    * step for training). Generator fan-out (posexplode over a sequence) —
+    * no shuffle, output rows ≈ n_tokens/stride per doc; a final chunk is
+    * emitted iff it starts within the text, and every chunk start is
+    * `k*stride`, so the decomposition is a pure function of the text.
+    *
+    * @return (idCol, chunk_idx, chunk_text, chunk_n_tokens)
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, stride: Int,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens)
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .withColumn("_w", toks)
+      .withColumn("_nc", // chunk starts: 0, stride, ... < n_tokens
+        greatest(ceil(size(col("_w")).cast("double") / stride).cast("int"),
+          lit(1)))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1), k =>
+          slice(col("_w"), k * stride + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("chunk_n_tokens"))
+  }
+
+  /** Rare-combination suppression (k-anonymity style): drop rows whose
+    * value combination over `keyCols` occurs fewer than k times. One
+    * hash-aggregate (map-side combined) + a broadcast-friendly semi-join
+    * back — no window, so hot combinations cost their row count, not a
+    * sort.
+    */
+  def suppressSmallGroups(df: DataFrame, keyCols: Seq[String],
+                          k: Long): DataFrame = {
+    require(keyCols.nonEmpty && k >= 1)
+    val keep = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= k)
+      .drop("_n")
+    df.join(keep, keyCols, "left_semi")
+  }
+
   def packByTokenBudget(docs: DataFrame, budget: Long,
                         idCol: String = "doc_id", textCol: String = "text",
                         nShards: Int = 8,

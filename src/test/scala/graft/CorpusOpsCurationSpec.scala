@@ -62,6 +62,66 @@ class CorpusOpsCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.size < 100 && kept.size > 80)
   }
 
+  test("sourceQuota caps every source and is deterministic") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
+    val capped = CorpusOps.sourceQuota(docs, "source", "doc_id", 40)
+    val counts = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 40L))
+    // small source below the cap passes through whole
+    val withSmall = docs.union(Seq((9999L, "tiny")).toDF("doc_id", "source"))
+    val c2 = CorpusOps.sourceQuota(withSmall, "source", "doc_id", 40)
+      .filter(col("source") === "tiny").count()
+    assert(c2 == 1)
+    // deterministic across runs
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = CorpusOps.sourceQuota(docs, "source", "doc_id", 40)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("repetitionRatio measures duplicate n-gram fraction") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a b a b a", 2),      // bigrams: ab,ba,ab,ba -> 2 distinct of 4 = 0.5
+      ("w x y z", 2),        // all distinct -> 0.0
+      ("solo", 2))           // shorter than n -> 0.0
+      .toDF("text", "n")
+    val got = rows.select(CorpusOps.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.5 && got(1) == 0.0 && got(2) == 0.0)
+  }
+
+  test("chunkDocs covers the text with stride-aligned overlapping windows") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" ")),
+      (2L, "short doc")).toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocs(docs, chunkTokens = 40, stride = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts at 0,30,60,90 -> 4 chunks; last has 5 tokens
+    assert(d1.length == 4)
+    assert(d1.map(_._4).toSeq == Seq(40L, 40L, 35L, 5L))
+    assert(d1(1)._3.startsWith("t31 ") && d1(3)._3 == "t91 t92 t93 t94 t95")
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._4 == 2L && d2(0)._3 == "short doc")
+  }
+
+  test("suppressSmallGroups drops combinations rarer than k") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("u1", "click")) ++ Seq.fill(2)(("u1", "buy")) ++
+      Seq.fill(3)(("u2", "click"))).zipWithIndex
+      .map { case ((u, e), i) => (i.toLong, u, e) }
+      .toDF("id", "user", "etype")
+    val kept = CorpusOps.suppressSmallGroups(df, Seq("user", "etype"), 3)
+    val combos = kept.select("user", "etype").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(combos == Set(("u1", "click"), ("u2", "click")))
+    assert(kept.count() == 8)
+  }
+
   test("scrubText redacts emails and long digit runs, keeps prose") {
     import spark.implicits._
     val rows = Seq(
