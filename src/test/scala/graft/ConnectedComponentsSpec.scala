@@ -17,9 +17,14 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def cc(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+  // threshold 0 forces the distributed alternating-star loop; the default
+  // routes these toy graphs through the single-task union-find backend —
+  // tests below assert the two agree
+  private def cc(vs: Seq[Long], es: Seq[(Long, Long)],
+                 smallThreshold: Long = 2000000L): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.run(vs.toDF("id"), es.toDF("src", "dst"))
+    ConnectedComponents.run(vs.toDF("id"), es.toDF("src", "dst"),
+      smallGraphThreshold = smallThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -38,6 +43,7 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vs = (1L to 40L)
     val es = vs.init.map(i => (i, i + 1))
     assert(cc(vs, es) == vs.map(_ -> 1L).toMap)
+    assert(cc(vs, es, smallThreshold = 0L) == vs.map(_ -> 1L).toMap)
   }
 
   test("star graph converges fast") {
@@ -64,14 +70,21 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc(vs, Seq.empty) == Map(5L -> 5L, 6L -> 6L))
   }
 
-  test("random graphs match union-find") {
+  test("random graphs match union-find on BOTH backends") {
     val rnd = new Random(42)
     for (_ <- 1 to 3) {
       val n = 200
       val vs = (1L to n.toLong)
       val es = Seq.fill(150)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
         .filter { case (a, b) => a != b }
-      assert(cc(vs, es) == expected(vs, es))
+      val want = expected(vs, es)
+      assert(cc(vs, es) == want)
+      assert(cc(vs, es, smallThreshold = 0L) == want)
     }
+  }
+
+  test("empty edge set routes through the loop path too") {
+    assert(cc(Seq(5L, 6L), Seq.empty, smallThreshold = -1L) ==
+      Map(5L -> 5L, 6L -> 6L))
   }
 }
