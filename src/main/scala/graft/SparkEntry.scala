@@ -771,6 +771,53 @@ object SparkEntry {
       graft.ops.CorpusOps.suppressSmallGroups(
         events(s, d), Seq("user_id", "event_type"), k = 3)
         .select("event_id", "user_id", "event_type")
+    }),
+
+    "q_skew_join_salted" -> ((s, d) => {
+      // salted equi-join (ops.Joins.saltedJoin): the fact side's hot keys
+      // spread over 16 sub-keys, the dim replicated 16x, join on
+      // (key, salt). The salt cancels in the aggregation, so the oracle is
+      // the PLAIN join — proving the skew lever is results-invisible.
+      val li = t(s, d, "lineitem").select("l_suppkey", "l_extendedprice")
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ops.Joins.saltedJoin(li, sup, "l_suppkey", salts = 16)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
+    "q_cube" -> ((s, d) => {
+      // full grouping-set lattice in ONE aggregation pass (cube = 4 sets
+      // here); like q_rollup, expands inside the agg — no self-union of
+      // scans, partial-agg friendly
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping_id().cast("int").as("gid"))
+    }),
+
+    "q_sliding_window" -> ((s, d) => {
+      // hopping windows: 10-min width, 5-min slide — each event lands in
+      // exactly width/slide = 2 epoch-aligned windows. The fan-out happens
+      // inside the window() generator pre-shuffle; state stays bounded by
+      // (windows x event_type), the streaming-compatible shape.
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    "q_word_entropy" -> ((s, d) => {
+      // unigram Shannon entropy per doc (ops.TextAnalysis.wordEntropy):
+      // repetitiveness/gibberish curation signal; two map-side-combinable
+      // aggregations via H = ln(N) - sum(n ln n)/N, no window
+      graft.ops.TextAnalysis.wordEntropy(par(s, t(s, d, "documents")))
     })
   )
 
@@ -1102,6 +1149,53 @@ object SparkEntry {
         |JOIN (SELECT user_id, event_type FROM events
         |      GROUP BY 1, 2 HAVING count(*) >= 3) g
         |  USING (user_id, event_type)""".stripMargin,
+
+    // oracle is the PLAIN join: the salt must be results-invisible
+    "q_skew_join_salted" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // each event belongs to exactly 2 epoch-aligned hopping windows:
+    // its own 5-min grid cell's window and the one starting 5 min earlier
+    "q_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |x AS (SELECT event_type, value,
+        |        unnest([to_timestamp(floor(epoch(ts) / 300) * 300),
+        |                to_timestamp(floor(epoch(ts) / 300) * 300)
+        |                  - INTERVAL 5 MINUTE]) AS w0
+        |      FROM e)
+        |SELECT CAST(w0 AS TIMESTAMP) AS w_start,
+        |  CAST(w0 + INTERVAL 10 MINUTE AS TIMESTAMP) AS w_end,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
+
+    // same ln-based identity and ln(2) literal as the Spark side:
+    // H = (ln(N) - sum(n ln n)/N) / 0.6931471805599453
+    "q_word_entropy" ->
+      """WITH tf AS (SELECT doc_id, w[i] AS term, count(*) AS n
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  round((ln(CAST(sum(n) AS DOUBLE))
+        |         - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+        |           / CAST(sum(n) AS DOUBLE)) / 0.6931471805599453,
+        |    6) AS entropy_bits
+        |FROM tf GROUP BY 1""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len,

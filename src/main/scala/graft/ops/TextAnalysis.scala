@@ -165,6 +165,36 @@ object TextAnalysis {
         s => s.getField("_tid")).as("ids"))
   }
 
+  /** Per-document unigram (word) Shannon entropy in bits — the classic
+    * repetitiveness/gibberish signal for corpus curation: near-zero for
+    * "spam spam spam", ~log2(n_tokens) for all-distinct text.
+    *
+    * Uses the single-pass identity  H = ln(N) − Σ n·ln(n) / N  (converted
+    * to bits by an explicit ln(2) literal) so both aggregations stay
+    * map-side combinable (Σ n·ln(n) is a plain sum — no need to broadcast
+    * the per-doc total back under the term rows). Two shuffles, keyed
+    * (doc, term) then doc; no window, no collect_list. Natural log rather
+    * than log2 because ln is the one transcendental with proven
+    * cross-engine round-6 parity here (tfidf); engines disagree more on
+    * log2's libm path. Rounded to 6 dp (same contract as [[qualityScore]]).
+    */
+  def wordEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val ln2 = lit(0.6931471805599453) // shared literal, not engine log(2)
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    toks.groupBy(idCol, "term").agg(count(lit(1)).as("n"))
+      .groupBy(idCol)
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(
+          (log(sum(col("n")).cast("double")) -
+            sum(col("n").cast("double") * log(col("n").cast("double"))) /
+              sum(col("n")).cast("double")) / ln2,
+          6).as("entropy_bits"))
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {
