@@ -818,6 +818,39 @@ object SparkEntry {
       // repetitiveness/gibberish curation signal; two map-side-combinable
       // aggregations via H = ln(N) - sum(n ln n)/N, no window
       graft.ops.TextAnalysis.wordEntropy(par(s, t(s, d, "documents")))
+    }),
+
+    "q_asof_forward" -> ((s, d) => {
+      // forward point-in-time join: every view decorated with the NEXT
+      // purchase at-or-after it per user (time-to-next-action features);
+      // same one-shuffle union+window as q_asof_join, frame flipped
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(round(max(col("value")), 2).as("purchase_value"))
+      graft.ops.AsOfJoin.asofLeftForward(views, purchases, Seq("user_id"),
+        "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "asof_ts", "asof_purchase_value")
+    }),
+
+    "q_full_outer" -> ((s, d) => {
+      // full-outer reconciliation: per-user view activity vs purchase
+      // activity, keeping users present on either side only (the audit
+      // shape: who browses but never buys, who buys without browsing)
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(count(lit(1)).as("n_views"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("purchase_total"))
+      views.join(buys, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          col("purchase_total"))
     })
   )
 
@@ -1196,6 +1229,29 @@ object SparkEntry {
         |           / CAST(sum(n) AS DOUBLE)) / 0.6931471805599453,
         |    6) AS entropy_bits
         |FROM tf GROUP BY 1""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |r AS (SELECT user_id, ts, round(max(value), 2) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(r.ts AS TIMESTAMP) AS asof_ts,
+        |  r.purchase_value AS asof_purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH v AS (SELECT user_id, count(*) AS n_views FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT user_id, count(*) AS n_purchases,
+        |        round(sum(value), 2) AS purchase_total
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(v.user_id, b.user_id) AS user_id,
+        |  coalesce(n_views, 0) AS n_views,
+        |  coalesce(n_purchases, 0) AS n_purchases,
+        |  purchase_total
+        |FROM v FULL OUTER JOIN b ON v.user_id = b.user_id""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len,

@@ -27,7 +27,24 @@ object AsOfJoin {
     */
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valCols: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_"): DataFrame =
+    asof(left, right, keys, tsCol, valCols, prefix, forward = false)
+
+  /** Forward as-of join: matches the EARLIEST right row with
+    * right.ts >= left.ts per key ("next state at or after the event" —
+    * e.g. time-to-next-action features). Same one-shuffle union + ordered
+    * window as [[asofLeft]], with the frame flipped to
+    * [currentRow, unboundedFollowing] and `first(ignoreNulls)` instead of
+    * `last`.
+    */
+  def asofLeftForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, valCols: Seq[String],
+                      prefix: String = "asof_"): DataFrame =
+    asof(left, right, keys, tsCol, valCols, prefix, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, valCols: Seq[String], prefix: String,
+                   forward: Boolean): DataFrame = {
     val leftOther = left.columns.filterNot(c => keys.contains(c))
     val tsType = right.schema(tsCol).dataType
 
@@ -46,13 +63,21 @@ object AsOfJoin {
     val r2 = right.select(r2cols: _*)
       .select(l2.columns.map(col).toIndexedSeq: _*) // align column order
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // side tie-break at equal timestamps keeps both directions INCLUSIVE:
+    // backward scans [start, current] with right (side 0) sorted before
+    // left; forward scans [current, end] with left sorted before right
+    val w0 = Window.partitionBy(keys.map(col): _*)
+    val w =
+      if (forward) w0.orderBy(col(tsCol).asc, col("_side").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.orderBy(col(tsCol).asc, col("_side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(c: Column): Column =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
     val carried = valCols.foldLeft(
-      l2.unionByName(r2)
-        .withColumn(prefix + "ts", last(col("_asof_ts"), true).over(w))) {
-      (d, v) => d.withColumn(prefix + v, last(col(s"_v_$v"), true).over(w))
+      l2.unionByName(r2).withColumn(prefix + "ts", pick(col("_asof_ts")))) {
+      (d, v) => d.withColumn(prefix + v, pick(col(s"_v_$v")))
     }
     carried.filter(col("_side") === 1)
       .drop(("_side" +: "_asof_ts" +: valCols.map(v => s"_v_$v")): _*)

@@ -47,6 +47,32 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 5) // every left row survives (left join)
   }
 
+  test("asofLeftForward matches earliest right row at-or-after each left ts") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts(0), 10.0), (1L, ts(10), 20.0), (1L, ts(20), 30.0),
+      (2L, ts(5), 99.0))
+      .toDF("user_id", "ts", "price")
+    val trades = Seq(
+      (100L, 1L, ts(5)),   // -> 20.0 @ ts(10)
+      (101L, 1L, ts(10)),  // inclusive: -> 20.0 @ ts(10)
+      (102L, 1L, ts(25)),  // nothing after -> null
+      (103L, 2L, ts(4)),   // -> 99.0 @ ts(5)
+      (104L, 3L, ts(9)))   // unknown key -> null
+      .toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.asofLeftForward(trades, quotes, Seq("user_id"), "ts",
+      Seq("price"))
+      .select("event_id", "asof_ts", "asof_price").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)), Option(r.get(2)))))
+      .toMap
+    assert(got(100L) == ((Some(ts(10)), Some(20.0))))
+    assert(got(101L) == ((Some(ts(10)), Some(20.0))))
+    assert(got(102L) == ((None, None)))
+    assert(got(103L) == ((Some(ts(5)), Some(99.0))))
+    assert(got(104L) == ((None, None)))
+    assert(got.size == 5)
+  }
+
   test("pointInInterval equals the brute-force range join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
