@@ -92,6 +92,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cube and sliding window expand INSIDE one aggregation pass") {
+    // both rely on Expand (grouping-set lattice / per-window fan-out)
+    // feeding a single partial-agg-friendly aggregate — not a self-union
+    // of scans and not one shuffle per grouping set
+    for (q <- Seq("q_cube", "q_sliding_window")) {
+      val p = plan(q)
+      assert(p.contains("Expand"), s"$q should fan out via Expand")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, // the agg shuffle (+1 scan rebalance)
+        s"$q should aggregate in one pass, saw $exchanges exchanges")
+    }
+  }
+
+  test("salted join carries the salt into the join key") {
+    val p = plan("q_skew_join_salted")
+    assert(p.contains("_salt"), "join should key on (key, salt)")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("word entropy is two aggregations, no window") {
+    val p = plan("q_word_entropy")
+    assert(!p.contains("Window"), "entropy must not sort per-doc windows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("full-outer reconciliation keeps both unmatched sides") {
+    assert(plan("q_full_outer").contains("FullOuter"))
+  }
+
   test("bench records a failing query as err, not as a fast time") {
     val broken = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "q_ok" -> ((s, d) => s.range(5).toDF("n")),
