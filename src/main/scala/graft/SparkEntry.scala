@@ -835,6 +835,20 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_ts", "asof_purchase_value")
     }),
 
+    "q_dedup_incremental" -> ((s, d) => {
+      // cross-batch dedup (ops.Dedup.incremental): docs arriving as a new
+      // batch (doc_id >= 250) kept only when novel vs the existing corpus
+      // (doc_id < 250) and first within their batch duplicate group.
+      // md5 fingerprint here for engine parity; production uses the
+      // rolling-hash kernel default.
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.Dedup.incremental(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        fingerprint = md5(_))
+        .select("doc_id", "source")
+    }),
+
     "q_full_outer" -> ((s, d) => {
       // full-outer reconciliation: per-user view activity vs purchase
       // activity, keeping users present on either side only (the audit
@@ -1240,6 +1254,16 @@ object SparkEntry {
         |  r.purchase_value AS asof_purchase_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND r.ts >= l.ts""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH c AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |           WHERE doc_id < 250),
+        |b AS (SELECT doc_id, source, md5(text) AS fp FROM documents
+        |      WHERE doc_id >= 250),
+        |f AS (SELECT fp, min(doc_id) AS doc_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.source
+        |FROM b JOIN f ON b.fp = f.fp AND b.doc_id = f.doc_id
+        |WHERE b.fp NOT IN (SELECT fp FROM c)""".stripMargin,
 
     "q_full_outer" ->
       """WITH v AS (SELECT user_id, count(*) AS n_views FROM events

@@ -46,6 +46,34 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** Incremental (cross-batch) exact dedup — the daily-ingest shape: keep
+    * only new-batch docs whose fingerprint appears nowhere in the existing
+    * corpus AND is not a within-batch duplicate (min id wins).
+    *
+    * The corpus side reduces to a one-column fingerprint INDEX before the
+    * anti-join — at 100 TB persist that index bucketed by fingerprint
+    * ([[Bucketing.writeBucketed]]) so each day's anti-join shuffles only
+    * the batch; the corpus text is never rescanned. Within-batch
+    * canonicalization is a groupBy-min + semi-join (no window — skew-proof
+    * under fingerprint hot spots).
+    *
+    * @param fingerprint normalized-content key; defaults to the rolling-hash
+    *   kernel, injectable (e.g. md5) when cross-engine reproducibility
+    *   matters more than normalization
+    * @return the novel batch rows, original columns
+    */
+  def incremental(corpus: DataFrame, batch: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  fingerprint: Column => Column = doc_fingerprint(_)
+                 ): DataFrame = {
+    val corpusFp = corpus.select(fingerprint(col(textCol)).as("_fp")).distinct()
+    val withFp = batch.withColumn("_fp", fingerprint(col(textCol)))
+    val firstInBatch = withFp.groupBy("_fp").agg(min(col(idCol)).as(idCol))
+    withFp.join(firstInBatch, Seq("_fp", idCol), "left_semi")
+      .join(corpusFp, Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     *
     * signature (numHashes) → bands of rows (bandRows each) → per-band bucket

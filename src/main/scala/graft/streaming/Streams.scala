@@ -37,6 +37,24 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Watermarked HOPPING-window counts (overlapping windows: width >
+    * slide) — streaming equivalent of SparkEntry q_sliding_window. Same
+    * bounded state as tumbling: the per-event fan-out (width/slide rows)
+    * happens before the stateful agg, and the watermark retires whole
+    * windows as event time passes window.end + watermark.
+    */
+  def hoppingCounts(events: DataFrame, window_ : String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermark: String = "2 hours"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Int,

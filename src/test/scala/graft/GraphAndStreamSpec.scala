@@ -127,6 +127,31 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byKey((ts(10).getTime, "view")) == ((1L, 3.0)))
   }
 
+  test("streaming hopping counts fan each event into overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.hoppingCounts(mem.toDF(), "10 minutes", "5 minutes",
+      "20 minutes")
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    mem.addData(
+      Event(1, ts(2), 1, "click", 1.0),  // windows [55,05) and [00,10)
+      Event(2, ts(7), 1, "click", 2.0))  // windows [00,10) and [05,15)
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(90), 1, "click", 1.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("hopping").collect()
+    q.stop()
+    val byStart = rows.filter(_.getString(1) == "click")
+      .map(r => r.getTimestamp(0).getTime -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(byStart(ts(-5).getTime) == ((1L, 1.0)))
+    assert(byStart(ts(0).getTime) == ((2L, 3.0)))  // both events overlap here
+    assert(byStart(ts(5).getTime) == ((1L, 2.0)))
+  }
+
   test("streaming sessionization closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

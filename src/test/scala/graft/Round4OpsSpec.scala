@@ -57,6 +57,26 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       clickWindows.contains("2024-01-01 00:05:00"))
   }
 
+  test("incremental dedup keeps only batch docs novel vs corpus and batch") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "existing doc two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "THE  quick   Brown fox"), // normalized dup of corpus doc 1
+      (11L, "a genuinely new doc"),
+      (12L, "a genuinely new doc"),    // within-batch dup, 11 wins
+      (13L, "another new one")).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.incremental(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+    // injectable fingerprint: exact md5 has no normalization, 10 survives
+    val keptMd5 = graft.ops.Dedup.incremental(corpus, batch,
+      fingerprint = org.apache.spark.sql.functions.md5(_))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMd5 == Set(10L, 11L, 13L))
+  }
+
   test("cube produces the full grouping-set lattice with grouping ids") {
     import spark.implicits._
     val df = Seq(("A", "x", 1L), ("A", "y", 2L), ("B", "x", 3L))
