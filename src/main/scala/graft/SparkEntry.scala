@@ -835,6 +835,36 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_ts", "asof_purchase_value")
     }),
 
+    "q_unpivot" -> ((s, d) => {
+      // wide->long reshape (melt): 4 measure columns to (metric, val)
+      // rows. Expand-style fan-out, no shuffle — the inverse of q_pivot.
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+    }),
+
+    "q_median" -> ((s, d) => {
+      // exact interpolated percentiles per group (percentile = SQL
+      // percentile_cont): the small-group exact path; the GK-sketch
+      // sibling (q_sketch_quantiles) is the mergeable at-scale path
+      events(s, d).groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("median_value"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90_value"))
+    }),
+
+    "q_string_agg" -> ((s, d) => {
+      // ordered string aggregation (listagg): deterministic via
+      // sort-inside-the-buffer, not a window; group-sized memory by nature
+      t(s, d, "supplier").groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("names"),
+          count(lit(1)).as("n"))
+    }),
+
     "q_dedup_incremental" -> ((s, d) => {
       // cross-batch dedup (ops.Dedup.incremental): docs arriving as a new
       // batch (doc_id >= 250) kept only when novel vs the existing corpus
@@ -1254,6 +1284,32 @@ object SparkEntry {
         |  r.purchase_value AS asof_purchase_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND r.ts >= l.ts""".stripMargin,
+
+    // UNION ALL rather than engine UNPIVOT syntax: identical semantics,
+    // no dialect divergence in metric-name casing or column ordering
+    "q_unpivot" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 1000)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |       l_quantity AS val FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src""".stripMargin,
+
+    "q_median" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS median_value,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT s_nationkey,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names,
+        |  count(*) AS n
+        |FROM supplier GROUP BY 1""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH c AS (SELECT DISTINCT md5(text) AS fp FROM documents
