@@ -114,14 +114,17 @@ object GraphOps {
     *   uuid in the component
     */
   def coauthorComponents(authorOf: DataFrame): DataFrame = {
-    // hash member keys to longs ONCE up front: every downstream shuffle
-    // moves 8-byte keys, not strings. Star edges come out of a SINGLE
-    // aggregation: collect_set dedupes members per group with map-side
-    // partial aggregation, the set-min is the hub — no membership-dedup
-    // shuffle, no hub join. Caveat: one group's member set is one row, so
-    // beyond ~10^6 members per group prefer a groupBy-min + join.
+    // hash BOTH keys to longs ONCE up front: every downstream shuffle —
+    // including the big membership groupBy — moves 8-byte keys, not
+    // strings (group identity by hash rests on the same 64-bit
+    // no-collision assumption as vid itself). Star edges come out of a
+    // SINGLE aggregation: collect_set dedupes members per group with
+    // map-side partial aggregation, the set-min is the hub — no
+    // membership-dedup shuffle, no hub join. Caveat: one group's member
+    // set is one row, so beyond ~10^6 members per group prefer a
+    // groupBy-min + join.
     val membership = authorOf
-      .select(col("dst").as("o"), vid(col("src")).as("vid"))
+      .select(vid(col("dst")).as("o"), vid(col("src")).as("vid"))
     val star = membership.groupBy("o")
       .agg(collect_set(col("vid")).as("_vs"))
       .select(array_min(col("_vs")).as("src"), explode(col("_vs")).as("dst"))
