@@ -57,6 +57,49 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       clickWindows.contains("2024-01-01 00:05:00"))
   }
 
+  test("wordEntropy invariants: 0 <= H <= log2(n_distinct), on random docs") {
+    import spark.implicits._
+    val words = Array("key", "agg", "row", "scan", "slow", "fast", "table")
+    val r = new scala.util.Random(11)
+    val docs = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(1 + r.nextInt(40))(words(r.nextInt(words.length)))
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    TextAnalysis.wordEntropy(docs).collect().foreach { row =>
+      val (n, dist, h) = (row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(h >= 0.0, s"negative entropy $h")
+      // rounding is 6 dp, allow that slack above the bound
+      assert(h <= math.log(dist.toDouble) / math.log(2.0) + 1e-6,
+        s"H=$h exceeds log2($dist)")
+      assert(dist <= n)
+      if (dist == 1) assert(h == 0.0)
+    }
+  }
+
+  test("incremental dedup invariants on random corpus/batch splits") {
+    import spark.implicits._
+    val r = new scala.util.Random(23)
+    // texts drawn from a small pool -> plenty of dups across the split
+    val pool = (1 to 12).map(i => s"text body $i")
+    val all = (1 to 120).map(i => (i.toLong, pool(r.nextInt(pool.length))))
+    val corpus = all.filter(_._1 <= 60).toDF("doc_id", "text")
+    val batch = all.filter(_._1 > 60).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.incremental(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpusTexts = all.filter(_._1 <= 60).map(_._2).toSet
+    // kept rows are batch rows, novel vs corpus, unique within batch,
+    // and are the min-id representative of their batch duplicate group
+    val batchByText = all.filter(_._1 > 60).groupBy(_._2)
+    assert(kept.forall { case (_, t) => !corpusTexts.contains(t) })
+    assert(kept.map(_._2).distinct.length == kept.length)
+    kept.foreach { case (id, t) =>
+      assert(id == batchByText(t).map(_._1).min)
+    }
+    // completeness: every novel batch text is represented
+    val novel = batchByText.keySet -- corpusTexts
+    assert(kept.map(_._2).toSet == novel)
+  }
+
   test("incremental dedup keeps only batch docs novel vs corpus and batch") {
     import spark.implicits._
     val corpus = Seq(
