@@ -667,6 +667,21 @@ object SparkEntry {
         .select("asset_id", "modality", "n_bytes")
     }),
 
+    "q_multimodal_resize" -> ((s, d) => {
+      // aspect-preserving bounding-box resize plumbing (resample stubbed
+      // as byte truncation, partition-wise execution + dims math real).
+      // assetsFromDocuments images are 64x48 -> box 32x32 scales by 0.5 ->
+      // 32x24, 768 bytes; md5 over the kept bytes is SQL-reproducible
+      // because corpus text is plain ASCII (bytes == characters).
+      graft.ops.Multimodal.resizeImages(
+        graft.ops.Multimodal.assetsFromDocuments(par(s, t(s, d, "documents"))),
+        maxW = 32, maxH = 32)
+        .toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          length(col("bytes")).cast("int").as("n_bytes"),
+          md5(col("bytes")).as("content_md5"))
+    }),
+
     "q_multimodal_frames" -> ((s, d) => {
       // video frame-sampling fan-out: generator over duration, one row per
       // sampled frame — deterministic, so oracle-checked
@@ -1511,6 +1526,16 @@ object SparkEntry {
         |    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         |FROM documents""".stripMargin,
+
+    // images are doc_id%3=0 at fixed 64x48; a 32x32 box scales by 0.5 ->
+    // 32x24 = 768 kept bytes. ASCII text: byte slice == char slice, so
+    // md5(substring(text)) reproduces Spark's md5 over the binary column.
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+        |  CAST(least(strlen(text), 768) AS INTEGER) AS n_bytes,
+        |  md5(substring(text, 1, 768)) AS content_md5
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS asset_id, CAST(u.i AS INTEGER) AS frame_idx,

@@ -74,6 +74,37 @@ object Multimodal {
     }
   }
 
+  case class ResizedAsset(asset_id: Long, width: Int, height: Int,
+                          bytes: Array[Byte])
+
+  /** Image resize into a bounding box, aspect-preserving (never upscales):
+    * the standard pre-training normalization pass. Iterator-to-iterator per
+    * partition like [[extractFeatures]] — resampler init amortizes across
+    * the partition. The pixel resample itself is STUBBED (deterministic
+    * byte truncation to the new pixel count) so the dims math, metadata
+    * threading and batch shape are testable offline; swap the stub for a
+    * real resampler and the plan is unchanged.
+    */
+  def resizeImages(assets: Dataset[Asset], maxW: Int,
+                   maxH: Int): Dataset[ResizedAsset] = {
+    require(maxW > 0 && maxH > 0)
+    implicit val enc = Encoders.product[ResizedAsset]
+    assets.filter(_.modality == "image").mapPartitions { it =>
+      // per-partition setup (resampler init) would run here, once
+      it.map { a =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / a.width, maxH.toDouble / a.height))
+        val nw = math.max(1, math.floor(a.width * scale).toInt)
+        val nh = math.max(1, math.floor(a.height * scale).toInt)
+        // ??? <- real resample goes here; stub keeps the first nw*nh bytes
+        val out =
+          if (a.bytes == null) Array.empty[Byte]
+          else a.bytes.take(nw * nh)
+        ResizedAsset(a.asset_id, nw, nh, out)
+      }
+    }
+  }
+
   /** Frame sampling for video assets: emit one row per sampled frame index
     * (every `everyMs` of duration) — the fan-out is a generator
     * (flatMap), not a driver loop; frame decode itself is stubbed.

@@ -120,6 +120,29 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptMd5 == Set(10L, 11L, 13L))
   }
 
+  test("resizeImages preserves aspect, never upscales, truncates bytes") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.Asset
+    def asset(id: Long, w: Int, h: Int, n: Int) =
+      Asset(id, "image", Array.tabulate[Byte](n)(_.toByte), "image/jpeg",
+        w, h, 0L)
+    val assets = Seq(
+      asset(1, 64, 48, 4000),  // landscape: 0.5 scale -> 32x24
+      asset(2, 48, 64, 4000),  // portrait: 32/64 binds -> 24x32
+      asset(3, 10, 10, 4000),  // already inside the box: untouched
+      asset(4, 100, 10, 50),   // wide: 32/100 -> 32x3; fewer bytes than box
+      Asset(5, "video", Array[Byte](1, 2), "video/mp4", 0, 0, 1000L))
+      .toDS()
+    val got = Multimodal.resizeImages(assets, 32, 32).collect()
+      .map(r => r.asset_id -> ((r.width, r.height, r.bytes.length))).toMap
+    assert(got(1L) == ((32, 24, 768)))
+    assert(got(2L) == ((24, 32, 768)))
+    assert(got(3L) == ((10, 10, 100)))   // no upscale, 10*10 bytes kept
+    assert(got(4L) == ((32, 3, 50)))     // shorter payload than pixel count
+    assert(!got.contains(5L))            // non-images filtered out
+  }
+
   test("cube produces the full grouping-set lattice with grouping ids") {
     import spark.implicits._
     val df = Seq(("A", "x", 1L), ("A", "y", 2L), ("B", "x", 3L))
