@@ -910,6 +910,66 @@ object SparkEntry {
           coalesce(col("n_views"), lit(0L)).as("n_views"),
           coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
           col("purchase_total"))
+    }),
+
+    "q_bloom_pruned_join" -> ((s, d) => {
+      // runtime row-level filtering as an explicit operator
+      // (ops.Joins.bloomPrunedJoin): the filtered part dimension's keys
+      // fold into a Bloom filter (scalar subquery), lineitem is pruned
+      // BEFORE its shuffle, and the real join afterwards keeps the result
+      // exactly equal to the plain join — which is the oracle.
+      val dim = t(s, d, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      val fact = t(s, d, "lineitem").select("l_partkey", "l_quantity")
+      graft.ops.Joins.bloomPrunedJoin(fact, dim, "l_partkey",
+        expectedItems = 10000L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    "q_dup_spans" -> ((s, d) => {
+      // exact duplicate-substring detection (ops.Dedup.duplicateSpans):
+      // every 60-char gram occurring >= 2 times corpus-wide, counted
+      // exactly — hash-keyed first pass, broadcast survivor set, exact
+      // regroup (Lee et al. substring dedup, fixed-k form)
+      graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60)
+    }),
+
+    "q_quantize_int8" -> ((s, d) => {
+      // int8 embedding quantization (ops.Similarity.quantizeInt8): the
+      // 4x-smaller storage tier for a 100 TB vector store. Codes are
+      // integers, so the oracle check is exact: per-vector code sum +
+      // dimension + the quantization scale (floor-scaled)
+      graft.ops.Similarity.quantizeInt8(par(s, t(s, d, "embeddings")))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long"))
+            .as("q_sum"),
+          size(col("codes")).as("dim"),
+          floor(col("q_scale") * 1e9).cast("long").as("scale_1e9"))
+    }),
+
+    "q_scd2" -> ((s, d) => {
+      // SCD2 history from a change log (ops.Cdc.scd2): each purchase
+      // version gets [valid_from, valid_to) + is_current via one lead
+      // window per user — the O(n) form of the naive range self-join
+      val log = events(s, d).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      graft.ops.Cdc.scd2(log, Seq("user_id"), "ts", "event_id")
+        .select("event_id", "user_id", "valid_from", "valid_to",
+          "is_current")
+    }),
+
+    "q_snapshot_at" -> ((s, d) => {
+      // point-in-time snapshot (ops.Cdc.snapshotAt): each user's latest
+      // event as of Jan 15, with 'error'-typed latest rows treated as
+      // tombstones — the filter prunes the log BEFORE the window shuffle
+      graft.ops.Cdc.snapshotAt(
+        events(s, d).select("event_id", "user_id", "ts", "event_type"),
+        Seq("user_id"), "ts", "event_id",
+        asOf = lit("2024-01-15 00:00:00").cast("timestamp"),
+        isDelete = col("event_type") === "error")
+        .select("user_id", "event_id", "event_type", "ts")
     })
   )
 
@@ -1543,6 +1603,57 @@ object SparkEntry {
         |FROM documents,
         |LATERAL (SELECT unnest(generate_series(
         |  0, CAST(doc_id % 5 AS INTEGER))) AS i) u
-        |WHERE doc_id % 3 = 2""".stripMargin
+        |WHERE doc_id % 3 = 2""".stripMargin,
+
+    // bloom pruning is semantics-preserving (false positives die in the
+    // real join), so the oracle is the undecorated join itself
+    "q_bloom_pruned_join" ->
+      """SELECT p.p_brand, count(*) AS n_items,
+        |  round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1 GROUP BY 1""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH grams AS (
+        |  SELECT doc_id, substr(text, CAST(pos AS INT), 60) AS gram
+        |  FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(1, length(text) - 59))
+        |           AS pos) t
+        |  WHERE length(text) >= 60)
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM grams GROUP BY gram HAVING count(*) >= 2""".stripMargin,
+
+    // identical double formula on both sides (mn, sc = (mx-mn)/255.0, then
+    // round((x-mn)/sc)): IEEE ops in the same order are bit-equal, codes
+    // are exact integers, so sum/dim/floor(scale) compare exactly
+    "q_quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e, list_min(e) AS mn,
+        |    (list_max(e) - list_min(e)) / 255.0 AS sc FROM v)
+        |SELECT vec_id,
+        |  CAST(CASE WHEN sc > 0
+        |    THEN list_sum(list_transform(e, x -> round((x - mn) / sc)))
+        |    ELSE 0 END AS BIGINT) AS q_sum,
+        |  CAST(len(e) AS INTEGER) AS dim,
+        |  CAST(floor(sc * 1e9) AS BIGINT) AS scale_1e9
+        |FROM s""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+        |  lead(CAST(ts AS TIMESTAMP)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL) AS is_current
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_snapshot_at" ->
+      """SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |FROM (SELECT user_id, event_id, event_type, ts,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

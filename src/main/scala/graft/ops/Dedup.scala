@@ -226,6 +226,46 @@ object Dedup {
       .filter(col("n_shared") >= minSharedShingles)
   }
 
+  /** Exact duplicate-SPAN detection: every character k-gram that occurs at
+    * least `minOcc` times anywhere in the corpus, with its document and
+    * occurrence counts — the substring-level dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL 2022),
+    * re-expressed as a two-pass aggregation instead of a suffix array
+    * (exact for fixed k; a suffix array additionally merges overlapping
+    * k-grams into maximal spans, a post-pass over this output).
+    *
+    * Scale shape: pass 1 groups 8-byte xxhash64(gram) keys — the shuffle
+    * carries no strings — and keeps only hashes with ≥ minOcc occurrences.
+    * Duplicated spans are rare relative to position count, so that survivor
+    * set is small and broadcasts; pass 2 re-enumerates grams (CPU-cheap
+    * re-scan beats shuffling position×k bytes), keeps survivors, and
+    * regroups by the REAL gram text — so a hash collision in pass 1 can
+    * only add a false candidate that pass 2's exact regroup discards;
+    * counts are exact.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 60, minOcc: Int = 2,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(k > 0 && minOcc > 1)
+    def grams(df: DataFrame) = df
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("_pos"),
+        col(textCol))
+      .select(col(idCol), col(textCol).substr(col("_pos"), lit(k)).as("gram"))
+    val hot = grams(docs)
+      .groupBy(xxhash64(col("gram")).as("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minOcc)
+      .select("_h")
+    grams(docs)
+      .join(broadcast(hot), xxhash64(col("gram")) === col("_h"))
+      .groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+  }
+
   /** Dedup clustering: near-dup pairs → connected components → one
     * canonical doc per cluster (the standard post-LSH step: keep
     * `is_canonical`, drop the rest). GraphX Pregel CC, O(cluster diameter)

