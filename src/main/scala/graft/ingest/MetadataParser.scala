@@ -136,4 +136,66 @@ object MetadataParser {
       .map(y => lit(y)).getOrElse(year(current_date()))
     withAlex.withColumn("cited_by_count_date", yearCol)
   }
+
+  /** Adapt one legacy `@`-attribute creator (`tests/fixtures/authors.json`,
+    * `zenodo.json` `creator[]`) to the modern author shape consumed by
+    * [[repairedAuthors]]: `@name`/`@surname` → name/surname, string `@rank`
+    * → int, `@orcid` (else `@orcid_pending`) → pid.id.{scheme, value}, `$`
+    * passes through as the fallback "Surname, First" text.
+    */
+  def legacyCreators(creators: Column): Column =
+    transform(creators, c => struct(
+      c.getField("@name").as("name"),
+      c.getField("@surname").as("surname"),
+      lit(null).cast("string").as("fullName"),
+      c.getField("$").as("$"),
+      c.getField("@rank").cast("int").as("rank"),
+      struct(struct(
+        when(c.getField("@orcid").isNotNull, "orcid")
+          .when(c.getField("@orcid_pending").isNotNull, "orcid_pending")
+          .as("scheme"),
+        coalesce(c.getField("@orcid"), c.getField("@orcid_pending"))
+          .as("value")).as("id")).as("pid")))
+
+  /** Legacy search-envelope parse (`tests/fixtures/zenodo.json`,
+    * FIXTURES.md §3): `response.results.result[]` fan-out with `$`-wrapped
+    * scalars, emitting the SAME article columns as [[parseEnvelope]] so the
+    * two payload generations land in one table. The DOI comes from the
+    * result's own pid list (first `@classid = "doi"` entry), not from a
+    * request-side column.
+    */
+  def parseLegacyEnvelope(raw: DataFrame, jsonCol: String = "payload",
+                          citedByCountYear: Option[Int] = None): DataFrame = {
+    val art = raw
+      .withColumn("_env", from_json(col(jsonCol), Schemas.legacyEnvelope))
+      .select(explode(col("_env.response.results.result")).as("r"))
+      .select(col("r.metadata.`oaf:entity`.`oaf:result`").as("o"))
+    val d = to_date(col("o.dateofacceptance.$"))
+    val rt = col("o.resulttype")
+    val res = col("o.resourcetype")
+    art.select(
+      element_at(filter(col("o.pid"),
+        p => p.getField("@classid") === "doi"), 1).getField("$").as("doi"),
+      clean_html(clean_html(col("o.title.$"))).as("title"),
+      col("o.description.$").as("abstract"),
+      repairedAuthors(legacyCreators(col("o.creator"))).as("authors"),
+      coalesce(clean_html(col("o.journal.$")), lit("")).as("journal"),
+      lit(null).cast("int").as("issue"),
+      lit(null).cast("int").as("volume"),
+      year(d).as("publication_year"),
+      month(d).as("publication_month"),
+      dayofmonth(d).as("publication_day"),
+      col("o.publisher.$").as("publisher"),
+      // legacy resulttype rides dnet:result_typologies with the type in
+      // @classid (the modern envelope's plain `type` string)
+      when(rt.getField("@schemeid") === "dnet:result_typologies",
+        rt.getField("@classid")).as("result_type"),
+      when(res.getField("@schemeid").isin(
+        "dnet:result_typologies", "dnet:publication_resource"),
+        res.getField("@classname")).as("resource_type"))
+      .withColumn("openalex", lit(null).cast("string"))
+      .withColumn("cited_by_count", lit(null).cast("long"))
+      .withColumn("cited_by_count_date", citedByCountYear
+        .map(y => lit(y)).getOrElse(year(current_date())))
+  }
 }

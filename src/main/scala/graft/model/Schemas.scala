@@ -120,4 +120,53 @@ object Schemas {
   val openAlexWork: StructType = StructType(Seq(
     StructField("id", StringType),
     StructField("cited_by_count", LongType)))
+
+  // --- legacy search envelope (FIXTURES.md §3) ----------------------------
+
+  /** XML-attribute-style creator (`tests/fixtures/authors.json`,
+    * `zenodo.json` `oaf:result.creator[]`): `@`-prefixed attributes,
+    * `$`-wrapped text.
+    */
+  val legacyCreator: StructType = StructType(Seq(
+    StructField("@rank", StringType), // string-typed ints in the fixtures
+    StructField("@name", StringType),
+    StructField("@surname", StringType),
+    StructField("@orcid", StringType),
+    StructField("@orcid_pending", StringType),
+    StructField("$", StringType)))
+
+  private val dollar = StructType(Seq(StructField("$", StringType)))
+
+  /** Legacy `oaf:result` — only the fields the modern parse consumes;
+    * `$`-wrapped scalars throughout (`tests/fixtures/zenodo.json`).
+    */
+  val legacyResult: StructType = StructType(Seq(
+    StructField("title", dollar),
+    StructField("description", dollar),
+    StructField("publisher", dollar),
+    StructField("dateofacceptance", dollar),
+    StructField("creator", ArrayType(legacyCreator)),
+    StructField("journal", dollar),
+    StructField("pid", ArrayType(StructType(Seq(
+      StructField("@classid", StringType),
+      StructField("$", StringType))))),
+    StructField("resulttype", StructType(Seq(
+      StructField("@classid", StringType),
+      StructField("@schemeid", StringType)))),
+    StructField("resourcetype", StructType(Seq(
+      StructField("@classname", StringType),
+      StructField("@schemeid", StringType))))))
+
+  /** Legacy search envelope `response.results.result[]` with each result's
+    * payload nested under `metadata."oaf:entity"."oaf:result"`.
+    */
+  val legacyEnvelope: StructType = StructType(Seq(
+    StructField("response", StructType(Seq(
+      StructField("results", StructType(Seq(
+        StructField("result", ArrayType(StructType(Seq(
+          StructField("header", StructType(Seq(
+            StructField("dri:objIdentifier", dollar)))),
+          StructField("metadata", StructType(Seq(
+            StructField("oaf:entity", StructType(Seq(
+              StructField("oaf:result", legacyResult)))))))))))))))))))
 }

@@ -53,6 +53,60 @@ class MetadataParserSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.getAs[Int]("rank") == 1)
   }
 
+  test("legacy zenodo envelope parses to the same article columns") {
+    import spark.implicits._
+    val raw = Seq(fixture("zenodo.json")).toDF("payload")
+    val rows = MetadataParser
+      .parseLegacyEnvelope(raw, citedByCountYear = Some(2024))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("doi") == "10.5281/zenodo.4650794")
+    assert(r.getAs[String]("title") == "CCG Starter Data Kit: Liberia")
+    assert(r.getAs[String]("abstract") == "A starter data kit for Liberia")
+    assert(r.getAs[String]("publisher") == "Zenodo")
+    assert(r.getAs[String]("result_type") == "dataset")
+    // legacy resourcetype rides dnet:dataCite_resource -> not consumed
+    assert(r.getAs[String]("resource_type") == null)
+    assert(r.getAs[Int]("publication_year") == 2023)
+    assert(r.getAs[Int]("publication_month") == 1)
+    assert(r.getAs[Int]("publication_day") == 16)
+    val authors = r.getSeq[Row](r.fieldIndex("authors"))
+    assert(authors.length == 1)
+    assert(authors.head.getAs[String]("first_name") == "Lucy")
+    assert(authors.head.getAs[String]("last_name") == "Allington")
+    assert(authors.head.getAs[String]("orcid")
+      == "https://orcid.org/0000-0003-1801-899x")
+    // same schema as the modern parse: both generations land in one table
+    val modern = MetadataParser.parseEnvelope(
+      Seq(("x", fixture("openaire_v2_simple.json"))).toDF("doi", "payload"),
+      citedByCountYear = Some(2024))
+    assert(MetadataParser.parseLegacyEnvelope(raw,
+      citedByCountYear = Some(2024)).schema == modern.schema)
+  }
+
+  test("legacy @-attribute creators repair through the same author pipeline") {
+    import spark.implicits._
+    val raw = Seq(fixture("authors.json")).toDF("payload")
+    val creators = raw.select(from_json(col("payload"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("creator",
+          org.apache.spark.sql.types.ArrayType(
+            graft.model.Schemas.legacyCreator))))).as("j"))
+      .select(MetadataParser.repairedAuthors(
+        MetadataParser.legacyCreators(col("j.creator"))).as("authors"))
+      .select(explode(col("authors")).as("a"))
+      .select("a.first_name", "a.last_name", "a.orcid", "a.rank")
+      .collect()
+    assert(creators.length == 19) // every fixture creator is parseable
+    val byRank = creators.map(r => r.getInt(3) ->
+      ((r.getString(0), r.getString(1), r.getString(2)))).toMap
+    assert(byRank(1) == (("Lucy", "Allington",
+      "https://orcid.org/0000-0003-1801-899x")))
+    assert(byRank(19) == (("Holger", "Rogner",
+      "https://orcid.org/0000-0002-1045-9830")))
+  }
+
   test("title is double-cleaned like the reference (parser.py:110 + 174)") {
     import spark.implicits._
     // clean_html is NOT idempotent: pass 1 unescapes entities into literal

@@ -122,6 +122,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("q_full_outer").contains("FullOuter"))
   }
 
+  test("bloom-pruned join probes the fact side before its exchange") {
+    val p = plan("q_bloom_pruned_join")
+    assert(p.toLowerCase.contains("might_contain"),
+      "fact scan should be probed against the dimension bloom")
+    // the probe must sit BELOW the join's shuffle: in the plan tree the
+    // first might_contain occurrence appears after (deeper than) the join
+    val joinAt = p.indexOf("HashJoin")
+    val probeAt = p.toLowerCase.indexOf("might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "bloom probe should be on the scan side under the join")
+  }
+
+  test("duplicate spans: first shuffle groups hashes, survivors broadcast") {
+    val p = plan("q_dup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      "survivor-hash set should broadcast back onto the gram stream")
+  }
+
+  test("quantization is one narrow pass — no shuffle at all") {
+    val p = plan("q_quantize_int8")
+    assert(!p.contains("Exchange") || {
+      // allow only the single-file-scan rebalance repartition
+      "Exchange".r.findAllIn(p).size <= 1
+    }, "quantization must not shuffle")
+    assert(!p.contains("Join"))
+  }
+
+  test("scd2 and snapshot are one window pass per key") {
+    for (q <- Seq("q_scd2", "q_snapshot_at")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q should plan a window")
+      assert(!p.contains("Join"), s"$q must not self-join versions")
+    }
+  }
+
   test("bench records a failing query as err, not as a fast time") {
     val broken = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "q_ok" -> ((s, d) => s.range(5).toDF("n")),
