@@ -70,6 +70,18 @@ object SparkEntry {
     ivfIndexCache.computeIfAbsent((s, d), _ => build)
   }
 
+  /** Same lifecycle for the quantized-cell variant (derived from the float
+    * index once per (session, dir); probes then touch int8 codes only).
+    */
+  private val ivfIndexQCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.IvfIndexQ]
+
+  private def cachedIvfIndexQ(s: SparkSession, d: String,
+                              build: => graft.ops.Similarity.IvfIndexQ) = {
+    ivfIndexQCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfIndexQCache.computeIfAbsent((s, d), _ => build)
+  }
+
   private val stopwords15 =
     Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
       "on", "as", "with", "are", "this")
@@ -558,6 +570,21 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     }),
 
+    "q_ann_ivf_quant" -> ((s, d) => {
+      // quantized IVF probe (rows-only): same cell ranking as q_ann_ivf,
+      // candidates scored by asymmetric distance against int8 codes —
+      // the 4x-less-bytes probe path a 100 TB vector store actually runs.
+      // Recall + score-drift vs exact are unit-tested (CorpusOpsSpec).
+      val emb = par(s, t(s, d, "embeddings"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val qidx = cachedIvfIndexQ(s, d, graft.ops.Similarity.quantizeIndex(
+        cachedIvfIndex(s, d,
+          graft.ops.Similarity.buildIvfIndex(emb, nCenters = 16))))
+      graft.ops.Similarity.ivfProbeQuantized(q, qidx, k = 5, nProbe = 4)
+        .select("query_id", "vec_id", "rank")
+    }),
+
     "q_ann_ivf_build" -> ((s, d) => {
       // the offline half of the IVF pair: a FRESH index build every
       // execution (deterministic k-means + aggregate-argmin cell
@@ -934,6 +961,14 @@ object SparkEntry {
       // exactly — hash-keyed first pass, broadcast survivor set, exact
       // regroup (Lee et al. substring dedup, fixed-k form)
       graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60)
+    }),
+
+    "q_dup_span_ranges" -> ((s, d) => {
+      // maximal duplicated ranges (ops.Dedup.duplicateSpanRanges): per-doc
+      // gaps-and-islands merge of duplicated 60-gram positions — the
+      // "what to cut" output of substring dedup
+      graft.ops.Dedup.duplicateSpanRanges(par(s, t(s, d, "documents")),
+        k = 60)
     }),
 
     "q_quantize_int8" -> ((s, d) => {
@@ -1622,6 +1657,29 @@ object SparkEntry {
         |  WHERE length(text) >= 60)
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM grams GROUP BY gram HAVING count(*) >= 2""".stripMargin,
+
+    "q_dup_span_ranges" ->
+      """WITH grams AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    substr(text, CAST(pos AS INT), 60) AS gram
+        |  FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(1, length(text) - 59))
+        |           AS pos) t
+        |  WHERE length(text) >= 60),
+        |hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |dup AS (SELECT doc_id, pos FROM grams JOIN hot USING (gram)),
+        |flagged AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER
+        |        (PARTITION BY doc_id ORDER BY pos) > 60
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 59 AS span_end,
+        |  max(pos) + 59 - min(pos) + 1 AS span_len
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     // identical double formula on both sides (mn, sc = (mx-mn)/255.0, then
     // round((x-mn)/sc)): IEEE ops in the same order are bit-equal, codes

@@ -242,6 +242,17 @@ object Dedup {
     * regroups by the REAL gram text — so a hash collision in pass 1 can
     * only add a false candidate that pass 2's exact regroup discards;
     * counts are exact.
+    *
+    * Cost at scale: pass 1 shuffles one 12-byte row per character of
+    * corpus — linear, not quadratic (100 TB of text ≈ 1.2 PB of shuffle
+    * spread across the cluster: a heavy but feasible offline job, the
+    * same budget class as Lee et al.'s suffix-array machines). When that
+    * budget is too rich, the winnowing fingerprints
+    * ([[graft.functions.CorpusFunctions.winnow]]) are the standard
+    * approximation lever: selecting ~1/window of positions guarantees any
+    * duplicated span ≥ k+window−1 still shares a fingerprint, dividing
+    * the shuffle by the window factor at the cost of missing spans
+    * shorter than that bound.
     */
   def duplicateSpans(docs: DataFrame, k: Int = 60, minOcc: Int = 2,
                      idCol: String = "doc_id",
@@ -264,6 +275,48 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOcc)
+  }
+
+  /** Maximal duplicated RANGES per document: the gaps-and-islands merge
+    * over [[duplicateSpans]]' duplicated k-gram positions — two k-gram
+    * ranges overlap when their starts are ≤ k apart, so per-doc islands of
+    * close positions collapse to one (span_start, span_end) row. This is
+    * the "remove one copy of every substring duplicated across the corpus"
+    * output of Lee et al. 2022 at fixed k.
+    *
+    * Position streams are per-doc (window partitioned by the doc id, ≤
+    * text-length rows per group), so the merge shuffles once on doc id and
+    * no group outgrows a document.
+    */
+  def duplicateSpanRanges(docs: DataFrame, k: Int = 60, minOcc: Int = 2,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(k > 0 && minOcc > 1)
+    import org.apache.spark.sql.expressions.Window
+    def grams(df: DataFrame) = df
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("_pos"),
+        col(textCol))
+      .select(col(idCol), col("_pos").cast("long").as("_pos"),
+        xxhash64(col(textCol).substr(col("_pos"), lit(k))).as("_h"))
+    val hot = grams(docs)
+      .groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minOcc)
+      .select("_h")
+    val dup = grams(docs).join(broadcast(hot), Seq("_h"))
+      .select(col(idCol), col("_pos"))
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+    dup
+      .withColumn("_new",
+        when(col("_pos") - lag(col("_pos"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("_pos")).as("span_start"),
+        (max(col("_pos")) + (k - 1)).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1L)
+      .drop("_island")
   }
 
   /** Dedup clustering: near-dup pairs → connected components → one

@@ -231,6 +231,59 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** An IVF index whose cells store int8 CODES instead of float vectors —
+    * the production shape at 100 TB: 4 bytes/dim of cell payload becomes
+    * 1 byte/dim (+16 bytes of per-vector scale metadata), so every probe
+    * scans/shuffles a quarter of the bytes. Probing is asymmetric-distance:
+    * the full-precision query scores against dequantized candidates.
+    */
+  final case class IvfIndexQ(centroids: DataFrame, cells: DataFrame) {
+    def release(): Unit = { centroids.unpersist(); cells.unpersist() }
+  }
+
+  /** Quantize a built IVF index's cells ([[quantizeInt8]] per vector). The
+    * original float cells can be dropped afterwards; the centroid table is
+    * shared (it is tiny and stays float for probe ranking).
+    */
+  def quantizeIndex(index: IvfIndex): IvfIndexQ = {
+    val qcells = quantizeInt8(
+      index.cells.withColumnRenamed("_cv", "embedding"), "embedding")
+      .select(col("vec_id"), col("center_id"), col("codes"),
+        col("q_min"), col("q_scale"))
+      .localCheckpoint(true)
+    IvfIndexQ(index.centroids, qcells)
+  }
+
+  /** Probe a quantized IVF index: identical cell ranking to [[ivfProbe]],
+    * but candidates are scored by asymmetric distance — full-precision
+    * query against `min + code·scale` dequantization (one codegen'd
+    * transform; the index never materializes float vectors). Returned
+    * `cosine` is the quantized estimate (within O(scale) of exact, see
+    * the recall spec).
+    */
+  def ivfProbeQuantized(queries: DataFrame, index: IvfIndexQ, k: Int = 10,
+                        nProbe: Int = 4, queryIdCol: String = "query_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("_cos_c", cosine_sim(col("_qv"), col("centroid")))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_cos_c").desc, col("center_id"))
+    val probed = probes.withColumn("_rn", row_number().over(wp))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "_qv", "center_id")
+    val dequant = transform(col("codes"),
+      c => (col("q_min") + c.cast("double") * col("q_scale")).cast("float"))
+    val cands = probed.join(index.cells, Seq("center_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine_sim(col("_qv"), dequant))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** Per-vector int8 scalar quantization — the storage tier under any
     * 100 TB embedding store (4 bytes/dim float → 1 byte/dim code + two
     * doubles of per-vector scale metadata = 4× less shuffle/scan/cache on

@@ -112,6 +112,82 @@ object Streams {
       }
   }
 
+  case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
+  case class NearDupMatch(doc_id: Long, matched_id: Long,
+                          est_jaccard: Double, band: Int)
+  case class BucketState(entries: List[(Long, Seq[Long], Long)])
+
+  /** Streaming NEAR-duplicate detection: the incremental form of
+    * [[graft.ops.Dedup.minhashLsh]] — arriving documents are checked
+    * against everything previously seen in their MinHash band buckets,
+    * with bucket state evicted by event-time TTL.
+    *
+    * Shape: one narrow pass computes the signature, band keys fan out
+    * (`bands` rows per doc), and each (band, bucket) group holds the
+    * signatures previously routed to it (`flatMapGroupsWithState`). A new
+    * doc emits one match row per bucket entry whose full-signature
+    * agreement ≥ threshold — so a doc matching in several bands emits per
+    * band (an at-least-once candidate stream; collapse downstream with
+    * `dropDuplicatesWithinWatermark` if exactly-once candidates matter).
+    *
+    * State is bounded two ways: event-time timeout drops buckets idle past
+    * `stateTtl`, and `maxEntries` caps a pathological hot bucket (oldest
+    * entries evicted first — boilerplate-heavy buckets degrade recall
+    * before they degrade the cluster, the same trade the batch df-cap
+    * makes).
+    */
+  def nearDupMatches(docs: Dataset[DocEvent], threshold: Double = 0.8,
+                     shingleK: Int = 5, numHashes: Int = 128,
+                     bands: Int = 16, watermark: String = "2 hours",
+                     stateTtlMs: Long = 24L * 3600 * 1000,
+                     maxEntries: Int = 1000): Dataset[NearDupMatch] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import graft.functions.CorpusFunctions.minhash_sig
+    import spark.implicits._
+    val sig = docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        minhash_sig(col("text"), shingleK, numHashes).as("sig"))
+    val bandKeys = array((0 until bands).map(b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    sig
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(bandKeys).as(Seq("band", "bucket")))
+      .as[(Long, Timestamp, Seq[Long], Int, Int)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Int), batch: Iterator[(Long, Timestamp, Seq[Long], Int, Int)],
+         state: GroupState[BucketState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic replay order inside the micro-batch
+            val arrivals = batch.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = List.newBuilder[NearDupMatch]
+            arrivals.foreach { case (id, ts, s, band, _) =>
+              entries.foreach { case (seenId, seenSig, _) =>
+                if (seenId != id) {
+                  val agree = s.iterator.zip(seenSig.iterator)
+                    .count { case (a, b) => a == b }.toDouble / numHashes
+                  if (agree >= threshold)
+                    out += NearDupMatch(id, seenId, agree, band)
+                }
+              }
+              entries = ((id, s, ts.getTime) :: entries).take(maxEntries)
+            }
+            val latest = entries.map(_._3).max
+            state.update(BucketState(entries))
+            state.setTimeoutTimestamp(latest + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: a streaming event feed joined to a
     * (slowly-changing) dimension table. Catalyst broadcasts the static
     * side per micro-batch when small — the standard shape for decorating

@@ -75,6 +75,41 @@ class CdcAndPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.exists(t => t._1 == "abcde" && t._2 == 2L))
   }
 
+  test("duplicateSpanRanges merges overlapping duplicated grams into maximal spans") {
+    import spark.implicits._
+    // docs 1 and 2 share "ABCDEFGHIJ" (10 chars) at different offsets;
+    // doc 1 additionally shares "QRSTUVWXYZ" with doc 3, far from the
+    // first span -> two distinct islands in doc 1
+    val docs = Seq(
+      (1L, "ABCDEFGHIJ..padding..QRSTUVWXYZ"),
+      (2L, "zzABCDEFGHIJzz"),
+      (3L, "QRSTUVWXYZtail")
+    ).toDF("doc_id", "text")
+    val k = 5
+    val got = Dedup.duplicateSpanRanges(docs, k = k, minOcc = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute force: duplicated k-gram starts, merged when <= k apart
+    val texts = Map(1L -> "ABCDEFGHIJ..padding..QRSTUVWXYZ",
+      2L -> "zzABCDEFGHIJzz", 3L -> "QRSTUVWXYZtail")
+    val all = texts.toSeq.flatMap { case (id, t) =>
+      (0 to t.length - k).map(p => (id, p + 1L, t.substring(p, p + k)))
+    }
+    val hotG = all.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expect = all.filter(g => hotG(g._3)).groupBy(_._1).flatMap {
+      case (id, poss) =>
+        val ps = poss.map(_._2).sorted
+        val islands = ps.tail.foldLeft(List(List(ps.head))) { (acc, p) =>
+          if (p - acc.head.head <= k) (p :: acc.head) :: acc.tail
+          else List(p) :: acc
+        }
+        islands.map(is => (id, is.min, is.max + k - 1, is.max + k - is.min))
+    }.toSet
+    assert(got == expect)
+    assert(got.count(_._1 == 1L) == 2) // doc 1 has two separate spans
+  }
+
   test("quantizeInt8 bounds reconstruction error by scale/2 per dimension") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

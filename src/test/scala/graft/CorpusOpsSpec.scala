@@ -141,6 +141,37 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == ivfSet)
   }
 
+  test("quantized IVF probe recalls what the float probe recalls") {
+    import spark.implicits._
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      val c = i % 8
+      val v = Array.fill(dim)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.2f + 0.01f * ((i * 7) % 11)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, vecs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.buildIvfIndex(vecs, nCenters = 8, iters = 3)
+    val qidx = Similarity.quantizeIndex(idx)
+    val got = Similarity.ivfProbeQuantized(queries, qidx, k = 10, nProbe = 2)
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gotSet intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"quantized IVF recall too low: $recall")
+    // asymmetric-distance scores stay within O(scale) of exact cosine
+    val joined = got.join(
+      Similarity.bruteForceTopK(queries, vecs, k = 200)
+        .withColumnRenamed("cosine", "exact_cos"),
+      Seq("query_id", "vec_id"))
+      .select(abs(col("cosine") - col("exact_cos")).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(joined < 0.02, s"quantized cosine drifts too far: $joined")
+    idx.release(); qidx.release()
+  }
+
   test("embedding cosine near-dup pairs agree with brute force at threshold") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)

@@ -254,4 +254,37 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.nodeTable("authors").count() == 1)
     assert(store.edgeTable("author_of").count() == 1)
   }
+
+  test("streaming near-dup matching flags arrivals against bucket state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.DocEvent]
+    val q = Streams.nearDupMatches(mem.toDS(), threshold = 0.7,
+      shingleK = 3, numHashes = 64, bands = 16, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    mem.addData(
+      Streams.DocEvent(1L, ts(0), base),
+      Streams.DocEvent(2L, ts(1), "completely different text about " +
+        "spark catalyst optimizer rules and physical plans here"))
+    q.processAllAvailable()
+    // batch 1: nothing previously in state -> no matches yet
+    assert(spark.table("neardup").count() == 0)
+    // batch 2: a near-copy of doc 1 and a fresh unrelated doc
+    mem.addData(
+      Streams.DocEvent(3L, ts(5), base + " extra"),
+      Streams.DocEvent(4L, ts(6), "yet another unrelated document about " +
+        "benchmarks and oracles and parquet files entirely"))
+    q.processAllAvailable()
+    val rows = spark.table("neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // doc 3 matched doc 1 (possibly in several bands), nobody else matched
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (id, m, est) =>
+      id == 3L && m == 1L && est >= 0.7 })
+  }
 }
