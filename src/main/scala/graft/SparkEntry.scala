@@ -963,6 +963,19 @@ object SparkEntry {
       graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60)
     }),
 
+    "q_approx_topk" -> ((s, d) => {
+      // Misra-Gries mergeable approx top-k (custom TypedImperativeAggregate,
+      // ops.Sketches.approxTopK): capacity 4096 >= |distinct partkeys per
+      // flag| at verify scale, so counts are provably exact and the oracle
+      // is the exact two-stage top-k; the approximate regime's N/capacity
+      // error bound is property-tested in FreqSketchSpec.
+      graft.ops.Sketches.approxTopK(
+        par(s, t(s, d, "lineitem"))
+          .select(col("l_returnflag"),
+            col("l_partkey").cast("string").as("pk")),
+        Seq("l_returnflag"), "pk", k = 3, capacity = 4096)
+    }),
+
     "q_dup_span_ranges" -> ((s, d) => {
       // maximal duplicated ranges (ops.Dedup.duplicateSpanRanges): per-doc
       // gaps-and-islands merge of duplicated 60-gram positions — the
@@ -1657,6 +1670,19 @@ object SparkEntry {
         |  WHERE length(text) >= 60)
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM grams GROUP BY gram HAVING count(*) >= 2""".stripMargin,
+
+    // capacity >= |distinct items per group| at verify scale => MG counts
+    // are provably exact, so the oracle is the exact two-stage top-k
+    // (string tie-break on the stringified key, mirrored in eval())
+    "q_approx_topk" ->
+      """SELECT l_returnflag, item, est_count, CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS item,
+        |    count(*) AS est_count,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, CAST(l_partkey AS VARCHAR)) AS rank
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rank <= 3""".stripMargin,
 
     "q_dup_span_ranges" ->
       """WITH grams AS (

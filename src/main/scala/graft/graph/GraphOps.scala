@@ -1,12 +1,13 @@
 package graft.graph
 
-import org.apache.spark.graphx.{Edge, Graph, VertexId}
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Graph-shaped analytics over the property-graph tables, via GraphX
-  * (per BASELINE.json "spark_approach": GraphX for graph analytics).
+/** Graph-shaped analytics over the property-graph tables, as pure
+  * Catalyst dataflows (the round-3 DataFrame connected components removed
+  * the last Pregel handoff; round 4 moved PageRank onto the same
+  * iterate-localCheckpoint-release pattern, so nothing here leaves
+  * Catalyst).
   *
   * The reference delegates graph traversal to Memgraph (e.g. the unit_of
   * workstream hierarchy, create_graph.py:162-169, and author/output
@@ -15,8 +16,8 @@ import org.apache.spark.sql.functions._
   *  - [[unitHierarchy]]   — transitive closure of unit_of (frontier
   *                          iteration, O(depth) rounds, bounded lineage)
   *  - [[coauthorComponents]] — connected components of the co-authorship
-  *                          graph (GraphX connectedComponents, the standard
-  *                          batch primitive Memgraph has no equivalent for)
+  *                          graph (a batch primitive Memgraph has no
+  *                          equivalent for)
   *  - [[authorRank]]      — PageRank over co-authorship, an analytics
   *                          upgrade the row-at-a-time reference cannot do
   *
@@ -26,24 +27,6 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   private def vid(c: org.apache.spark.sql.Column) = xxhash64(c)
-
-  /** Build a GraphX graph from node uuids and (src, dst) edge tables.
-    * Inputs are localCheckpoint-ed first: GraphX iterates its RDDs many
-    * times, and an uncached .rdd view of a Catalyst plan re-executes the
-    * whole upstream dataflow (including broadcast subplans) on every pass.
-    */
-  def buildGraph(nodes: DataFrame, edges: DataFrame,
-                 uuidCol: String = "uuid"): Graph[String, Int] = {
-    val verts: RDD[(VertexId, String)] = nodes
-      .select(vid(col(uuidCol)).as("vid"), col(uuidCol))
-      .localCheckpoint(true)
-      .rdd.map(r => (r.getLong(0), r.getString(1)))
-    val es: RDD[Edge[Int]] = edges
-      .select(vid(col("src")).as("s"), vid(col("dst")).as("d"))
-      .localCheckpoint(true)
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    Graph(verts, es)
-  }
 
   /** Transitive closure of the unit_of hierarchy: for every unit, the set
     * of ancestor unit ids (workstream containment). Iterative DataFrame
@@ -152,18 +135,58 @@ object GraphOps {
     * linear edge growth — rank ordering within components is preserved for
     * hub detection while staying skew-proof.
     */
-  def authorRank(authorOf: DataFrame, tol: Double = 0.001): DataFrame = {
-    val spark = authorOf.sparkSession
-    import spark.implicits._
+  def authorRank(authorOf: DataFrame, tol: Double = 0.001,
+                 maxIter: Int = 30): DataFrame = {
     val membership = authorOf.select(col("dst").as("o"), col("src").as("m"))
     val star = starEdges(membership)
     val coedges = star.union(
       star.select(col("dst").as("src"), col("src").as("dst")))
-    val authors = authorOf.select(col("src").as("uuid")).distinct()
-    val g = buildGraph(authors, coedges)
-    val pr = g.pageRank(tol).vertices.toDF("vid", "pagerank")
-    authors.withColumn("vid", xxhash64(col("uuid")))
-      .join(pr, "vid")
+    val verts = authorOf.select(col("src").as("uuid")).distinct()
+      .select(col("uuid"), vid(col("uuid")).as("vid"))
+      .localCheckpoint(true)
+    // power iteration as a pure dataflow: per round, one join of the
+    // (vid-hashed, degree-annotated) edge list to current ranks, one
+    // contribution aggregation, one left join back onto the vertex set
+    // (isolated vertices hold the reset rank). Lineage is cut per round
+    // and the previous round's blocks released — the unitHierarchy /
+    // ConnectedComponents iteration pattern. Dangling vertices cannot
+    // occur: the co-edge list is symmetrized, so every edge endpoint has
+    // out-degree >= 1.
+    val edges = coedges
+      .select(vid(col("src")).as("src"), vid(col("dst")).as("dst"))
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("_deg")), Seq("src"))
+      .localCheckpoint(true)
+    val reset = 0.15
+    val damp = 0.85
+    var ranks = verts.select(col("vid"), lit(reset).as("pagerank"))
+      .localCheckpoint(true)
+    var delta = Double.MaxValue
+    var iter = 0
+    while (iter < maxIter && delta > tol) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("vid", "src"), Seq("src"))
+        .select(col("dst").as("vid"),
+          (col("pagerank") / col("_deg")).as("_c"))
+        .groupBy("vid").agg(sum(col("_c")).as("_csum"))
+      val next = verts.select("vid")
+        .join(contribs, Seq("vid"), "left_outer")
+        .select(col("vid"),
+          (lit(reset) + lit(damp) * coalesce(col("_csum"), lit(0d)))
+            .as("pagerank"))
+        .localCheckpoint(true)
+      delta = next
+        .join(ranks.withColumnRenamed("pagerank", "_prev"), Seq("vid"))
+        .agg(coalesce(max(abs(col("pagerank") - col("_prev"))), lit(0d)))
+        .head().getDouble(0)
+      ranks.unpersist()
+      ranks = next
+      iter += 1
+    }
+    val out = verts.join(ranks, Seq("vid"))
       .select(col("uuid").as("author_uuid"), col("pagerank"))
+      .localCheckpoint(true)
+    verts.unpersist(); withDeg.unpersist(); ranks.unpersist()
+    out
   }
 }

@@ -321,9 +321,10 @@ object Dedup {
 
   /** Dedup clustering: near-dup pairs → connected components → one
     * canonical doc per cluster (the standard post-LSH step: keep
-    * `is_canonical`, drop the rest). GraphX Pregel CC, O(cluster diameter)
-    * supersteps; near-dup clusters are shallow (dup chains, not paths), so
-    * this converges in a few rounds even at corpus scale. Vertex id is the
+    * `is_canonical`, drop the rest). DataFrame CC rounds are O(log²
+    * cluster diameter); near-dup clusters are shallow (dup chains, not
+    * paths), so this converges in a few rounds even at corpus scale (see
+    * [[graft.graph.ConnectedComponents]]). Vertex id is the
     * doc id itself — no hashing, and the component id (min vertex id in the
     * component) is therefore the min doc id: deterministic across runs.
     *

@@ -63,4 +63,26 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` as `numShards` GLOBALLY sorted parquet shards on
+    * `sortCols`: shard i holds a contiguous key range strictly below
+    * shard i+1's, rows sorted inside each shard — the training-data
+    * export shape (curriculum order, reproducible epoch slicing,
+    * merge-readable by shard id).
+    *
+    * `repartitionByRange` computes its range boundaries from a driver-side
+    * SAMPLE of the sort key (one lightweight pass), so no global sort or
+    * single-task stage exists anywhere: the heavy work is one shuffle +
+    * per-shard in-memory/spill sort, all `numShards`-wide parallel. Skewed
+    * keys get uneven shards (sampling-bounded) — acceptable for export;
+    * pre-salt or bucket the key if shard-size variance matters more than
+    * global order.
+    */
+  def writeRangeSharded(df: DataFrame, path: String,
+                        sortCols: Seq[String], numShards: Int): Unit = {
+    require(sortCols.nonEmpty && numShards > 0)
+    df.repartitionByRange(numShards, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -69,6 +69,29 @@ object Sketches {
       .filter(col("rank") <= k)
   }
 
+  /** Approximate top-k heavy hitters per group via the Misra–Gries
+    * mergeable summary ([[graft.functions.MisraGriesTopK]], a custom
+    * Catalyst TypedImperativeAggregate — Spark has no built-in that can
+    * ENUMERATE heavy items). One aggregation, state O(capacity) per
+    * group, no |distinct|-sized sort: the at-scale alternative to
+    * [[heavyHitters]] when the distinct-value set per group is itself
+    * too big to rank exactly. Counts are under-estimates within
+    * N/capacity; with capacity ≥ |distinct| the result is exact (the
+    * oracle-checked regime).
+    *
+    * @return one row per (group, rank): groupCols + (item, est_count, rank)
+    */
+  def approxTopK(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 k: Int, capacity: Int = 4096): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.FreqSketch.approx_top_k(
+        col(valueCol), capacity, k).as("_top"))
+      .select(groupCols.map(col) :+ posexplode(col("_top")).as(Seq("_i", "_e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("_e.item").as("item"),
+        col("_e.est_count").as("est_count"),
+        (col("_i") + 1).cast("int").as("rank")): _*)
+
   /** Count–min frequency sketch per group (binary, mergeable): the
     * transport format for "how often does value X occur" questions that
     * must be answered later without the raw rows.

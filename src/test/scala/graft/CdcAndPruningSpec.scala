@@ -110,6 +110,32 @@ class CdcAndPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == 1L) == 2) // doc 1 has two separate spans
   }
 
+  test("duplicateSpans matches brute force on random corpora incl. length boundaries") {
+    import spark.implicits._
+    val k = 4
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      // tiny alphabet -> duplicates are common; lengths sweep k-1/k/k+1
+      val texts = (1L to 12L).map { id =>
+        val len = Seq(k - 1, k, k + 1, k + 3, 2 * k, 5 * k)(rnd.nextInt(6))
+        (id, Seq.fill(len)("ab" (rnd.nextInt(2))).mkString)
+      }
+      val got = Dedup.duplicateSpans(texts.toDF("doc_id", "text"),
+        k = k, minOcc = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val grams = texts.flatMap { case (id, t) =>
+        if (t.length >= k) (0 to t.length - k).map(p => (id, t.substring(p, p + k)))
+        else Seq.empty
+      }
+      val expect = grams.groupBy(_._2).collect {
+        case (g, occ) if occ.size >= 2 =>
+          (g, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+      }.toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("quantizeInt8 bounds reconstruction error by scale/2 per dimension") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

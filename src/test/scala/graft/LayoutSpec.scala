@@ -70,4 +70,38 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nFiles = back.select(input_file_name().as("f")).distinct().count()
     assert(nFiles == 4)
   }
+
+  test("writeRangeSharded produces disjoint, internally sorted shards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 5000).map(_ => (rnd.nextInt(100000), rnd.nextInt(10)))
+      .toDF("key", "payload")
+    Layout.writeRangeSharded(df, s"$dir/t", Seq("key"), numShards = 6)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 5000)
+    // per-file extent: files must not overlap on key, and each must be
+    // internally sorted (monotonic when read in file order)
+    val perFile = back
+      .select(input_file_name().as("f"), col("key"))
+      .groupBy("f").agg(min("key").as("lo"), max("key").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      .sortBy(_._2)
+    assert(perFile.length == 6)
+    perFile.sliding(2).foreach {
+      case Array((_, _, hiA), (_, loB, _)) => assert(hiA <= loB,
+        s"shard ranges overlap: $hiA > $loB")
+      case _ =>
+    }
+    // internal order: within every file the key sequence is non-decreasing
+    val unsorted = back
+      .select(input_file_name().as("f"), col("key"))
+      .withColumn("_prev", lag("key", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("_prev") > col("key"))
+      .count()
+    assert(unsorted == 0)
+  }
 }
