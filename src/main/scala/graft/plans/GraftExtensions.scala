@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("name_similarity"),
       info("name_similarity", classOf[NameSimilarity]),
       (es: Seq[Expression]) => NameSimilarity(es(0), es(1))))
+    // the custom aggregate: approx_top_k(value, capacity, k) in SQL
+    ext.injectFunction((FunctionIdentifier("approx_top_k"),
+      info("approx_top_k", classOf[graft.functions.MisraGriesTopK]),
+      (es: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"approx_top_k $what must be an integer literal")
+        }
+        graft.functions.MisraGriesTopK(es(0),
+          intLit(es(1), "capacity"), intLit(es(2), "k"))
+      }))
   }
 }
 

@@ -95,6 +95,21 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(2) > 0.5)
   }
 
+  test("approx_top_k aggregate is SQL-callable via the extension") {
+    import spark.implicits._
+    (Seq.fill(30)("x") ++ Seq.fill(20)("y") ++ Seq.fill(5)("z"))
+      .toDF("v").createOrReplaceTempView("vals")
+    val top = spark.sql(
+      "SELECT approx_top_k(v, 100, 2) AS t FROM vals").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top == Seq(("x", 30L), ("y", 20L)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT approx_top_k(v, v, 2) FROM vals").head()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("pure range condition (no equi keys) also rewrites") {
     import spark.implicits._
     val points = (0L until 100L).map(t => (t, t)).toDF("pid", "t")

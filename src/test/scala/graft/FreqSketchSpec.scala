@@ -80,6 +80,34 @@ class FreqSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("composes with Structured Streaming windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // trending items per tumbling window: the MG buffer rides the
+    // streaming state store (TypedImperativeAggregate serialization)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.functions.FreqSketch.approx_top_k(col("v"), 100, 2)
+        .as("top"))
+      .select(col("window.start").as("ws"), col("top"))
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(3600_000L + min * 60_000L)
+    mem.addData((ts(0), "x"), (ts(1), "x"), (ts(2), "y"), (ts(3), "x"))
+    q.processAllAvailable()
+    mem.addData((ts(60), "z")) // advance watermark, close the window
+    q.processAllAvailable()
+    val rows = spark.table("trending").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val top = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top == Seq(("x", 3L), ("y", 1L)))
+  }
+
   test("rejects non-string children") {
     import spark.implicits._
     val err = intercept[org.apache.spark.sql.AnalysisException] {
