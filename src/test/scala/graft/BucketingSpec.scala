@@ -48,4 +48,31 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum(col("total")).as("t"))
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("IVF cells persisted bucketed by center_id: probe shuffles ONLY the query side") {
+    import spark.implicits._
+    // the deployment shape the Similarity docstrings promise: build once,
+    // persist cells bucketed on center_id, and every batch probe joins
+    // against the cells WITHOUT re-shuffling the corpus
+    val vecs = (0 until 200).map { i =>
+      val v = Array.fill(8)(0.0f); v(i % 4) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val idx = graft.ops.Similarity.buildIvfIndex(vecs, nCenters = 4, iters = 2)
+    Bucketing.writeBucketed(
+      idx.cells.select(col("vec_id"), col("center_id"), col("_cv")),
+      "ivf_cells_b", "center_id", buckets = 4)
+    idx.release()
+    // a large batch-probe side (not broadcastable under the -1 threshold);
+    // center_id typed to match the table exactly — a cast on the bucket
+    // key disables bucketed scanning
+    val probes = (0 until 500).map(i => (i.toLong, i % 4))
+      .toDF("query_id", "center_id")
+    val cands = probes.join(spark.table("ivf_cells_b"), Seq("center_id"))
+    val plan = cands.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly one exchange (query side only), got $exchanges:\n$plan")
+    assert(cands.count() == 500L * 50) // 500 probes x 50 vectors per cell
+  }
 }
