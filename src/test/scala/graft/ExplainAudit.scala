@@ -10,7 +10,9 @@ object ExplainAudit {
     val d = "/root/testdata/sf0.01"
     for (name <- Seq("q_scan_filter_project", "q_equi_join_agg",
         "q_contains_theta_join", "q_semi_join", "q_window_top1",
-        "q_dedup_minhash", "q_sim_topk")) {
+        "q_dedup_minhash", "q_sim_topk", "q_bloom_pruned_join",
+        "q_dup_spans", "q_quantize_int8", "q_approx_topk",
+        "q_ann_ivf_quant", "q_scd2")) {
       val plan = SparkEntry.queries(name)(spark, d)
         .queryExecution.executedPlan.toString
       println(s"===== $name =====")
