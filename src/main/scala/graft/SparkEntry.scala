@@ -963,6 +963,27 @@ object SparkEntry {
       graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60)
     }),
 
+    "q_curate_pipeline" -> ((s, d) => {
+      // the composed curation pipeline (ops.Pipelines.curateCorpus):
+      // annotate -> quality gate -> exact dedup -> MinHash dedup ->
+      // decontaminate -> scrub -> chunk -> split+pack, on a bounded doc
+      // subset with the high-id tail standing in as the eval set.
+      // Returns the per-stage row report (rows-only: lang-id/quality/LSH
+      // stages are model-based; every stage has its own oracle/property
+      // coverage, and PipelinesSpec asserts the cross-stage invariants).
+      // fixed id windows so both roles are non-empty at every SF the
+      // driver runs (sf0.01 has ids 0..499, sf0.1 has 0..4999)
+      val docs = par(s, t(s, d, "documents"))
+      val r = graft.ops.Pipelines.curateCorpus(
+        docs.filter(col("doc_id") < 300),
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select("doc_id", "text"),
+        minQuality = 0.0, maxRepetition = 0.9, nearDupThreshold = 0.5,
+        chunkTokens = 64, chunkStride = 64, packBudget = 512)
+      r.chunks.unpersist()
+      r.report
+    }),
+
     "q_approx_topk" -> ((s, d) => {
       // Misra-Gries mergeable approx top-k (custom TypedImperativeAggregate,
       // ops.Sketches.approxTopK): capacity 4096 >= |distinct partkeys per

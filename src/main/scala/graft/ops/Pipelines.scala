@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data run
+  * actually executes, chaining the operator suite in its canonical order —
+  *
+  *   1. annotate (lang-id, token counts, quality — one narrow pass)
+  *   2. quality gate (language allow-list, quality floor, repetition cap)
+  *   3. exact dedup (fingerprint hash-agg, keep canonical)
+  *   4. near dedup (MinHash-LSH clusters, keep canonical)
+  *   5. decontaminate (drop docs overlapping the eval set)
+  *   6. PII scrub
+  *   7. chunk to model context length
+  *   8. deterministic train/val/test split + token-budget packing
+  *
+  * Stage ORDER is the standard cost argument: narrow single-pass filters
+  * run first so every later (shuffling) stage sees fewer rows; exact dedup
+  * (one cheap hash-agg) runs before MinHash (signature + band join); the
+  * eval-overlap join runs on the deduped survivor set. Every stage is the
+  * already-tested operator — this object only composes them, so the
+  * pipeline inherits each stage's oracle/property coverage, and its own
+  * spec checks the cross-stage invariants (monotone row counts, no
+  * duplicate survivors, budget-bounded packs).
+  *
+  * Returns the curated CHUNK table plus a per-stage row-count report for
+  * the run log (computed with one count per stage boundary — at 100 TB
+  * either sample or accept the extra pass; counts are actions).
+  */
+object Pipelines {
+
+  final case class CurationResult(chunks: DataFrame, report: DataFrame)
+
+  def curateCorpus(docs: DataFrame, eval: DataFrame,
+                   langs: Seq[String] = Seq("en"),
+                   minQuality: Double = 0.3,
+                   maxRepetition: Double = 0.3,
+                   nearDupThreshold: Double = 0.7,
+                   chunkTokens: Int = 256, chunkStride: Int = 256,
+                   packBudget: Long = 2048,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): CurationResult = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val stages = scala.collection.mutable.ListBuffer[(String, Long)]()
+    // pin each stage boundary (count doubles as the materializing action),
+    // then release the PREVIOUS boundary's blocks: only one intermediate
+    // is ever resident, and the final stage stays pinned for the caller
+    var prevPinned: Option[DataFrame] = None
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val pinned = df.localCheckpoint(true)
+      stages += name -> pinned.count()
+      prevPinned.foreach(_.unpersist())
+      prevPinned = Some(pinned)
+      pinned
+    }
+
+    val annotated = stage("input+annotate",
+      TextAnalysis.annotate(docs, textCol))
+
+    val gated = stage("quality-gate", annotated
+      .filter(col("lang_pred").isin(langs: _*))
+      .filter(col("quality") >= minQuality)
+      .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition))
+
+    val exactDeduped = stage("exact-dedup",
+      Dedup.exact(gated, idCol, textCol)
+        .filter(col("is_canonical"))
+        .drop("dup_group_size", "is_canonical"))
+
+    val nearDeduped = stage("near-dedup", exactDeduped.join(
+      Dedup.clusters(exactDeduped, nearDupThreshold,
+        idCol = idCol, textCol = textCol)
+        .filter(col("is_canonical"))
+        .select(idCol),
+      Seq(idCol), "left_semi"))
+
+    val clean = stage("decontaminate", nearDeduped.join(
+      Dedup.decontaminate(nearDeduped, eval, idCol = idCol,
+        textCol = textCol)
+        .select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti"))
+
+    val scrubbed = clean.withColumn(textCol,
+      CorpusOps.scrubText(col(textCol)))
+
+    val chunks = stage("chunk",
+      CorpusOps.chunkDocs(scrubbed, chunkTokens, chunkStride, idCol, textCol))
+
+    // split is keyed by the DOC id (chunks of one doc never straddle
+    // train/val — the leakage rule), while packing orders by a UNIQUE
+    // chunk key so the cumulative sum is deterministic across runs
+    val packed = stage("split+pack", CorpusOps.packByTokenBudget(
+      chunks
+        .withColumn("split", CorpusOps.hashSplit(idCol))
+        .withColumn("chunk_key",
+          concat(col(idCol), lit(":"), col("chunk_idx"))),
+      packBudget, idCol = "chunk_key", textCol = "chunk_text"))
+
+    val report = stages.toSeq.toDF("stage", "rows")
+    CurationResult(packed, report)
+  }
+}

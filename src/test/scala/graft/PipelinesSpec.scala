@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Pipelines
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-stage invariants of the composed curation pipeline (each stage's
+  * own semantics are covered by its operator spec/oracle — this checks
+  * the composition).
+  */
+class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("pipelines-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("curateCorpus: monotone stage counts, no surviving dups, bounded packs") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // synthetic eval set guaranteed to overlap: verbatim prefixes of two
+    // real docs (3-gram overlap >= 2 requires >= 4 shared words)
+    val eval = docs.orderBy("doc_id").limit(2)
+      .select(col("doc_id") + 100000, col("text"))
+      .toDF("doc_id", "text")
+
+    val r = Pipelines.curateCorpus(docs, eval,
+      langs = Seq("en"), minQuality = 0.0, maxRepetition = 0.9,
+      nearDupThreshold = 0.5, chunkTokens = 32, chunkStride = 32,
+      packBudget = 256)
+    val report = r.report.collect().map(x => x.getString(0) -> x.getLong(1))
+    val byStage = report.toMap
+
+    // monotone: every doc-level stage can only shrink the row set
+    val docStages = Seq("input+annotate", "quality-gate", "exact-dedup",
+      "near-dedup", "decontaminate")
+    docStages.sliding(2).foreach { case Seq(a, b) =>
+      assert(byStage(b) <= byStage(a), s"$b grew vs $a: $report")
+    }
+    assert(byStage("decontaminate") > 0, s"nothing survived: $report")
+    // the two eval-overlapping docs are gone
+    assert(byStage("decontaminate") <= byStage("near-dedup") - 2)
+
+    val chunks = r.chunks
+    // chunking covers every surviving doc and splits respect doc keying
+    assert(chunks.select(countDistinct("doc_id")).head().getLong(0)
+      == byStage("decontaminate"))
+    assert(chunks.groupBy("doc_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count() == 0,
+      "chunks of one doc must share its split")
+    // every pack stays within budget + one overflowing chunk
+    val packTotals = chunks.groupBy("shard", "pack_id")
+      .agg(sum("chunk_n_tokens").as("toks"),
+        max("chunk_n_tokens").as("maxchunk"))
+    assert(packTotals.filter(col("toks") - col("maxchunk") >= 256).count() == 0,
+      "a pack exceeded budget before its final chunk")
+    // chunk token counts respect the chunk size
+    assert(chunks.filter(col("chunk_n_tokens") > 32).count() == 0)
+    // report has one row per stage boundary
+    assert(report.map(_._1).toSeq ==
+      Seq("input+annotate", "quality-gate", "exact-dedup", "near-dedup",
+        "decontaminate", "chunk", "split+pack"))
+  }
+}
