@@ -177,6 +177,32 @@ class CdcAndPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((ts(5), None, true)))
   }
 
+  test("scd2 intervals partition each key's timeline (random logs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val log = (1L to 300L).map { id =>
+      (id, rnd.nextInt(8).toLong, ts(rnd.nextInt(50)), s"v$id")
+    }.toDF("event_id", "user_id", "ts", "v")
+    val rows = Cdc.scd2(log, Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      // exactly one current version per key
+      assert(vs.count(_._5) == 1)
+      // intervals chain: sorted by (from, event_id), each valid_to equals
+      // the next version's valid_from; only the last is open
+      val chain = vs.sortBy(v => (v._3.getTime, v._2))
+      chain.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+      assert(chain.last._4.isEmpty)
+    }
+    assert(rows.length == 300)
+  }
+
   test("snapshotAt returns latest pre-asOf version and drops tombstones") {
     import spark.implicits._
     val log = Seq(

@@ -287,4 +287,35 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall { case (id, m, est) =>
       id == 3L && m == 1L && est >= 0.7 })
   }
+
+  test("near-dup bucket state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val checkpoint = Files.createTempDirectory("neardup-ck").toString
+    val out = Files.createTempDirectory("neardup-out").toString
+    val mem = MemoryStream[Streams.DocEvent]
+    // a fault-tolerant sink (parquet) — the memory sink cannot recover
+    // from a checkpoint, which is precisely what this test exercises
+    def start() = Streams.nearDupMatches(mem.toDS(), threshold = 0.7,
+      shingleK = 3, numHashes = 64, bands = 16, watermark = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val q1 = start()
+    mem.addData(Streams.DocEvent(1L, ts(0), base))
+    q1.processAllAvailable()
+    q1.stop() // kill the query; doc 1 lives only in the state store now
+    val q2 = start()
+    mem.addData(Streams.DocEvent(2L, ts(5), base + " extra"))
+    q2.processAllAvailable()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q2.stop()
+    // the restarted query still matched against pre-restart state
+    assert(rows.nonEmpty && rows.forall(_ == ((2L, 1L))))
+  }
 }
