@@ -35,18 +35,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("name_similarity"),
       info("name_similarity", classOf[NameSimilarity]),
       (es: Seq[Expression]) => NameSimilarity(es(0), es(1))))
+    def intLit(e: Expression, fn: String, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn $what must be an integer literal")
+    }
     // the custom aggregate: approx_top_k(value, capacity, k) in SQL
     ext.injectFunction((FunctionIdentifier("approx_top_k"),
       info("approx_top_k", classOf[graft.functions.MisraGriesTopK]),
-      (es: Seq[Expression]) => {
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case _ => throw new IllegalArgumentException(
-            s"approx_top_k $what must be an integer literal")
-        }
-        graft.functions.MisraGriesTopK(es(0),
-          intLit(es(1), "capacity"), intLit(es(2), "k"))
-      }))
+      (es: Seq[Expression]) => graft.functions.MisraGriesTopK(es(0),
+        intLit(es(1), "approx_top_k", "capacity"),
+        intLit(es(2), "approx_top_k", "k"))))
+    // corpus kernels — the dedup/text-analysis primitives, so the whole
+    // annotate/dedup surface is reachable from pure SQL sessions
+    import graft.functions.{CosineSim, DocFingerprint, LangId, MinHashSig,
+      SimHash64, TokenCountBpeIsh, WordShingles}
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[SimHash64]),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("doc_fingerprint"),
+      info("doc_fingerprint", classOf[DocFingerprint]),
+      (es: Seq[Expression]) => DocFingerprint(es.head)))
+    ext.injectFunction((FunctionIdentifier("lang_id"),
+      info("lang_id", classOf[LangId]),
+      (es: Seq[Expression]) => LangId(es.head)))
+    ext.injectFunction((FunctionIdentifier("token_count_bpeish"),
+      info("token_count_bpeish", classOf[TokenCountBpeIsh]),
+      (es: Seq[Expression]) => TokenCountBpeIsh(es.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSim]),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSig]),
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        intLit(es(1), "minhash_sig", "shingle k"),
+        intLit(es(2), "minhash_sig", "numHashes"))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", classOf[WordShingles]),
+      (es: Seq[Expression]) => WordShingles(es(0),
+        intLit(es(1), "word_shingles", "n"))))
   }
 }
 

@@ -110,6 +110,41 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("corpus kernels are SQL-callable via the extension") {
+    val r = spark.sql(
+      "SELECT simhash64('the quick brown fox') AS sh, " +
+        "doc_fingerprint('the quick brown fox') AS fp, " +
+        "lang_id('the cat sat on the mat and it was happy there') AS lang, " +
+        "token_count_bpeish('hello world, again') AS tc, " +
+        "cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos, " +
+        "size(minhash_sig('a b c d e f g h', 3, 16)) AS nsig, " +
+        "size(word_shingles('a b c d', 2)) AS nsh").head()
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+    assert(r.getString(2) == "en")
+    assert(r.getInt(3) > 0)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
+    assert(r.getInt(5) == 16)
+    assert(r.getInt(6) == 3)
+  }
+
+  test("every custom expression compiles under CODEGEN_ONLY factory mode") {
+    // a broken doGenCode would silently fall back to interpreted eval in a
+    // normal session; CODEGEN_ONLY turns that into a hard failure
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    import strict.implicits._
+    val df = Seq(("the quick brown fox jumps", Seq(1.0f, 2.0f))).toDF("t", "v")
+    df.createOrReplaceTempView("codegen_probe")
+    val row = strict.sql(
+      "SELECT clean_html(t), normalize_doi(t), python_title(t), " +
+        "name_similarity(t, t), simhash64(t), doc_fingerprint(t), " +
+        "lang_id(t), token_count_bpeish(t), cosine_sim(v, v), " +
+        "minhash_sig(t, 3, 8), word_shingles(t, 2) " +
+        "FROM codegen_probe").head()
+    assert(row.size == 11)
+  }
+
   test("pure range condition (no equi keys) also rewrites") {
     import spark.implicits._
     val points = (0L until 100L).map(t => (t, t)).toDF("pid", "t")
