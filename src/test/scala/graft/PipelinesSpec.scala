@@ -66,5 +66,13 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report.map(_._1).toSeq ==
       Seq("input+annotate", "quality-gate", "exact-dedup", "near-dedup",
         "decontaminate", "chunk", "split+pack"))
+
+    // publish: split-partitioned sorted shards round-trip completely
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    Pipelines.publishCurated(r, out, shardsPerSplit = 2)
+    val published = spark.read.parquet(out)
+    assert(published.count() == chunks.count())
+    assert(published.select("split").distinct().count()
+      == chunks.select("split").distinct().count())
   }
 }
