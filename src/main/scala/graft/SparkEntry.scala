@@ -1005,6 +1005,14 @@ object SparkEntry {
         k = 60)
     }),
 
+    "q_cut_spans" -> ((s, d) => {
+      // substring dedup APPLIED (ops.Dedup.cutDuplicateSpans): every
+      // duplicated 60-gram occurrence except the first corpus-wide is cut,
+      // text rebuilt by one codegen'd fold over each doc's merged cut list
+      graft.ops.Dedup.cutDuplicateSpans(par(s, t(s, d, "documents")), k = 60)
+        .select("doc_id", "text_deduped", "n_spans_cut")
+    }),
+
     "q_quantize_int8" -> ((s, d) => {
       // int8 embedding quantization (ops.Similarity.quantizeInt8): the
       // 4x-smaller storage tier for a 100 TB vector store. Codes are
@@ -1727,6 +1735,64 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 59 AS span_end,
         |  max(pos) + 59 - min(pos) + 1 AS span_len
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // owner per gram = first (doc_id, pos); non-owner occurrences merge to
+    // islands (same construction as q_dup_span_ranges) and the kept text
+    // is stitched from the inter-span segments + tail
+    "q_cut_spans" ->
+      """WITH grams AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    substr(text, CAST(pos AS INT), 60) AS gram
+        |  FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(1, length(text) - 59))
+        |           AS pos) t
+        |  WHERE length(text) >= 60),
+        |own AS (
+        |  SELECT gram, doc_id AS od, pos AS op FROM (
+        |    SELECT gram, doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+        |        AS rn,
+        |      count(*) OVER (PARTITION BY gram) AS c
+        |    FROM grams) WHERE rn = 1 AND c >= 2),
+        |cuts AS (
+        |  SELECT DISTINCT g.doc_id, g.pos
+        |  FROM grams g JOIN own o USING (gram)
+        |  WHERE NOT (g.doc_id = o.od AND g.pos = o.op)),
+        |flagged AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER
+        |        (PARTITION BY doc_id ORDER BY pos) > 60
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM cuts),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 59 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |segs AS (SELECT doc_id, s, e,
+        |    lag(e, 1, CAST(0 AS BIGINT)) OVER
+        |      (PARTITION BY doc_id ORDER BY s) AS pe
+        |  FROM spans),
+        |pieces AS (
+        |  SELECT g.doc_id, g.s AS ord,
+        |    substr(d.text, CAST(g.pe + 1 AS INT),
+        |           CAST(g.s - g.pe - 1 AS INT)) AS seg
+        |  FROM segs g JOIN documents d USING (doc_id)
+        |  UNION ALL
+        |  SELECT sp.doc_id, CAST(1e15 AS BIGINT),
+        |    substr(d.text, CAST(max(sp.e) + 1 AS INT))
+        |  FROM spans sp JOIN documents d USING (doc_id)
+        |  GROUP BY sp.doc_id, d.text),
+        |rebuilt AS (SELECT doc_id,
+        |    string_agg(seg, '' ORDER BY ord) AS text_deduped
+        |  FROM pieces GROUP BY doc_id),
+        |nsp AS (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(r.text_deduped, d.text) AS text_deduped,
+        |  coalesce(nsp.n, 0) AS n_spans_cut
+        |FROM documents d
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN nsp USING (doc_id)""".stripMargin,
 
     // identical double formula on both sides (mn, sc = (mx-mn)/255.0, then
     // round((x-mn)/sc)): IEEE ops in the same order are bit-equal, codes

@@ -319,6 +319,74 @@ object Dedup {
       .drop("_island")
   }
 
+  /** APPLY substring dedup: cut every duplicated k-gram occurrence except
+    * the first corpus-wide (owner = smallest (doc_id, pos) per gram — the
+    * "keep one copy of every duplicated substring" policy of Lee et al.).
+    * Overlapping/adjacent cut positions merge into maximal ranges
+    * ([[duplicateSpanRanges]]' islands), and the surviving text is rebuilt
+    * with one fold over each doc's sorted cut list — a codegen'd
+    * higher-order aggregate, no UDF, no per-row driver work.
+    *
+    * Same scale shape as [[duplicateSpans]]: the only wide stages move
+    * 8-byte hashes and (doc, pos) pairs; text is never shuffled (the
+    * rebuild joins the SMALL per-doc span list back onto the docs).
+    *
+    * @return input columns + `text_deduped` (cut text) + `n_spans_cut`
+    */
+  def cutDuplicateSpans(docs: DataFrame, k: Int = 60, minOcc: Int = 2,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(k > 0 && minOcc > 1)
+    import org.apache.spark.sql.expressions.Window
+    def grams(df: DataFrame) = df
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("_pos"),
+        col(textCol))
+      .select(col(idCol), col("_pos").cast("long").as("_pos"),
+        xxhash64(col(textCol).substr(col("_pos"), lit(k))).as("_h"))
+    // duplicated grams + their first corpus-wide occurrence (the owner)
+    val hot = grams(docs)
+      .groupBy("_h")
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_own"))
+      .filter(col("_c") >= minOcc)
+      .select("_h", "_own")
+    // every non-owner occurrence is a cut position
+    val cutPos = grams(docs).join(broadcast(hot), Seq("_h"))
+      .filter(!(col(idCol) === col("_own.d") && col("_pos") === col("_own.p")))
+      .select(col(idCol), col("_pos")).distinct()
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+    val spans = cutPos
+      .withColumn("_new",
+        when(col("_pos") - lag(col("_pos"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("_pos")).as("s"), (max(col("_pos")) + (k - 1)).as("e"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("_spans"))
+    // rebuild: fold the sorted disjoint cut list, keeping [cursor, s) each
+    // step and the tail after the last cut
+    val t = col(textCol)
+    val kept = aggregate(col("_spans"),
+      struct(lit(1L).as("cur"), lit("").as("out")),
+      (acc, s) => struct(
+        (s.getField("e") + 1L).as("cur"),
+        concat(acc.getField("out"),
+          t.substr(acc.getField("cur").cast("int"),
+            (s.getField("s") - acc.getField("cur")).cast("int"))).as("out")),
+      acc => concat(acc.getField("out"),
+        t.substr(acc.getField("cur").cast("int"),
+          (length(t) - acc.getField("cur") + 1L).cast("int"))))
+    docs.join(spans, Seq(idCol), "left_outer")
+      .withColumn("text_deduped",
+        when(col("_spans").isNull, t).otherwise(kept))
+      .withColumn("n_spans_cut",
+        coalesce(size(col("_spans")), lit(0)).cast("long"))
+      .drop("_spans")
+  }
+
   /** Dedup clustering: near-dup pairs → connected components → one
     * canonical doc per cluster (the standard post-LSH step: keep
     * `is_canonical`, drop the rest). DataFrame CC rounds are O(log²

@@ -110,6 +110,74 @@ class CdcAndPruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == 1L) == 2) // doc 1 has two separate spans
   }
 
+  test("cutDuplicateSpans keeps exactly the first occurrence of each dup span") {
+    import spark.implicits._
+    val k = 5
+    val docs = Seq(
+      (1L, "HELLOworldHELLO"), // intra-doc dup: 2nd HELLO cut
+      (2L, "xxHELLOxx"),       // inter-doc dup: cut (owner is doc 1 pos 1)
+      (3L, "unique text here"),
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutDuplicateSpans(docs, k = k, minOcc = 2)
+      .select("doc_id", "text_deduped", "n_spans_cut")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("HELLOworld", 1L)))
+    assert(got(2L) == (("xxxx", 1L)))
+    assert(got(3L) == (("unique text here", 0L)))
+    assert(got(4L) == (("tiny", 0L)))
+  }
+
+  test("cutDuplicateSpans matches a brute-force cut on random corpora") {
+    import spark.implicits._
+    val k = 4
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val texts = (1L to 10L).map { id =>
+        val len = 3 + rnd.nextInt(20)
+        (id, Seq.fill(len)("abc" (rnd.nextInt(3))).mkString)
+      }
+      val got = Dedup.cutDuplicateSpans(texts.toDF("doc_id", "text"),
+        k = k, minOcc = 2)
+        .select("doc_id", "text_deduped")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // brute force: owner per gram = min (doc, pos); cut merged islands
+      val grams = texts.flatMap { case (id, t) =>
+        if (t.length >= k) (0 to t.length - k).map(p => (id, p + 1, t.substring(p, p + k)))
+        else Seq.empty
+      }
+      val owners = grams.groupBy(_._3).collect {
+        case (g, occ) if occ.size >= 2 => g -> occ.map(o => (o._1, o._2)).min
+      }.toMap
+      val expect = texts.map { case (id, t) =>
+        val cuts = grams.collect {
+          case (d, p, g) if d == id && owners.contains(g) &&
+            owners(g) != ((d, p)) => p
+        }.distinct.sorted
+        if (cuts.isEmpty) id -> t
+        else {
+          // merge islands (gap <= k), then cut [s, e=lastpos+k-1]
+          val islands = scala.collection.mutable.ListBuffer[(Int, Int)]()
+          var s0 = cuts.head; var last = cuts.head
+          for (p <- cuts.tail) {
+            if (p - last > k) { islands += ((s0, last + k - 1)); s0 = p }
+            last = p
+          }
+          islands += ((s0, last + k - 1))
+          val sb = new StringBuilder
+          var cur = 1
+          islands.foreach { case (s, e) =>
+            sb.append(t.substring(cur - 1, s - 1)); cur = e + 1
+          }
+          sb.append(t.substring(cur - 1))
+          id -> sb.toString
+        }
+      }.toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("duplicateSpans matches brute force on random corpora incl. length boundaries") {
     import spark.implicits._
     val k = 4

@@ -142,6 +142,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "survivor-hash set should broadcast back onto the gram stream")
   }
 
+  test("cut-spans keeps strings out of the wide stages") {
+    val p = plan("q_cut_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      "owner set should broadcast back onto the gram stream")
+  }
+
   test("quantization is one narrow pass — no shuffle at all") {
     val p = plan("q_quantize_int8")
     assert(!p.contains("Exchange") || {
