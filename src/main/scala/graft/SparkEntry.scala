@@ -1005,6 +1005,17 @@ object SparkEntry {
         k = 60)
     }),
 
+    "q_outliers" -> ((s, d) => {
+      // grouped z-score outliers (ops.CorpusOps.zscoreOutliers): event
+      // values > 3 sigma from their event_type mean — agg + broadcast
+      // stats join, no per-row window
+      graft.ops.CorpusOps.zscoreOutliers(
+        events(s, d).select("event_id", "event_type", "value"),
+        "value", Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(col("zscore"), 4).as("z4"))
+    }),
+
     "q_cut_spans" -> ((s, d) => {
       // substring dedup APPLIED (ops.Dedup.cutDuplicateSpans): every
       // duplicated 60-gram occurrence except the first corpus-wide is cut,
@@ -1735,6 +1746,15 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 59 AS span_end,
         |  max(pos) + 59 - min(pos) + 1 AS span_len
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    "q_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - s.mu) / s.sd, 4) AS z4
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3""".stripMargin,
 
     // owner per gram = first (doc_id, pos); non-owner occurrences merge to
     // islands (same construction as q_dup_span_ranges) and the kept text

@@ -162,6 +162,28 @@ object CorpusOps {
     df.join(keep, keyCols, "left_semi")
   }
 
+  /** Grouped z-score outlier flagging — the statistical curation gate
+    * (aberrant doc lengths within a source, absurd metric values within an
+    * event type). Two-pass shape: one hash aggregation for the per-group
+    * moments (map-side combinable — never a per-row window over the whole
+    * group), broadcast-size stats joined back, z computed in one narrow
+    * pass. Groups with stddev 0 (constant value) flag nothing.
+    *
+    * @return input rows + `zscore`, filtered to |z| > `z`
+    */
+  def zscoreOutliers(df: DataFrame, valueCol: String,
+                     groupCols: Seq[String], z: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty && z > 0)
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("_mu"),
+        stddev_samp(col(valueCol)).as("_sd"))
+    df.join(stats, groupCols)
+      .filter(col("_sd") > 0d)
+      .withColumn("zscore", (col(valueCol) - col("_mu")) / col("_sd"))
+      .filter(abs(col("zscore")) > z)
+      .drop("_mu", "_sd")
+  }
+
   def packByTokenBudget(docs: DataFrame, budget: Long,
                         idCol: String = "doc_id", textCol: String = "text",
                         nShards: Int = 8,

@@ -133,4 +133,18 @@ class CorpusOpsCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       CorpusOps.scrubText(col("in")).as("got")).collect()
     got.foreach(r => assert(r.getString(1) == r.getString(0)))
   }
+
+  test("zscoreOutliers flags only beyond-threshold rows; constant groups flag none") {
+    import spark.implicits._
+    // group a: 20 values at ~10 plus one at 1000 -> only that row flags
+    // group b: constant -> stddev 0 -> nothing (not a div-by-zero)
+    val rows = ((1 to 20).map(i => ("a", i.toLong, 10.0 + (i % 3))) :+
+      (("a", 99L, 1000.0))) ++ (1 to 10).map(i => ("b", 100L + i, 5.0))
+    val got = CorpusOps.zscoreOutliers(
+      rows.toDF("g", "id", "value"), "value", Seq("g"))
+      .select("id", "zscore").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(99L))
+    assert(got.head._2 > 3.0)
+  }
 }
