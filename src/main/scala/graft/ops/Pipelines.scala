@@ -37,6 +37,7 @@ object Pipelines {
                    minQuality: Double = 0.3,
                    maxRepetition: Double = 0.3,
                    nearDupThreshold: Double = 0.7,
+                   cutSpanK: Option[Int] = None,
                    chunkTokens: Int = 256, chunkStride: Int = 256,
                    packBudget: Long = 2048,
                    idCol: String = "doc_id",
@@ -83,7 +84,18 @@ object Pipelines {
         .select(col("train_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti"))
 
-    val scrubbed = clean.withColumn(textCol,
+    // optional substring-level dedup (Lee et al. keep-one policy): cut
+    // residual duplicated spans that survive DOC-level dedup (boilerplate
+    // headers/footers shared by otherwise-distinct docs)
+    val spanCut = cutSpanK match {
+      case Some(k) => stage("cut-spans",
+        Dedup.cutDuplicateSpans(clean, k, idCol = idCol, textCol = textCol)
+          .withColumn(textCol, col("text_deduped"))
+          .drop("text_deduped", "n_spans_cut"))
+      case None => clean
+    }
+
+    val scrubbed = spanCut.withColumn(textCol,
       CorpusOps.scrubText(col(textCol)))
 
     val chunks = stage("chunk",

@@ -75,4 +75,30 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(published.select("split").distinct().count()
       == chunks.select("split").distinct().count())
   }
+
+  test("cutSpanK stage removes residual duplicated substrings from chunks") {
+    import spark.implicits._
+    // two otherwise-distinct docs share a long boilerplate footer; a third
+    // is unrelated; eval is disjoint
+    val footer = "this is the standard boilerplate footer that is in every export"
+    val docs = Seq(
+      (1L, "the alpha document body is about one thing and another thing " + footer),
+      (2L, "it is a totally different beta content and it is very long here " + footer),
+      (3L, "the gamma text is unrelated and it is without the shared tail")
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "there is no overlap of this with anything in that corpus"))
+      .toDF("doc_id", "text")
+    val r = Pipelines.curateCorpus(docs, eval,
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.95,
+      cutSpanK = Some(20), chunkTokens = 64, chunkStride = 64,
+      packBudget = 512)
+    val texts = r.chunks.select("doc_id", "chunk_text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // doc 1 (owner) keeps the footer, doc 2 lost it, doc 3 untouched
+    assert(texts(1L).contains("boilerplate"))
+    assert(!texts(2L).contains("boilerplate"))
+    assert(texts(2L).contains("beta content"))
+    assert(texts(3L).contains("gamma text"))
+    assert(r.report.collect().map(_.getString(0)).contains("cut-spans"))
+  }
 }
