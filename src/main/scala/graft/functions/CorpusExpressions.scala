@@ -76,6 +76,24 @@ case class Winnow(child: Expression, k: Int, window: Int)
   override def prettyName: String = "winnow"
 }
 
+/** Winnowing-selected gram start positions (1-based) — see
+  * [[CorpusKernels.winnowPositions]].
+  */
+case class WinnowPositions(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(CorpusKernels.winnowPositions(
+      input.asInstanceOf[UTF8String].toString, k, window))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.CorpusKernels.winnowPositions($c.toString(), $k, $window))")
+  override protected def withNewChildInternal(c: Expression): WinnowPositions =
+    copy(child = c)
+  override def prettyName: String = "winnow_positions"
+}
+
 case class LangId(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -236,6 +254,8 @@ object CorpusFunctions {
   def doc_fingerprint(c: Column): Column = column(DocFingerprint(expression(c)))
   def winnow(c: Column, k: Int = 8, window: Int = 4): Column =
     column(Winnow(expression(c), k, window))
+  def winnow_positions(c: Column, k: Int = 8, window: Int = 4): Column =
+    column(WinnowPositions(expression(c), k, window))
   def lang_id(c: Column): Column = column(LangId(expression(c)))
   def token_count_bpeish(c: Column): Column =
     column(TokenCountBpeIsh(expression(c)))

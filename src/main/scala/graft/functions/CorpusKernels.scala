@@ -217,6 +217,23 @@ object CorpusKernels {
     * fingerprint for near-dup detection at corpus scale.
     */
   def winnow(text: String, k: Int, window: Int): Array[Int] = {
+    winnowSelect(text, k, window, emitPositions = false)
+  }
+
+  /** Selected gram START positions (1-based, substr convention) of the same
+    * winnowing scheme — the position form [[graft.ops.Dedup.duplicateSpans]]
+    * uses as its shuffle divider: selection is content-determined
+    * (rightmost-minimum, self-synchronizing), so any substring shared
+    * between two places that is at least k+window−1 chars long has at least
+    * one identical gram selected in both copies, and consecutive selected
+    * positions are never more than `window` apart.
+    */
+  def winnowPositions(text: String, k: Int, window: Int): Array[Long] =
+    winnowSelect(text, k, window, emitPositions = true)
+      .map(p => (p + 1).toLong)
+
+  private def winnowSelect(text: String, k: Int, window: Int,
+                           emitPositions: Boolean): Array[Int] = {
     if (text == null || text.length < k) return Array.empty
     val n = text.length - k + 1
     val hs = new Array[Int](n)
@@ -225,7 +242,12 @@ object CorpusKernels {
       hs(i) = MurmurHash3.stringHash(text.substring(i, i + k), 0x9747b28c)
       i += 1
     }
-    if (n <= window) return Array(hs.min)
+    if (n <= window) {
+      var minPos = 0
+      var j = 1
+      while (j < n) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
+      return Array(if (emitPositions) minPos else hs(minPos))
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var w = 0
     var prevMinPos = -1
@@ -236,7 +258,10 @@ object CorpusKernels {
         if (hs(j) <= hs(minPos)) minPos = j
         j += 1
       }
-      if (minPos != prevMinPos) { out += hs(minPos); prevMinPos = minPos }
+      if (minPos != prevMinPos) {
+        out += (if (emitPositions) minPos else hs(minPos))
+        prevMinPos = minPos
+      }
       w += 1
     }
     out.toArray

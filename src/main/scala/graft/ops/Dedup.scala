@@ -226,6 +226,67 @@ object Dedup {
       .filter(col("n_shared") >= minSharedShingles)
   }
 
+  /** Per-position k-gram stream: (idCol, _pos: long, gram). With `window`
+    * set, positions route through winnowing selection
+    * ([[graft.functions.CorpusKernels.winnowPositions]]): ~1/window of
+    * positions survive, dividing every downstream shuffle by the window
+    * factor; winnowing's self-synchronization guarantees any substring
+    * duplicated at length ≥ k+window−1 still selects at least one common
+    * gram in every copy, and consecutive selected positions inside a
+    * duplicated region are ≤ window apart.
+    */
+  private def gramStream(df: DataFrame, k: Int, window: Option[Int],
+                         idCol: String, textCol: String): DataFrame = {
+    val positions = window match {
+      case Some(w) =>
+        require(w > 0, "winnow window must be positive")
+        winnow_positions(col(textCol), k, w)
+      case None =>
+        sequence(lit(1L), (length(col(textCol)) - (k - 1)).cast("long"))
+    }
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol), explode(positions).as("_pos"), col(textCol))
+      .select(col(idCol), col("_pos"),
+        col(textCol).substr(col("_pos").cast("int"), lit(k)).as("gram"))
+  }
+
+  /** Shared passes of the substring-dedup operators: the positions whose
+    * k-gram EXACT text occurs ≥ minOcc times corpus-wide.
+    *
+    * Pass 1 groups 8-byte xxhash64(gram) keys — the wide stage carries no
+    * strings — and keeps hashes with ≥ minOcc occurrences. Pass 2 joins the
+    * re-enumerated grams against that survivor set (UNHINTED: AQE broadcasts
+    * it when it is genuinely small and falls back to a plain shuffled
+    * equi-join — linear, no executor-memory ceiling — on the
+    * heavily-duplicated corpora where the survivor set is large), then
+    * regroups survivors by the REAL gram text. The exact regroup makes the
+    * operators collision-proof: a 64-bit birthday collision (expected in
+    * bulk at ~1e14 positions) can only add a candidate that the regroup
+    * discards, never mark a unique gram duplicated, and the per-gram owner
+    * (corpus-first occurrence) is computed per exact gram, not per hash
+    * group. Pass 3 re-joins positions to the verified-gram table on
+    * (_h, gram) — broadcast when small, shuffled otherwise.
+    */
+  private def dupGramPositions(docs: DataFrame, k: Int, minOcc: Int,
+                               idCol: String, textCol: String,
+                               window: Option[Int],
+                               keepOwner: Boolean): DataFrame = {
+    def grams = gramStream(docs, k, window, idCol, textCol)
+      .withColumn("_h", xxhash64(col("gram")))
+    val hot = grams.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minOcc)
+      .select("_h")
+    val verified = grams.join(hot, Seq("_h"))
+      .groupBy("_h", "gram")
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_own"))
+      .filter(col("_c") >= minOcc)
+      .select(col("_h"), col("gram"), col("_own"))
+    val pos = grams.join(verified, Seq("_h", "gram"))
+    if (keepOwner) pos.select(col(idCol), col("_pos"), col("_own"))
+    else pos.select(col(idCol), col("_pos"))
+  }
+
   /** Exact duplicate-SPAN detection: every character k-gram that occurs at
     * least `minOcc` times anywhere in the corpus, with its document and
     * occurrence counts — the substring-level dedup of Lee et al.,
@@ -235,42 +296,37 @@ object Dedup {
     * k-grams into maximal spans, a post-pass over this output).
     *
     * Scale shape: pass 1 groups 8-byte xxhash64(gram) keys — the shuffle
-    * carries no strings — and keeps only hashes with ≥ minOcc occurrences.
-    * Duplicated spans are rare relative to position count, so that survivor
-    * set is small and broadcasts; pass 2 re-enumerates grams (CPU-cheap
-    * re-scan beats shuffling position×k bytes), keeps survivors, and
-    * regroups by the REAL gram text — so a hash collision in pass 1 can
-    * only add a false candidate that pass 2's exact regroup discards;
-    * counts are exact.
+    * carries no strings; pass 2 re-enumerates grams (CPU-cheap re-scan
+    * beats shuffling position×k bytes), joins the survivor hash set
+    * UNHINTED — AQE broadcasts it when small; on heavily-duplicated corpora
+    * where the survivor set is itself large it degrades to a plain shuffled
+    * equi-join, linear with no executor-memory ceiling — and regroups by
+    * the REAL gram text, so a hash collision only ever adds a candidate
+    * that the regroup discards; counts are exact.
     *
     * Cost at scale: pass 1 shuffles one 12-byte row per character of
     * corpus — linear, not quadratic (100 TB of text ≈ 1.2 PB of shuffle
     * spread across the cluster: a heavy but feasible offline job, the
     * same budget class as Lee et al.'s suffix-array machines). When that
-    * budget is too rich, the winnowing fingerprints
-    * ([[graft.functions.CorpusFunctions.winnow]]) are the standard
-    * approximation lever: selecting ~1/window of positions guarantees any
-    * duplicated span ≥ k+window−1 still shares a fingerprint, dividing
-    * the shuffle by the window factor at the cost of missing spans
-    * shorter than that bound.
+    * budget is too rich, set `window`: gram positions route through
+    * winnowing selection (~1/window of positions), dividing the shuffle by
+    * the window factor; any span duplicated at length ≥ k+window−1 still
+    * shares a selected gram (shorter duplicates may be missed — the
+    * documented approximation trade).
     */
   def duplicateSpans(docs: DataFrame, k: Int = 60, minOcc: Int = 2,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     window: Option[Int] = None): DataFrame = {
     require(k > 0 && minOcc > 1)
-    def grams(df: DataFrame) = df
-      .filter(length(col(textCol)) >= k)
-      .select(col(idCol),
-        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("_pos"),
-        col(textCol))
-      .select(col(idCol), col(textCol).substr(col("_pos"), lit(k)).as("gram"))
-    val hot = grams(docs)
+    def grams = gramStream(docs, k, window, idCol, textCol)
+    val hot = grams
       .groupBy(xxhash64(col("gram")).as("_h"))
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minOcc)
       .select("_h")
-    grams(docs)
-      .join(broadcast(hot), xxhash64(col("gram")) === col("_h"))
+    grams
+      .join(hot, xxhash64(col("gram")) === col("_h"))
       .groupBy("gram")
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occ"))
@@ -282,7 +338,15 @@ object Dedup {
     * ranges overlap when their starts are ≤ k apart, so per-doc islands of
     * close positions collapse to one (span_start, span_end) row. This is
     * the "remove one copy of every substring duplicated across the corpus"
-    * output of Lee et al. 2022 at fixed k.
+    * output of Lee et al. 2022 at fixed k. Candidate positions are verified
+    * by exact gram text before the merge (see [[dupGramPositions]]), so
+    * hash collisions never produce a spurious range.
+    *
+    * With `window` set the positions are winnowing-selected (approximate:
+    * spans shorter than k+window−1 may be missed and reported bounds
+    * tighten to selected positions, up to window−1 chars inside the true
+    * span) and the island-merge gap widens to k+window, since consecutive
+    * selected positions inside one duplicated region are ≤ window apart.
     *
     * Position streams are per-doc (window partitioned by the doc id, ≤
     * text-length rows per group), so the merge shuffles once on doc id and
@@ -290,26 +354,17 @@ object Dedup {
     */
   def duplicateSpanRanges(docs: DataFrame, k: Int = 60, minOcc: Int = 2,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          window: Option[Int] = None): DataFrame = {
     require(k > 0 && minOcc > 1)
     import org.apache.spark.sql.expressions.Window
-    def grams(df: DataFrame) = df
-      .filter(length(col(textCol)) >= k)
-      .select(col(idCol),
-        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("_pos"),
-        col(textCol))
-      .select(col(idCol), col("_pos").cast("long").as("_pos"),
-        xxhash64(col(textCol).substr(col("_pos"), lit(k))).as("_h"))
-    val hot = grams(docs)
-      .groupBy("_h").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= minOcc)
-      .select("_h")
-    val dup = grams(docs).join(broadcast(hot), Seq("_h"))
-      .select(col(idCol), col("_pos"))
+    val dup = dupGramPositions(docs, k, minOcc, idCol, textCol, window,
+      keepOwner = false)
+    val gap = k + window.getOrElse(0)
     val w = Window.partitionBy(idCol).orderBy("_pos")
     dup
       .withColumn("_new",
-        when(col("_pos") - lag(col("_pos"), 1).over(w) > k, 1L).otherwise(0L))
+        when(col("_pos") - lag(col("_pos"), 1).over(w) > gap, 1L).otherwise(0L))
       .withColumn("_island", sum(col("_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("_island"))
@@ -320,16 +375,29 @@ object Dedup {
   }
 
   /** APPLY substring dedup: cut every duplicated k-gram occurrence except
-    * the first corpus-wide (owner = smallest (doc_id, pos) per gram — the
-    * "keep one copy of every duplicated substring" policy of Lee et al.).
-    * Overlapping/adjacent cut positions merge into maximal ranges
+    * the first corpus-wide (owner = smallest (doc_id, pos) per exact gram —
+    * the "keep one copy of every duplicated substring" policy of Lee et
+    * al.). Overlapping/adjacent cut positions merge into maximal ranges
     * ([[duplicateSpanRanges]]' islands), and the surviving text is rebuilt
     * with one fold over each doc's sorted cut list — a codegen'd
     * higher-order aggregate, no UDF, no per-row driver work.
     *
-    * Same scale shape as [[duplicateSpans]]: the only wide stages move
-    * 8-byte hashes and (doc, pos) pairs; text is never shuffled (the
-    * rebuild joins the SMALL per-doc span list back onto the docs).
+    * Same scale shape as [[duplicateSpans]]: the wide stages move 8-byte
+    * hashes, (doc, pos) pairs, and the rare verified grams; full document
+    * text never rides a shuffle as data (the rebuild joins the SMALL
+    * per-doc span list back onto the docs — AQE broadcasts it). Candidates
+    * are verified by exact gram text and the owner is computed per exact
+    * gram ([[dupGramPositions]]), so a 64-bit hash collision can neither
+    * cut a unique gram nor hand a gram's kept copy to a different gram
+    * sharing its hash.
+    *
+    * Kept-copy caveat (inherent to range-cut substring dedup, including
+    * Lee et al.'s): the owner occurrence is guaranteed to survive intact
+    * only when no OTHER duplicated occurrence overlaps its [pos, pos+k−1]
+    * chars in the same document — e.g. a run of one gram repeated
+    * back-to-back merges its non-owner cut positions into an island that
+    * overlaps (and so truncates) the owner copy. Self-overlapping repeats
+    * lose up to the overlapped prefix of the kept copy.
     *
     * @return input columns + `text_deduped` (cut text) + `n_spans_cut`
     */
@@ -338,22 +406,9 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     require(k > 0 && minOcc > 1)
     import org.apache.spark.sql.expressions.Window
-    def grams(df: DataFrame) = df
-      .filter(length(col(textCol)) >= k)
-      .select(col(idCol),
-        explode(sequence(lit(1), length(col(textCol)) - (k - 1))).as("_pos"),
-        col(textCol))
-      .select(col(idCol), col("_pos").cast("long").as("_pos"),
-        xxhash64(col(textCol).substr(col("_pos"), lit(k))).as("_h"))
-    // duplicated grams + their first corpus-wide occurrence (the owner)
-    val hot = grams(docs)
-      .groupBy("_h")
-      .agg(count(lit(1)).as("_c"),
-        min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_own"))
-      .filter(col("_c") >= minOcc)
-      .select("_h", "_own")
-    // every non-owner occurrence is a cut position
-    val cutPos = grams(docs).join(broadcast(hot), Seq("_h"))
+    // every verified non-owner occurrence is a cut position
+    val cutPos = dupGramPositions(docs, k, minOcc, idCol, textCol,
+      window = None, keepOwner = true)
       .filter(!(col(idCol) === col("_own.d") && col("_pos") === col("_own.p")))
       .select(col(idCol), col("_pos")).distinct()
     val w = Window.partitionBy(idCol).orderBy("_pos")

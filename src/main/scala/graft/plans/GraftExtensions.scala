@@ -74,6 +74,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingles", classOf[WordShingles]),
       (es: Seq[Expression]) => WordShingles(es(0),
         intLit(es(1), "word_shingles", "n"))))
+    // winnowing fingerprints + selected positions — the substring-dedup
+    // shuffle divider, callable as winnow(text, k, window) /
+    // winnow_positions(text, k, window)
+    import graft.functions.{Winnow, WinnowPositions}
+    ext.injectFunction((FunctionIdentifier("winnow"),
+      info("winnow", classOf[Winnow]),
+      (es: Seq[Expression]) => Winnow(es(0),
+        intLit(es(1), "winnow", "k"), intLit(es(2), "winnow", "window"))))
+    ext.injectFunction((FunctionIdentifier("winnow_positions"),
+      info("winnow_positions", classOf[WinnowPositions]),
+      (es: Seq[Expression]) => WinnowPositions(es(0),
+        intLit(es(1), "winnow_positions", "k"),
+        intLit(es(2), "winnow_positions", "window"))))
   }
 }
 

@@ -118,13 +118,18 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "token_count_bpeish('hello world, again') AS tc, " +
         "cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos, " +
         "size(minhash_sig('a b c d e f g h', 3, 16)) AS nsig, " +
-        "size(word_shingles('a b c d', 2)) AS nsh").head()
+        "size(word_shingles('a b c d', 2)) AS nsh, " +
+        "size(winnow('abcdefghijklmnop', 4, 3)) AS nwin, " +
+        "winnow_positions('abcdefghijklmnop', 4, 3) AS wpos").head()
     assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
     assert(r.getString(2) == "en")
     assert(r.getInt(3) > 0)
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
     assert(r.getInt(5) == 16)
     assert(r.getInt(6) == 3)
+    assert(r.getInt(7) > 0)
+    val wpos = r.getSeq[Long](8)
+    assert(wpos.nonEmpty && wpos.forall(p => p >= 1 && p <= 13))
   }
 
   test("every custom expression compiles under CODEGEN_ONLY factory mode") {
@@ -140,9 +145,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT clean_html(t), normalize_doi(t), python_title(t), " +
         "name_similarity(t, t), simhash64(t), doc_fingerprint(t), " +
         "lang_id(t), token_count_bpeish(t), cosine_sim(v, v), " +
-        "minhash_sig(t, 3, 8), word_shingles(t, 2) " +
+        "minhash_sig(t, 3, 8), word_shingles(t, 2), " +
+        "winnow(t, 4, 3), winnow_positions(t, 4, 3) " +
         "FROM codegen_probe").head()
-    assert(row.size == 11)
+    assert(row.size == 13)
   }
 
   test("pure range condition (no equi keys) also rewrites") {

@@ -90,4 +90,53 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(CorpusKernels.hyperplaneSig(scaled, 16) == s)
     }
   }
+
+  test("winnowPositions: valid 1-based starts, increasing, window-dense") {
+    cases(7) { r => (text(r), 4 + r.nextInt(8), 2 + r.nextInt(6)) }
+      .foreach { case (t, k, w) =>
+        val ps = CorpusKernels.winnowPositions(t, k, w)
+        if (t.length < k) assert(ps.isEmpty)
+        else {
+          assert(ps.nonEmpty)
+          assert(ps.head >= 1 && ps.last <= t.length - k + 1)
+          ps.sliding(2).foreach {
+            case Array(a, b) =>
+              assert(b > a, "positions must be strictly increasing")
+              // the density guarantee the island merge in
+              // Dedup.duplicateSpanRanges relies on: every window of w
+              // consecutive gram starts contains a selected position
+              assert(b - a <= w, s"gap ${b - a} > window $w (k=$k)")
+            case _ => ()
+          }
+          // selected positions agree with the fingerprint form
+          assert(ps.map(p => scala.util.hashing.MurmurHash3.stringHash(
+            t.substring(p.toInt - 1, p.toInt - 1 + k), 0x9747b28c)).toSeq
+            == CorpusKernels.winnow(t, k, w).toSeq)
+        }
+      }
+  }
+
+  test("winnowing self-synchronizes: shared spans >= k+w-1 share a selected gram") {
+    // the guarantee Dedup.duplicateSpans(window=Some(w)) is built on: any
+    // substring duplicated at length >= k+w-1 selects at least one common
+    // gram CONTENT in every copy, wherever it is embedded
+    val k = 8; val w = 4
+    cases(8, n = 100) { r =>
+      val shared = Seq.fill(3 + r.nextInt(4))(words(r.nextInt(words.length)))
+        .mkString(" ").padTo(k + w - 1, 'x').mkString
+      (text(r) + " " + shared + " " + text(r),
+        text(r) + " " + shared + " " + text(r), shared)
+    }.foreach { case (a, b, shared) =>
+      def selectedGrams(t: String) =
+        CorpusKernels.winnowPositions(t, k, w)
+          .map(p => t.substring(p.toInt - 1, p.toInt - 1 + k)).toSet
+      // the duplicated region both docs share includes the delimiting
+      // spaces, so the guaranteed common gram may straddle them
+      val dupRegion = " " + shared + " "
+      val common = selectedGrams(a).intersect(selectedGrams(b))
+        .filter(dupRegion.contains(_))
+      assert(common.nonEmpty,
+        s"no common selected gram inside shared span '$shared'")
+    }
+  }
 }
