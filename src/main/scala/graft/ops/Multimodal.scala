@@ -7,14 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed iterator-to-iterator per partition.
   *
-  * The decode step is STUBBED (no image/audio codecs ship in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — schema, batch shape, partition-wise
-  * execution, metadata threading — is the real distributed plumbing: swap
-  * `decodeStub` for a codec (JNI/FFI or an external model server) and the
-  * plan is unchanged. mapPartitions keeps per-partition setup (codec init,
-  * model load) amortized across rows, the same shape a Pandas-UDF/Arrow
-  * batch path gives PySpark.
+  * IMAGE decode/resample is REAL: `javax.imageio` (JPEG/PNG/BMP/GIF ship
+  * in the JDK) + `Graphics2D` bilinear resample — no external codec
+  * needed. Payloads that no ImageIO reader recognizes (and the
+  * audio/video modalities, whose codecs genuinely don't ship in this
+  * container) fall back to `decodeStub`, a deterministic byte-derived
+  * stand-in, so the distributed path stays testable end-to-end on opaque
+  * payloads. Everything around the codec seam — schema, batch shape,
+  * partition-wise execution, metadata threading — is the real distributed
+  * plumbing: swap the stub for ffmpeg/JNI and the plan is unchanged.
+  * mapPartitions keeps per-partition setup (codec init, model load)
+  * amortized across rows, the same shape a Pandas-UDF/Arrow batch path
+  * gives PySpark.
   */
 object Multimodal {
 
@@ -34,12 +38,13 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** STUB decode: a real implementation would decode pixels/samples here.
-    * ??? is replaced by a deterministic byte-derived feature so the
-    * distributed path is testable end-to-end offline.
+  /** STUB decode for audio/video (no codecs in this container) and for
+    * payloads that fail real image decode: a deterministic byte-derived
+    * feature so the distributed path is testable end-to-end offline.
     */
   private[ops] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here (libjpeg / ffmpeg / model server call)
+    // ??? <- real codec goes here (ffmpeg / model server call); the IMAGE
+    // branch is real — see tryDecodeImage/imageFeatures
     val out = new Array[Float](dim)
     if (bytes == null) return out
     var i = 0
@@ -50,6 +55,59 @@ object Multimodal {
     var d = 0
     while (d < dim) { out(d) = out(d) / math.max(1, bytes.length / dim); d += 1 }
     out
+  }
+
+  /** Real image decode via the JDK's ImageIO. None when no registered
+    * reader recognizes the payload (caller falls back to [[decodeStub]]) —
+    * which is also how the opaque stand-in payloads of
+    * [[assetsFromDocuments]] keep their deterministic stub features.
+    */
+  private[ops] def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Features from REAL pixels: per-bucket mean luminance (Rec.601) over
+    * `dim` row-major pixel buckets — deterministic, codec-backed.
+    */
+  private[ops] def imageFeatures(img: java.awt.image.BufferedImage,
+                                 dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299f * ((rgb >> 16) & 0xff) +
+          0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)) / 255.0f
+        val b = (y * w + x) % dim
+        out(b) += lum; counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var d = 0
+    while (d < dim) { if (counts(d) > 0) out(d) /= counts(d); d += 1 }
+    out
+  }
+
+  /** Deterministic PNG payload with caller-supplied pixels — the real-image
+    * generator behind [[syntheticAssets]] and the golden decode tests.
+    */
+  def pngBytes(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   private def checksum(bytes: Array[Byte]): Long = {
@@ -67,9 +125,14 @@ object Multimodal {
     assets.mapPartitions { it =>
       // per-partition setup (codec init) would run here, once
       it.map { a =>
+        val feature =
+          if (a.modality == "image")
+            tryDecodeImage(a.bytes).map(imageFeatures(_, dim))
+              .getOrElse(decodeStub(a.bytes, dim))
+          else decodeStub(a.bytes, dim)
         AssetFeatures(a.asset_id, a.modality,
           if (a.bytes == null) 0 else a.bytes.length,
-          checksum(a.bytes), decodeStub(a.bytes, dim))
+          checksum(a.bytes), feature)
       }
     }
   }
@@ -80,10 +143,13 @@ object Multimodal {
   /** Image resize into a bounding box, aspect-preserving (never upscales):
     * the standard pre-training normalization pass. Iterator-to-iterator per
     * partition like [[extractFeatures]] — resampler init amortizes across
-    * the partition. The pixel resample itself is STUBBED (deterministic
-    * byte truncation to the new pixel count) so the dims math, metadata
-    * threading and batch shape are testable offline; swap the stub for a
-    * real resampler and the plan is unchanged.
+    * the partition.
+    *
+    * Decodable payloads take the REAL path: ImageIO decode (dims come from
+    * the decoded image, not the metadata), `Graphics2D` bilinear resample,
+    * PNG re-encode. Undecodable payloads keep the declared stub (dims from
+    * metadata, byte truncation to the new pixel count) so opaque stand-in
+    * payloads remain exactly reproducible.
     */
   def resizeImages(assets: Dataset[Asset], maxW: Int,
                    maxH: Int): Dataset[ResizedAsset] = {
@@ -91,16 +157,39 @@ object Multimodal {
     implicit val enc = Encoders.product[ResizedAsset]
     assets.filter(_.modality == "image").mapPartitions { it =>
       // per-partition setup (resampler init) would run here, once
-      it.map { a =>
+      def box(w: Int, h: Int): (Int, Int) = {
         val scale = math.min(1.0,
-          math.min(maxW.toDouble / a.width, maxH.toDouble / a.height))
-        val nw = math.max(1, math.floor(a.width * scale).toInt)
-        val nh = math.max(1, math.floor(a.height * scale).toInt)
-        // ??? <- real resample goes here; stub keeps the first nw*nh bytes
-        val out =
-          if (a.bytes == null) Array.empty[Byte]
-          else a.bytes.take(nw * nh)
-        ResizedAsset(a.asset_id, nw, nh, out)
+          math.min(maxW.toDouble / w, maxH.toDouble / h))
+        (math.max(1, math.floor(w * scale).toInt),
+          math.max(1, math.floor(h * scale).toInt))
+      }
+      it.map { a =>
+        tryDecodeImage(a.bytes) match {
+          case Some(img) =>
+            val (nw, nh) = box(img.getWidth, img.getHeight)
+            if (nw == img.getWidth && nh == img.getHeight)
+              ResizedAsset(a.asset_id, nw, nh, a.bytes)
+            else {
+              val scaled = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(scaled, "png", baos)
+              ResizedAsset(a.asset_id, nw, nh, baos.toByteArray)
+            }
+          case None =>
+            val (nw, nh) = box(a.width, a.height)
+            // ??? <- non-JDK codecs go here; stub keeps the first nw*nh bytes
+            val out =
+              if (a.bytes == null) Array.empty[Byte]
+              else a.bytes.take(nw * nh)
+            ResizedAsset(a.asset_id, nw, nh, out)
+        }
       }
     }
   }
@@ -151,8 +240,10 @@ object Multimodal {
       }
   }
 
-  /** Deterministic synthetic asset table for tests/demos (no real media in
-    * the container).
+  /** Deterministic synthetic asset table for tests/demos. Image assets are
+    * REAL PNGs (deterministic per-id pixel pattern) exercising the ImageIO
+    * decode path; audio/video payloads stay opaque byte patterns for the
+    * declared stub path.
     */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
@@ -161,11 +252,17 @@ object Multimodal {
       val modality = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val bytes = Array.tabulate[Byte](64 + (id % 64).toInt)(j =>
-        ((id * 31 + j * 7) % 256 - 128).toByte)
+      val bytes =
+        if (modality == "image")
+          pngBytes(64, 48, (x, y) =>
+            (((x * 4 + id) % 256).toInt << 16) |
+              (((y * 5 + id * 3) % 256).toInt << 8) |
+              ((x + y + id * 7) % 256).toInt)
+        else Array.tabulate[Byte](64 + (id % 64).toInt)(j =>
+          ((id * 31 + j * 7) % 256 - 128).toByte)
       Asset(id, modality, bytes,
         modality match {
-          case "image" => "image/jpeg"; case "audio" => "audio/wav"
+          case "image" => "image/png"; case "audio" => "audio/wav"
           case _ => "video/mp4"
         },
         if (modality == "image") 64 else 0,
