@@ -129,33 +129,24 @@ object GraphOps {
     out
   }
 
-  /** PageRank over the co-authorship graph (centrality of authors). The
-    * co-edge list uses the same star construction as
-    * [[coauthorComponents]] (symmetrized), trading exact clique weights for
-    * linear edge growth — rank ordering within components is preserved for
-    * hub detection while staying skew-proof.
+  /** Weighted-PageRank power iteration as a pure dataflow: per round, one
+    * join of the (vid-hashed, weighted-degree-annotated) edge list to
+    * current ranks, one contribution aggregation, one left join back onto
+    * the vertex set (isolated vertices hold the reset rank). Lineage is cut
+    * per round and the previous round's blocks released — the
+    * unitHierarchy / ConnectedComponents iteration pattern. Callers must
+    * pass a symmetrized edge list, so every edge endpoint has out-degree
+    * ≥ 1 and dangling mass cannot occur. Unweighted PageRank is the w=1
+    * special case (weighted out-degree = plain out-degree).
+    *
+    * @param verts  (uuid, vid)
+    * @param wedges (src, dst, w) with vid-hashed endpoints, symmetrized
+    * @return (author_uuid, pagerank), unnormalized (reset + damp·contribs)
     */
-  def authorRank(authorOf: DataFrame, tol: Double = 0.001,
-                 maxIter: Int = 30): DataFrame = {
-    val membership = authorOf.select(col("dst").as("o"), col("src").as("m"))
-    val star = starEdges(membership)
-    val coedges = star.union(
-      star.select(col("dst").as("src"), col("src").as("dst")))
-    val verts = authorOf.select(col("src").as("uuid")).distinct()
-      .select(col("uuid"), vid(col("uuid")).as("vid"))
-      .localCheckpoint(true)
-    // power iteration as a pure dataflow: per round, one join of the
-    // (vid-hashed, degree-annotated) edge list to current ranks, one
-    // contribution aggregation, one left join back onto the vertex set
-    // (isolated vertices hold the reset rank). Lineage is cut per round
-    // and the previous round's blocks released — the unitHierarchy /
-    // ConnectedComponents iteration pattern. Dangling vertices cannot
-    // occur: the co-edge list is symmetrized, so every edge endpoint has
-    // out-degree >= 1.
-    val edges = coedges
-      .select(vid(col("src")).as("src"), vid(col("dst")).as("dst"))
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("_deg")), Seq("src"))
+  private def powerIterate(verts: DataFrame, wedges: DataFrame,
+                           tol: Double, maxIter: Int): DataFrame = {
+    val withDeg = wedges
+      .join(wedges.groupBy("src").agg(sum(col("w")).as("_wdeg")), Seq("src"))
       .localCheckpoint(true)
     val reset = 0.15
     val damp = 0.85
@@ -167,7 +158,7 @@ object GraphOps {
       val contribs = withDeg
         .join(ranks.withColumnRenamed("vid", "src"), Seq("src"))
         .select(col("dst").as("vid"),
-          (col("pagerank") / col("_deg")).as("_c"))
+          (col("pagerank") * col("w") / col("_wdeg")).as("_c"))
         .groupBy("vid").agg(sum(col("_c")).as("_csum"))
       val next = verts.select("vid")
         .join(contribs, Seq("vid"), "left_outer")
@@ -186,7 +177,80 @@ object GraphOps {
     val out = verts.join(ranks, Seq("vid"))
       .select(col("uuid").as("author_uuid"), col("pagerank"))
       .localCheckpoint(true)
-    verts.unpersist(); withDeg.unpersist(); ranks.unpersist()
+    withDeg.unpersist(); ranks.unpersist()
+    out
+  }
+
+  /** PageRank over the co-authorship graph (centrality of authors). The
+    * co-edge list uses the same star construction as
+    * [[coauthorComponents]] (symmetrized), trading exact clique weights for
+    * linear edge growth — rank ordering within components is preserved for
+    * hub detection while staying skew-proof. For exact co-occurrence
+    * weights on moderate hubs see [[authorRankWeighted]].
+    */
+  def authorRank(authorOf: DataFrame, tol: Double = 0.001,
+                 maxIter: Int = 30): DataFrame = {
+    val membership = authorOf.select(col("dst").as("o"), col("src").as("m"))
+    val star = starEdges(membership)
+    val coedges = star.union(
+      star.select(col("dst").as("src"), col("src").as("dst")))
+    val verts = authorOf.select(col("src").as("uuid")).distinct()
+      .select(col("uuid"), vid(col("uuid")).as("vid"))
+      .localCheckpoint(true)
+    val edges = coedges
+      .select(vid(col("src")).as("src"), vid(col("dst")).as("dst"),
+        lit(1L).as("w"))
+    val out = powerIterate(verts, edges, tol, maxIter)
+    verts.unpersist()
+    out
+  }
+
+  /** PageRank with TRUE co-occurrence weights: edge (a, b) carries the
+    * number of outputs the two authors share, so a pair that co-authors 10
+    * papers pulls 10× the rank mass of a one-off collaboration — the exact
+    * centrality [[authorRank]]'s star construction approximates.
+    *
+    * Pair edges are k² per output group, so generation is CAPPED (df-cap
+    * style, like the shingle self-joins): groups larger than
+    * `maxGroupSize` are excluded from PAIR generation and contribute
+    * star edges at weight 1 instead — a mega-hub's k² blowup is avoided
+    * while its members stay connected and ranked. Below the cap the
+    * centrality is exact; authors appearing only in capped groups keep
+    * star connectivity rather than dropping to the reset rank.
+    *
+    * @param authorOf edge table (src = author uuid, dst = output uuid)
+    * @return (author_uuid, pagerank), unnormalized (reset + damp·contribs)
+    */
+  def authorRankWeighted(authorOf: DataFrame, tol: Double = 0.001,
+                         maxIter: Int = 30,
+                         maxGroupSize: Int = 1000): DataFrame = {
+    require(maxGroupSize >= 2, "maxGroupSize must allow at least one pair")
+    val membership = authorOf
+      .select(col("dst").as("o"), col("src").as("m")).distinct()
+    val sizes = membership.groupBy("o").agg(count(lit(1)).as("_k"))
+    val small = membership.join(sizes.filter(col("_k") <= maxGroupSize)
+      .select("o"), Seq("o"))
+    // k² pair join runs only under the cap; weight = #shared outputs
+    val pairs = small.select(col("o"), col("m").as("ma"))
+      .join(small.select(col("o"), col("m").as("mb")), Seq("o"))
+      .filter(col("ma") < col("mb"))
+      .groupBy("ma", "mb").agg(count(lit(1)).cast("double").as("w"))
+    // capped-out groups fall back to weight-1 star edges (connectivity
+    // without the quadratic term)
+    val big = membership.join(sizes.filter(col("_k") > maxGroupSize)
+      .select("o"), Seq("o"))
+    val bigStar = starEdges(big)
+      .select(col("src").as("ma"), col("dst").as("mb"), lit(1d).as("w"))
+    val half = pairs.union(bigStar)
+    val coedges = half.union(
+      half.select(col("mb").as("ma"), col("ma").as("mb"), col("w")))
+    val verts = authorOf.select(col("src").as("uuid")).distinct()
+      .select(col("uuid"), vid(col("uuid")).as("vid"))
+      .localCheckpoint(true)
+    val edges = coedges
+      .select(vid(col("ma")).as("src"), vid(col("mb")).as("dst"), col("w"))
+    val out = powerIterate(verts, edges, tol, maxIter)
+    verts.unpersist()
     out
   }
 }

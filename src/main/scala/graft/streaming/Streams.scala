@@ -115,7 +115,13 @@ object Streams {
   case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
   case class NearDupMatch(doc_id: Long, matched_id: Long,
                           est_jaccard: Double, band: Int)
-  case class BucketState(entries: List[(Long, Seq[Long], Long)])
+  /** Bucket entries hold a 1-byte-per-hash SKETCH of the signature, not
+    * the signature itself: each doc's state footprint is bands×numHashes
+    * bytes (16×128 = 2 KB at the defaults) instead of bands×numHashes
+    * longs (16 KB) — the full signature only rides the transient shuffle,
+    * never the state store.
+    */
+  case class BucketState(entries: List[(Long, Array[Byte], Long)])
 
   /** Streaming NEAR-duplicate detection: the incremental form of
     * [[graft.ops.Dedup.minhashLsh]] — arriving documents are checked
@@ -123,12 +129,17 @@ object Streams {
     * with bucket state evicted by event-time TTL.
     *
     * Shape: one narrow pass computes the signature, band keys fan out
-    * (`bands` rows per doc), and each (band, bucket) group holds the
-    * signatures previously routed to it (`flatMapGroupsWithState`). A new
-    * doc emits one match row per bucket entry whose full-signature
-    * agreement ≥ threshold — so a doc matching in several bands emits per
-    * band (an at-least-once candidate stream; collapse downstream with
-    * `dropDuplicatesWithinWatermark` if exactly-once candidates matter).
+    * (`bands` rows per doc), and each (band, bucket) group holds a
+    * byte-per-hash sketch of the signatures previously routed to it
+    * (`flatMapGroupsWithState` — see [[BucketState]] for the state-size
+    * math). A new doc emits one match row per bucket entry whose estimated
+    * signature agreement ≥ threshold; the estimate compares the arrival's
+    * full signature against the stored low-byte sketch and debiases the
+    * 1/256 accidental-collision term, so `est_jaccard` carries ≤ 0.4%
+    * sketch bias on top of the usual minhash estimator noise. A doc
+    * matching in several bands emits per band (an at-least-once candidate
+    * stream; collapse downstream with `dropDuplicatesWithinWatermark` if
+    * exactly-once candidates matter).
     *
     * State is bounded two ways: event-time timeout drops buckets idle past
     * `stateTtl`, and `maxEntries` caps a pathological hot bucket (oldest
@@ -170,15 +181,20 @@ object Streams {
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
             val out = List.newBuilder[NearDupMatch]
             arrivals.foreach { case (id, ts, s, band, _) =>
-              entries.foreach { case (seenId, seenSig, _) =>
+              entries.foreach { case (seenId, seenSketch, _) =>
                 if (seenId != id) {
-                  val agree = s.iterator.zip(seenSig.iterator)
-                    .count { case (a, b) => a == b }.toDouble / numHashes
+                  // arrival's full signature vs the stored low-byte
+                  // sketch; debias the 1/256 accidental byte collisions
+                  val obs = s.iterator.zip(seenSketch.iterator)
+                    .count { case (a, b) => (a & 0xffL).toByte == b }
+                    .toDouble / numHashes
+                  val agree = math.max(0.0, (obs - 1.0 / 256) / (1 - 1.0 / 256))
                   if (agree >= threshold)
                     out += NearDupMatch(id, seenId, agree, band)
                 }
               }
-              entries = ((id, s, ts.getTime) :: entries).take(maxEntries)
+              val sketch = s.iterator.map(v => (v & 0xffL).toByte).toArray
+              entries = ((id, sketch, ts.getTime) :: entries).take(maxEntries)
             }
             val latest = entries.map(_._3).max
             state.update(BucketState(entries))

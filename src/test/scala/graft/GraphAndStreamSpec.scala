@@ -53,6 +53,58 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pr("a2") > pr("a1") && pr("a2") > pr("a3"))
   }
 
+  test("weighted pagerank matches a reference implementation exactly") {
+    import spark.implicits._
+    // a-b co-author THREE outputs, a-c one, b-c one: the true weighted
+    // centrality must give b more of a's mass than c gets
+    val authorOf = Seq(
+      ("a", "o1"), ("b", "o1"), ("a", "o2"), ("b", "o2"),
+      ("a", "o3"), ("b", "o3"), ("a", "o4"), ("c", "o4"),
+      ("b", "o5"), ("c", "o5"), ("d", "o6")).toDF("src", "dst")
+    val got = GraphOps.authorRankWeighted(authorOf, tol = 1e-9,
+      maxIter = 200).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // reference: plain in-memory weighted power iteration, same
+    // formulation (unnormalized, reset + damp * sum(rank*w/wdeg))
+    val w = Map(("a", "b") -> 3.0, ("a", "c") -> 1.0, ("b", "c") -> 1.0)
+    val sym = w ++ w.map { case ((x, y), v) => (y, x) -> v }
+    val verts = Seq("a", "b", "c", "d")
+    val wdeg = verts.map(v =>
+      v -> sym.collect { case ((s, _), vv) if s == v => vv }.sum).toMap
+    var ranks = verts.map(_ -> 0.15).toMap
+    (1 to 200).foreach { _ =>
+      ranks = verts.map { v =>
+        val in = sym.collect { case ((s, d), vv) if d == v =>
+          ranks(s) * vv / wdeg(s) }.sum
+        v -> (0.15 + 0.85 * in)
+      }.toMap
+    }
+    verts.foreach { v =>
+      assert(math.abs(got(v) - ranks(v)) < 1e-6,
+        s"$v: got ${got(v)}, reference ${ranks(v)}")
+    }
+    // the exactness the star approximation gives up: b (3 shared outputs
+    // with a) outranks c (1 shared output with a); the isolated d holds
+    // the reset rank
+    assert(got("b") > got("c"))
+    assert(math.abs(got("d") - 0.15) < 1e-9)
+
+    // capped regime: groups over maxGroupSize fall back to weight-1 star
+    // edges — no quadratic term, every member still ranked and connected
+    // (o9's size-3 group exceeds the cap of 2; o8 stays a real pair)
+    val hubby = Seq(("a", "o8"), ("b", "o8"),
+      ("a", "o9"), ("b", "o9"), ("c", "o9"), ("d", "oX")).toDF("src", "dst")
+    val capped = GraphOps.authorRankWeighted(hubby, tol = 1e-9,
+      maxIter = 200, maxGroupSize = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(capped.keySet == Set("a", "b", "c", "d"))
+    // c reaches the others only through o9's star fallback — still ranked
+    // above the isolated reset level
+    assert(capped("c") > 0.15 + 1e-6)
+    assert(math.abs(capped("d") - 0.15) < 1e-9)
+  }
+
   test("initial seed load end-to-end") {
     val dir = Files.createTempDirectory("seed").toString
     def write(name: String, content: String): Unit =
