@@ -187,9 +187,13 @@ object CorpusOps {
   def packByTokenBudget(docs: DataFrame, budget: Long,
                         idCol: String = "doc_id", textCol: String = "text",
                         nShards: Int = 8,
-                        shardBy: Option[Column] = None): DataFrame = {
+                        shardBy: Option[Column] = None,
+                        within: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && nShards > 0)
-    val w = Window.partitionBy("shard").orderBy(idCol)
+    // `within` columns join the cumulative-sum partition key, so pack_id is
+    // local to (within*, shard) — e.g. within=Seq("split") keeps every pack
+    // whole inside one train/val/test split instead of mixing splits
+    val w = Window.partitionBy((within :+ "shard").map(col): _*).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("shard",

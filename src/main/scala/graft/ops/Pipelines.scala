@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * duplicate survivors, budget-bounded packs).
   *
   * Returns the curated CHUNK table plus a per-stage row-count report for
-  * the run log (computed with one count per stage boundary — at 100 TB
-  * either sample or accept the extra pass; counts are actions).
+  * the run log (computed with one count per stage boundary; counts are
+  * actions, so the 100 TB invocation passes `audit = false` to skip them —
+  * stage boundaries stay pinned either way, the report comes back empty).
   */
 object Pipelines {
 
@@ -40,19 +41,22 @@ object Pipelines {
                    cutSpanK: Option[Int] = None,
                    chunkTokens: Int = 256, chunkStride: Int = 256,
                    packBudget: Long = 2048,
+                   audit: Boolean = true,
                    idCol: String = "doc_id",
                    textCol: String = "text"): CurationResult = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     val stages = scala.collection.mutable.ListBuffer[(String, Long)]()
-    // pin each stage boundary (count doubles as the materializing action),
-    // then release the PREVIOUS boundary's blocks: only one intermediate
-    // is ever resident, and the final stage stays pinned for the caller
+    // pin each stage boundary (the eager checkpoint is the materializing
+    // action), then release the PREVIOUS boundary's blocks: only one
+    // intermediate is ever resident, and the final stage stays pinned for
+    // the caller. The audit count is an EXTRA action per boundary — the
+    // run-log row counts — skipped when audit=false (the 100 TB mode).
     var prevPinned: Option[DataFrame] = None
     def stage(name: String, df: DataFrame): DataFrame = {
       val pinned = df.localCheckpoint(true)
-      stages += name -> pinned.count()
+      if (audit) stages += name -> pinned.count()
       prevPinned.foreach(_.unpersist())
       prevPinned = Some(pinned)
       pinned
@@ -103,13 +107,17 @@ object Pipelines {
 
     // split is keyed by the DOC id (chunks of one doc never straddle
     // train/val — the leakage rule), while packing orders by a UNIQUE
-    // chunk key so the cumulative sum is deterministic across runs
+    // chunk key so the cumulative sum is deterministic across runs, and
+    // pack_id is split-local (within = split): a pack never mixes
+    // train/val/test rows, so publishCurated's per-split trees hold whole,
+    // budget-full packs
     val packed = stage("split+pack", CorpusOps.packByTokenBudget(
       chunks
         .withColumn("split", CorpusOps.hashSplit(idCol))
         .withColumn("chunk_key",
           concat(col(idCol), lit(":"), col("chunk_idx"))),
-      packBudget, idCol = "chunk_key", textCol = "chunk_text"))
+      packBudget, idCol = "chunk_key", textCol = "chunk_text",
+      within = Seq("split")))
 
     val report = stages.toSeq.toDF("stage", "rows")
     CurationResult(packed, report)

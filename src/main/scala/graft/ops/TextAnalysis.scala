@@ -85,6 +85,13 @@ object TextAnalysis {
     * term or (doc, term) — no hot-document fan-out, and the df table is
     * dimension-sized so Catalyst broadcasts it while small.
     *
+    * The tf table feeds BOTH the df aggregation and the final join, and
+    * Catalyst has no cross-branch common-subtree reuse — unpinned, the
+    * tokenize + (doc, term) shuffle would run twice per execution. One
+    * eager local checkpoint materializes it once (spills under storage
+    * pressure; at full corpus scale this is the standard
+    * write-once-read-twice trade against re-shuffling the token stream).
+    *
     * Deterministic, pure-SQL semantics (natural log, raw counts — the
     * standard Salton formulation) so the whole pipeline is
     * oracle-checkable. Returns (id, term, tf, df, tfidf).
@@ -96,6 +103,7 @@ object TextAnalysis {
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, "term")
       .crossJoin(n) // 1-row count table: literal-style broadcast
@@ -126,6 +134,11 @@ object TextAnalysis {
     * zipWithIndex keeps the sort distributed and adds only a lightweight
     * partition-size job. (This is the one legitimate RDD drop-down in the
     * ops layer — Catalyst has no distributed rank-without-partition.)
+    *
+    * The sorted counts are pinned (eager local checkpoint) BEFORE the
+    * zipWithIndex: its partition-size job and every later consumer of the
+    * vocab then read one materialization instead of re-running the
+    * aggregate + range sort from scratch each time.
     */
   def buildVocab(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", minCount: Long = 1L): DataFrame = {
@@ -136,6 +149,7 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("term"))
+      .localCheckpoint(true)
     val indexed = counts.rdd.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i)
     }

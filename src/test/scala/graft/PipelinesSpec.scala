@@ -54,12 +54,20 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunks.groupBy("doc_id")
       .agg(countDistinct("split").as("n")).filter(col("n") > 1).count() == 0,
       "chunks of one doc must share its split")
-    // every pack stays within budget + one overflowing chunk
-    val packTotals = chunks.groupBy("shard", "pack_id")
+    // pack identity is (split, shard, pack_id) — the cumulative sum is
+    // split-local, so a pack never mixes train/val/test rows, and every
+    // pack stays within budget + one overflowing chunk
+    val packTotals = chunks.groupBy("split", "shard", "pack_id")
       .agg(sum("chunk_n_tokens").as("toks"),
         max("chunk_n_tokens").as("maxchunk"))
     assert(packTotals.filter(col("toks") - col("maxchunk") >= 256).count() == 0,
       "a pack exceeded budget before its final chunk")
+    // split-local pack ids start at 0 within every (split, shard): the
+    // cumulative sum restarted per split (the old bug packed across splits,
+    // leaving per-split trees with holes)
+    assert(chunks.groupBy("split", "shard").agg(min("pack_id").as("p0"))
+      .filter(col("p0") =!= 0).count() == 0,
+      "every (split, shard) should open with pack 0")
     // chunk token counts respect the chunk size
     assert(chunks.filter(col("chunk_n_tokens") > 32).count() == 0)
     // report has one row per stage boundary
@@ -100,5 +108,28 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(texts(2L).contains("beta content"))
     assert(texts(3L).contains("gamma text"))
     assert(r.report.collect().map(_.getString(0)).contains("cut-spans"))
+  }
+
+  test("audit=false skips the per-stage counts and returns an empty report") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different second document body with other words"),
+      (3L, "the third document is also its own thing with unique content")
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    def run(audit: Boolean) = Pipelines.curateCorpus(docs, eval,
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.95,
+      chunkTokens = 32, chunkStride = 32, packBudget = 128, audit = audit)
+    val audited = run(audit = true)
+    val silent = run(audit = false)
+    // identical curated output, zero report rows (and zero count actions)
+    assert(silent.report.isEmpty)
+    assert(silent.report.columns.toSeq == Seq("stage", "rows"))
+    val a = audited.chunks.orderBy("chunk_key").collect().toSeq
+    val b = silent.chunks.orderBy("chunk_key").collect().toSeq
+    assert(a == b, "audit flag must not change the curated chunks")
+    audited.chunks.unpersist(); silent.chunks.unpersist()
   }
 }
