@@ -62,6 +62,9 @@ object Bench {
     // wall seconds since JVM start: a contended host shows wall >> measured
     val wall = (System.currentTimeMillis() - jvmStart) / 1e3
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"n_errors":${errors.size},"jvm_wall_sec":$wall}""")
+    // compact summary LAST: a tail-truncated capture of the (long) line
+    // above still keeps the headline numbers in the final ~200 bytes
+    println(s"""{"metric":"summary","total_sec":${math.round(total * 1000) / 1000.0},"n_queries":${results.size},"n_errors":${errors.size},"jvm_wall_sec":$wall}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

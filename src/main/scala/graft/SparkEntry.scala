@@ -363,12 +363,31 @@ object SparkEntry {
     }),
 
     "q_emb_near_pairs" -> ((s, d) => {
+      // EXACT near-pair baseline on a 1-in-10 sample — deliberately the
+      // brute-force O((n/10)^2) form so DuckDB can oracle it bit-exact;
+      // the scale path is q_emb_near_pairs_lsh below (same pairs via
+      // banded blocking, no cross join)
       val emb = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("_va"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("_vb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .withColumn("cos", cosine_sim(col("_va"), col("_vb")))
         .filter(col("cos") >= 0.3)
+        .select("id_a", "id_b")
+    }),
+
+    "q_emb_near_pairs_lsh" -> ((s, d) => {
+      // the 100 TB near-pair path (ops.Similarity.cosinePairs): hyperplane
+      // band blocking — candidates meet in (band, key) buckets, a plain
+      // equi-join, no cartesian term. Rows-only (hyperplanes are
+      // model-based); Round5OpsSpec cross-checks recall against the exact
+      // sibling above on the same sample, PlanShapeSpec pins the
+      // no-CartesianProduct shape. 2-bit bands (planes=16, bands=8) hold
+      // per-pair recall ~0.97 at this low 0.3 threshold; high-threshold
+      // near-dup use keeps the default wider 4-bit bands
+      graft.ops.Similarity.cosinePairs(
+        t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+        threshold = 0.3, planes = 16, bands = 8)
         .select("id_a", "id_b")
     }),
 
@@ -958,9 +977,20 @@ object SparkEntry {
     "q_dup_spans" -> ((s, d) => {
       // exact duplicate-substring detection (ops.Dedup.duplicateSpans):
       // every 60-char gram occurring >= 2 times corpus-wide, counted
-      // exactly — hash-keyed first pass, broadcast survivor set, exact
-      // regroup (Lee et al. substring dedup, fixed-k form)
+      // exactly — hash-keyed first pass, unhinted survivor join (AQE
+      // broadcasts when small), exact regroup (Lee et al. substring
+      // dedup, fixed-k form)
       graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60)
+    }),
+
+    "q_dup_spans_winnow" -> ((s, d) => {
+      // the shuffle-divided form: winnowing-selected positions (~1/window)
+      // instead of every position — any span duplicated at length >=
+      // k+window-1 still surfaces. Rows-only (winnow selection is
+      // model-based); KernelPropertySpec pins the guarantee, and the row
+      // count here is a strict subset of q_dup_spans' grams
+      graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60,
+        window = Some(8))
     }),
 
     "q_curate_pipeline" -> ((s, d) => {
@@ -986,15 +1016,16 @@ object SparkEntry {
 
     "q_approx_topk" -> ((s, d) => {
       // Misra-Gries mergeable approx top-k (custom TypedImperativeAggregate,
-      // ops.Sketches.approxTopK): capacity 4096 >= |distinct partkeys per
-      // flag| at verify scale, so counts are provably exact and the oracle
-      // is the exact two-stage top-k; the approximate regime's N/capacity
-      // error bound is property-tested in FreqSketchSpec.
-      graft.ops.Sketches.approxTopK(
-        par(s, t(s, d, "lineitem"))
-          .select(col("l_returnflag"),
-            col("l_partkey").cast("string").as("pk")),
-        Seq("l_returnflag"), "pk", k = 3, capacity = 4096)
+      // ops.Sketches.approxTopK). Capacity is DERIVED from the data — one
+      // cheap countDistinct pre-pass — so capacity > |distinct partkeys per
+      // flag| holds at ANY sf the driver runs, counts stay provably exact,
+      // and the exact two-stage top-k oracle remains valid; the approximate
+      // regime's N/capacity error bound is property-tested in FreqSketchSpec.
+      val src = par(s, t(s, d, "lineitem"))
+        .select(col("l_returnflag"), col("l_partkey").cast("string").as("pk"))
+      val cap = src.agg(countDistinct(col("pk"))).head().getLong(0).toInt + 1
+      graft.ops.Sketches.approxTopK(src, Seq("l_returnflag"), "pk", k = 3,
+        capacity = math.max(cap, 64))
     }),
 
     "q_dup_span_ranges" -> ((s, d) => {

@@ -60,7 +60,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every LSH/banded path must join on a blocking key; only the
     // documented exact baselines (q_sim_topk, q_emb_near_pairs) may cross
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ann_topk",
-        "q_ngram_jaccard_pairs")) {
+        "q_ngram_jaccard_pairs", "q_emb_near_pairs_lsh")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
@@ -134,20 +134,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bloom probe should be on the scan side under the join")
   }
 
-  test("duplicate spans: first shuffle groups hashes, survivors broadcast") {
-    val p = plan("q_dup_spans")
+  test("duplicate spans: hash-grouped first pass, AQE broadcasts survivors") {
+    // the survivor join is deliberately UNHINTED (a forced broadcast OOMs
+    // on heavily-duplicated corpora); at this scale AQE must still pick a
+    // broadcast at runtime, so execute and inspect the FINAL adaptive plan
+    val df = SparkEntry.queries("q_dup_spans")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin"),
-      "survivor-hash set should broadcast back onto the gram stream")
+      "AQE should broadcast the small survivor set back onto the gram stream")
   }
 
   test("cut-spans keeps strings out of the wide stages") {
-    val p = plan("q_cut_spans")
+    val df = SparkEntry.queries("q_cut_spans")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin"),
-      "owner set should broadcast back onto the gram stream")
+      "AQE should broadcast the verified-gram set back onto the gram stream")
   }
 
   test("quantization is one narrow pass — no shuffle at all") {

@@ -1,0 +1,138 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Round-5 operator behavior: the winnowing lever on substring dedup and
+  * the banded embedding near-pair path, each cross-checked against its
+  * exact sibling.
+  */
+class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("round5-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def randText(r: Random, n: Int): String =
+    Seq.fill(n)(('a' + r.nextInt(26)).toChar).mkString
+
+  test("winnowed duplicateSpans finds every span duplicated at >= k+window-1") {
+    import spark.implicits._
+    val k = 20; val w = 6
+    val r = new Random(51)
+    (1 to 5).foreach { trial =>
+      val planted = randText(r, k + w - 1) // the minimum guaranteed length
+      val docs = Seq(
+        (1L, randText(r, 80) + planted + randText(r, 80)),
+        (2L, randText(r, 120) + planted + randText(r, 40)),
+        (3L, randText(r, 150))
+      ).toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(docs, k = k, minOcc = 2,
+        window = Some(w))
+        .select("gram").collect().map(_.getString(0))
+      assert(got.exists(planted.contains(_)),
+        s"trial $trial: planted span '$planted' not found via winnowing")
+    }
+  }
+
+  test("winnowed spans/ranges are subsets of the exact enumeration") {
+    import spark.implicits._
+    val r = new Random(52)
+    val shared = randText(r, 70)
+    val docs = Seq(
+      (1L, randText(r, 60) + shared + randText(r, 60)),
+      (2L, randText(r, 90) + shared),
+      (3L, randText(r, 140))
+    ).toDF("doc_id", "text")
+    val exact = Dedup.duplicateSpans(docs, k = 20)
+      .select("gram").collect().map(_.getString(0)).toSet
+    val winnowed = Dedup.duplicateSpans(docs, k = 20, window = Some(4))
+      .select("gram").collect().map(_.getString(0)).toSet
+    assert(winnowed.nonEmpty && winnowed.subsetOf(exact),
+      "winnow-selected duplicated grams must be a strict filter of exact")
+
+    // ranges: every winnowed range sits inside some exact range
+    def ranges(win: Option[Int]) =
+      Dedup.duplicateSpanRanges(docs, k = 20, window = win)
+        .select("doc_id", "span_start", "span_end").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val exactR = ranges(None)
+    assert(ranges(Some(4)).forall { case (d, s, e) =>
+      exactR.exists { case (d2, s2, e2) => d2 == d && s2 <= s && e <= e2 }
+    }, "winnowed ranges must be contained in exact ranges")
+  }
+
+  test("cosinePairs: exact-verified precision, high recall vs brute force") {
+    // the q_emb_near_pairs_lsh configuration, cross-checked against the
+    // exact cross-join baseline on the full sf0.001 embedding table
+    // (deterministic: hyperplanes are seeded, data is fixed)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("_va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("_vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.CorpusFunctions.cosine_sim(col("_va"), col("_vb")))
+      .filter(col("cos") >= 0.3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val banded = Similarity.cosinePairs(emb, threshold = 0.3,
+      planes = 16, bands = 8)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // precision is exactly 1: candidates are verified on true cosine
+    assert(banded.subsetOf(exact), "banded pairs must all be true pairs")
+    // 2-bit bands give ~0.97 per-pair recall at threshold 0.3; this
+    // dataset's measured recall is stable (everything is seeded)
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below floor (|exact|=${exact.size})")
+  }
+
+  test("real ImageIO decode: golden pixels through resize and features") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.Asset
+    // a solid-color PNG: bilinear resample of a constant is the constant,
+    // so every output pixel is knowable exactly
+    val red = 0xc84614
+    val solid = Multimodal.pngBytes(64, 48, (_, _) => red)
+    val white = Multimodal.pngBytes(40, 40, (_, _) => 0xffffff)
+    val assets = Seq(
+      Asset(1L, "image", solid, "image/png", 64, 48, 0L),
+      // metadata LIES (10x10): the real path must use decoded dims
+      Asset(2L, "image", white, "image/png", 10, 10, 0L),
+      // undecodable payload: declared stub path, metadata dims
+      Asset(3L, "image", Array.tabulate[Byte](400)(_.toByte), "image/png",
+        20, 20, 0L)).toDS()
+    val got = Multimodal.resizeImages(assets, 32, 32).collect()
+      .map(r => r.asset_id -> r).toMap
+    // 64x48 -> 0.5 scale -> 32x24, still solid red after resample
+    assert((got(1L).width, got(1L).height) == ((32, 24)))
+    val img1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).bytes))
+    assert((img1.getWidth, img1.getHeight) == ((32, 24)))
+    for (x <- 0 until 32; y <- 0 until 24)
+      assert((img1.getRGB(x, y) & 0xffffff) == red,
+        s"pixel ($x,$y) not the solid color")
+    // decoded dims (40x40 -> 32x32) beat the lying 10x10 metadata
+    assert((got(2L).width, got(2L).height) == ((32, 32)))
+    // stub path: 20x20 metadata -> 20x20 inside the box, bytes untouched
+    assert((got(3L).width, got(3L).height) == ((20, 20)))
+    assert(got(3L).bytes.length == 400)
+
+    // features: solid white decodes to luminance 1.0 in every bucket
+    val feats = Multimodal.extractFeatures(
+      Seq(Asset(9L, "image", white, "image/png", 40, 40, 0L)).toDS(),
+      dim = 8).head().feature
+    assert(feats.length == 8 && feats.forall(f => math.abs(f - 1.0f) < 1e-3))
+  }
+}
