@@ -977,9 +977,9 @@ object SparkEntry {
     "q_dup_spans" -> ((s, d) => {
       // exact duplicate-substring detection (ops.Dedup.duplicateSpans):
       // every 60-char gram occurring >= 2 times corpus-wide, counted
-      // exactly — hash-keyed first pass, unhinted survivor join (AQE
-      // broadcasts when small), exact regroup (Lee et al. substring
-      // dedup, fixed-k form)
+      // exactly — hash-keyed first pass, count-gated survivor broadcast
+      // (shuffled-join fallback past the cap), exact regroup (Lee et al.
+      // substring dedup, fixed-k form)
       graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60)
     }),
 
@@ -991,6 +991,40 @@ object SparkEntry {
       // count here is a strict subset of q_dup_spans' grams
       graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60,
         window = Some(8))
+    }),
+
+    "q_dedup_lines" -> ((s, d) => {
+      // MassiveText-style duplicate-paragraph removal (ops.Dedup.dedupLines):
+      // the synthetic corpus has no newlines, so the query first folds every
+      // 10 words into a "line" (pure regex, oracle-replicable), then keeps
+      // each distinct line's first corpus-wide (doc, pos) occurrence and
+      // rebuilds every doc from its surviving lines
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+      graft.ops.Dedup.dedupLines(lined)
+        .select("doc_id", "text_deduped", "n_lines_cut")
+    }),
+
+    "q_dedup_semantic" -> ((s, d) => {
+      // SemDeDup (ops.Dedup.semanticDedup): deterministic k-means cells +
+      // within-cell cosine, smallest-id survivor per tight neighborhood.
+      // Rows-only (centroids are model state, not SQL); Round5OpsSpec
+      // re-derives the keep policy by brute force on the same table
+      graft.ops.Dedup.semanticDedup(t(s, d, "embeddings"),
+        threshold = 0.3, nCenters = 8)
+    }),
+
+    "q_mix_temperature" -> ((s, d) => {
+      // temperature resampling (ops.CorpusOps.temperatureSample): strata by
+      // leading source digit (deliberately uneven: 'src1x' strata are 11x
+      // the others), alpha=0.5 thins surviving sizes to ~ n^0.5; the
+      // md5-fraction keep decision is engine-portable so the sampled ROWS
+      // (not just sizes) oracle-match
+      graft.ops.CorpusOps.temperatureSample(
+        t(s, d, "documents").select(col("doc_id"),
+          substring(col("source"), 4, 1).as("stratum")),
+        "stratum", "doc_id", alpha = 0.5)
+        .select("doc_id", "stratum")
     }),
 
     "q_curate_pipeline" -> ((s, d) => {
@@ -1389,6 +1423,41 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos
+        |  FROM lined),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY line ORDER BY doc_id, pos) = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, coalesce(r.txt, '') AS text_deduped,
+        |  CAST(len(string_split(l.t, chr(10))) - coalesce(r.n_kept, 0)
+        |    AS BIGINT) AS n_lines_cut
+        |FROM lined l LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH s AS (
+        |  SELECT doc_id, substr(source, 4, 1) AS stratum FROM documents),
+        |c AS (SELECT stratum, count(*) AS n FROM s GROUP BY stratum),
+        |p AS (SELECT stratum,
+        |        pow(CAST((SELECT min(n) FROM c) AS DOUBLE) / n, 0.5) AS q
+        |      FROM c)
+        |SELECT s.doc_id, s.stratum
+        |FROM s JOIN p USING (stratum)
+        |WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0 < p.q""".stripMargin,
 
     "q_repetition" ->
       """WITH grams AS (

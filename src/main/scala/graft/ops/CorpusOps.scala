@@ -162,6 +162,38 @@ object CorpusOps {
     df.join(keep, keyCols, "left_semi")
   }
 
+  /** Temperature-based source resampling — the corpus-mixing step that
+    * rebalances wildly uneven sources before training (the multilingual
+    * α-sampling of Conneau & Lample 2019 / mT5, done WITHOUT replacement):
+    * surviving sizes are ∝ n_s^α, interpolating uniform-over-sources
+    * (α = 0) and the natural distribution (α = 1). Per-row keep
+    * probability q_s = (n_min / n_s)^(1−α) — the smallest source keeps
+    * everything, larger sources are thinned toward it.
+    *
+    * The keep decision is a DETERMINISTIC md5-fraction of the id (first 8
+    * hex digits / 2^32): stable across runs, partitionings, and engines
+    * (md5 is portable, unlike xxhash64), so the sample is reproducible and
+    * oracle-checkable. One map-side-combined count aggregate; the
+    * (source-count sized) probability table broadcasts back; the filter is
+    * narrow.
+    */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("_n"))
+    val probs = counts
+      .crossJoin(counts.agg(min(col("_n")).as("_nmin"))) // 1-row: literal-ish
+      .withColumn("_q",
+        pow(col("_nmin").cast("double") / col("_n"), 1.0 - alpha))
+      .select(col(sourceCol), col("_q"))
+    df.join(broadcast(probs), Seq(sourceCol))
+      .withColumn("_u",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0d)
+      .filter(col("_u") < col("_q"))
+      .drop("_q", "_u")
+  }
+
   /** Grouped z-score outlier flagging — the statistical curation gate
     * (aberrant doc lengths within a source, absurd metric values within an
     * event type). Two-pass shape: one hash aggregation for the per-group

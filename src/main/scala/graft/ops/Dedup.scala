@@ -250,22 +250,48 @@ object Dedup {
         col(textCol).substr(col("_pos").cast("int"), lit(k)).as("gram"))
   }
 
+  /** Broadcast cap for the survivor-set joins of the substring-dedup
+    * operators: ~4M 8-byte keys ≈ a few tens of MB as a HashedRelation —
+    * comfortably inside executor memory, far above any normal corpus's
+    * duplicated-gram census.
+    */
+  private val SurvivorBroadcastCap = 4L * 1000 * 1000
+
+  /** Pin a small survivor/dimension table and pick the join strategy from
+    * its MEASURED size: explicit `broadcast` under `cap` rows, plain
+    * shuffled equi-join above it. The count is one action over the
+    * already-aggregated table (localCheckpoint pins it, so the aggregation
+    * never re-runs for the join). The explicit gate exists because an
+    * unhinted plan is NOT free even when AQE later converts it to a
+    * broadcast join: the probe side — here the full per-position gram
+    * stream, k bytes of text per character of corpus — is shuffle-WRITTEN
+    * before AQE can decide (measured 20× on the span queries). Gating on
+    * the measured row count keeps the normal regime write-free while the
+    * degenerate regime (a heavily-duplicated corpus whose survivor set
+    * outgrows the cap) falls back to the linear shuffled join with no
+    * executor-memory ceiling.
+    */
+  private def gateBroadcast(df: DataFrame, cap: Long): DataFrame = {
+    val pinned = df.localCheckpoint(true)
+    if (pinned.count() <= cap) broadcast(pinned) else pinned
+  }
+
   /** Shared passes of the substring-dedup operators: the positions whose
     * k-gram EXACT text occurs ≥ minOcc times corpus-wide.
     *
     * Pass 1 groups 8-byte xxhash64(gram) keys — the wide stage carries no
     * strings — and keeps hashes with ≥ minOcc occurrences. Pass 2 joins the
-    * re-enumerated grams against that survivor set (UNHINTED: AQE broadcasts
-    * it when it is genuinely small and falls back to a plain shuffled
-    * equi-join — linear, no executor-memory ceiling — on the
-    * heavily-duplicated corpora where the survivor set is large), then
-    * regroups survivors by the REAL gram text. The exact regroup makes the
-    * operators collision-proof: a 64-bit birthday collision (expected in
-    * bulk at ~1e14 positions) can only add a candidate that the regroup
-    * discards, never mark a unique gram duplicated, and the per-gram owner
-    * (corpus-first occurrence) is computed per exact gram, not per hash
-    * group. Pass 3 re-joins positions to the verified-gram table on
-    * (_h, gram) — broadcast when small, shuffled otherwise.
+    * re-enumerated grams against that survivor set (count-gated broadcast,
+    * see [[gateBroadcast]]: explicit broadcast in the normal regime where
+    * duplicated grams are rare, shuffled equi-join fallback — linear, no
+    * executor-memory ceiling — on heavily-duplicated corpora where the
+    * survivor set outgrows the cap), then regroups survivors by the REAL
+    * gram text. The exact regroup makes the operators collision-proof: a
+    * 64-bit birthday collision (expected in bulk at ~1e14 positions) can
+    * only add a candidate that the regroup discards, never mark a unique
+    * gram duplicated, and the per-gram owner (corpus-first occurrence) is
+    * computed per exact gram, not per hash group. Pass 3 re-joins positions
+    * to the verified-gram table on (_h, gram) — gated the same way.
     */
   private def dupGramPositions(docs: DataFrame, k: Int, minOcc: Int,
                                idCol: String, textCol: String,
@@ -273,15 +299,21 @@ object Dedup {
                                keepOwner: Boolean): DataFrame = {
     def grams = gramStream(docs, k, window, idCol, textCol)
       .withColumn("_h", xxhash64(col("gram")))
-    val hot = grams.groupBy("_h").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= minOcc)
-      .select("_h")
-    val verified = grams.join(hot, Seq("_h"))
-      .groupBy("_h", "gram")
-      .agg(count(lit(1)).as("_c"),
-        min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_own"))
-      .filter(col("_c") >= minOcc)
-      .select(col("_h"), col("gram"), col("_own"))
+    val hot = gateBroadcast(
+      grams.groupBy("_h").agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= minOcc)
+        .select("_h"),
+      SurvivorBroadcastCap)
+    val verified = gateBroadcast(
+      grams.join(hot, Seq("_h"))
+        .groupBy("_h", "gram")
+        .agg(count(lit(1)).as("_c"),
+          min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_own"))
+        .filter(col("_c") >= minOcc)
+        .select(col("_h"), col("gram"), col("_own")),
+      // verified rows carry the k-char gram text, so the byte cap is the
+      // same order as the hash set's at k=60
+      SurvivorBroadcastCap / 8)
     val pos = grams.join(verified, Seq("_h", "gram"))
     if (keepOwner) pos.select(col(idCol), col("_pos"), col("_own"))
     else pos.select(col(idCol), col("_pos"))
@@ -297,12 +329,13 @@ object Dedup {
     *
     * Scale shape: pass 1 groups 8-byte xxhash64(gram) keys — the shuffle
     * carries no strings; pass 2 re-enumerates grams (CPU-cheap re-scan
-    * beats shuffling position×k bytes), joins the survivor hash set
-    * UNHINTED — AQE broadcasts it when small; on heavily-duplicated corpora
-    * where the survivor set is itself large it degrades to a plain shuffled
-    * equi-join, linear with no executor-memory ceiling — and regroups by
-    * the REAL gram text, so a hash collision only ever adds a candidate
-    * that the regroup discards; counts are exact.
+    * beats shuffling position×k bytes), joins the survivor hash set under
+    * a count-gated broadcast ([[gateBroadcast]]: explicit broadcast while
+    * the measured survivor count fits, shuffled equi-join fallback —
+    * linear, no executor-memory ceiling — on heavily-duplicated corpora
+    * where it doesn't) and regroups by the REAL gram text, so a hash
+    * collision only ever adds a candidate that the regroup discards;
+    * counts are exact.
     *
     * Cost at scale: pass 1 shuffles one 12-byte row per character of
     * corpus — linear, not quadratic (100 TB of text ≈ 1.2 PB of shuffle
@@ -320,11 +353,13 @@ object Dedup {
                      window: Option[Int] = None): DataFrame = {
     require(k > 0 && minOcc > 1)
     def grams = gramStream(docs, k, window, idCol, textCol)
-    val hot = grams
-      .groupBy(xxhash64(col("gram")).as("_h"))
-      .agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= minOcc)
-      .select("_h")
+    val hot = gateBroadcast(
+      grams
+        .groupBy(xxhash64(col("gram")).as("_h"))
+        .agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= minOcc)
+        .select("_h"),
+      SurvivorBroadcastCap)
     grams
       .join(hot, xxhash64(col("gram")) === col("_h"))
       .groupBy("gram")
@@ -440,6 +475,94 @@ object Dedup {
       .withColumn("n_spans_cut",
         coalesce(size(col("_spans")), lit(0)).cast("long"))
       .drop("_spans")
+  }
+
+  /** Line/paragraph-level EXACT dedup across the corpus (the MassiveText /
+    * Gopher "remove duplicate paragraphs" pass, Rae et al. 2021): every
+    * distinct line keeps its first corpus-wide occurrence — smallest
+    * (doc, position) — and every other occurrence is dropped; each doc's
+    * surviving lines are rejoined in original order with `delim`.
+    *
+    * Scale shape: one generator fan-out (narrow), one aggregation keyed by
+    * (xxhash64(line), line) computing the owner with `min(struct)` — the
+    * exact line text rides the group key, so hash collisions are harmless,
+    * and map-side partial aggregation reduces a corpus-hot line (empty
+    * line, boilerplate header repeated across half the corpus) to one
+    * candidate per task BEFORE the shuffle: no per-line sort group exists
+    * to skew, unlike a `row_number` window. The kept occurrences ARE the
+    * aggregation output — no join back onto the line stream at all — so
+    * the only other wide stages are the per-doc regroup and the (doc-count
+    * sized) rebuilt-text join onto the input. Full documents never ride a
+    * shuffle.
+    *
+    * @return input + `text_deduped` (kept lines, original order) +
+    *   `n_lines_cut`; a doc whose every line lost ownership rebuilds to ""
+    */
+  def dedupLines(docs: DataFrame, delim: String = "\n",
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), delim)).as(Seq("_pos", "_line")))
+    // owner per distinct line = lexicographic-min (doc, pos); the winners
+    // are exactly the kept occurrences
+    val kept = lines
+      .groupBy(xxhash64(col("_line")).as("_h"), col("_line"))
+      .agg(min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_own"))
+      .select(col("_own.d").as(idCol), col("_own.p").as("_pos"), col("_line"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), delim).as("text_deduped"),
+        count(lit(1)).as("_n_kept"))
+    docs.join(rebuilt, Seq(idCol), "left_outer")
+      .withColumn("text_deduped", coalesce(col("text_deduped"), lit("")))
+      .withColumn("n_lines_cut",
+        (size(split(col(textCol), delim)).cast("long")
+          - coalesce(col("_n_kept"), lit(0L))))
+      .drop("_n_kept")
+  }
+
+  /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with deterministic k-means,
+    * then within each cluster drop every vector that has a smaller-id
+    * cluster-mate with cosine ≥ threshold — one survivor per tight
+    * semantic neighborhood, cheap enough to run corpus-wide because
+    * pairing is confined to cluster cells.
+    *
+    * Scale shape: the clustering is [[Similarity.buildIvfIndex]] (broadcast
+    * centroid assignment, a few Lloyd rounds); the pair stage self-joins
+    * each cell only (quadratic in CELL size, not corpus size — size
+    * `nCenters` ∝ corpus so cell cardinality stays bounded, the same knob
+    * SemDeDup itself turns). The drop set is an id-only anti-join back
+    * onto the cells.
+    *
+    * Deterministic end-to-end: centroids are seeded (hash-ordered sample),
+    * the keep rule is pure (smallest id wins), so reruns agree — but the
+    * centroids are model state, not SQL, hence no DuckDB oracle (rows-only
+    * contract query; Round5OpsSpec re-derives the policy by brute force).
+    *
+    * @return (idCol, center_id, is_kept)
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.9,
+                    nCenters: Int = 16, iters: Int = 3,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val idx = Similarity.buildIvfIndex(embeddings, nCenters, iters, idCol, vecCol)
+    val a = idx.cells.select(col("center_id"), col("vec_id").as("_ida"),
+      col("_cv").as("_va"))
+    val b = idx.cells.select(col("center_id"), col("vec_id").as("_idb"),
+      col("_cv").as("_vb"))
+    val drops = a.join(b, Seq("center_id"))
+      .filter(col("_ida") < col("_idb"))
+      .filter(cosine_sim(col("_va"), col("_vb")) >= threshold)
+      .select(col("_idb").as("vec_id")).distinct()
+    val out = idx.cells
+      .join(drops.withColumn("_dropped", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id").as(idCol), col("center_id"),
+        coalesce(!col("_dropped"), lit(true)).as("is_kept"))
+      .localCheckpoint(true)
+    idx.release()
+    out
   }
 
   /** Dedup clustering: near-dup pairs → connected components → one

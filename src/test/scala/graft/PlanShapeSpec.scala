@@ -135,7 +135,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("duplicate spans: hash-grouped first pass, AQE broadcasts survivors") {
-    // the survivor join is deliberately UNHINTED (a forced broadcast OOMs
+    // the survivor broadcast is count-gated (a forced broadcast OOMs
     // on heavily-duplicated corpora); at this scale AQE must still pick a
     // broadcast at runtime, so execute and inspect the FINAL adaptive plan
     val df = SparkEntry.queries("q_dup_spans")(spark, d)

@@ -97,6 +97,84 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"recall $recall below floor (|exact|=${exact.size})")
   }
 
+  test("dedupLines: first corpus-wide occurrence survives, order preserved") {
+    import spark.implicits._
+    // line B is shared by all three docs (doc 1 pos 1 owns it); line C
+    // repeats WITHIN doc 2 (first copy owns); doc 3 is all-duplicate and
+    // rebuilds to ""
+    val docs = Seq(
+      (1L, "A\nB"),
+      (2L, "C\nB\nC\nD"),
+      (3L, "B\nC")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dedupLines(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_deduped"), r.getAs[Long]("n_lines_cut"))))
+      .toMap
+    assert(got(1L) == (("A\nB", 0L)))
+    assert(got(2L) == (("C\nD", 2L)))
+    assert(got(3L) == (("", 2L)))
+  }
+
+  test("semanticDedup: keep policy matches brute force per cell") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.ops.Dedup.semanticDedup(emb, threshold = 0.3,
+      nCenters = 8).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("center_id"),
+        r.getAs[Boolean]("is_kept")))
+    assert(out.length == emb.count())
+    // re-derive the policy: within a cell, a vec is dropped iff some
+    // smaller-id cell-mate has cosine >= threshold
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val byCell = out.groupBy(_._2)
+    byCell.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, _, kept) =>
+        val expectDrop = ids.exists(o =>
+          o < id && cos(vecs(o), vecs(id)) >= 0.3)
+        assert(kept == !expectDrop, s"vec $id: kept=$kept expectDrop=$expectDrop")
+      }
+    }
+    // the operator did something on this table (near-dup labels exist)
+    assert(out.exists(!_._3) && out.count(_._3) > out.length / 2)
+  }
+
+  test("temperatureSample: surviving sizes track n^alpha, smallest keeps all") {
+    import spark.implicits._
+    // sources of size 400 / 100 / 25: with alpha=0.5 expected keeps are
+    // 25*(400/25)^0.5=100, 25*(100/25)^0.5=50, 25
+    val df = (
+      (1 to 400).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (1000L + i, "mid")) ++
+      (1 to 25).map(i => (2000L + i, "small"))
+    ).toDF("doc_id", "source")
+    val kept = graft.ops.CorpusOps.temperatureSample(df, "source", "doc_id",
+      alpha = 0.5)
+    val sizes = kept.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(sizes("small") == 25, "smallest source must keep everything")
+    // md5-fraction is uniform: binomial(400, 0.25) and binomial(100, 0.5)
+    // stay within 5 sigma of the mean
+    assert(math.abs(sizes("big") - 100.0) < 5 * math.sqrt(400 * .25 * .75),
+      s"big kept ${sizes("big")}")
+    assert(math.abs(sizes("mid") - 50.0) < 5 * math.sqrt(100 * .5 * .5),
+      s"mid kept ${sizes("mid")}")
+    // deterministic: same rows on a rerun
+    val again = graft.ops.CorpusOps.temperatureSample(df, "source", "doc_id",
+      alpha = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // alpha=1 is the natural distribution: nothing dropped
+    assert(graft.ops.CorpusOps.temperatureSample(df, "source", "doc_id",
+      alpha = 1.0).count() == 525)
+  }
+
   test("real ImageIO decode: golden pixels through resize and features") {
     import spark.implicits._
     import graft.ops.Multimodal
