@@ -39,6 +39,7 @@ object Pipelines {
                    maxRepetition: Double = 0.3,
                    nearDupThreshold: Double = 0.7,
                    cutSpanK: Option[Int] = None,
+                   dedupLinesDelim: Option[String] = None,
                    chunkTokens: Int = 256, chunkStride: Int = 256,
                    packBudget: Long = 2048,
                    audit: Boolean = true,
@@ -99,7 +100,18 @@ object Pipelines {
       case None => clean
     }
 
-    val scrubbed = spanCut.withColumn(textCol,
+    // optional paragraph-level dedup (MassiveText policy): each distinct
+    // line keeps its first corpus-wide occurrence — catches repeated
+    // boilerplate at line granularity, cheaper than the char-gram pass
+    val lineDeduped = dedupLinesDelim match {
+      case Some(delim) => stage("dedup-lines",
+        Dedup.dedupLines(spanCut, delim, idCol, textCol)
+          .withColumn(textCol, col("text_deduped"))
+          .drop("text_deduped", "n_lines_cut"))
+      case None => spanCut
+    }
+
+    val scrubbed = lineDeduped.withColumn(textCol,
       CorpusOps.scrubText(col(textCol)))
 
     val chunks = stage("chunk",

@@ -110,6 +110,31 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.report.collect().map(_.getString(0)).contains("cut-spans"))
   }
 
+  test("dedupLinesDelim stage drops repeated lines, owner doc keeps them") {
+    import spark.implicits._
+    val boiler = "subscribe to the newsletter for more updates and content"
+    val docs = Seq(
+      (1L, "the alpha document body is all about one particular topic\n" + boiler),
+      (2L, boiler + "\nthe beta document is long and covers a different topic"),
+      (3L, "the gamma text is its own unrelated and unshared content here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "there is no overlap of this with anything in that corpus"))
+      .toDF("doc_id", "text")
+    val r = Pipelines.curateCorpus(docs, eval,
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.95,
+      dedupLinesDelim = Some("\n"), chunkTokens = 64, chunkStride = 64,
+      packBudget = 512)
+    val texts = r.chunks.select("doc_id", "chunk_text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // doc 1 owns the boilerplate line ((1, pos 1) < (2, pos 0)); doc 2
+    // keeps only its own line; doc 3 untouched
+    assert(texts(1L).contains("newsletter"))
+    assert(!texts(2L).contains("newsletter"))
+    assert(texts(2L).contains("beta document"))
+    assert(texts(3L).contains("gamma text"))
+    assert(r.report.collect().map(_.getString(0)).contains("dedup-lines"))
+  }
+
   test("audit=false skips the per-stage counts and returns an empty report") {
     import spark.implicits._
     val docs = Seq(
