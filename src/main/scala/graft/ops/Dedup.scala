@@ -548,21 +548,33 @@ object Dedup {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val idx = Similarity.buildIvfIndex(embeddings, nCenters, iters, idCol, vecCol)
-    val a = idx.cells.select(col("center_id"), col("vec_id").as("_ida"),
+    val out = semanticDedup(idx, threshold)
+      .withColumnRenamed("vec_id", idCol)
+      .localCheckpoint(true)
+    idx.release()
+    out
+  }
+
+  /** [[semanticDedup]] against a PREBUILT IVF index — the deployment shape
+    * at corpus scale: the k-means build is paid once
+    * ([[Similarity.buildIvfIndex]], persisted bucketed by `center_id`) and
+    * each curation run only pays the within-cell pairing. Column names
+    * follow the index (`vec_id`, `center_id`).
+    */
+  def semanticDedup(index: Similarity.IvfIndex,
+                    threshold: Double): DataFrame = {
+    val a = index.cells.select(col("center_id"), col("vec_id").as("_ida"),
       col("_cv").as("_va"))
-    val b = idx.cells.select(col("center_id"), col("vec_id").as("_idb"),
+    val b = index.cells.select(col("center_id"), col("vec_id").as("_idb"),
       col("_cv").as("_vb"))
     val drops = a.join(b, Seq("center_id"))
       .filter(col("_ida") < col("_idb"))
       .filter(cosine_sim(col("_va"), col("_vb")) >= threshold)
       .select(col("_idb").as("vec_id")).distinct()
-    val out = idx.cells
+    index.cells
       .join(drops.withColumn("_dropped", lit(true)), Seq("vec_id"), "left_outer")
-      .select(col("vec_id").as(idCol), col("center_id"),
+      .select(col("vec_id"), col("center_id"),
         coalesce(!col("_dropped"), lit(true)).as("is_kept"))
-      .localCheckpoint(true)
-    idx.release()
-    out
   }
 
   /** Dedup clustering: near-dup pairs → connected components → one

@@ -134,17 +134,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bloom probe should be on the scan side under the join")
   }
 
-  test("duplicate spans: hash-grouped first pass, AQE broadcasts survivors") {
-    // the survivor broadcast is count-gated (a forced broadcast OOMs
-    // on heavily-duplicated corpora); at this scale AQE must still pick a
-    // broadcast at runtime, so execute and inspect the FINAL adaptive plan
+  test("duplicate spans: hash-grouped first pass, gated survivor broadcast") {
+    // the survivor broadcast is count-gated (a forced one OOMs on
+    // heavily-duplicated corpora, an unhinted one shuffle-writes the gram
+    // stream); under the cap the executed plan must carry the explicit
+    // broadcast so the gram stream never stages for a shuffle
     val df = SparkEntry.queries("q_dup_spans")(spark, d)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin"),
-      "AQE should broadcast the small survivor set back onto the gram stream")
+      "gated survivor set should broadcast back onto the gram stream")
   }
 
   test("cut-spans keeps strings out of the wide stages") {
@@ -154,7 +155,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("BroadcastHashJoin"),
-      "AQE should broadcast the verified-gram set back onto the gram stream")
+      "gated verified-gram set should broadcast back onto the gram stream")
+  }
+
+  test("dedup-lines: owner via aggregation, no join against the line stream") {
+    val p = plan("q_dedup_lines")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // exactly the designed wide stages: line-owner agg, per-doc regroup,
+    // and the rebuilt-text join back onto the input — nothing joins the
+    // exploded line stream itself, so no extra exchange may appear
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"dedupLines planned $exchanges hash exchanges:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "owner/count aggregates should have a map-side partial phase")
+  }
+
+  test("semantic dedup pairs only within cells — no unblocked product") {
+    val df = SparkEntry.queries("q_dedup_semantic")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairing must join on center_id")
   }
 
   test("quantization is one narrow pass — no shuffle at all") {

@@ -144,6 +144,15 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // the operator did something on this table (near-dup labels exist)
     assert(out.exists(!_._3) && out.count(_._3) > out.length / 2)
+
+    // the prebuilt-index overload (build once, dedup many) agrees exactly:
+    // the k-means build is deterministic, so both paths see the same cells
+    val idx = Similarity.buildIvfIndex(emb, nCenters = 8, iters = 3)
+    val viaIndex = graft.ops.Dedup.semanticDedup(idx, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("center_id"),
+        r.getAs[Boolean]("is_kept"))).toSet
+    idx.release()
+    assert(viaIndex == out.toSet)
   }
 
   test("temperatureSample: surviving sizes track n^alpha, smallest keeps all") {
