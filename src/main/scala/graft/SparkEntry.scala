@@ -1014,6 +1014,16 @@ object SparkEntry {
         threshold = 0.3, nCenters = 8)
     }),
 
+    "q_source_token_budget" -> ((s, d) => {
+      // token-measured mixing cap (ops.CorpusOps.sourceTokenBudget): each
+      // source keeps its md5-ordered doc prefix until 2000 tokens; the
+      // boundary-crossing doc is kept (packByTokenBudget convention) and
+      // the kept ROWS oracle-match (md5 order is engine-portable)
+      graft.ops.CorpusOps.sourceTokenBudget(
+        t(s, d, "documents"), "source", "doc_id", "text", budget = 2000)
+        .select("doc_id", "source")
+    }),
+
     "q_mix_temperature" -> ((s, d) => {
       // temperature resampling (ops.CorpusOps.temperatureSample): strata by
       // leading source digit (deliberately uneven: 'src1x' strata are 11x
@@ -1446,6 +1456,21 @@ object SparkEntry {
         |  CAST(len(string_split(l.t, chr(10))) - coalesce(r.n_kept, 0)
         |    AS BIGINT) AS n_lines_cut
         |FROM lined l LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    "q_source_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    coalesce(sum(nt) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM t)
+        |SELECT doc_id, source FROM c WHERE before < 2000""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH s AS (

@@ -162,6 +162,35 @@ object CorpusOps {
     df.join(keep, keyCols, "left_semi")
   }
 
+  /** Token-budget source quota — the data-mixing cap measured in TOKENS
+    * (what a training run actually consumes), not documents: per source,
+    * docs are taken in deterministic md5-hash order and kept while the
+    * EXCLUSIVE cumulative token count is under `budget` — the doc that
+    * crosses the boundary is kept (its first token lands inside the
+    * budget, the [[packByTokenBudget]] convention), so a source at or
+    * above budget contributes ≥ budget and < budget + one doc; smaller
+    * sources contribute everything.
+    *
+    * One window shuffle on the source key; the running sum streams (no
+    * group buffering), so a hot source costs its row count, and the token
+    * count is the same whitespace tokenization as [[chunkDocs]], keeping
+    * quota accounting consistent with chunk/pack accounting downstream.
+    * md5 order (not crawl order) de-biases the kept prefix; md5 is
+    * engine-portable, so the kept ROWS are oracle-checkable.
+    */
+  def sourceTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_nt",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("_before", coalesce(sum(col("_nt")).over(w), lit(0L)))
+      .filter(col("_before") < budget)
+      .drop("_nt", "_before")
+  }
+
   /** Temperature-based source resampling — the corpus-mixing step that
     * rebalances wildly uneven sources before training (the multilingual
     * α-sampling of Conneau & Lample 2019 / mT5, done WITHOUT replacement):

@@ -184,6 +184,30 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       alpha = 1.0).count() == 525)
   }
 
+  test("sourceTokenBudget: boundary doc kept, small sources whole") {
+    import spark.implicits._
+    // "big" docs are 10 tokens each; budget 25 keeps docs while the
+    // EXCLUSIVE cumsum is < 25 -> exactly 3 docs (0, 10, 20 all < 25; the
+    // third crosses and is kept, the fourth starts at 30 and is cut).
+    // "tiny" totals 6 tokens -> kept whole.
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = ((1 to 8).map(i => (i.toLong, "big", ten)) ++
+      Seq((100L, "tiny", "a b c"), (101L, "tiny", "d e f")))
+      .toDF("doc_id", "source", "text")
+    val kept = graft.ops.CorpusOps.sourceTokenBudget(df, "source", "doc_id",
+      "text", budget = 25)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySrc("big") == 3, s"big kept ${bySrc("big")} docs, expected 3")
+    assert(bySrc("tiny") == 2, "sources under budget must keep everything")
+    // deterministic: the kept prefix is the md5-order prefix, so a rerun
+    // (and any repartitioning) picks the same rows
+    val again = graft.ops.CorpusOps.sourceTokenBudget(df.repartition(7),
+      "source", "doc_id", "text", budget = 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("real ImageIO decode: golden pixels through resize and features") {
     import spark.implicits._
     import graft.ops.Multimodal
