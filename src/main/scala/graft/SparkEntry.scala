@@ -1014,6 +1014,16 @@ object SparkEntry {
         threshold = 0.3, nCenters = 8)
     }),
 
+    "q_gopher_repetition" -> ((s, d) => {
+      // Gopher within-doc repetition gates (ops.TextAnalysis
+      // .repetitionStats): duplicate-line fraction/char-fraction over
+      // regex-folded 10-word lines + top-bigram char fraction; all ratios
+      // are integer ratios floored at 1e6 so the oracle hashes exactly
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+      graft.ops.TextAnalysis.repetitionStats(lined, n = 2)
+    }),
+
     "q_source_token_budget" -> ((s, d) => {
       // token-measured mixing cap (ops.CorpusOps.sourceTokenBudget): each
       // source keeps its md5-ordered doc prefix until 2000 tokens; the
@@ -1456,6 +1466,46 @@ object SparkEntry {
         |  CAST(len(string_split(l.t, chr(10))) - coalesce(r.n_kept, 0)
         |    AS BIGINT) AS n_lines_cut
         |FROM lined l LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    "q_gopher_repetition" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |lc AS (
+        |  SELECT doc_id, line, count(*) AS c, len(line) AS l
+        |  FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+        |        FROM lined)
+        |  GROUP BY doc_id, line),
+        |ls AS (
+        |  SELECT doc_id, sum(c) AS nl,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dl,
+        |    sum(c * l) AS chars,
+        |    sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dchars
+        |  FROM lc GROUP BY doc_id),
+        |gr AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g, count(*) AS gc
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w
+        |        FROM lined) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+        |  GROUP BY doc_id, g),
+        |top AS (
+        |  SELECT doc_id, g AS top_gram, gc FROM gr
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY gc DESC, g) = 1),
+        |tl AS (SELECT doc_id, len(t) AS tlen FROM lined)
+        |SELECT ls.doc_id,
+        |  CAST(ls.nl AS BIGINT) AS n_lines,
+        |  CAST(floor(ls.dl * 1.0 / ls.nl * 1000000.0) AS BIGINT)
+        |    AS dup_line_frac_u6,
+        |  CAST(CASE WHEN ls.chars > 0
+        |    THEN floor(ls.dchars * 1.0 / ls.chars * 1000000.0)
+        |    ELSE 0 END AS BIGINT) AS dup_line_char_frac_u6,
+        |  coalesce(top.top_gram, '') AS top_gram,
+        |  coalesce(CASE WHEN tl.tlen > 0
+        |    THEN CAST(floor(top.gc * len(top.top_gram) * 1.0 / tl.tlen
+        |      * 1000000.0) AS BIGINT) END, 0) AS top_gram_char_frac_u6
+        |FROM ls LEFT JOIN top USING (doc_id) JOIN tl USING (doc_id)""".stripMargin,
 
     "q_source_token_budget" ->
       """WITH t AS (

@@ -184,6 +184,32 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       alpha = 1.0).count() == 525)
   }
 
+  test("repetitionStats: hand-computed Gopher fractions") {
+    import spark.implicits._
+    // doc 1: lines [X, Y, X] (X="ab cd", Y="ef") -> dup lines 2/3,
+    // dup chars (5+5)/(5+5+2)=10/12; bigram stream of the whole text:
+    // "ab cd","cd ef","ef ab","ab cd" -> top = "ab cd" (count 2, len 5),
+    // text len = 14 -> 10/14
+    val docs = Seq(
+      (1L, "ab cd\nef\nab cd"),
+      (2L, "u v w")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.repetitionStats(docs, n = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_lines") == 3L)
+    assert(r1.getAs[Long]("dup_line_frac_u6") == math.floor(2.0 / 3 * 1e6).toLong)
+    assert(r1.getAs[Long]("dup_line_char_frac_u6")
+      == math.floor(10.0 / 12 * 1e6).toLong)
+    assert(r1.getAs[String]("top_gram") == "ab cd")
+    assert(r1.getAs[Long]("top_gram_char_frac_u6")
+      == math.floor(2 * 5.0 / 14 * 1e6).toLong)
+    // doc 2: no repeats; tie on count 1 breaks to smallest gram "u v"
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("dup_line_frac_u6") == 0L)
+    assert(r2.getAs[String]("top_gram") == "u v")
+  }
+
   test("sourceTokenBudget: boundary doc kept, small sources whole") {
     import spark.implicits._
     // "big" docs are 10 tokens each; budget 25 keeps docs while the
