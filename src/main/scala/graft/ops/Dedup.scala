@@ -7,15 +7,21 @@ import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators for training-data pipelines.
   *
-  * Five tiers, cheapest-first, all expressed as shuffle-minimal DataFrame
-  * plans (no collect, no cross joins — every pairing goes through a
-  * blocking key so the shuffle carries candidates, not the corpus):
+  * Doc-level tiers, cheapest-first, all expressed as shuffle-minimal
+  * DataFrame plans (no collect, no cross joins — every pairing goes
+  * through a blocking key so the shuffle carries candidates, not the
+  * corpus):
   *
   *  1. exact        — hash group-by on the normalized fingerprint
   *  2. minhashLSH   — shingle → MinHash signature → banded bucket join
   *  3. simhash      — 64-bit SimHash, near-dup via band blocking + hamming
   *  4. ngramJaccard — word-n-gram inverted-index join, exact Jaccard verify
   *  5. embedding    — cosine near-dup, see [[Similarity]]
+  *  6. semantic     — SemDeDup: k-means cells + within-cell cosine
+  *
+  * Plus SUB-document granularity: [[dedupLines]] (duplicate paragraphs,
+  * MassiveText) and the substring-span family ([[duplicateSpans]] /
+  * [[duplicateSpanRanges]] / [[cutDuplicateSpans]], Lee et al. 2022).
   *
   * At 100 TB: signatures are one narrow codegen'd pass; every subsequent
   * join keys on (band, bucket-hash) so Catalyst plans plain hash-shuffle
