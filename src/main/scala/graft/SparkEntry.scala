@@ -1005,6 +1005,19 @@ object SparkEntry {
         .select("doc_id", "text_deduped", "n_lines_cut")
     }),
 
+    "q_dedup_lines_incr" -> ((s, d) => {
+      // the daily-ingest form (ops.Dedup.dedupLinesIncremental): even docs
+      // are the standing corpus (as a line index), odd docs the arriving
+      // batch — corpus-known lines are cut everywhere, fresh lines keep
+      // their batch-first occurrence
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+      graft.ops.Dedup.dedupLinesIncremental(
+        graft.ops.Dedup.lineIndex(lined.filter(col("doc_id") % 2 === 0)),
+        lined.filter(col("doc_id") % 2 === 1))
+        .select("doc_id", "text_deduped", "n_lines_cut")
+    }),
+
     "q_dedup_semantic" -> ((s, d) => {
       // SemDeDup (ops.Dedup.semanticDedup): deterministic k-means cells +
       // within-cell cosine, smallest-id survivor per tight neighborhood.
@@ -1521,6 +1534,35 @@ object SparkEntry {
         |      AS before
         |  FROM t)
         |SELECT doc_id, source FROM c WHERE before < 2000""".stripMargin,
+
+    "q_dedup_lines_incr" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT DISTINCT line FROM (
+        |    SELECT unnest(string_split(t, chr(10))) AS line
+        |    FROM lined WHERE doc_id % 2 = 0)),
+        |blines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos
+        |  FROM lined WHERE doc_id % 2 = 1),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM blines
+        |  WHERE line NOT IN (SELECT line FROM corpus)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY line ORDER BY doc_id, pos) = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, coalesce(r.txt, '') AS text_deduped,
+        |  CAST(len(string_split(l.t, chr(10))) - coalesce(r.n_kept, 0)
+        |    AS BIGINT) AS n_lines_cut
+        |FROM lined l LEFT JOIN rebuilt r USING (doc_id)
+        |WHERE l.doc_id % 2 = 1""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH s AS (

@@ -506,15 +506,29 @@ object Dedup {
     */
   def dedupLines(docs: DataFrame, delim: String = "\n",
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val lines = docs.select(col(idCol),
+                 textCol: String = "text"): DataFrame =
+    rebuildFromKeptLines(docs, lineOwners(docs, delim, idCol, textCol),
+      delim, idCol, textCol)
+
+  /** Per-position line stream → kept occurrences (owner per distinct line
+    * = lexicographic-min (doc, pos); the aggregation winners ARE the kept
+    * rows — no join against the line stream).
+    */
+  private def lineOwners(docs: DataFrame, delim: String, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
       posexplode(split(col(textCol), delim)).as(Seq("_pos", "_line")))
-    // owner per distinct line = lexicographic-min (doc, pos); the winners
-    // are exactly the kept occurrences
-    val kept = lines
       .groupBy(xxhash64(col("_line")).as("_h"), col("_line"))
       .agg(min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_own"))
-      .select(col("_own.d").as(idCol), col("_own.p").as("_pos"), col("_line"))
+      .select(col("_h"),
+        col("_own.d").as(idCol), col("_own.p").as("_pos"), col("_line"))
+
+  /** Rejoin each doc's kept lines in original order; docs with no kept
+    * line rebuild to "".
+    */
+  private def rebuildFromKeptLines(docs: DataFrame, kept: DataFrame,
+                                   delim: String, idCol: String,
+                                   textCol: String): DataFrame = {
     val rebuilt = kept.groupBy(idCol)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
@@ -526,6 +540,36 @@ object Dedup {
         (size(split(col(textCol), delim)).cast("long")
           - coalesce(col("_n_kept"), lit(0L))))
       .drop("_n_kept")
+  }
+
+  /** Corpus LINE INDEX: the distinct lines of a corpus, for
+    * [[dedupLinesIncremental]]. At 100 TB persist it bucketed by `line_h`
+    * ([[Bucketing.writeBucketed]]) so each day's batch anti-join shuffles
+    * only the batch side.
+    */
+  def lineIndex(docs: DataFrame, delim: String = "\n",
+                textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), delim)).as("line"))
+      .groupBy(xxhash64(col("line")).as("line_h"), col("line"))
+      .agg(count(lit(1)).as("n_occ"))
+
+  /** Incremental (cross-batch) LINE dedup — the daily-ingest form of
+    * [[dedupLines]]: batch lines already present in the corpus line index
+    * are cut everywhere, and among the remaining (corpus-fresh) lines the
+    * batch-first (doc, pos) occurrence survives — so appending the
+    * surviving lines to the corpus index preserves the global keep-one
+    * invariant across days. Anti-join keys on (hash, exact line): the
+    * index side carries its 8-byte hash for the shuffle, collisions are
+    * impossible, and a bucketed index makes the join one-sided.
+    */
+  def dedupLinesIncremental(corpusLines: DataFrame, batch: DataFrame,
+                            delim: String = "\n",
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val fresh = lineOwners(batch, delim, idCol, textCol)
+      .join(corpusLines.select(col("line_h").as("_h"),
+        col("line").as("_line")), Seq("_h", "_line"), "left_anti")
+    rebuildFromKeptLines(batch, fresh, delim, idCol, textCol)
   }
 
   /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,

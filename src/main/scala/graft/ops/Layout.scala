@@ -79,10 +79,11 @@ object Layout {
     * global order.
     */
   def writeRangeSharded(df: DataFrame, path: String,
-                        sortCols: Seq[String], numShards: Int): Unit = {
+                        sortCols: Seq[String], numShards: Int,
+                        format: String = "parquet"): Unit = {
     require(sortCols.nonEmpty && numShards > 0)
     df.repartitionByRange(numShards, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").format(format).save(path)
   }
 }

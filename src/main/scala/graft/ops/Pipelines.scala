@@ -135,21 +135,26 @@ object Pipelines {
     CurationResult(packed, report)
   }
 
-  /** Publish the curated chunks for training: one parquet tree per split,
-    * each written as globally sorted shards on (shard, pack_id, chunk_key)
+  /** Publish the curated chunks for training: one tree per split, each
+    * written as globally sorted shards on (shard, pack_id, chunk_key)
     * ([[Layout.writeRangeSharded]]) — so a training job reads shard files
     * in order and gets whole packs contiguously, and a resume can seek to
-    * any (shard, pack) boundary by file min/max alone.
+    * any (shard, pack) boundary by file min/max alone. `format` defaults
+    * to parquet; pass `"json"` for JSONL shards (the common training-data
+    * interchange — same tree layout, same in-file order, no columnar
+    * stats so seek-by-minmax degrades to seek-by-filename).
     */
   def publishCurated(result: CurationResult, path: String,
-                     shardsPerSplit: Int = 8): Unit = {
+                     shardsPerSplit: Int = 8,
+                     format: String = "parquet"): Unit = {
     val splits = result.chunks.select("split").distinct()
       .collect().map(_.getString(0)) // ≤ 3 rows: train/val/test
     splits.foreach { sp =>
       Layout.writeRangeSharded(
         result.chunks.filter(col("split") === sp),
         s"$path/split=$sp",
-        Seq("shard", "pack_id", "chunk_key"), shardsPerSplit)
+        Seq("shard", "pack_id", "chunk_key"), shardsPerSplit,
+        format)
     }
   }
 }

@@ -82,6 +82,14 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(published.count() == chunks.count())
     assert(published.select("split").distinct().count()
       == chunks.select("split").distinct().count())
+
+    // JSONL publish: same tree, same rows, text payloads intact
+    val outJson = java.nio.file.Files.createTempDirectory("curatedj").toString
+    Pipelines.publishCurated(r, outJson, shardsPerSplit = 2, format = "json")
+    val publishedJson = spark.read.json(outJson)
+    assert(publishedJson.count() == chunks.count())
+    assert(publishedJson.select("chunk_key").distinct().count()
+      == chunks.select("chunk_key").distinct().count())
   }
 
   test("cutSpanK stage removes residual duplicated substrings from chunks") {

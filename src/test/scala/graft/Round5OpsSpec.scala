@@ -116,6 +116,20 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == (("", 2L)))
   }
 
+  test("dedupLinesIncremental: corpus lines cut everywhere, fresh keep-one") {
+    import spark.implicits._
+    val corpus = Seq((1L, "A\nB")).toDF("doc_id", "text")
+    val idx = Dedup.lineIndex(corpus)
+    val batch = Seq((10L, "B\nC"), (11L, "C\nD")).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesIncremental(idx, batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_deduped"), r.getAs[Long]("n_lines_cut"))))
+      .toMap
+    // B is corpus-known -> cut; C is fresh, doc 10 owns it; D fresh
+    assert(got(10L) == (("C", 1L)))
+    assert(got(11L) == (("D", 1L)))
+  }
+
   test("semanticDedup: keep policy matches brute force per cell") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = graft.ops.Dedup.semanticDedup(emb, threshold = 0.3,
