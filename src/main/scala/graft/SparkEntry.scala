@@ -686,6 +686,34 @@ object SparkEntry {
       out
     }),
 
+    "q_author_rank" -> ((s, d) => {
+      // co-supplier PageRank (graph.GraphOps.authorRank): star-edge
+      // centrality over the same bipartite graph as q_graph_components.
+      // Rows-only (iterative float fixpoint is not SQL-replayable);
+      // GraphAndStreamSpec pins the dataflow against a reference
+      // implementation, and the rank column is floor-scaled for stability
+      val supplierOrders = par(s, t(s, d, "lineitem"))
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_suppkey").cast("string").as("src"),
+          col("l_orderkey").cast("string").as("dst"))
+      graft.graph.GraphOps.authorRank(supplierOrders, tol = 1e-6)
+        .select(col("author_uuid").cast("long").as("supp_key"),
+          floor(col("pagerank") * 1e6).cast("long").as("rank_u6"))
+    }),
+
+    "q_author_rank_weighted" -> ((s, d) => {
+      // true co-occurrence weights (#shared orders per supplier pair),
+      // k^2 pair join capped per order group (GraphOps.authorRankWeighted)
+      val supplierOrders = par(s, t(s, d, "lineitem"))
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_suppkey").cast("string").as("src"),
+          col("l_orderkey").cast("string").as("dst"))
+      graft.graph.GraphOps.authorRankWeighted(supplierOrders, tol = 1e-6,
+        maxGroupSize = 100)
+        .select(col("author_uuid").cast("long").as("supp_key"),
+          floor(col("pagerank") * 1e6).cast("long").as("rank_u6"))
+    }),
+
     "q_graph_components" -> ((s, d) => {
       // co-supplier graph: suppliers linked when they supply the same
       // order (the co-authorship connected-components analogue). Keys are
