@@ -691,12 +691,16 @@ object SparkEntry {
       // centrality over the same bipartite graph as q_graph_components.
       // Rows-only (iterative float fixpoint is not SQL-replayable);
       // GraphAndStreamSpec pins the dataflow against a reference
-      // implementation, and the rank column is floor-scaled for stability
+      // implementation, and the rank column is floor-scaled for stability.
+      // 8 fixed rounds: each round is 2 jobs of fixed overhead on this
+      // tiny graph, and a contract snapshot doesn't need the 50+ rounds a
+      // 1e-4 damped fixpoint takes
       val supplierOrders = par(s, t(s, d, "lineitem"))
         .filter(col("l_orderkey") <= 1000)
         .select(col("l_suppkey").cast("string").as("src"),
           col("l_orderkey").cast("string").as("dst"))
-      graft.graph.GraphOps.authorRank(supplierOrders, tol = 1e-6)
+      graft.graph.GraphOps.authorRank(supplierOrders, tol = 1e-4,
+        maxIter = 8)
         .select(col("author_uuid").cast("long").as("supp_key"),
           floor(col("pagerank") * 1e6).cast("long").as("rank_u6"))
     }),
@@ -708,8 +712,8 @@ object SparkEntry {
         .filter(col("l_orderkey") <= 1000)
         .select(col("l_suppkey").cast("string").as("src"),
           col("l_orderkey").cast("string").as("dst"))
-      graft.graph.GraphOps.authorRankWeighted(supplierOrders, tol = 1e-6,
-        maxGroupSize = 100)
+      graft.graph.GraphOps.authorRankWeighted(supplierOrders, tol = 1e-4,
+        maxIter = 8, maxGroupSize = 100)
         .select(col("author_uuid").cast("long").as("supp_key"),
           floor(col("pagerank") * 1e6).cast("long").as("rank_u6"))
     }),
