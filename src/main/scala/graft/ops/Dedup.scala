@@ -275,12 +275,17 @@ object Dedup {
     * the measured row count keeps the normal regime write-free while the
     * degenerate regime (a heavily-duplicated corpus whose survivor set
     * outgrows the cap) falls back to the linear shuffled join with no
-    * executor-memory ceiling.
+    * executor-memory ceiling. Also returns whether the broadcast was
+    * chosen, so callers can adapt the rest of the plan to the regime.
     */
-  private def gateBroadcast(df: DataFrame, cap: Long): DataFrame = {
+  private def gateBroadcastFlag(df: DataFrame, cap: Long): (DataFrame, Boolean) = {
     val pinned = df.localCheckpoint(true)
-    if (pinned.count() <= cap) broadcast(pinned) else pinned
+    val small = pinned.count() <= cap
+    (if (small) broadcast(pinned) else pinned, small)
   }
+
+  private def gateBroadcast(df: DataFrame, cap: Long): DataFrame =
+    gateBroadcastFlag(df, cap)._1
 
   /** Shared passes of the substring-dedup operators: the positions whose
     * k-gram EXACT text occurs ≥ minOcc times corpus-wide.
@@ -298,6 +303,18 @@ object Dedup {
     * gram duplicated, and the per-gram owner (corpus-first occurrence) is
     * computed per exact gram, not per hash group. Pass 3 re-joins positions
     * to the verified-gram table on (_h, gram) — gated the same way.
+    *
+    * Regime adaptation: in the broadcast regime (survivor set under the
+    * cap) passes 2 and 3 each re-enumerate the gram stream NARROWLY — a
+    * CPU-cheap re-scan, zero shuffle, zero writes, so the normal-corpus
+    * path materializes nothing. In the FALLBACK regime (survivor set over
+    * the cap — the heavily-duplicated corpora the operators target) a
+    * third enumeration would re-SHUFFLE the full k-bytes-per-position
+    * stream against the verified set, so instead pass 2's join output —
+    * the duplicated-candidate subset, the rare fraction of positions —
+    * is pinned once and both the verify regroup and the final position
+    * join read the pinned subset. Measured on the 8× degenerate
+    * ScaleProbe: one fewer full-stream shuffle per operator.
     */
   private def dupGramPositions(docs: DataFrame, k: Int, minOcc: Int,
                                idCol: String, textCol: String,
@@ -305,13 +322,18 @@ object Dedup {
                                keepOwner: Boolean): DataFrame = {
     def grams = gramStream(docs, k, window, idCol, textCol)
       .withColumn("_h", xxhash64(col("gram")))
-    val hot = gateBroadcast(
+    val (hot, hotSmall) = gateBroadcastFlag(
       grams.groupBy("_h").agg(count(lit(1)).as("_c"))
         .filter(col("_c") >= minOcc)
         .select("_h"),
       SurvivorBroadcastCap)
+    // candidate positions (full stream ⋈ survivor hashes): leave lazy in
+    // the broadcast regime so downstream passes stay narrow re-scans; pin
+    // in the fallback regime so the stream is shuffled exactly once
+    val cand0 = grams.join(hot, Seq("_h"))
+    val cand = if (hotSmall) cand0 else cand0.localCheckpoint(true)
     val verified = gateBroadcast(
-      grams.join(hot, Seq("_h"))
+      cand
         .groupBy("_h", "gram")
         .agg(count(lit(1)).as("_c"),
           min(struct(col(idCol).as("d"), col("_pos").as("p"))).as("_own"))
@@ -320,7 +342,7 @@ object Dedup {
       // verified rows carry the k-char gram text, so the byte cap is the
       // same order as the hash set's at k=60
       SurvivorBroadcastCap / 8)
-    val pos = grams.join(verified, Seq("_h", "gram"))
+    val pos = cand.join(verified, Seq("_h", "gram"))
     if (keepOwner) pos.select(col(idCol), col("_pos"), col("_own"))
     else pos.select(col(idCol), col("_pos"))
   }

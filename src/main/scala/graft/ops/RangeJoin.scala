@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Interval (range) join — "point t inside [start, end]" — as a binned
   * equi-join.
@@ -31,6 +31,9 @@ object RangeJoin {
   private def rep(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case TimestampType => unix_micros(col(c))
+      // session-tz shift is applied identically to point and bounds, so
+      // binning and the exact post-filter are unaffected by the zone
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
       case DateType      => datediff(col(c), lit("1970-01-01").cast("date")).cast("long")
       case _             => col(c).cast("long")
     }
@@ -42,9 +45,10 @@ object RangeJoin {
     */
   private def unitOf(df: DataFrame, c: String): String =
     df.schema(c).dataType match {
-      case TimestampType => "epoch-micros"
-      case DateType      => "epoch-days"
-      case _             => "integral"
+      case TimestampType    => "epoch-micros"
+      case TimestampNTZType => "epoch-micros"
+      case DateType         => "epoch-days"
+      case _                => "integral"
     }
 
   /** Floor-division bin id over the named (long) column `c`. `pmod` is

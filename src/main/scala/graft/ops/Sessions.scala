@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Batch sessionization: split each key's event stream into sessions at
   * inactivity gaps — the batch twin of the streaming
@@ -18,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
+  /** Epoch micros of a timestamp column of EITHER flavor: the cast is an
+    * identity on TIMESTAMP and a uniform session-tz shift on
+    * TIMESTAMP_NTZ (`unix_micros` rejects NTZ directly) — gap and
+    * duration arithmetic difference two such values, so the shift cancels.
+    */
+  private def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+
   /** Annotate events with `session_index` (0-based per key, in ts order)
     * and a deterministic `session_id` string key-session composite.
     *
@@ -28,7 +36,7 @@ object Sessions {
                  gapSeconds: Long): DataFrame = {
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val newSession = coalesce(
-      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(byKey)) >
+      epochUs(col(tsCol)) - epochUs(lag(col(tsCol), 1).over(byKey)) >
         gapSeconds * 1000000L,
       lit(true)) // first event of a key opens a session
     events
@@ -47,7 +55,7 @@ object Sessions {
     sessionized.groupBy((keys :+ "session_index").map(col): _*)
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
-        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+        (epochUs(max(col(tsCol))) - epochUs(min(col(tsCol))))
           .as("duration_us"),
         count(lit(1)).as("n_events"))
 }
