@@ -337,6 +337,31 @@ object SparkEntry {
         .select("id_a", "id_b", "inter", "size_a", "size_b")
     }),
 
+    "q_ngram_containment" -> ((s, d) => {
+      // overlap-coefficient sibling of q_ngram_jaccard_pairs
+      // (ops.Dedup.ngramContainmentPairs shape): containment
+      // inter/min(sizes) catches a doc EMBEDDED in a larger one, where
+      // jaccard dilutes toward 0 as the size gap grows. Same inverted
+      // index, df-cap, and integer outputs; the 0.3 threshold applies as
+      // an integer cross-multiply so the oracle compare stays exact
+      val sh0 = par(s, t(s, d, "documents")).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
+      val rare = sh0.groupBy("sh").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= 100).select("sh")
+      val sh = sh0.join(rare, Seq("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("id_a"),
+          col("setsize").as("size_a")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"),
+          col("setsize").as("size_b")), Seq("id_b"))
+        .filter(col("inter") * 10 >= least(col("size_a"), col("size_b")) * 3)
+        .select("id_a", "id_b", "inter", "size_a", "size_b")
+    }),
+
     "q_token_stats" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val stops = array(stopwords15.map(lit): _*)
@@ -1092,6 +1117,38 @@ object SparkEntry {
         .select("doc_id", "stratum")
     }),
 
+    "q_gopher_quality" -> ((s, d) => {
+      // the published Gopher rule filter (ops.TextAnalysis
+      // .gopherQualityFlags): all seven thresholds verbatim, one narrow
+      // codegen pass; ratios floored at 1e-6 so the oracle hashes exactly
+      graft.ops.TextAnalysis.gopherQualityFlags(
+        par(s, t(s, d, "documents")))
+        .select("doc_id", "n_words", "mean_word_len_u6", "symbol_ratio_u6",
+          "bullet_frac_u6", "ellipsis_frac_u6", "alpha_frac_u6",
+          "n_stop_hits", "keep")
+    }),
+
+    "q_profile" -> ((s, d) => {
+      // dataset profiling (ops.Profile.profileColumns): every column's
+      // row/null/exact-distinct counts + string min/max in ONE aggregation
+      // (multi-countDistinct rewrites into a single Expand — one shuffle,
+      // not one job per column), unpivoted by a static inline explode
+      graft.ops.Profile.profileColumns(
+        t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_quantity"))
+    }),
+
+    "q_weighted_sample" -> ((s, d) => {
+      // Efraimidis-Spirakis weighted sampling without replacement
+      // (ops.CorpusOps.weightedSample): score = u^(1/w), top-20 per
+      // source, u = engine-portable md5-fraction so the sampled ROWS
+      // oracle-match (w = text length: longer docs oversampled)
+      graft.ops.CorpusOps.weightedSample(
+        t(s, d, "documents").withColumn("_w", length(col("text")).cast("double")),
+        "_w", n = 20, idCol = "doc_id", strataCols = Seq("source"))
+        .select("doc_id", "source", "sample_rank")
+    }),
+
     "q_curate_pipeline" -> ((s, d) => {
       // the composed curation pipeline (ops.Pipelines.curateCorpus):
       // annotate -> quality gate -> exact dedup -> MinHash dedup ->
@@ -1367,6 +1424,25 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin,
 
+    "q_ngram_containment" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 20 = 0) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |sizes AS (SELECT doc_id, count(*) AS setsize FROM sh0 GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT doc_id, s FROM sh0 JOIN rare USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, inter, sa.setsize AS size_a, sb.setsize AS size_b
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE inter * 10 >= least(sa.setsize, sb.setsize) * 3""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE
         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -1607,6 +1683,104 @@ object SparkEntry {
         |FROM s JOIN p USING (stratum)
         |WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))
         |        AS BIGINT) / 4294967296.0 < p.q""".stripMargin,
+
+    "q_gopher_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT)
+        |      + (length(text) - length(replace(text, '…', ''))) AS n_dots,
+        |    string_split(text, chr(10)) AS lines,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_words, word_chars, n_hash, n_dots,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(ltrim(l), '^[-*•‣●]'))) AS n_bullet,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ellip,
+        |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS n_alpha,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(toks, x -> lower(x)), s)))
+        |      AS n_stop
+        |  FROM base),
+        |u AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(CASE WHEN n_words > 0
+        |      THEN floor(word_chars / CAST(n_words AS DOUBLE) * 1000000.0)
+        |      ELSE 0 END AS BIGINT) AS mean_word_len_u6,
+        |    CAST(CASE WHEN n_words > 0
+        |      THEN floor((n_hash + n_dots) / CAST(n_words AS DOUBLE)
+        |        * 1000000.0) ELSE 0 END AS BIGINT) AS symbol_ratio_u6,
+        |    CAST(CASE WHEN n_lines > 0
+        |      THEN floor(n_bullet / CAST(n_lines AS DOUBLE) * 1000000.0)
+        |      ELSE 0 END AS BIGINT) AS bullet_frac_u6,
+        |    CAST(CASE WHEN n_lines > 0
+        |      THEN floor(n_ellip / CAST(n_lines AS DOUBLE) * 1000000.0)
+        |      ELSE 0 END AS BIGINT) AS ellipsis_frac_u6,
+        |    CAST(CASE WHEN n_words > 0
+        |      THEN floor(n_alpha / CAST(n_words AS DOUBLE) * 1000000.0)
+        |      ELSE 0 END AS BIGINT) AS alpha_frac_u6,
+        |    CAST(n_stop AS BIGINT) AS n_stop_hits
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len_u6, symbol_ratio_u6,
+        |  bullet_frac_u6, ellipsis_frac_u6, alpha_frac_u6, n_stop_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len_u6 BETWEEN 3000000 AND 10000000
+        |    AND symbol_ratio_u6 <= 100000
+        |    AND bullet_frac_u6 <= 900000
+        |    AND ellipsis_frac_u6 <= 300000
+        |    AND alpha_frac_u6 >= 800000
+        |    AND n_stop_hits >= 2) AS keep
+        |FROM u""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(l_orderkey) AS n_nulls,
+        |    count(DISTINCT l_orderkey) AS n_distinct,
+        |    coalesce(CAST(min(l_orderkey) AS VARCHAR), '') AS min_val,
+        |    coalesce(CAST(max(l_orderkey) AS VARCHAR), '') AS max_val
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+        |    count(DISTINCT l_partkey),
+        |    coalesce(CAST(min(l_partkey) AS VARCHAR), ''),
+        |    coalesce(CAST(max(l_partkey) AS VARCHAR), '')
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag),
+        |    coalesce(CAST(min(l_returnflag) AS VARCHAR), ''),
+        |    coalesce(CAST(max(l_returnflag) AS VARCHAR), '')
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |    count(DISTINCT l_quantity),
+        |    coalesce(CAST(min(l_quantity) AS VARCHAR), ''),
+        |    coalesce(CAST(max(l_quantity) AS VARCHAR), '')
+        |  FROM lineitem""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS u,
+        |    CAST(length(text) AS DOUBLE) AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY pow(u, 1.0 / w) DESC, doc_id) AS sample_rank
+        |  FROM s WHERE w > 0)
+        |SELECT doc_id, source, sample_rank FROM r
+        |WHERE sample_rank <= 20""".stripMargin,
 
     "q_repetition" ->
       """WITH grams AS (

@@ -223,6 +223,47 @@ object CorpusOps {
       .drop("_q", "_u")
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-Res
+    * (2006): each row draws u ∈ [0,1) and scores u^(1/w); the n largest
+    * scores are exactly a weight-proportional sample without replacement.
+    * Used for quality-weighted corpus subsetting (w = quality score,
+    * upvotes, freshness) where with-replacement sampling would duplicate
+    * documents.
+    *
+    * u is the DETERMINISTIC md5-fraction of the id (first 8 hex digits /
+    * 2^32) — the same portable construction as [[temperatureSample]], so
+    * the sample is stable across runs, partitionings, and engines, and
+    * oracle-checkable. Rows with weight ≤ 0 never qualify (score −1).
+    *
+    * Scale: with `strataCols` the top-n is a per-stratum window (one
+    * shuffle on the strata, n rows kept per group); without, a global
+    * ORDER BY + LIMIT n, which Catalyst plans as TakeOrderedAndProject —
+    * per-partition heaps of n, no global sort.
+    *
+    * @return input rows + `sample_rank` (1-based within stratum / overall)
+    */
+  def weightedSample(df: DataFrame, weightCol: String, n: Int,
+                     idCol: String = "doc_id",
+                     strataCols: Seq[String] = Nil): DataFrame = {
+    require(n > 0)
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0d
+    val score = when(col(weightCol) > 0,
+      pow(u, lit(1.0) / col(weightCol))).otherwise(-1.0d)
+    val scored = df.withColumn("_score", score).filter(col("_score") >= 0)
+    val ranked =
+      if (strataCols.isEmpty)
+        scored.orderBy(col("_score").desc, col(idCol)).limit(n)
+          .withColumn("sample_rank",
+            row_number().over(Window.orderBy(col("_score").desc, col(idCol))))
+      else
+        scored.withColumn("sample_rank",
+          row_number().over(Window.partitionBy(strataCols.map(col): _*)
+            .orderBy(col("_score").desc, col(idCol))))
+          .filter(col("sample_rank") <= n)
+    ranked.drop("_score")
+  }
+
   /** Grouped z-score outlier flagging — the statistical curation gate
     * (aberrant doc lengths within a source, absurd metric values within an
     * event type). Two-pass shape: one hash aggregation for the per-group

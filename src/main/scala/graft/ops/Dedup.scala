@@ -207,6 +207,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-CONTAINMENT pairs: overlap coefficient |A∩B| / min(|A|,|B|) over
+    * word-n-gram sets — the measure that catches a document embedded
+    * inside a larger one (quote farms, scraped aggregators, doc+boilerplate
+    * wrappers), which Jaccard structurally misses: a 1 KB doc fully
+    * contained in a 100 KB doc has Jaccard ≈ 0.01 but containment 1.0.
+    *
+    * Same inverted-index blocking and scale levers as
+    * [[ngramJaccardPairs]] (df-cap before the self-join, shared-shingle
+    * floor before the pair agg); the only change is the final formula, so
+    * the shuffle profile is identical and exact — no verify pass needed.
+    * Directional containments are also returned (`in_a` = fraction of A's
+    * grams present in B).
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
+                            threshold: Double = 0.8,
+                            minSharedShingles: Int = 2, maxDocFreq: Int = 1000,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val shingled = docs.select(col(idCol).as("_id"),
+      word_shingles(col(textCol), n).as("_sh"))
+      .withColumn("_setsize", size(col("_sh")))
+      .filter(col("_setsize") > 0)
+    val inv0 = shingled.select(col("_id"), col("_setsize"),
+      explode(col("_sh")).as("_shingle"))
+    val rare = inv0.groupBy("_shingle")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq)
+      .select("_shingle")
+    val inv = inv0.join(rare, Seq("_shingle"))
+    inv.select(col("_shingle"), col("_id").as("id_a"),
+        col("_setsize").as("size_a"))
+      .join(inv.select(col("_shingle"), col("_id").as("id_b"),
+        col("_setsize").as("size_b")), Seq("_shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("_inter"))
+      .filter(col("_inter") >= minSharedShingles)
+      .withColumn("containment",
+        col("_inter") / least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"),
+        (col("_inter") / col("size_a")).as("in_a"),
+        (col("_inter") / col("size_b")).as("in_b"))
+  }
+
   /** Eval-set decontamination: flag training documents that share at least
     * `minSharedShingles` word-n-grams with ANY eval/benchmark document —
     * the contamination filter every LLM training pipeline runs before a

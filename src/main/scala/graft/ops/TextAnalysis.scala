@@ -128,6 +128,72 @@ object TextAnalysis {
           lit(0L)).as("top_gram_char_frac_u6"))
   }
 
+  /** Gopher document-quality RULES (Rae et al. 2021, Table A1) — the
+    * published threshold filter applied verbatim, one row per doc with the
+    * measured signals plus per-rule booleans and the composite `keep`:
+    *
+    *  - 50 ≤ word count ≤ 100,000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-to-word ratio ("#" or "..."/"…") ≤ 0.1
+    *  - lines starting with a bullet ≤ 90%
+    *  - lines ending with an ellipsis ≤ 30%
+    *  - words with ≥ 1 alphabetic char ≥ 80%
+    *  - ≥ 2 distinct words of the 8-word stop list
+    *    (the, be, to, of, and, that, have, with)
+    *
+    * One narrow codegen pass — no shuffle, no UDF: every signal is builtin
+    * arithmetic over split/filter/replace, and every ratio is a ratio of
+    * integers floored at 1e-6 so the DuckDB oracle hashes identically.
+    */
+  def gopherQualityFlags(docs: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, 0).otherwise(size(toks))
+      .cast("long")
+    // sum of token lengths = doc length minus whitespace
+    val wordChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nDots =
+      ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("long") +
+        (length(t) - length(replace(t, lit("…"), lit("")))).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => ltrim(l).rlike("^[-*•‣●]")))
+      .cast("long")
+    val nEllip = size(filter(lines, l =>
+      rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(lit): _*)
+    val lowToks = transform(toks, lower(_))
+    val nStop = size(filter(stops, s => array_contains(lowToks, s)))
+      .cast("long")
+    def u6(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") / den.cast("double") * 1e6))
+        .otherwise(0d).cast("long")
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len_u6", u6(wordChars, nWords))
+      .withColumn("symbol_ratio_u6", u6(nHash + nDots, nWords))
+      .withColumn("bullet_frac_u6", u6(nBullet, nLines))
+      .withColumn("ellipsis_frac_u6", u6(nEllip, nLines))
+      .withColumn("alpha_frac_u6", u6(nAlpha, nWords))
+      .withColumn("n_stop_hits", nStop)
+      .withColumn("ok_words",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("ok_word_len", col("mean_word_len_u6") >= 3000000L &&
+        col("mean_word_len_u6") <= 10000000L)
+      .withColumn("ok_symbols", col("symbol_ratio_u6") <= 100000L)
+      .withColumn("ok_bullets", col("bullet_frac_u6") <= 900000L)
+      .withColumn("ok_ellipsis", col("ellipsis_frac_u6") <= 300000L)
+      .withColumn("ok_alpha", col("alpha_frac_u6") >= 800000L)
+      .withColumn("ok_stops", col("n_stop_hits") >= 2L)
+      .withColumn("keep", col("ok_words") && col("ok_word_len") &&
+        col("ok_symbols") && col("ok_bullets") && col("ok_ellipsis") &&
+        col("ok_alpha") && col("ok_stops"))
+  }
+
   /** One-pass corpus annotation: all signals as new columns. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

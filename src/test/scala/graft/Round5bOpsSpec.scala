@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{CorpusOps, Dedup, Profile, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Second round-5 operator batch: containment pairs, the Gopher rule
+  * filter, dataset profiling, and weighted sampling without replacement.
+  */
+class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("round5b-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("ngramContainmentPairs: embedded doc scores 1.0 where jaccard dilutes") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),                    // fully contained in doc 2
+      (2L, small + " " + filler),     // superset
+      (3L, "iota kappa lambda mu nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, n = 3, threshold = 0.9)
+      .collect()
+    assert(pairs.length == 1)
+    val row = pairs.head
+    assert(row.getAs[Long]("id_a") == 1L && row.getAs[Long]("id_b") == 2L)
+    assert(math.abs(row.getAs[Double]("containment") - 1.0) < 1e-12)
+    // the directional view: all of A's grams are in B, few of B's in A
+    assert(math.abs(row.getAs[Double]("in_a") - 1.0) < 1e-12)
+    assert(row.getAs[Double]("in_b") < 0.1)
+    // jaccard on the same pair is far below any near-dup threshold
+    val j = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.0,
+      minSharedShingles = 1).collect()
+      .find(r => r.getAs[Long]("id_a") == 1L).get.getAs[Double]("jaccard")
+    assert(j < 0.05, s"jaccard $j should dilute for the embedded pair")
+  }
+
+  test("gopherQualityFlags: hand-checked rule hits") {
+    import spark.implicits._
+    val good = ((1 to 60).map(i => s"word$i") ++
+      Seq("the", "of", "and")).mkString(" ")
+    val tooShort = "just a few little words here"
+    val bullets = (1 to 50).map(i => s"- item$i the of").mkString("\n")
+    val symbols = (1 to 60).map(i => s"w$i###").mkString(" ") + " the of"
+    val docs = Seq((1L, good), (2L, tooShort), (3L, bullets),
+      (4L, symbols)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFlags(docs)
+      .select("doc_id", "keep", "ok_words", "ok_bullets", "ok_symbols",
+        "ok_stops", "n_words")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), "plain 63-word doc should pass")
+    assert(!out(2L).getAs[Boolean]("ok_words") &&
+      !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("ok_bullets"),
+      "every line bulleted must trip the 90% bullet rule")
+    assert(!out(4L).getAs[Boolean]("ok_symbols"),
+      "three #'s per word must trip the 0.1 symbol ratio")
+  }
+
+  test("profileColumns: exact counts, nulls, and string min/max") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, null), (2L, "a"), (null, "a")
+    ).toDF("k", "s")
+    val p = Profile.profileColumns(df).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("k").getAs[Long]("n_rows") == 4L)
+    assert(p("k").getAs[Long]("n_nulls") == 1L)
+    assert(p("k").getAs[Long]("n_distinct") == 2L)
+    assert(p("k").getAs[String]("min_val") == "1" &&
+      p("k").getAs[String]("max_val") == "2")
+    assert(p("s").getAs[Long]("n_nulls") == 1L)
+    assert(p("s").getAs[String]("min_val") == "a" &&
+      p("s").getAs[String]("max_val") == "b")
+    // approximate mode keeps the same shape
+    val ap = Profile.profileColumns(df, exact = false).collect()
+    assert(ap.length == 2 && ap.forall(_.getAs[Long]("n_distinct") > 0))
+  }
+
+  test("weightedSample: deterministic, capped, weight-dominant") {
+    import spark.implicits._
+    val rows = (1L to 200L).map { i =>
+      // ids 1..10 get overwhelming weight: score u^(1/1e9) ~ 1, the rest
+      // u^(1/1e-3) ~ 0 — the extreme-weight rows MUST win every draw
+      (i, if (i <= 10) 1e9 else 1e-3)
+    } :+ (201L, -5.0) // nonpositive weight: never sampled
+    val df = rows.toDF("doc_id", "w")
+    val s1 = CorpusOps.weightedSample(df, "w", n = 10, idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = CorpusOps.weightedSample(df, "w", n = 10, idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "md5-keyed sample must be reproducible")
+    assert(s1 == (1L to 10L).toSet,
+      s"extreme weights must dominate the sample, got $s1")
+    // stratified: n per group, rank restarts, nonpositive excluded
+    val strat = df.withColumn("g", (col("doc_id") % 2).cast("int"))
+    val out = CorpusOps.weightedSample(strat, "w", n = 3,
+      idCol = "doc_id", strataCols = Seq("g"))
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byG(0) == 3L && byG(1) == 3L)
+    assert(out.agg(max("sample_rank")).head.getInt(0) == 3)
+    assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(201L))
+  }
+}
