@@ -227,6 +227,35 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Per-document Gopher repetition statistics in one codegen'd pass — see
+  * [[CorpusKernels.repetitionStatsRow]]. Replaces an explode + two
+  * shuffle-aggregation chains keyed by line/gram TEXT: document-local
+  * statistics never need to leave the document's row.
+  */
+case class RepetitionStats(child: Expression, n: Int, delim: String)
+    extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("dup_line_frac_u6", LongType, nullable = false),
+    StructField("dup_line_char_frac_u6", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_gram_char_frac_u6", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    CorpusKernels.repetitionStatsRow(
+      input.asInstanceOf[UTF8String].toString, n, delim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the delimiter may hold control chars (\n) — ship it as a reference
+    // object instead of splicing a literal into the generated source
+    val delimRef = ctx.addReferenceObj("delim", delim, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CorpusKernels.repetitionStatsRow($c.toString(), $n, $delimRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** Random-hyperplane LSH signature of a float vector: `planes` sign bits
   * packed into a long. Hyperplanes are deterministic (seeded) — identical
   * on every executor, so bucket joins are correct distributed.
@@ -275,6 +304,8 @@ object CorpusFunctions {
     column(CosineSim(expression(a), expression(b)))
   def hyperplane_sig(c: Column, planes: Int = 16): Column =
     column(HyperplaneSig(expression(c), planes))
+  def repetition_stats(c: Column, n: Int = 2, delim: String = "\n"): Column =
+    column(RepetitionStats(expression(c), n, delim))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

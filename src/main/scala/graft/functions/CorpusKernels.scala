@@ -357,6 +357,82 @@ object CorpusKernels {
     s
   }
 
+  /** Gopher within-doc repetition statistics in ONE pass over the text —
+    * the per-document form of the explode/regroup dataflow (a document's
+    * repetition stats are document-local, so distributing them over a
+    * shuffle keyed by line/gram text is pure overhead). Semantics mirror
+    * the former aggregation chain exactly:
+    *
+    *  - lines = split(text, delim) with Spark's limit −1 (trailing empties
+    *    kept); duplicated = count ≥ 2 within the doc
+    *  - grams = sliding word n-grams over whitespace-split tokens of the
+    *    trimmed text; top gram = max count, ties to the UTF-8-byte-wise
+    *    smallest (Spark's binary string ordering, which the former
+    *    min_by(struct) used)
+    *  - all lengths in code points, all ratios floored at 1e-6 in double
+    *    arithmetic with the same association as the column expressions
+    *
+    * @return [n_lines: Long, dup_line_frac_u6: Long,
+    *   dup_line_char_frac_u6: Long, top_gram: UTF8String,
+    *   top_gram_char_frac_u6: Long]
+    */
+  def repetitionStatsRow(text: String, n: Int, delim: String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val lines = text.split(delim, -1)
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < lines.length) {
+      lineCounts.merge(lines(i), 1, (a, b) => a + b); i += 1
+    }
+    var dl = 0L; var chars = 0L; var dchars = 0L
+    val it = lineCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.toLong
+      val len = e.getKey.codePointCount(0, e.getKey.length).toLong
+      chars += c * len
+      if (c >= 2) { dl += c; dchars += c * len }
+    }
+    val nl = lines.length.toLong
+    val toks = text.trim.split("\\s+", -1)
+    var topGram = ""
+    var topCount = 0
+    if (toks.length >= n) {
+      val gramCounts = new java.util.HashMap[String, Int]()
+      val sb = new java.lang.StringBuilder()
+      var g = 0
+      while (g <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(g + j)); j += 1
+        }
+        gramCounts.merge(sb.toString, 1, (a, b) => a + b)
+        g += 1
+      }
+      val git = gramCounts.entrySet().iterator()
+      while (git.hasNext) {
+        val e = git.next()
+        val c = e.getValue
+        if (c > topCount || (c == topCount &&
+            UTF8String.fromString(e.getKey)
+              .compareTo(UTF8String.fromString(topGram)) < 0)) {
+          topGram = e.getKey; topCount = c
+        }
+      }
+    }
+    val tlen = text.codePointCount(0, text.length).toLong
+    val gchars =
+      topCount.toLong * topGram.codePointCount(0, topGram.length).toLong
+    def u6(num: Long, den: Long): Long =
+      if (den > 0) math.floor(num.toDouble / den * 1e6).toLong else 0L
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nl, u6(dl, nl), u6(dchars, chars),
+        UTF8String.fromString(topGram), u6(gchars, tlen)))
+  }
+
   /** Random-hyperplane (SimHash-for-vectors, Charikar'02) signature:
     * bit p = sign(v · g_p) for deterministic pseudo-gaussian g_p.
     */

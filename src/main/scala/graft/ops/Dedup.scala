@@ -320,17 +320,12 @@ object Dedup {
     * the measured row count keeps the normal regime write-free while the
     * degenerate regime (a heavily-duplicated corpus whose survivor set
     * outgrows the cap) falls back to the linear shuffled join with no
-    * executor-memory ceiling. Also returns whether the broadcast was
-    * chosen, so callers can adapt the rest of the plan to the regime.
+    * executor-memory ceiling.
     */
-  private def gateBroadcastFlag(df: DataFrame, cap: Long): (DataFrame, Boolean) = {
+  private def gateBroadcast(df: DataFrame, cap: Long): DataFrame = {
     val pinned = df.localCheckpoint(true)
-    val small = pinned.count() <= cap
-    (if (small) broadcast(pinned) else pinned, small)
+    if (pinned.count() <= cap) broadcast(pinned) else pinned
   }
-
-  private def gateBroadcast(df: DataFrame, cap: Long): DataFrame =
-    gateBroadcastFlag(df, cap)._1
 
   /** Shared passes of the substring-dedup operators: the positions whose
     * k-gram EXACT text occurs ≥ minOcc times corpus-wide.
@@ -349,17 +344,17 @@ object Dedup {
     * computed per exact gram, not per hash group. Pass 3 re-joins positions
     * to the verified-gram table on (_h, gram) — gated the same way.
     *
-    * Regime adaptation: in the broadcast regime (survivor set under the
-    * cap) passes 2 and 3 each re-enumerate the gram stream NARROWLY — a
-    * CPU-cheap re-scan, zero shuffle, zero writes, so the normal-corpus
-    * path materializes nothing. In the FALLBACK regime (survivor set over
-    * the cap — the heavily-duplicated corpora the operators target) a
-    * third enumeration would re-SHUFFLE the full k-bytes-per-position
-    * stream against the verified set, so instead pass 2's join output —
-    * the duplicated-candidate subset, the rare fraction of positions —
-    * is pinned once and both the verify regroup and the final position
-    * join read the pinned subset. Measured on the 8× degenerate
-    * ScaleProbe: one fewer full-stream shuffle per operator.
+    * Plan sharing: passes 2 and 3 both consume the SAME candidate subtree
+    * (stream ⋈ survivor hashes) rather than re-enumerating the stream for
+    * the final position join. In the broadcast regime that subtree is a
+    * narrow scan either way; in the FALLBACK regime it ends in the one
+    * _h-keyed full-stream exchange, which Spark's ReuseExchange serves to
+    * both consumers — so the verify regroup and the position join shuffle
+    * only the candidate subset, never the full k-bytes-per-position
+    * stream a second time. (An eager localCheckpoint of the candidates
+    * was measured WORSE in the degenerate all-duplicated regime: there
+    * the candidate set IS the stream, and materializing it as row
+    * objects costs more than re-reading the compressed shuffle files.)
     */
   private def dupGramPositions(docs: DataFrame, k: Int, minOcc: Int,
                                idCol: String, textCol: String,
@@ -367,16 +362,15 @@ object Dedup {
                                keepOwner: Boolean): DataFrame = {
     def grams = gramStream(docs, k, window, idCol, textCol)
       .withColumn("_h", xxhash64(col("gram")))
-    val (hot, hotSmall) = gateBroadcastFlag(
+    val hot = gateBroadcast(
       grams.groupBy("_h").agg(count(lit(1)).as("_c"))
         .filter(col("_c") >= minOcc)
         .select("_h"),
       SurvivorBroadcastCap)
-    // candidate positions (full stream ⋈ survivor hashes): leave lazy in
-    // the broadcast regime so downstream passes stay narrow re-scans; pin
-    // in the fallback regime so the stream is shuffled exactly once
-    val cand0 = grams.join(hot, Seq("_h"))
-    val cand = if (hotSmall) cand0 else cand0.localCheckpoint(true)
+    // one candidate subtree feeds BOTH the verify regroup and the final
+    // position join (ReuseExchange shares its shuffle in the fallback
+    // regime; it is a narrow scan in the broadcast regime)
+    val cand = grams.join(hot, Seq("_h"))
     val verified = gateBroadcast(
       cand
         .groupBy("_h", "gram")

@@ -75,57 +75,27 @@ object TextAnalysis {
     *  - `top_gram_char_frac`  — occurrences × n-gram length / text length
     *    (occurrences counted sliding, Gopher's convention)
     *
-    * Scale shape: two aggregation chains, each keyed by (doc, line) /
-    * (doc, gram) — map-side partials absorb within-doc repeats, no window
-    * over raw occurrence streams, and the per-doc reduction uses
-    * `min_by(struct)` (ordinal (−count, gram)) rather than a sort. All
-    * ratios are ratios of integers computed identically by DuckDB, so the
-    * floor(×1e6) projections are hash-stable.
+    * Scale shape: ONE narrow codegen'd pass
+    * ([[graft.functions.CorpusKernels.repetitionStatsRow]]) — a document's
+    * repetition statistics are document-local, so the former explode + two
+    * shuffle-aggregation chains keyed by line/gram TEXT were pure
+    * distribution overhead (measured 6.5 s → sub-second on the sf0.1
+    * bench). Per-doc memory is O(distinct lines + distinct grams) of that
+    * one document. All ratios are ratios of integers computed identically
+    * by DuckDB, so the floor(×1e6) projections are hash-stable.
     */
   def repetitionStats(docs: DataFrame, n: Int = 2, delim: String = "\n",
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     require(n >= 1)
-    val lines = docs.select(col(idCol),
-      explode(split(col(textCol), delim)).as("_line"))
-    val lineStats = lines
-      .groupBy(idCol, "_line")
-      .agg(count(lit(1)).as("_c"), first(length(col("_line"))).as("_len"))
-      .groupBy(idCol)
-      .agg(sum(col("_c")).as("_nl"),
-        sum(when(col("_c") >= 2, col("_c")).otherwise(0L)).as("_dl"),
-        sum(col("_c") * col("_len")).as("_chars"),
-        sum(when(col("_c") >= 2, col("_c") * col("_len")).otherwise(0L))
-          .as("_dchars"))
-    val toks = split(trim(col(textCol)), "\\s+")
-    val gramArr = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val top = docs
-      .select(col(idCol), length(col(textCol)).as("_tlen"),
-        explode(gramArr).as("_g"))
-      .groupBy(idCol, "_g")
-      .agg(count(lit(1)).as("_gc"), first(col("_tlen")).as("_tlen"))
-      .groupBy(idCol)
-      .agg(min_by(struct(col("_g"), col("_gc"), col("_tlen")),
-        struct(-col("_gc"), col("_g"))).as("_top"))
-      .select(col(idCol), col("_top._g").as("top_gram"),
-        (col("_top._gc") * length(col("_top._g")).cast("long")).as("_gchars"),
-        col("_top._tlen").as("_tlen"))
-    lineStats.join(top, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        col("_nl").as("n_lines"),
-        floor(col("_dl").cast("double") / col("_nl") * 1e6)
-          .cast("long").as("dup_line_frac_u6"),
-        when(col("_chars") > 0,
-          floor(col("_dchars").cast("double") / col("_chars") * 1e6))
-          .otherwise(0d).cast("long").as("dup_line_char_frac_u6"),
-        coalesce(col("top_gram"), lit("")).as("top_gram"),
-        coalesce(when(col("_tlen") > 0,
-            floor(col("_gchars").cast("double") / col("_tlen") * 1e6)
-              .cast("long")),
-          lit(0L)).as("top_gram_char_frac_u6"))
+    // null-text docs dropped, as the former explode-based chain did
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), repetition_stats(col(textCol), n, delim).as("_r"))
+      .select(col(idCol), col("_r.n_lines").as("n_lines"),
+        col("_r.dup_line_frac_u6").as("dup_line_frac_u6"),
+        col("_r.dup_line_char_frac_u6").as("dup_line_char_frac_u6"),
+        col("_r.top_gram").as("top_gram"),
+        col("_r.top_gram_char_frac_u6").as("top_gram_char_frac_u6"))
   }
 
   /** Gopher document-quality RULES (Rae et al. 2021, Table A1) — the

@@ -196,6 +196,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("weighted sample takes the WindowGroupLimit path per stratum") {
+    // rank<=n after row_number must push a per-partition group limit, so a
+    // corpus-sized stratum tops out at n rows per map task before the
+    // shuffle — the property that makes the strata form 100 TB-safe
+    val p = plan("q_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "sample_rank<=n should push a group limit below the window")
+  }
+
+  test("profile is ONE aggregation pass — a single Expand, no per-column jobs") {
+    val p = plan("q_profile")
+    assert("Expand".r.findAllIn(p).size == 1,
+      "multi-countDistinct should rewrite into one Expand")
+    assert(!p.contains("Join") && !p.contains("Union"),
+      "profiling must not union per-column subqueries")
+  }
+
+  test("containment pairs join on the shingle key — no product") {
+    val p = plan("q_ngram_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("gopher repetition is one narrow kernel pass — no gram shuffle") {
+    // document-local statistics must not shuffle by line/gram text: the
+    // only allowed exchange is the input-balancing one, and no join exists
+    val p = plan("q_gopher_repetition")
+    assert(!p.contains("Join"), "per-doc stats must not join")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "no aggregation shuffle keyed by gram text")
+  }
+
   test("bench records a failing query as err, not as a fast time") {
     val broken = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "q_ok" -> ((s, d) => s.range(5).toDF("n")),
