@@ -160,6 +160,14 @@ object GraphOps {
         .select(col("dst").as("vid"),
           (col("pagerank") * col("w") / col("_wdeg")).as("_c"))
         .groupBy("vid").agg(sum(col("_c")).as("_csum"))
+      // `ranks` must appear in next's plan exactly ONCE: localCheckpoint
+      // rewrites the LogicalRDD's stats from the pre-checkpoint plan, and
+      // join-size estimates MULTIPLY — a second ranks join would square
+      // sizeInBytes every round, and the BigInt's digit count then doubles
+      // per round until Catalyst spends minutes multiplying million-digit
+      // numbers (observed at ~25 rounds). Hence convergence is measured by
+      // a separate terminal query over the two pinned iterates, whose
+      // stats feed nothing downstream.
       val next = verts.select("vid")
         .join(contribs, Seq("vid"), "left_outer")
         .select(col("vid"),
