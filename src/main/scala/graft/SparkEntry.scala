@@ -717,14 +717,15 @@ object SparkEntry {
       // Rows-only (iterative float fixpoint is not SQL-replayable);
       // GraphAndStreamSpec pins the dataflow against a reference
       // implementation, and the rank column is floor-scaled for stability.
-      // 8 fixed rounds: each round is 2 jobs of fixed overhead on this
-      // tiny graph, and a contract snapshot doesn't need the 50+ rounds a
-      // 1e-4 damped fixpoint takes
+      // 8 fixed rounds in run-exactly-N mode (tol=0 skips the per-round
+      // convergence query): a contract snapshot doesn't need the 50+
+      // rounds a 1e-4 damped fixpoint takes, and with the round budget
+      // binding, each convergence check would be pure overhead
       val supplierOrders = par(s, t(s, d, "lineitem"))
         .filter(col("l_orderkey") <= 1000)
         .select(col("l_suppkey").cast("string").as("src"),
           col("l_orderkey").cast("string").as("dst"))
-      graft.graph.GraphOps.authorRank(supplierOrders, tol = 1e-4,
+      graft.graph.GraphOps.authorRank(supplierOrders, tol = 0.0,
         maxIter = 8)
         .select(col("author_uuid").cast("long").as("supp_key"),
           floor(col("pagerank") * 1e6).cast("long").as("rank_u6"))
@@ -737,7 +738,7 @@ object SparkEntry {
         .filter(col("l_orderkey") <= 1000)
         .select(col("l_suppkey").cast("string").as("src"),
           col("l_orderkey").cast("string").as("dst"))
-      graft.graph.GraphOps.authorRankWeighted(supplierOrders, tol = 1e-4,
+      graft.graph.GraphOps.authorRankWeighted(supplierOrders, tol = 0.0,
         maxIter = 8, maxGroupSize = 100)
         .select(col("author_uuid").cast("long").as("supp_key"),
           floor(col("pagerank") * 1e6).cast("long").as("rank_u6"))

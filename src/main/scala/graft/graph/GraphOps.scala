@@ -174,10 +174,14 @@ object GraphOps {
           (lit(reset) + lit(damp) * coalesce(col("_csum"), lit(0d)))
             .as("pagerank"))
         .localCheckpoint(true)
-      delta = next
-        .join(ranks.withColumnRenamed("pagerank", "_prev"), Seq("vid"))
-        .agg(coalesce(max(abs(col("pagerank") - col("_prev"))), lit(0d)))
-        .head().getDouble(0)
+      // tol <= 0 = run-exactly-maxIter mode: when the round budget binds
+      // (bounded-round snapshots), the convergence query is pure per-round
+      // overhead — skip it and halve the job count
+      if (tol > 0)
+        delta = next
+          .join(ranks.withColumnRenamed("pagerank", "_prev"), Seq("vid"))
+          .agg(coalesce(max(abs(col("pagerank") - col("_prev"))), lit(0d)))
+          .head().getDouble(0)
       ranks.unpersist()
       ranks = next
       iter += 1
