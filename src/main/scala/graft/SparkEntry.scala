@@ -1133,9 +1133,11 @@ object SparkEntry {
       // dataset profiling (ops.Profile.profileColumns): every column's
       // row/null/exact-distinct counts + string min/max in ONE aggregation
       // (multi-countDistinct rewrites into a single Expand — one shuffle,
-      // not one job per column), unpivoted by a static inline explode
+      // not one job per column), unpivoted by a static inline explode.
+      // par(): the Expand fans out 5x per input row, so the single-file
+      // scan must be rebalanced or the whole fan-out runs in one task
       graft.ops.Profile.profileColumns(
-        t(s, d, "lineitem"),
+        par(s, t(s, d, "lineitem")),
         Seq("l_orderkey", "l_partkey", "l_returnflag", "l_quantity"))
     }),
 
