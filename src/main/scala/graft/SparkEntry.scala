@@ -1118,6 +1118,25 @@ object SparkEntry {
         .select("doc_id", "stratum")
     }),
 
+    "q_dedup_minhash_incr" -> ((s, d) => {
+      // incremental near-dup (ops.Dedup.buildMinhashIndex +
+      // nearDupAgainstIndex): low-id docs are the indexed corpus, high-id
+      // docs the arriving batch — the daily-ingest near-dup gate. The
+      // index's two tables mirror the deployment shape (band buckets
+      // without signature replication; signatures joined per-candidate
+      // only). Rows-only like the other LSH paths; Round5bOpsSpec pins
+      // equivalence with full corpus-wide LSH restricted to the cross
+      // axis.
+      val docs = par(s, t(s, d, "documents"))
+      val half = 250
+      val idx = graft.ops.Dedup.buildMinhashIndex(
+        docs.filter(col("doc_id") < half))
+      graft.ops.Dedup.nearDupAgainstIndex(idx,
+        docs.filter(col("doc_id") >= half), threshold = 0.5)
+        .select(col("batch_id"), col("corpus_id"),
+          floor(col("jaccard") * 1e6).cast("long").as("jaccard_u6"))
+    }),
+
     "q_gopher_quality" -> ((s, d) => {
       // the published Gopher rule filter (ops.TextAnalysis
       // .gopherQualityFlags): all seven thresholds verbatim, one narrow

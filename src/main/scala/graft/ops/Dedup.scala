@@ -130,6 +130,88 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** MinHash LSH index of a corpus, for INCREMENTAL near-dup
+    * ([[nearDupAgainstIndex]]) — the batch twin of the streaming band-state
+    * matcher ([[graft.streaming.Streams]]). Two tables, mirroring the
+    * streaming state-size lesson (a signature must not be replicated per
+    * band):
+    *
+    *  - `buckets` (band, bucket, doc_id): 16 bytes + id per band-doc — at
+    *    100 TB persist bucketed by (band, bucket)
+    *    ([[Bucketing.writeBucketed]]) so each day's probe join is
+    *    one-sided
+    *  - `sigs` (doc_id, sig, shingles): one row per doc, joined only for
+    *    the candidates that survive bucket blocking; persist bucketed by
+    *    doc_id
+    */
+  case class MinHashIndex(buckets: DataFrame, sigs: DataFrame)
+
+  /** Build the [[MinHashIndex]] of a corpus (one narrow signature pass +
+    * a static band fan-out — no shuffle; partitioning happens when the
+    * caller persists the two tables).
+    */
+  def buildMinhashIndex(docs: DataFrame, shingleK: Int = 5,
+                        numHashes: Int = 128, bands: Int = 32,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): MinHashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      minhash_sig(col(textCol), shingleK, numHashes).as("sig"),
+      sorted_shingles(col(textCol), shingleK).as("shingles"))
+    val bandKeys = array((0 until bands).map(b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "bucket")))
+      .select("band", "bucket", "doc_id")
+    MinHashIndex(buckets, sigs)
+  }
+
+  /** Incremental (cross-batch) NEAR-dup: every batch doc within `threshold`
+    * Jaccard of SOME indexed corpus doc — the daily-ingest near-dup gate
+    * (anti-join the result to admit only novel docs, then append the
+    * batch's own index rows to keep the invariant across days).
+    *
+    * Scale shape: the batch is banded with the index's parameters and
+    * equi-joins `index.buckets` on (band, bucket) — with a bucketed index
+    * only the batch side shuffles. Candidates dedup to (batch, corpus)
+    * pairs, then verify in two stages (signature-agreement prune at 3σ,
+    * exact sorted-merge Jaccard) — the corpus SIGNATURE table is joined
+    * per candidate, never per band. Within-batch duplicates are
+    * [[minhashLsh]] on the batch alone; this operator covers the
+    * batch-vs-corpus axis.
+    *
+    * @return (batch_id, corpus_id, jaccard), jaccard ≥ threshold
+    */
+  def nearDupAgainstIndex(index: MinHashIndex, batch: DataFrame,
+                          threshold: Double = 0.8, shingleK: Int = 5,
+                          numHashes: Int = 128, bands: Int = 32,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bsig = batch.select(col(idCol).as("batch_id"),
+      minhash_sig(col(textCol), shingleK, numHashes).as("_bsig"),
+      sorted_shingles(col(textCol), shingleK).as("_bsh"))
+    val bandKeys = array((0 until bands).map(b =>
+      hash(slice(col("_bsig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val probes = bsig.select(col("batch_id"),
+      posexplode(bandKeys).as(Seq("band", "bucket")))
+    val cand = probes
+      .join(index.buckets, Seq("band", "bucket"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val margin = 3.0 * math.sqrt(threshold * (1.0 - threshold) / numHashes)
+    cand
+      .join(bsig, Seq("batch_id"))
+      .join(index.sigs.select(col("doc_id").as("corpus_id"),
+        col("sig").as("_csig"), col("shingles").as("_csh")), Seq("corpus_id"))
+      .filter(sig_agreement(col("_bsig"), col("_csig")) >= threshold - margin)
+      .withColumn("jaccard", jaccard_sorted_arrays(col("_bsh"), col("_csh")))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ maxHamming.
     *
     * Blocking: split the 64-bit hash into (maxHamming+1) bands — by

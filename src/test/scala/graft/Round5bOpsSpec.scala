@@ -86,6 +86,38 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ap.length == 2 && ap.forall(_.getAs[Long]("n_distinct") > 0))
   }
 
+  test("nearDupAgainstIndex: batch-vs-corpus matches equal full-LSH cross pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different text about spark catalyst optimizers " +
+        "and distributed shuffle exchanges in query plans"),
+      (3L, "third corpus document with its own unrelated content about " +
+        "minhash banding and jaccard verification paths")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                  // exact dup of 1
+      (11L, base.replace("lazy", "sleepy")),        // near dup of 1
+      (12L, "a wholly novel batch document sharing nothing with the " +
+        "corpus at all not even one shingle hopefully")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus)
+    val got = Dedup.nearDupAgainstIndex(idx, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((10L, 1L)), "exact dup must match its corpus twin")
+    assert(got.contains((11L, 1L)), "near dup must match its corpus twin")
+    assert(!got.exists(_._1 == 12L), "novel doc must not match")
+    // equivalence: the same pairs the full corpus-wide LSH finds, restricted
+    // to the (corpus x batch) axis
+    val full = Dedup.minhashLsh(corpus.union(batch), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 <= 3 && p._2 >= 10)
+      .map(p => (p._2, p._1)).toSet
+    assert(got == full, s"index path $got != full-LSH cross pairs $full")
+  }
+
   test("weightedSample: deterministic, capped, weight-dominant") {
     import spark.implicits._
     val rows = (1L to 200L).map { i =>
