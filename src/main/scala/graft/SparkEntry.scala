@@ -1194,14 +1194,19 @@ object SparkEntry {
 
     "q_approx_topk" -> ((s, d) => {
       // Misra-Gries mergeable approx top-k (custom TypedImperativeAggregate,
-      // ops.Sketches.approxTopK). Capacity is DERIVED from the data — one
-      // cheap countDistinct pre-pass — so capacity > |distinct partkeys per
-      // flag| holds at ANY sf the driver runs, counts stay provably exact,
-      // and the exact two-stage top-k oracle remains valid; the approximate
-      // regime's N/capacity error bound is property-tested in FreqSketchSpec.
-      val src = par(s, t(s, d, "lineitem"))
+      // ops.Sketches.approxTopK). Capacity is DERIVED from the data so
+      // capacity > |distinct partkeys per flag| holds at ANY sf the driver
+      // runs, counts stay provably exact, and the exact two-stage top-k
+      // oracle remains valid; the approximate regime's N/capacity error
+      // bound is property-tested in FreqSketchSpec. The bound is
+      // max(l_partkey)+1 — partkeys are positive ints, so their distinct
+      // count can't exceed their max — a plain partial-agg max() pre-pass
+      // (the previous countDistinct derivation paid a full Expand shuffle
+      // for the same guarantee)
+      val li = par(s, t(s, d, "lineitem"))
+      val cap = li.agg(max(col("l_partkey"))).head().getLong(0).toInt + 1
+      val src = li
         .select(col("l_returnflag"), col("l_partkey").cast("string").as("pk"))
-      val cap = src.agg(countDistinct(col("pk"))).head().getLong(0).toInt + 1
       graft.ops.Sketches.approxTopK(src, Seq("l_returnflag"), "pk", k = 3,
         capacity = math.max(cap, 64))
     }),
