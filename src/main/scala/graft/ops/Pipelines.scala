@@ -146,7 +146,8 @@ object Pipelines {
     */
   def publishCurated(result: CurationResult, path: String,
                      shardsPerSplit: Int = 8,
-                     format: String = "parquet"): Unit = {
+                     format: String = "parquet",
+                     manifest: Boolean = true): Unit = {
     val splits = result.chunks.select("split").distinct()
       .collect().map(_.getString(0)) // ≤ 3 rows: train/val/test
     splits.foreach { sp =>
@@ -156,5 +157,18 @@ object Pipelines {
         Seq("shard", "pack_id", "chunk_key"), shardsPerSplit,
         format)
     }
+    // one-aggregation manifest: a training job sizes its read plan (and a
+    // resume validates completeness) from per-(split, shard) row/token/
+    // pack totals without listing or scanning the shard trees. pack_id is
+    // 0-based consecutive per (split, shard), so n_packs = max+1.
+    if (manifest)
+      result.chunks
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("n_tokens"),
+          (max(col("pack_id")) + 1L).as("n_packs"))
+        .orderBy("split", "shard")
+        .coalesce(1)
+        .write.mode("overwrite").json(s"$path/_manifest")
   }
 }

@@ -83,6 +83,20 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(published.select("split").distinct().count()
       == chunks.select("split").distinct().count())
 
+    // the _manifest is invisible to the tree read (underscore convention)
+    // and its totals reconcile with the data exactly
+    val mf = spark.read.json(s"$out/_manifest")
+    assert(mf.agg(sum("n_chunks")).head().getLong(0) == chunks.count())
+    assert(mf.agg(sum("n_tokens")).head().getLong(0)
+      == chunks.agg(sum("n_tokens")).head().getLong(0))
+    val mfKeyed = mf.select("split", "shard", "n_packs").collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    chunks.groupBy("split", "shard")
+      .agg((max("pack_id") + 1L).as("np")).collect().foreach { x =>
+        assert(mfKeyed((x.getString(0), x.getLong(1))) == x.getLong(2),
+          "manifest pack counts must match the data")
+      }
+
     // JSONL publish: same tree, same rows, text payloads intact
     val outJson = java.nio.file.Files.createTempDirectory("curatedj").toString
     Pipelines.publishCurated(r, outJson, shardsPerSplit = 2, format = "json")
