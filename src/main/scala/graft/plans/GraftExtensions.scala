@@ -87,6 +87,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => WinnowPositions(es(0),
         intLit(es(1), "winnow_positions", "k"),
         intLit(es(2), "winnow_positions", "window"))))
+    // per-doc Gopher repetition stats: repetition_stats(text, n, delim)
+    import graft.functions.RepetitionStats
+    def strLit(e: Expression, fn: String, what: String): String = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn $what must be a string literal")
+    }
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", classOf[RepetitionStats]),
+      (es: Seq[Expression]) => RepetitionStats(es(0),
+        intLit(es(1), "repetition_stats", "n"),
+        strLit(es(2), "repetition_stats", "delim"))))
   }
 }
 

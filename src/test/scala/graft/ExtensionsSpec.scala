@@ -120,7 +120,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "size(minhash_sig('a b c d e f g h', 3, 16)) AS nsig, " +
         "size(word_shingles('a b c d', 2)) AS nsh, " +
         "size(winnow('abcdefghijklmnop', 4, 3)) AS nwin, " +
-        "winnow_positions('abcdefghijklmnop', 4, 3) AS wpos").head()
+        "winnow_positions('abcdefghijklmnop', 4, 3) AS wpos, " +
+        "repetition_stats('a b a b', 2, '\\n') AS reps").head()
     assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
     assert(r.getString(2) == "en")
     assert(r.getInt(3) > 0)
@@ -130,6 +131,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(7) > 0)
     val wpos = r.getSeq[Long](8)
     assert(wpos.nonEmpty && wpos.forall(p => p >= 1 && p <= 13))
+    // 'a b' occurs twice among the three bigrams of "a b a b"
+    assert(r.getStruct(9).getAs[String]("top_gram") == "a b")
   }
 
   test("every custom expression compiles under CODEGEN_ONLY factory mode") {
@@ -146,9 +149,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "name_similarity(t, t), simhash64(t), doc_fingerprint(t), " +
         "lang_id(t), token_count_bpeish(t), cosine_sim(v, v), " +
         "minhash_sig(t, 3, 8), word_shingles(t, 2), " +
-        "winnow(t, 4, 3), winnow_positions(t, 4, 3) " +
+        "winnow(t, 4, 3), winnow_positions(t, 4, 3), " +
+        "repetition_stats(t, 2, '\\n') " +
         "FROM codegen_probe").head()
-    assert(row.size == 13)
+    assert(row.size == 14)
   }
 
   test("pure range condition (no equi keys) also rewrites") {
