@@ -939,6 +939,16 @@ object SparkEntry {
       graft.ops.TextAnalysis.wordEntropy(par(s, t(s, d, "documents")))
     }),
 
+    "q_lm_score" -> ((s, d) => {
+      // CCNet-style unigram pseudo-perplexity (ops.TextAnalysis
+      // .unigramBitsPerToken): self-LM at minCount=2 so the OOV/smoothing
+      // path is exercised; one term equi-join (LM is dimension-sized) +
+      // one map-side-combinable per-doc aggregate, no window
+      val docs = par(s, t(s, d, "documents"))
+      val lm = graft.ops.TextAnalysis.buildUnigramLm(docs, minCount = 2L)
+      graft.ops.TextAnalysis.unigramBitsPerToken(docs, lm)
+    }),
+
     "q_asof_forward" -> ((s, d) => {
       // forward point-in-time join: every view decorated with the NEXT
       // purchase at-or-after it per user (time-to-next-action features);
@@ -1886,6 +1896,28 @@ object SparkEntry {
         |           / CAST(sum(n) AS DOUBLE)) / 0.6931471805599453,
         |    6) AS entropy_bits
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // same add-one-smoothed probability and ln(2) literal as the Spark
+    // side: p = (n+1)/(tot+V+1), bits = -ln(p)/0.6931471805599453
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id, w[i] AS term
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> ''),
+        |lm AS (SELECT term, count(*) AS n FROM toks GROUP BY 1
+        |       HAVING count(*) >= 2),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS _tot,
+        |               CAST(count(*) AS DOUBLE) AS _v FROM lm)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN lm.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(avg(-ln((CAST(coalesce(lm.n, 0) AS DOUBLE) + 1.0)
+        |                / (_tot + _v + 1.0)) / 0.6931471805599453), 6)
+        |    AS bits_per_token
+        |FROM toks LEFT JOIN lm USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "q_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events

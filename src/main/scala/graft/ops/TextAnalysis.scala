@@ -311,6 +311,65 @@ object TextAnalysis {
           6).as("entropy_bits"))
   }
 
+  /** Unigram language-model table from a reference corpus: (term, n) word
+    * counts over whitespace tokens, `minCount`-thresholded — the model half
+    * of the CCNet-style perplexity filter (Wenzek et al. 2020 score corpora
+    * with a KenLM 5-gram; the unigram form keeps the identical dataflow and
+    * filter semantics with exact, oracle-checkable math).
+    *
+    * Pinned (eager local checkpoint) because every scorer reads it at least
+    * twice — once for the probability join and once for the smoothing
+    * totals — and unpinned the corpus tokenize + term aggregation would run
+    * per consumer. The table is vocabulary-sized (dimension-class), so the
+    * pin is cheap and downstream joins broadcast while small.
+    */
+  def buildUnigramLm(ref: DataFrame, textCol: String = "text",
+                     minCount: Long = 1L): DataFrame =
+    ref.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .localCheckpoint(true)
+
+  /** Per-document mean unigram surprisal in bits — the pseudo-perplexity
+    * quality signal (perplexity = 2^bits_per_token): CCNet-style corpus
+    * filtering keeps the head/middle of the per-doc score distribution and
+    * drops the gibberish tail. Low bits = doc looks like the reference
+    * corpus; high bits = rare-word soup, boilerplate, or wrong language.
+    *
+    * Add-one smoothing over the LM vocabulary: p(term) = (n+1)/(total+V+1),
+    * unseen terms take n = 0 — every token scores, no -inf. Emits
+    * (id, n_tokens, n_oov, bits_per_token) so callers can ALSO gate on
+    * OOV fraction (the standard companion rule).
+    *
+    * Scale shape: tokenize-explode feeds ONE equi-join on term against the
+    * dimension-sized LM (Catalyst broadcasts while small; a shuffled
+    * equi-join — still linear — beyond that), the 1-row smoothing totals
+    * ride a literal-style broadcast nested loop, and the per-doc aggregate
+    * is map-side combinable (exploded tokens of a doc stay in its scan
+    * partition, so the doc-key shuffle carries ~1 row per doc per
+    * partition). No window, no collect, no UDF. Rounded to 6 dp with the
+    * shared ln(2) literal (same cross-engine contract as [[wordEntropy]]).
+    */
+  def unigramBitsPerToken(docs: DataFrame, lm: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val ln2 = lit(0.6931471805599453) // shared literal, not engine log(2)
+    val totals = lm.agg(sum(col("n")).as("_tot"), count(lit(1)).as("_v"))
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    toks.join(lm, Seq("term"), "left_outer")
+      .crossJoin(totals) // 1-row totals table: literal-style broadcast
+      .withColumn("_p",
+        (coalesce(col("n"), lit(0L)).cast("double") + 1.0d) /
+          (col("_tot").cast("double") + col("_v").cast("double") + 1.0d))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(-log(col("_p")) / ln2), 6).as("bits_per_token"))
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

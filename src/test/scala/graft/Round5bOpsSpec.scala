@@ -143,4 +143,39 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(max("sample_rank")).head.getInt(0) == 3)
     assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(201L))
   }
+
+  test("unigramBitsPerToken: hand-computed smoothing, OOV count, ordering") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b"))
+      .toDF("doc_id", "text")
+
+    // minCount=1: counts a=3, b=3, c=1 -> total=7, V=3, denominator 11
+    // p(a)=p(b)=4/11, p(c)=2/11; log2(11/4)=1.459432, log2(11/2)=2.459432
+    val lm1 = TextAnalysis.buildUnigramLm(docs)
+    val r1 = TextAnalysis.unigramBitsPerToken(docs, lm1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    assert(r1(1L)._1 == 3L && r1(1L)._2 == 0L)
+    assert(math.abs(r1(1L)._3 - log2(11.0 / 4.0)) < 1e-6)
+    assert(r1(3L)._3 == r1(1L)._3, "uniform-prob docs score identically")
+    assert(math.abs(r1(2L)._3 -
+      (log2(11.0 / 4.0) + log2(11.0 / 2.0)) / 2.0) < 1e-6)
+
+    // minCount=2 drops c from the LM: total=6, V=2, denominator 9;
+    // c becomes OOV (n_oov=1) scoring the unseen floor log2(9)
+    val lm2 = TextAnalysis.buildUnigramLm(docs, minCount = 2L)
+    val r2 = TextAnalysis.unigramBitsPerToken(docs, lm2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(r2(1L)._2 == 0L && r2(2L)._2 == 1L)
+    assert(math.abs(r2(2L)._3 -
+      (log2(9.0 / 4.0) + log2(9.0)) / 2.0) < 1e-6)
+    // rare-word doc must score strictly worse (higher bits) than common
+    assert(r2(2L)._3 > r2(1L)._3)
+    // bound: every per-token surprisal is at most the unseen floor
+    r2.values.foreach { case (_, _, bits) =>
+      assert(bits > 0.0 && bits <= log2(9.0) + 1e-9)
+    }
+  }
 }
