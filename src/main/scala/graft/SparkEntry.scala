@@ -949,6 +949,17 @@ object SparkEntry {
       graft.ops.TextAnalysis.unigramBitsPerToken(docs, lm)
     }),
 
+    "q_lm_filter" -> ((s, d) => {
+      // CCNet keep-the-head filter: rank the scored corpus by
+      // (bits asc, id asc) via distributed sort + zipWithIndex (no global
+      // window) and keep the lowest-perplexity 70%
+      val docs = par(s, t(s, d, "documents"))
+      val lm = graft.ops.TextAnalysis.buildUnigramLm(docs, minCount = 2L)
+      val scored = graft.ops.TextAnalysis.unigramBitsPerToken(docs, lm)
+      graft.ops.CorpusOps.keepHeadByScore(scored, "bits_per_token",
+        "doc_id", keepFrac = 0.7)
+    }),
+
     "q_asof_forward" -> ((s, d) => {
       // forward point-in-time join: every view decorated with the NEXT
       // purchase at-or-after it per user (time-to-next-action features);
@@ -1918,6 +1929,35 @@ object SparkEntry {
         |    AS bits_per_token
         |FROM toks LEFT JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // same scored table as q_lm_score; rank 0-based under
+    // (bits asc, doc_id asc), cutoff rank < 0.7 * N in double (identical
+    // IEEE product both engines)
+    "q_lm_filter" ->
+      """WITH toks AS (SELECT doc_id, w[i] AS term
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> ''),
+        |lm AS (SELECT term, count(*) AS n FROM toks GROUP BY 1
+        |       HAVING count(*) >= 2),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS _tot,
+        |               CAST(count(*) AS DOUBLE) AS _v FROM lm),
+        |scored AS (SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN lm.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(avg(-ln((CAST(coalesce(lm.n, 0) AS DOUBLE) + 1.0)
+        |                / (_tot + _v + 1.0)) / 0.6931471805599453), 6)
+        |    AS bits_per_token
+        |  FROM toks LEFT JOIN lm USING (term) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |ranked AS (SELECT *,
+        |  CAST(row_number() OVER (ORDER BY bits_per_token, doc_id) - 1
+        |       AS BIGINT) AS rank,
+        |  count(*) OVER () AS _n FROM scored)
+        |SELECT doc_id, n_tokens, n_oov, bits_per_token, rank
+        |FROM ranked WHERE CAST(rank AS DOUBLE) < 0.7 * _n""".stripMargin,
 
     "q_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events

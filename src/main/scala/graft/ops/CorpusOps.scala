@@ -306,4 +306,41 @@ object CorpusOps {
       .withColumn("pack_id", expr(s"_cum div ${budget}L"))
       .drop("_cum")
   }
+
+  /** Keep the best `keepFrac` fraction of rows by a score column — the
+    * CCNet-style consuming half of any corpus scorer (perplexity bits,
+    * quality, outlier distance): rank the whole corpus by
+    * (score asc, id asc) and keep ranks below keepFrac × N. Exact and
+    * deterministic (ties broken by id), so reruns and backfills keep the
+    * same rows.
+    *
+    * Scale shape: the global rank comes from a range-partitioned SORT +
+    * per-partition offsets (`zipWithIndex`), NOT a `percent_rank()` window
+    * — an un-partitioned window drags the entire corpus into one task,
+    * while the sort stays distributed (same pattern, same reasoning as
+    * [[TextAnalysis.buildVocab]]). The sorted rows are pinned (eager local
+    * checkpoint) so zipWithIndex's partition-size job and the rank filter
+    * read one materialization. The N for the cutoff rides a 1-row
+    * aggregate through a literal-style broadcast — no driver-side collect.
+    * Output = input columns + the global `rank` (dense from 0).
+    */
+  def keepHeadByScore(df: DataFrame, scoreCol: String, idCol: String,
+                      keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col(scoreCol).asc, col(idCol).asc)
+      .localCheckpoint(true)
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val withRank = spark.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val total = withRank.agg(count(lit(1)).as("_n"))
+    withRank.crossJoin(total) // 1-row count table: literal-style broadcast
+      .filter(col("rank").cast("double") < lit(keepFrac) * col("_n"))
+      .drop("_n")
+  }
 }

@@ -178,4 +178,26 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bits > 0.0 && bits <= log2(9.0) + 1e-9)
     }
   }
+
+  test("keepHeadByScore: exact cutoff, deterministic tie-break, rank dense") {
+    import spark.implicits._
+    // ten rows, scores 0.1..1.0 with a tie at 0.3 (ids 3 and 13)
+    val df = ((1 to 10).map(i => (i.toLong, i / 10.0)) :+ (13L, 0.3))
+      .toDF("doc_id", "score")
+    val kept = CorpusOps.keepHeadByScore(df, "score", "doc_id", 0.5)
+      .orderBy("rank").collect()
+    // 11 rows, keep rank < 5.5 -> 6 rows; tie at 0.3 orders id 3 before 13
+    assert(kept.length == 6)
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(1L, 2L, 3L, 13L, 4L, 5L))
+    assert(kept.map(_.getAs[Long]("rank")).toSeq == (0L to 5L))
+    // keepFrac = 1.0 keeps everything, ranks stay dense 0..n-1
+    val all = CorpusOps.keepHeadByScore(df, "score", "doc_id", 1.0)
+    assert(all.count() == 11L)
+    assert(all.agg(max("rank")).head.getLong(0) == 10L)
+    // reruns are identical (sort + zipWithIndex is deterministic)
+    val rerun = CorpusOps.keepHeadByScore(df, "score", "doc_id", 0.5)
+      .orderBy("rank").collect()
+    assert(rerun.map(_.toSeq).toSeq == kept.map(_.toSeq).toSeq)
+  }
 }
