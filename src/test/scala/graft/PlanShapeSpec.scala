@@ -228,6 +228,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no aggregation shuffle keyed by gram text")
   }
 
+  test("lm scoring joins the LM, never a product; filter ranks without a window") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      "lm scoring plans a cartesian product")
+    assert(!p.contains("Window"), "lm scoring must not use a window")
+    // the 1-row smoothing totals ride a broadcast nested loop — the only
+    // acceptable non-equi join in the plan
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "dimension-sized LM should broadcast at test scale")
+    val pf = plan("q_lm_filter")
+    assert(!pf.contains("CartesianProduct"),
+      "lm filter plans a cartesian product")
+    // the rank comes from sort + zipWithIndex, not percent_rank: no Window
+    // node anywhere in the filter's plan
+    assert(!pf.contains("Window"),
+      "keepHeadByScore must rank via distributed sort, not a global window")
+  }
+
   test("bench records a failing query as err, not as a fast time") {
     val broken = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "q_ok" -> ((s, d) => s.range(5).toDF("n")),
