@@ -1259,6 +1259,18 @@ object SparkEntry {
         .select("doc_id", "text_deduped", "n_spans_cut")
     }),
 
+    "q_cut_contaminated" -> ((s, d) => {
+      // span-level decontamination (ops.Dedup.cutContaminatedSpans): eval
+      // = doc_id < 50 (the q_decontaminate stand-in benchmark), train =
+      // the rest; every train occurrence of an eval 60-gram is cut and
+      // the text rebuilt — the APPLY form of doc-level decontamination
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.Dedup.cutContaminatedSpans(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        k = 60)
+        .select("doc_id", "text_decontaminated", "n_spans_cut")
+    }),
+
     "q_quantize_int8" -> ((s, d) => {
       // int8 embedding quantization (ops.Similarity.quantizeInt8): the
       // 4x-smaller storage tier for a 100 TB vector store. Codes are
@@ -2335,6 +2347,61 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN rebuilt r USING (doc_id)
         |LEFT JOIN nsp USING (doc_id)""".stripMargin,
+
+    // same island-merge + rebuild as q_cut_spans, but cut positions come
+    // from the eval-gram join (no owner logic: every train occurrence of
+    // an eval gram is cut) and only train docs (doc_id >= 50) are emitted
+    "q_cut_contaminated" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT substr(text, CAST(pos AS INT), 60) AS gram
+        |  FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(1, length(text) - 59))
+        |           AS pos) t
+        |  WHERE doc_id < 50 AND length(text) >= 60),
+        |tg AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    substr(text, CAST(pos AS INT), 60) AS gram
+        |  FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(1, length(text) - 59))
+        |           AS pos) t
+        |  WHERE doc_id >= 50 AND length(text) >= 60),
+        |cuts AS (SELECT DISTINCT doc_id, pos FROM tg JOIN ev USING (gram)),
+        |flagged AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER
+        |        (PARTITION BY doc_id ORDER BY pos) > 60
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM cuts),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 59 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |segs AS (SELECT doc_id, s, e,
+        |    lag(e, 1, CAST(0 AS BIGINT)) OVER
+        |      (PARTITION BY doc_id ORDER BY s) AS pe
+        |  FROM spans),
+        |pieces AS (
+        |  SELECT g.doc_id, g.s AS ord,
+        |    substr(d.text, CAST(g.pe + 1 AS INT),
+        |           CAST(g.s - g.pe - 1 AS INT)) AS seg
+        |  FROM segs g JOIN documents d USING (doc_id)
+        |  UNION ALL
+        |  SELECT sp.doc_id, CAST(1e15 AS BIGINT),
+        |    substr(d.text, CAST(max(sp.e) + 1 AS INT))
+        |  FROM spans sp JOIN documents d USING (doc_id)
+        |  GROUP BY sp.doc_id, d.text),
+        |rebuilt AS (SELECT doc_id,
+        |    string_agg(seg, '' ORDER BY ord) AS text_decontaminated
+        |  FROM pieces GROUP BY doc_id),
+        |nsp AS (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(r.text_decontaminated, d.text) AS text_decontaminated,
+        |  coalesce(nsp.n, 0) AS n_spans_cut
+        |FROM documents d
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN nsp USING (doc_id)
+        |WHERE d.doc_id >= 50""".stripMargin,
 
     // identical double formula on both sides (mn, sc = (mx-mn)/255.0, then
     // round((x-mn)/sc)): IEEE ops in the same order are bit-equal, codes

@@ -589,12 +589,29 @@ object Dedup {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(k > 0 && minOcc > 1)
-    import org.apache.spark.sql.expressions.Window
     // every verified non-owner occurrence is a cut position
     val cutPos = dupGramPositions(docs, k, minOcc, idCol, textCol,
       window = None, keepOwner = true)
       .filter(!(col(idCol) === col("_own.d") && col("_pos") === col("_own.p")))
       .select(col(idCol), col("_pos")).distinct()
+    applyCutPositions(docs, cutPos, k, idCol, textCol, "text_deduped")
+  }
+
+  /** Shared APPLY stage of the span-cutting operators: merge per-doc cut
+    * positions (each covering k chars) into maximal islands — two cut
+    * ranges overlap when starts are ≤ k apart — and rebuild each doc's
+    * surviving text with one fold over its sorted disjoint cut list (a
+    * codegen'd higher-order aggregate, no UDF, no per-row driver work).
+    *
+    * Position streams are per-doc (window partitioned by the doc id, ≤
+    * text-length rows per group) and the rebuild joins the SMALL per-doc
+    * span list back onto the docs (AQE broadcasts it) — full document
+    * text never rides a shuffle as data.
+    */
+  private def applyCutPositions(docs: DataFrame, cutPos: DataFrame, k: Int,
+                                idCol: String, textCol: String,
+                                outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("_pos")
     val spans = cutPos
       .withColumn("_new",
@@ -619,11 +636,57 @@ object Dedup {
         t.substr(acc.getField("cur").cast("int"),
           (length(t) - acc.getField("cur") + 1L).cast("int"))))
     docs.join(spans, Seq(idCol), "left_outer")
-      .withColumn("text_deduped",
+      .withColumn(outCol,
         when(col("_spans").isNull, t).otherwise(kept))
       .withColumn("n_spans_cut",
         coalesce(size(col("_spans")), lit(0)).cast("long"))
       .drop("_spans")
+  }
+
+  /** Span-level eval-set DECONTAMINATION: cut from the training corpus
+    * every occurrence of every character k-gram that appears anywhere in
+    * the eval suite — the apply form of [[decontaminate]] (which only
+    * FLAGS contaminated docs). Doc-level dropping throws away whole
+    * documents for one quoted benchmark question; span cutting keeps the
+    * document and removes exactly the leaked substrings (overlapping cuts
+    * merge to maximal islands, text rebuilt in one fold —
+    * [[applyCutPositions]]).
+    *
+    * Scale shape mirrors [[cutDuplicateSpans]] with the survivor set
+    * replaced by the EVAL gram table: eval suites are benchmark-sized
+    * (MBs against a 100 TB train side), so the distinct (hash, gram)
+    * table takes the count-gated broadcast ([[gateBroadcast]] — explicit
+    * broadcast in the normal regime, linear shuffled equi-join fallback
+    * if an outsized "eval" set is passed), and the train gram stream is
+    * probed WITHOUT shuffling: the join matches on hash AND exact gram
+    * text in one step, so 64-bit collisions can never cut a clean span.
+    * No owner logic — eval text is never "kept first", every train
+    * occurrence goes.
+    *
+    * @return train columns + `text_decontaminated` + `n_spans_cut`
+    */
+  def cutContaminatedSpans(train: DataFrame, eval: DataFrame, k: Int = 60,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           evalTextCol: String = "text"): DataFrame = {
+    require(k > 0)
+    val e = col(evalTextCol)
+    val evalGrams = gateBroadcast(
+      eval.filter(length(e) >= k)
+        .select(explode(sequence(lit(1L),
+          (length(e) - (k - 1)).cast("long"))).as("_pos"), e.as("_t"))
+        .select(col("_t").substr(col("_pos").cast("int"), lit(k)).as("gram"))
+        .distinct()
+        .select(xxhash64(col("gram")).as("_h"), col("gram")),
+      // rows carry the k-char gram text: same byte-budget cap as the
+      // verified-survivor table of the dedup trio
+      SurvivorBroadcastCap / 8)
+    val cutPos = gramStream(train, k, None, idCol, textCol)
+      .withColumn("_h", xxhash64(col("gram")))
+      .join(evalGrams, Seq("_h", "gram"))
+      .select(col(idCol), col("_pos")).distinct()
+    applyCutPositions(train, cutPos, k, idCol, textCol,
+      "text_decontaminated")
   }
 
   /** Line/paragraph-level EXACT dedup across the corpus (the MassiveText /

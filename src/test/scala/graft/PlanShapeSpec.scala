@@ -228,6 +228,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no aggregation shuffle keyed by gram text")
   }
 
+  test("span decontamination probes a broadcast eval-gram set, no product") {
+    val p = plan("q_cut_contaminated")
+    assert(!p.contains("CartesianProduct"),
+      "decontamination plans a cartesian product")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark-sized eval gram set should broadcast")
+  }
+
   test("lm scoring joins the LM, never a product; filter ranks without a window") {
     val p = plan("q_lm_score")
     assert(!p.contains("CartesianProduct"),

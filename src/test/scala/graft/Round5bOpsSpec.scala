@@ -179,6 +179,27 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cutContaminatedSpans: leaked region excised whole, clean docs intact") {
+    import spark.implicits._
+    val leak = "SECRETBENCHMARKQUESTION" // 23 chars
+    val eval = Seq((100L, leak)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "AAAAABBBBB" + leak + "CCCCCDDDDD"), // full leak embedded
+      (2L, "nothing to see here, perfectly clean document"),
+      (3L, "xx" + leak.substring(0, 10) + "yy")  // exactly one leaked gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutContaminatedSpans(train, eval, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_decontaminated"), r.getAs[Long]("n_spans_cut")))
+      .toMap
+    // all 14 contiguous leaked grams merge to ONE island covering exactly
+    // the 23-char region; surrounding text survives
+    assert(out(1L) == ("AAAAABBBBBCCCCCDDDDD", 1L))
+    assert(out(2L) == ("nothing to see here, perfectly clean document", 0L))
+    // a single matching gram cuts exactly its k chars
+    assert(out(3L) == ("xxyy", 1L))
+  }
+
   test("keepHeadByScore: exact cutoff, deterministic tie-break, rank dense") {
     import spark.implicits._
     // ten rows, scores 0.1..1.0 with a tie at 0.3 (ids 3 and 13)
