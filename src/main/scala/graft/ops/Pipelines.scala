@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   *
   *   1. annotate (lang-id, token counts, quality — one narrow pass)
   *   2. quality gate (language allow-list, quality floor, repetition cap)
-  *   3. exact dedup (fingerprint hash-agg, keep canonical)
-  *   4. near dedup (MinHash-LSH clusters, keep canonical)
-  *   5. decontaminate (drop docs overlapping the eval set)
-  *   6. PII scrub
-  *   7. chunk to model context length
-  *   8. deterministic train/val/test split + token-budget packing
+  *   3. optional LM-perplexity gate (CCNet: keep the lowest-surprisal
+  *      `lmKeepFrac` of the gated corpus under a self-built unigram LM)
+  *   4. exact dedup (fingerprint hash-agg, keep canonical)
+  *   5. near dedup (MinHash-LSH clusters, keep canonical)
+  *   6. decontaminate (drop docs overlapping the eval set)
+  *   7. PII scrub
+  *   8. chunk to model context length
+  *   9. deterministic train/val/test split + token-budget packing
   *
   * Stage ORDER is the standard cost argument: narrow single-pass filters
   * run first so every later (shuffling) stage sees fewer rows; exact dedup
@@ -38,6 +40,8 @@ object Pipelines {
                    minQuality: Double = 0.3,
                    maxRepetition: Double = 0.3,
                    nearDupThreshold: Double = 0.7,
+                   lmKeepFrac: Option[Double] = None,
+                   lmMinCount: Long = 5L,
                    cutSpanK: Option[Int] = None,
                    dedupLinesDelim: Option[String] = None,
                    chunkTokens: Int = 256, chunkStride: Int = 256,
@@ -71,8 +75,23 @@ object Pipelines {
       .filter(col("quality") >= minQuality)
       .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition))
 
+    // optional CCNet-style perplexity gate: a unigram LM built from the
+    // already-gated corpus scores every doc (mean surprisal in bits) and
+    // only the lowest-perplexity lmKeepFrac survives — runs on the gated
+    // set so the LM never learns from docs the rule filters just rejected
+    val lmGated = lmKeepFrac match {
+      case Some(frac) => stage("lm-gate", {
+        val lm = TextAnalysis.buildUnigramLm(gated, textCol, lmMinCount)
+        val kept = CorpusOps.keepHeadByScore(
+          TextAnalysis.unigramBitsPerToken(gated, lm, idCol, textCol),
+          "bits_per_token", idCol, frac)
+        gated.join(kept.select(idCol), Seq(idCol), "left_semi")
+      })
+      case None => gated
+    }
+
     val exactDeduped = stage("exact-dedup",
-      Dedup.exact(gated, idCol, textCol)
+      Dedup.exact(lmGated, idCol, textCol)
         .filter(col("is_canonical"))
         .drop("dup_group_size", "is_canonical"))
 

@@ -157,6 +157,28 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.report.collect().map(_.getString(0)).contains("dedup-lines"))
   }
 
+  test("lmKeepFrac gate keeps the exact head-fraction of the gated set") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    val r = Pipelines.curateCorpus(docs, eval,
+      langs = Seq("en"), minQuality = 0.0, maxRepetition = 0.9,
+      nearDupThreshold = 0.5, lmKeepFrac = Some(0.6),
+      chunkTokens = 32, chunkStride = 32, packBudget = 256)
+    val byStage = r.report.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byStage.contains("lm-gate"), s"report misses lm-gate: $byStage")
+    val gated = byStage("quality-gate").toDouble
+    // keepHeadByScore keeps ranks < 0.6 * N exactly
+    val expect = (0 until gated.toInt).count(_ < 0.6 * gated)
+    assert(byStage("lm-gate") == expect,
+      s"lm-gate kept ${byStage("lm-gate")}, expected $expect of $gated")
+    assert(byStage("exact-dedup") <= byStage("lm-gate"))
+    r.chunks.unpersist()
+  }
+
   test("audit=false skips the per-stage counts and returns an empty report") {
     import spark.implicits._
     val docs = Seq(
