@@ -323,6 +323,14 @@ object CorpusOps {
     * read one materialization. The N for the cutoff rides a 1-row
     * aggregate through a literal-style broadcast — no driver-side collect.
     * Output = input columns + the global `rank` (dense from 0).
+    *
+    * Cost at scale: the pin materializes the SORTED INPUT once
+    * (disk-backed executor storage — the same budget class as the sort's
+    * own shuffle; pass a projection of (id, score) and join survivors
+    * back if the full rows are wide). When the exact global rank isn't
+    * required, a cheaper cut is a quantile threshold from
+    * [[Sketches.approxQuantiles]] + a narrow filter — approximate at the
+    * boundary, no global sort at all.
     */
   def keepHeadByScore(df: DataFrame, scoreCol: String, idCol: String,
                       keepFrac: Double): DataFrame = {
