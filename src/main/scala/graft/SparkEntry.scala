@@ -949,6 +949,19 @@ object SparkEntry {
       graft.ops.TextAnalysis.unigramBitsPerToken(docs, lm)
     }),
 
+    "q_classify_linear" -> ((s, d) => {
+      // fastText-style linear quality-classifier APPLY (ops.TextAnalysis
+      // .classifyLinear): stand-in weights derived deterministically from
+      // the corpus vocab (favor longer words) — a real deployment loads a
+      // trained (term, weight) table; the dataflow is identical
+      val docs = par(s, t(s, d, "documents"))
+      val w = graft.ops.TextAnalysis.buildUnigramLm(docs, minCount = 2L)
+        .select(col("term"),
+          ((length(col("term")) - lit(6)).cast("double") * 0.05)
+            .as("weight"))
+      graft.ops.TextAnalysis.classifyLinear(docs, w, bias = -0.1)
+    }),
+
     "q_lm_filter" -> ((s, d) => {
       // CCNet keep-the-head filter: rank the scored corpus by
       // (bits asc, id asc) via distributed sort + zipWithIndex (no global
@@ -1940,6 +1953,28 @@ object SparkEntry {
         |                / (_tot + _v + 1.0)) / 0.6931471805599453), 6)
         |    AS bits_per_token
         |FROM toks LEFT JOIN lm USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // same tokenization, weight formula, bias and sigmoid expression as
+    // the Spark side; logit and score each rounded from the UNROUNDED sum
+    "q_classify_linear" ->
+      """WITH toks AS (SELECT doc_id, w[i] AS term
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> ''),
+        |wt AS (SELECT term,
+        |    (CAST(length(term) AS DOUBLE) - 6.0) * 0.05 AS weight
+        |  FROM (SELECT term FROM toks GROUP BY 1 HAVING count(*) >= 2))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN wt.weight IS NULL THEN 0 ELSE 1 END)
+        |       AS BIGINT) AS n_hit,
+        |  round(-0.1 + sum(coalesce(wt.weight, 0.0)) / count(*), 6)
+        |    AS logit,
+        |  round(1.0 / (1.0 + exp(-(-0.1 + sum(coalesce(wt.weight, 0.0))
+        |                            / count(*)))), 6) AS score
+        |FROM toks LEFT JOIN wt USING (term)
         |GROUP BY doc_id""".stripMargin,
 
     // same scored table as q_lm_score; rank 0-based under

@@ -370,6 +370,44 @@ object TextAnalysis {
         round(avg(-log(col("_p")) / ln2), 6).as("bits_per_token"))
   }
 
+  /** Apply a LINEAR bag-of-words text classifier — the fastText-style
+    * shallow quality/topic model of the LLaMA/RedPajama filtering stage
+    * ("quality classifier"), as a pure dataflow: the trained model IS a
+    * (term, weight) table plus a bias, score = sigmoid(bias + mean token
+    * weight) with OOV terms contributing 0. Pair with
+    * [[CorpusOps.keepHeadByScore]] (descending via negated score) or a
+    * plain threshold filter to gate the corpus.
+    *
+    * Training happens offline (any logistic-regression/fastText trainer);
+    * this operator is the 100 TB APPLY side, and its scale shape is the
+    * same as [[unigramBitsPerToken]]: tokenize-explode into ONE equi-join
+    * against the dimension-sized weights table (broadcast while small,
+    * linear shuffled equi-join beyond), then a map-side-combinable per-doc
+    * aggregate. No window, no collect, no UDF — sigmoid is builtin
+    * exp/arithmetic, inside codegen.
+    *
+    * @return (id, n_tokens, n_hit — tokens with a weight, logit, score)
+    *         with logit/score rounded to 6 dp (same cross-engine contract
+    *         as [[wordEntropy]])
+    */
+  def classifyLinear(docs: DataFrame, weights: DataFrame,
+                     bias: Double = 0.0,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val logit = lit(bias) +
+      sum(coalesce(col("weight"), lit(0.0d))) / count(lit(1))
+    toks.join(weights.select(col("term"), col("weight").cast("double")),
+        Seq("term"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("weight").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        round(logit, 6).as("logit"),
+        round(lit(1.0d) / (lit(1.0d) + exp(-logit)), 6).as("score"))
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

@@ -245,6 +245,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // acceptable non-equi join in the plan
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "dimension-sized LM should broadcast at test scale")
+    val pc = plan("q_classify_linear")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("Window"),
+      "classifier apply must stay an equi-join + aggregate dataflow")
     val pf = plan("q_lm_filter")
     assert(!pf.contains("CartesianProduct"),
       "lm filter plans a cartesian product")

@@ -200,6 +200,25 @@ class Round5bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ("xxyy", 1L))
   }
 
+  test("classifyLinear: hand-computed logit/sigmoid, OOV contributes zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bbb cccc"), (2L, "cccc cccc")).toDF("doc_id", "text")
+    val w = Seq(("aa", 0.1), ("bbb", 0.2)).toDF("term", "weight")
+    val out = TextAnalysis.classifyLinear(docs, w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: logit = (0.1 + 0.2 + 0)/3 = 0.1, sigmoid = 0.524979
+    assert(out(1L)._1 == 3L && out(1L)._2 == 2L)
+    assert(math.abs(out(1L)._3 - 0.1) < 1e-9)
+    assert(math.abs(out(1L)._4 - 1.0 / (1.0 + math.exp(-0.1))) < 1e-6)
+    // doc 2: all OOV -> logit = bias = 0, score exactly 0.5
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0 && out(2L)._4 == 0.5)
+    // bias shifts the logit additively
+    val biased = TextAnalysis.classifyLinear(docs, w, bias = -1.0)
+      .filter(col("doc_id") === 1L).head()
+    assert(math.abs(biased.getDouble(3) - (-0.9)) < 1e-9)
+  }
+
   test("keepHeadByScore: exact cutoff, deterministic tie-break, rank dense") {
     import spark.implicits._
     // ten rows, scores 0.1..1.0 with a tie at 0.3 (ids 3 and 13)
