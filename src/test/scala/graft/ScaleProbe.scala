@@ -62,6 +62,13 @@ object ScaleProbe {
     probe("minhash_lsh") {
       graft.ops.Dedup.minhashLsh(docs, threshold = 0.8)
     }
+    // span decontamination with a pathologically LARGE "eval" set (the
+    // replicated corpus itself): the eval gram table blows through the
+    // broadcast cap, forcing the shuffled-equi-join fallback, and every
+    // train gram matches — maximal cut volume
+    probe("cut_contaminated") {
+      graft.ops.Dedup.cutContaminatedSpans(docs, docs, k = 60)
+    }
     spark.stop()
   }
 }
