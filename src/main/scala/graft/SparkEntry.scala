@@ -794,6 +794,56 @@ object SparkEntry {
         .select("asset_id", "frame_idx", "frame_ts_ms")
     }),
 
+    "q_audio_features" -> ((s, d) => {
+      // REAL audio decode certified end-to-end: per-doc 16-bit PCM WAV
+      // payloads (power-of-two-period sawtooth, so every float sample is an
+      // exact rational) are serialized by wavBytes and decoded back by the
+      // hand-rolled RIFF parser before feature extraction; the oracle
+      // regenerates the quantized signal arithmetically in SQL, so a wrong
+      // writer OR parser breaks the hash. RMS accumulates in double
+      // (exact k/32768 terms), rounded floor(x*1e6+0.5)/1e6 on both sides.
+      import s.implicits._
+      import graft.ops.{Multimodal => M}
+      par(s, t(s, d, "documents")).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 400 + (id % 5).toInt * 100
+            val p = 8 << (id % 4).toInt
+            val bytes = M.wavBytes(8000, M.sawtoothSamples(n, p))
+            val w = M.tryDecodeWav(bytes).get
+            (id, w.sampleRate, w.samples.length, M.zeroCrossings(w.samples),
+              math.floor(M.rms(w.samples) * 1e6 + 0.5) / 1e6)
+          }
+        }
+        .toDF("asset_id", "sample_rate", "n_samples", "zero_crossings", "rms")
+    }),
+
+    "q_audio_resample" -> ((s, d) => {
+      // REAL audio resample certified end-to-end: the same WAV payloads ride
+      // the Asset schema through resampleAudio (decode -> linear interp at
+      // 8000->4000, the exact-decimation regime -> 16-bit re-encode), then
+      // the output BYTES are decoded again for features. The oracle takes
+      // every 2nd regenerated sample and replays both quantizations
+      // (floor(x*32767+0.5)/32768 twice) in SQL.
+      import s.implicits._
+      import graft.ops.{Multimodal => M}
+      val assets = par(s, t(s, d, "documents")).select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 400 + (id % 5).toInt * 100
+          val p = 8 << (id % 4).toInt
+          M.Asset(id, "audio", M.wavBytes(8000, M.sawtoothSamples(n, p)),
+            "audio/wav", 0, 0, 0L)
+        }
+      M.resampleAudio(assets, 4000)
+        .map { r =>
+          val w = M.tryDecodeWav(r.bytes).get
+          (r.asset_id, r.sample_rate, w.samples.length,
+            M.zeroCrossings(w.samples),
+            math.floor(M.rms(w.samples) * 1e6 + 0.5) / 1e6)
+        }
+        .toDF("asset_id", "sample_rate", "n_samples", "zero_crossings", "rms")
+    }),
+
     "q_name_similarity" -> ((s, d) => {
       // F4 difflib-ratio surface over real string data (key filter, not an
       // unordered limit — deterministic row set)
@@ -2261,6 +2311,58 @@ object SparkEntry {
         |LATERAL (SELECT unnest(generate_series(
         |  0, CAST(doc_id % 5 AS INTEGER))) AS i) u
         |WHERE doc_id % 3 = 2""".stripMargin,
+
+    // regenerate the sawtooth arithmetically and replay the 16-bit
+    // quantization: v = floor(x*32767+0.5)/32768 with x = (t%p)/p*2-1,
+    // p a power of two so float and double representations coincide.
+    "q_audio_features" ->
+      """WITH params AS (
+        |  SELECT doc_id,
+        |    CAST(400 + (doc_id % 5) * 100 AS INTEGER) AS n,
+        |    CAST(8 * (1 << CAST(doc_id % 4 AS INTEGER)) AS INTEGER) AS p
+        |  FROM documents),
+        |samples AS (
+        |  SELECT doc_id, n, u.t,
+        |    floor((CAST(u.t % p AS DOUBLE) / p * 2 - 1) * 32767 + 0.5)
+        |      / 32768 AS v
+        |  FROM params,
+        |  LATERAL (SELECT unnest(generate_series(0, n - 1)) AS t) u),
+        |lagged AS (
+        |  SELECT doc_id, n, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |  FROM samples)
+        |SELECT doc_id AS asset_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(max(n) AS INTEGER) AS n_samples,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(sum(v * v) / max(n)) * 1000000 + 0.5) / 1000000 AS rms
+        |FROM lagged GROUP BY doc_id""".stripMargin,
+
+    // every 2nd sample (8000->4000 is exact decimation), then BOTH
+    // quantizations: encode, decode, re-encode, decode.
+    "q_audio_resample" ->
+      """WITH params AS (
+        |  SELECT doc_id,
+        |    CAST(400 + (doc_id % 5) * 100 AS INTEGER) AS n,
+        |    CAST(8 * (1 << CAST(doc_id % 4 AS INTEGER)) AS INTEGER) AS p
+        |  FROM documents),
+        |samples AS (
+        |  SELECT doc_id, n, u.j,
+        |    floor(floor((CAST((u.j * 2) % p AS DOUBLE) / p * 2 - 1)
+        |        * 32767 + 0.5) / 32768 * 32767 + 0.5) / 32768 AS v
+        |  FROM params,
+        |  LATERAL (SELECT unnest(generate_series(0, n // 2 - 1)) AS j) u),
+        |lagged AS (
+        |  SELECT doc_id, n, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+        |  FROM samples)
+        |SELECT doc_id AS asset_id, CAST(4000 AS INTEGER) AS sample_rate,
+        |  CAST(max(n) // 2 AS INTEGER) AS n_samples,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings,
+        |  floor(sqrt(sum(v * v) / (max(n) // 2)) * 1000000 + 0.5)
+        |    / 1000000 AS rms
+        |FROM lagged GROUP BY doc_id""".stripMargin,
 
     // bloom pruning is semantics-preserving (false positives die in the
     // real join), so the oracle is the undecorated join itself

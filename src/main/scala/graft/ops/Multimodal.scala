@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode/resample is REAL: `javax.imageio` (JPEG/PNG/BMP/GIF ship
   * in the JDK) + `Graphics2D` bilinear resample — no external codec
-  * needed. Payloads that no ImageIO reader recognizes (and the
-  * audio/video modalities, whose codecs genuinely don't ship in this
-  * container) fall back to `decodeStub`, a deterministic byte-derived
-  * stand-in, so the distributed path stays testable end-to-end on opaque
-  * payloads. Everything around the codec seam — schema, batch shape,
+  * needed. AUDIO decode/resample is REAL for RIFF/WAVE PCM payloads
+  * (8/16/24/32-bit int and 32-bit float, any channel count): the
+  * container format is a trivial chunked header over raw samples, parsed
+  * here directly ([[tryDecodeWav]]) with no codec library at all.
+  * Payloads that neither path recognizes (and the video modality, whose
+  * codecs genuinely don't ship in this container) fall back to
+  * `decodeStub`, a deterministic byte-derived stand-in, so the
+  * distributed path stays testable end-to-end on opaque payloads.
+  * Everything around the codec seam — schema, batch shape,
   * partition-wise execution, metadata threading — is the real distributed
   * plumbing: swap the stub for ffmpeg/JNI and the plan is unchanged.
   * mapPartitions keeps per-partition setup (codec init, model load)
@@ -42,7 +46,7 @@ object Multimodal {
     * payloads that fail real image decode: a deterministic byte-derived
     * feature so the distributed path is testable end-to-end offline.
     */
-  private[ops] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     // ??? <- real codec goes here (ffmpeg / model server call); the IMAGE
     // branch is real — see tryDecodeImage/imageFeatures
     val out = new Array[Float](dim)
@@ -93,6 +97,202 @@ object Multimodal {
     out
   }
 
+  // --- audio: RIFF/WAVE PCM, decoded by hand (no codec library) ---------
+
+  /** Decoded audio: sample rate + channel count of the source, samples
+    * mixed down to mono and normalized to [-1, 1).
+    */
+  case class WavData(sampleRate: Int, channels: Int, samples: Array[Float])
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Real WAV decode: walks the RIFF chunk list for `fmt ` + `data`,
+    * supports PCM (format 1) at 8 (unsigned) / 16 / 24 / 32-bit (signed
+    * little-endian) and IEEE float (format 3) at 32-bit, any channel
+    * count (mixed to mono by averaging). None on anything that isn't a
+    * well-formed PCM WAV — the caller falls back to the declared stub, so
+    * opaque stand-in payloads keep their deterministic stub features.
+    */
+  private[graft] def tryDecodeWav(bytes: Array[Byte]): Option[WavData] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+      bytes(10) != 'V' || bytes(11) != 'E') return None
+    var fmt = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(bytes, o + 4).toInt
+      if (size < 0 || o + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        fmt = u16(bytes, o + 8)
+        channels = u16(bytes, o + 10)
+        rate = u32(bytes, o + 12).toInt
+        bits = u16(bytes, o + 22)
+      } else if (id == "data") { dataOff = o + 8; dataLen = size }
+      o += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (dataOff < 0 || channels <= 0 || rate <= 0) return None
+    val bytesPer = bits / 8
+    val frameBytes = bytesPer * channels
+    val ok = (fmt == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+      (fmt == 3 && bits == 32)
+    if (!ok || frameBytes == 0) return None
+    val nFrames = dataLen / frameBytes
+    val out = new Array[Float](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0.0f
+      var c = 0
+      while (c < channels) {
+        val p = dataOff + f * frameBytes + c * bytesPer
+        val v: Float =
+          if (fmt == 3)
+            java.lang.Float.intBitsToFloat(u32(bytes, p).toInt)
+          else bits match {
+            case 8  => ((bytes(p) & 0xff) - 128) / 128.0f
+            case 16 => u16(bytes, p).toShort / 32768.0f
+            case 24 =>
+              val raw = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+                (bytes(p + 2) << 16) // sign-extends via the Byte
+              raw / 8388608.0f
+            case _ => u32(bytes, p).toInt / 2147483648.0f
+          }
+        acc += v
+        c += 1
+      }
+      out(f) = acc / channels
+      f += 1
+    }
+    Some(WavData(rate, channels, out))
+  }
+
+  /** 16-bit PCM mono WAV writer — the re-encode half of the real audio
+    * path. Quantization is floor(x*32767 + 0.5) clamped to short range
+    * (stated exactly because the contract oracle reproduces it in SQL).
+    */
+  def wavBytes(sampleRate: Int, samples: Array[Float]): Array[Byte] = {
+    val n = samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + 2 * n); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1) // PCM, mono
+    buf.putInt(sampleRate); buf.putInt(sampleRate * 2)
+    buf.putShort(2); buf.putShort(16) // block align, bits
+    buf.put("data".getBytes); buf.putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val q = math.floor(samples(i) * 32767.0 + 0.5)
+      buf.putShort(math.max(-32768, math.min(32767, q)).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Per-bucket RMS over `dim` contiguous time buckets (bucket of sample i
+    * = i*dim/n, integer division) — the audio analogue of
+    * [[imageFeatures]]' luminance buckets. Deterministic, codec-backed.
+    */
+  private[graft] def audioFeatures(samples: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * dim / n).toInt
+      out(b) += samples(i) * samples(i); counts(b) += 1
+      i += 1
+    }
+    var d = 0
+    while (d < dim) {
+      if (counts(d) > 0) out(d) = math.sqrt(out(d) / counts(d)).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** Whole-signal RMS accumulated in double precision. Decoded 16-bit PCM
+    * samples are exact rationals k/32768 (representable exactly in float),
+    * so every v*v term and their sum are exact in double — the only
+    * inexact steps (mean division, sqrt) are IEEE-deterministic, which is
+    * what lets the contract oracle reproduce this value bit-for-bit in SQL.
+    */
+  private[graft] def rms(samples: Array[Float]): Double = {
+    if (samples.isEmpty) return 0.0
+    var s = 0.0; var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toDouble; s += v * v; i += 1
+    }
+    math.sqrt(s / samples.length)
+  }
+
+  /** Sign changes between consecutive samples (negative vs non-negative). */
+  private[graft] def zeroCrossings(samples: Array[Float]): Int = {
+    var zc = 0; var i = 1
+    while (i < samples.length) {
+      if ((samples(i - 1) < 0) != (samples(i) < 0)) zc += 1
+      i += 1
+    }
+    zc
+  }
+
+  /** Linear-interpolation resample. Output length floor(n*dst/src); output
+    * sample j reads fractional source position j*src/dst — when dst
+    * divides src this degenerates to exact decimation (no interpolation
+    * error), which is what the contract query certifies.
+    */
+  private[graft] def resampleLinear(samples: Array[Float], srcRate: Int,
+                                  dstRate: Int): Array[Float] = {
+    require(srcRate > 0 && dstRate > 0)
+    val n = samples.length
+    val m = (n.toLong * dstRate / srcRate).toInt
+    val out = new Array[Float](m)
+    var j = 0
+    while (j < m) {
+      val pos = j.toDouble * srcRate / dstRate
+      val i0 = pos.toInt
+      val frac = pos - i0
+      val a = samples(math.min(i0, n - 1))
+      val b = samples(math.min(i0 + 1, n - 1))
+      out(j) = (a * (1 - frac) + b * frac).toFloat
+      j += 1
+    }
+    out
+  }
+
+  case class ResampledAudio(asset_id: Long, sample_rate: Int, n_samples: Int,
+                            bytes: Array[Byte])
+
+  /** Audio resample to a target rate: REAL for decodable WAV payloads
+    * (hand-rolled PCM decode → linear interp → 16-bit mono re-encode),
+    * declared stub passthrough otherwise. Iterator-to-iterator per
+    * partition like [[resizeImages]].
+    */
+  def resampleAudio(assets: Dataset[Asset], targetRate: Int): Dataset[ResampledAudio] = {
+    require(targetRate > 0)
+    implicit val enc = Encoders.product[ResampledAudio]
+    assets.filter(_.modality == "audio").mapPartitions { it =>
+      it.map { a =>
+        tryDecodeWav(a.bytes) match {
+          case Some(w) =>
+            val res = resampleLinear(w.samples, w.sampleRate, targetRate)
+            ResampledAudio(a.asset_id, targetRate, res.length,
+              wavBytes(targetRate, res))
+          case None =>
+            // ??? <- non-WAV audio codecs go here; stub passes bytes through
+            ResampledAudio(a.asset_id, targetRate,
+              if (a.bytes == null) 0 else a.bytes.length, a.bytes)
+        }
+      }
+    }
+  }
+
   /** Deterministic PNG payload with caller-supplied pixels — the real-image
     * generator behind [[syntheticAssets]] and the golden decode tests.
     */
@@ -128,6 +328,9 @@ object Multimodal {
         val feature =
           if (a.modality == "image")
             tryDecodeImage(a.bytes).map(imageFeatures(_, dim))
+              .getOrElse(decodeStub(a.bytes, dim))
+          else if (a.modality == "audio")
+            tryDecodeWav(a.bytes).map(w => audioFeatures(w.samples, dim))
               .getOrElse(decodeStub(a.bytes, dim))
           else decodeStub(a.bytes, dim)
         AssetFeatures(a.asset_id, a.modality,
@@ -240,10 +443,21 @@ object Multimodal {
       }
   }
 
+  /** Deterministic sawtooth test signal: sample t = (t mod period)/period
+    * scaled to [-1, 1). Pure rational arithmetic (no transcendentals), so
+    * a SQL oracle can regenerate it bit-exactly with the same IEEE-double
+    * operations.
+    */
+  def sawtoothSamples(n: Int, period: Int): Array[Float] = {
+    require(period > 0)
+    Array.tabulate(n)(t => ((t % period).toDouble / period * 2.0 - 1.0).toFloat)
+  }
+
   /** Deterministic synthetic asset table for tests/demos. Image assets are
     * REAL PNGs (deterministic per-id pixel pattern) exercising the ImageIO
-    * decode path; audio/video payloads stay opaque byte patterns for the
-    * declared stub path.
+    * decode path; audio assets are REAL 16-bit PCM WAVs (per-id sawtooth)
+    * exercising the hand-rolled RIFF decode path; video payloads stay
+    * opaque byte patterns for the declared stub path.
     */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
@@ -258,6 +472,9 @@ object Multimodal {
             (((x * 4 + id) % 256).toInt << 16) |
               (((y * 5 + id * 3) % 256).toInt << 8) |
               ((x + y + id * 7) % 256).toInt)
+        else if (modality == "audio")
+          wavBytes(8000,
+            sawtoothSamples(400 + (id % 5).toInt * 100, 20 + (id % 10).toInt))
         else Array.tabulate[Byte](64 + (id % 64).toInt)(j =>
           ((id * 31 + j * 7) % 256 - 128).toByte)
       Asset(id, modality, bytes,
