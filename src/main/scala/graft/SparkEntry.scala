@@ -82,6 +82,21 @@ object SparkEntry {
     ivfIndexQCache.computeIfAbsent((s, d), _ => build)
   }
 
+  /** Session-lifetime BPE merge table per (session, data dir) — train-once/
+    * encode-many, the deployment shape of a real tokenizer (the model is an
+    * artifact, not a per-query cost). Same stopped-session eviction
+    * discipline as the IVF cache.
+    */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]
+
+  private def cachedBpeMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    bpeMergesCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    bpeMergesCache.computeIfAbsent((s, d), _ =>
+      graft.ops.Tokenize.trainBpe(
+        par(s, t(s, d, "documents")), numMerges = 50, minCount = 2))
+  }
+
   private val stopwords15 =
     Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
       "on", "as", "with", "are", "this")
@@ -844,6 +859,47 @@ object SparkEntry {
         .toDF("asset_id", "sample_rate", "n_samples", "zero_crossings", "rms")
     }),
 
+    // --- BPE tokenizer (train on the dict, encode distributed) ----------
+    "q_bpe_chars" -> ((s, d) => {
+      // the merge-free degenerate encode: every char is a token, so
+      // n_tokens per doc equals the non-space character count — an exact
+      // SQL identity that certifies the split/symbol/count plumbing of the
+      // SAME distributed encode path the trained queries use
+      graft.ops.Tokenize.encodeBpe(par(s, t(s, d, "documents")), Nil)
+        .select(col("doc_id"), col("n_tokens"))
+    }),
+
+    "q_bpe_encode" -> ((s, d) => {
+      // real trained encode: merges learned once per (session, dir) from
+      // the corpus word-frequency dict (minCount=2, 50 merges), then one
+      // narrow distributed pass with the merge table on the closure.
+      // Training is model-based (greedy tie-broken merge loop) — not
+      // SQL-expressible, so rows-only here; exactness of the algorithm is
+      // pinned by TokenizeSpec's hand-derived goldens.
+      graft.ops.Tokenize.encodeBpe(
+        par(s, t(s, d, "documents")), cachedBpeMerges(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          element_at(col("tokens"), 1).as("first_token"))
+    }),
+
+    "q_bpe_merges" -> ((s, d) => {
+      // the published model artifact (rank-ordered merge table)
+      graft.ops.Tokenize.mergesDf(s, cachedBpeMerges(s, d))
+    }),
+
+    "q_kmv_sample" -> ((s, d) => {
+      // deterministic k-minimum-values sample per group: a mergeable
+      // TypedImperativeAggregate holding <= k entries per buffer (map-side
+      // partials shuffle k rows per partition-group, not the group's row
+      // set) — vs the oracle's full window sort over every row
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.functions.KmvSample.kmv_sample(col("c_name"), 5).as("s"))
+        .select(col("c_mktsegment"), explode(col("s")).as("e"))
+        .select(col("c_mktsegment"), col("e.item").as("item"),
+          col("e.priority").as("priority"))
+    }),
+
     "q_name_similarity" -> ((s, d) => {
       // F4 difflib-ratio surface over real string data (key filter, not an
       // unordered limit — deterministic row set)
@@ -997,6 +1053,17 @@ object SparkEntry {
       val docs = par(s, t(s, d, "documents"))
       val lm = graft.ops.TextAnalysis.buildUnigramLm(docs, minCount = 2L)
       graft.ops.TextAnalysis.unigramBitsPerToken(docs, lm)
+    }),
+
+    "q_lm2_score" -> ((s, d) => {
+      // bigram Stupid Backoff surprisal (ops.TextAnalysis
+      // .stupidBackoffBits): self-LM at minCount=2 exercises all three
+      // paths (bigram hit, alpha-backoff, first-token unigram); the pair
+      // explode feeds three dimension-table equi-joins + one
+      // map-side-combinable per-doc aggregate, no window/lag
+      val docs = par(s, t(s, d, "documents"))
+      val lm = graft.ops.TextAnalysis.buildBigramLm(docs, minCount = 2L)
+      graft.ops.TextAnalysis.stupidBackoffBits(docs, lm)
     }),
 
     "q_classify_linear" -> ((s, d) => {
@@ -2005,6 +2072,43 @@ object SparkEntry {
         |FROM toks LEFT JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
 
+    // bigram Stupid Backoff with the same tokenization; prev = w[i-1]
+    // (safe: trim + \s+ split leaves no interior empties), backoff path
+    // parenthesized exactly as the Spark expression
+    "q_lm2_score" ->
+      """WITH toks AS (SELECT doc_id, w[i] AS term,
+        |    CASE WHEN i > 1 THEN w[i-1] END AS prev
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> ''),
+        |uni AS (SELECT term, count(*) AS n FROM toks GROUP BY 1
+        |        HAVING count(*) >= 2),
+        |big AS (SELECT prev, term, count(*) AS n FROM toks
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2
+        |        HAVING count(*) >= 2),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS _tot,
+        |               CAST(count(*) AS DOUBLE) AS _v FROM uni)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN big.n IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bigram_hits,
+        |  round(avg(-ln(CASE
+        |      WHEN big.n IS NOT NULL
+        |        THEN CAST(big.n AS DOUBLE) / CAST(up.n AS DOUBLE)
+        |      WHEN toks.prev IS NULL
+        |        THEN (CAST(coalesce(uni.n, 0) AS DOUBLE) + 1.0)
+        |             / (_tot + _v + 1.0)
+        |      ELSE 0.4 * ((CAST(coalesce(uni.n, 0) AS DOUBLE) + 1.0)
+        |                  / (_tot + _v + 1.0))
+        |    END) / 0.6931471805599453), 6) AS bits_per_token
+        |FROM toks
+        |LEFT JOIN big ON toks.prev = big.prev AND toks.term = big.term
+        |LEFT JOIN uni ON toks.term = uni.term
+        |LEFT JOIN uni up ON toks.prev = up.term
+        |CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
     // same tokenization, weight formula, bias and sigmoid expression as
     // the Spark side; logit and score each rounded from the UNROUNDED sum
     "q_classify_linear" ->
@@ -2311,6 +2415,25 @@ object SparkEntry {
         |LATERAL (SELECT unnest(generate_series(
         |  0, CAST(doc_id % 5 AS INTEGER))) AS i) u
         |WHERE doc_id % 3 = 2""".stripMargin,
+
+    // same sample by construction: k smallest md5 priorities per group
+    // over distinct values (md5 collisions would be the only tie source)
+    "q_kmv_sample" ->
+      """WITH d AS (SELECT DISTINCT c_mktsegment, c_name FROM customer),
+        |r AS (SELECT c_mktsegment, c_name, md5(c_name) AS priority,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY md5(c_name)) AS rn
+        |  FROM d)
+        |SELECT c_mktsegment, c_name AS item, priority
+        |FROM r WHERE rn <= 5""".stripMargin,
+
+    // 0-merge BPE: one token per non-space character (runs of spaces
+    // contribute nothing, same as the split-and-drop-empties encode)
+    "q_bpe_chars" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(strlen(replace(text, ' ', '')), 0) AS INTEGER)
+        |    AS n_tokens
+        |FROM documents""".stripMargin,
 
     // regenerate the sawtooth arithmetically and replay the 16-bit
     // quantization: v = floor(x*32767+0.5)/32768 with x = (t%p)/p*2-1,

@@ -370,6 +370,90 @@ object TextAnalysis {
         round(avg(-log(col("_p")) / ln2), 6).as("bits_per_token"))
   }
 
+  /** Unigram + bigram count tables of a trained bigram LM — both pinned
+    * (the build-once artifacts a scoring pass joins against).
+    */
+  case class BigramLm(unigrams: DataFrame, bigrams: DataFrame)
+
+  /** Per-token rows with the PREVIOUS token attached (null for the first
+    * token of a doc) — built inside the token array before exploding, so
+    * adjacency costs a narrow transform instead of a lag window or
+    * positional self-join. `trim` + `\s+` split leaves no interior empty
+    * fragments, so raw-array adjacency equals token adjacency.
+    */
+  private def tokenPairs(df: DataFrame, idCols: Seq[String],
+                         textCol: String): DataFrame = {
+    val arr = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = when(size(arr) > 0 && element_at(arr, 1) =!= "",
+      transform(sequence(lit(1), size(arr)), i =>
+        struct(element_at(arr, i).as("term"),
+          when(i > 1, element_at(arr, i - 1)).as("prev"))))
+      .otherwise(array().cast("array<struct<term:string,prev:string>>"))
+    df.select(idCols.map(col) :+ explode(pairs).as("_tp"): _*)
+      .select(idCols.map(col) :+ col("_tp.term") :+ col("_tp.prev"): _*)
+  }
+
+  /** Train the bigram LM: one explode-agg pass each for unigram and bigram
+    * counts (map-side combinable; the pair construction never shuffles the
+    * text). `minCount` prunes the tables the way production n-gram LMs do
+    * — at web scale the bigram table is the big artifact (Brants et al.
+    * 2007 shard it; here it stays a first-class DataFrame an equi-join
+    * consumes, broadcast while small, linear shuffled join beyond).
+    */
+  def buildBigramLm(ref: DataFrame, textCol: String = "text",
+                    minCount: Long = 1L): BigramLm = {
+    val pairs = tokenPairs(ref, Nil, textCol)
+    BigramLm(
+      unigrams = pairs.groupBy("term").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount).localCheckpoint(true),
+      bigrams = pairs.filter(col("prev").isNotNull)
+        .groupBy("prev", "term").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount).localCheckpoint(true))
+  }
+
+  /** Per-document mean surprisal in bits under the bigram LM with Stupid
+    * Backoff (Brants et al. 2007): S(w|prev) = n2(prev,w)/n1(prev) when
+    * the bigram was seen, else alpha * the add-one-smoothed unigram
+    * (first tokens take the unsmoothed-alpha unigram — no prev to back
+    * off from). A bigram surviving `minCount` implies its prev survived
+    * too (unigram count >= bigram count), so the n2-branch denominator is
+    * never null.
+    *
+    * Scale shape mirrors [[unigramBitsPerToken]]: the pair explode feeds
+    * one equi-join on (prev, term) against the bigram table and two on
+    * term/prev against the unigram table (all dimension-sized, broadcast
+    * while small, linear beyond), 1-row smoothing totals ride along, and
+    * the per-doc aggregate is map-side combinable. No window, no collect,
+    * no UDF; rounded to 6 dp with the shared ln(2) literal.
+    */
+  def stupidBackoffBits(docs: DataFrame, lm: BigramLm, alpha: Double = 0.4,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val ln2 = lit(0.6931471805599453)
+    val totals = lm.unigrams.agg(sum(col("n")).as("_tot"),
+      count(lit(1)).as("_v"))
+    val toks = tokenPairs(docs, Seq(idCol), textCol)
+    val uni = lm.unigrams.select(col("term"), col("n").as("_n1"))
+    val uniPrev = lm.unigrams.select(col("term").as("prev"),
+      col("n").as("_np"))
+    val big = lm.bigrams.select(col("prev"), col("term"), col("n").as("_n2"))
+    val base = (coalesce(col("_n1"), lit(0L)).cast("double") + 1.0d) /
+      (col("_tot").cast("double") + col("_v").cast("double") + 1.0d)
+    val s = when(col("_n2").isNotNull,
+        col("_n2").cast("double") / col("_np").cast("double"))
+      .otherwise(when(col("prev").isNull, base)
+        .otherwise(lit(alpha) * base))
+    toks.join(big, Seq("prev", "term"), "left_outer")
+      .join(uni, Seq("term"), "left_outer")
+      .join(uniPrev, Seq("prev"), "left_outer")
+      .crossJoin(totals) // 1-row totals table: literal-style broadcast
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_n2").isNotNull, 1L).otherwise(0L))
+          .as("n_bigram_hits"),
+        round(avg(-log(s) / ln2), 6).as("bits_per_token"))
+  }
+
   /** Apply a LINEAR bag-of-words text classifier — the fastText-style
     * shallow quality/topic model of the LLaMA/RedPajama filtering stage
     * ("quality classifier"), as a pure dataflow: the trained model IS a

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016, the
+  * sentencepiece/GPT-2 training-data tokenization stage), built
+  * scale-first:
+  *
+  *  - TRAINING never iterates the corpus: the corpus reduces once to a
+  *    word-frequency dictionary (map-side-combinable aggregate), merges
+  *    are learned greedily on the driver over that compact dict — the
+  *    same architecture real BPE trainers use (corpus-size-independent
+  *    merge loop; the dict is bounded by `minCount`/`maxWords`).
+  *  - ENCODING is one narrow distributed pass: the learned merge table
+  *    (vocab-sized, ≤ numMerges entries) rides the closure, and a
+  *    per-partition word→tokens memo exploits Zipf (the same word is
+  *    never re-encoded within a partition).
+  *
+  * Word symbols follow the classic formulation: characters, with the
+  * end-of-word marker `</w>` fused onto the last character, so merges
+  * never cross word boundaries. (A literal `</w>` inside corpus text can
+  * alias the marker in token STRINGS; token boundaries and counts are
+  * unaffected.)
+  */
+object Tokenize {
+
+  /** Whitespace words of `textCol` with corpus frequencies — the compact
+    * dict BPE trains on. Split on single spaces (empty fragments from runs
+    * of spaces are dropped), matching the corpus oracles' `split(text,' ')`.
+    */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol sequence of a word: chars, last char carries `</w>`. */
+  private[graft] def symbols(word: String): Array[String] = {
+    val n = word.length
+    Array.tabulate(n)(i =>
+      if (i == n - 1) word.substring(i) + "</w>" else word.substring(i, i + 1))
+  }
+
+  private def mergeIn(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Greedy BPE training over a word-frequency dict (driver-side — the
+    * dict, not the corpus, bounds the loop). Each round counts adjacent
+    * symbol pairs weighted by word frequency and merges the most frequent;
+    * ties break on the lexicographically smallest (left, right) pair so
+    * training is deterministic. Stops early when no pair repeats.
+    */
+  def trainBpeOnDict(dict: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words = dict.iterator.map { case (w, c) => (symbols(w), c) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) => (mergeIn(syms, best._1, best._2), c) }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** End-to-end training: distributed word counts → capped dict collect →
+    * driver merge loop. `maxWords` keeps the collect bounded on open-ended
+    * vocabularies (keeps the most frequent words; count-desc, word asc —
+    * deterministic); `minCount` drops hapax noise the way real trainers do.
+    */
+  def trainBpe(docs: DataFrame, numMerges: Int, textCol: String = "text",
+               minCount: Long = 1, maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    val dict = wordCounts(docs, textCol)
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainBpeOnDict(dict, numMerges)
+  }
+
+  /** Greedy merge application (the standard BPE encode): repeatedly merge
+    * the present pair with the lowest merge rank until none applies.
+    */
+  private[graft] def encodeWord(word: String,
+                              rank: collection.Map[(String, String), Int]): Array[String] = {
+    var syms = symbols(word)
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        syms = mergeIn(syms, syms(bestIdx), syms(bestIdx + 1))
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Distributed encode: one narrow pass, merges broadcast via the closure
+    * (vocab-sized), per-partition word→tokens memo. Output one row per doc:
+    * (id, tokens array, n_tokens).
+    */
+  def encodeBpe(docs: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankArr = merges.toArray
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = rankArr.iterator.zipWithIndex
+          .map { case (p, i) => p -> i }.toMap
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.split(" ").filter(_.nonEmpty)
+          val tokens = words.flatMap(w =>
+            memo.getOrElseUpdate(w, encodeWord(w, rank)))
+          (id, tokens, tokens.length)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+
+  /** The learned merge table as a DataFrame (rank, left, right) — the
+    * publishable model artifact next to a vocab table.
+    */
+  def mergesDf(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+  }
+}

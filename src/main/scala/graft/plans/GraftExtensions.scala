@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.MisraGriesTopK(es(0),
         intLit(es(1), "approx_top_k", "capacity"),
         intLit(es(2), "approx_top_k", "k"))))
+    // kmv_sample(value, k): deterministic k-minimum-values distinct sample
+    ext.injectFunction((FunctionIdentifier("kmv_sample"),
+      info("kmv_sample", classOf[graft.functions.KmvBottomK]),
+      (es: Seq[Expression]) => graft.functions.KmvBottomK(es(0),
+        intLit(es(1), "kmv_sample", "k"))))
     // corpus kernels — the dedup/text-analysis primitives, so the whole
     // annotate/dedup surface is reachable from pure SQL sessions
     import graft.functions.{CosineSim, DocFingerprint, LangId, MinHashSig,

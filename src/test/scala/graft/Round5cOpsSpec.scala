@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Third round-5 operator batch: bigram Stupid Backoff LM scoring. */
+class Round5cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("round5c-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("buildBigramLm counts unigrams and adjacent pairs") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.buildBigramLm(ref)
+    val uni = lm.unigrams.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 3L, "b" -> 4L))
+    val big = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(big == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "b") -> 1L))
+  }
+
+  test("stupidBackoffBits: hand-computed bigram hit, backoff, first token") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.buildBigramLm(ref)
+    val docs = Seq((10L, "a b c"), (11L, "b b"), (12L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffBits(docs, lm).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    def log2(x: Double) = math.log(x) / 0.6931471805599453
+    def round6(x: Double) = math.round(x * 1e6) / 1e6
+
+    // doc 10: "a" first-token smoothed unigram (3+1)/(7+2+1)=0.4;
+    // "b"|"a" bigram 3/3=1.0; "c"|"b" unseen -> 0.4*(0+1)/10=0.04
+    val exp10 = round6((-log2(0.4) - log2(1.0) - log2(0.04)) / 3)
+    assert(got(10L)._1 == 3 && got(10L)._2 == 1)
+    assert(math.abs(got(10L)._3 - exp10) < 1e-9)
+    assert(math.abs(got(10L)._3 - 1.988595) < 1e-6)
+
+    // doc 11: "b" first (4+1)/10=0.5; "b"|"b" bigram 1/4=0.25
+    assert(got(11L) == ((2L, 1L, round6((-log2(0.5) - log2(0.25)) / 2))))
+    assert(math.abs(got(11L)._3 - 1.5) < 1e-6)
+
+    // empty docs produce no token rows at all
+    assert(!got.contains(12L))
+  }
+
+  test("minCount prunes bigrams but backoff still scores them") {
+    import spark.implicits._
+    val ref = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    // bigram (x,y):2 survives minCount=2; (y,x):1 and (y,z):1 do not
+    val lm = TextAnalysis.buildBigramLm(ref, minCount = 2)
+    assert(lm.bigrams.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet == Set(("x", "y")))
+    // unigrams: x:2, y:2 survive; z:1 pruned -> OOV smoothing path
+    val scored = TextAnalysis.stupidBackoffBits(
+      Seq((1L, "x y z")).toDF("doc_id", "text"), lm).collect().head
+    assert(scored.getLong(1) == 3)      // all tokens scored
+    assert(scored.getLong(2) == 1)      // one bigram hit: (x,y)
+    assert(scored.getDouble(3) > 0)     // finite — no -inf from pruned rows
+  }
+}
