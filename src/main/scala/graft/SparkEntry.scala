@@ -1227,6 +1227,30 @@ object SparkEntry {
         .select("doc_id", "text_deduped", "n_lines_cut")
     }),
 
+    "q_boilerplate" -> ((s, d) => {
+      // per-source boilerplate stripping (ops.Dedup.stripBoilerplate): a
+      // line repeated across >= 3 distinct docs of the same source is site
+      // furniture and is cut from EVERY doc (no owner survives, unlike
+      // dedup_lines); same regex line-folding as the other line queries
+      val lined = t(s, d, "documents").select(col("doc_id"), col("source"),
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+      graft.ops.Dedup.stripBoilerplate(lined, minDocs = 3)
+        .select("doc_id", "text_deduped", "n_lines_cut")
+    }),
+
+    "q_pii_report" -> ((s, d) => {
+      // PII audit counts (ops.CorpusOps.piiReport) on the scrub surface:
+      // even docs get synthetic PII appended (the corpus itself has none),
+      // odd docs stay clean, so both has_pii branches carry rows
+      val spiked = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" user"), col("doc_id"),
+            lit("@example.com id"),
+            ((col("doc_id") + 1) * 1234567890L).cast("string")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.CorpusOps.piiReport(spiked)
+    }),
+
     "q_dedup_semantic" -> ((s, d) => {
       // SemDeDup (ops.Dedup.semanticDedup): deterministic k-means cells +
       // within-cell cosine, smallest-id survivor per tight neighborhood.
@@ -1777,6 +1801,57 @@ object SparkEntry {
         |  CAST(len(string_split(l.t, chr(10))) - coalesce(r.n_kept, 0)
         |    AS BIGINT) AS n_lines_cut
         |FROM lined l LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    // boilerplate = line in >= 3 distinct docs of one source, cut
+    // everywhere (anti-join, no surviving owner)
+    "q_boilerplate" ->
+      """WITH lined AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos
+        |  FROM lined),
+        |hot AS (
+        |  SELECT source, line FROM lines GROUP BY 1, 2
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  ANTI JOIN hot h ON l.source = h.source AND l.line = h.line),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, coalesce(r.txt, '') AS text_deduped,
+        |  CAST(len(string_split(l.t, chr(10))) - coalesce(r.n_kept, 0)
+        |    AS BIGINT) AS n_lines_cut
+        |FROM lined l LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    // same spiking and patterns as q_scrub_text; n_long_nums counted on
+    // the email-scrubbed text (mirrors scrubText's sequential application)
+    "q_pii_report" ->
+      """WITH spiked AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN text || ' user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com id'
+        |        || CAST((doc_id + 1) * 1234567890 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS INTEGER) AS n_emails,
+        |    CAST(len(regexp_extract_all(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'), '[0-9]{9,}')) AS INTEGER) AS n_long_nums
+        |  FROM spiked)
+        |SELECT doc_id, n_emails, n_long_nums,
+        |  (n_emails > 0 OR n_long_nums > 0) AS has_pii
+        |FROM counted""".stripMargin,
 
     "q_gopher_repetition" ->
       """WITH lined AS (

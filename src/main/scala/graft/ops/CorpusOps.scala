@@ -70,6 +70,28 @@ object CorpusOps {
     regexp_replace(email, "[0-9]{9,}", "<NUM>")
   }
 
+  /** PII audit companion to [[scrubText]]: per-doc match counts for each
+    * redaction class instead of the redaction itself — the "measure before
+    * you scrub" report a curation run logs. Long-digit runs are counted on
+    * the email-scrubbed text, mirroring [[scrubText]]'s sequential
+    * application (digits inside an email count once, as <EMAIL>). One
+    * narrow codegen'd regexp pass, RE2-compatible patterns (no
+    * lookarounds) so the oracle runs the identical regexes.
+    */
+  def piiReport(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val deEmailed = regexp_replace(col(textCol), email, "<EMAIL>")
+    val nEmails = when(col(textCol).isNull, 0)
+      .otherwise(size(regexp_extract_all(col(textCol), lit(email), lit(0))))
+      .cast("int")
+    val nNums = when(col(textCol).isNull, 0)
+      .otherwise(size(regexp_extract_all(deEmailed, lit("[0-9]{9,}"), lit(0))))
+      .cast("int")
+    docs.select(col(idCol), nEmails.as("n_emails"), nNums.as("n_long_nums"))
+      .withColumn("has_pii", col("n_emails") > 0 || col("n_long_nums") > 0)
+  }
+
   /** Sequence packing: assign documents to fixed token-budget packs —
     * the "concatenate docs into ~budget-token training sequences" step.
     * Streaming-chunk semantics: docs are taken in deterministic id order

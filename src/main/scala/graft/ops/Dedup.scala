@@ -748,6 +748,45 @@ object Dedup {
       .drop("_n_kept")
   }
 
+  /** Per-source boilerplate stripping (the CCNet/RefinedWeb step): a line
+    * appearing in at least `minDocs` DISTINCT documents of the SAME source
+    * is site furniture (header, nav, cookie banner) and is cut from EVERY
+    * document — unlike [[dedupLines]] there is no surviving owner copy,
+    * because boilerplate is noise, not content.
+    *
+    * Scale shape: one generator fan-out; the hot-line table is a distinct
+    * count aggregate keyed by (source, hash, exact line) — boilerplate is
+    * by definition repeated, so the hot table is far smaller than the line
+    * stream (bounded by distinct repeated lines per source); the cut is an
+    * UNHINTED left anti equi-join on (source, hash, exact line) — AQE
+    * broadcasts the hot table while it is small, and beyond that the
+    * fallback is a linear shuffled anti-join (the r4 span-dedup lesson:
+    * never force-broadcast a survivor set that grows with corpus
+    * duplication). Matching on exact line text alongside the hash makes
+    * collisions harmless. Rebuild reuses the [[dedupLines]] stage: full
+    * documents never ride a shuffle.
+    *
+    * @return input + `text_deduped` (surviving lines, original order) +
+    *   `n_lines_cut`
+    */
+  def stripBoilerplate(docs: DataFrame, sourceCol: String = "source",
+                       minDocs: Long = 3, delim: String = "\n",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, "boilerplate needs at least 2 documents")
+    val lines = docs.select(col(idCol), col(sourceCol),
+      posexplode(split(col(textCol), delim)).as(Seq("_pos", "_line")))
+    val hot = lines
+      .groupBy(col(sourceCol), xxhash64(col("_line")).as("_h"), col("_line"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select(col(sourceCol), col("_h"), col("_line"))
+    val kept = lines.withColumn("_h", xxhash64(col("_line")))
+      .join(hot, Seq(sourceCol, "_h", "_line"), "left_anti")
+      .select(col(idCol), col("_pos"), col("_line"))
+    rebuildFromKeptLines(docs, kept, delim, idCol, textCol)
+  }
+
   /** Corpus LINE INDEX: the distinct lines of a corpus, for
     * [[dedupLinesIncremental]]. At 100 TB persist it bucketed by `line_h`
     * ([[Bucketing.writeBucketed]]) so each day's batch anti-join shuffles

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.TextAnalysis
+import graft.ops.{CorpusOps, Dedup, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -54,6 +54,47 @@ class Round5cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // empty docs produce no token rows at all
     assert(!got.contains(12L))
+  }
+
+  test("stripBoilerplate cuts per-source hot lines everywhere, no owner") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "NAV\nalpha\nNAV"),    // NAV twice in one doc = 1 distinct doc
+      (2L, "A", "NAV\nbeta"),
+      (3L, "A", "NAV\ngamma"),
+      (4L, "B", "NAV\ndelta"),         // NAV in B appears in only 1 doc
+      (5L, "A", "epsilon")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.stripBoilerplate(docs, minDocs = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_deduped"), r.getAs[Long]("n_lines_cut"))))
+      .toMap
+    // NAV seen in 3 distinct docs of source A -> cut from ALL A docs
+    // (both copies in doc 1), untouched in source B
+    assert(got(1L) == (("alpha", 2L)))
+    assert(got(2L) == (("beta", 1L)))
+    assert(got(3L) == (("gamma", 1L)))
+    assert(got(4L) == (("NAV\ndelta", 0L)))
+    assert(got(5L) == (("epsilon", 0L)))
+  }
+
+  test("piiReport counts per class; digits inside emails count once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d@e-f.org plus 1234567890 end"),
+      (2L, "digits12345678901inside x9876543210@long.example.com"),
+      (3L, "clean text only"),
+      (4L, "short 12345678 run") // 8 digits: below the 9+ threshold
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.piiReport(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((2, 1, true)))
+    // doc 2: the email's digits are scrubbed to <EMAIL> first, so only the
+    // standalone 11-digit run counts
+    assert(got(2L) == ((1, 1, true)))
+    assert(got(3L) == ((0, 0, false)))
+    assert(got(4L) == ((0, 0, false)))
   }
 
   test("minCount prunes bigrams but backoff still scores them") {
