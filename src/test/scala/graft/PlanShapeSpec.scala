@@ -257,6 +257,53 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "keepHeadByScore must rank via distributed sort, not a global window")
   }
 
+  test("bigram lm scoring is equi-joins + aggregate — no window, no lag") {
+    val p = plan("q_lm2_score")
+    assert(!p.contains("CartesianProduct"),
+      "bigram scoring plans a cartesian product")
+    // adjacency is built inside the token array (transform + explode);
+    // a lag/row_number formulation would plan a Window here
+    assert(!p.contains("Window"), "bigram adjacency must not use a window")
+  }
+
+  test("kmv sample partial-aggregates before the group exchange") {
+    val p = plan("q_kmv_sample")
+    // TypedImperativeAggregate => ObjectHashAggregate with a partial mode
+    // below the exchange: k-entry buffers shuffle, not the row stream
+    assert(p.contains("ObjectHashAggregate"),
+      "kmv_sample should plan as an object hash aggregate")
+    assert(!p.contains("Window"),
+      "the sampler exists to avoid the full window sort")
+    val idx = p.indexOf("partial_kmv_sample")
+    assert(idx >= 0, "map-side partial aggregation expected")
+    assert(p.indexOf("Exchange") < idx || p.indexOf("Exchange", idx) >= 0,
+      "partial agg should sit below an exchange")
+  }
+
+  test("boilerplate strip: unhinted anti-join, no product, no window") {
+    val p = plan("q_boilerplate")
+    assert(p.contains("LeftAnti"), "hot lines should cut via anti-join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"),
+      "owner-free cut needs no window at all")
+  }
+
+  test("bpe trained encode stays one narrow pass after the scan") {
+    // the merge table rides the closure: past the input exchange there is
+    // no join/aggregation/window in the encode itself
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"),
+      "bpe encode must not join or sort — the model is closure state")
+  }
+
+  test("audio feature extraction is a single narrow mapPartitions pass") {
+    val p = plan("q_audio_features")
+    assert(!p.contains("Exchange") || p.contains("RoundRobin"),
+      "audio decode must not shuffle beyond the initial rebalance")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("bench records a failing query as err, not as a fast time") {
     val broken = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "q_ok" -> ((s, d) => s.range(5).toDF("n")),
