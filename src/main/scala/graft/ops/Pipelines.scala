@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. annotate (lang-id, token counts, quality — one narrow pass)
   *   2. quality gate (language allow-list, quality floor, repetition cap)
+  *   2b. optional per-source boilerplate strip (RefinedWeb: lines repeated
+  *      across `boilerplateMinDocs` docs of one source are site furniture,
+  *      cut everywhere — BEFORE the LM gate so the LM never learns the
+  *      furniture; requires a `source` column)
   *   3. optional LM-perplexity gate (CCNet: keep the lowest-surprisal
   *      `lmKeepFrac` of the gated corpus under a self-built unigram LM)
   *   4. exact dedup (fingerprint hash-agg, keep canonical)
@@ -40,6 +44,9 @@ object Pipelines {
                    minQuality: Double = 0.3,
                    maxRepetition: Double = 0.3,
                    nearDupThreshold: Double = 0.7,
+                   boilerplateMinDocs: Option[Long] = None,
+                   boilerplateDelim: String = "\n",
+                   sourceCol: String = "source",
                    lmKeepFrac: Option[Double] = None,
                    lmMinCount: Long = 5L,
                    cutSpanK: Option[Int] = None,
@@ -75,19 +82,30 @@ object Pipelines {
       .filter(col("quality") >= minQuality)
       .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition))
 
+    // optional per-source boilerplate strip: runs before the LM gate so
+    // the perplexity model never trains on site furniture
+    val bpStripped = boilerplateMinDocs match {
+      case Some(m) => stage("strip-boilerplate",
+        Dedup.stripBoilerplate(gated, sourceCol, m, boilerplateDelim,
+          idCol, textCol)
+          .withColumn(textCol, col("text_deduped"))
+          .drop("text_deduped", "n_lines_cut"))
+      case None => gated
+    }
+
     // optional CCNet-style perplexity gate: a unigram LM built from the
     // already-gated corpus scores every doc (mean surprisal in bits) and
     // only the lowest-perplexity lmKeepFrac survives — runs on the gated
     // set so the LM never learns from docs the rule filters just rejected
     val lmGated = lmKeepFrac match {
       case Some(frac) => stage("lm-gate", {
-        val lm = TextAnalysis.buildUnigramLm(gated, textCol, lmMinCount)
+        val lm = TextAnalysis.buildUnigramLm(bpStripped, textCol, lmMinCount)
         val kept = CorpusOps.keepHeadByScore(
-          TextAnalysis.unigramBitsPerToken(gated, lm, idCol, textCol),
+          TextAnalysis.unigramBitsPerToken(bpStripped, lm, idCol, textCol),
           "bits_per_token", idCol, frac)
-        gated.join(kept.select(idCol), Seq(idCol), "left_semi")
+        bpStripped.join(kept.select(idCol), Seq(idCol), "left_semi")
       })
-      case None => gated
+      case None => bpStripped
     }
 
     val exactDeduped = stage("exact-dedup",

@@ -157,6 +157,33 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.report.collect().map(_.getString(0)).contains("dedup-lines"))
   }
 
+  test("boilerplateMinDocs stage cuts per-source furniture, other source keeps it") {
+    import spark.implicits._
+    val nav = "subscribe to the newsletter for more updates and content"
+    val docs = Seq(
+      (1L, "s1", nav + "\nthe alpha document body is all about one particular topic"),
+      (2L, "s1", nav + "\nthe beta document is long and covers a different topic"),
+      (3L, "s1", nav + "\nthe gamma text is its own unrelated and unshared content"),
+      (4L, "s2", nav + "\nthe delta document from another source keeps the line")
+    ).toDF("doc_id", "source", "text")
+    val eval = Seq((9L, "there is no overlap of this with anything in that corpus"))
+      .toDF("doc_id", "text")
+    val r = Pipelines.curateCorpus(docs, eval,
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.95,
+      boilerplateMinDocs = Some(3L), chunkTokens = 64, chunkStride = 64,
+      packBudget = 512)
+    val texts = r.chunks.select("doc_id", "chunk_text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    // the nav line rides 3 distinct s1 docs -> cut from ALL of them (no
+    // owner), but s2 saw it only once -> doc 4 keeps it
+    assert(!texts(1L).contains("newsletter"))
+    assert(!texts(2L).contains("newsletter"))
+    assert(!texts(3L).contains("newsletter"))
+    assert(texts(4L).contains("newsletter"))
+    assert(texts(1L).contains("alpha document"))
+    assert(r.report.collect().map(_.getString(0)).contains("strip-boilerplate"))
+  }
+
   test("lmKeepFrac gate keeps the exact head-fraction of the gated set") {
     import spark.implicits._
     val docs = spark.read
