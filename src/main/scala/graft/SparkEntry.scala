@@ -82,6 +82,26 @@ object SparkEntry {
     ivfIndexQCache.computeIfAbsent((s, d), _ => build)
   }
 
+  /** Session-lifetime trained-PQ artifacts per (session, data dir): the
+    * codebooks AND the encoded corpus (both are build-once artifacts a
+    * deployment persists; probes touch byte codes only). Same
+    * stopped-session eviction discipline as the IVF cache.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (graft.ops.Similarity.PqCodebooks, DataFrame)]
+
+  private def cachedPq(s: SparkSession, d: String): (graft.ops.Similarity.PqCodebooks, DataFrame) = {
+    pqCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pqCache.computeIfAbsent((s, d), _ => {
+      val emb = par(s, t(s, d, "embeddings"))
+      // m=16 x 4-dim subspaces: 16 bytes/vector (16x compression) with
+      // materially better ADC recall than 8 coarser subspaces (PqSpec
+      // measures 0.44 vs 0.31 @10 on the testdata embeddings)
+      val cb = graft.ops.Similarity.trainPqCodebooks(emb, m = 16, ksub = 16)
+      (cb, graft.ops.Similarity.pqEncode(emb, cb).localCheckpoint(true))
+    })
+  }
+
   /** Session-lifetime BPE merge table per (session, data dir) — train-once/
     * encode-many, the deployment shape of a real tokenizer (the model is an
     * artifact, not a per-query cost). Same stopped-session eviction
@@ -1079,6 +1099,35 @@ object SparkEntry {
       graft.ops.TextAnalysis.classifyLinear(docs, w, bias = -0.1)
     }),
 
+    "q_dsir_weights" -> ((s, d) => {
+      // DSIR importance log-weights (ops.TextAnalysis.dsirLogRatio, Xie
+      // et al. 2023): raw = the full documents corpus, target = the
+      // src0..src4 slice (stand-in "high-quality" domain — a real run
+      // points target at Wikipedia/books). Features are hashed
+      // unigram+bigram buckets over the portable md5 hash, so DuckDB
+      // replays extraction, smoothing, and the log-ratio exactly.
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.TextAnalysis.dsirLogRatio(docs,
+        docs.filter(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4")),
+        buckets = 4096)
+    }),
+
+    "q_dsir_sample" -> ((s, d) => {
+      // DSIR selection = the weights above + Gumbel-top-n importance
+      // resampling (ops.CorpusOps.importanceResample): log-space keys, so
+      // no exp overflow on long docs; noise is a pure md5 function of the
+      // id — deterministic, exactly replayable in SQL. Output is ids +
+      // integer ranks only (the float key stays internal).
+      val docs = par(s, t(s, d, "documents"))
+      val w = graft.ops.TextAnalysis.dsirLogRatio(docs,
+        docs.filter(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4")),
+        buckets = 4096)
+      graft.ops.CorpusOps.importanceResample(w, "log_ratio", n = 100)
+        .select("doc_id", "sample_rank")
+    }),
+
     "q_lm_filter" -> ((s, d) => {
       // CCNet keep-the-head filter: rank the scored corpus by
       // (bits asc, id asc) via distributed sort + zipWithIndex (no global
@@ -1436,6 +1485,34 @@ object SparkEntry {
             .as("q_sum"),
           size(col("codes")).as("dim"),
           floor(col("q_scale") * 1e9).cast("long").as("scale_1e9"))
+    }),
+
+    "q_pq_encode" -> ((s, d) => {
+      // product-quantization encode (ops.Similarity.pqEncode): the 32x
+      // storage tier below int8 — 8 byte codes + one stored norm per
+      // 64-dim vector. Data-row codebooks (pqCodebooksFromRows) make the
+      // per-subspace L2 argmin exactly SQL-replayable; codes are
+      // integers, exploded to scalar rows for the exact oracle. The
+      // trained path (trainPqCodebooks) runs the identical dataflow and
+      // is certified by q_pq_probe + PqSpec's recall floor.
+      val emb = par(s, t(s, d, "embeddings"))
+      val cb = graft.ops.Similarity.pqCodebooksFromRows(emb, m = 8, ksub = 16)
+      graft.ops.Similarity.pqEncode(emb, cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    }),
+
+    "q_pq_probe" -> ((s, d) => {
+      // asymmetric-distance PQ probe (ops.Similarity.pqProbe) against the
+      // session-cached trained codebooks + encoded corpus (build-once/
+      // probe-many, like q_ann_ivf): top-10 per query computed from byte
+      // codes only — the corpus side of the scan never touches a float
+      // vector. Rows-only (k-means codebooks are model-based); PqSpec
+      // cross-checks recall against bruteForceTopK on the same queries.
+      val (cb, enc) = cachedPq(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.pqProbe(q, enc, cb, k = 10)
+        .select("query_id", "vec_id", "rank")
     }),
 
     "q_scd2" -> ((s, d) => {
@@ -2147,6 +2224,88 @@ object SparkEntry {
         |FROM toks LEFT JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
 
+    // DSIR hashed unigram+bigram features over the portable md5 bucket
+    // (the hashSplit contract); add-one smoothing over the 4096-bucket
+    // domain; target = the src0..src4 slice. trim + \s+ split leaves no
+    // interior empties, so len(w) >= 2 implies every token is non-empty.
+    "q_dsir_weights" ->
+      """WITH wsp AS (SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, w[i] AS gram
+        |  FROM wsp,
+        |    LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+        |  WHERE w[i] <> ''
+        |  UNION ALL
+        |  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS gram
+        |  FROM wsp,
+        |    LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+        |  WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(gram), 1, 4)) AS BIGINT) % 4096
+        |      AS bucket
+        |  FROM g),
+        |rc AS (SELECT bucket, count(*) AS nr FROM b GROUP BY 1),
+        |tc AS (SELECT bucket, count(*) AS nt FROM b
+        |       WHERE source IN ('src0','src1','src2','src3','src4')
+        |       GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(nr) AS DOUBLE) FROM rc) AS tr,
+        |               (SELECT CAST(coalesce(sum(nt), 0) AS DOUBLE)
+        |                  FROM tc) AS tt),
+        |ratio AS (SELECT rc.bucket,
+        |    ln((CAST(coalesce(tc.nt, 0) AS DOUBLE) + 1.0)
+        |       / (tot.tt + 4096.0))
+        |  - ln((CAST(rc.nr AS DOUBLE) + 1.0) / (tot.tr + 4096.0)) AS lr
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot)
+        |SELECT b.doc_id, count(*) AS n_feats,
+        |  round(sum(ratio.lr), 6) AS log_ratio
+        |FROM b JOIN ratio USING (bucket)
+        |GROUP BY b.doc_id""".stripMargin,
+
+    // the weights above + Gumbel-top-n in log space; the uniform is the
+    // 'ir:'-seeded md5 of the id (weightedSample's contract, distinct
+    // stream), shifted by +0.5/2^32 so both logs stay finite
+    "q_dsir_sample" ->
+      """WITH wsp AS (SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, w[i] AS gram
+        |  FROM wsp,
+        |    LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+        |  WHERE w[i] <> ''
+        |  UNION ALL
+        |  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS gram
+        |  FROM wsp,
+        |    LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+        |  WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(gram), 1, 4)) AS BIGINT) % 4096
+        |      AS bucket
+        |  FROM g),
+        |rc AS (SELECT bucket, count(*) AS nr FROM b GROUP BY 1),
+        |tc AS (SELECT bucket, count(*) AS nt FROM b
+        |       WHERE source IN ('src0','src1','src2','src3','src4')
+        |       GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(nr) AS DOUBLE) FROM rc) AS tr,
+        |               (SELECT CAST(coalesce(sum(nt), 0) AS DOUBLE)
+        |                  FROM tc) AS tt),
+        |ratio AS (SELECT rc.bucket,
+        |    ln((CAST(coalesce(tc.nt, 0) AS DOUBLE) + 1.0)
+        |       / (tot.tt + 4096.0))
+        |  - ln((CAST(rc.nr AS DOUBLE) + 1.0) / (tot.tr + 4096.0)) AS lr
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+        |wts AS (SELECT b.doc_id, round(sum(ratio.lr), 6) AS log_ratio
+        |  FROM b JOIN ratio USING (bucket) GROUP BY b.doc_id),
+        |keyed AS (SELECT doc_id, log_ratio - ln(-ln(
+        |    (CAST(('0x' || substr(md5('ir:' || CAST(doc_id AS VARCHAR)),
+        |       1, 8)) AS BIGINT) + 0.5) / 4294967296.0)) AS k
+        |  FROM wts)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY k DESC, doc_id) AS sample_rank
+        |FROM keyed ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+
     // bigram Stupid Backoff with the same tokenization; prev = w[i-1]
     // (safe: trim + \s+ split leaves no interior empties), backoff path
     // parenthesized exactly as the Spark expression
@@ -2754,6 +2913,29 @@ object SparkEntry {
         |  CAST(len(e) AS INTEGER) AS dim,
         |  CAST(floor(sc * 1e9) AS BIGINT) AS scale_1e9
         |FROM s""".stripMargin,
+
+    // PQ encode with the data-row codebooks: per (vector, subspace) the
+    // argmin-L2 code, ties to the smallest code. list_distance is the
+    // sqrt of the Spark side's squared-L2 — argmin-equivalent (monotone);
+    // exact ties (identical slices) are exactly equal in both engines.
+    "q_pq_encode" ->
+      """WITH cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |      AS INTEGER) AS code, embedding
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |sub AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER)
+        |          AS sub),
+        |d AS (SELECT e.vec_id, sub.sub, cb.code,
+        |    list_distance(
+        |      CAST(list_slice(e.embedding, sub.sub*8+1, sub.sub*8+8)
+        |        AS DOUBLE[]),
+        |      CAST(list_slice(cb.embedding, sub.sub*8+1, sub.sub*8+8)
+        |        AS DOUBLE[])) AS dist
+        |  FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
+        |r AS (SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, code) AS rn
+        |  FROM d)
+        |SELECT vec_id, sub, code FROM r WHERE rn = 1""".stripMargin,
 
     "q_scd2" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS valid_from,

@@ -286,6 +286,33 @@ object CorpusOps {
     ranked.drop("_score")
   }
 
+  /** Gumbel-top-n importance resampling from LOG weights — the draw step
+    * of DSIR selection ([[graft.ops.TextAnalysis.dsirLogRatio]] produces
+    * the weights): key = log w + Gumbel(md5-uniform(id)), take the n
+    * largest. Equivalent to [[weightedSample]]'s exponential race but
+    * stable for log-scale weights (no exp overflow/underflow at |log w| >
+    * 700, routine for long docs). Deterministic: the noise is a pure
+    * function of the id (seeded distinctly from weightedSample's uniform),
+    * so re-runs and engines agree.
+    *
+    * Scale shape: `orderBy(...).limit(n)` is TakeOrderedAndProject —
+    * per-partition top-n then a driver-side merge of n-row heaps, never a
+    * global sort; the rank window runs over ≤ n rows.
+    */
+  def importanceResample(df: DataFrame, logWeightCol: String, n: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(n > 0)
+    val u = (conv(substring(md5(concat(lit("ir:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 0.5d) /
+      4294967296.0d // strictly inside (0,1): both logs below stay finite
+    val key = col(logWeightCol) - log(-log(u))
+    df.withColumn("_key", key)
+      .orderBy(col("_key").desc, col(idCol)).limit(n)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("_key").desc, col(idCol))))
+      .drop("_key")
+  }
+
   /** Grouped z-score outlier flagging — the statistical curation gate
     * (aberrant doc lengths within a source, absurd metric values within an
     * event type). Two-pass shape: one hash aggregation for the per-group

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.CorpusFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -277,6 +277,159 @@ object Similarity {
     val cands = probed.join(index.cells, Seq("center_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", cosine_sim(col("_qv"), dequant))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  // --- product quantization ---------------------------------------------
+
+  /** Trained PQ codebooks: `m` subspaces of `subDim` dims each; `codebooks`
+    * is the (small, pinned) table `(sub, code, centroid: array<float>)`
+    * with `m × ksub` rows — the artifact a deployment trains once and
+    * broadcasts into every encode/probe pass.
+    */
+  final case class PqCodebooks(m: Int, subDim: Int, codebooks: DataFrame) {
+    def release(): Unit = codebooks.unpersist()
+  }
+
+  /** Squared L2 distance between two float-array columns (double math,
+    * left-to-right fold — deterministic and SQL-replayable).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0d), (acc, v) => acc + v)
+
+  private def dotp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private def normSq(a: Column): Column = dotp(a, a)
+
+  /** Vector dimensionality probe (one 1-row driver action on the build
+    * path — never on a probe path).
+    */
+  private def vecDim(corpus: DataFrame, vecCol: String, m: Int): Int = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+    dim / m
+  }
+
+  /** Data-row PQ codebooks: code `c` of every subspace is the matching
+    * slice of the corpus vector with the c-th smallest id. Not a trained
+    * quantizer — it exists so the ENCODE dataflow (argmin per subspace,
+    * integer codes) has a deterministic, SQL-replayable configuration the
+    * correctness gate can oracle exactly; production trains with
+    * [[trainPqCodebooks]] and the dataflow is identical.
+    */
+  def pqCodebooksFromRows(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): PqCodebooks = {
+    val subDim = vecDim(corpus, vecCol, m)
+    val seed = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .orderBy("_id").limit(ksub)
+      .agg(array_sort(collect_list(struct(col("_id"), col("_v")))).as("_a"))
+      .select(posexplode(col("_a")).as(Seq("code", "_s")))
+      .select(col("code"), col("_s._v").as("_v"))
+    val cbs = seed.select(col("code"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("_v"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "centroid")))
+      .select(col("sub"), col("code"), col("centroid"))
+      .localCheckpoint(true)
+    PqCodebooks(m, subDim, cbs)
+  }
+
+  /** Train PQ codebooks: per-subspace deterministic k-means over the
+    * sliced corpus ([[kmeansCentroids]] per subspace — `m × iters` small
+    * jobs, a BUILD-path cost like [[buildIvfIndex]]; the trained table is
+    * `m × ksub` rows, pinned).
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                       iters: Int = 3, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): PqCodebooks = {
+    val subDim = vecDim(corpus, vecCol, m)
+    val parts = (0 until m).map { s =>
+      kmeansCentroids(
+        corpus.select(col(idCol).as("_sid"),
+          slice(col(vecCol), s * subDim + 1, subDim).as("_sv")),
+        ksub, iters, "_sid", "_sv")
+        .select(lit(s).as("sub"), col("center_id").as("code"), col("centroid"))
+    }
+    PqCodebooks(m, subDim, parts.reduce(_ union _).localCheckpoint(true))
+  }
+
+  /** Encode the corpus against PQ codebooks: per (vector, subspace) the
+    * argmin-L2 code — `m` bytes of payload per vector instead of
+    * `4 × dim` (the 32× storage/shuffle tier below [[quantizeInt8]]'s 4×).
+    * `recon_norm` (the reconstructed vector's L2 norm) is stored at encode
+    * time so cosine probes never re-touch the codebooks per candidate.
+    *
+    * Scale shape: one narrow `m`-way slice fan-out, an equi-join on `sub`
+    * against the broadcast-sized codebook table, argmin via `min_by`
+    * partial agg (map-side combine to one candidate per (vector, subspace)
+    * — never a window), then one per-vector regroup. Ties argmin to the
+    * smallest code, so encoding is deterministic and exactly replayable in
+    * SQL (the correctness gate checks codes as integers).
+    *
+    * @return (vec_id, codes: array<int> of length m, recon_norm: double)
+    */
+  def pqEncode(corpus: DataFrame, cb: PqCodebooks,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+    val subs = base.select(col("vec_id"),
+      posexplode(array((0 until cb.m).map(s =>
+        slice(col("_v"), s * cb.subDim + 1, cb.subDim)): _*))
+        .as(Seq("sub", "_sv")))
+    val scored = subs.join(broadcast(cb.codebooks), Seq("sub"))
+      .withColumn("_d2", l2sq(col("_sv"), col("centroid")))
+      .withColumn("_cn2", normSq(col("centroid")))
+    val best = scored.groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code").as("code"), col("_cn2").as("_cn2")),
+        struct(col("_d2"), col("code"))).as("_b"))
+    best.groupBy("vec_id").agg(
+      transform(
+        array_sort(collect_list(struct(col("sub"),
+          col("_b").getField("code").as("code")))),
+        x => x.getField("code")).as("codes"),
+      sqrt(sum(col("_b").getField("_cn2"))).as("recon_norm"))
+  }
+
+  /** Asymmetric-distance PQ probe (ADC): each query precomputes one
+    * `m × ksub` inner-product table against the codebooks (query set is
+    * broadcast-sized by contract, like [[bruteForceTopK]]); the code scan
+    * is then pure byte-level — posexplode the `m` codes, equi-join the
+    * broadcast distance table on (sub, code), sum the `m` partials per
+    * (query, vector), cosine ≈ ip / (‖q‖ · recon_norm). The corpus side
+    * never touches a float vector: at 100 TB the scan reads `m` bytes +
+    * one double per vector (the point of PQ), and the per-(query, vector)
+    * aggregate is map-side combinable. Approximate → certify rows-only;
+    * the recall spec cross-checks against [[bruteForceTopK]].
+    */
+  def pqProbe(queries: DataFrame, encoded: DataFrame, cb: PqCodebooks,
+              k: Int = 10, queryIdCol: String = "query_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", sqrt(normSq(col("_qv"))))
+    val dtab = q.crossJoin(broadcast(cb.codebooks))
+      .withColumn("_ip",
+        dotp(slice(col("_qv"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
+          col("centroid")))
+      .select("query_id", "_qn", "sub", "code", "_ip")
+    val fan = encoded.select(col("vec_id"), col("recon_norm"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val cands = fan.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("_ip")).as("_ips"),
+        first(col("recon_norm")).as("_rn"), first(col("_qn")).as("_q"))
+      .withColumn("cosine",
+        when(col("_rn") > 0d && col("_q") > 0d,
+          col("_ips") / (col("_rn") * col("_q"))).otherwise(lit(0.0d)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     cands.withColumn("rank", row_number().over(w))

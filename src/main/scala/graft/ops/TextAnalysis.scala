@@ -492,6 +492,77 @@ object TextAnalysis {
         round(lit(1.0d) / (lit(1.0d) + exp(-logit)), 6).as("score"))
   }
 
+  /** Hashed unigram + bigram feature stream of a corpus: one row per gram
+    * occurrence, `bucket` ∈ [0, buckets). The hash is the portable
+    * md5-prefix bucket (same cross-engine contract as
+    * [[graft.ops.CorpusOps.hashSplit]]) so feature extraction is exactly
+    * replayable in the SQL oracle. Bigrams come from zip_with over two
+    * offset slices of the token array — a narrow transform, never a lag
+    * window or positional self-join.
+    */
+  private def gramBuckets(df: DataFrame, buckets: Int, textCol: String,
+                          idCols: Seq[String]): DataFrame = {
+    val arr = split(lower(trim(col(textCol))), "\\s+")
+    val unigrams = when(size(arr) > 0 && element_at(arr, 1) =!= "", arr)
+      .otherwise(array().cast("array<string>"))
+    val bigrams = when(size(arr) >= 2 && element_at(arr, 1) =!= "",
+      zip_with(slice(arr, lit(1), size(arr) - 1),
+        slice(arr, lit(2), size(arr) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(idCols.map(col) :+
+        explode(concat(unigrams, bigrams)).as("gram"): _*)
+      .withColumn("bucket",
+        conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long")
+          % buckets)
+  }
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw doc
+    * by how much more likely its hashed-n-gram bag is under the TARGET
+    * distribution than under the RAW distribution —
+    * `log w(doc) = Σ_grams [log p_target(bucket) − log p_raw(bucket)]`
+    * with add-one smoothing over the `buckets` hashed unigram+bigram
+    * features. Feed the result to [[graft.ops.CorpusOps.importanceResample]]
+    * to draw the target-like subset.
+    *
+    * Scale shape: two explode-agg passes build the two bucket-count tables
+    * (each ≤ `buckets` rows — dimension-class; totals are 1-row
+    * literal-style broadcasts), the per-bucket log-ratio table pins once,
+    * and scoring is ONE equi-join of the raw gram stream against that
+    * broadcast table + a map-side-combinable per-doc aggregate. No window,
+    * no UDF; only docs with ≥ 1 token are scored.
+    *
+    * @return (id, n_feats — gram occurrences, log_ratio rounded to 6 dp,
+    *         same cross-engine contract as [[wordEntropy]])
+    */
+  def dsirLogRatio(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      "buckets must fit the 16-bit portable hash")
+    val rawG = gramBuckets(raw, buckets, textCol, Seq(idCol))
+    val tgtCnt = gramBuckets(target, buckets, textCol, Nil)
+      .groupBy("bucket").agg(count(lit(1)).as("_nt"))
+    val rawCnt = rawG.groupBy("bucket").agg(count(lit(1)).as("_nr"))
+    val rawTot = rawCnt.agg(sum(col("_nr")).as("_tr"))
+    val tgtTot = tgtCnt.agg(coalesce(sum(col("_nt")), lit(0L)).as("_tt"))
+    val b = lit(buckets.toDouble)
+    val ratio = rawCnt.join(tgtCnt, Seq("bucket"), "left_outer")
+      .crossJoin(rawTot).crossJoin(tgtTot) // 1-row totals: literal-style
+      .withColumn("_lr",
+        log((coalesce(col("_nt"), lit(0L)).cast("double") + 1.0d)
+          / (col("_tt").cast("double") + b)) -
+        log((col("_nr").cast("double") + 1.0d)
+          / (col("_tr").cast("double") + b)))
+      .select("bucket", "_lr")
+      .localCheckpoint(true) // ≤ buckets rows, read by every scoring task
+    rawG.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("_lr")), 6).as("log_ratio"))
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

@@ -304,6 +304,31 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("pq encode/probe: broadcast codebooks, no product, byte-only scan") {
+    val pe = plan("q_pq_encode")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("Window"),
+      "pq encode is a broadcast equi-join on sub + min_by aggregate")
+    val pp = plan("q_pq_probe")
+    // the per-query distance table rides a broadcast (crossJoin against
+    // the m x ksub codebooks is BNLJ by construction — query-set-sized);
+    // the corpus-side join is the (sub, code) broadcast hash equi-join
+    assert(!pp.contains("CartesianProduct"),
+      "pq probe must never plan an unblocked product")
+    assert(pp.contains("BroadcastHashJoin"),
+      "the code scan joins the broadcast distance table on (sub, code)")
+  }
+
+  test("dsir weights join a broadcast ratio table; sample avoids global sort") {
+    val pw = plan("q_dsir_weights")
+    assert(!pw.contains("CartesianProduct") && !pw.contains("Window"),
+      "dsir scoring is one equi-join + per-doc aggregate")
+    assert(pw.contains("BroadcastHashJoin"),
+      "the <=4096-row log-ratio table should broadcast")
+    val ps = plan("q_dsir_sample")
+    assert(ps.contains("TakeOrderedAndProject"),
+      "gumbel top-n must be per-partition heaps, not a global sort")
+  }
+
   test("bench records a failing query as err, not as a fast time") {
     val broken = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "q_ok" -> ((s, d) => s.range(5).toDF("n")),

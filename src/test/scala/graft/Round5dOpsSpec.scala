@@ -1,0 +1,194 @@
+package graft
+
+import graft.ops.{CorpusOps, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fourth round-5 operator batch: product quantization and DSIR
+  * importance resampling.
+  */
+class Round5dOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("round5d-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val d = "/root/testdata/sf0.001"
+
+  // --- product quantization ----------------------------------------------
+
+  test("pqEncode: hand-built codebooks give hand-computed codes and norms") {
+    import spark.implicits._
+    val cbs = Seq(
+      (0, 0, Array(0f, 0f)), (0, 1, Array(10f, 10f)),
+      (1, 0, Array(0f, 0f)), (1, 1, Array(5f, 5f))
+    ).toDF("sub", "code", "centroid")
+    val cb = Similarity.PqCodebooks(2, 2, cbs)
+    val emb = Seq(
+      (1L, Array(1f, 1f, 4f, 4f)),   // sub0 -> code0, sub1 -> code1
+      (2L, Array(9f, 9f, 1f, 1f))    // sub0 -> code1, sub1 -> code0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(emb, cb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == Seq(0, 1))
+    assert(math.abs(got(1L)._2 - math.sqrt(50.0)) < 1e-12)
+    assert(got(2L)._1 == Seq(1, 0))
+    assert(math.abs(got(2L)._2 - math.sqrt(200.0)) < 1e-12)
+  }
+
+  test("pqEncode argmin ties break to the smallest code") {
+    import spark.implicits._
+    val cbs = Seq((0, 0, Array(1f)), (0, 1, Array(3f)))
+      .toDF("sub", "code", "centroid")
+    val cb = Similarity.PqCodebooks(1, 1, cbs)
+    val emb = Seq((1L, Array(2f))).toDF("vec_id", "embedding") // equidistant
+    val got = Similarity.pqEncode(emb, cb).collect()
+    assert(got.head.getSeq[Int](1) == Seq(0))
+  }
+
+  test("pqProbe ADC: hand-computed inner product and cosine estimate") {
+    import spark.implicits._
+    val cbs = Seq(
+      (0, 0, Array(0f, 0f)), (0, 1, Array(10f, 10f)),
+      (1, 0, Array(0f, 0f)), (1, 1, Array(5f, 5f))
+    ).toDF("sub", "code", "centroid")
+    val cb = Similarity.PqCodebooks(2, 2, cbs)
+    val emb = Seq(
+      (1L, Array(1f, 1f, 4f, 4f)),
+      (2L, Array(9f, 9f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(emb, cb)
+    val q = Seq((99L, Array(10f, 10f, 5f, 5f))).toDF("query_id", "embedding")
+    val got = Similarity.pqProbe(q, enc, cb, k = 2).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    // doc 1 = codes (0,1): ip = 0 + dot([5,5],[5,5]) = 50
+    //   cosine_est = 50 / (|q| * recon1) = 50 / (sqrt(250)*sqrt(50))
+    val exp1 = 50.0 / (math.sqrt(250.0) * math.sqrt(50.0))
+    // doc 2 = codes (1,0): ip = dot([10,10],[10,10]) = 200
+    val exp2 = 200.0 / (math.sqrt(250.0) * math.sqrt(200.0))
+    assert(math.abs(got(1L)._1 - exp1) < 1e-12)
+    assert(math.abs(got(2L)._1 - exp2) < 1e-12)
+    assert(got(2L)._2 == 1, "doc 2 estimates closer to q and ranks first")
+  }
+
+  test("pqProbe recall vs bruteForceTopK on the testdata embeddings") {
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val cb = Similarity.trainPqCodebooks(emb, m = 16, ksub = 16)
+    val enc = Similarity.pqEncode(emb, cb)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(q, emb, k = 10)
+      .select("query_id", "vec_id")
+    val nQ = q.count()
+    def recallAt(kAdc: Int): Double = {
+      val approx = Similarity.pqProbe(q, enc, cb, k = kAdc)
+        .select("query_id", "vec_id")
+      exact.intersect(approx).count().toDouble / (nQ * 10.0)
+    }
+    val r10 = recallAt(10)
+    val r50 = recallAt(50)
+    println(s"PQ ADC recall of exact top-10: @10=$r10 @50=$r50")
+    assert(r10 >= 0.2,
+      s"PQ ADC recall@10 $r10 below floor")
+    assert(r50 >= 0.7,
+      s"PQ ADC over-fetch (top-50 candidates) recall $r50 below floor — " +
+        "the re-rank deployment pattern depends on over-fetch recovering " +
+        "the true neighbors")
+    assert(r50 > r10, "over-fetch must improve coverage")
+    cb.release()
+  }
+
+  test("pqEncode is deterministic across runs (trained codebooks)") {
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val cb = Similarity.trainPqCodebooks(emb, m = 8, ksub = 16)
+    val a = Similarity.pqEncode(emb, cb)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.pqEncode(emb, cb)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    assert(a.valuesIterator.forall(c => c.length == 8 &&
+      c.forall(x => x >= 0 && x < 16)))
+    cb.release()
+  }
+
+  // --- DSIR importance weighting -----------------------------------------
+
+  /** The portable md5 feature bucket, reimplemented independently. */
+  private def bucket(g: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 4), 16) % 4096
+  }
+
+  test("dsirLogRatio: hand-computed smoothing and log-ratio") {
+    import spark.implicits._
+    // grams: doc1 -> a, b, "a b"; doc2 -> c. All four land in distinct
+    // buckets (asserted), so bucket counts equal gram counts.
+    assert(Seq("a", "b", "c", "a b").map(bucket).distinct.size == 4)
+    val raw = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" === 1L) // grams a, b, "a b"
+    val got = TextAnalysis.dsirLogRatio(raw, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Tr = 4 raw gram occurrences, Tt = 3 target; B = 4096
+    val lrHit = math.log(2.0 / 4099.0) - math.log(2.0 / 4100.0)
+    val lrMiss = math.log(1.0 / 4099.0) - math.log(2.0 / 4100.0)
+    def round6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - round6(3 * lrHit)) < 1e-9)
+    assert(got(2L)._1 == 1L)
+    assert(math.abs(got(2L)._2 - round6(lrMiss)) < 1e-9)
+  }
+
+  test("dsirLogRatio scores target-like docs higher") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val target = docs.filter(col("source").isin("src0", "src1"))
+    val w = TextAnalysis.dsirLogRatio(docs, target)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val inT = w.filter(col("source").isin("src0", "src1"))
+      .agg(avg("log_ratio")).head.getDouble(0)
+    val outT = w.filter(!col("source").isin("src0", "src1"))
+      .agg(avg("log_ratio")).head.getDouble(0)
+    assert(inT > outT,
+      s"mean log-ratio of target docs ($inT) should exceed non-target ($outT)")
+  }
+
+  test("importanceResample: weight dominance, size, determinism") {
+    import spark.implicits._
+    val w = Seq((1L, 1000.0), (2L, -1000.0), (3L, -1000.0),
+      (4L, -1000.0), (5L, -1000.0)).toDF("doc_id", "lw")
+    val a = CorpusOps.importanceResample(w, "lw", n = 3)
+    val rows = a.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Int]("sample_rank")).toMap
+    assert(rows.size == 3)
+    assert(rows(1L) == 1, "the dominant weight must rank first")
+    val b = CorpusOps.importanceResample(w, "lw", n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("sample_rank")).toMap
+    assert(rows == b, "resampling is a pure function of ids and weights")
+  }
+
+  test("importanceResample matches weightedSample's exponential race") {
+    import spark.implicits._
+    // Gumbel-top-n on log w is the same draw as pow(u, 1/w) ranking when
+    // both use the SAME uniform: log-key = log w - log(-log u) is a
+    // monotone transform of u^(1/w). Different uniform streams here (ir:
+    // seeded vs unseeded), so assert the distributional contract instead:
+    // n draws, no duplicates, all from the support.
+    val w = (1L to 100L).map(i => (i, i.toDouble / 10.0))
+      .toDF("doc_id", "lw")
+    val got = CorpusOps.importanceResample(w, "lw", n = 20).collect()
+    assert(got.length == 20)
+    val ids = got.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == 20 && ids.forall(i => i >= 1 && i <= 100))
+    val ranks = got.map(_.getAs[Int]("sample_rank")).sorted
+    assert(ranks.toSeq == (1 to 20))
+  }
+}
