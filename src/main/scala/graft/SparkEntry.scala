@@ -1515,6 +1515,21 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     }),
 
+    "q_pq_probe_rerank" -> ((s, d) => {
+      // the standard PQ deployment (ops.Similarity.pqProbeRerank): the ADC
+      // byte scan nominates k x 5 candidates, exact cosine re-ranks only
+      // that candidate set (broadcast into a hash equi-join — the float
+      // corpus never shuffles). Rows-only; PqSpec pins the recall floor
+      // and that re-rank preserves every true neighbor ADC over-fetched.
+      val (cb, enc) = cachedPq(s, d)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.pqProbeRerank(q, enc, cb, emb, k = 10,
+        overfetch = 5)
+        .select("query_id", "vec_id", "rank")
+    }),
+
     "q_scd2" -> ((s, d) => {
       // SCD2 history from a change log (ops.Cdc.scd2): each purchase
       // version gets [valid_from, valid_to) + is_current via one lead

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   *      furniture; requires a `source` column)
   *   3. optional LM-perplexity gate (CCNet: keep the lowest-surprisal
   *      `lmKeepFrac` of the gated corpus under a self-built unigram LM)
+  *   3b. optional DSIR selection (importance-resample toward `dsirTarget`
+  *      — hashed-n-gram log-ratio weights + Gumbel top-`dsirKeepN`)
   *   4. exact dedup (fingerprint hash-agg, keep canonical)
   *   5. near dedup (MinHash-LSH clusters, keep canonical)
   *   6. decontaminate (drop docs overlapping the eval set)
@@ -49,6 +51,9 @@ object Pipelines {
                    sourceCol: String = "source",
                    lmKeepFrac: Option[Double] = None,
                    lmMinCount: Long = 5L,
+                   dsirTarget: Option[DataFrame] = None,
+                   dsirKeepN: Int = 10000,
+                   dsirBuckets: Int = 4096,
                    cutSpanK: Option[Int] = None,
                    dedupLinesDelim: Option[String] = None,
                    chunkTokens: Int = 256, chunkStride: Int = 256,
@@ -108,8 +113,24 @@ object Pipelines {
       case None => bpStripped
     }
 
+    // optional DSIR selection (Xie et al. 2023): importance-resample the
+    // gated corpus toward a target domain — after the cheap narrow gates
+    // (don't spend the feature pass on rule-rejected docs), before the
+    // dedup shuffles (they should only see the selected subset)
+    val dsirSelected = dsirTarget match {
+      case Some(tgt) => stage("dsir-select", {
+        val w = TextAnalysis.dsirLogRatio(lmGated, tgt, dsirBuckets,
+          idCol, textCol)
+        lmGated.join(
+          CorpusOps.importanceResample(w, "log_ratio", dsirKeepN, idCol)
+            .select(idCol),
+          Seq(idCol), "left_semi")
+      })
+      case None => lmGated
+    }
+
     val exactDeduped = stage("exact-dedup",
-      Dedup.exact(lmGated, idCol, textCol)
+      Dedup.exact(dsirSelected, idCol, textCol)
         .filter(col("is_canonical"))
         .drop("dup_group_size", "is_canonical"))
 

@@ -437,6 +437,34 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Over-fetch + exact re-rank PQ probe — the standard PQ deployment
+    * (FAISS-style): the ADC byte scan nominates `k × overfetch` candidates
+    * per query, then exact cosine re-ranks ONLY the candidate set against
+    * the float corpus. The full corpus is still touched byte-wise once;
+    * floats are read for the (query-set × k × overfetch)-sized candidate
+    * table, which rides a broadcast into a hash equi-join on the corpus id
+    * — no shuffle of the float corpus. Recovers most of the recall ADC
+    * ranking loses (PqSpec measures the floor).
+    */
+  def pqProbeRerank(queries: DataFrame, encoded: DataFrame, cb: PqCodebooks,
+                    corpus: DataFrame, k: Int = 10, overfetch: Int = 5,
+                    queryIdCol: String = "query_id",
+                    corpusIdCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(overfetch >= 1)
+    val cands = pqProbe(queries, encoded, cb, k * overfetch, queryIdCol, vecCol)
+      .select(col("query_id"), col("vec_id"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"), col(vecCol).as("_cv"))
+    val exact = c.join(broadcast(cands.join(q, Seq("query_id"))), Seq("vec_id"))
+      .withColumn("cosine", cosine_sim(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** Per-vector int8 scalar quantization — the storage tier under any
     * 100 TB embedding store (4 bytes/dim float → 1 byte/dim code + two
     * doubles of per-vector scale metadata = 4× less shuffle/scan/cache on

@@ -206,6 +206,33 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     r.chunks.unpersist()
   }
 
+  test("dsirTarget stage keeps exactly dsirKeepN docs, biased toward target") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("source").isin("src0", "src1"))
+    val r = Pipelines.curateCorpus(docs, eval,
+      langs = Seq("en"), minQuality = 0.0, maxRepetition = 0.9,
+      nearDupThreshold = 0.5, dsirTarget = Some(target), dsirKeepN = 100,
+      chunkTokens = 32, chunkStride = 32, packBudget = 256)
+    val byStage = r.report.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byStage.contains("dsir-select"), s"report misses dsir-select: $byStage")
+    assert(byStage("dsir-select") == 100L,
+      s"dsir-select kept ${byStage("dsir-select")}, expected 100")
+    assert(byStage("exact-dedup") <= byStage("dsir-select"))
+    // the resample leans toward the target domain: target sources make up
+    // 2/20 of the pool but should exceed that share in the selection
+    val kept = r.chunks.select("doc_id").distinct()
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val share = kept.filter(col("source").isin("src0", "src1")).count()
+      .toDouble / kept.count()
+    assert(share > 0.1, f"target share $share%.3f not above the 0.10 base rate")
+    r.chunks.unpersist()
+  }
+
   test("audit=false skips the per-stage counts and returns an empty report") {
     import spark.implicits._
     val docs = Seq(

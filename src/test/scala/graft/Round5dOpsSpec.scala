@@ -94,7 +94,10 @@ class Round5dOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val r10 = recallAt(10)
     val r50 = recallAt(50)
-    println(s"PQ ADC recall of exact top-10: @10=$r10 @50=$r50")
+    val rerank = Similarity.pqProbeRerank(q, enc, cb, emb, k = 10,
+      overfetch = 5).select("query_id", "vec_id")
+    val rr10 = exact.intersect(rerank).count().toDouble / (nQ * 10.0)
+    println(s"PQ recall of exact top-10: adc@10=$r10 adc@50=$r50 rerank@10=$rr10")
     assert(r10 >= 0.2,
       s"PQ ADC recall@10 $r10 below floor")
     assert(r50 >= 0.7,
@@ -102,6 +105,9 @@ class Round5dOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the re-rank deployment pattern depends on over-fetch recovering " +
         "the true neighbors")
     assert(r50 > r10, "over-fetch must improve coverage")
+    assert(rr10 >= r50 - 1e-9,
+      "exact re-rank of the over-fetched candidates must surface every " +
+        "true neighbor the candidate set contains")
     cb.release()
   }
 
