@@ -1099,6 +1099,29 @@ object SparkEntry {
       graft.ops.TextAnalysis.classifyLinear(docs, w, bias = -0.1)
     }),
 
+    "q_nb_classify" -> ((s, d) => {
+      // multinomial Naive Bayes train + apply (ops.TextAnalysis): the one
+      // classifier whose TRAINING is a pure aggregation dataflow — self-
+      // trained on the lang labels here, then applied back (minCount=2
+      // exercises the OOV/smoothing path). Exact oracle: DuckDB replays
+      // counts, add-one smoothing, priors, and the argmax tie-break.
+      val docs = par(s, t(s, d, "documents"))
+      val model = graft.ops.TextAnalysis.trainNaiveBayes(docs, "lang",
+        minCount = 2L)
+      graft.ops.TextAnalysis.classifyNaiveBayes(docs, model)
+    }),
+
+    "q_score_buckets" -> ((s, d) => {
+      // CCNet head/middle/tail terciles (ops.CorpusOps.scoreBuckets) over
+      // an integer score (n_chars — ties broken by id, so the global rank
+      // is fully deterministic); distributed sort + zipWithIndex, no
+      // global window
+      graft.ops.CorpusOps.scoreBuckets(
+        par(s, t(s, d, "documents")).select("doc_id", "n_chars"),
+        "n_chars", "doc_id")
+        .select("doc_id", "score_bucket")
+    }),
+
     "q_dsir_weights" -> ((s, d) => {
       // DSIR importance log-weights (ops.TextAnalysis.dsirLogRatio, Xie
       // et al. 2023): raw = the full documents corpus, target = the
@@ -2238,6 +2261,57 @@ object SparkEntry {
         |    AS bits_per_token
         |FROM toks LEFT JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    // Naive Bayes: same tokenization as the LM oracles; smoothing totals
+    // come from the minCount-retained term table; argmax ties go to the
+    // lexicographically smallest class (ORDER BY score DESC, class)
+    "q_nb_classify" ->
+      """WITH toks AS (SELECT doc_id, w[i] AS term
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> ''),
+        |terms AS (SELECT tk.term, d.lang AS class, count(*) AS n
+        |  FROM toks tk JOIN documents d USING (doc_id)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |classes AS (SELECT lang AS class, count(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |cls AS (SELECT c.class, c.n_docs,
+        |    coalesce(ct.n_tokens, 0) AS n_tokens
+        |  FROM classes c LEFT JOIN (SELECT class, sum(n) AS n_tokens
+        |    FROM terms GROUP BY 1) ct USING (class)),
+        |v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM terms),
+        |nd AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nd FROM cls),
+        |sc AS (SELECT tk.doc_id, c.class, count(*) AS n_toks,
+        |    sum(ln((CAST(coalesce(tm.n, 0) AS DOUBLE) + 1.0)
+        |         / (CAST(c.n_tokens AS DOUBLE) + v.v + 1.0)))
+        |      + ln(CAST(c.n_docs AS DOUBLE) / nd.nd) AS score
+        |  FROM toks tk CROSS JOIN cls c
+        |  LEFT JOIN terms tm ON tm.term = tk.term AND tm.class = c.class
+        |  CROSS JOIN v CROSS JOIN nd
+        |  GROUP BY tk.doc_id, c.class, c.n_tokens, c.n_docs, v.v, nd.nd),
+        |r AS (SELECT doc_id, n_toks, class, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, class) AS rn
+        |  FROM sc)
+        |SELECT doc_id, n_toks AS n_tokens, class AS pred_class,
+        |  round(score, 6) AS log_likelihood
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // boundary literals are the decimal prints of the Scala doubles
+    // (1.0/3, 2.0/3) so both engines compare against the same double
+    "q_score_buckets" ->
+      """WITH r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+        |      AS DOUBLE) AS rank,
+        |    CAST(count(*) OVER () AS DOUBLE) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN rank < 0.3333333333333333 * n THEN 'head'
+        |       WHEN rank < 0.6666666666666666 * n THEN 'middle'
+        |       ELSE 'tail' END AS score_bucket
+        |FROM r""".stripMargin,
 
     // DSIR hashed unigram+bigram features over the portable md5 bucket
     // (the hashSplit contract); add-one smoothing over the 4096-bucket

@@ -385,6 +385,18 @@ object CorpusOps {
                       keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in (0, 1], got $keepFrac")
+    globalRank(df, scoreCol, idCol)
+      .filter(col("rank").cast("double") < lit(keepFrac) * col("_n"))
+      .drop("_n")
+  }
+
+  /** Global (score asc, id asc) rank via range-partitioned sort +
+    * zipWithIndex — the `buildVocab` pattern: an un-partitioned
+    * `percent_rank()` window would drag the corpus into one task. Adds
+    * `rank` (0-based) and the 1-row total `_n` (literal-style broadcast).
+    */
+  private def globalRank(df: DataFrame, scoreCol: String,
+                         idCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(col(scoreCol).asc, col(idCol).asc)
       .localCheckpoint(true)
@@ -397,7 +409,31 @@ object CorpusOps {
           org.apache.spark.sql.types.LongType, nullable = false)))
     val total = withRank.agg(count(lit(1)).as("_n"))
     withRank.crossJoin(total) // 1-row count table: literal-style broadcast
-      .filter(col("rank").cast("double") < lit(keepFrac) * col("_n"))
-      .drop("_n")
+  }
+
+  /** CCNet-style score buckets (Wenzek et al. 2020 publish CommonCrawl as
+    * perplexity head/middle/tail): rank the corpus globally by
+    * (score asc, id asc) and label row rank r of n with `labels(i)` where
+    * `fracs(i-1) * n <= r < fracs(i) * n` (fracs are the upper boundaries
+    * of all buckets but the last). Same rank machinery as
+    * [[keepHeadByScore]] — distributed sort, no global window.
+    *
+    * @return input rows + `score_bucket`
+    */
+  def scoreBuckets(df: DataFrame, scoreCol: String, idCol: String,
+                   fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                   labels: Seq[String] =
+                     Seq("head", "middle", "tail")): DataFrame = {
+    require(labels.size == fracs.size + 1,
+      "need exactly one more label than boundary fractions")
+    require(fracs == fracs.sorted && fracs.forall(f => f > 0.0 && f < 1.0),
+      s"fracs must be ascending within (0, 1), got $fracs")
+    val r = col("rank").cast("double")
+    val bucket = fracs.zip(labels.init).foldRight(lit(labels.last)) {
+      case ((f, l), rest) => when(r < lit(f) * col("_n"), l).otherwise(rest)
+    }
+    globalRank(df, scoreCol, idCol)
+      .withColumn("score_bucket", bucket)
+      .drop("rank", "_n")
   }
 }

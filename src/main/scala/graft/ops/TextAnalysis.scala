@@ -492,6 +492,85 @@ object TextAnalysis {
         round(lit(1.0d) / (lit(1.0d) + exp(-logit)), 6).as("score"))
   }
 
+  /** A trained multinomial Naive Bayes model: `classes` = per-class doc
+    * and (retained-)token totals, `terms` = per-(term, class) token counts
+    * — both pinned build-once artifacts (the `terms` table is
+    * vocabulary × classes and joins broadcast-style while small).
+    */
+  final case class NbModel(classes: DataFrame, terms: DataFrame) {
+    def release(): Unit = { classes.unpersist(); terms.unpersist() }
+  }
+
+  /** Train a multinomial Naive Bayes text classifier from a labeled
+    * corpus — the count-based classifier is the one classifier whose
+    * TRAINING is itself a pure aggregation dataflow (two explode-agg
+    * passes), so unlike the SGD family it trains at corpus scale with no
+    * iteration and is exactly reproducible. `minCount` prunes the term
+    * table (the class-conditional totals are computed over the retained
+    * table, keeping train/apply smoothing consistent).
+    */
+  def trainNaiveBayes(docs: DataFrame, labelCol: String = "lang",
+                      textCol: String = "text",
+                      minCount: Long = 1L): NbModel = {
+    val toks = docs.select(col(labelCol).as("class"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val terms = toks.groupBy("term", "class").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .localCheckpoint(true)
+    val classes = docs.groupBy(col(labelCol).as("class"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(terms.groupBy("class").agg(sum(col("n")).as("n_tokens")),
+        Seq("class"), "left_outer")
+      .na.fill(0L, Seq("n_tokens"))
+      .localCheckpoint(true)
+    NbModel(classes, terms)
+  }
+
+  /** Apply a Naive Bayes model: per doc the argmax-class log-likelihood
+    * `ln prior(c) + Σ_tokens ln p(term|c)` with add-one smoothing
+    * `p(t|c) = (n_tc + 1)/(N_c + V + 1)` (OOV terms take n = 0; V =
+    * retained vocabulary).
+    *
+    * Scale shape: tokens fan out by the (tiny, broadcast) class table —
+    * a literal-style BNLJ, |classes| rows per token — then ONE equi-join
+    * on (term, class) against the dimension-sized model, one
+    * map-side-combinable (doc, class) aggregate, and the per-doc argmax
+    * via `min_by` partial agg (highest likelihood, ties to the
+    * lexicographically smallest class). No window, no UDF; exactly
+    * SQL-replayable (same 6-dp rounding contract as [[wordEntropy]]).
+    *
+    * @return (id, n_tokens, pred_class, log_likelihood)
+    */
+  def classifyNaiveBayes(docs: DataFrame, model: NbModel,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val v = model.terms.agg(countDistinct(col("term")).as("_v"))
+    val nDocs = model.classes.agg(sum(col("n_docs")).as("_nd"))
+    val scored = toks
+      .crossJoin(broadcast(model.classes)) // tiny class table: BNLJ fan-out
+      .join(model.terms, Seq("term", "class"), "left_outer")
+      .crossJoin(v).crossJoin(nDocs) // 1-row totals: literal-style
+      .withColumn("_ll",
+        log((coalesce(col("n"), lit(0L)).cast("double") + 1.0d) /
+          (col("n_tokens").cast("double") + col("_v").cast("double") + 1.0d)))
+      .groupBy(idCol, "class")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("_ll")) +
+          first(log(col("n_docs").cast("double") / col("_nd").cast("double"))))
+          .as("_score"))
+    scored.groupBy(idCol)
+      .agg(first(col("n_toks")).as("n_tokens"),
+        min_by(struct(col("class").as("class"), col("_score").as("_s")),
+          struct(-col("_score"), col("class"))).as("_best"))
+      .select(col(idCol), col("n_tokens"),
+        col("_best").getField("class").as("pred_class"),
+        round(col("_best").getField("_s"), 6).as("log_likelihood"))
+  }
+
   /** Hashed unigram + bigram feature stream of a corpus: one row per gram
     * occurrence, `bucket` ∈ [0, buckets). The hash is the portable
     * md5-prefix bucket (same cross-engine contract as

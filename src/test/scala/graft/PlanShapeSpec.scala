@@ -329,6 +329,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "gumbel top-n must be per-partition heaps, not a global sort")
   }
 
+  test("nb classify is joins + aggregates; score buckets rank without a window") {
+    val pn = plan("q_nb_classify")
+    assert(!pn.contains("CartesianProduct") && !pn.contains("Window"),
+      "nb apply is a class fan-out + model equi-join + argmax aggregate")
+    assert(pn.contains("BroadcastHashJoin") ||
+      pn.contains("BroadcastNestedLoopJoin"),
+      "the dimension-sized model tables should broadcast at test scale")
+    val pb = plan("q_score_buckets")
+    assert(!pb.contains("Window"),
+      "bucket rank must come from sort + zipWithIndex, not a global window")
+  }
+
   test("bench records a failing query as err, not as a fast time") {
     val broken = Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame](
       "q_ok" -> ((s, d) => s.range(5).toDF("n")),
