@@ -402,13 +402,23 @@ object TextAnalysis {
     */
   def buildBigramLm(ref: DataFrame, textCol: String = "text",
                     minCount: Long = 1L): BigramLm = {
-    val pairs = tokenPairs(ref, Nil, textCol)
-    BigramLm(
-      unigrams = pairs.groupBy("term").agg(count(lit(1)).as("n"))
+    // ONE tokenize/explode pass: the (prev, term) count table subsumes
+    // both LM tables (every token occurrence has exactly one — nullable —
+    // prev, so unigram n(term) = Σ_prev pairCounts(prev, term)). The
+    // transient pin is bigram-vocabulary-sized (dimension-class), and the
+    // corpus-sized pair stream is aggregated exactly once instead of once
+    // per table.
+    val pairCounts = tokenPairs(ref, Nil, textCol)
+      .groupBy("prev", "term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val lm = BigramLm(
+      unigrams = pairCounts.groupBy("term").agg(sum(col("n")).as("n"))
         .filter(col("n") >= minCount).localCheckpoint(true),
-      bigrams = pairs.filter(col("prev").isNotNull)
-        .groupBy("prev", "term").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= minCount).localCheckpoint(true))
+      bigrams = pairCounts.filter(col("prev").isNotNull)
+        .filter(col("n") >= minCount)
+        .select("prev", "term", "n").localCheckpoint(true))
+    pairCounts.unpersist()
+    lm
   }
 
   /** Per-document mean surprisal in bits under the bigram LM with Stupid
