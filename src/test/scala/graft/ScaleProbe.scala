@@ -34,15 +34,20 @@ object ScaleProbe {
       .map(i => base.withColumn("doc_id",
         col("doc_id") + lit(i.toLong * 10_000_000L)))
       .reduce(_ union _)
-      .localCheckpoint(true)
+      .repartition(8) // the single-file scan is 1 split — rebalance like
+      .localCheckpoint(true) // SparkEntry.par does, or narrow passes serialize
     val n = docs.count()
 
-    def probe(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE $name%-22s mult=$mult docs=$n time=$secs%.1fs")
-    }
+    // optional 3rd arg: comma-separated probe names to run (default all)
+    val only = args.drop(2).headOption
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    def probe(name: String)(df: => DataFrame): Unit =
+      if (only.isEmpty || only(name)) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $name%-22s mult=$mult docs=$n time=$secs%.1fs")
+      }
 
     // line dedup: every line duplicated mult x (and within-corpus repeats)
     probe("dedup_lines") {
@@ -68,6 +73,47 @@ object ScaleProbe {
     // train gram matches — maximal cut volume
     probe("cut_contaminated") {
       graft.ops.Dedup.cutContaminatedSpans(docs, docs, k = 60)
+    }
+
+    // round-5 session-3 operators: PQ (embedding tier), DSIR + NB (token
+    // tier). The replicated corpora scale the LINEAR term only — the PQ
+    // codebooks, DSIR bucket tables, and NB model stay dimension-sized —
+    // so times at mult=4 should stay ~4x mult=1, nothing quadratic.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val embs = (0 until mult)
+      .map(i => embBase.withColumn("vec_id",
+        col("vec_id") + lit(i.toLong * 10_000_000L)))
+      .reduce(_ union _)
+      .repartition(8)
+      .localCheckpoint(true)
+    probe("pq_train_encode") {
+      val cb = graft.ops.Similarity.trainPqCodebooks(embs, m = 16, ksub = 16)
+      graft.ops.Similarity.pqEncode(embs, cb)
+    }
+    if (only.isEmpty || only("pq_probe") || only("pq_probe_rerank")) {
+      val cb = graft.ops.Similarity.trainPqCodebooks(embs, m = 16, ksub = 16)
+      val enc = graft.ops.Similarity.pqEncode(embs, cb).localCheckpoint(true)
+      val q = embBase.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      probe("pq_probe") {
+        graft.ops.Similarity.pqProbe(q, enc, cb, k = 10)
+      }
+      probe("pq_probe_rerank") {
+        graft.ops.Similarity.pqProbeRerank(q, enc, cb, embs, k = 10)
+      }
+      enc.unpersist(); cb.release()
+    }
+    probe("dsir_weights") {
+      graft.ops.TextAnalysis.dsirLogRatio(docs,
+        docs.filter(col("doc_id") % 10 === 0))
+    }
+    probe("nb_train_classify") {
+      val labeled = docs.withColumn("label",
+        (col("doc_id") % 5).cast("string"))
+      val m = graft.ops.TextAnalysis.trainNaiveBayes(labeled, "label",
+        minCount = 2L)
+      graft.ops.TextAnalysis.classifyNaiveBayes(labeled, m)
     }
     spark.stop()
   }
