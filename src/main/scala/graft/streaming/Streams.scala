@@ -259,6 +259,36 @@ object Streams {
     * loop (create_graph_from_doi.py:218-254) with exactly-once-per-DOI
     * effects via the pipeline's own dedup joins.
     */
+  /** Streaming classifier gate: score each arriving document micro-batch
+    * against a PRE-TRAINED Naive Bayes model (the train-once/score-forever
+    * deployment of [[graft.ops.TextAnalysis.classifyNaiveBayes]]) and
+    * append the scored rows to a parquet tree. The per-doc explode +
+    * aggregate is not expressible as a bounded-state unbounded stream
+    * aggregation — and doesn't need to be: every doc is whole within its
+    * micro-batch, so `foreachBatch` applies the already-certified BATCH
+    * operator per batch (the standard pattern for batch-certified
+    * transforms in a stream; same shape as [[doiLandingIngest]]). The
+    * model tables are pinned once and re-read by every batch — zero
+    * retrain cost on the stream path.
+    */
+  def classifiedDocsIngest(docs: DataFrame,
+                           model: graft.ops.TextAnalysis.NbModel,
+                           outPath: String, checkpoint: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.TextAnalysis.classifyNaiveBayes(batch, model,
+            idCol, textCol)
+            .write.mode("append").parquet(outPath)
+          ()
+        }
+      }
+      .start()
+
   def doiLandingIngest(spark: SparkSession, landingDir: String,
                        payloads: DataFrame, store: graft.graph.GraphStore,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {

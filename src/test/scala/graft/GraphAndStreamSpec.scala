@@ -370,4 +370,39 @@ class GraphAndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the restarted query still matched against pre-restart state
     assert(rows.nonEmpty && rows.forall(_ == ((2L, 1L))))
   }
+
+  test("streaming classifier gate scores micro-batches like the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, "news", "election senate policy election"),
+      (2L, "news", "senate policy minister"),
+      (3L, "code", "compiler pointer stack compiler"),
+      (4L, "code", "pointer syntax stack")
+    ).toDF("doc_id", "label", "text")
+    val model = graft.ops.TextAnalysis.trainNaiveBayes(train, "label",
+      minCount = 2L)
+    val arrivals = Seq((10L, "election policy stack"),
+      (11L, "compiler compiler pointer"), (12L, "senate minister policy"))
+
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("nbout").toString
+    val ckpt = Files.createTempDirectory("nbckpt").toString
+    mem.addData(arrivals: _*)
+    val q = Streams.classifiedDocsIngest(
+      mem.toDS().toDF("doc_id", "text"), model, out, ckpt)
+    q.awaitTermination(240000)
+
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_class"), r.getAs[Double]("log_likelihood"))))
+      .toMap
+    val batch = graft.ops.TextAnalysis.classifyNaiveBayes(
+      arrivals.toDF("doc_id", "text"), model).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
+    assert(streamed == batch,
+      "per-micro-batch scoring must equal the batch operator")
+    assert(streamed(11L)._1 == "code" && streamed(12L)._1 == "news")
+    model.release()
+  }
 }
