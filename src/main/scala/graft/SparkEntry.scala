@@ -1086,17 +1086,33 @@ object SparkEntry {
       graft.ops.TextAnalysis.stupidBackoffBits(docs, lm)
     }),
 
+    "q_lm3_score" -> ((s, d) => {
+      // trigram Stupid Backoff (ops.TextAnalysis.stupidBackoff3Bits —
+      // Brants et al.'s actual operating point): self-LM at minCount=2
+      // exercises every path (trigram hit, single and double backoff,
+      // position-1/2 starts); one-pass trigram LM build + five
+      // dimension-table equi-joins, one per-doc aggregate, no window
+      val docs = par(s, t(s, d, "documents"))
+      val lm = graft.ops.TextAnalysis.buildTrigramLm(docs, minCount = 2L)
+      graft.ops.TextAnalysis.stupidBackoff3Bits(docs, lm)
+    }),
+
     "q_classify_linear" -> ((s, d) => {
       // fastText-style linear quality-classifier APPLY (ops.TextAnalysis
       // .classifyLinear): stand-in weights derived deterministically from
       // the corpus vocab (favor longer words) — a real deployment loads a
-      // trained (term, weight) table; the dataflow is identical
+      // trained (term, weight) table; the dataflow is identical. The
+      // stand-in factor and bias are DYADIC (3/64, -1/8) so the per-doc
+      // weight sum is order-exact in binary and the rounded logit can
+      // never land on a 6-dp half-boundary (a decimal-lattice factor like
+      // 0.05 put ~1e-3 of docs exactly on x.xxxxxx5, where the engines'
+      // different summation order flipped the rounding at sf0.1)
       val docs = par(s, t(s, d, "documents"))
       val w = graft.ops.TextAnalysis.buildUnigramLm(docs, minCount = 2L)
         .select(col("term"),
-          ((length(col("term")) - lit(6)).cast("double") * 0.05)
+          ((length(col("term")) - lit(6)).cast("double") * 0.046875)
             .as("weight"))
-      graft.ops.TextAnalysis.classifyLinear(docs, w, bias = -0.1)
+      graft.ops.TextAnalysis.classifyLinear(docs, w, bias = -0.125)
     }),
 
     "q_nb_classify" -> ((s, d) => {
@@ -2432,6 +2448,58 @@ object SparkEntry {
         |CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
 
+    // trigram Stupid Backoff: position-first CASE mirrors the Spark
+    // expression exactly (position 1 -> smoothed unigram, position 2 ->
+    // bigram level, else trigram hit n3/n_ctx or alpha * bigram level);
+    // bc = the (prev2, prev) CONTEXT bigram count (trigram denominator)
+    "q_lm3_score" ->
+      """WITH toks AS (SELECT doc_id, w[i] AS term,
+        |    CASE WHEN i > 1 THEN w[i-1] END AS prev,
+        |    CASE WHEN i > 2 THEN w[i-2] END AS prev2
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> ''),
+        |uni AS (SELECT term, count(*) AS n FROM toks GROUP BY 1
+        |        HAVING count(*) >= 2),
+        |big AS (SELECT prev, term, count(*) AS n FROM toks
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2
+        |        HAVING count(*) >= 2),
+        |tri AS (SELECT prev2, prev, term, count(*) AS n FROM toks
+        |        WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3
+        |        HAVING count(*) >= 2),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS _tot,
+        |               CAST(count(*) AS DOUBLE) AS _v FROM uni)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN tri.n IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_trigram_hits,
+        |  round(avg(-ln(CASE
+        |      WHEN toks.prev IS NULL
+        |        THEN (CAST(coalesce(uni.n, 0) AS DOUBLE) + 1.0)
+        |             / (_tot + _v + 1.0)
+        |      WHEN toks.prev2 IS NULL THEN
+        |        CASE WHEN big.n IS NOT NULL
+        |          THEN CAST(big.n AS DOUBLE) / CAST(up.n AS DOUBLE)
+        |          ELSE 0.4 * ((CAST(coalesce(uni.n, 0) AS DOUBLE) + 1.0)
+        |                      / (_tot + _v + 1.0)) END
+        |      WHEN tri.n IS NOT NULL
+        |        THEN CAST(tri.n AS DOUBLE) / CAST(bc.n AS DOUBLE)
+        |      ELSE 0.4 * (CASE WHEN big.n IS NOT NULL
+        |        THEN CAST(big.n AS DOUBLE) / CAST(up.n AS DOUBLE)
+        |        ELSE 0.4 * ((CAST(coalesce(uni.n, 0) AS DOUBLE) + 1.0)
+        |                    / (_tot + _v + 1.0)) END)
+        |    END) / 0.6931471805599453), 6) AS bits_per_token
+        |FROM toks
+        |LEFT JOIN tri ON toks.prev2 = tri.prev2 AND toks.prev = tri.prev
+        |  AND toks.term = tri.term
+        |LEFT JOIN big ON toks.prev = big.prev AND toks.term = big.term
+        |LEFT JOIN big bc ON toks.prev2 = bc.prev AND toks.prev = bc.term
+        |LEFT JOIN uni ON toks.term = uni.term
+        |LEFT JOIN uni up ON toks.prev = up.term
+        |CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
     // same tokenization, weight formula, bias and sigmoid expression as
     // the Spark side; logit and score each rounded from the UNROUNDED sum
     "q_classify_linear" ->
@@ -2442,14 +2510,14 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
         |  WHERE w[i] <> ''),
         |wt AS (SELECT term,
-        |    (CAST(length(term) AS DOUBLE) - 6.0) * 0.05 AS weight
+        |    (CAST(length(term) AS DOUBLE) - 6.0) * 0.046875 AS weight
         |  FROM (SELECT term FROM toks GROUP BY 1 HAVING count(*) >= 2))
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(CASE WHEN wt.weight IS NULL THEN 0 ELSE 1 END)
         |       AS BIGINT) AS n_hit,
-        |  round(-0.1 + sum(coalesce(wt.weight, 0.0)) / count(*), 6)
+        |  round(-0.125 + sum(coalesce(wt.weight, 0.0)) / count(*), 6)
         |    AS logit,
-        |  round(1.0 / (1.0 + exp(-(-0.1 + sum(coalesce(wt.weight, 0.0))
+        |  round(1.0 / (1.0 + exp(-(-0.125 + sum(coalesce(wt.weight, 0.0))
         |                            / count(*)))), 6) AS score
         |FROM toks LEFT JOIN wt USING (term)
         |GROUP BY doc_id""".stripMargin,

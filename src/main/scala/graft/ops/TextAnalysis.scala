@@ -464,6 +464,110 @@ object TextAnalysis {
         round(avg(-log(s) / ln2), 6).as("bits_per_token"))
   }
 
+  /** Unigram + bigram + trigram count tables of a trained trigram LM
+    * (all pinned build-once artifacts).
+    */
+  case class TrigramLm(unigrams: DataFrame, bigrams: DataFrame,
+                       trigrams: DataFrame)
+
+  /** Per-token rows with the two previous tokens attached (nulls at the
+    * document start) — same in-array construction as [[tokenPairs]].
+    */
+  private def tokenTriples(df: DataFrame, idCols: Seq[String],
+                           textCol: String): DataFrame = {
+    val arr = split(lower(trim(col(textCol))), "\\s+")
+    val triples = when(size(arr) > 0 && element_at(arr, 1) =!= "",
+      transform(sequence(lit(1), size(arr)), i =>
+        struct(element_at(arr, i).as("term"),
+          when(i > 1, element_at(arr, i - 1)).as("prev"),
+          when(i > 2, element_at(arr, i - 2)).as("prev2"))))
+      .otherwise(array()
+        .cast("array<struct<term:string,prev:string,prev2:string>>"))
+    df.select(idCols.map(col) :+ explode(triples).as("_tp"): _*)
+      .select(idCols.map(col) :+ col("_tp.term") :+ col("_tp.prev") :+
+        col("_tp.prev2"): _*)
+  }
+
+  /** Train the trigram LM in ONE tokenize pass (the [[buildBigramLm]]
+    * trick one level up): the (prev2, prev, term) count table subsumes
+    * all three tables — every token occurrence has exactly one (nullable)
+    * context pair, so bigram n(prev, term) = Σ_prev2 and unigram
+    * n(term) = Σ_{prev2, prev}. The transient pin is trigram-vocabulary-
+    * sized; `minCount` prunes each table the way production n-gram LMs do.
+    */
+  def buildTrigramLm(ref: DataFrame, textCol: String = "text",
+                     minCount: Long = 1L): TrigramLm = {
+    val tripleCounts = tokenTriples(ref, Nil, textCol)
+      .groupBy("prev2", "prev", "term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val lm = TrigramLm(
+      unigrams = tripleCounts.groupBy("term").agg(sum(col("n")).as("n"))
+        .filter(col("n") >= minCount).localCheckpoint(true),
+      bigrams = tripleCounts.filter(col("prev").isNotNull)
+        .groupBy("prev", "term").agg(sum(col("n")).as("n"))
+        .filter(col("n") >= minCount).localCheckpoint(true),
+      trigrams = tripleCounts.filter(col("prev2").isNotNull)
+        .filter(col("n") >= minCount)
+        .select("prev2", "prev", "term", "n").localCheckpoint(true))
+    tripleCounts.unpersist()
+    lm
+  }
+
+  /** Trigram Stupid Backoff surprisal (Brants et al. 2007 — the trigram
+    * is their actual operating point): S(w | p2, p) = n3/n_ctx when the
+    * trigram was seen (n_ctx = the BIGRAM count of the (p2, p) context),
+    * else α · S_bigram(w | p); S_bigram = n2/n1(p) when seen, else
+    * α · smoothed unigram (so a double miss pays α²). Position 1 scores
+    * the smoothed unigram, position 2 starts at the bigram level.
+    *
+    * The `minCount` thresholds make both denominators total: a surviving
+    * trigram's (p2, p) context bigram and a surviving bigram's p unigram
+    * each occur at least as often, so neither lookup can miss.
+    *
+    * Scale shape: the triple explode feeds FOUR dimension-table
+    * equi-joins (trigram, bigram, context-bigram, two unigram roles —
+    * broadcast while small, linear beyond) + one map-side-combinable
+    * per-doc aggregate. No window, no lag, no UDF; 6-dp rounding contract
+    * as [[wordEntropy]].
+    */
+  def stupidBackoff3Bits(docs: DataFrame, lm: TrigramLm,
+                         alpha: Double = 0.4, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val ln2 = lit(0.6931471805599453)
+    val totals = lm.unigrams.agg(sum(col("n")).as("_tot"),
+      count(lit(1)).as("_v"))
+    val toks = tokenTriples(docs, Seq(idCol), textCol)
+    val tri = lm.trigrams.select(col("prev2"), col("prev"), col("term"),
+      col("n").as("_n3"))
+    val big = lm.bigrams.select(col("prev"), col("term"), col("n").as("_n2"))
+    val bigCtx = lm.bigrams.select(col("prev").as("prev2"),
+      col("term").as("prev"), col("n").as("_nc"))
+    val uni = lm.unigrams.select(col("term"), col("n").as("_n1"))
+    val uniPrev = lm.unigrams.select(col("term").as("prev"),
+      col("n").as("_np"))
+    val base = (coalesce(col("_n1"), lit(0L)).cast("double") + 1.0d) /
+      (col("_tot").cast("double") + col("_v").cast("double") + 1.0d)
+    val bigramScore = when(col("_n2").isNotNull,
+        col("_n2").cast("double") / col("_np").cast("double"))
+      .otherwise(lit(alpha) * base)
+    val s = when(col("prev").isNull, base)
+      .otherwise(when(col("prev2").isNull, bigramScore)
+        .otherwise(when(col("_n3").isNotNull,
+            col("_n3").cast("double") / col("_nc").cast("double"))
+          .otherwise(lit(alpha) * bigramScore)))
+    toks.join(tri, Seq("prev2", "prev", "term"), "left_outer")
+      .join(big, Seq("prev", "term"), "left_outer")
+      .join(bigCtx, Seq("prev2", "prev"), "left_outer")
+      .join(uni, Seq("term"), "left_outer")
+      .join(uniPrev, Seq("prev"), "left_outer")
+      .crossJoin(totals) // 1-row totals table: literal-style broadcast
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_n3").isNotNull, 1L).otherwise(0L))
+          .as("n_trigram_hits"),
+        round(avg(-log(s) / ln2), 6).as("bits_per_token"))
+  }
+
   /** Apply a LINEAR bag-of-words text classifier — the fastText-style
     * shallow quality/topic model of the LLaMA/RedPajama filtering stage
     * ("quality classifier"), as a pure dataflow: the trained model IS a

@@ -264,6 +264,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // adjacency is built inside the token array (transform + explode);
     // a lag/row_number formulation would plan a Window here
     assert(!p.contains("Window"), "bigram adjacency must not use a window")
+    val p3 = plan("q_lm3_score")
+    assert(!p3.contains("CartesianProduct") && !p3.contains("Window"),
+      "trigram scoring is five dimension equi-joins + one aggregate")
   }
 
   test("kmv sample partial-aggregates before the group exchange") {

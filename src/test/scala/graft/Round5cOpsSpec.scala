@@ -111,4 +111,51 @@ class Round5cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scored.getLong(2) == 1)      // one bigram hit: (x,y)
     assert(scored.getDouble(3) > 0)     // finite — no -inf from pruned rows
   }
+
+  test("buildTrigramLm one-pass tables match direct counts") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c a b c"), (2L, "a b a")).toDF("doc_id", "text")
+    val lm = TextAnalysis.buildTrigramLm(ref, minCount = 2)
+    val uni = lm.unigrams.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 4L, "b" -> 3L, "c" -> 2L))
+    val big = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(big == Map(("a", "b") -> 3L, ("b", "c") -> 2L))
+    val tri = lm.trigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(tri == Map(("a", "b", "c") -> 2L))
+  }
+
+  test("stupidBackoff3Bits: trigram hit, double backoff, OOV start") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c a b c"), (2L, "a b a")).toDF("doc_id", "text")
+    val lm = TextAnalysis.buildTrigramLm(ref, minCount = 2)
+    val docs = Seq((10L, "a b c"), (11L, "b c a"), (12L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoff3Bits(docs, lm).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    def log2(x: Double) = math.log(x) / 0.6931471805599453
+    def round6(x: Double) = math.round(x * 1e6) / 1e6
+
+    // tot=9 v=3 -> base(t) = (n1+1)/13
+    // doc 10: a -> 5/13; b|a bigram 3/4; c|(a,b) trigram 2/n_ctx(a,b)=2/3
+    val exp10 = round6(
+      (-log2(5.0 / 13) - log2(3.0 / 4) - log2(2.0 / 3)) / 3)
+    assert(got(10L)._1 == 3 && got(10L)._2 == 1)
+    assert(math.abs(got(10L)._3 - exp10) < 1e-9)
+
+    // doc 11: b -> 4/13; c|b bigram 2/3; a|(b,c): trigram pruned AND
+    // bigram (c,a) pruned -> alpha^2 * base(a) = 0.16 * 5/13
+    val exp11 = round6(
+      (-log2(4.0 / 13) - log2(2.0 / 3) - log2(0.16 * 5.0 / 13)) / 3)
+    assert(got(11L)._1 == 3 && got(11L)._2 == 0)
+    assert(math.abs(got(11L)._3 - exp11) < 1e-9)
+
+    // doc 12: OOV first token -> smoothed 1/13
+    assert(got(12L) == ((1L, 0L, round6(-log2(1.0 / 13)))))
+  }
 }
