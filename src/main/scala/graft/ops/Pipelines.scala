@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *      furniture; requires a `source` column)
   *   3. optional LM-perplexity gate (CCNet: keep the lowest-surprisal
   *      `lmKeepFrac` of the gated corpus under a self-built unigram LM)
-  *   3b. optional DSIR selection (importance-resample toward `dsirTarget`
+  *   3b. optional trained-classifier gate (`clfWeights`: fastText-style
+  *      linear model scores >= `clfMinScore` survive — the third leg of
+  *      the rules/perplexity/classifier stack)
+  *   3c. optional DSIR selection (importance-resample toward `dsirTarget`
   *      — hashed-n-gram log-ratio weights + Gumbel top-`dsirKeepN`)
   *   4. exact dedup (fingerprint hash-agg, keep canonical)
   *   5. near dedup (MinHash-LSH clusters, keep canonical)
@@ -51,6 +54,9 @@ object Pipelines {
                    sourceCol: String = "source",
                    lmKeepFrac: Option[Double] = None,
                    lmMinCount: Long = 5L,
+                   clfWeights: Option[DataFrame] = None,
+                   clfBias: Double = 0.0,
+                   clfMinScore: Double = 0.5,
                    dsirTarget: Option[DataFrame] = None,
                    dsirKeepN: Int = 10000,
                    dsirBuckets: Int = 4096,
@@ -113,20 +119,35 @@ object Pipelines {
       case None => bpStripped
     }
 
+    // optional trained-classifier gate (the fastText-style stage of the
+    // LLaMA/RedPajama stack — rules, perplexity, classifier): keep docs
+    // the model scores >= clfMinScore. The weights table is the caller's
+    // trained artifact; scoring is one equi-join + per-doc aggregate.
+    val clfGated = clfWeights match {
+      case Some(wts) => stage("classifier-gate", {
+        val scored = TextAnalysis.classifyLinear(lmGated, wts, clfBias,
+          idCol, textCol)
+        lmGated.join(
+          scored.filter(col("score") >= clfMinScore).select(idCol),
+          Seq(idCol), "left_semi")
+      })
+      case None => lmGated
+    }
+
     // optional DSIR selection (Xie et al. 2023): importance-resample the
     // gated corpus toward a target domain — after the cheap narrow gates
     // (don't spend the feature pass on rule-rejected docs), before the
     // dedup shuffles (they should only see the selected subset)
     val dsirSelected = dsirTarget match {
       case Some(tgt) => stage("dsir-select", {
-        val w = TextAnalysis.dsirLogRatio(lmGated, tgt, dsirBuckets,
+        val w = TextAnalysis.dsirLogRatio(clfGated, tgt, dsirBuckets,
           idCol, textCol)
-        lmGated.join(
+        clfGated.join(
           CorpusOps.importanceResample(w, "log_ratio", dsirKeepN, idCol)
             .select(idCol),
           Seq(idCol), "left_semi")
       })
-      case None => lmGated
+      case None => clfGated
     }
 
     val exactDeduped = stage("exact-dedup",

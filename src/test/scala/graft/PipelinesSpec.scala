@@ -233,6 +233,32 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     r.chunks.unpersist()
   }
 
+  test("clfWeights gate keeps only docs the linear model scores through") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    // weights that score every doc 0 -> sigmoid 0.5: threshold 0.6 drops
+    // everything, 0.4 keeps everything (sharp, deterministic contrast)
+    val zeroW = Seq(("the", 0.0)).toDF("term", "weight")
+    def run(minScore: Double) = Pipelines.curateCorpus(docs, eval,
+      langs = Seq("en"), minQuality = 0.0, maxRepetition = 0.9,
+      nearDupThreshold = 0.5, clfWeights = Some(zeroW),
+      clfMinScore = minScore,
+      chunkTokens = 32, chunkStride = 32, packBudget = 256)
+    val keep = run(0.4).report.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(keep("classifier-gate") == keep("quality-gate"),
+      s"score 0.5 >= 0.4 must keep every gated doc: $keep")
+    val drop = run(0.6)
+    val dropStages = drop.report.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(dropStages("classifier-gate") == 0L,
+      s"score 0.5 < 0.6 must drop every doc: $dropStages")
+    assert(drop.chunks.isEmpty)
+  }
+
   test("audit=false skips the per-stage counts and returns an empty report") {
     import spark.implicits._
     val docs = Seq(

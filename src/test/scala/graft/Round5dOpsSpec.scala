@@ -154,6 +154,17 @@ class Round5dOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got(2L)._2 - round6(lrMiss)) < 1e-9)
   }
 
+  test("dsirLogRatio of a corpus against itself is identically zero") {
+    // raw == target -> every bucket has nt == nr and tt == tr, so the
+    // log-ratio is 0 per bucket and 0 per doc — the self-consistency
+    // anchor of the importance weights
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val w = TextAnalysis.dsirLogRatio(docs, docs)
+    assert(w.count() > 0)
+    assert(w.filter(col("log_ratio") =!= 0.0d).count() == 0,
+      "self-weights must all be exactly zero")
+  }
+
   test("dsirLogRatio scores target-like docs higher") {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val target = docs.filter(col("source").isin("src0", "src1"))
