@@ -193,6 +193,23 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Assign a batch of NEW vectors to an existing index's cells — the
+    * incremental-ingest seam: an embedding append (nightly crawl, new
+    * corpus shard) lands in the persisted cell table without re-running
+    * Lloyd (re-train on drift cadence, not append cadence; the cosine
+    * objective makes assignments of unchanged vectors stable across
+    * appends). Output rows have the cell-table schema, so the caller can
+    * union/append them to `index.cells` (or the bucketed table on disk).
+    */
+  def ivfAssign(batch: DataFrame, index: IvfIndex,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(
+      batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+      index.centroids)
+      .select(col("_id").as("vec_id"), col("_v").as("_cv"),
+        col("center_id"))
+
   /** One-shot IVF top-k (build + probe). Convenience for ad-hoc use and
     * tests; anything that probes more than once should [[buildIvfIndex]]
     * once and [[ivfProbe]] against it (and `release()` when done).

@@ -126,6 +126,27 @@ class Round5dOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     cb.release()
   }
 
+  test("ivfAssign routes an appended batch to the same cells as the build") {
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val index = Similarity.buildIvfIndex(emb, nCenters = 8, iters = 2)
+    // re-assigning the corpus itself must reproduce the build's cells
+    val re = Similarity.ivfAssign(emb, index)
+      .select("vec_id", "center_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val built = index.cells.select("vec_id", "center_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == built,
+      "appending unchanged vectors must land in their original cells")
+    // an appended batch unions cleanly into the cell table
+    import org.apache.spark.sql.functions.col
+    val batch = emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val appended = index.cells.union(Similarity.ivfAssign(batch, index))
+    assert(appended.count() == index.cells.count() + 10)
+    assert(appended.columns.toSeq == index.cells.columns.toSeq)
+    index.release()
+  }
+
   // --- DSIR importance weighting -----------------------------------------
 
   /** The portable md5 feature bucket, reimplemented independently. */
