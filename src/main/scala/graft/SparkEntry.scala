@@ -679,6 +679,21 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_assign" -> ((s, d) => {
+      // incremental index append (ops.Similarity.ivfAssign): a simulated
+      // new shard (remapped ids) routed to the session-cached index's
+      // cells without re-running Lloyd — per-cell append occupancy.
+      // Rows-only (k-means cells are model-based); Round5dOpsSpec pins
+      // that unchanged vectors reproduce the build's cells exactly.
+      val idx = cachedIvfIndex(s, d, graft.ops.Similarity.buildIvfIndex(
+        par(s, t(s, d, "embeddings")), nCenters = 16))
+      val batch = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      graft.ops.Similarity.ivfAssign(batch, idx)
+        .groupBy("center_id").agg(count(lit(1)).as("appended"))
+        .orderBy("center_id")
+    }),
+
     "q_sketch_distinct" -> ((s, d) => {
       // HLL distinct via the partial-sketch → union path (ops.Sketches):
       // per-(type, day) binary sketches rolled up to per-type estimates —
