@@ -619,6 +619,31 @@ object SparkEntry {
       graft.ops.Dedup.simhashPairs(par(s, t(s, d, "documents")), maxHamming = 3)
     }),
 
+    "q_hamming_pairs" -> ((s, d) => {
+      // the generic pigeonhole hamming band join (the engine under
+      // simhashPairs / imageNearDups) over a DuckDB-reproducible
+      // arithmetic signature: groups of 8 docs share a base pattern, each
+      // member flips one distinct low-band bit, so every intra-group pair
+      // is hamming 2 — and the oracle brute-forces the identical
+      // predicate, certifying the banding exact (complete, no cross join).
+      val hashed = par(s, t(s, d, "documents")).select(col("doc_id"),
+        expr("(doc_id div 8) * 1048573L").bitwiseXOR(
+          expr("shiftleft(cast(1 as bigint), cast((doc_id % 8) * 5 as int))"))
+          .as("hash64"))
+      graft.ops.Dedup.hammingPairs(hashed, 3, "doc_id", "hash64")
+    }),
+
+    "q_image_neardup" -> ((s, d) => {
+      // REAL ImageIO decode → dHash → hamming band join over a
+      // deterministic PNG corpus bound to documents (groups of 4 planted
+      // near-identical images). Codec output isn't SQL-expressible →
+      // rows-only; the pairing semantics are oracle-certified by
+      // q_hamming_pairs and the hash by ImageHashSpec goldens.
+      graft.ops.Multimodal.imageNearDups(
+        graft.ops.Multimodal.imagesFromDocuments(par(s, t(s, d, "documents"))),
+        maxHamming = 6)
+    }),
+
     "q_text_annotate" -> ((s, d) => {
       graft.ops.TextAnalysis.annotate(par(s, t(s, d, "documents")))
         .select("doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpeish",
@@ -1733,6 +1758,19 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, count(*) AS n_docs,
         |  min(doc_id) AS first_id
         |FROM documents GROUP BY text""".stripMargin,
+
+    // brute-force over all pairs: the banded Spark plan must equal the
+    // exhaustive predicate (pigeonhole blocking is complete)
+    "q_hamming_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    xor((doc_id // 8) * 1048573,
+        |        1::BIGINT << CAST((doc_id % 8) * 5 AS INTEGER)) AS hash64
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hash64, b.hash64)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash64, b.hash64)) <= 3""".stripMargin,
 
     "q_census" ->
       """SELECT lang, source, count(*) AS n FROM documents

@@ -213,21 +213,46 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ maxHamming.
-    *
-    * Blocking: split the 64-bit hash into (maxHamming+1) bands — by
-    * pigeonhole any pair within the distance agrees on ≥ 1 full band, so a
-    * band equi-join finds all of them without a cross join (Manku et al.,
-    * WWW'07 — the Google near-dup crawl design).
+    * One narrow signature pass, then the generic [[hammingPairs]] blocking.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingPairs(
+      docs.select(col(idCol), simhash64(col(textCol)).as("_sh64")),
+      maxHamming, idCol, "_sh64")
+
+  /** Near-dup pairs by Hamming distance over PRECOMPUTED 64-bit signatures
+    * — the generic engine behind [[simhashPairs]], reusable for any
+    * locality-preserving bit fingerprint (image dHash
+    * ([[Multimodal.imageNearDups]]), audio fingerprints, feature-hash
+    * sketches).
+    *
+    * Blocking: split the 64 bits into (maxHamming+1) bands — by pigeonhole
+    * any pair within the distance agrees on ≥ 1 full band, so a band
+    * equi-join finds all of them without a cross join (Manku et al.,
+    * WWW'07 — the Google near-dup crawl design); the final `bit_count`
+    * filter is exact, so the band stage only ever adds candidates. When 64
+    * doesn't divide evenly the leftover high bits live in no band, which
+    * is still complete (bits outside every band can't break a band
+    * agreement). Scale shape: `maxHamming+1` rows per doc into a hash
+    * equi-join on (band, key) — candidates, never the corpus, ride the
+    * pair stage, same as the MinHash banding.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming
+    */
+  def hammingPairs(hashed: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id",
+                   hashCol: String = "hash64"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      "maxHamming must be in [0, 32) so every band keeps >= 2 bits")
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val sig = docs.select(col(idCol).as("_id"),
-      simhash64(col(textCol)).as("_sh"))
+    // maxHamming=0 degenerates to ONE 64-bit band (an exact-equality
+    // equi-join); the mask must not wrap (1L << 64 == 1L in JVM shift)
+    val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
+    val sig = hashed.select(col(idCol).as("_id"), col(hashCol).as("_sh"))
     val bandKeys = array((0 until nBands).map(b =>
-      shiftrightunsigned(col("_sh"), b * bandBits)
-        .bitwiseAND(lit((1L << bandBits) - 1))): _*)
+      shiftrightunsigned(col("_sh"), b * bandBits).bitwiseAND(mask)): _*)
     val banded = sig.select(col("_id"), col("_sh"),
       posexplode(bandKeys).as(Seq("_band", "_key")))
     val l = banded.select(col("_band"), col("_key"),

@@ -340,6 +340,77 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash, Krawetz) of a decoded image: exact
+    * area-average the pixels onto a 9×8 luminance grid (pixel (x, y) →
+    * cell (x·9/w, y·8/h), integer mapping — deterministic, no resampler),
+    * then bit i·8+j = 1 iff cell(j, i) < cell(j+1, i) — the sign of the
+    * horizontal luminance gradient. The classic near-dup image
+    * fingerprint: stable under re-encoding, resizing and small edits, so
+    * hamming-close hashes mean near-identical images. Cells that receive
+    * no pixel (w < 9 or h < 8) average to 0 — still deterministic.
+    */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Int](gw * gh)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer Rec.601 luminance weights: exact in double, no float
+        // accumulation-order sensitivity
+        val lum = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)
+        val c = (y.toLong * gh / h).toInt * gw + (x.toLong * gw / w).toInt
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < gh) {
+      var j = 0
+      while (j < gw - 1) {
+        val a = if (counts(i * gw + j) > 0) sums(i * gw + j) / counts(i * gw + j) else 0.0
+        val b = if (counts(i * gw + j + 1) > 0) sums(i * gw + j + 1) / counts(i * gw + j + 1) else 0.0
+        if (a < b) bits |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual hashes of the image assets: (asset_id, dhash) with a REAL
+    * codec behind it (ImageIO decode → [[dHash64]]); payloads no reader
+    * recognizes yield a null hash (they carry no pixel signal — hashing
+    * their bytes would manufacture spurious near-pairs), which
+    * [[imageNearDups]] filters out. One iterator-to-iterator pass, codec
+    * init amortized per partition like [[extractFeatures]].
+    */
+  def imageHashes(assets: Dataset[Asset]): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Option[Long])]
+    assets.filter(_.modality == "image").mapPartitions { it =>
+      it.map(a => (a.asset_id, tryDecodeImage(a.bytes).map(dHash64)))
+    }.toDF("asset_id", "dhash")
+  }
+
+  /** Near-duplicate IMAGE pairs — the LAION-style image dedup pass: dHash
+    * each decodable image ([[imageHashes]]) and find all pairs within
+    * `maxHamming` bits via the generic pigeonhole band join
+    * ([[Dedup.hammingPairs]] — exact, no cross join). 100 TB shape: the
+    * hash pass is embarrassingly parallel over image bytes; the pair stage
+    * moves 8-byte hashes only, never pixels.
+    *
+    * @return (id_a, id_b, hamming) over asset ids, hamming ≤ maxHamming
+    */
+  def imageNearDups(assets: Dataset[Asset], maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(imageHashes(assets).filter(col("dhash").isNotNull),
+      maxHamming, "asset_id", "dhash")
+
   case class ResizedAsset(asset_id: Long, width: Int, height: Int,
                           bytes: Array[Byte])
 
@@ -441,6 +512,38 @@ object Multimodal {
           if (modality == "image") 48 else 0,
           if (modality == "video") (1 + id % 5) * 1000 else 0L)
       }
+  }
+
+  /** Real-PNG image corpus bound to a documents table: one 9×8 grayscale
+    * PNG per doc (one pixel per dHash grid cell), pixel pattern keyed by
+    * `doc_id div 4` with one strongly-perturbed cell per non-zero member —
+    * so every group of 4 is a planted near-dup cluster (a perturbed cell
+    * moves at most its 2 adjacent gradient comparisons → pairwise dHash
+    * hamming ≤ 4) while distinct groups get independent pseudo-random
+    * patterns (expected hamming ~32, no accidental near pairs). Every
+    * payload decodes through the real ImageIO path.
+    */
+  def imagesFromDocuments(docs: DataFrame,
+                          idCol: String = "doc_id"): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      val g = id / 4
+      val m = (id % 4).toInt
+      val tweak = if (m == 0) -1 else (m * 29) % 72
+      val bytes = pngBytes(9, 8, (x, y) => {
+        val c = y * 9 + x
+        // splitmix-style mix so per-(group, cell) luminance is genuinely
+        // pseudo-random — a plain mod-256 progression leaves cross-group
+        // hashes only a phase shift apart, close enough to collide
+        val x0 = g * 0x9E3779B97F4A7C15L + (c + 1) * 0xBF58476D1CE4E5B9L
+        val x1 = (x0 ^ (x0 >>> 31)) * 0x94D049BB133111EBL
+        val base = ((x1 ^ (x1 >>> 29)) & 0xff).toInt
+        val v = if (c == tweak) (base + 128) % 256 else base
+        (v << 16) | (v << 8) | v
+      })
+      Asset(id, "image", bytes, "image/png", 9, 8, 0L)
+    }
   }
 
   /** Deterministic sawtooth test signal: sample t = (t mod period)/period

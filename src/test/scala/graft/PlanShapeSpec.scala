@@ -60,7 +60,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every LSH/banded path must join on a blocking key; only the
     // documented exact baselines (q_sim_topk, q_emb_near_pairs) may cross
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ann_topk",
-        "q_ngram_jaccard_pairs", "q_emb_near_pairs_lsh")) {
+        "q_ngram_jaccard_pairs", "q_emb_near_pairs_lsh", "q_hamming_pairs",
+        "q_image_neardup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
