@@ -52,7 +52,13 @@ object Bench {
     // Best-of-`passes` (default 3): later passes amortize codegen/JIT and
     // ride out transient host-contention spikes, approximating steady-state
     // plan cost rather than luck-of-draw.
-    val (results, errors) = run(SparkEntry.queries, spark, sfDir, passes)
+    // optional args: bench only the named queries (dev iteration; the
+    // driver harness always invokes with no args = full suite)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val (results, errors) = run(selected, spark, sfDir, passes)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) =>
       if (errors.contains(k)) s"${jstr(k)}:{\"err\":${jstr(errors(k))}}"

@@ -622,13 +622,20 @@ object SparkEntry {
     "q_hamming_pairs" -> ((s, d) => {
       // the generic pigeonhole hamming band join (the engine under
       // simhashPairs / imageNearDups) over a DuckDB-reproducible
-      // arithmetic signature: groups of 8 docs share a base pattern, each
-      // member flips one distinct low-band bit, so every intra-group pair
-      // is hamming 2 — and the oracle brute-forces the identical
-      // predicate, certifying the banding exact (complete, no cross join).
+      // arithmetic signature: groups of 8 docs share a base pattern
+      // spread across ALL FOUR 16-bit bands (overflow-safe shifted
+      // multiplications — per-band keys are group-distinct, so buckets
+      // hold one group, the realistic band-join regime), each member
+      // flips one distinct low-band bit, so every intra-group pair is
+      // hamming 2 — and the oracle brute-forces the identical predicate,
+      // certifying the banding exact (complete, no cross join).
       val hashed = par(s, t(s, d, "documents")).select(col("doc_id"),
-        expr("(doc_id div 8) * 1048573L").bitwiseXOR(
-          expr("shiftleft(cast(1 as bigint), cast((doc_id % 8) * 5 as int))"))
+        expr("((doc_id div 8) * 1048573L) % 16777216L").bitwiseXOR(
+          shiftleft(expr("((doc_id div 8) * 97911L) % 16777216L"), 24))
+          .bitwiseXOR(
+            shiftleft(expr("((doc_id div 8) * 31337L) % 262144L"), 44))
+          .bitwiseXOR(
+            expr("shiftleft(cast(1 as bigint), cast((doc_id % 8) * 5 as int))"))
           .as("hash64"))
       graft.ops.Dedup.hammingPairs(hashed, 3, "doc_id", "hash64")
     }),
@@ -1764,8 +1771,10 @@ object SparkEntry {
     "q_hamming_pairs" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    xor((doc_id // 8) * 1048573,
-        |        1::BIGINT << CAST((doc_id % 8) * 5 AS INTEGER)) AS hash64
+        |    xor(xor(((doc_id // 8) * 1048573) % 16777216,
+        |            (((doc_id // 8) * 97911) % 16777216) << 24),
+        |        xor((((doc_id // 8) * 31337) % 262144) << 44,
+        |            1::BIGINT << CAST((doc_id % 8) * 5 AS INTEGER))) AS hash64
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.hash64, b.hash64)) AS INTEGER) AS hamming
