@@ -651,6 +651,29 @@ object SparkEntry {
         maxHamming = 6)
     }),
 
+    "q_blocklist" -> ((s, d) => {
+      // C4-style blocklist audit: word-level hits against a broadcast
+      // list (one present term, one absent — the no-hit path is free)
+      import s.implicits._
+      graft.ops.CorpusOps.flagBlocklisted(
+        par(s, t(s, d, "documents")),
+        Seq("dup", "deadlock").toDF("term"))
+    }),
+
+    "q_bm25_topk" -> ((s, d) => {
+      // lexical retrieval: first-8-token queries from the first 3 docs
+      // against the full corpus — BM25 with Lucene idf, exact DuckDB
+      // oracle (ln-based scores round safely at 6 dp; rank on the
+      // rounded score so both engines order identically)
+      val docs = par(s, t(s, d, "documents"))
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      graft.ops.TextAnalysis.bm25TopK(docs, qs)
+    }),
+
     "q_text_annotate" -> ((s, d) => {
       graft.ops.TextAnalysis.annotate(par(s, t(s, d, "documents")))
         .select("doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpeish",
@@ -1784,6 +1807,51 @@ object SparkEntry {
     "q_census" ->
       """SELECT lang, source, count(*) AS n FROM documents
         |GROUP BY lang, source""".stripMargin,
+
+    "q_blocklist" ->
+      """SELECT doc_id, count(*) AS n_hits,
+        |  count(DISTINCT term) AS n_terms
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents)
+        |WHERE term IN ('dup', 'deadlock')
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |qterm AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest(list_slice(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> ''), 1, 8)) AS term
+        |  FROM documents WHERE doc_id < 3),
+        |dft AS (
+        |  SELECT tf.term, count(*) AS df FROM tf
+        |  WHERE tf.term IN (SELECT term FROM qterm) GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+        |      AS bm25
+        |  FROM qterm q
+        |  JOIN tf ON tf.term = q.term
+        |  JOIN dft d ON d.term = q.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, bm25, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
 
     "q_orderby_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -125,6 +125,37 @@ object CorpusOps {
       .drop("_rn")
   }
 
+  /** C4-style blocklist flagging (Raffel et al. 2020 drop pages containing
+    * any listed word): per-doc hit counts against a blocklist of TOKENS
+    * (the shared lowercase-whitespace tokenizer of [[TextAnalysis]]).
+    * Returns only flagged docs — anti-join the ids to clean, or keep the
+    * report as the audit artifact ("measure before you drop", like
+    * [[piiReport]]).
+    *
+    * Scale shape: the blocklist is list-sized by nature, so it rides a
+    * broadcast equi-join on the token stream (no shuffle of the corpus);
+    * the per-doc aggregate is map-side combinable. Word-level by design —
+    * multi-word phrases are a containment theta-join (the
+    * [[graft.enrich.CountryLinker]] pattern), and substring matching
+    * inside words is prone to Scunthorpe false positives.
+    *
+    * @return (id, n_hits — total hit tokens, n_terms — distinct blocklist
+    *         terms present)
+    */
+  def flagBlocklisted(docs: DataFrame, blocklist: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      termCol: String = "term"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .filter(col("_tok") =!= "")
+    toks.join(broadcast(
+        blocklist.select(lower(col(termCol)).as("_tok")).distinct()),
+        Seq("_tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("_tok")).as("n_terms"))
+  }
+
   /** Within-document repetition ratio (Gopher-style repetition filter):
     * fraction of duplicate word n-grams, `1 - distinct/total` (0 for docs
     * shorter than n words). Entirely narrow — per-row array ops, no

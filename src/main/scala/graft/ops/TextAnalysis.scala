@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.CorpusFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language id, quality
@@ -754,6 +755,71 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),
         round(sum(col("_lr")), 6).as("log_ratio"))
+  }
+
+  /** BM25 top-k retrieval of corpus documents for a (benchmark-sized)
+    * query set — the lexical-retrieval workhorse behind retrieval-based
+    * data selection, dedup candidate mining, and eval-contamination
+    * triage. Okapi BM25 with the Lucene idf:
+    *
+    *   score(q, d) = Σ_{t ∈ distinct(q)} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *                 · tf_td (k1 + 1) / (tf_td + k1 (1 − b + b · dl_d / avgdl))
+    *
+    * N and avgdl range over docs with ≥ 1 token (token = whitespace-split
+    * lowercase, the shared tokenizer of this module); query term
+    * multiplicity is ignored (distinct terms), the standard Okapi choice.
+    *
+    * Scale shape: one explode-agg builds the per-(doc, term) tf table;
+    * the DISTINCT query-term table (benchmark-sized by contract)
+    * broadcasts into a semi-prune of tf BEFORE anything wide, so df
+    * counting and scoring shuffle only postings of query terms — the
+    * inverted-index discipline of [[graft.ops.Dedup.decontaminate]].
+    * Doc-length and 1-row corpus stats ride literal-style broadcasts; the
+    * per-(query, doc) sum is map-side combinable; top-k is a per-query
+    * window over candidate rows only. No UDF; scores round to 6 dp and
+    * rank on the ROUNDED score (ties then doc id), the cross-engine
+    * contract of [[wordEntropy]] — ln-based scores don't sit on the
+    * decimal lattice.
+    *
+    * @return (query_id, doc-id column, bm25, rank) with rank ≤ k
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "text"): DataFrame = {
+    require(k > 0 && k1 >= 0 && b >= 0 && b <= 1)
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("_tf"))
+    val dl = tf.groupBy(idCol).agg(sum(col("_tf")).as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(split(lower(trim(col(queryTextCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    // postings of query terms only: the broadcast semi-prune runs before
+    // any shuffle, so df and scoring never touch non-query postings
+    val hit = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dfTab = hit.groupBy("term").agg(count(lit(1)).as("_df"))
+    val idf = log(lit(1.0d) +
+      (col("_n").cast("double") - col("_df") + 0.5d) / (col("_df") + 0.5d))
+    val w = idf * col("_tf").cast("double") * (k1 + 1.0d) /
+      (col("_tf").cast("double") +
+        lit(k1) * (lit(1.0d - b) + lit(b) * col("_dl") / col("_avgdl")))
+    val scored = hit
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfTab), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(stats) // 1-row corpus stats: literal-style broadcast
+      .groupBy("query_id", idCol)
+      .agg(round(sum(w), 6).as("bm25"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("bm25"), col("rank"))
   }
 
   /** Language distribution report (predicted vs labeled when available). */
