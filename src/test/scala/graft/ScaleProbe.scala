@@ -115,6 +115,24 @@ object ScaleProbe {
         minCount = 2L)
       graft.ops.TextAnalysis.classifyNaiveBayes(labeled, m)
     }
+
+    // round-5 session-4 operators. bm25: the query set stays FIXED as the
+    // corpus replicates, so only the postings term is linear (tf table,
+    // df count, candidate scoring); image_neardup replicates near-dup
+    // GROUPS (remapped ids land in fresh groups of 4), so bucket sizes
+    // stay constant and the pair stage scales linearly in image count.
+    probe("bm25_topk") {
+      val qs = base.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      graft.ops.TextAnalysis.bm25TopK(docs, qs)
+    }
+    probe("image_neardup") {
+      graft.ops.Multimodal.imageNearDups(
+        graft.ops.Multimodal.imagesFromDocuments(docs), maxHamming = 6)
+    }
     spark.stop()
   }
 }
