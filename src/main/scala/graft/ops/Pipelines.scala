@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   *
   *   1. annotate (lang-id, token counts, quality — one narrow pass)
   *   2. quality gate (language allow-list, quality floor, repetition cap)
+  *   2a. optional C4 blocklist gate (drop docs containing a listed word —
+  *      broadcast-join filter, before any text-rewriting stage)
   *   2b. optional per-source boilerplate strip (RefinedWeb: lines repeated
   *      across `boilerplateMinDocs` docs of one source are site furniture,
   *      cut everywhere — BEFORE the LM gate so the LM never learns the
@@ -49,6 +51,7 @@ object Pipelines {
                    minQuality: Double = 0.3,
                    maxRepetition: Double = 0.3,
                    nearDupThreshold: Double = 0.7,
+                   blocklist: Option[DataFrame] = None,
                    boilerplateMinDocs: Option[Long] = None,
                    boilerplateDelim: String = "\n",
                    sourceCol: String = "source",
@@ -93,15 +96,26 @@ object Pipelines {
       .filter(col("quality") >= minQuality)
       .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition))
 
+    // optional C4 blocklist gate: drop docs containing ANY listed word —
+    // a cheap broadcast-join filter, so it runs right after the rule
+    // gates, before every text-rewriting or shuffling stage
+    val blGated = blocklist match {
+      case Some(bl) => stage("blocklist-gate", gated.join(
+        CorpusOps.flagBlocklisted(gated, bl, idCol, textCol)
+          .select(idCol),
+        Seq(idCol), "left_anti"))
+      case None => gated
+    }
+
     // optional per-source boilerplate strip: runs before the LM gate so
     // the perplexity model never trains on site furniture
     val bpStripped = boilerplateMinDocs match {
       case Some(m) => stage("strip-boilerplate",
-        Dedup.stripBoilerplate(gated, sourceCol, m, boilerplateDelim,
+        Dedup.stripBoilerplate(blGated, sourceCol, m, boilerplateDelim,
           idCol, textCol)
           .withColumn(textCol, col("text_deduped"))
           .drop("text_deduped", "n_lines_cut"))
-      case None => gated
+      case None => blGated
     }
 
     // optional CCNet-style perplexity gate: a unigram LM built from the

@@ -184,6 +184,27 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.report.collect().map(_.getString(0)).contains("strip-boilerplate"))
   }
 
+  test("blocklist gate drops exactly the docs containing a listed word") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the alpha document body is all about one particular topic"),
+      (2L, "the beta document mentions the forbidden casino word here"),
+      (3L, "the gamma text is its own unrelated and unshared clean content")
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "there is no overlap of this with anything in that corpus"))
+      .toDF("doc_id", "text")
+    val bl = Seq("casino", "lottery").toDF("term")
+    val r = Pipelines.curateCorpus(docs, eval,
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.95,
+      blocklist = Some(bl), chunkTokens = 64, chunkStride = 64,
+      packBudget = 512)
+    val kept = r.chunks.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    val report = r.report.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(report("blocklist-gate") == 2L)
+  }
+
   test("lmKeepFrac gate keeps the exact head-fraction of the gated set") {
     import spark.implicits._
     val docs = spark.read
