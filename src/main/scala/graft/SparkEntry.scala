@@ -82,6 +82,19 @@ object SparkEntry {
     ivfIndexQCache.computeIfAbsent((s, d), _ => build)
   }
 
+  /** Session-lifetime BM25 postings index per (session, data dir) — the
+    * lexical build-once/probe-many twin of the IVF cache, same
+    * stopped-session eviction discipline.
+    */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.TextAnalysis.PostingsIndex]
+
+  private def cachedPostings(s: SparkSession, d: String): graft.ops.TextAnalysis.PostingsIndex = {
+    postingsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    postingsCache.computeIfAbsent((s, d), _ =>
+      graft.ops.TextAnalysis.buildPostingsIndex(par(s, t(s, d, "documents"))))
+  }
+
   /** Session-lifetime trained-PQ artifacts per (session, data dir): the
     * codebooks AND the encoded corpus (both are build-once artifacts a
     * deployment persists; probes touch byte codes only). Same
@@ -651,6 +664,13 @@ object SparkEntry {
         maxHamming = 6)
     }),
 
+    "q_corpus_report" -> ((s, d) => {
+      // the data-card aggregation: integer-only per-(source, lang)
+      // signals (sums/counts hash identically cross-engine; ratios are
+      // the consumer's division)
+      graft.ops.CorpusOps.corpusReport(par(s, t(s, d, "documents")))
+    }),
+
     "q_blocklist" -> ((s, d) => {
       // C4-style blocklist audit: word-level hits against a broadcast
       // list (one present term, one absent — the no-hit path is free)
@@ -672,6 +692,19 @@ object SparkEntry {
             split(lower(trim(col("text"))), "\\s+"),
             tk => tk =!= ""), 1, 8), " ").as("text"))
       graft.ops.TextAnalysis.bm25TopK(docs, qs)
+    }),
+
+    "q_bm25_probe" -> ((s, d) => {
+      // the deployment shape: probe the SESSION-CACHED postings index
+      // (built once per (session, dir) like the IVF index) — identical
+      // scores to q_bm25_topk, so the same exact oracle certifies the
+      // build/probe split
+      val qs = t(s, d, "documents").filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      graft.ops.TextAnalysis.bm25Probe(cachedPostings(s, d), qs)
     }),
 
     "q_text_annotate" -> ((s, d) => {
@@ -1808,6 +1841,26 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n FROM documents
         |GROUP BY lang, source""".stripMargin,
 
+    "q_corpus_report" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens,
+        |  CAST(sum(em) AS BIGINT) AS n_email_docs,
+        |  CAST(sum(num) AS BIGINT) AS n_longnum_docs
+        |FROM (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CASE WHEN regexp_matches(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |      THEN 1 ELSE 0 END AS em,
+        |    CASE WHEN regexp_matches(text, '[0-9]{9,}')
+        |      THEN 1 ELSE 0 END AS num
+        |  FROM documents)
+        |GROUP BY source, lang""".stripMargin,
+
     "q_blocklist" ->
       """SELECT doc_id, count(*) AS n_hits,
         |  count(DISTINCT term) AS n_terms
@@ -1819,6 +1872,41 @@ object SparkEntry {
         |GROUP BY doc_id""".stripMargin,
 
     "q_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |qterm AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest(list_slice(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> ''), 1, 8)) AS term
+        |  FROM documents WHERE doc_id < 3),
+        |dft AS (
+        |  SELECT tf.term, count(*) AS df FROM tf
+        |  WHERE tf.term IN (SELECT term FROM qterm) GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+        |      AS bm25
+        |  FROM qterm q
+        |  JOIN tf ON tf.term = q.term
+        |  JOIN dft d ON d.term = q.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, bm25, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+
+    "q_bm25_probe" ->  // same result as q_bm25_topk: certifies the index probe
       """WITH tok AS (
         |  SELECT doc_id,
         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -125,6 +125,38 @@ object CorpusOps {
       .drop("_rn")
   }
 
+  /** Corpus DATA CARD: per-(source, lang) aggregate signals a
+    * training-data release publishes — doc/token/char totals, token-length
+    * extremes, and PII-flag counts (the [[piiReport]] regexes). All
+    * columns are INTEGERS on purpose: sums and counts hash identically
+    * across engines, where published averages/ratios would sit on the
+    * decimal-rounding lattice (the q_classify_linear lesson) — consumers
+    * derive ratios from the exact numerators/denominators.
+    *
+    * One map-side-combinable aggregation pass; token counting matches
+    * [[chunkDocs]]/[[sourceTokenBudget]] accounting (whitespace split,
+    * empty tokens dropped).
+    */
+  def corpusReport(docs: DataFrame, sourceCol: String = "source",
+                   langCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    val toks = size(filter(split(trim(col(textCol)), "\\s+"),
+      t => t =!= "")).cast("long")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    docs.select(col(sourceCol), col(langCol),
+        toks.as("_nt"), length(col(textCol)).cast("long").as("_nc"),
+        when(col(textCol).rlike(email), 1L).otherwise(0L).as("_em"),
+        when(col(textCol).rlike("[0-9]{9,}"), 1L).otherwise(0L).as("_num"))
+      .groupBy(sourceCol, langCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(col("_nc")).as("n_chars"),
+        min(col("_nt")).as("min_tokens"),
+        max(col("_nt")).as("max_tokens"),
+        sum(col("_em")).as("n_email_docs"),
+        sum(col("_num")).as("n_longnum_docs"))
+  }
+
   /** C4-style blocklist flagging (Raffel et al. 2020 drop pages containing
     * any listed word): per-doc hit counts against a blocklist of TOKENS
     * (the shared lowercase-whitespace tokenizer of [[TextAnalysis]]).

@@ -787,21 +787,68 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id", textCol: String = "text",
                queryIdCol: String = "query_id",
-               queryTextCol: String = "text"): DataFrame = {
-    require(k > 0 && k1 >= 0 && b >= 0 && b <= 1)
+               queryTextCol: String = "text"): DataFrame =
+    bm25Probe(postingsOf(docs, idCol, textCol), queries, k, k1, b,
+      idCol, queryIdCol, queryTextCol)
+
+  /** A lexical (BM25) index: `postings` (term, doc id, _tf), `docLens`
+    * (doc id, _dl) and the 1-row corpus `stats` (_n docs, _avgdl) — the
+    * build-once artifact of [[bm25TopK]], the text twin of
+    * [[graft.ops.Similarity.IvfIndex]]. At 100 TB persist `postings`
+    * bucketed by term ([[Bucketing.writeBucketed]]) so every probe's
+    * query-term join is one-sided, and `docLens` bucketed by the doc id
+    * for the scoring join.
+    */
+  final case class PostingsIndex(postings: DataFrame, docLens: DataFrame,
+                                 stats: DataFrame, idCol: String) {
+    def release(): Unit = {
+      postings.unpersist(); docLens.unpersist(); stats.unpersist()
+    }
+  }
+
+  /** The postings dataflow (not pinned — [[buildPostingsIndex]] pins). */
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): PostingsIndex = {
     val toks = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("_tf"))
     val dl = tf.groupBy(idCol).agg(sum(col("_tf")).as("_dl"))
     val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    PostingsIndex(tf, dl, stats, idCol)
+  }
+
+  /** Build (and pin) the [[PostingsIndex]] of a corpus — pay the two
+    * explode-agg passes once, probe many times ([[bm25Probe]]).
+    */
+  def buildPostingsIndex(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): PostingsIndex = {
+    val ix = postingsOf(docs, idCol, textCol)
+    PostingsIndex(ix.postings.localCheckpoint(true),
+      ix.docLens.localCheckpoint(true), ix.stats.localCheckpoint(true),
+      idCol)
+  }
+
+  /** BM25 against a prebuilt [[PostingsIndex]] — the probe half of
+    * [[bm25TopK]] (identical scores; see there for the formula and the
+    * scale shape: broadcast semi-prune of postings to query terms before
+    * anything wide, df counted over pruned postings, map-side-combinable
+    * per-(query, doc) sum, rank on the 6-dp-rounded score).
+    */
+  def bm25Probe(index: PostingsIndex, queries: DataFrame, k: Int = 10,
+                k1: Double = 1.2, b: Double = 0.75,
+                idCol: String = "doc_id",
+                queryIdCol: String = "query_id",
+                queryTextCol: String = "text"): DataFrame = {
+    require(k > 0 && k1 >= 0 && b >= 0 && b <= 1)
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(split(lower(trim(col(queryTextCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .distinct()
     // postings of query terms only: the broadcast semi-prune runs before
     // any shuffle, so df and scoring never touch non-query postings
-    val hit = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val hit = index.postings
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
     val dfTab = hit.groupBy("term").agg(count(lit(1)).as("_df"))
     val idf = log(lit(1.0d) +
       (col("_n").cast("double") - col("_df") + 0.5d) / (col("_df") + 0.5d))
@@ -811,15 +858,16 @@ object TextAnalysis {
     val scored = hit
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfTab), Seq("term"))
-      .join(dl, Seq(idCol))
-      .crossJoin(stats) // 1-row corpus stats: literal-style broadcast
-      .groupBy("query_id", idCol)
+      .join(index.docLens, Seq(index.idCol))
+      .crossJoin(index.stats) // 1-row corpus stats: literal-style broadcast
+      .groupBy("query_id", index.idCol)
       .agg(round(sum(w), 6).as("bm25"))
     val win = Window.partitionBy("query_id")
-      .orderBy(col("bm25").desc, col(idCol))
+      .orderBy(col("bm25").desc, col(index.idCol))
     scored.withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("bm25"), col("rank"))
+      .select(col("query_id"), col(index.idCol).as(idCol), col("bm25"),
+        col("rank"))
   }
 
   /** Language distribution report (predicted vs labeled when available). */

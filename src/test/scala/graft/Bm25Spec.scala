@@ -91,6 +91,42 @@ class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("bm25Probe against a prebuilt index equals the one-shot bm25TopK") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark shuffle join"),
+      (2L, "spark catalyst"),
+      (3L, "duckdb oracle shuffle")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, "spark shuffle"), (101L, "oracle")).toDF("query_id", "text")
+    val oneShot = TextAnalysis.bm25TopK(docs, qs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ix = TextAnalysis.buildPostingsIndex(docs)
+    try {
+      val probed = TextAnalysis.bm25Probe(ix, qs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(probed == oneShot && probed.nonEmpty)
+    } finally ix.release()
+  }
+
+  test("corpusReport: integer-only data card with hand-checked totals") {
+    import spark.implicits._
+    val docs = Seq(
+      ("web", "en", 1L, "one two three"),
+      ("web", "en", 2L, "four five"),
+      ("web", "de", 3L, "contact me@example.com now"),
+      ("books", "en", 4L, "number 1234567890 is long")
+    ).toDF("source", "lang", "doc_id", "text")
+    val got = graft.ops.CorpusOps.corpusReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8)))).toMap
+    // (n_docs, n_tokens, min_tokens, max_tokens, n_email_docs, n_longnum_docs)
+    assert(got(("web", "en")) == ((2L, 5L, 2L, 3L, 0L, 0L)))
+    assert(got(("web", "de")) == ((1L, 3L, 3L, 3L, 1L, 0L)))
+    assert(got(("books", "en")) == ((1L, 4L, 4L, 4L, 0L, 1L)))
+  }
+
   test("postings are pruned to query terms before the wide stages") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
