@@ -497,6 +497,28 @@ object SparkEntry {
         .select("click_id", "view_id", "user_id")
     }),
 
+    "q_interval_overlap" -> ((s, d) => {
+      // two-sided interval join, dedup-free first-shared-bin discipline:
+      // 4h view windows x 1h click windows per user; bin = 4h so each
+      // interval fans to <= 2 bins and every overlapping pair survives the
+      // post-filter exactly once
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("v_start"),
+          (col("ts") + expr("INTERVAL 4 HOURS")).as("v_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id"),
+          col("ts").as("c_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("c_end"))
+      graft.ops.RangeJoin.intervalOverlap(views, clicks, Seq("user_id"),
+        "v_start", "v_end", "c_start", "c_end",
+        binWidth = 4L * 3600 * 1000 * 1000)
+        .select("view_id", "click_id", "user_id",
+          "overlap_start", "overlap_end")
+    }),
+
     "q_heavy_hitters" -> ((s, d) => {
       // exact top-k heavy hitters per group (ops.Sketches): two-stage agg,
       // deterministic tie-break — the exact sibling of the sketch path
@@ -2982,6 +3004,21 @@ object SparkEntry {
         |SELECT c.click_id, v.view_id, c.user_id
         |FROM c JOIN v ON c.user_id = v.user_id
         |  AND c.cts >= v.win_start AND c.cts <= v.win_end""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id,
+        |        CAST(ts AS TIMESTAMP) AS v_start,
+        |        CAST(ts AS TIMESTAMP) + INTERVAL 4 HOUR AS v_end
+        |      FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, user_id AS cu,
+        |        CAST(ts AS TIMESTAMP) AS c_start,
+        |        CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS c_end
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.view_id, c.click_id, v.user_id,
+        |  epoch_us(greatest(v.v_start, c.c_start)) AS overlap_start,
+        |  epoch_us(least(v.v_end, c.c_end)) AS overlap_end
+        |FROM v JOIN c ON v.user_id = c.cu
+        |  AND v.v_start <= c.c_end AND c.c_start <= v.v_end""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT l_returnflag, l_partkey, n, CAST(rank AS INTEGER) AS rank

@@ -93,4 +93,59 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bin")
   }
+
+  /** INTERVAL-OVERLAP join — every (left, right) pair of intervals with
+    * `[ls, le] ∩ [rs, re] ≠ ∅` (closed ends) — the two-sided sibling of
+    * [[pointInInterval]], same binning discipline: both sides fan out to
+    * the bins they overlap and the join keys on (equality keys, bin).
+    *
+    * A pair overlapping k shared bins would meet k times; instead of a
+    * dedup pass, the FIRST-SHARED-BIN rule keeps exactly one meeting: the
+    * post-filter accepts a candidate only in bin = max(bin(ls), bin(rs)),
+    * the first bin both intervals inhabit (both starts are ≤ it by
+    * construction, and an overlapping pair provably shares it). A
+    * distinct-free plan — the shuffle output is final.
+    *
+    * Cost: fan-out ≈ length/binWidth + 1 per row per side; pick binWidth
+    * near the typical interval length, as [[pointInInterval]]. Column
+    * names of the two inputs must be disjoint (beyond `keys`) — require'd
+    * up front, no silent ambiguity.
+    *
+    * @return left columns + right columns (keys once) + `overlap_start` /
+    *         `overlap_end` (the intersection, in the normalized long unit)
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(overlapCols.isEmpty,
+      s"non-key column names must be disjoint; both sides have: " +
+        overlapCols.mkString(", "))
+    val units = Seq(unitOf(left, leftStart), unitOf(left, leftEnd),
+      unitOf(right, rightStart), unitOf(right, rightEnd))
+    require(units.distinct.size == 1,
+      s"all four bounds must normalize to one unit; got ${units.mkString(", ")}")
+    def fan(df: DataFrame, s: String, e: String, sv: String,
+            binAs: String): DataFrame =
+      df.filter(col(e) >= col(s))
+        .withColumn(sv, rep(df, s))
+        .withColumn("_evx", rep(df, e))
+        .withColumn(binAs,
+          explode(sequence(bin(sv, binWidth), bin("_evx", binWidth))))
+        .drop("_evx")
+    val l = fan(left, leftStart, leftEnd, "_lsv", "_bin")
+    val r = fan(right, rightStart, rightEnd, "_rsv", "_bin")
+    l.join(r, keys :+ "_bin")
+      // overlap test + first-shared-bin: exactly one surviving meeting
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd))
+      .filter(col("_bin") ===
+        greatest(bin("_lsv", binWidth), bin("_rsv", binWidth)))
+      .withColumn("overlap_start", greatest(col("_lsv"), col("_rsv")))
+      .withColumn("overlap_end",
+        least(rep(left, leftEnd), rep(right, rightEnd)))
+      .drop("_bin", "_lsv", "_rsv")
+  }
 }

@@ -100,6 +100,46 @@ class JoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("intervalOverlap equals brute force with exactly one row per pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, pre: String, maxLen: Int) = (1 to n).map { i =>
+      val s = rnd.nextInt(2000) - 1000L
+      (i.toLong, (i % 4).toLong, s, s + rnd.nextInt(maxLen) - 10L)
+    }
+    // varied lengths (0 to several bins wide at binWidth=100), some
+    // degenerate end<start rows that must be dropped
+    val left = mk(120, "l", 450).toDF("lid", "k", "ls", "le")
+    val right = mk(90, "r", 250).toDF("rid", "k2", "rs", "re")
+      .withColumnRenamed("k2", "k")
+    val rows = RangeJoin.intervalOverlap(left, right, Seq("k"),
+      "ls", "le", "rs", "re", binWidth = 100L)
+      .select("lid", "rid", "overlap_start", "overlap_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one row per overlapping pair — the first-shared-bin rule, no dedup
+    assert(rows.length == rows.map(t => (t._1, t._2)).distinct.length)
+    val rs = right.as[(Long, Long, Long, Long)].collect()
+    val brute = left.as[(Long, Long, Long, Long)].collect().flatMap {
+      case (lid, lk, ls, le) if le >= ls =>
+        rs.toSeq.collect {
+          case (rid, rk, s, e) if rk == lk && e >= s && ls <= e && s <= le =>
+            (lid, rid, math.max(ls, s), math.min(le, e))
+        }
+      case _ => Seq.empty[(Long, Long, Long, Long)]
+    }.toSet
+    assert(rows.toSet == brute && brute.nonEmpty)
+  }
+
+  test("intervalOverlap rejects colliding non-key column names") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 1L, 2L)).toDF("id", "k", "s", "e")
+    val b = Seq((2L, 0L, 1L, 2L)).toDF("id", "k", "s2", "e2")
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, b, Seq("k"), "s", "e", "s2", "e2", 10L)
+    }
+    assert(err.getMessage.contains("disjoint"))
+  }
+
   test("pointInInterval handles timestamp bounds inclusively") {
     import spark.implicits._
     val clicks = Seq((1L, 1L, ts(30)), (2L, 1L, ts(0)), (3L, 1L, ts(31)))
