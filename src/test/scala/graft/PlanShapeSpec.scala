@@ -77,6 +77,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "interval containment must join on (keys, bin), not a product")
+    val p2 = plan("q_interval_overlap")
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      "interval overlap must join on (keys, bin), not a product")
   }
 
   test("dedup-cluster pair stage joins on the df-capped shingle key") {
