@@ -66,7 +66,7 @@ object Multimodal {
     * which is also how the opaque stand-in payloads of
     * [[assetsFromDocuments]] keep their deterministic stub features.
     */
-  private[ops] def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  private[graft] def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.length == 0) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }

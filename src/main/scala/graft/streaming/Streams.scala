@@ -204,6 +204,86 @@ object Streams {
       }
   }
 
+  case class ImageEvent(asset_id: Long, ts: Timestamp, bytes: Array[Byte])
+  case class ImageNearDup(asset_id: Long, matched_id: Long, hamming: Int,
+                          band: Int)
+  /** Per-(band, key) state of [[imageNearDupMatches]]: (id, hash64, ts)
+    * entries — 24 bytes each, the whole 64-bit hash (unlike the MinHash
+    * sketch there is nothing to slim; the hash IS 8 bytes).
+    */
+  case class HashBucketState(entries: List[(Long, Long, Long)])
+
+  /** Streaming IMAGE near-duplicate detection — the incremental form of
+    * [[graft.ops.Multimodal.imageNearDups]]: arriving images are decoded
+    * (real ImageIO → dHash, per micro-batch, embarrassingly parallel),
+    * their 64-bit hash fans out to the Manku pigeonhole bands
+    * (`maxHamming`+1 bands — any qualifying pair agrees on ≥ 1 full
+    * band), and each (band, key) group holds the hashes previously routed
+    * to it. A new image emits one match row per stored entry within
+    * `maxHamming` bits (exact `bitCount`, not an estimate — unlike the
+    * MinHash matcher there is no sketch error). Matching in several bands
+    * emits per band: an at-least-once candidate stream, collapse with
+    * `dropDuplicatesWithinWatermark` downstream if needed.
+    *
+    * Undecodable payloads are dropped before the stateful stage (null
+    * hash — no pixel signal, same policy as the batch operator). State is
+    * bounded by event-time TTL + the `maxEntries` hot-bucket cap,
+    * mirroring [[nearDupMatches]].
+    */
+  def imageNearDupMatches(images: Dataset[ImageEvent], maxHamming: Int = 6,
+                          watermark: String = "2 hours",
+                          stateTtlMs: Long = 24L * 3600 * 1000,
+                          maxEntries: Int = 1000): Dataset[ImageNearDup] = {
+    require(maxHamming >= 0 && maxHamming < 32)
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val spark = images.sparkSession
+    import spark.implicits._
+    images
+      .mapPartitions { it => // codec init amortizes per partition-batch
+        it.flatMap { e =>
+          graft.ops.Multimodal.tryDecodeImage(e.bytes)
+            .map(img => (e.asset_id, e.ts,
+              graft.ops.Multimodal.dHash64(img)))
+        }
+      }
+      .toDF("asset_id", "ts", "hash64")
+      .withWatermark("ts", watermark)
+      .select(col("asset_id"), col("ts"), col("hash64"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftrightunsigned(col("hash64"), b * bandBits)
+            .bitwiseAND(lit(mask))): _*)).as(Seq("band", "key")))
+      .as[(Long, Timestamp, Long, Int, Long)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[HashBucketState, ImageNearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), batch: Iterator[(Long, Timestamp, Long, Int, Long)],
+         state: GroupState[HashBucketState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = batch.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = List.newBuilder[ImageNearDup]
+            arrivals.foreach { case (id, ts, h, band, _) =>
+              entries.foreach { case (seenId, seenHash, _) =>
+                if (seenId != id) {
+                  val d = java.lang.Long.bitCount(h ^ seenHash)
+                  if (d <= maxHamming) out += ImageNearDup(id, seenId, d, band)
+                }
+              }
+              entries = ((id, h, ts.getTime) :: entries).take(maxEntries)
+            }
+            val latest = entries.map(_._3).max
+            state.update(HashBucketState(entries))
+            state.setTimeoutTimestamp(latest + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: a streaming event feed joined to a
     * (slowly-changing) dimension table. Catalyst broadcasts the static
     * side per micro-batch when small — the standard shape for decorating
