@@ -686,6 +686,26 @@ object SparkEntry {
         maxHamming = 6)
     }),
 
+    "q_assign_ids" -> ((s, d) => {
+      // dense 0-based ids in (source, doc_id) order via the distributed
+      // sort + zipWithIndex pattern — no un-partitioned window
+      graft.ops.CorpusOps.assignRowIds(
+        par(s, t(s, d, "documents")).select("source", "doc_id"),
+        Seq("source", "doc_id"))
+    }),
+
+    "q_rouge_counts" -> ((s, d) => {
+      // ROUGE-2 overlap counts over 250 aligned doc pairs (doc i vs
+      // doc i+250) — integer numerators/denominators only; P/R/F1 are
+      // the consumer's divisions (the data-card float lesson)
+      val docs = par(s, t(s, d, "documents"))
+      val a = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("pair_id"), col("text").as("text_a"))
+      val b = docs.select((col("doc_id") - 250).as("pair_id"),
+        col("text").as("text_b"))
+      graft.ops.TextAnalysis.rougeNCounts(a.join(b, Seq("pair_id")), n = 2)
+    }),
+
     "q_corpus_report" -> ((s, d) => {
       // the data-card aggregation: integer-only per-(source, lang)
       // signals (sums/counts hash identically cross-engine; ratios are
@@ -1862,6 +1882,41 @@ object SparkEntry {
     "q_census" ->
       """SELECT lang, source, count(*) AS n FROM documents
         |GROUP BY lang, source""".stripMargin,
+
+    "q_assign_ids" ->
+      """SELECT source, doc_id,
+        |  row_number() OVER (ORDER BY source, doc_id) - 1 AS row_id
+        |FROM documents""".stripMargin,
+
+    "q_rouge_counts" ->
+      """WITH p AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS ta, b.text AS tb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+        |  WHERE a.doc_id < 250),
+        |wa AS (SELECT pair_id,
+        |  list_filter(string_split_regex(lower(trim(ta)), '\s+'),
+        |    t -> t <> '') AS w FROM p),
+        |wb AS (SELECT pair_id,
+        |  list_filter(string_split_regex(lower(trim(tb)), '\s+'),
+        |    t -> t <> '') AS w FROM p),
+        |ga AS (SELECT pair_id, g, count(*) AS ca FROM (
+        |  SELECT pair_id, w[i] || ' ' || w[i+1] AS g FROM wa,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s)
+        |  GROUP BY 1, 2),
+        |gb AS (SELECT pair_id, g, count(*) AS cb FROM (
+        |  SELECT pair_id, w[i] || ' ' || w[i+1] AS g FROM wb,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s)
+        |  GROUP BY 1, 2),
+        |ov AS (SELECT pair_id, CAST(sum(least(ca, cb)) AS BIGINT)
+        |    AS n_overlap
+        |  FROM ga JOIN gb USING (pair_id, g) GROUP BY 1),
+        |tot AS (SELECT wa.pair_id AS pair_id,
+        |  CAST(greatest(len(wa.w) - 1, 0) AS BIGINT) AS n_a,
+        |  CAST(greatest(len(wb.w) - 1, 0) AS BIGINT) AS n_b
+        |  FROM wa JOIN wb ON wa.pair_id = wb.pair_id)
+        |SELECT tot.pair_id AS pair_id,
+        |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap, n_a, n_b
+        |FROM tot LEFT JOIN ov ON tot.pair_id = ov.pair_id""".stripMargin,
 
     "q_corpus_report" ->
       """SELECT source, lang, count(*) AS n_docs,

@@ -474,6 +474,29 @@ object CorpusOps {
     withRank.crossJoin(total) // 1-row count table: literal-style broadcast
   }
 
+  /** Stable dense row ids (0-based) in deterministic `orderCols` order —
+    * the ingest step for raw corpora that arrive without ids (crawl
+    * dumps, JSONL drops). Same machinery as the global-rank/vocab
+    * pattern: a RANGE-PARTITIONED distributed sort + per-partition
+    * zipWithIndex offsets, never an un-partitioned `row_number()` window
+    * (which drags the whole corpus into one task). `orderCols` must be a
+    * unique key of the input or ids are order-dependent across runs —
+    * the caller's contract, as with any deterministic-ingest scheme.
+    */
+  def assignRowIds(df: DataFrame, orderCols: Seq[String],
+                   idName: String = "row_id"): DataFrame = {
+    require(orderCols.nonEmpty)
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols.map(col(_).asc): _*).localCheckpoint(true)
+    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(withId,
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idName,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** CCNet-style score buckets (Wenzek et al. 2020 publish CommonCrawl as
     * perplexity head/middle/tail): rank the corpus globally by
     * (score asc, id asc) and label row rank r of n with `labels(i)` where

@@ -870,6 +870,51 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** ROUGE-N overlap COUNTS for aligned text pairs (summary-vs-source
+    * eval, paraphrase-mining verification, near-dup diagnostics):
+    * per pair the clipped multiset n-gram intersection `n_overlap` =
+    * Σ_g min(count_a(g), count_b(g)) plus each side's total n-gram count.
+    * INTEGERS ONLY by design — ROUGE precision/recall/F1 are the
+    * consumer's divisions (`n_overlap/n_b`, `n_overlap/n_a`), because
+    * published ratios of small integers sit exactly on the 6-dp rounding
+    * lattice where cross-engine hashes flake (the [[classifyLinear]] /
+    * corpusReport lesson).
+    *
+    * Scale shape: each side explodes to positional n-grams and reduces to
+    * per-(pair, gram) counts (map-side combinable); the clip is one
+    * equi-join on (pair id, gram) + a per-pair sum — candidates only,
+    * no cross term. Tokens are the module's shared whitespace tokenizer.
+    *
+    * @return (idCol, n_overlap, n_a, n_b) — pairs where either side has
+    *         no n-gram report zeros for that side
+    */
+  def rougeNCounts(pairs: DataFrame, n: Int = 2, idCol: String = "pair_id",
+                   aCol: String = "text_a", bCol: String = "text_b"): DataFrame = {
+    require(n > 0)
+    def gramCounts(c: String, as: String): DataFrame = {
+      val arr0 = split(lower(trim(col(c))), "\\s+")
+      val arr = filter(arr0, t => t =!= "")
+      val grams = when(size(arr) >= n,
+        transform(sequence(lit(1), size(arr) - (n - 1)), i =>
+          array_join(slice(arr, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      pairs.select(col(idCol), explode(grams).as("_g"))
+        .groupBy(idCol, "_g").agg(count(lit(1)).as(as))
+    }
+    val a = gramCounts(aCol, "_ca")
+    val b = gramCounts(bCol, "_cb")
+    val overlap = a.join(b, Seq(idCol, "_g"))
+      .groupBy(idCol).agg(sum(least(col("_ca"), col("_cb"))).as("n_overlap"))
+    val totals = pairs.select(col(idCol),
+      greatest(size(filter(split(lower(trim(col(aCol))), "\\s+"),
+        t => t =!= "")) - (n - 1), lit(0)).cast("long").as("n_a"),
+      greatest(size(filter(split(lower(trim(col(bCol))), "\\s+"),
+        t => t =!= "")) - (n - 1), lit(0)).cast("long").as("n_b"))
+    totals.join(overlap, Seq(idCol), "left_outer")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .select(col(idCol), col("n_overlap"), col("n_a"), col("n_b"))
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{CorpusOps, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sixth round-5 operator batch: ROUGE-N overlap counts and stable row-id
+  * assignment.
+  */
+class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("round5f-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("rougeNCounts: hand-computed clipped bigram overlap") {
+    import spark.implicits._
+    val pairs = Seq(
+      // a: [the cat, cat sat, sat down] b: [the cat, cat sat, sat up]
+      (1L, "the cat sat down", "The cat sat up"),
+      // repeated gram clipping: a has "go go" x2, b has it x1 -> clip to 1
+      (2L, "go go go", "go go stop"),
+      (3L, "totally different words here", "nothing shared at all"),
+      (4L, "short", "also unrelated") // a has no bigram
+    ).toDF("pair_id", "text_a", "text_b")
+    val got = TextAnalysis.rougeNCounts(pairs, n = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((2L, 3L, 3L))) // "the cat", "cat sat" shared
+    assert(got(2L) == ((1L, 2L, 2L))) // clip min(2,1) for "go go"
+    assert(got(3L) == ((0L, 3L, 3L)))
+    assert(got(4L) == ((0L, 0L, 1L)))
+  }
+
+  test("rougeNCounts n=1 equals unigram multiset intersection") {
+    import spark.implicits._
+    val pairs = Seq((1L, "a b a c", "a a b d")).toDF("pair_id", "text_a", "text_b")
+    val r = TextAnalysis.rougeNCounts(pairs, n = 1).collect().head
+    // a:{a:2,b:1,c:1} b:{a:2,b:1,d:1} -> overlap 3, totals 4/4
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 4L, 4L)))
+  }
+
+  test("assignRowIds: dense 0-based ids in sort order, schema preserved") {
+    import spark.implicits._
+    val df = Seq(("b", 2L), ("a", 9L), ("b", 1L), ("a", 3L))
+      .toDF("grp", "k")
+    val got = CorpusOps.assignRowIds(df, Seq("grp", "k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(got.toSeq == Seq(("a", 3L, 0L), ("a", 9L, 1L),
+      ("b", 1L, 2L), ("b", 2L, 3L)))
+  }
+
+  test("assignRowIds ids are dense across many partitions") {
+    import spark.implicits._
+    val df = spark.range(0, 10000).toDF("k").repartition(13)
+    val ids = CorpusOps.assignRowIds(df, Seq("k")).select("row_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0L && ids.last == 9999L && ids.length == 10000)
+    assert(ids.zipWithIndex.forall { case (v, i) => v == i })
+  }
+}
