@@ -713,6 +713,15 @@ object SparkEntry {
       graft.ops.CorpusOps.corpusReport(par(s, t(s, d, "documents")))
     }),
 
+    "q_blocklist_phrases" -> ((s, d) => {
+      // phrase containment via the broadcast theta-join pattern (the
+      // C4 substring semantics; word-level sibling is q_blocklist)
+      import s.implicits._
+      graft.ops.CorpusOps.flagBlocklistedPhrases(
+        par(s, t(s, d, "documents")),
+        Seq("hash join", "merge join", "no such phrase").toDF("phrase"))
+    }),
+
     "q_blocklist" -> ((s, d) => {
       // C4-style blocklist audit: word-level hits against a broadcast
       // list (one present term, one absent — the no-hit path is free)
@@ -1937,6 +1946,15 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS num
         |  FROM documents)
         |GROUP BY source, lang""".stripMargin,
+
+    "q_blocklist_phrases" ->
+      """SELECT doc_id, count(DISTINCT p) AS n_phrases,
+        |  min(p) AS first_phrase
+        |FROM documents,
+        |  (SELECT unnest(['hash join', 'merge join', 'no such phrase'])
+        |     AS p)
+        |WHERE contains(lower(text), p)
+        |GROUP BY doc_id""".stripMargin,
 
     "q_blocklist" ->
       """SELECT doc_id, count(*) AS n_hits,

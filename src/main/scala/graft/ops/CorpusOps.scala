@@ -188,6 +188,32 @@ object CorpusOps {
         countDistinct(col("_tok")).as("n_terms"))
   }
 
+  /** PHRASE-level blocklist flagging — the multi-word companion of
+    * [[flagBlocklisted]]: case-insensitive substring containment of each
+    * listed phrase (the [[graft.enrich.CountryLinker]] theta-join
+    * pattern: the phrase list broadcasts, Catalyst plans a broadcast
+    * nested-loop join — correct here because one side is list-sized BY
+    * NATURE; the corpus never self-pairs). Substring semantics match C4's
+    * original filter (which also caught words inside words); use the
+    * word-level operator when Scunthorpe false positives matter.
+    *
+    * @return flagged docs only: (id, n_phrases — distinct phrases
+    *         contained, first_phrase — alphabetically first hit, for the
+    *         audit log)
+    */
+  def flagBlocklistedPhrases(docs: DataFrame, phrases: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             phraseCol: String = "phrase"): DataFrame = {
+    docs.select(col(idCol), lower(col(textCol)).as("_lt"))
+      .filter(col("_lt").isNotNull)
+      .join(broadcast(phrases.select(lower(col(phraseCol)).as("_p")).distinct()),
+        col("_lt").contains(col("_p")))
+      .groupBy(idCol)
+      .agg(countDistinct(col("_p")).as("n_phrases"),
+        min(col("_p")).as("first_phrase"))
+  }
+
   /** Within-document repetition ratio (Gopher-style repetition filter):
     * fraction of duplicate word n-grams, `1 - distinct/total` (0 for docs
     * shorter than n words). Entirely narrow — per-row array ops, no

@@ -310,6 +310,42 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic 24-bit BMP payload — the uncompressed sibling of
+    * [[pngBytes]]: a hand-written 54-byte header + bottom-up BGR rows
+    * (padded to 4-byte multiples), no encoder library at all, so
+    * GENERATING a test image is pure byte math while DECODING it still
+    * exercises the real ImageIO path (the JDK ships a BMP reader).
+    * [[imagesFromDocuments]] uses this: PNG deflate encode was ~2/3 of
+    * the contract query's cost and proves nothing the BMP doesn't.
+    */
+  def bmpBytes(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) & ~3
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54) // file size, rsvd, offset
+    buf.putInt(40).putInt(w).putInt(h)             // info header, +h = bottom-up
+    buf.putShort(1).putShort(24)                   // planes, bpp
+    buf.putInt(0).putInt(dataSize)                 // BI_RGB, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = rgb(x, y) & 0xffffff
+        buf.put((v & 0xff).toByte)         // B
+        buf.put(((v >> 8) & 0xff).toByte)  // G
+        buf.put(((v >> 16) & 0xff).toByte) // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
   private def checksum(bytes: Array[Byte]): Long = {
     val crc = new java.util.zip.CRC32()
     if (bytes != null) crc.update(bytes)
@@ -514,14 +550,15 @@ object Multimodal {
       }
   }
 
-  /** Real-PNG image corpus bound to a documents table: one 9×8 grayscale
-    * PNG per doc (one pixel per dHash grid cell), pixel pattern keyed by
+  /** Real-image corpus bound to a documents table: one 9×8 grayscale
+    * BMP per doc ([[bmpBytes]] — byte-math generation, real ImageIO
+    * decode; one pixel per dHash grid cell), pixel pattern keyed by
     * `doc_id div 4` with one strongly-perturbed cell per non-zero member —
     * so every group of 4 is a planted near-dup cluster (a perturbed cell
     * moves at most its 2 adjacent gradient comparisons → pairwise dHash
     * hamming ≤ 4) while distinct groups get independent pseudo-random
     * patterns (expected hamming ~32, no accidental near pairs). Every
-    * payload decodes through the real ImageIO path.
+    * payload decodes through the real ImageIO path (BMP reader).
     */
   def imagesFromDocuments(docs: DataFrame,
                           idCol: String = "doc_id"): Dataset[Asset] = {
@@ -531,7 +568,7 @@ object Multimodal {
       val g = id / 4
       val m = (id % 4).toInt
       val tweak = if (m == 0) -1 else (m * 29) % 72
-      val bytes = pngBytes(9, 8, (x, y) => {
+      val bytes = bmpBytes(9, 8, (x, y) => {
         val c = y * 9 + x
         // splitmix-style mix so per-(group, cell) luminance is genuinely
         // pseudo-random — a plain mod-256 progression leaves cross-group
@@ -542,7 +579,7 @@ object Multimodal {
         val v = if (c == tweak) (base + 128) % 256 else base
         (v << 16) | (v << 8) | v
       })
-      Asset(id, "image", bytes, "image/png", 9, 8, 0L)
+      Asset(id, "image", bytes, "image/bmp", 9, 8, 0L)
     }
   }
 

@@ -127,6 +127,23 @@ class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("books", "en")) == ((1L, 4L, 4L, 4L, 0L, 1L)))
   }
 
+  test("flagBlocklistedPhrases: substring containment, distinct + first hit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "we visited the Grand Casino Royale yesterday"),
+      (2L, "a perfectly clean document"),
+      (3L, "casino royale and casino night and lottery tickets")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("Casino Royale", "lottery", "absent phrase").toDF("phrase")
+    val got = graft.ops.CorpusOps.flagBlocklistedPhrases(docs, phrases)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // substring + case-insensitive; doc 3 hits two distinct phrases and
+    // reports the alphabetically first
+    assert(got == Map(1L -> ((1L, "casino royale")),
+      3L -> ((2L, "casino royale"))))
+  }
+
   test("postings are pruned to query terms before the wide stages") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
