@@ -792,17 +792,21 @@ object TextAnalysis {
       idCol, queryIdCol, queryTextCol)
 
   /** A lexical (BM25) index: `postings` (term, doc id, _tf), `docLens`
-    * (doc id, _dl) and the 1-row corpus `stats` (_n docs, _avgdl) — the
-    * build-once artifact of [[bm25TopK]], the text twin of
-    * [[graft.ops.Similarity.IvfIndex]]. At 100 TB persist `postings`
-    * bucketed by term ([[Bucketing.writeBucketed]]) so every probe's
-    * query-term join is one-sided, and `docLens` bucketed by the doc id
-    * for the scoring join.
+    * (doc id, _dl), `docFreqs` (term, _df — vocabulary-sized, computed at
+    * BUILD time so probes never re-aggregate postings for idf) and the
+    * 1-row corpus `stats` (_n docs, _avgdl) — the build-once artifact of
+    * [[bm25TopK]], the text twin of [[graft.ops.Similarity.IvfIndex]].
+    * At 100 TB persist `postings` bucketed by term
+    * ([[Bucketing.writeBucketed]]) so every probe's query-term join is
+    * one-sided, and `docLens` bucketed by the doc id for the scoring
+    * join; `docFreqs` broadcasts.
     */
   final case class PostingsIndex(postings: DataFrame, docLens: DataFrame,
-                                 stats: DataFrame, idCol: String) {
+                                 docFreqs: DataFrame, stats: DataFrame,
+                                 idCol: String) {
     def release(): Unit = {
-      postings.unpersist(); docLens.unpersist(); stats.unpersist()
+      postings.unpersist(); docLens.unpersist(); docFreqs.unpersist()
+      stats.unpersist()
     }
   }
 
@@ -814,19 +818,20 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("_tf"))
     val dl = tf.groupBy(idCol).agg(sum(col("_tf")).as("_dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("_df"))
     val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
-    PostingsIndex(tf, dl, stats, idCol)
+    PostingsIndex(tf, dl, dfT, stats, idCol)
   }
 
-  /** Build (and pin) the [[PostingsIndex]] of a corpus — pay the two
+  /** Build (and pin) the [[PostingsIndex]] of a corpus — pay the
     * explode-agg passes once, probe many times ([[bm25Probe]]).
     */
   def buildPostingsIndex(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): PostingsIndex = {
     val ix = postingsOf(docs, idCol, textCol)
     PostingsIndex(ix.postings.localCheckpoint(true),
-      ix.docLens.localCheckpoint(true), ix.stats.localCheckpoint(true),
-      idCol)
+      ix.docLens.localCheckpoint(true), ix.docFreqs.localCheckpoint(true),
+      ix.stats.localCheckpoint(true), idCol)
   }
 
   /** BM25 against a prebuilt [[PostingsIndex]] — the probe half of
@@ -846,10 +851,14 @@ object TextAnalysis {
       .filter(col("term") =!= "")
       .distinct()
     // postings of query terms only: the broadcast semi-prune runs before
-    // any shuffle, so df and scoring never touch non-query postings
+    // any shuffle, so scoring never touches non-query postings; idf comes
+    // from the index's build-time df table (filtered to query terms — a
+    // broadcast join, no per-probe aggregation over postings)
     val hit = index.postings
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-    val dfTab = hit.groupBy("term").agg(count(lit(1)).as("_df"))
+    val dfTab = index.docFreqs
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .select(col("term"), col("_df"))
     val idf = log(lit(1.0d) +
       (col("_n").cast("double") - col("_df") + 0.5d) / (col("_df") + 0.5d))
     val w = idf * col("_tf").cast("double") * (k1 + 1.0d) /
