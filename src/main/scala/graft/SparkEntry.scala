@@ -706,6 +706,17 @@ object SparkEntry {
       graft.ops.TextAnalysis.rougeNCounts(a.join(b, Seq("pair_id")), n = 2)
     }),
 
+    "q_knn_classify" -> ((s, d) => {
+      // label propagation from exact top-5 cosine neighbors (majority
+      // vote, ties to the smallest label) — deterministic, so the oracle
+      // replays it; 100 TB path swaps the neighbor source for ANN/IVF
+      // via knnClassifyFrom
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.knnClassify(qs, emb, k = 5)
+    }),
+
     "q_corpus_report" -> ((s, d) => {
       // the data-card aggregation: integer-only per-(source, lang)
       // signals (sums/counts hash identically cross-engine; ratios are
@@ -1891,6 +1902,27 @@ object SparkEntry {
     "q_census" ->
       """SELECT lang, source, count(*) AS n FROM documents
         |GROUP BY lang, source""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q, embeddings e WHERE q.query_id <> e.vec_id),
+        |nn AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 5),
+        |votes AS (SELECT nn.query_id, e.label, count(*) AS n
+        |  FROM nn JOIN embeddings e USING (vec_id) GROUP BY 1, 2)
+        |SELECT query_id, label AS pred_label,
+        |  CAST(n AS BIGINT) AS n_votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY n DESC, label) AS r FROM votes)
+        |WHERE r = 1""".stripMargin,
 
     "q_assign_ids" ->
       """SELECT source, doc_id,

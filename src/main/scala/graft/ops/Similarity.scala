@@ -482,6 +482,53 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** kNN LABEL CLASSIFICATION — propagate labels from the k nearest
+    * corpus vectors to each query (label transfer / semi-supervised
+    * labeling / quality-tag propagation over an embedding store):
+    * majority vote over the exact top-k neighbors, ties broken by the
+    * smallest label, so the prediction is fully deterministic and
+    * oracle-checkable.
+    *
+    * Neighbors come from [[bruteForceTopK]] (the exact baseline — query
+    * set broadcast-sized by contract). The 100 TB path swaps in any
+    * rank-compatible neighbor source ([[annTopK]], [[ivfProbe]],
+    * [[pqProbeRerank]]) via [[knnClassifyFrom]] — they share the
+    * (query_id, vec_id) output schema, so the vote stage is identical.
+    *
+    * @return (query_id, pred_label, n_votes) — n_votes of k for the
+    *         winning label
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                  labelCol: String = "label",
+                  queryIdCol: String = "query_id",
+                  corpusIdCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    knnClassifyFrom(
+      bruteForceTopK(queries, corpus, k, queryIdCol, corpusIdCol, vecCol),
+      corpus, labelCol, corpusIdCol)
+
+  /** The vote stage of [[knnClassify]] over ANY neighbor table with
+    * (query_id, vec_id) columns — one equi-join against the corpus labels
+    * and two map-side-combinable aggregates (`min_by` argmax: votes desc,
+    * then label asc — no window).
+    */
+  def knnClassifyFrom(neighbors: DataFrame, corpus: DataFrame,
+                      labelCol: String = "label",
+                      corpusIdCol: String = "vec_id"): DataFrame = {
+    val labels = corpus.select(col(corpusIdCol).as("vec_id"),
+      col(labelCol).as("_lbl"))
+    neighbors.select("query_id", "vec_id")
+      .join(labels, Seq("vec_id"))
+      .groupBy("query_id", "_lbl")
+      .agg(count(lit(1)).as("_votes"))
+      .groupBy("query_id")
+      .agg(min_by(struct(col("_lbl").as("l"), col("_votes").as("v")),
+        struct(-col("_votes"), col("_lbl"))).as("_best"))
+      .select(col("query_id"),
+        col("_best").getField("l").as("pred_label"),
+        col("_best").getField("v").as("n_votes"))
+  }
+
   /** Per-vector int8 scalar quantization — the storage tier under any
     * 100 TB embedding store (4 bytes/dim float → 1 byte/dim code + two
     * doubles of per-vector scale metadata = 4× less shuffle/scan/cache on

@@ -45,6 +45,34 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 4L, 4L)))
   }
 
+  test("knnClassify: majority vote from exact neighbors, tie to smallest label") {
+    import spark.implicits._
+    // 1-d embeddings: query at 0.0; corpus at ±distances with labels
+    def v(x: Double) = Array(x.toFloat, 1.0f) // second dim fixes cosine order
+    val corpus = Seq(
+      (10L, v(0.1), 7), (11L, v(0.2), 7), (12L, v(0.3), 3),
+      (13L, v(5.0), 3), (14L, v(6.0), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val qs = Seq((1L, v(0.0))).toDF("query_id", "embedding")
+    // k=3 neighbors: 10, 11, 12 -> labels 7,7,3 -> majority 7
+    val r3 = graft.ops.Similarity.knnClassify(qs, corpus, k = 3).collect().head
+    assert((r3.getLong(0), r3.getInt(1), r3.getLong(2)) == ((1L, 7, 2L)))
+    // k=4: labels 7,7,3,3 -> tie -> smallest label 3
+    val r4 = graft.ops.Similarity.knnClassify(qs, corpus, k = 4).collect().head
+    assert((r4.getInt(1), r4.getLong(2)) == ((3, 2L)))
+  }
+
+  test("knnClassifyFrom votes over any injected neighbor table") {
+    import spark.implicits._
+    val corpus = Seq((10L, "en"), (11L, "de"), (12L, "en"))
+      .toDF("vec_id", "label")
+    val nn = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L))
+      .toDF("query_id", "vec_id")
+    val got = graft.ops.Similarity.knnClassifyFrom(nn, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> (("en", 2L)), 2L -> (("de", 1L))))
+  }
+
   test("assignRowIds: dense 0-based ids in sort order, schema preserved") {
     import spark.implicits._
     val df = Seq(("b", 2L), ("a", 9L), ("b", 1L), ("a", 3L))
