@@ -717,6 +717,20 @@ object SparkEntry {
       graft.ops.Similarity.knnClassify(qs, emb, k = 5)
     }),
 
+    "q_knn_classify_ann" -> ((s, d) => {
+      // the 100 TB shape of q_knn_classify: neighbors from the cached
+      // IVF index probe instead of the exact scan — rows-only (kmeans
+      // cells are model state); Round5fOpsSpec cross-checks agreement
+      // with the exact vote on the same queries
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val idx = cachedIvfIndex(s, d,
+        graft.ops.Similarity.buildIvfIndex(emb, nCenters = 16))
+      graft.ops.Similarity.knnClassifyFrom(
+        graft.ops.Similarity.ivfProbe(qs, idx, k = 5, nProbe = 4), emb)
+    }),
+
     "q_corpus_report" -> ((s, d) => {
       // the data-card aggregation: integer-only per-(source, lang)
       // signals (sums/counts hash identically cross-engine; ratios are

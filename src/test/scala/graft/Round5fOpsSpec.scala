@@ -73,6 +73,36 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> (("en", 2L)), 2L -> (("de", 1L))))
   }
 
+  test("IVF-backed kNN equals exact kNN when labels follow the geometry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 well-separated clusters, label = cluster id — the regime label
+    // propagation targets (labels correlate with embedding geometry; on
+    // geometry-free labels agreement just restates probe recall, which
+    // CorpusOpsSpec already measures)
+    val dim = 16
+    val emb = (0 until 200).map { i =>
+      val c = i % 8
+      val v = Array.fill(dim)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.2f + 0.01f * ((i * 7) % 11)
+      (i.toLong, v.toSeq, c)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = graft.ops.Similarity.knnClassify(qs, emb, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every query's own cluster dominates its 5-NN
+    assert(exact.forall { case (q, l) => l == (q % 8).toInt })
+    val idx = graft.ops.Similarity.buildIvfIndex(emb, nCenters = 8)
+    try {
+      val ann = graft.ops.Similarity.knnClassifyFrom(
+        graft.ops.Similarity.ivfProbe(qs, idx, k = 5, nProbe = 2), emb)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(ann == exact)
+    } finally idx.release()
+  }
+
   test("assignRowIds: dense 0-based ids in sort order, schema preserved") {
     import spark.implicits._
     val df = Seq(("b", 2L), ("a", 9L), ("b", 1L), ("a", 3L))
