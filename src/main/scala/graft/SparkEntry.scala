@@ -717,6 +717,13 @@ object SparkEntry {
       graft.ops.Similarity.knnClassify(qs, emb, k = 5)
     }),
 
+    "q_label_centroids" -> ((s, d) => {
+      // class prototypes: element-wise per-label mean in pos-exploded
+      // form (each mean rounds to 6 dp — SQL-replayable; the array shape
+      // would hash engine-dependently)
+      graft.ops.Similarity.labelCentroids(par(s, t(s, d, "embeddings")))
+    }),
+
     "q_knn_classify_ann" -> ((s, d) => {
       // the 100 TB shape of q_knn_classify: neighbors from the cached
       // IVF index probe instead of the exact scan — rows-only (kmeans
@@ -1916,6 +1923,14 @@ object SparkEntry {
     "q_census" ->
       """SELECT lang, source, count(*) AS n FROM documents
         |GROUP BY lang, source""".stripMargin,
+
+    "q_label_centroids" ->
+      """SELECT label, CAST(u.i - 1 AS INTEGER) AS pos,
+        |  round(avg(CAST(u.x AS DOUBLE)), 6) AS mean
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS i) u
+        |GROUP BY label, u.i""".stripMargin,
 
     "q_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

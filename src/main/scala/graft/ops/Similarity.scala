@@ -529,6 +529,31 @@ object Similarity {
         col("_best").getField("v").as("n_votes"))
   }
 
+  /** Per-label embedding CENTROIDS (class prototypes — the Rocchio /
+    * nearest-class-mean building block, also the "label medoid" input of
+    * prototype-based curation): element-wise mean per label, returned in
+    * the pos-exploded form `(label, pos, mean)` — that shape is exactly
+    * SQL-replayable (each mean rounds to 6 dp; an array column would hash
+    * engine-dependently). One narrow posexplode + one map-side-combinable
+    * aggregation; `asArrays` regroups to `(label, centroid)` for feeding
+    * [[bruteForceTopK]]-style consumers.
+    */
+  def labelCentroids(embeddings: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("_x")), 6).as("mean"))
+
+  /** Regroup [[labelCentroids]] output to `(label, centroid:
+    * array<float>)`.
+    */
+  def centroidsAsArrays(centroids: DataFrame): DataFrame =
+    centroids.groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean")))),
+        s => s.getField("mean").cast("float")).as("centroid"))
+
   /** Per-vector int8 scalar quantization — the storage tier under any
     * 100 TB embedding store (4 bytes/dim float → 1 byte/dim code + two
     * doubles of per-vector scale metadata = 4× less shuffle/scan/cache on

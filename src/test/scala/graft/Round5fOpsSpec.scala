@@ -103,6 +103,23 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally idx.release()
   }
 
+  test("labelCentroids: hand-computed means; array regroup round-trips") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"),
+      (2L, Seq(3.0f, 2.0f), "a"),
+      (3L, Seq(5.0f, 5.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.labelCentroids(emb).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(("a", 0) -> 2.0, ("a", 1) -> 1.0,
+      ("b", 0) -> 5.0, ("b", 1) -> 5.0))
+    val arrays = graft.ops.Similarity.centroidsAsArrays(
+      graft.ops.Similarity.labelCentroids(emb)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(arrays == Map("a" -> Seq(2.0f, 1.0f), "b" -> Seq(5.0f, 5.0f)))
+  }
+
   test("assignRowIds: dense 0-based ids in sort order, schema preserved") {
     import spark.implicits._
     val df = Seq(("b", 2L), ("a", 9L), ("b", 1L), ("a", 3L))
