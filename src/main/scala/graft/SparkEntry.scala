@@ -724,6 +724,21 @@ object SparkEntry {
       graft.ops.Similarity.labelCentroids(par(s, t(s, d, "embeddings")))
     }),
 
+    "q_centroid_classify" -> ((s, d) => {
+      // Rocchio: nearest per-label centroid by cosine — centroids from
+      // labelCentroids, ranking on exact cosine with ties to the
+      // smallest label; score rounds to 6 dp (SQL-replayable)
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.centroidClassify(qs,
+        graft.ops.Similarity.centroidsAsArrays(
+          graft.ops.Similarity.labelCentroids(emb)))
+        // ranking is certified; the cosine VALUE itself never rides an
+        // oracle hash (float sum-order exposure — q_sim_topk precedent)
+        .select("query_id", "pred_label")
+    }),
+
     "q_knn_classify_ann" -> ((s, d) => {
       // the 100 TB shape of q_knn_classify: neighbors from the cached
       // IVF index probe instead of the exact scan — rows-only (kmeans
@@ -1931,6 +1946,32 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(embedding) AS x,
         |    generate_subscripts(embedding, 1) AS i) u
         |GROUP BY label, u.i""".stripMargin,
+
+    "q_centroid_classify" ->
+      """WITH c AS (
+        |  SELECT label, CAST(u.i - 1 AS INTEGER) AS pos,
+        |    CAST(CAST(round(avg(CAST(u.x AS DOUBLE)), 6) AS REAL)
+        |      AS DOUBLE) AS m
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(embedding) AS x,
+        |      generate_subscripts(embedding, 1) AS i) u
+        |  GROUP BY label, u.i),
+        |q AS (
+        |  SELECT vec_id AS query_id, CAST(u.i - 1 AS INTEGER) AS pos,
+        |    CAST(u.x AS DOUBLE) AS qx
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(embedding) AS x,
+        |      generate_subscripts(embedding, 1) AS i) u
+        |  WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, c.label,
+        |    sum(q.qx * c.m) / sqrt(sum(q.qx * q.qx))
+        |      / sqrt(sum(c.m * c.m)) AS cos
+        |  FROM q JOIN c USING (pos) GROUP BY 1, 2)
+        |SELECT query_id, label AS pred_label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, label) AS r FROM s)
+        |WHERE r = 1""".stripMargin,
 
     "q_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

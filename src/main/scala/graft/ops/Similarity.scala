@@ -554,6 +554,32 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("mean")))),
         s => s.getField("mean").cast("float")).as("centroid"))
 
+  /** Nearest-class-mean (Rocchio) classification: score each query
+    * against the per-label centroid table ([[centroidsAsArrays]] shape —
+    * label-count-sized, broadcast) and keep the argmax-cosine label
+    * (ties → smallest label). The cheap sibling of [[knnClassify]]: one
+    * broadcast fan-out + a `max_by` partial aggregate per query — no
+    * per-query neighbor search at all, the right tool when classes are
+    * unimodal in embedding space.
+    *
+    * @return (query_id, pred_label, round(cosine, 6) as score)
+    */
+  def centroidClassify(queries: DataFrame, centroids: DataFrame,
+                       queryIdCol: String = "query_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centroids.select(col("label"), col("centroid"))))
+      .withColumn("_cos", cosine_sim(col("_qv"), col("centroid")))
+      .groupBy("query_id")
+      // argmax via min_by on (-cos, label): highest cosine wins, ties go
+      // to the smallest label — works for numeric AND string labels
+      .agg(min_by(struct(col("label").as("l"), col("_cos").as("c")),
+        struct(-col("_cos"), col("label"))).as("_best"))
+      .select(col("query_id"),
+        col("_best").getField("l").as("pred_label"),
+        round(col("_best").getField("c"), 6).as("score"))
+  }
+
   /** Per-vector int8 scalar quantization — the storage tier under any
     * 100 TB embedding store (4 bytes/dim float → 1 byte/dim code + two
     * doubles of per-vector scale metadata = 4× less shuffle/scan/cache on

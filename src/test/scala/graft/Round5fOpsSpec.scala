@@ -120,6 +120,19 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(arrays == Map("a" -> Seq(2.0f, 1.0f), "b" -> Seq(5.0f, 5.0f)))
   }
 
+  test("centroidClassify: nearest prototype wins, ties to smallest label") {
+    import spark.implicits._
+    val cents = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f)),
+      ("z", Seq(1.0f, 0.0f))) // duplicate direction: tie with 'a'
+      .toDF("label", "centroid")
+    val qs = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.1f, 0.9f)))
+      .toDF("query_id", "embedding")
+    val got = graft.ops.Similarity.centroidClassify(qs, cents).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // query 1 ties between 'a' and 'z' (identical centroids) -> 'a'
+    assert(got == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("assignRowIds: dense 0-based ids in sort order, schema preserved") {
     import spark.implicits._
     val df = Seq(("b", 2L), ("a", 9L), ("b", 1L), ("a", 3L))
