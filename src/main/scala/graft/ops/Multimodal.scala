@@ -61,10 +61,20 @@ object Multimodal {
     out
   }
 
-  /** Real image decode via the JDK's ImageIO. None when no registered
-    * reader recognizes the payload (caller falls back to [[decodeStub]]) —
-    * which is also how the opaque stand-in payloads of
-    * [[assetsFromDocuments]] keep their deterministic stub features.
+  // ImageIO defaults to a FILE-backed stream cache: every
+  // ImageIO.read(InputStream) creates (and deletes) a temp file before
+  // decoding — at corpus scale that is one filesystem round-trip per
+  // image and a global temp-dir contention point across executor
+  // threads. Payloads here are already in-memory byte arrays, so the
+  // disk cache buys nothing; keep decoding purely in memory. (JVM-global
+  // flag, set once per executor at classload.)
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real image decode via the JDK's ImageIO (in-memory streams — see the
+    * setUseCache note above). None when no registered reader recognizes
+    * the payload (caller falls back to [[decodeStub]]) — which is also
+    * how the opaque stand-in payloads of [[assetsFromDocuments]] keep
+    * their deterministic stub features.
     */
   private[graft] def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.length == 0) None
