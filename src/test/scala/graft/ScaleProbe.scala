@@ -133,6 +133,22 @@ object ScaleProbe {
       graft.ops.Multimodal.imageNearDups(
         graft.ops.Multimodal.imagesFromDocuments(docs), maxHamming = 6)
     }
+    // classification over the replicated embedding store: the query set
+    // and label space stay fixed, so knn is linear in corpus (scan term)
+    // and rocchio is linear with a constant vote stage
+    if (only.isEmpty || only("knn_classify") || only("centroid_classify")) {
+      val lemb = embs.withColumn("label", (col("vec_id") % 7).cast("int"))
+      val q = embBase.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      probe("knn_classify") {
+        graft.ops.Similarity.knnClassify(q, lemb, k = 5)
+      }
+      probe("centroid_classify") {
+        graft.ops.Similarity.centroidClassify(q,
+          graft.ops.Similarity.centroidsAsArrays(
+            graft.ops.Similarity.labelCentroids(lemb)))
+      }
+    }
     spark.stop()
   }
 }
