@@ -12,7 +12,8 @@ object ExplainAudit {
         "q_contains_theta_join", "q_semi_join", "q_window_top1",
         "q_dedup_minhash", "q_sim_topk", "q_bloom_pruned_join",
         "q_dup_spans", "q_quantize_int8", "q_approx_topk",
-        "q_ann_ivf_quant", "q_scd2")) {
+        "q_ann_ivf_quant", "q_scd2", "q_hamming_pairs", "q_bm25_topk",
+        "q_interval_overlap", "q_knn_classify", "q_centroid_classify")) {
       val plan = SparkEntry.queries(name)(spark, d)
         .queryExecution.executedPlan.toString
       println(s"===== $name =====")
