@@ -753,6 +753,14 @@ object SparkEntry {
         graft.ops.Similarity.ivfProbe(qs, idx, k = 5, nProbe = 4), emb)
     }),
 
+    "q_chi2_terms" -> ((s, d) => {
+      // chi-square vocab selection per lang label — per-row rational
+      // arithmetic on integer counts (bit-identical cross-engine, unlike
+      // aggregated floats), rank on the rounded value
+      graft.ops.TextAnalysis.chiSquareTerms(
+        par(s, t(s, d, "documents")), "lang", k = 10)
+    }),
+
     "q_corpus_report" -> ((s, d) => {
       // the data-card aggregation: integer-only per-(source, lang)
       // signals (sums/counts hash identically cross-engine; ratios are
@@ -2028,6 +2036,38 @@ object SparkEntry {
         |SELECT tot.pair_id AS pair_id,
         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap, n_a, n_b
         |FROM tot LEFT JOIN ov ON tot.pair_id = ov.pair_id""".stripMargin,
+
+    // abcd computed as DOUBLE sub-expressions, diff*diff (not pow), and
+    // the same left-assoc multiply chains as the Spark expression — the
+    // one inexact product (n*diff*diff > 2^53) rounds identically
+    "q_chi2_terms" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id, lang AS label,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tl AS (SELECT term, label, count(*) AS na FROM pres
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(sum(na) AS BIGINT) AS t FROM tl
+        |  GROUP BY 1 HAVING sum(na) >= 2),
+        |lt AS (SELECT lang AS label, count(*) AS l FROM documents
+        |  GROUP BY 1),
+        |nt AS (SELECT count(*) AS n FROM documents),
+        |abcd AS (
+        |  SELECT tl.label, tl.term, tl.na, n,
+        |    CAST(na AS DOUBLE) AS a,
+        |    CAST(t - na AS DOUBLE) AS b,
+        |    CAST(l - na AS DOUBLE) AS c,
+        |    CAST(n - t - l + na AS DOUBLE) AS d
+        |  FROM tl JOIN tt USING (term) JOIN lt USING (label) CROSS JOIN nt),
+        |sc AS (
+        |  SELECT label, term, na,
+        |    round(CAST(n AS DOUBLE) * (a * d - b * c) * (a * d - b * c)
+        |      / ((a + b) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+        |  FROM abcd)
+        |SELECT label, term, na AS n_label_docs_with_term, chi2,
+        |  CAST(r AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY chi2 DESC, term) AS r FROM sc) WHERE r <= 10""".stripMargin,
 
     "q_corpus_report" ->
       """SELECT source, lang, count(*) AS n_docs,

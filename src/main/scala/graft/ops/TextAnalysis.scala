@@ -924,6 +924,68 @@ object TextAnalysis {
       .select(col(idCol), col("n_overlap"), col("n_a"), col("n_b"))
   }
 
+  /** χ² FEATURE SELECTION for text classification (the classical vocab
+    * pruning step before training a [[classifyLinear]]/[[trainNaiveBayes]]
+    * model): per (term, label) the chi-square statistic of the 2×2
+    * document-presence contingency table
+    *
+    *   a = docs of the label containing the term, b = other docs with it,
+    *   c = label docs without it,             d = the rest
+    *   χ² = N (ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * keeping the top `k` terms per label (χ² desc, term asc). χ² here is
+    * a PER-ROW expression over exact integer counts — a fixed IEEE
+    * expression tree, so unlike aggregated floats it is bit-identical
+    * across engines and rounds safely (6 dp, ranking on the rounded
+    * value).
+    *
+    * Scale shape: one explode-distinct pass to per-(doc, term) presence,
+    * two map-side-combinable aggregations (term×label counts, label
+    * totals — the latter dimension-sized, broadcast back), a narrow χ²
+    * projection, and one top-k window per label (WindowGroupLimit prunes
+    * below the shuffle). `minDocFreq` drops the hapax tail before the
+    * wide stages.
+    *
+    * @return (label, term, n_label_docs_with_term, chi2, rank ≤ k)
+    */
+  def chiSquareTerms(docs: DataFrame, labelCol: String = "lang", k: Int = 20,
+                     minDocFreq: Long = 2L, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(k > 0 && minDocFreq >= 1)
+    val presence = docs.select(col(idCol), col(labelCol).as("label"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct() // document PRESENCE, not token frequency
+    val tl = presence.groupBy("term", "label").agg(count(lit(1)).as("_a"))
+    val termTot = tl.groupBy("term").agg(sum(col("_a")).as("_t"))
+      .filter(col("_t") >= minDocFreq)
+    val labelTot = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("_l"))
+    val nTot = docs.agg(count(lit(1)).as("_n"))
+    val a = col("_a").cast("double")
+    val b = (col("_t") - col("_a")).cast("double")
+    val c = (col("_l") - col("_a")).cast("double")
+    val dd = (col("_n") - col("_t") - col("_l") + col("_a")).cast("double")
+    // explicit x*x, not pow(x, 2): libm pow is not guaranteed identical
+    // to multiplication across engines; the multiply chain is left-assoc
+    // on both sides so the (one) inexact product rounds identically
+    val diff = a * dd - b * c
+    val chi2 = round(
+      col("_n").cast("double") * diff * diff /
+        ((a + b) * (c + dd) * (a + c) * (b + dd)), 6)
+    val scored = tl
+      .join(termTot, Seq("term")) // also the minDocFreq prune
+      .join(labelTot, Seq("label"))
+      .crossJoin(nTot) // 1-row total: literal-style broadcast
+      .withColumn("chi2", chi2)
+    val w = Window.partitionBy("label")
+      .orderBy(col("chi2").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("term"),
+        col("_a").as("n_label_docs_with_term"), col("chi2"), col("rank"))
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

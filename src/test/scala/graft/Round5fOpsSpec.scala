@@ -133,6 +133,33 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> "a", 2L -> "b"))
   }
 
+  test("chiSquareTerms: hand-computed chi2, presence not frequency, top-k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam", "buy buy buy now"), // 'buy' counts once (presence)
+      (2L, "spam", "buy cheap pills"),
+      (3L, "ham", "hello dear friend"),
+      (4L, "ham", "buy groceries later") // 'buy' crosses classes
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.chiSquareTerms(docs, "lang", k = 10,
+      minDocFreq = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    // 'buy': a=2 (spam), t=3, l=2, n=4 -> b=1, c=0, d=1
+    // chi2 = 4*(2*1-1*0)^2 / (3*1*2*2) = 16/12 = 1.333333
+    val (aBuy, chiBuy, _) = got(("spam", "buy"))
+    assert(aBuy == 2L && chiBuy == 1.333333)
+    // 'hello': spam-side a=0 entry doesn't exist; ham a=1, t=1, l=2, n=4
+    // -> b=0, c=1, d=2 -> chi2 = 4*(1*2-0*1)^2/(1*3*2*2) = 16/12
+    assert(got(("ham", "hello"))._2 == 1.333333)
+    // k bounds ranks per label
+    assert(got.values.forall(_._3 <= 10))
+    // within a label, equal chi2 ranks break by term ascending
+    val hamRanks = got.collect { case ((l, t), (_, _, r)) if l == "ham" => (r, t) }
+      .toSeq.sortBy(_._1).map(_._2)
+    assert(hamRanks == hamRanks.sorted)
+  }
+
   test("assignRowIds: dense 0-based ids in sort order, schema preserved") {
     import spark.implicits._
     val df = Seq(("b", 2L), ("a", 9L), ("b", 1L), ("a", 3L))
