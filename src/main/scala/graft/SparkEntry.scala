@@ -761,6 +761,17 @@ object SparkEntry {
         par(s, t(s, d, "documents")), "lang", k = 10)
     }),
 
+    "q_ks_drift" -> ((s, d) => {
+      // binned two-sample KS between click and view event values —
+      // integer-only output (KS = max_cross_diff / (n_a*n_b) is the
+      // consumer's division)
+      val ev = events(s, d)
+      graft.ops.CorpusOps.ksDrift(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        "value", bins = 64)
+    }),
+
     "q_corpus_report" -> ((s, d) => {
       // the data-card aggregation: integer-only per-(source, lang)
       // signals (sums/counts hash identically cross-engine; ratios are
@@ -2068,6 +2079,41 @@ object SparkEntry {
         |  CAST(r AS INTEGER) AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY label
         |    ORDER BY chi2 DESC, term) AS r FROM sc) WHERE r <= 10""".stripMargin,
+
+    // binning mirrors the Spark expression tree exactly (same IEEE ops:
+    // width = (hi-lo)/64 then floor((v-lo)/width)) so bins agree
+    "q_ks_drift" ->
+      """WITH va AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |vb AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM
+        |  (SELECT v FROM va UNION ALL SELECT v FROM vb)),
+        |ba AS (SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(63, CAST(floor((v - lo) / ((hi - lo) / 64))
+        |      AS INTEGER)) END AS bin, count(*) AS ca
+        |  FROM va, bounds GROUP BY 1),
+        |bb AS (SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(63, CAST(floor((v - lo) / ((hi - lo) / 64))
+        |      AS INTEGER)) END AS bin, count(*) AS cb
+        |  FROM vb, bounds GROUP BY 1),
+        |j AS (SELECT coalesce(ba.bin, bb.bin) AS bin,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin),
+        |cum AS (SELECT bin,
+        |    sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM j),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b FROM j),
+        |cr AS (SELECT bin,
+        |    CAST(abs(cuma * n_b - cumb * n_a) AS BIGINT) AS cross_
+        |  FROM cum, tot)
+        |SELECT n_a, n_b,
+        |  (SELECT max(cross_) FROM cr) AS max_cross_diff,
+        |  (SELECT bin FROM cr ORDER BY cross_ DESC, bin LIMIT 1)
+        |    AS argmax_bin
+        |FROM tot""".stripMargin,
 
     "q_corpus_report" ->
       """SELECT source, lang, count(*) AS n_docs,

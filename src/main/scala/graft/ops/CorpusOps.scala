@@ -523,6 +523,56 @@ object CorpusOps {
           org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Distribution DRIFT between two snapshots of a numeric column — the
+    * data-quality gate a production corpus pipeline runs before
+    * admitting a new crawl batch (did the length/quality/score
+    * distribution move?): a binned two-sample Kolmogorov–Smirnov
+    * statistic. Bin edges are equi-width over the UNION's [min, max]
+    * (deterministic — no sampling), per-side bin counts aggregate
+    * map-side, and the CDF scan runs over ≤ `bins` rows (an
+    * unpartitioned window over the AGGREGATED bin table — bins-sized by
+    * construction, never the data).
+    *
+    * INTEGER-ONLY output (the data-card rule): the KS statistic is
+    * `max_cross_diff / (n_a * n_b)` — the consumer's division; comparing
+    * `max_cross_diff * threshold_den` with `n_a * n_b * threshold_num`
+    * stays in exact integer arithmetic end-to-end.
+    *
+    * @return one row: (n_a, n_b, max_cross_diff =
+    *         max over bins of |cumA·n_b − cumB·n_a|, argmax_bin)
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String,
+              bins: Int = 256): DataFrame = {
+    require(bins > 0)
+    val va = a.select(col(valueCol).cast("double").as("_v")).filter(col("_v").isNotNull)
+    val vb = b.select(col(valueCol).cast("double").as("_v")).filter(col("_v").isNotNull)
+    val bounds = va.union(vb).agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
+    def binned(df: DataFrame, as: String) = df
+      .crossJoin(bounds) // 1-row bounds: literal-style broadcast
+      .withColumn("_bin",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("_v") - col("_lo")) / ((col("_hi") - col("_lo")) / bins))
+              .cast("int"))))
+      .groupBy("_bin").agg(count(lit(1)).as(as))
+    val joined = binned(va, "_ca").join(binned(vb, "_cb"), Seq("_bin"), "full_outer")
+      .select(col("_bin"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    // <= bins rows from here on: the unpartitioned window is deliberate
+    val w = Window.orderBy("_bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("_cuma", sum(col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+      .crossJoin(joined.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b")))
+      .withColumn("_cross", abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
+      .groupBy("n_a", "n_b")
+      .agg(max(col("_cross")).as("max_cross_diff"),
+        min_by(col("_bin"), struct(-col("_cross"), col("_bin"))).as("argmax_bin"))
+      .select("n_a", "n_b", "max_cross_diff", "argmax_bin")
+  }
+
   /** CCNet-style score buckets (Wenzek et al. 2020 publish CommonCrawl as
     * perplexity head/middle/tail): rank the corpus globally by
     * (score asc, id asc) and label row rank r of n with `labels(i)` where

@@ -160,6 +160,24 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hamRanks == hamRanks.sorted)
   }
 
+  test("ksDrift: hand-computed binned KS; identical snapshots drift zero") {
+    import spark.implicits._
+    // a: uniform low values; b: all mass shifted high
+    val a = (1 to 100).map(_ => 0.0).toDF("value")
+    val b = (1 to 50).map(_ => 10.0).toDF("value")
+    val r = CorpusOps.ksDrift(a, b, "value", bins = 4).collect().head
+    // bin 0 holds all of a (cumA=100, cumB=0) -> cross = 100*50 = 5000,
+    // i.e. KS = 5000/(100*50) = 1.0 (total separation)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)) ==
+      ((100L, 50L, 5000L, 0)))
+    // identical snapshots: every cum fraction matches -> zero drift
+    val same = CorpusOps.ksDrift(a, a, "value", bins = 4).collect().head
+    assert(same.getLong(2) == 0L)
+    // degenerate single-value domain (hi == lo) collapses to one bin
+    val deg = CorpusOps.ksDrift(a, a.limit(10), "value", bins = 8).collect().head
+    assert(deg.getLong(2) == 0L)
+  }
+
   test("assignRowIds: dense 0-based ids in sort order, schema preserved") {
     import spark.implicits._
     val df = Seq(("b", 2L), ("a", 9L), ("b", 1L), ("a", 3L))
