@@ -369,6 +369,32 @@ object Streams {
       }
       .start()
 
+  /** Streaming DRIFT MONITOR: score every arriving micro-batch against a
+    * STATIC reference snapshot with the binned KS gate
+    * ([[graft.ops.CorpusOps.ksDrift]]) and append one audit row per
+    * batch — the admit-or-hold check run continuously as data lands
+    * (alert when `max_cross_diff` exceeds `threshold × n_a × n_b` in
+    * exact integer arithmetic; the appended table IS the drift log).
+    * foreachBatch because the statistic needs the whole batch against
+    * the whole reference — not expressible as bounded keyed state — and
+    * batches are complete units by construction.
+    */
+  def driftMonitor(stream: DataFrame, reference: DataFrame,
+                   valueCol: String, outPath: String, checkpoint: String,
+                   bins: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.CorpusOps.ksDrift(batch, reference, valueCol, bins)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+          ()
+        }
+      }
+      .start()
+
   def doiLandingIngest(spark: SparkSession, landingDir: String,
                        payloads: DataFrame, store: graft.graph.GraphStore,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
