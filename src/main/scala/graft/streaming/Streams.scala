@@ -369,6 +369,33 @@ object Streams {
       }
       .start()
 
+  /** Streaming BLOCKLIST gate: arriving documents containing any listed
+    * word ([[graft.ops.CorpusOps.flagBlocklisted]] — word-level,
+    * broadcast list) are dropped per micro-batch and the survivors
+    * appended — the C4 filter as a landing gate. foreachBatch because
+    * the gate is per-document (no cross-batch state at all); batches are
+    * whole by construction, so redelivery is idempotent under the
+    * checkpoint.
+    */
+  def blocklistGatedIngest(docs: DataFrame, blocklist: DataFrame,
+                           outPath: String, checkpoint: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.join(
+            graft.ops.CorpusOps.flagBlocklisted(batch, blocklist,
+              idCol, textCol).select(idCol),
+            Seq(idCol), "left_anti")
+            .write.mode("append").parquet(outPath)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming DRIFT MONITOR: score every arriving micro-batch against a
     * STATIC reference snapshot with the binned KS gate
     * ([[graft.ops.CorpusOps.ksDrift]]) and append one audit row per
