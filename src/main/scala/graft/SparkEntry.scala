@@ -726,8 +726,9 @@ object SparkEntry {
 
     "q_centroid_classify" -> ((s, d) => {
       // Rocchio: nearest per-label centroid by cosine — centroids from
-      // labelCentroids, ranking on exact cosine with ties to the
-      // smallest label; score rounds to 6 dp (SQL-replayable)
+      // labelCentroids, ranking on the 6-dp ROUNDED cosine with ties to
+      // the smallest label (oracle convention: both engines order on the
+      // same lattice value, immune to float sum-order)
       val emb = par(s, t(s, d, "embeddings"))
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding"))
@@ -1989,7 +1990,7 @@ object SparkEntry {
         |  FROM q JOIN c USING (pos) GROUP BY 1, 2)
         |SELECT query_id, label AS pred_label FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos DESC, label) AS r FROM s)
+        |    ORDER BY round(cos, 6) DESC, label) AS r FROM s)
         |WHERE r = 1""".stripMargin,
 
     "q_knn_classify" ->

@@ -538,6 +538,14 @@ object CorpusOps {
     * `max_cross_diff * threshold_den` with `n_a * n_b * threshold_num`
     * stays in exact integer arithmetic end-to-end.
     *
+    * The cross term `cum·n` is bounded by `n_a · n_b`, which overflows
+    * Long once both snapshots exceed ~3e9 rows — plausible at 100 TB. It
+    * is therefore computed in DECIMAL(38,0) (exact up to 1e38 > 2⁶³·2⁶³·2)
+    * and cast back to BIGINT only at the end, behind a raise_error guard:
+    * a result too large for BIGINT fails loudly instead of wrapping
+    * (DuckDB would throw on the same overflow; Spark's bigint `*` wraps
+    * silently).
+    *
     * @return one row: (n_a, n_b, max_cross_diff =
     *         max over bins of |cumA·n_b − cumB·n_a|, argmax_bin)
     */
@@ -566,10 +574,18 @@ object CorpusOps {
       .withColumn("_cuma", sum(col("_ca")).over(w))
       .withColumn("_cumb", sum(col("_cb")).over(w))
       .crossJoin(joined.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b")))
-      .withColumn("_cross", abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")))
+      // exact wide arithmetic: bigint·bigint wraps silently at ~3e9·3e9
+      .withColumn("_cross", abs(
+        col("_cuma").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)")
+          - col("_cumb").cast("decimal(38,0)") * col("n_a").cast("decimal(38,0)")))
       .groupBy("n_a", "n_b")
-      .agg(max(col("_cross")).as("max_cross_diff"),
+      .agg(max(col("_cross")).as("_maxc"),
         min_by(col("_bin"), struct(-col("_cross"), col("_bin"))).as("argmax_bin"))
+      .withColumn("max_cross_diff",
+        when(col("_maxc") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit("ksDrift: max cross diff overflows BIGINT: "),
+            col("_maxc").cast("string"))).cast("long"))
+          .otherwise(col("_maxc").cast("long")))
       .select("n_a", "n_b", "max_cross_diff", "argmax_bin")
   }
 

@@ -32,23 +32,48 @@ object Dedup {
   /** Exact dedup on the whitespace/case-normalized rolling-hash fingerprint.
     * Returns docs annotated (dup_group_size, is_canonical); canonical = min
     * id per fingerprint group.
+    *
+    * Winners and group sizes come from a NARROW (fingerprint, count, min id)
+    * aggregate joined back onto the docs — never a window over full-text
+    * rows. The aggregate map-side-combines, so a corpus-hot fingerprint
+    * (empty docs, boilerplate pages — the norm in dedup-worthy corpora)
+    * collapses per-partition before it shuffles; and the annotate join is a
+    * plain equi-join, which AQE can skew-split (or broadcast outright when
+    * distinct fingerprints are few) — a `Window.partitionBy(fingerprint)`
+    * would instead drag every hot-group row, text payload included, into
+    * ONE task with no runtime escape hatch.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy("_fp")
-    docs.withColumn("_fp", doc_fingerprint(col(textCol)))
-      .withColumn("dup_group_size", count(lit(1)).over(w))
-      .withColumn("is_canonical",
-        col(idCol) === min(col(idCol)).over(w))
-      .drop("_fp")
+    val withFp = docs.withColumn("_fp", doc_fingerprint(col(textCol)))
+    val groups = withFp.groupBy("_fp")
+      .agg(count(lit(1)).as("dup_group_size"), min(col(idCol)).as("_canon_id"))
+    withFp.join(groups, Seq("_fp"))
+      .withColumn("is_canonical", col(idCol) === col("_canon_id"))
+      .drop("_fp", "_canon_id")
   }
 
-  /** Exact-dup groups only: fingerprint → ids, for groups of ≥ 2. */
+  /** Exact-dup groups only: fingerprint → (n_docs, canonical_id, ids), for
+    * groups of ≥ 2.
+    *
+    * `maxIds` caps the per-group id list (the `maxIds` SMALLEST ids kept,
+    * via the bounded [[graft.functions.MinK]] aggregate — the buffer itself
+    * holds ≤ maxIds entries) so a 10⁸-dup group — exactly what this
+    * diagnostic surfaces — cannot materialize one pathological multi-GB
+    * row. `n_docs` always reports the TRUE group size and `canonical_id`
+    * the global min id regardless of the cap. Pass `maxIds = 0` for a
+    * count-only census (empty `ids`) when only sizes matter.
+    */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text", maxIds: Int = 10000): DataFrame = {
+    require(maxIds >= 0, s"maxIds must be >= 0, got $maxIds")
+    import graft.functions.MinK.min_k
+    val idsAgg =
+      if (maxIds == 0) slice(array(min(col(idCol))), 1, 0).as("ids")
+      else min_k(col(idCol), maxIds).as("ids")
     docs.select(doc_fingerprint(col(textCol)).as("fingerprint"), col(idCol))
       .groupBy("fingerprint")
-      .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(idCol)).as("ids"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"), idsAgg)
       .filter(col("n_docs") > 1)
   }
 

@@ -51,6 +51,19 @@ object RangeJoin {
       case _                => "integral"
     }
 
+  /** Reject inputs that already carry the operator's internal working
+    * columns (or its output columns): they would hit ambiguous-column
+    * analysis errors or silently shadow user data instead of the intended
+    * fail-fast.
+    */
+  private def requireNoReserved(dfs: Seq[DataFrame], reserved: Seq[String],
+                                op: String): Unit = {
+    val hit = dfs.flatMap(_.columns).toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"$op reserves column names ${reserved.mkString(", ")} internally; " +
+        s"rename the input columns: ${hit.mkString(", ")}")
+  }
+
   /** Floor-division bin id over the named (long) column `c`. `pmod` is
     * non-negative so the numerator is exactly divisible, and `div` keeps
     * the arithmetic in longs end-to-end (`/` would detour through double,
@@ -74,6 +87,8 @@ object RangeJoin {
                       startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    requireNoReserved(Seq(points, intervals),
+      Seq("_bin", "_pv", "_sv", "_ev"), "pointInInterval")
     val units = Seq(unitOf(points, pointCol), unitOf(intervals, startCol),
       unitOf(intervals, endCol))
     require(units.distinct.size == 1,
@@ -119,6 +134,9 @@ object RangeJoin {
                       rightStart: String, rightEnd: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    requireNoReserved(Seq(left, right),
+      Seq("_bin", "_lsv", "_rsv", "_evx", "overlap_start", "overlap_end"),
+      "intervalOverlap")
     val overlapCols = left.columns.toSet.intersect(right.columns.toSet) -- keys
     require(overlapCols.isEmpty,
       s"non-key column names must be disjoint; both sides have: " +

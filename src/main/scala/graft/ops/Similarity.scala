@@ -569,7 +569,11 @@ object Similarity {
                        vecCol: String = "embedding"): DataFrame = {
     queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
       .crossJoin(broadcast(centroids.select(col("label"), col("centroid"))))
-      .withColumn("_cos", cosine_sim(col("_qv"), col("centroid")))
+      // rank on the 6-dp ROUNDED cosine (repo oracle convention, like
+      // bm25TopK): the DuckDB oracle's SUM accumulation order isn't
+      // pinned, so near-tie centroids could order differently cross-engine
+      // if the unrounded value decided the winner
+      .withColumn("_cos", round(cosine_sim(col("_qv"), col("centroid")), 6))
       .groupBy("query_id")
       // argmax via min_by on (-cos, label): highest cosine wins, ties go
       // to the smallest label — works for numeric AND string labels
@@ -577,7 +581,7 @@ object Similarity {
         struct(-col("_cos"), col("label"))).as("_best"))
       .select(col("query_id"),
         col("_best").getField("l").as("pred_label"),
-        round(col("_best").getField("c"), 6).as("score"))
+        col("_best").getField("c").as("score"))
   }
 
   /** Per-vector int8 scalar quantization — the storage tier under any

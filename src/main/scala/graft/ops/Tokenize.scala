@@ -88,9 +88,27 @@ object Tokenize {
     * driver merge loop. `maxWords` keeps the collect bounded on open-ended
     * vocabularies (keeps the most frequent words; count-desc, word asc —
     * deterministic); `minCount` drops hapax noise the way real trainers do.
+    *
+    * DRIVER MEMORY: the capped dict lives on the driver for the merge
+    * loop — the standard real-trainer architecture (corpus-size-
+    * independent, dict-size-bounded). Budget roughly
+    * `maxWords × (avg word length + ~64 B object overhead)`: the default
+    * 2²⁰ words ≈ 100 MB-class, safe on any sane driver; a 2²⁷-word dict
+    * would not be. The guard below fails fast with the budget math
+    * instead of letting the collect OOM the driver mid-job.
     */
   def trainBpe(docs: DataFrame, numMerges: Int, textCol: String = "text",
                minCount: Long = 1, maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    // ~128 B/word driver footprint ⇒ 2²⁴ words ≈ 2 GB, past any sane
+    // driver budget for a side artifact; the merge loop is also
+    // O(numMerges × dict), so bound their product too
+    require(maxWords > 0 && maxWords <= (1 << 24),
+      s"maxWords=$maxWords would collect a ~${maxWords >> 13} MB-class dict " +
+        "to the driver; cap it at 2^24 (raise minCount instead — frequency " +
+        "truncation, not dict growth, is how real BPE trainers scale)")
+    require(numMerges.toLong * maxWords <= (1L << 36),
+      s"numMerges=$numMerges × maxWords=$maxWords exceeds the 2^36 " +
+        "pair-scan budget of the driver merge loop; lower one of them")
     val dict = wordCounts(docs, textCol)
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("word"))

@@ -350,6 +350,10 @@ object Streams {
     * transforms in a stream; same shape as [[doiLandingIngest]]). The
     * model tables are pinned once and re-read by every batch — zero
     * retrain cost on the stream path.
+    *
+    * Output is partitioned by `batch_id` and written with
+    * [[writeBatchIdempotent]], so a replayed micro-batch rewrites its own
+    * partition — exactly-once output under the checkpoint.
     */
   def classifiedDocsIngest(docs: DataFrame,
                            model: graft.ops.TextAnalysis.NbModel,
@@ -359,23 +363,41 @@ object Streams {
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.ops.TextAnalysis.classifyNaiveBayes(batch, model,
-            idCol, textCol)
-            .write.mode("append").parquet(outPath)
-          ()
+          writeBatchIdempotent(
+            graft.ops.TextAnalysis.classifyNaiveBayes(batch, model,
+              idCol, textCol), batchId, outPath)
         }
       }
       .start()
+
+  /** Idempotent per-micro-batch parquet sink: stamp `batch_id`, partition
+    * by it, and DYNAMICALLY overwrite — only the partitions present in
+    * this batch (i.e. `batch_id=<id>`) are replaced, so a micro-batch
+    * replayed after a failure between the write and the checkpoint commit
+    * rewrites its own partition instead of appending duplicates.
+    * `foreachBatch` is at-least-once per the Structured Streaming
+    * contract; this makes the OUTPUT exactly-once, and the `batch_id`
+    * column doubles as the downstream lineage marker.
+    */
+  private[graft] def writeBatchIdempotent(df: DataFrame, batchId: Long,
+                                              outPath: String): Unit = {
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+  }
 
   /** Streaming BLOCKLIST gate: arriving documents containing any listed
     * word ([[graft.ops.CorpusOps.flagBlocklisted]] — word-level,
     * broadcast list) are dropped per micro-batch and the survivors
     * appended — the C4 filter as a landing gate. foreachBatch because
-    * the gate is per-document (no cross-batch state at all); batches are
-    * whole by construction, so redelivery is idempotent under the
-    * checkpoint.
+    * the gate is per-document (no cross-batch state at all); survivors
+    * land via [[writeBatchIdempotent]] (dynamic overwrite of this batch's
+    * `batch_id` partition), so replayed batches rewrite rather than
+    * duplicate — exactly-once output under the checkpoint.
     */
   def blocklistGatedIngest(docs: DataFrame, blocklist: DataFrame,
                            outPath: String, checkpoint: String,
@@ -384,14 +406,13 @@ object Streams {
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          batch.join(
-            graft.ops.CorpusOps.flagBlocklisted(batch, blocklist,
-              idCol, textCol).select(idCol),
-            Seq(idCol), "left_anti")
-            .write.mode("append").parquet(outPath)
-          ()
+          writeBatchIdempotent(
+            batch.join(
+              graft.ops.CorpusOps.flagBlocklisted(batch, blocklist,
+                idCol, textCol).select(idCol),
+              Seq(idCol), "left_anti"), batchId, outPath)
         }
       }
       .start()
@@ -404,7 +425,10 @@ object Streams {
     * exact integer arithmetic; the appended table IS the drift log).
     * foreachBatch because the statistic needs the whole batch against
     * the whole reference — not expressible as bounded keyed state — and
-    * batches are complete units by construction.
+    * batches are complete units by construction. One audit row per
+    * batch, written via [[writeBatchIdempotent]] — a replayed batch
+    * rewrites its own `batch_id` partition, so the drift log stays
+    * duplicate-free.
     */
   def driftMonitor(stream: DataFrame, reference: DataFrame,
                    valueCol: String, outPath: String, checkpoint: String,
@@ -414,10 +438,9 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.ops.CorpusOps.ksDrift(batch, reference, valueCol, bins)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outPath)
-          ()
+          writeBatchIdempotent(
+            graft.ops.CorpusOps.ksDrift(batch, reference, valueCol, bins),
+            batchId, outPath)
         }
       }
       .start()

@@ -33,7 +33,15 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("exact dedup groups whitespace/case-normalized duplicates") {
     val groups = Dedup.exactGroups(docsDF).collect()
     assert(groups.length == 1)
-    assert(groups(0).getSeq[Long](2) == Seq(0L, 1L, 2L))
+    assert(groups(0).getLong(1) == 3L)          // n_docs
+    assert(groups(0).getLong(2) == 0L)          // canonical_id
+    assert(groups(0).getSeq[Long](3) == Seq(0L, 1L, 2L))
+    // capped: true size survives, ids trimmed to the smallest maxIds
+    val capped = Dedup.exactGroups(docsDF, maxIds = 2).collect()
+    assert(capped(0).getLong(1) == 3L && capped(0).getSeq[Long](3) == Seq(0L, 1L))
+    // count-only census
+    val census = Dedup.exactGroups(docsDF, maxIds = 0).collect()
+    assert(census(0).getLong(1) == 3L && census(0).getSeq[Long](3).isEmpty)
     val annotated = Dedup.exact(docsDF)
       .select("doc_id", "dup_group_size", "is_canonical").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap

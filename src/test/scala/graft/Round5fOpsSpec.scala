@@ -195,8 +195,10 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     runOnce()
     mem.addData(Seq.fill(50)(10.0): _*) // batch 1: total separation
     runOnce()
+    // batch_id is now a PARTITION column (idempotent dynamic-overwrite
+    // sink) — partition inference reads it back as int
     val rows = spark.read.parquet(out).collect()
-      .map(r => r.getAs[Long]("batch_id") ->
+      .map(r => r.getAs[Number]("batch_id").longValue ->
         ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
           r.getAs[Long]("max_cross_diff")))).toMap
     assert(rows.size == 2)
@@ -247,5 +249,23 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).sorted
     assert(ids.head == 0L && ids.last == 9999L && ids.length == 10000)
     assert(ids.zipWithIndex.forall { case (v, i) => v == i })
+  }
+
+  test("writeBatchIdempotent: replaying a batch rewrites, never duplicates") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("idem-out").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.streaming.Streams.writeBatchIdempotent(b0, 0L, out)
+    graft.streaming.Streams.writeBatchIdempotent(
+      Seq((3L, "c")).toDF("id", "v"), 1L, out)
+    // simulate redelivery of batch 0 after a crash between write and
+    // checkpoint commit — same rows land again under the same batch_id
+    graft.streaming.Streams.writeBatchIdempotent(b0, 0L, out)
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(out)
+      .select(col("id"), col("batch_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == Seq((1L, 0L), (2L, 0L), (3L, 1L)),
+      s"replay must overwrite only its own partition, got $rows")
   }
 }
