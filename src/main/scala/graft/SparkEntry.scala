@@ -95,6 +95,27 @@ object SparkEntry {
       graft.ops.TextAnalysis.buildPostingsIndex(par(s, t(s, d, "documents"))))
   }
 
+  /** The DURABLE twin of [[cachedPostings]]: the postings index written to
+    * bucketed tables ([[graft.ops.IndexStore]]) and read BACK — probes in
+    * this cache run against the reloaded on-disk artifact, certifying the
+    * cross-session deployment path with the same oracle as the in-session
+    * probe. Data lands under java.io.tmpdir (external tables), once per
+    * (session, dir).
+    */
+  private val persistedPostingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.TextAnalysis.PostingsIndex]
+
+  private def persistedPostings(s: SparkSession, d: String): graft.ops.TextAnalysis.PostingsIndex = {
+    persistedPostingsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    persistedPostingsCache.computeIfAbsent((s, d), _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      graft.ops.IndexStore.writePostingsIndex(
+        cachedPostings(s, d), "graft_bm25_persisted", buckets = 8,
+        path = Some(path))
+      graft.ops.IndexStore.readPostingsIndex(s, "graft_bm25_persisted")
+    })
+  }
+
   /** Session-lifetime trained-PQ artifacts per (session, data dir): the
     * codebooks AND the encoded corpus (both are build-once artifacts a
     * deployment persists; probes touch byte codes only). Same
@@ -823,6 +844,19 @@ object SparkEntry {
             split(lower(trim(col("text"))), "\\s+"),
             tk => tk =!= ""), 1, 8), " ").as("text"))
       graft.ops.TextAnalysis.bm25Probe(cachedPostings(s, d), qs)
+    }),
+
+    "q_bm25_probe_persisted" -> ((s, d) => {
+      // the CROSS-SESSION deployment shape: the postings index written to
+      // bucketed tables (IndexStore) and read back from disk — the probe
+      // runs against the reloaded artifact and the SAME exact oracle as
+      // q_bm25_topk/q_bm25_probe certifies write → read → probe
+      val qs = t(s, d, "documents").filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      graft.ops.TextAnalysis.bm25Probe(persistedPostings(s, d), qs)
     }),
 
     "q_text_annotate" -> ((s, d) => {
@@ -1814,7 +1848,13 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // the persisted-index probe (write → read → probe through IndexStore)
+    // returns bit-identical rows to the session probe — one oracle
+    // certifies the whole disk round-trip
+    "q_bm25_probe_persisted" -> baseOracleSql("q_bm25_probe"))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin,

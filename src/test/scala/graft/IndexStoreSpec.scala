@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{Dedup, IndexStore, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Index persistence round-trips: each build-once artifact writes to
+  * bucketed/plain tables and reads back into the SAME case class, every
+  * probe operator returns IDENTICAL results on the reloaded index, and
+  * the probe plan against a reloaded bucketed table shuffles only the
+  * query/batch side (zero Exchange above the bucketed scan).
+  */
+class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("idxstore-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .appName("index-store-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    (0 until 120).map { i =>
+      val fam = i % 8
+      val text = s"family $fam shared sentence body token$fam alpha beta " +
+        s"gamma delta epsilon zeta" + (if (i % 3 == 0) s" unique$i" else "")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  lazy val vecs: DataFrame = {
+    import spark.implicits._
+    (0 until 160).map { i =>
+      val v = Array.tabulate(16)(d =>
+        (math.sin(i * 0.37 + d) + (if (d == i % 4) 2.0 else 0.0)).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("MinHash index round-trips; nearDupAgainstIndex identical on reload") {
+    val idx = Dedup.buildMinhashIndex(docs)
+    IndexStore.writeMinhashIndex(idx, "mh_idx", buckets = 4)
+    val reloaded = IndexStore.readMinhashIndex(spark, "mh_idx")
+    import spark.implicits._
+    val batch = (200 until 210).map { i =>
+      (i.toLong, s"family ${i % 8} shared sentence body token${i % 8} alpha " +
+        "beta gamma delta epsilon zeta")
+    }.toDF("doc_id", "text")
+    val live = rowsOf(Dedup.nearDupAgainstIndex(idx, batch, threshold = 0.6))
+    val back = rowsOf(Dedup.nearDupAgainstIndex(reloaded, batch, threshold = 0.6))
+    assert(live.nonEmpty, "probe batch must hit the index")
+    assert(live == back)
+  }
+
+  test("IVF index round-trips; ivfProbe identical; cells side reads pre-shuffled") {
+    val idx = Similarity.buildIvfIndex(vecs, nCenters = 4, iters = 2)
+    IndexStore.writeIvfIndex(idx, "ivf_idx", buckets = 4)
+    val reloaded = IndexStore.readIvfIndex(spark, "ivf_idx")
+    val qs = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val live = rowsOf(Similarity.ivfProbe(qs, idx, k = 5, nProbe = 2))
+    val back = rowsOf(Similarity.ivfProbe(qs, reloaded, k = 5, nProbe = 2))
+    assert(live.nonEmpty && live == back)
+    idx.release()
+
+    // plan shape: the candidate join against the reloaded bucketed cells
+    // must not exchange the cells side — only the probe side shuffles
+    val probed = qs.crossJoin(broadcast(reloaded.centroids))
+      .select(col("query_id"), col("center_id"))
+    val cands = probed.join(spark.table("ivf_idx_cells"), Seq("center_id"))
+    cands.write.format("noop").mode("overwrite").save()
+    val plan = cands.queryExecution.executedPlan.toString
+    // split the plan at the bucketed scan: no Exchange may sit between the
+    // join and the scan (i.e. in the cells subtree)
+    val scanIdx = plan.indexOf("ivf_idx_cells")
+    assert(scanIdx > 0, s"expected a bucketed table scan in:\n$plan")
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    if (joinIdx >= 0) {
+      val between = plan.substring(joinIdx, scanIdx)
+      assert(!between.contains("Exchange hashpartitioning"),
+        s"cells side must read pre-shuffled:\n$plan")
+    }
+  }
+
+  test("quantized IVF index round-trips; ivfProbeQuantized identical") {
+    val idx = Similarity.buildIvfIndex(vecs, nCenters = 4, iters = 2)
+    val qidx = Similarity.quantizeIndex(idx)
+    IndexStore.writeIvfIndexQ(qidx, "ivfq_idx", buckets = 4)
+    val reloaded = IndexStore.readIvfIndexQ(spark, "ivfq_idx")
+    val qs = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val live = rowsOf(Similarity.ivfProbeQuantized(qs, qidx, k = 5, nProbe = 2))
+    val back = rowsOf(Similarity.ivfProbeQuantized(qs, reloaded, k = 5, nProbe = 2))
+    assert(live.nonEmpty && live == back)
+    idx.release(); qidx.release()
+  }
+
+  test("PQ codebooks round-trip with meta; encode identical on reload") {
+    val cb = Similarity.trainPqCodebooks(vecs, m = 4, ksub = 8)
+    IndexStore.writePqCodebooks(cb, "pq_cb")
+    val reloaded = IndexStore.readPqCodebooks(spark, "pq_cb")
+    assert(reloaded.m == cb.m && reloaded.subDim == cb.subDim)
+    val live = rowsOf(Similarity.pqEncode(vecs, cb))
+    val back = rowsOf(Similarity.pqEncode(vecs, reloaded))
+    assert(live == back)
+    cb.release()
+  }
+
+  test("postings index round-trips; bm25Probe identical on reload") {
+    val idx = TextAnalysis.buildPostingsIndex(docs)
+    IndexStore.writePostingsIndex(idx, "bm25_idx", buckets = 4)
+    val reloaded = IndexStore.readPostingsIndex(spark, "bm25_idx")
+    assert(reloaded.idCol == "doc_id")
+    import spark.implicits._
+    val qs = Seq((0L, "family shared token3 alpha"),
+      (1L, "unique9 zeta")).toDF("query_id", "text")
+    val live = rowsOf(TextAnalysis.bm25Probe(idx, qs, k = 5))
+    val back = rowsOf(TextAnalysis.bm25Probe(reloaded, qs, k = 5))
+    assert(live.nonEmpty && live == back)
+    idx.release()
+  }
+
+  test("NB model round-trips; classify identical on reload") {
+    import spark.implicits._
+    val labeled = docs.withColumn("label",
+      (col("doc_id") % 3).cast("string"))
+    val m = TextAnalysis.trainNaiveBayes(labeled, "label", minCount = 1L)
+    IndexStore.writeNbModel(m, "nb_model")
+    val reloaded = IndexStore.readNbModel(spark, "nb_model")
+    val live = rowsOf(TextAnalysis.classifyNaiveBayes(docs, m))
+    val back = rowsOf(TextAnalysis.classifyNaiveBayes(docs, reloaded))
+    assert(live == back)
+    m.release()
+  }
+}

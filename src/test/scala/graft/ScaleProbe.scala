@@ -67,6 +67,23 @@ object ScaleProbe {
     probe("minhash_lsh") {
       graft.ops.Dedup.minhashLsh(docs, threshold = 0.8)
     }
+    // exact dedup under a CORPUS-HOT fingerprint: 90% of docs collapse to
+    // one boilerplate text (the regime the old Window.partitionBy(_fp)
+    // version dragged into a single task, text payload included). The
+    // agg+join version map-side-combines the hot key and AQE skew-splits
+    // the annotate join; time should scale ~linearly in mult.
+    probe("exact_hot_fingerprint") {
+      graft.ops.Dedup.exact(docs.withColumn("text",
+        when(col("doc_id") % 10 === 0, col("text")).otherwise(
+          lit("standard cookie consent boilerplate page body repeated " +
+            "verbatim across the entire crawled corpus with no variation"))))
+    }
+    // and fully degenerate: EVERY doc identical — one fingerprint group of
+    // size n; the 1-row group table broadcasts, so the text never shuffles
+    probe("exact_all_identical") {
+      graft.ops.Dedup.exact(docs.withColumn("text",
+        lit("the one and only document body every row of this corpus shares")))
+    }
     // span decontamination with a pathologically LARGE "eval" set (the
     // replicated corpus itself): the eval gram table blows through the
     // broadcast cap, forcing the shuffled-equi-join fallback, and every
