@@ -1710,6 +1710,33 @@ object SparkEntry {
       r.report
     }),
 
+    "q_curate_batch" -> ((s, d) => {
+      // the INCREMENTAL curation pipeline (ops.Pipelines.curateBatch):
+      // day 1 curates the low-id half against an empty CorpusState; day 2
+      // curates a batch that replays part of day 1 (plus novel docs)
+      // against day 1's returned state — the daily-ingest deployment
+      // shape. Returns day 2's per-stage report (rows-only, like
+      // q_curate_pipeline); PipelinesSpec pins day-1 equivalence with
+      // curateCorpus and the cross-day keep-one invariants.
+      val docs = par(s, t(s, d, "documents")).select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      val day1 = docs.filter(col("doc_id") < 150)
+      val r1 = graft.ops.Pipelines.curateBatch(
+        graft.ops.Pipelines.initCorpusState(docs.limit(0)), day1, eval,
+        minQuality = 0.0, maxRepetition = 0.9, nearDupThreshold = 0.5,
+        chunkTokens = 64, chunkStride = 64, packBudget = 512,
+        audit = false)
+      // day 2: 50 replayed day-1 docs (remapped ids — must be rejected by
+      // the state) + 150 genuinely new docs
+      val day2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val r2 = graft.ops.Pipelines.curateBatch(r1.state, day2, eval,
+        minQuality = 0.0, maxRepetition = 0.9, nearDupThreshold = 0.5,
+        chunkTokens = 64, chunkStride = 64, packBudget = 512)
+      r1.chunks.unpersist(); r2.chunks.unpersist()
+      r2.report
+    }),
+
     "q_approx_topk" -> ((s, d) => {
       // Misra-Gries mergeable approx top-k (custom TypedImperativeAggregate,
       // ops.Sketches.approxTopK). Capacity is DERIVED from the data so

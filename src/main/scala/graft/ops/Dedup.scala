@@ -96,12 +96,35 @@ object Dedup {
   def incremental(corpus: DataFrame, batch: DataFrame,
                   idCol: String = "doc_id", textCol: String = "text",
                   fingerprint: Column => Column = doc_fingerprint(_)
-                 ): DataFrame = {
-    val corpusFp = corpus.select(fingerprint(col(textCol)).as("_fp")).distinct()
+                 ): DataFrame =
+    incrementalAgainstIndex(
+      fingerprintIndex(corpus, textCol, fingerprint), batch,
+      idCol, textCol, fingerprint)
+
+  /** Corpus FINGERPRINT INDEX: the distinct normalized-content
+    * fingerprints, one 8-byte column — the exact-dedup state a daily
+    * pipeline persists (at 100 TB bucketed by `fingerprint`,
+    * [[Bucketing.writeBucketed]]) so each day's anti-join shuffles only
+    * the batch and the corpus text is never rescanned.
+    */
+  def fingerprintIndex(docs: DataFrame, textCol: String = "text",
+                       fingerprint: Column => Column = doc_fingerprint(_)
+                      ): DataFrame =
+    docs.select(fingerprint(col(textCol)).as("fingerprint")).distinct()
+
+  /** [[incremental]] against a PREBUILT [[fingerprintIndex]] — the
+    * deployment shape: the index is corpus state, the batch is the only
+    * text scanned.
+    */
+  def incrementalAgainstIndex(index: DataFrame, batch: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              fingerprint: Column => Column = doc_fingerprint(_)
+                             ): DataFrame = {
     val withFp = batch.withColumn("_fp", fingerprint(col(textCol)))
     val firstInBatch = withFp.groupBy("_fp").agg(min(col(idCol)).as(idCol))
     withFp.join(firstInBatch, Seq("_fp", idCol), "left_semi")
-      .join(corpusFp, Seq("_fp"), "left_anti")
+      .join(index.select(col("fingerprint").as("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
   }
 

@@ -228,6 +228,176 @@ object Pipelines {
     CurationResult(packed, report)
   }
 
+  /** Persisted dedup state of an already-curated corpus — what a DAILY
+    * incremental curation run carries between days instead of rescanning
+    * the corpus:
+    *
+    *  - `fingerprints`: [[Dedup.fingerprintIndex]] (1 narrow column; at
+    *    100 TB bucketed by fingerprint)
+    *  - `lines`: [[Dedup.lineIndex]] (distinct lines; bucketed by line_h)
+    *  - `minhash`: [[Dedup.MinHashIndex]] (buckets bucketed by
+    *    (band, bucket), sigs by doc_id)
+    *
+    * Persist/reload the minhash member with [[IndexStore]]; the two plain
+    * tables with [[Bucketing.writeBucketed]]. All three describe the
+    * admitted corpus at the SAME stage position the batch pipeline
+    * compares at (post line-dedup, pre-scrub), so cross-day checks see
+    * the same text the within-day checks saw.
+    */
+  final case class CorpusState(fingerprints: DataFrame, lines: DataFrame,
+                               minhash: Dedup.MinHashIndex)
+
+  /** Build [[CorpusState]] from an already-admitted corpus (pass
+    * `docs.limit(0)` for the day-0 empty state — schemas derive from the
+    * input, so no hand-written empty schemas).
+    */
+  def initCorpusState(docs: DataFrame, shingleK: Int = 5,
+                      numHashes: Int = 128, bands: Int = 32,
+                      delim: String = "\n", idCol: String = "doc_id",
+                      textCol: String = "text"): CorpusState =
+    CorpusState(
+      Dedup.fingerprintIndex(docs, textCol),
+      Dedup.lineIndex(docs, delim, textCol),
+      Dedup.buildMinhashIndex(docs, shingleK, numHashes, bands, idCol, textCol))
+
+  final case class BatchCurationResult(chunks: DataFrame, admitted: DataFrame,
+                                       state: CorpusState, report: DataFrame)
+
+  /** INCREMENTAL curation — the daily-batch form of [[curateCorpus]]:
+    * curate one arriving batch against the persisted [[CorpusState]] of
+    * everything admitted before it, and return the updated state for
+    * tomorrow. Stage order mirrors [[curateCorpus]] (narrow gates →
+    * exact dedup → near dedup → decontaminate → line dedup → scrub →
+    * chunk → split+pack), with each dedup stage running BOTH axes:
+    * within-batch (the batch operators, min-id-wins) and batch-vs-corpus
+    * (the incremental primitives probing the state indexes — only the
+    * batch side ever shuffles when the state is bucket-persisted).
+    *
+    * Day-1 equivalence: with an EMPTY state and default options this
+    * produces exactly [[curateCorpus]]'s chunks (pinned in
+    * PipelinesSpec), so a deployment can switch from full reruns to
+    * daily batches without a re-curation discontinuity. Cross-day
+    * invariant: a batch doc that exactly or nearly duplicates ANY
+    * previously admitted doc is rejected, and a line seen on any earlier
+    * day is cut — the keep-one policy holds over the union of all days.
+    *
+    * The returned state unions the batch survivors' index rows onto the
+    * input state (a narrow union — at 100 TB append the new rows to the
+    * bucketed state tables instead of rewriting them).
+    */
+  def curateBatch(state: CorpusState, batch: DataFrame, eval: DataFrame,
+                  langs: Seq[String] = Seq("en"),
+                  minQuality: Double = 0.3,
+                  maxRepetition: Double = 0.3,
+                  nearDupThreshold: Double = 0.7,
+                  blocklist: Option[DataFrame] = None,
+                  dedupLinesDelim: Option[String] = None,
+                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+                  chunkTokens: Int = 256, chunkStride: Int = 256,
+                  packBudget: Long = 2048,
+                  audit: Boolean = true,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): BatchCurationResult = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    val stages = scala.collection.mutable.ListBuffer[(String, Long)]()
+    var prevPinned: Option[DataFrame] = None
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val pinned = df.localCheckpoint(true)
+      if (audit) stages += name -> pinned.count()
+      prevPinned.foreach(_.unpersist())
+      prevPinned = Some(pinned)
+      pinned
+    }
+
+    val annotated = stage("input+annotate",
+      TextAnalysis.annotate(batch, textCol))
+
+    val gated = stage("quality-gate", annotated
+      .filter(col("lang_pred").isin(langs: _*))
+      .filter(col("quality") >= minQuality)
+      .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition))
+
+    val blGated = blocklist match {
+      case Some(bl) => stage("blocklist-gate", gated.join(
+        CorpusOps.flagBlocklisted(gated, bl, idCol, textCol)
+          .select(idCol),
+        Seq(idCol), "left_anti"))
+      case None => gated
+    }
+
+    // exact dedup, both axes in one primitive: min-id-wins within the
+    // batch, anti-join against the corpus fingerprint index
+    val exactNew = stage("exact-dedup-incremental",
+      Dedup.incrementalAgainstIndex(state.fingerprints, blGated,
+        idCol, textCol))
+
+    // near dedup within the batch (same clusters policy as curateCorpus)…
+    val nearBatch = exactNew.join(
+      Dedup.clusters(exactNew, nearDupThreshold, shingleK, numHashes,
+        bands, idCol, textCol)
+        .filter(col("is_canonical"))
+        .select(idCol),
+      Seq(idCol), "left_semi")
+    // …then against the corpus minhash index: any batch doc within
+    // threshold of SOME admitted doc is rejected (the admitted twin
+    // already carries the content)
+    val nearNew = stage("near-dedup-incremental", nearBatch.join(
+      Dedup.nearDupAgainstIndex(state.minhash, nearBatch,
+        nearDupThreshold, shingleK, numHashes, bands, idCol, textCol)
+        .select(col("batch_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti"))
+
+    val clean = stage("decontaminate", nearNew.join(
+      Dedup.decontaminate(nearNew, eval, idCol = idCol, textCol = textCol)
+        .select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti"))
+
+    // optional paragraph dedup, both axes: lines present in the corpus
+    // line index are cut, and among corpus-fresh lines the batch-first
+    // occurrence survives
+    val lineDeduped = dedupLinesDelim match {
+      case Some(delim) => stage("dedup-lines-incremental",
+        Dedup.dedupLinesIncremental(state.lines, clean, delim, idCol, textCol)
+          .withColumn(textCol, col("text_deduped"))
+          .drop("text_deduped", "n_lines_cut"))
+      case None => clean
+    }
+
+    // ADMITTED text (pre-scrub — the stage position the dedup state
+    // describes; see CorpusState)
+    val admitted = stage("admitted", lineDeduped)
+
+    val scrubbed = admitted.withColumn(textCol,
+      CorpusOps.scrubText(col(textCol)))
+
+    val chunks = stage("chunk",
+      CorpusOps.chunkDocs(scrubbed, chunkTokens, chunkStride, idCol, textCol))
+
+    val packed = stage("split+pack", CorpusOps.packByTokenBudget(
+      chunks
+        .withColumn("split", CorpusOps.hashSplit(idCol))
+        .withColumn("chunk_key",
+          concat(col(idCol), lit(":"), col("chunk_idx"))),
+      packBudget, idCol = "chunk_key", textCol = "chunk_text",
+      within = Seq("split")))
+
+    val delim = dedupLinesDelim.getOrElse("\n")
+    val admittedIdx = initCorpusState(admitted, shingleK, numHashes, bands,
+      delim, idCol, textCol)
+    val newState = CorpusState(
+      state.fingerprints.union(admittedIdx.fingerprints).distinct(),
+      state.lines.union(admittedIdx.lines)
+        .groupBy("line_h", "line").agg(sum(col("n_occ")).as("n_occ")),
+      Dedup.MinHashIndex(
+        state.minhash.buckets.union(admittedIdx.minhash.buckets),
+        state.minhash.sigs.union(admittedIdx.minhash.sigs)))
+
+    val report = stages.toSeq.toDF("stage", "rows")
+    BatchCurationResult(packed, admitted, newState, report)
+  }
+
   /** Publish the curated chunks for training: one tree per split, each
     * written as globally sorted shards on (shard, pack_id, chunk_key)
     * ([[Layout.writeRangeSharded]]) — so a training job reads shard files

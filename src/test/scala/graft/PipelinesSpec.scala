@@ -302,4 +302,81 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, "audit flag must not change the curated chunks")
     audited.chunks.unpersist(); silent.chunks.unpersist()
   }
+
+  test("curateBatch day-1 with empty state equals curateCorpus") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val eval = docs.orderBy("doc_id").limit(2)
+      .select(col("doc_id") + 100000, col("text"))
+      .toDF("doc_id", "text")
+    val full = Pipelines.curateCorpus(docs, eval,
+      langs = Seq("en"), minQuality = 0.0, maxRepetition = 0.9,
+      nearDupThreshold = 0.5, chunkTokens = 32, chunkStride = 32,
+      packBudget = 256)
+    val empty = Pipelines.initCorpusState(docs.limit(0))
+    val inc = Pipelines.curateBatch(empty, docs, eval,
+      langs = Seq("en"), minQuality = 0.0, maxRepetition = 0.9,
+      nearDupThreshold = 0.5, chunkTokens = 32, chunkStride = 32,
+      packBudget = 256)
+    val a = full.chunks.orderBy("split", "shard", "pack_id", "chunk_key")
+      .collect().toSeq
+    val b = inc.chunks.orderBy("split", "shard", "pack_id", "chunk_key")
+      .collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "day-1 incremental curation must equal the full-corpus run")
+    full.chunks.unpersist(); inc.chunks.unpersist()
+  }
+
+  test("curateBatch cross-day: exact/near dups and repeated lines rejected") {
+    import spark.implicits._
+    val day1 = Seq(
+      (1L, "the cat sat on the mat and then the dog sat down too\nthis footer line is shared by many of the documents"),
+      (2L, "a completely different second document body with some other words in it\nanother unique closing line for this one"),
+      (3L, "the third document is entirely its own thing with unique content")
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    def curate(state: Pipelines.CorpusState, batch: org.apache.spark.sql.DataFrame) =
+      Pipelines.curateBatch(state, batch, eval,
+        minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.6,
+        dedupLinesDelim = Some("\n"),
+        chunkTokens = 64, chunkStride = 64, packBudget = 256)
+
+    val r1 = curate(Pipelines.initCorpusState(day1.limit(0)), day1)
+    assert(r1.admitted.count() == 3)
+
+    val day2 = Seq(
+      // exact dup of day-1 doc 1 (ws/case-normalized)
+      (10L, "THE cat sat  on the mat and then the dog sat down too\nthis footer line is shared by many of the documents"),
+      // near dup of day-1 doc 2 (one word changed)
+      (11L, "a completely different second document body with some newer words in it\nanother unique closing line for this one"),
+      // novel doc that REUSES day-1's footer line: admitted, line cut
+      (12L, "fresh content for the second day that is nothing like the earlier ones\nthis footer line is shared by many of the documents"),
+      // fully novel
+      (13L, "entirely new material on the second day with its own words here")
+    ).toDF("doc_id", "text")
+    val r2 = curate(r1.state, day2)
+    val admitted2 = r2.admitted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted2 == Set(12L, 13L),
+      s"exact (10) and near (11) dups must be rejected, got $admitted2")
+    val doc12 = r2.admitted.filter(col("doc_id") === 12L)
+      .select("text").head().getString(0)
+    assert(!doc12.contains("footer line"),
+      s"day-1 line must be cut from day-2 text, got: $doc12")
+
+    // day-3 replay of day-2's novel doc: now an exact dup of admitted state
+    val day3 = Seq(
+      (20L, "entirely new material on the second day with its own words here"),
+      (21L, "a third day document that is genuinely new and quite unlike the others")
+    ).toDF("doc_id", "text")
+    val r3 = curate(r2.state, day3)
+    val admitted3 = r3.admitted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted3 == Set(21L),
+      s"doc admitted on day 2 must block its day-3 twin, got $admitted3")
+    r1.chunks.unpersist(); r2.chunks.unpersist(); r3.chunks.unpersist()
+  }
 }
