@@ -462,19 +462,22 @@ object CorpusOps {
     * aggregate through a literal-style broadcast — no driver-side collect.
     * Output = input columns + the global `rank` (dense from 0).
     *
-    * Cost at scale: the pin materializes the SORTED INPUT once
-    * (disk-backed executor storage — the same budget class as the sort's
-    * own shuffle; pass a projection of (id, score) and join survivors
-    * back if the full rows are wide). When the exact global rank isn't
-    * required, a cheaper cut is a quantile threshold from
+    * Cost at scale: with `narrow = true` (the default) only the
+    * (score, id) PROJECTION is sorted and pinned — two slim columns per
+    * row regardless of how wide the corpus is — and the ranks equi-join
+    * back onto the input by id; the full rows ride one hash join, never
+    * the sort or the pinned materialization. `narrow = false` sorts and
+    * pins the full rows (identical output, spec-pinned; cheaper only
+    * when the input is already just (id, score)). When the exact global
+    * rank isn't required, a cheaper cut is a quantile threshold from
     * [[Sketches.approxQuantiles]] + a narrow filter — approximate at the
     * boundary, no global sort at all.
     */
   def keepHeadByScore(df: DataFrame, scoreCol: String, idCol: String,
-                      keepFrac: Double): DataFrame = {
+                      keepFrac: Double, narrow: Boolean = true): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in (0, 1], got $keepFrac")
-    globalRank(df, scoreCol, idCol)
+    globalRank(df, scoreCol, idCol, narrow)
       .filter(col("rank").cast("double") < lit(keepFrac) * col("_n"))
       .drop("_n")
   }
@@ -483,9 +486,26 @@ object CorpusOps {
     * zipWithIndex — the `buildVocab` pattern: an un-partitioned
     * `percent_rank()` window would drag the corpus into one task. Adds
     * `rank` (0-based) and the 1-row total `_n` (literal-style broadcast).
+    *
+    * `narrow = true` sorts/pins only the (score, id) projection and
+    * joins ranks back by id — the 100 TB mode: the pinned
+    * materialization carries two slim columns, the wide rows ride one
+    * equi-join. Requires non-null ids (they're ids). Skipped
+    * automatically when the input has no other columns.
     */
-  private def globalRank(df: DataFrame, scoreCol: String,
-                         idCol: String): DataFrame = {
+  private def globalRank(df: DataFrame, scoreCol: String, idCol: String,
+                         narrow: Boolean = true): DataFrame = {
+    if (narrow && df.columns.length > 2) {
+      val ranks = globalRankDirect(
+        df.select(col(scoreCol), col(idCol)), scoreCol, idCol)
+        .select(col(idCol), col("rank"), col("_n"))
+      df.join(ranks, Seq(idCol))
+        .select(df.columns.map(col) ++ Seq(col("rank"), col("_n")): _*)
+    } else globalRankDirect(df, scoreCol, idCol)
+  }
+
+  private def globalRankDirect(df: DataFrame, scoreCol: String,
+                               idCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(col(scoreCol).asc, col(idCol).asc)
       .localCheckpoint(true)
@@ -508,10 +528,30 @@ object CorpusOps {
     * (which drags the whole corpus into one task). `orderCols` must be a
     * unique key of the input or ids are order-dependent across runs —
     * the caller's contract, as with any deterministic-ingest scheme.
+    *
+    * `narrow = true` (default) sorts/pins only the `orderCols`
+    * projection and joins ids back (null-safe on every key column), so
+    * wide corpus rows never enter the sort or the pinned
+    * materialization; identical output either way (spec-pinned).
     */
   def assignRowIds(df: DataFrame, orderCols: Seq[String],
-                   idName: String = "row_id"): DataFrame = {
+                   idName: String = "row_id",
+                   narrow: Boolean = true): DataFrame = {
     require(orderCols.nonEmpty)
+    if (narrow && df.columns.length > orderCols.length) {
+      val ids = assignRowIdsDirect(
+        df.select(orderCols.map(col): _*).dropDuplicates(orderCols),
+        orderCols, idName).as("_r")
+      val l = df.as("_l")
+      val cond = orderCols.map(c => col(s"_l.$c") <=> col(s"_r.$c"))
+        .reduce(_ && _)
+      l.join(ids, cond)
+        .select(df.columns.map(c => col(s"_l.$c")) :+ col(s"_r.$idName"): _*)
+    } else assignRowIdsDirect(df, orderCols, idName)
+  }
+
+  private def assignRowIdsDirect(df: DataFrame, orderCols: Seq[String],
+                                 idName: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(orderCols.map(col(_).asc): _*).localCheckpoint(true)
     val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
@@ -601,7 +641,8 @@ object CorpusOps {
   def scoreBuckets(df: DataFrame, scoreCol: String, idCol: String,
                    fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
                    labels: Seq[String] =
-                     Seq("head", "middle", "tail")): DataFrame = {
+                     Seq("head", "middle", "tail"),
+                   narrow: Boolean = true): DataFrame = {
     require(labels.size == fracs.size + 1,
       "need exactly one more label than boundary fractions")
     require(fracs == fracs.sorted && fracs.forall(f => f > 0.0 && f < 1.0),
@@ -610,7 +651,7 @@ object CorpusOps {
     val bucket = fracs.zip(labels.init).foldRight(lit(labels.last)) {
       case ((f, l), rest) => when(r < lit(f) * col("_n"), l).otherwise(rest)
     }
-    globalRank(df, scoreCol, idCol)
+    globalRank(df, scoreCol, idCol, narrow)
       .withColumn("score_bucket", bucket)
       .drop("rank", "_n")
   }

@@ -251,6 +251,28 @@ class Round5fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.zipWithIndex.forall { case (v, i) => v == i })
   }
 
+  test("globalRank consumers: narrow projection mode equals full-row mode") {
+    import spark.implicits._
+    // wide rows: the narrow mode must sort/pin only (score, id) /
+    // orderCols and join back, producing IDENTICAL rows
+    val df = (0 until 500).map(i =>
+      (i.toLong, (i * 37 % 101).toDouble, s"payload-$i " * 10, i % 7))
+      .toDF("id", "score", "wide_text", "grp").repartition(5)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(rows(CorpusOps.keepHeadByScore(df, "score", "id", 0.3, narrow = true))
+      == rows(CorpusOps.keepHeadByScore(df, "score", "id", 0.3, narrow = false)))
+    assert(rows(CorpusOps.scoreBuckets(df, "score", "id", narrow = true))
+      == rows(CorpusOps.scoreBuckets(df, "score", "id", narrow = false)))
+    assert(rows(CorpusOps.assignRowIds(df, Seq("score", "id"), narrow = true))
+      == rows(CorpusOps.assignRowIds(df, Seq("score", "id"), narrow = false)))
+    // column order preserved in narrow mode
+    assert(CorpusOps.keepHeadByScore(df, "score", "id", 0.3).columns.toSeq
+      == (df.columns.toSeq :+ "rank"))
+    assert(CorpusOps.assignRowIds(df, Seq("score", "id")).columns.toSeq
+      == (df.columns.toSeq :+ "row_id"))
+  }
+
   test("writeBatchIdempotent: replaying a batch rewrites, never duplicates") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("idem-out").toString
