@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full-contract plan sweep: EVERY SparkEntry query is planned and
+  * asserted free of CartesianProduct, and free of
+  * BroadcastNestedLoopJoin except where a documented allowlist entry
+  * justifies the broadcast-BNLJ (1-row stats tables riding `crossJoin`,
+  * dimension-sized model/centroid tables, theta-join predicates that
+  * cannot equi-key). Insurance against a future query quietly planning a
+  * product — the per-operator PlanShapeSpec asserts the positive shapes;
+  * this asserts the global negative.
+  */
+class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("cpa-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .appName("contract-plan-audit").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Queries allowed to plan a BROADCAST nested-loop join, with the
+    * justification. Every entry is a broadcast of a bounded-size side:
+    * either a 1-row aggregate (corpus stats / bounds) or a
+    * dimension-sized model table — never corpus-vs-corpus.
+    */
+  val bnljAllowed: Map[String, String] = Map(
+    "q_contains_theta_join" -> "CONTAINS theta-join: docs x dimension-sized country list (no equi key exists); broadcast BNLJ is the intended plan",
+    "q_theta_top1_per_key"  -> "same CONTAINS theta-join feeding the WindowGroupLimit top-1",
+    "q_blocklist_phrases"   -> "phrase blocklist containment: docs x broadcast phrase list (theta predicate)",
+    "q_sim_topk"            -> "brute-force cosine baseline: query set (10 rows) broadcast against corpus",
+    "q_knn_classify"        -> "exact kNN: bounded query set broadcast against corpus scan",
+    "q_knn_classify_ann"    -> "IVF-backed kNN: query set x broadcast centroid table for cell ranking",
+    "q_ann_ivf"             -> "IVF probe: query set x broadcast centroid table (nCenters rows)",
+    "q_ann_ivf_quant"       -> "quantized IVF probe: same broadcast centroid ranking",
+    "q_ivf_assign"          -> "cell assignment: corpus x broadcast centroid table",
+    "q_centroid_classify"   -> "Rocchio: queries x broadcast per-label centroid table (label-count rows)",
+    "q_emb_near_pairs"      -> "exact near-pair oracle baseline: deliberately the brute-force sibling of the LSH query (which is product-free)",
+    "q_pq_probe"            -> "ADC probe: queries x broadcast codebook distance tables (m x ksub rows)",
+    "q_pq_probe_rerank"     -> "ADC probe + broadcast candidate rerank against the float corpus",
+    "q_bm25_topk"           -> "1-row corpus stats (n, avgdl) crossJoin onto scored candidates",
+    "q_bm25_probe"          -> "same 1-row stats table through the session postings index",
+    "q_bm25_probe_persisted" -> "same 1-row stats table through the RELOADED postings index",
+    "q_tfidf"               -> "1-row doc-count table crossJoin for idf",
+    "q_chi2_terms"          -> "1-row class-total table crossJoin into the per-term chi2 expression",
+    "q_nb_classify"         -> "docs x broadcast class-prior table (label-count rows)",
+    "q_lm_score"            -> "1-row vocab/total-count table crossJoin for smoothing denominators",
+    "q_lm2_score"           -> "same 1-row LM stats broadcast (bigram backoff)",
+    "q_lm3_score"           -> "same 1-row LM stats broadcast (trigram backoff)",
+    "q_lm_filter"           -> "1-row total-count table (_n) crossJoin for the keep-fraction cutoff",
+    "q_score_buckets"       -> "same 1-row _n table for bucket boundaries",
+    "q_mix_temperature"     -> "per-source weight table (source-count rows) broadcast onto the corpus",
+    "q_ks_drift"            -> "1-row bounds table and 1-row (n_a, n_b) totals crossJoin",
+    "q_curate_batch"        -> "1-row totals inside the packing stage, as q_curate_pipeline",
+    "q_curate_pipeline"     -> "1-row totals inside the packing stage")
+
+  test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
+    val d = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, d).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+        offenders += s"$name: unapproved BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"product plans outside the allowlist:\n${offenders.mkString("\n")}")
+    // the allowlist itself stays honest: no stale entries for queries
+    // that no longer exist
+    val stale = bnljAllowed.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist entries for unknown queries: $stale")
+  }
+}
