@@ -151,6 +151,19 @@ object SparkEntry {
         par(s, t(s, d, "documents")), numMerges = 50, minCount = 2))
   }
 
+  /** Session-lifetime unigram-LM piece table per (session, dir) — the
+    * tokenizer-model twin of [[cachedBpeMerges]].
+    */
+  private val unigramPiecesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, Double)]]
+
+  private def cachedUnigramPieces(s: SparkSession, d: String): Seq[(String, Double)] = {
+    unigramPiecesCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    unigramPiecesCache.computeIfAbsent((s, d), _ =>
+      graft.ops.Tokenize.trainUnigram(
+        par(s, t(s, d, "documents")), vocabSize = 200, minCount = 2))
+  }
+
   private val stopwords15 =
     Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
       "on", "as", "with", "are", "this")
@@ -1160,6 +1173,27 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) => {
       // the published model artifact (rank-ordered merge table)
       graft.ops.Tokenize.mergesDf(s, cachedBpeMerges(s, d))
+    }),
+
+    "q_unigram_encode" -> ((s, d) => {
+      // the unigram-LM tokenizer (Kudo 2018), BPE's sibling: pieces
+      // trained once per (session, dir) by driver Viterbi-EM over the
+      // corpus word dict, then one narrow distributed Viterbi encode with
+      // the piece table on the closure. Model-based training — rows-only;
+      // the algorithm's exactness is pinned by TokenizeSpec goldens and
+      // the concatenation property.
+      graft.ops.Tokenize.encodeUnigram(
+        par(s, t(s, d, "documents")), cachedUnigramPieces(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          element_at(col("tokens"), 1).as("first_token"))
+    }),
+
+    "q_unigram_pieces" -> ((s, d) => {
+      // the published model artifact: (piece, log_prob) rounded to the
+      // 6-dp lattice for a stable hash (rows-only regardless — the EM
+      // loop is model state)
+      graft.ops.Tokenize.piecesDf(s, cachedUnigramPieces(s, d))
+        .select(col("piece"), round(col("log_prob"), 6).as("log_prob"))
     }),
 
     "q_kmv_sample" -> ((s, d) => {

@@ -180,4 +180,173 @@ object Tokenize {
       .map { case ((a, b), i) => (i, a, b) }
       .toDF("rank", "left", "right")
   }
+
+  // --- unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — the
+  // SentencePiece "unigram" model, BPE's sibling and the other tokenizer
+  // family real pipelines ship) -----------------------------------------
+  //
+  // Same scale architecture as BPE: the corpus reduces ONCE to the capped
+  // word dict; training runs on the driver over that dict (corpus-size-
+  // independent); encoding is one mapPartitions pass with the piece table
+  // riding the closure and a per-partition memo. Training here is
+  // Viterbi (hard) EM: each round segments every dict word with the
+  // current piece log-probs, re-estimates probs from the usage counts,
+  // and prunes to the vocab budget — the standard lattice-EM refinement
+  // differs only in using expected rather than argmax counts; hard EM is
+  // deterministic and reproducible, which the oracle discipline values
+  // more than the ~1% segmentation difference.
+
+  /** Viterbi segmentation of one word under piece log-probs: the piece
+    * sequence maximizing total log-prob. Unknown SINGLE characters fall
+    * back to `unkLp` (so every word segments); ties prefer the longest
+    * piece at each boundary (scan order) — deterministic.
+    */
+  private[graft] def viterbiSegment(word: String,
+                                    lp: collection.Map[String, Double],
+                                    maxPieceLen: Int,
+                                    unkLp: Double): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val piece = word.substring(j, i)
+        val p = lp.getOrElse(piece,
+          if (i - j == 1) unkLp else Double.NegativeInfinity)
+        if (p != Double.NegativeInfinity && best(j) + p > best(i)) {
+          best(i) = best(j) + p; back(i) = j
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = n
+    while (k > 0) { out += word.substring(back(k), k); k = back(k) }
+    out.reverseIterator.toArray
+  }
+
+  /** Unigram-LM training over a word-frequency dict (driver-side, like
+    * [[trainBpeOnDict]]). Seeds the piece inventory with every substring
+    * of the dict up to `maxPieceLen` (weighted by word frequency, capped
+    * at 4× the vocab budget), then runs `rounds` of Viterbi EM: segment
+    * the dict, re-estimate log-probs from usage, prune to `vocabSize`
+    * keeping every used single character (so segmentation never gets
+    * stuck). Ties prune lexicographically — training is deterministic.
+    *
+    * @return (piece, log_prob), log-prob descending then piece ascending
+    */
+  def trainUnigramOnDict(dict: Seq[(String, Long)], vocabSize: Int,
+                         maxPieceLen: Int = 8,
+                         rounds: Int = 4): Seq[(String, Double)] = {
+    require(vocabSize > 0 && rounds >= 1)
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen=$maxPieceLen outside [1, 16]")
+    def normalize(counts: Iterable[(String, Long)]): Map[String, Double] = {
+      val total = counts.iterator.map(_._2).sum.toDouble
+      counts.iterator.map { case (p, c) => p -> math.log(c / total) }.toMap
+    }
+    // seed: substring counts (weighted by word frequency)
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    dict.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        val lmax = math.min(maxPieceLen, w.length - i)
+        while (l <= lmax) {
+          val p = w.substring(i, i + l)
+          seed.update(p, seed.getOrElse(p, 0L) + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seed.keysIterator.filter(_.length == 1).toSeq
+    val seedBudget = math.max(vocabSize * 4, chars.size)
+    val seedMulti = seed.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedBudget - chars.size))
+    var lp = normalize(chars.map(c => c -> seed(c)) ++ seedMulti)
+    var round = 0
+    while (round < rounds) {
+      val unk = lp.valuesIterator.foldLeft(0.0)(math.min) - 20.0
+      val use = scala.collection.mutable.HashMap.empty[String, Long]
+      dict.foreach { case (w, c) =>
+        viterbiSegment(w, lp, maxPieceLen, unk).foreach(p =>
+          use.update(p, use.getOrElse(p, 0L) + c))
+      }
+      val singles = use.iterator.filter(_._1.length == 1).toSeq
+      val multi = use.iterator.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - singles.size))
+      lp = normalize(singles ++ multi)
+      round += 1
+    }
+    lp.toSeq.sortBy { case (p, l) => (-l, p) }
+  }
+
+  /** End-to-end unigram training: distributed word counts → capped dict
+    * collect → driver Viterbi-EM loop. Same driver-memory guards as
+    * [[trainBpe]] (the dict is the footprint; the EM loop is
+    * O(rounds × dict × maxPieceLen²) character comparisons).
+    */
+  def trainUnigram(docs: DataFrame, vocabSize: Int,
+                   textCol: String = "text", minCount: Long = 1,
+                   maxWords: Int = 1 << 20, maxPieceLen: Int = 8,
+                   rounds: Int = 4): Seq[(String, Double)] = {
+    require(maxWords > 0 && maxWords <= (1 << 24),
+      s"maxWords=$maxWords would collect a ~${maxWords >> 13} MB-class dict " +
+        "to the driver; cap it at 2^24 (raise minCount instead)")
+    val dict = wordCounts(docs, textCol)
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainUnigramOnDict(dict, vocabSize, maxPieceLen, rounds)
+  }
+
+  /** Distributed unigram encode: one narrow pass, the piece table riding
+    * the closure, per-partition word→pieces memo — the exact
+    * [[encodeBpe]] shape. Output one row per doc: (id, tokens array,
+    * n_tokens). Unknown characters at encode time segment as single-char
+    * pieces (floor log-prob), so every document encodes.
+    */
+  def encodeUnigram(docs: DataFrame, pieces: Seq[(String, Double)],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieceArr = pieces.toArray
+    val maxLen = if (pieceArr.isEmpty) 1 else pieceArr.map(_._1.length).max
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val lp = pieceArr.toMap
+        val unk = lp.valuesIterator.foldLeft(0.0)(math.min) - 20.0
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.split(" ").filter(_.nonEmpty)
+          val tokens = words.flatMap(w =>
+            memo.getOrElseUpdate(w, viterbiSegment(w, lp, maxLen, unk)))
+          (id, tokens, tokens.length)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+
+  /** The learned piece table as a DataFrame (piece, log_prob) — the
+    * publishable model artifact, [[mergesDf]]'s unigram twin.
+    */
+  def piecesDf(spark: SparkSession, pieces: Seq[(String, Double)]): DataFrame = {
+    import spark.implicits._
+    pieces.toDF("piece", "log_prob")
+  }
 }

@@ -88,4 +88,72 @@ class TokenizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top1 = Tokenize.trainBpe(docs, 10, maxWords = 1)
     assert(top1 == Seq(("a", "a</w>")))
   }
+
+  test("trainBpe guards reject driver-hostile parameters") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Tokenize.trainBpe(docs, 10, maxWords = (1 << 24) + 1)
+    }
+    intercept[IllegalArgumentException] {
+      Tokenize.trainBpe(docs, numMerges = 1 << 16, maxWords = 1 << 21)
+    }
+  }
+
+  test("viterbiSegment picks the max-log-prob segmentation, longest on ties") {
+    val lp = Map("un" -> -2.0, "afford" -> -3.0, "able" -> -2.5,
+      "u" -> -5.0, "n" -> -5.0, "a" -> -5.0, "f" -> -5.0, "o" -> -5.0,
+      "r" -> -5.0, "d" -> -5.0, "b" -> -5.0, "l" -> -5.0, "e" -> -5.0)
+    assert(Tokenize.viterbiSegment("unaffordable", lp, 8, -100.0).toSeq
+      == Seq("un", "afford", "able"))
+    // unknown chars fall back to single-char pieces, never fail
+    assert(Tokenize.viterbiSegment("unzqable", lp, 8, -100.0).toSeq
+      == Seq("un", "z", "q", "able"))
+    // concatenation always rebuilds the word
+    assert(Tokenize.viterbiSegment("affordord", lp, 8, -100.0).mkString
+      == "affordord")
+  }
+
+  test("trainUnigramOnDict: pieces within budget, chars kept, deterministic") {
+    val dict = Seq(("lowlow", 8L), ("lower", 6L), ("newest", 4L),
+      ("widest", 3L), ("low", 10L))
+    val pieces = Tokenize.trainUnigramOnDict(dict, vocabSize = 12,
+      maxPieceLen = 6, rounds = 3)
+    val byPiece = pieces.toMap
+    assert(pieces.size <= 12 + byPiece.keysIterator.count(_.length == 1))
+    // the dominant subword survives pruning
+    assert(byPiece.contains("low"), s"expected 'low' in ${pieces.map(_._1)}")
+    // log-probs normalize (sum of exp <= 1 + eps over the piece set)
+    assert(math.abs(pieces.map(p => math.exp(p._2)).sum - 1.0) < 1e-9)
+    // deterministic across runs
+    assert(pieces == Tokenize.trainUnigramOnDict(dict, vocabSize = 12,
+      maxPieceLen = 6, rounds = 3))
+  }
+
+  test("unigram end-to-end: distributed train matches dict train; encode exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low lower lower newest"),
+      (2L, "newest widest low lowest"),
+      (3L, "low lower newest newest")
+    ).toDF("doc_id", "text")
+    val dict = Seq(("low", 5L), ("lower", 3L), ("newest", 4L),
+      ("widest", 1L), ("lowest", 1L))
+    val fromDict = Tokenize.trainUnigramOnDict(dict, 20)
+    val fromCorpus = Tokenize.trainUnigram(docs, 20)
+    assert(fromDict == fromCorpus,
+      "distributed word counts must reproduce the dict-trained pieces")
+    val enc = Tokenize.encodeUnigram(docs, fromCorpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getInt(2)))).toMap
+    // every doc rebuilds from its tokens (whitespace restored per word)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { case (id, (toks, n)) =>
+      assert(n == toks.length)
+      assert(toks.mkString == texts(id).split(" ").filter(_.nonEmpty).mkString,
+        s"doc $id tokens must concatenate back to its words")
+    }
+    // whole frequent words become single pieces under a generous budget
+    assert(enc(1L)._1.count(_ == "low") >= 3)
+  }
 }
