@@ -140,6 +140,31 @@ object IndexStore {
       spark.table(s"${prefix}_stats"),
       spark.table(s"${prefix}_meta").head().getString(0))
 
+  // --- incremental-curation corpus state ---------------------------------
+
+  /** Persist a [[Pipelines.CorpusState]] — the artifact `curateBatch`
+    * carries between days: fingerprints bucketed on fingerprint (the
+    * exact-dedup anti-join key), lines on line_h (the line-cut anti-join
+    * key), and the MinHash member via [[writeMinhashIndex]]. With this
+    * layout every daily probe join shuffles only the batch side.
+    */
+  def writeCorpusState(state: Pipelines.CorpusState, prefix: String,
+                       buckets: Int = 8,
+                       path: Option[String] = None): Unit = {
+    writeBucketedTable(state.fingerprints, s"${prefix}_fingerprints",
+      Seq("fingerprint"), buckets, path)
+    writeBucketedTable(state.lines, s"${prefix}_lines",
+      Seq("line_h"), buckets, path)
+    writeMinhashIndex(state.minhash, s"${prefix}_mh", buckets, path)
+  }
+
+  def readCorpusState(spark: SparkSession,
+                      prefix: String): Pipelines.CorpusState =
+    Pipelines.CorpusState(
+      spark.table(s"${prefix}_fingerprints"),
+      spark.table(s"${prefix}_lines"),
+      readMinhashIndex(spark, s"${prefix}_mh"))
+
   // --- Naive Bayes model -------------------------------------------------
 
   /** Persist a [[TextAnalysis.NbModel]] (both tables are

@@ -131,6 +131,39 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     idx.release()
   }
 
+  test("CorpusState round-trips; day-2 curateBatch identical on reload") {
+    import spark.implicits._
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      (1L, "the cat sat on the mat and then the dog sat down too"),
+      (2L, "a completely different second document body with some other words in it")
+    ).toDF("doc_id", "text")
+    val r1 = graft.ops.Pipelines.curateBatch(
+      graft.ops.Pipelines.initCorpusState(day1.limit(0)), day1, eval,
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.6,
+      audit = false)
+    IndexStore.writeCorpusState(r1.state, "cstate", buckets = 4)
+    val reloaded = IndexStore.readCorpusState(spark, "cstate")
+    val day2 = Seq(
+      (10L, "THE cat sat on the mat and then the dog sat down too"), // dup
+      (11L, "entirely new material on the second day with its own words here")
+    ).toDF("doc_id", "text")
+    def admitted(st: graft.ops.Pipelines.CorpusState) = {
+      val r = graft.ops.Pipelines.curateBatch(st, day2, eval,
+        minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.6,
+        audit = false)
+      val ids = r.admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+      r.chunks.unpersist()
+      ids
+    }
+    val live = admitted(r1.state)
+    val back = admitted(reloaded)
+    assert(live == Set(11L) && live == back,
+      s"reloaded state must gate identically: live=$live back=$back")
+    r1.chunks.unpersist()
+  }
+
   test("NB model round-trips; classify identical on reload") {
     import spark.implicits._
     val labeled = docs.withColumn("label",
