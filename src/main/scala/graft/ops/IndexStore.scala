@@ -165,6 +165,32 @@ object IndexStore {
       spark.table(s"${prefix}_lines"),
       readMinhashIndex(spark, s"${prefix}_mh"))
 
+  // --- tokenizer models --------------------------------------------------
+
+  /** Persist a trained BPE merge table (vocab-sized — plain table; it
+    * rides the encode closure, never a join).
+    */
+  def writeBpeModel(spark: SparkSession, merges: Seq[(String, String)],
+                    prefix: String, path: Option[String] = None): Unit =
+    writeSmallTable(Tokenize.mergesDf(spark, merges),
+      s"${prefix}_merges", path)
+
+  def readBpeModel(spark: SparkSession, prefix: String): Seq[(String, String)] =
+    spark.table(s"${prefix}_merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Persist a trained unigram-LM piece table (vocab-sized). */
+  def writeUnigramModel(spark: SparkSession, pieces: Seq[(String, Double)],
+                        prefix: String, path: Option[String] = None): Unit =
+    writeSmallTable(Tokenize.piecesDf(spark, pieces),
+      s"${prefix}_pieces", path)
+
+  def readUnigramModel(spark: SparkSession,
+                       prefix: String): Seq[(String, Double)] =
+    spark.table(s"${prefix}_pieces")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .sortBy { case (p, l) => (-l, p) }
+
   // --- Naive Bayes model -------------------------------------------------
 
   /** Persist a [[TextAnalysis.NbModel]] (both tables are

@@ -445,6 +445,95 @@ object Streams {
       }
       .start()
 
+  /** Newest persisted [[graft.ops.Pipelines.CorpusState]] generation
+    * strictly BEFORE `batchId` (None when no prior generation exists).
+    * Generations are the catalog tables `<prefix>_g<N>_…` written by
+    * [[curatedLandingIngest]]; reading only `gen < batchId` is what makes
+    * batch REPLAY idempotent — a batch re-run after a crash between its
+    * state write and the checkpoint commit re-reads the same pre-batch
+    * state, recomputes the same (deterministic) result, and overwrites
+    * its own outputs.
+    */
+  private[graft] def latestStateBefore(spark: SparkSession, prefix: String,
+                                       batchId: Long): Option[(Long, graft.ops.Pipelines.CorpusState)] = {
+    val pat = s"^${java.util.regex.Pattern.quote(prefix.toLowerCase)}_g(\\d+)_fingerprints$$".r
+    val gens = spark.catalog.listTables().collect().toSeq
+      .map(_.name)
+      .collect { case pat(n) => n.toLong }
+      .filter(_ < batchId)
+    gens.sorted.lastOption.map(g =>
+      g -> graft.ops.IndexStore.readCorpusState(spark, s"${prefix}_g$g"))
+  }
+
+  /** Streaming CURATED landing ingest — the full incremental curation
+    * pipeline ([[graft.ops.Pipelines.curateBatch]]) run per arriving
+    * micro-batch against the PERSISTED corpus state of everything
+    * admitted before it: quality gates → exact dedup (within-batch AND
+    * vs corpus) → near dedup (both axes) → decontaminate → optional
+    * line dedup → scrub → chunk → split+pack, with the curated chunks
+    * landing via [[writeBatchIdempotent]] and the updated state written
+    * as generation `<statePrefix>_g<batchId>` ([[graft.ops.IndexStore]]
+    * bucketed tables).
+    *
+    * Exactly-once discipline without a transactional store: each batch
+    * reads the newest state generation STRICTLY BEFORE its own batch id
+    * and writes its own generation — replay after any crash re-reads the
+    * same input state and overwrites the same chunk partition + state
+    * generation (curateBatch is deterministic). Generations older than
+    * `retainGenerations` are dropped from the catalog after each
+    * successful batch (their files linger when `statePath` external
+    * tables are used — a deployment's retention job reaps them).
+    *
+    * foreachBatch because the pipeline is a composed batch dataflow over
+    * a complete batch — the same certified operators, not a re-derived
+    * stream variant.
+    */
+  def curatedLandingIngest(docs: DataFrame, eval: DataFrame,
+                           statePrefix: String, outPath: String,
+                           checkpoint: String,
+                           langs: Seq[String] = Seq("en"),
+                           minQuality: Double = 0.3,
+                           maxRepetition: Double = 0.3,
+                           nearDupThreshold: Double = 0.7,
+                           dedupLinesDelim: Option[String] = None,
+                           stateBuckets: Int = 8,
+                           statePath: Option[String] = None,
+                           retainGenerations: Int = 2,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainGenerations >= 1)
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val state = latestStateBefore(spark, statePrefix, batchId)
+            .map(_._2)
+            .getOrElse(graft.ops.Pipelines.initCorpusState(
+              batch.limit(0), idCol = idCol, textCol = textCol))
+          val r = graft.ops.Pipelines.curateBatch(state, batch, eval,
+            langs, minQuality, maxRepetition, nearDupThreshold,
+            blocklist = None, dedupLinesDelim = dedupLinesDelim,
+            audit = false, idCol = idCol, textCol = textCol)
+          writeBatchIdempotent(r.chunks, batchId, outPath)
+          graft.ops.IndexStore.writeCorpusState(r.state,
+            s"${statePrefix}_g$batchId", stateBuckets, statePath)
+          r.chunks.unpersist()
+          // retention: drop generations older than the newest
+          // `retainGenerations` (AFTER the new one is durably written)
+          val pat = s"^${java.util.regex.Pattern.quote(statePrefix.toLowerCase)}_g(\\d+)_fingerprints$$".r
+          val gens = spark.catalog.listTables().collect().toSeq
+            .map(_.name).collect { case pat(n) => n.toLong }.sorted
+          gens.dropRight(retainGenerations).foreach { g =>
+            Seq("fingerprints", "lines", "mh_buckets", "mh_sigs").foreach(t =>
+              spark.sql(s"DROP TABLE IF EXISTS ${statePrefix}_g${g}_$t"))
+          }
+        }
+      }
+      .start()
+  }
+
   def doiLandingIngest(spark: SparkSession, landingDir: String,
                        payloads: DataFrame, store: graft.graph.GraphStore,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {

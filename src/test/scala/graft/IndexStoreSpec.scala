@@ -164,6 +164,53 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     r1.chunks.unpersist()
   }
 
+  test("tokenizer models round-trip; encode identical on reload") {
+    import graft.ops.Tokenize
+    val merges = Tokenize.trainBpe(docs, numMerges = 30)
+    IndexStore.writeBpeModel(spark, merges, "bpe_model")
+    assert(IndexStore.readBpeModel(spark, "bpe_model") == merges)
+    val pieces = Tokenize.trainUnigram(docs, vocabSize = 60)
+    IndexStore.writeUnigramModel(spark, pieces, "uni_model")
+    val back = IndexStore.readUnigramModel(spark, "uni_model")
+    assert(back == pieces)
+    assert(rowsOf(Tokenize.encodeUnigram(docs, back))
+      == rowsOf(Tokenize.encodeUnigram(docs, pieces)))
+  }
+
+  test("curatedLandingIngest: cross-batch gating via persisted state generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("cli-ck").toString
+    val out = Files.createTempDirectory("cli-out").toString
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    def run() = graft.streaming.Streams.curatedLandingIngest(
+      mem.toDF().toDF("doc_id", "text"), eval, "cli_state", out, ckpt,
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.6)
+      .awaitTermination()
+    mem.addData(
+      (1L, "the cat sat on the mat and then the dog sat down too"),
+      (2L, "a completely different second document body with some other words in it"))
+    run()
+    mem.addData(
+      (10L, "THE cat sat  on the mat and then the dog sat down too"), // dup of 1
+      (11L, "entirely new material on the second day with its own words here"))
+    run()
+    val perBatch = spark.read.parquet(out)
+      .select(col("batch_id").cast("long").as("b"), col("doc_id"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(perBatch(0L) == Set(1L, 2L), s"batch 0 admits both: $perBatch")
+    assert(perBatch(1L) == Set(11L),
+      s"batch 1 must reject the cross-batch dup via persisted state: $perBatch")
+    // both state generations exist and the newest reflects all admissions
+    val g1 = graft.ops.IndexStore.readCorpusState(spark, "cli_state_g1")
+    assert(g1.fingerprints.count() == 3)
+  }
+
   test("NB model round-trips; classify identical on reload") {
     import spark.implicits._
     val labeled = docs.withColumn("label",
