@@ -1579,6 +1579,27 @@ object SparkEntry {
         window = Some(8))
     }),
 
+    "q_paragraph_stats" -> ((s, d) => {
+      // per-paragraph quality stats (jusText/CCNet granularity,
+      // ops.TextAnalysis.paragraphStats): fold every 10 words into a
+      // "paragraph" (the q_dedup_lines regex), then integer-only
+      // (n_chars, n_words, n_stop) per (doc, paragraph) — exact oracle
+      val lined = par(s, t(s, d, "documents")).select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+      graft.ops.TextAnalysis.paragraphStats(lined)
+    }),
+
+    "q_filter_paragraphs" -> ((s, d) => {
+      // paragraph-level boilerplate filter: paragraphs with < 8 words or
+      // stopword density < 0.15 are cut, survivors rebuild in order —
+      // exact string-for-string oracle like q_dedup_lines
+      val lined = par(s, t(s, d, "documents")).select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+      graft.ops.TextAnalysis.filterParagraphs(lined,
+        minWords = 8, minStopRatio = 0.15)
+        .select("doc_id", "text_filtered", "n_pars_cut")
+    }),
+
     "q_dedup_lines" -> ((s, d) => {
       // MassiveText-style duplicate-paragraph removal (ops.Dedup.dedupLines):
       // the synthetic corpus has no newlines, so the query first folds every
@@ -2512,6 +2533,61 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40""".stripMargin,
+
+    "q_paragraph_stats" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |pars AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS p,
+        |    CAST(generate_subscripts(string_split(t, chr(10)), 1) - 1
+        |      AS INTEGER) AS par_idx
+        |  FROM lined),
+        |words AS (
+        |  SELECT doc_id, par_idx, p,
+        |    list_filter(string_split_regex(lower(trim(p)), '\s+'),
+        |      w -> w <> '') AS ws
+        |  FROM pars)
+        |SELECT doc_id, par_idx, CAST(len(p) AS BIGINT) AS n_chars,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','a',
+        |    'in','is','that','for','it','on','as','with','are','this')))
+        |    AS BIGINT) AS n_stop
+        |FROM words""".stripMargin,
+
+    "q_filter_paragraphs" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+        |  FROM documents),
+        |pars AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS p,
+        |    generate_subscripts(string_split(t, chr(10)), 1) - 1 AS par_idx
+        |  FROM lined),
+        |scored AS (
+        |  SELECT doc_id, par_idx, p,
+        |    len(list_filter(string_split_regex(lower(trim(p)), '\s+'),
+        |      w -> w <> '')) AS n_words,
+        |    len(list_filter(list_filter(
+        |      string_split_regex(lower(trim(p)), '\s+'), w -> w <> ''),
+        |      w -> w IN ('the','and','of','to','a','in','is','that','for',
+        |        'it','on','as','with','are','this'))) AS n_stop
+        |  FROM pars),
+        |kept AS (
+        |  SELECT doc_id, par_idx, p FROM scored
+        |  WHERE n_words >= 8
+        |    AND CAST(n_stop AS DOUBLE) >= 0.15 * n_words),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(p, chr(10) ORDER BY par_idx) AS txt,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, coalesce(r.txt, '') AS text_filtered,
+        |  CAST(len(string_split(l.t, chr(10))) - coalesce(r.n_kept, 0)
+        |    AS BIGINT) AS n_pars_cut
+        |FROM lined l LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     "q_dedup_lines" ->
       """WITH lined AS (

@@ -36,9 +36,17 @@ object TextAnalysis {
     * (split + array_intersect-free contains chain would not scale;
     * array-based filter does).
     */
+  /** The 15-stopword English list every text gate in this module shares
+    * (and every DuckDB oracle inlines).
+    */
+  private[graft] val stopwordList: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "that",
+      "for", "it", "on", "as", "with", "are", "this")
+
+  private def stopwordArray: Column = array(stopwordList.map(lit): _*)
+
   def stopwordRatio(c: Column): Column = {
-    val stops = array(Seq("the", "and", "of", "to", "a", "in", "is", "that",
-      "for", "it", "on", "as", "with", "are", "this").map(lit): _*)
+    val stops = stopwordArray
     val toks = split(lower(trim(c)), "\\s+")
     when(size(toks) === 0, 0.0).otherwise(
       size(filter(toks, t => array_contains(stops, t))).cast("double")
@@ -163,6 +171,67 @@ object TextAnalysis {
       .withColumn("keep", col("ok_words") && col("ok_word_len") &&
         col("ok_symbols") && col("ok_bullets") && col("ok_ellipsis") &&
         col("ok_alpha") && col("ok_stops"))
+  }
+
+  /** Per-PARAGRAPH quality stats — the jusText/CCNet granularity (doc-level
+    * gates pass pages whose content is fine but whose navigation/footer
+    * paragraphs are junk; paragraph gates cut the junk and keep the page).
+    * One posexplode + one narrow codegen pass; INTEGER-ONLY output columns
+    * (the data-card rule — counts hash identically cross-engine where
+    * ratios would sit on the rounding lattice).
+    *
+    * @return (idCol, par_idx, n_chars, n_words, n_stop) — one row per
+    *         paragraph, empty paragraphs included (n_words = 0)
+    */
+  def paragraphStats(docs: DataFrame, delim: String = "\n",
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(trim(col("_p"))), "\\s+"), w => w =!= "")
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), delim)).as(Seq("par_idx", "_p")))
+      .select(col(idCol), col("par_idx"),
+        length(col("_p")).cast("long").as("n_chars"),
+        size(words).cast("long").as("n_words"),
+        size(filter(words, w =>
+          array_contains(stopwordArray, w))).cast("long").as("n_stop"))
+  }
+
+  /** Paragraph-level boilerplate filter (jusText's core heuristic distilled
+    * to the two load-bearing signals): a paragraph survives iff it has at
+    * least `minWords` words AND a stopword density of at least
+    * `minStopRatio` (navigation bars, button labels, cookie banners are
+    * short and function-word-free; prose is neither). Survivors rebuild in
+    * original order; docs with nothing left rebuild to "".
+    *
+    * The density gate compares `n_stop >= minStopRatio * n_words` — one
+    * IEEE multiply of an integer by a literal, bit-identical cross-engine
+    * (no rounding-lattice exposure).
+    *
+    * @return input columns + `text_filtered` + `n_pars_cut`
+    */
+  def filterParagraphs(docs: DataFrame, minWords: Long = 5,
+                       minStopRatio: Double = 0.05,
+                       delim: String = "\n", idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(minWords >= 0 && minStopRatio >= 0.0 && minStopRatio <= 1.0)
+    val kept = paragraphStats(docs, delim, idCol, textCol)
+      .filter(col("n_words") >= minWords &&
+        col("n_stop").cast("double") >= lit(minStopRatio) * col("n_words"))
+      .select(col(idCol), col("par_idx"))
+    val pars = docs.select(col(idCol),
+      posexplode(split(col(textCol), delim)).as(Seq("par_idx", "_p")))
+    val rebuilt = pars.join(kept, Seq(idCol, "par_idx"))
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("par_idx"), col("_p")))),
+          s => s.getField("_p")), delim).as("text_filtered"),
+        count(lit(1)).as("_n_kept"))
+    docs.join(rebuilt, Seq(idCol), "left_outer")
+      .withColumn("text_filtered", coalesce(col("text_filtered"), lit("")))
+      .withColumn("n_pars_cut",
+        size(split(col(textCol), delim)).cast("long")
+          - coalesce(col("_n_kept"), lit(0L)))
+      .drop("_n_kept")
   }
 
   /** One-pass corpus annotation: all signals as new columns. */

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 operator batch: paragraph-granularity quality stats and the
+  * jusText-style boilerplate filter.
+  */
+class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("round6-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("paragraphStats: hand-computed chars/words/stopwords per paragraph") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat\nHome | About | Contact\n"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.paragraphStats(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // "the cat sat on the mat": 22 chars, 6 words, 3 stopwords (the x2, on)
+    assert(rows((1L, 0)) == ((22L, 6L, 3L)))
+    // "Home | About | Contact": 22 chars, 5 words, 0 stopwords
+    assert(rows((1L, 1)) == ((22L, 5L, 0L)))
+    // trailing delimiter yields an empty final paragraph
+    assert(rows((1L, 2)) == ((0L, 0L, 0L)))
+    // empty doc is one empty paragraph
+    assert(rows((2L, 0)) == ((0L, 0L, 0L)))
+  }
+
+  test("filterParagraphs cuts short/stopword-free paragraphs, keeps prose order") {
+    import spark.implicits._
+    val prose1 = "the cat sat on the mat and then it sat down again"
+    val nav = "Home | About | Contact | Login | Register | Search | Help | FAQ"
+    val prose2 = "this is another long sentence of prose with the usual words in it"
+    val short = "the end"
+    val docs = Seq(
+      (1L, s"$prose1\n$nav\n$prose2\n$short"),
+      (2L, s"$nav\n$nav")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.filterParagraphs(docs, minWords = 8,
+      minStopRatio = 0.15).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_filtered"), r.getAs[Long]("n_pars_cut"))))
+      .toMap
+    // nav has 0 stopword density, short has < 8 words: both cut; prose
+    // survives in original order
+    assert(out(1L) == ((s"$prose1\n$prose2", 2L)))
+    // everything cut rebuilds to ""
+    assert(out(2L) == (("", 2L)))
+    // schema: input columns preserved
+    val cols = TextAnalysis.filterParagraphs(docs).columns.toSeq
+    assert(cols == Seq("doc_id", "text", "text_filtered", "n_pars_cut"))
+  }
+}
