@@ -513,6 +513,21 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_ts", "asof_view_value")
     }),
 
+    "q_asof_tolerance" -> ((s, d) => {
+      // bounded-lookback as-of (the feature-store staleness rule): same
+      // join as q_asof_join but matches older than 30 minutes are nulled
+      // out — tolerance is a post-window filter, the plan is unchanged
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(round(max(col("value")), 2).as("view_value"))
+      graft.ops.AsOfJoin.asofLeft(clicks, views, Seq("user_id"), "ts",
+        Seq("view_value"), tolerance = Some(30L * 60 * 1000000)) // 30 min in micros
+        .select("event_id", "user_id", "asof_ts", "asof_view_value")
+    }),
+
     "q_range_join" -> ((s, d) => {
       // interval join as a binned equi-join (ops.RangeJoin): every click
       // inside a 30-minute attribution window opened by a view of the same
@@ -870,6 +885,34 @@ object SparkEntry {
             split(lower(trim(col("text"))), "\\s+"),
             tk => tk =!= ""), 1, 8), " ").as("text"))
       graft.ops.TextAnalysis.bm25Probe(persistedPostings(s, d), qs)
+    }),
+
+    "q_rrf_fuse" -> ((s, d) => {
+      // hybrid retrieval: BM25 lexical leg + brute-force cosine dense leg,
+      // fused by reciprocal rank (ops.Similarity.rrfFuse). Both legs are
+      // rank tables the oracle reproduces exactly; the two-leg double sum
+      // is commutative-exact, so the fused score hashes
+      val qs = t(s, d, "documents").filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      val lexical = graft.ops.TextAnalysis.bm25TopK(
+        par(s, t(s, d, "documents")), qs)
+        .select("query_id", "doc_id", "rank")
+      val emb = t(s, d, "embeddings")
+      val dq = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("_cos").desc, col("vec_id"))
+      val dense = emb.select(col("vec_id"), col("embedding").as("_cv"))
+        .crossJoin(broadcast(dq))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("_cos", cosine_sim(col("_qv"), col("_cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.ops.Similarity.rrfFuse(Seq(lexical, dense))
     }),
 
     "q_text_annotate" -> ((s, d) => {
@@ -2347,6 +2390,65 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
 
+    "q_rrf_fuse" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |qterm AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest(list_slice(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> ''), 1, 8)) AS term
+        |  FROM documents WHERE doc_id < 3),
+        |dft AS (
+        |  SELECT tf.term, count(*) AS df FROM tf
+        |  WHERE tf.term IN (SELECT term FROM qterm) GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+        |      AS bm25
+        |  FROM qterm q
+        |  JOIN tf ON tf.term = q.term
+        |  JOIN dft d ON d.term = q.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rnk AS r FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+        |    FROM scored) WHERE rnk <= 10),
+        |dq AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id < 3),
+        |dscored AS (
+        |  SELECT dq.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(dq.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM dq, embeddings e WHERE dq.query_id <> e.vec_id),
+        |dense AS (
+        |  SELECT query_id, vec_id AS doc_id, rnk AS r FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM dscored) WHERE rnk <= 5),
+        |legs AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |    round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf,
+        |    CAST(count(*) AS BIGINT) AS n_legs
+        |  FROM legs GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rrf, n_legs,
+        |  CAST(fr AS INTEGER) AS fused_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS fr FROM fused)
+        |WHERE fr <= 10""".stripMargin,
+
     "q_orderby_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
@@ -3329,6 +3431,25 @@ object SparkEntry {
         |  r.view_value AS asof_view_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, round(max(value), 2) AS view_value
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l.event_id, l.user_id, l.ts AS lts, r.ts AS rts,
+        |    r.view_value
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND r.ts <= l.ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN rts IS NOT NULL
+        |    AND date_diff('microsecond', rts, lts) <= 1800000000
+        |    THEN CAST(rts AS TIMESTAMP) END AS asof_ts,
+        |  CASE WHEN rts IS NOT NULL
+        |    AND date_diff('microsecond', rts, lts) <= 1800000000
+        |    THEN view_value END AS asof_view_value
+        |FROM m""".stripMargin,
 
     "q_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

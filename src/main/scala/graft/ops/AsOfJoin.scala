@@ -24,11 +24,22 @@ object AsOfJoin {
 
   /** Left as-of join: every left row, plus `asof_<v>` columns from the
     * matched right row and `asof_ts` (null when no right row precedes).
+    *
+    * `tolerance` bounds the LOOKBACK (the feature-store staleness rule:
+    * "latest state, but never older than X"): a match farther than
+    * `tolerance` behind the left timestamp is nulled out, as if no right
+    * row preceded. Unit is the normalized timestamp representation —
+    * MICROSECONDS for timestamp columns, DAYS for dates, the native unit
+    * for integrals (the [[RangeJoin]] convention). The bound applies as a
+    * post-window filter, so the plan is the same one-shuffle window —
+    * tolerance costs nothing.
     */
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valCols: Seq[String],
-               prefix: String = "asof_"): DataFrame =
-    asof(left, right, keys, tsCol, valCols, prefix, forward = false)
+               prefix: String = "asof_",
+               tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, keys, tsCol, valCols, prefix, forward = false,
+      tolerance)
 
   /** Forward as-of join: matches the EARLIEST right row with
     * right.ts >= left.ts per key ("next state at or after the event" —
@@ -39,12 +50,30 @@ object AsOfJoin {
     */
   def asofLeftForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       tsCol: String, valCols: Seq[String],
-                      prefix: String = "asof_"): DataFrame =
-    asof(left, right, keys, tsCol, valCols, prefix, forward = true)
+                      prefix: String = "asof_",
+                      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, keys, tsCol, valCols, prefix, forward = true,
+      tolerance)
+
+  /** Normalize a ts column to a long for tolerance arithmetic: timestamps
+    * → epoch micros, dates → epoch days, integrals pass through (the
+    * [[RangeJoin]] convention, applied identically to both sides).
+    */
+  private def rep(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.DateType =>
+        datediff(c, lit("1970-01-01").cast("date")).cast("long")
+      case _ => c.cast("long")
+    }
 
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
                    tsCol: String, valCols: Seq[String], prefix: String,
-                   forward: Boolean): DataFrame = {
+                   forward: Boolean,
+                   tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     val leftOther = left.columns.filterNot(c => keys.contains(c))
     val tsType = right.schema(tsCol).dataType
 
@@ -79,7 +108,21 @@ object AsOfJoin {
       l2.unionByName(r2).withColumn(prefix + "ts", pick(col("_asof_ts")))) {
       (d, v) => d.withColumn(prefix + v, pick(col(s"_v_$v")))
     }
-    carried.filter(col("_side") === 1)
+    val matched = carried.filter(col("_side") === 1)
       .drop(("_side" +: "_asof_ts" +: valCols.map(v => s"_v_$v")): _*)
+    tolerance match {
+      case None => matched
+      case Some(tol) =>
+        val gap =
+          if (forward) rep(col(prefix + "ts"), tsType) - rep(col(tsCol), tsType)
+          else rep(col(tsCol), tsType) - rep(col(prefix + "ts"), tsType)
+        // pin the verdict in its own column FIRST: the null-outs below
+        // overwrite prefix+ts, which the gap expression reads
+        val flagged = matched.withColumn("_within",
+          col(prefix + "ts").isNotNull && gap <= tol)
+        ((prefix + "ts") +: valCols.map(prefix + _)).foldLeft(flagged) {
+          (d, c) => d.withColumn(c, when(col("_within"), col(c)))
+        }.drop("_within")
+    }
   }
 }

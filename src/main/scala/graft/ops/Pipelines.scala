@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   *      across `boilerplateMinDocs` docs of one source are site furniture,
   *      cut everywhere — BEFORE the LM gate so the LM never learns the
   *      furniture; requires a `source` column)
+  *   2c. optional paragraph quality filter (jusText: paragraphs with
+  *      fewer than `parMinWords` words or stopword density under
+  *      `parMinStopRatio` are cut — heuristic boilerplate the repetition
+  *      strip can't see because it isn't repeated)
   *   3. optional LM-perplexity gate (CCNet: keep the lowest-surprisal
   *      `lmKeepFrac` of the gated corpus under a self-built unigram LM)
   *   3b. optional trained-classifier gate (`clfWeights`: fastText-style
@@ -55,6 +59,8 @@ object Pipelines {
                    boilerplateMinDocs: Option[Long] = None,
                    boilerplateDelim: String = "\n",
                    sourceCol: String = "source",
+                   parMinWords: Option[Long] = None,
+                   parMinStopRatio: Double = 0.05,
                    lmKeepFrac: Option[Double] = None,
                    lmMinCount: Long = 5L,
                    clfWeights: Option[DataFrame] = None,
@@ -118,19 +124,31 @@ object Pipelines {
       case None => blGated
     }
 
+    // optional jusText paragraph filter: heuristic boilerplate (short /
+    // function-word-free paragraphs) the repetition-based strip can't
+    // see; before the LM gate for the same train-on-clean-text reason
+    val parFiltered = parMinWords match {
+      case Some(mw) => stage("filter-paragraphs",
+        TextAnalysis.filterParagraphs(bpStripped, mw, parMinStopRatio,
+          boilerplateDelim, idCol, textCol)
+          .withColumn(textCol, col("text_filtered"))
+          .drop("text_filtered", "n_pars_cut"))
+      case None => bpStripped
+    }
+
     // optional CCNet-style perplexity gate: a unigram LM built from the
     // already-gated corpus scores every doc (mean surprisal in bits) and
     // only the lowest-perplexity lmKeepFrac survives — runs on the gated
     // set so the LM never learns from docs the rule filters just rejected
     val lmGated = lmKeepFrac match {
       case Some(frac) => stage("lm-gate", {
-        val lm = TextAnalysis.buildUnigramLm(bpStripped, textCol, lmMinCount)
+        val lm = TextAnalysis.buildUnigramLm(parFiltered, textCol, lmMinCount)
         val kept = CorpusOps.keepHeadByScore(
-          TextAnalysis.unigramBitsPerToken(bpStripped, lm, idCol, textCol),
+          TextAnalysis.unigramBitsPerToken(parFiltered, lm, idCol, textCol),
           "bits_per_token", idCol, frac)
-        bpStripped.join(kept.select(idCol), Seq(idCol), "left_semi")
+        parFiltered.join(kept.select(idCol), Seq(idCol), "left_semi")
       })
-      case None => bpStripped
+      case None => parFiltered
     }
 
     // optional trained-classifier gate (the fastText-style stage of the

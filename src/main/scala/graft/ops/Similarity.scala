@@ -609,4 +609,41 @@ object Similarity {
           x => round((x - col("q_min")) / col("q_scale")).cast("int")))
           .otherwise(transform(e, _ => lit(0))))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: fuse any number of per-query
+    * rankings (a BM25 leg, a dense-ANN leg, …) by
+    * `score(doc) = Σ_legs 1 / (k0 + rank)`, rank fused candidates on the
+    * 6-dp-ROUNDED score (ties → smallest doc id — the repo oracle
+    * convention). Rank-only fusion needs no score calibration between
+    * legs, which is why it beats score interpolation in practice.
+    *
+    * Scale shape: each leg is already top-k-per-query (candidate-sized,
+    * NOT corpus-sized), so the union + (query, doc) aggregate + per-query
+    * window all run over ≤ legs × k rows per query. With exactly two legs
+    * the double sum is commutative-exact (a+b); with more legs the
+    * 6-dp rounding absorbs summation order (and 1/(k0+r) never sits on a
+    * decimal half-boundary, unlike small-integer ratios).
+    *
+    * @param rankings per-leg DataFrames carrying (queryIdCol, docIdCol,
+    *   rankCol) with rank 1-based
+    * @return (query_id, docIdCol, rrf, n_legs, fused_rank ≤ topK)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 10,
+              queryIdCol: String = "query_id", docIdCol: String = "doc_id",
+              rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty && k0 >= 0 && topK > 0)
+    val unioned = rankings.map(_.select(col(queryIdCol).as("query_id"),
+        col(docIdCol).as("_doc"), col(rankCol).cast("long").as("_r")))
+      .reduce(_ union _)
+    val fused = unioned.groupBy("query_id", "_doc")
+      .agg(round(sum(lit(1.0) / (lit(k0.toDouble) + col("_r"))), 6).as("rrf"),
+        count(lit(1)).as("n_legs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("_doc"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("query_id"), col("_doc").as(docIdCol), col("rrf"),
+        col("n_legs"), col("fused_rank"))
+  }
 }

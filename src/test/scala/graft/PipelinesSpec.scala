@@ -303,6 +303,29 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     audited.chunks.unpersist(); silent.chunks.unpersist()
   }
 
+  test("parMinWords stage cuts heuristic boilerplate paragraphs") {
+    import spark.implicits._
+    val prose = "the cat sat on the mat and then it sat down again today"
+    val nav = "Home | About | Contact | Login | Register | Search | Help | FAQ"
+    val docs = Seq(
+      (1L, s"$prose\n$nav"),
+      (2L, s"this is another long sentence of prose with the usual words in it")
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    val r = Pipelines.curateCorpus(docs, eval,
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.95,
+      parMinWords = Some(8), parMinStopRatio = 0.15,
+      chunkTokens = 64, chunkStride = 64, packBudget = 256)
+    assert(r.report.collect().map(_.getString(0))
+      .contains("filter-paragraphs"))
+    val texts = r.chunks.select("chunk_text").collect().map(_.getString(0))
+    assert(texts.nonEmpty && texts.forall(!_.contains("Home")),
+      s"nav paragraph must be cut: ${texts.toSeq}")
+    assert(texts.exists(_.contains("cat sat")), "prose must survive")
+    r.chunks.unpersist()
+  }
+
   test("curateBatch day-1 with empty state equals curateCorpus") {
     import spark.implicits._
     val docs = spark.read

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.TextAnalysis
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -35,6 +36,48 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows((1L, 2)) == ((0L, 0L, 0L)))
     // empty doc is one empty paragraph
     assert(rows((2L, 0)) == ((0L, 0L, 0L)))
+  }
+
+  test("asofLeft tolerance nulls matches older than the lookback bound") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("event_id", "ts").withColumn("user_id", lit(7L))
+      .select("event_id", "user_id", "ts")
+    val right = Seq((7L, 90L, "a"), (7L, 250L, "b"))
+      .toDF("user_id", "ts", "state")
+    def run(tol: Option[Long]) =
+      graft.ops.AsOfJoin.asofLeft(left, right, Seq("user_id"), "ts",
+        Seq("state"), tolerance = tol).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[Any]("asof_ts")), Option(r.getAs[String]("asof_state")))))
+        .toMap
+    val unbounded = run(None)
+    assert(unbounded(1L) == ((Some(90L), Some("a"))))
+    assert(unbounded(2L) == ((Some(90L), Some("a")))) // 110 behind — stale
+    assert(unbounded(3L) == ((Some(250L), Some("b"))))
+    val bounded = run(Some(50L))
+    assert(bounded(1L) == ((Some(90L), Some("a"))))   // 10 behind: kept
+    assert(bounded(2L) == ((None, None)),
+      "match 110 units behind must be nulled under tolerance 50")
+    assert(bounded(3L) == ((Some(250L), Some("b")))) // 50 behind: inclusive
+  }
+
+  test("rrfFuse: hand-computed reciprocal-rank fusion of two legs") {
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 11L, 1), (0L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.ops.Similarity.rrfFuse(Seq(lex, dense), k0 = 60)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getLong(3), r.getInt(4)))).toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 11 appears in both legs: 1/62 + 1/61 — the top fused doc
+    assert(out(11L) == ((r6(rr(2) + rr(1)), 2L, 1)))
+    assert(out(10L) == ((r6(rr(1)), 1L, 2)))
+    assert(out(13L) == ((r6(rr(2)), 1L, 3)))
+    assert(out(12L) == ((r6(rr(3)), 1L, 4)))
   }
 
   test("filterParagraphs cuts short/stopword-free paragraphs, keeps prose order") {
