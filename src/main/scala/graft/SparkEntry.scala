@@ -1622,6 +1622,40 @@ object SparkEntry {
         window = Some(8))
     }),
 
+    "q_canonical_url" -> ((s, d) => {
+      // URL canonicalization (ops.CorpusOps.canonicalizeUrl): synthetic
+      // crawl URLs with protocol-case/default-port/tracking-param/
+      // trailing-slash/fragment variance, collapsed by the documented
+      // rule set — exact string oracle (identical regex rules in DuckDB)
+      val docs = t(s, d, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "HTTPS://Example.COM:443/")
+          .otherwise("https://example.com/"),
+        col("source"), lit("/page/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, "/?utm_source=feed&b=2&a=1#frag")
+          .otherwise(when(col("doc_id") % 3 === 1, "?b=2&a=1")
+            .otherwise("")))
+      docs.select(col("doc_id"), url.as("url"),
+        graft.ops.CorpusOps.canonicalizeUrl(url).as("canonical_url"))
+    }),
+
+    "q_dedup_url" -> ((s, d) => {
+      // URL-keyed exact dedup (the crawl step BEFORE text dedup): same
+      // synthetic URLs; variants of one page collapse to one canonical
+      // group, min doc_id wins — agg+join annotate, exact oracle
+      val docs = t(s, d, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "HTTPS://Example.COM:443/")
+          .otherwise("https://example.com/"),
+        col("source"), lit("/page/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, "/?utm_source=feed&b=2&a=1#frag")
+          .otherwise(when(col("doc_id") % 3 === 1, "?b=2&a=1")
+            .otherwise("")))
+      graft.ops.CorpusOps.dedupByUrl(
+        docs.select(col("doc_id"), url.as("url")))
+        .select("doc_id", "canonical_url", "url_group_size", "is_canonical")
+    }),
+
     "q_paragraph_stats" -> ((s, d) => {
       // per-paragraph quality stats (jusText/CCNet granularity,
       // ops.TextAnalysis.paragraphStats): fold every 10 words into a
@@ -2635,6 +2669,80 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40""".stripMargin,
+
+    "q_canonical_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443/'
+        |          ELSE 'https://example.com/' END)
+        |    || source || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+        |             WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |        regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nofrag,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+        |      '^(http://[^/:]*):80$', '\1'),
+        |      '^(https://[^/:]*):443$', '\1') AS head,
+        |    regexp_replace(regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '/+$', '') AS pth,
+        |    coalesce(regexp_extract(nofrag, '\?(.*)$', 1), '') AS q
+        |  FROM c),
+        |qq AS (
+        |  SELECT doc_id, url, head, pth,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|gclid|fbclid|ref)='))), '&'), '') AS qs
+        |  FROM p)
+        |SELECT doc_id, url,
+        |  head || pth || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+        |    AS canonical_url
+        |FROM qq""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443/'
+        |          ELSE 'https://example.com/' END)
+        |    || source || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+        |             WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        regexp_replace(trim(url), '#.*$', '') AS nofrag FROM u),
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nofrag,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+        |      '^(http://[^/:]*):80$', '\1'),
+        |      '^(https://[^/:]*):443$', '\1') AS head,
+        |    regexp_replace(regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '/+$', '') AS pth,
+        |    coalesce(regexp_extract(nofrag, '\?(.*)$', 1), '') AS q
+        |  FROM c),
+        |canon AS (
+        |  SELECT doc_id,
+        |    head || pth || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+        |      AS canonical_url
+        |  FROM (SELECT doc_id, head, pth,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|gclid|fbclid|ref)='))), '&'), '') AS qs FROM p)),
+        |g AS (SELECT canonical_url, count(*) AS url_group_size,
+        |        min(doc_id) AS canon_id
+        |      FROM canon GROUP BY 1)
+        |SELECT c.doc_id, c.canonical_url, g.url_group_size,
+        |  c.doc_id = g.canon_id AS is_canonical
+        |FROM canon c JOIN g USING (canonical_url)""".stripMargin,
 
     "q_paragraph_stats" ->
       """WITH lined AS (

@@ -60,6 +60,63 @@ object CorpusOps {
       .drop("_pr")
   }
 
+  /** URL canonicalization — the crawl-pipeline step that PRECEDES text
+    * dedup (C4/CCNet dedup by URL before ever touching page text; one
+    * canonical form per page collapses the protocol/tracking-param/
+    * trailing-slash variants a crawler collects). Pure builtin
+    * regexp/array expressions (codegen'd, RE2-compatible — the identical
+    * rules run in the DuckDB oracle):
+    *
+    *  1. trim; strip the `#fragment`
+    *  2. lowercase the `scheme://authority` head; drop the default port
+    *     (`:80` for http, `:443` for https)
+    *  3. strip trailing slashes from the path (root collapses to none)
+    *  4. drop tracking query params (`utm_*`, `gclid`, `fbclid`, `ref`),
+    *     sort the survivors, drop the `?` when none survive
+    *
+    * Non-URL strings (no `scheme://`) canonicalize to their
+    * query-stripped tail only — garbage in, deterministic garbage out;
+    * gate upstream if inputs may be malformed.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    val head = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val headNoPort = regexp_replace(
+      regexp_replace(head, "^(http://[^/:]*):80$", "$1"),
+      "^(https://[^/:]*):443$", "$1")
+    val path = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathClean = regexp_replace(path, "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))
+    val q = array_join(array_sort(params), "&")
+    concat(headNoPort, pathClean,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Exact dedup on the CANONICAL URL: annotate each row with
+    * `canonical_url`, `url_group_size`, `is_canonical` (min id per
+    * canonical-URL group wins) — the [[Dedup.exact]] agg+join shape
+    * (map-side-combined narrow aggregate, AQE-skew-splittable annotate
+    * join; never a window over full rows), keyed on the URL instead of
+    * the text fingerprint.
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url",
+                 idCol: String = "doc_id"): DataFrame = {
+    val withUrl = docs.withColumn("canonical_url",
+      canonicalizeUrl(col(urlCol)))
+    val groups = withUrl.groupBy("canonical_url")
+      .agg(count(lit(1)).as("url_group_size"), min(col(idCol)).as("_canon_id"))
+    withUrl.join(groups, Seq("canonical_url"))
+      .withColumn("is_canonical", col(idCol) === col("_canon_id"))
+      .drop("_canon_id")
+      .select(docs.columns.map(col) ++
+        Seq(col("canonical_url"), col("url_group_size"),
+          col("is_canonical")): _*)
+  }
+
   /** PII-style scrub: redact email-like and long-digit-run tokens. Pure
     * codegen'd regexp (RE2-compatible patterns — no lookarounds — so the
     * same regexes run in other engines for cross-checking).

@@ -38,6 +38,41 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows((2L, 0)) == ((0L, 0L, 0L)))
   }
 
+  test("canonicalizeUrl: hand-computed rule-set goldens") {
+    import spark.implicits._
+    val cases = Seq(
+      // case/port/tracking/fragment/trailing-slash variance collapses
+      ("HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2"),
+      ("https://example.com/a/b?b=2&a=1", "https://example.com/a/b?a=1&b=2"),
+      ("HTTP://Host.net:80/path///", "http://host.net/path"),
+      // non-default port survives
+      ("http://host.net:8080/x", "http://host.net:8080/x"),
+      // all params tracking → no '?'
+      ("https://h.io/p?utm_a=1&gclid=z&fbclid=q&ref=r", "https://h.io/p"),
+      // root path collapses, empty query dropped
+      ("https://h.io/?", "https://h.io"),
+      ("  https://h.io/x  ", "https://h.io/x"))
+    val out = cases.map(_._1).toDF("url")
+      .select(graft.ops.CorpusOps.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2), s"got $out")
+  }
+
+  test("dedupByUrl groups URL variants, min doc_id canonical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://example.com/a?b=2&a=1"),
+      (2L, "HTTPS://Example.COM:443/a/?a=1&b=2&utm_source=x#f"),
+      (3L, "https://example.com/other")
+    ).toDF("doc_id", "url")
+    val out = graft.ops.CorpusOps.dedupByUrl(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("url_group_size"),
+        r.getAs[Boolean]("is_canonical")))).toMap
+    assert(out(1L) == ((2L, true)) && out(2L) == ((2L, false)))
+    assert(out(3L) == ((1L, true)))
+  }
+
   test("asofLeft tolerance nulls matches older than the lookback bound") {
     import spark.implicits._
     val left = Seq((1L, 100L), (2L, 200L), (3L, 300L))
