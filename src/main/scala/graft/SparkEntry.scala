@@ -1622,6 +1622,20 @@ object SparkEntry {
         window = Some(8))
     }),
 
+    "q_sample_negatives" -> ((s, d) => {
+      // deterministic contrastive negative sampling
+      // (ops.CorpusOps.sampleNegatives): synthetic positive pairs, md5-
+      // priority pool + per-query pick — exact oracle (md5 is the same
+      // function cross-engine)
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+      val pos = qs.select(col("doc_id").as("query_id"),
+          (col("doc_id") * 7 % 100).as("doc_id"))
+        .union(qs.select(col("doc_id").as("query_id"),
+          (col("doc_id") * 13 % 100).as("doc_id")))
+      graft.ops.CorpusOps.sampleNegatives(pos, docs, k = 5, poolSize = 64)
+    }),
+
     "q_canonical_url" -> ((s, d) => {
       // URL canonicalization (ops.CorpusOps.canonicalizeUrl): synthetic
       // crawl URLs with protocol-case/default-port/tracking-param/
@@ -2669,6 +2683,28 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40""".stripMargin,
+
+    "q_sample_negatives" ->
+      """WITH pos AS (
+        |  SELECT doc_id AS query_id, (doc_id * 7) % 100 AS doc_id
+        |  FROM documents WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13) % 100
+        |  FROM documents WHERE doc_id < 5),
+        |pool AS (
+        |  SELECT doc_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64),
+        |q AS (SELECT DISTINCT query_id FROM pos),
+        |cand AS (
+        |  SELECT q.query_id, p.doc_id FROM q CROSS JOIN pool p
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos
+        |    WHERE pos.query_id = q.query_id AND pos.doc_id = p.doc_id))
+        |SELECT query_id, doc_id, CAST(r AS INTEGER) AS neg_rank FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id
+        |    ORDER BY md5(CAST(query_id AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM cand) WHERE r <= 5""".stripMargin,
 
     "q_canonical_url" ->
       """WITH u AS (

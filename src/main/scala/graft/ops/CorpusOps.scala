@@ -117,6 +117,45 @@ object CorpusOps {
           col("is_canonical")): _*)
   }
 
+  /** Deterministic NEGATIVE sampling for contrastive training pairs
+    * (the retrieval/embedding fine-tuning data step): for every query in
+    * `positives`, pick `k` corpus docs that are NOT among that query's
+    * positives — by md5 priority, so the sample is uniform under the
+    * hash yet a pure function of the data (reproducible across runs and
+    * engines, the [[graft.functions.KmvSample]] discipline).
+    *
+    * Scale shape: candidates come from ONE global bottom-`poolSize` md5
+    * sample of corpus ids (a TakeOrderedAndProject — no full sort
+    * materialization), which broadcasts into a pool × queries fan-out;
+    * positives anti-join out; the per-query pick is a window over
+    * ≤ poolSize rows per query. The corpus itself never shuffles per
+    * query. `poolSize` must exceed `k` + the largest per-query positive
+    * count with slack, or under-k queries appear (documented contract —
+    * require'd at the cheap static level).
+    *
+    * @param positives (queryIdCol, docIdCol) — the known-relevant pairs
+    * @return (queryIdCol, docIdCol, neg_rank 1..k)
+    */
+  def sampleNegatives(positives: DataFrame, corpus: DataFrame, k: Int,
+                      poolSize: Int = 1024,
+                      queryIdCol: String = "query_id",
+                      docIdCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && poolSize >= 4 * k,
+      s"poolSize=$poolSize must be >= 4*k (k=$k) to absorb positive overlap")
+    val pool = corpus.select(col(docIdCol))
+      .orderBy(md5(col(docIdCol).cast("string")), col(docIdCol))
+      .limit(poolSize)
+    val queries = positives.select(col(queryIdCol)).distinct()
+    val w = Window.partitionBy(queryIdCol).orderBy(
+      md5(concat(col(queryIdCol).cast("string"), lit(":"),
+        col(docIdCol).cast("string"))), col(docIdCol))
+    queries.crossJoin(broadcast(pool))
+      .join(positives.select(col(queryIdCol), col(docIdCol)),
+        Seq(queryIdCol, docIdCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+  }
+
   /** PII-style scrub: redact email-like and long-digit-run tokens. Pure
     * codegen'd regexp (RE2-compatible patterns — no lookarounds — so the
     * same regexes run in other engines for cross-checking).

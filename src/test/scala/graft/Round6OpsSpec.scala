@@ -73,6 +73,29 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((1L, true)))
   }
 
+  test("sampleNegatives: k non-positive docs per query, deterministic") {
+    import spark.implicits._
+    val corpus = (0L until 200L).toDF("doc_id")
+    val pos = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("query_id", "doc_id")
+    val out = graft.ops.CorpusOps.sampleNegatives(pos, corpus, k = 8,
+      poolSize = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQuery = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQuery.keySet == Set(1L, 2L))
+    assert(byQuery.values.forall(_.size == 8))
+    // negatives never collide with that query's positives
+    assert(!byQuery(1L).contains(10L) && !byQuery(1L).contains(20L))
+    assert(!byQuery(2L).contains(10L))
+    // ranks are dense 1..k and the pick is reproducible
+    assert(out.filter(_._1 == 1L).map(_._3).sorted.toSeq == (1 to 8))
+    val again = graft.ops.CorpusOps.sampleNegatives(pos, corpus, k = 8,
+      poolSize = 32).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(x => (x._1, x._3)).toSeq == again.sortBy(x => (x._1, x._3)).toSeq)
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.sampleNegatives(pos, corpus, k = 10, poolSize = 16)
+    }
+  }
+
   test("asofLeft tolerance nulls matches older than the lookback bound") {
     import spark.implicits._
     val left = Seq((1L, 100L), (2L, 200L), (3L, 300L))
