@@ -60,6 +60,7 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ks_drift"            -> "1-row bounds table and 1-row (n_a, n_b) totals crossJoin",
     "q_curate_batch"        -> "1-row totals inside the packing stage, as q_curate_pipeline",
     "q_rrf_fuse"            -> "hybrid retrieval legs: bm25's 1-row stats crossJoin + the dense leg's broadcast 3-row query set",
+    "q_sample_negatives"    -> "negative sampling: queries x broadcast bottom-poolSize (64-row) candidate pool",
     "q_curate_pipeline"     -> "1-row totals inside the packing stage")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
