@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_sample", classOf[graft.functions.KmvBottomK]),
       (es: Seq[Expression]) => graft.functions.KmvBottomK(es(0),
         intLit(es(1), "kmv_sample", "k"))))
+    // min_k(value, k): the k smallest distinct values, bounded buffer
+    ext.injectFunction((FunctionIdentifier("min_k"),
+      info("min_k", classOf[graft.functions.MinKAgg]),
+      (es: Seq[Expression]) => graft.functions.MinKAgg(es(0),
+        intLit(es(1), "min_k", "k"))))
     // corpus kernels — the dedup/text-analysis primitives, so the whole
     // annotate/dedup surface is reachable from pure SQL sessions
     import graft.functions.{CosineSim, DocFingerprint, LangId, MinHashSig,

@@ -110,6 +110,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("min_k aggregate is SQL-callable via the extension") {
+    import spark.implicits._
+    Seq(5L, 3L, 9L, 3L, 1L, 7L).toDF("v").createOrReplaceTempView("mkvals")
+    assert(spark.sql("SELECT min_k(v, 3) FROM mkvals").head()
+      .getSeq[Long](0) == Seq(1L, 3L, 5L))
+    // string child; set semantics dedupe
+    Seq("b", "a", "c", "a").toDF("s").createOrReplaceTempView("mkstr")
+    assert(spark.sql("SELECT min_k(s, 2) FROM mkstr").head()
+      .getSeq[String](0) == Seq("a", "b"))
+  }
+
   test("corpus kernels are SQL-callable via the extension") {
     val r = spark.sql(
       "SELECT simhash64('the quick brown fox') AS sh, " +

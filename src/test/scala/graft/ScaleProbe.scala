@@ -84,6 +84,20 @@ object ScaleProbe {
       graft.ops.Dedup.exact(docs.withColumn("text",
         lit("the one and only document body every row of this corpus shares")))
     }
+    // the SHUFFLED-JOIN regime of the same fix: broadcast disabled, so the
+    // annotate join is a sort-merge join with one corpus-hot key — the
+    // regime AQE's skew split exists for (a window would have no escape)
+    if (only.isEmpty || only("exact_hot_fp_shuffled")) {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      probe("exact_hot_fp_shuffled") {
+        graft.ops.Dedup.exact(docs.withColumn("text",
+          when(col("doc_id") % 10 === 0, col("text")).otherwise(
+            lit("standard cookie consent boilerplate page body repeated " +
+              "verbatim across the entire crawled corpus with no variation"))))
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
     // span decontamination with a pathologically LARGE "eval" set (the
     // replicated corpus itself): the eval gram table blows through the
     // broadcast cap, forcing the shuffled-equi-join fallback, and every
