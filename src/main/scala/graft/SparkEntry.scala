@@ -1622,6 +1622,14 @@ object SparkEntry {
         window = Some(8))
     }),
 
+    "q_epoch_shuffle" -> ((s, d) => {
+      // deterministic per-epoch training order (ops.CorpusOps.epochShuffle):
+      // dense 0-based rank on md5('3:' || doc_id) — reproducible global
+      // permutation, no RNG; exact oracle
+      graft.ops.CorpusOps.epochShuffle(
+        t(s, d, "documents").select("doc_id"), Seq("doc_id"), epoch = 3)
+    }),
+
     "q_sample_negatives" -> ((s, d) => {
       // deterministic contrastive negative sampling
       // (ops.CorpusOps.sampleNegatives): synthetic positive pairs, md5-
@@ -2683,6 +2691,13 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS epoch_order
+        |FROM documents""".stripMargin,
 
     "q_sample_negatives" ->
       """WITH pos AS (

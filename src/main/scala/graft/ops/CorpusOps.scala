@@ -117,6 +117,28 @@ object CorpusOps {
           col("is_canonical")): _*)
   }
 
+  /** Deterministic EPOCH SHUFFLE order: a dense 0-based `epoch_order`
+    * assigned by ranking on `md5(epoch ":" key…)` — a different but fully
+    * reproducible global permutation per epoch (training-data shuffling
+    * without RNG state: re-runs, resumes, and other engines produce the
+    * identical order). Rides [[assignRowIds]]'s range-partitioned sort +
+    * zipWithIndex (narrow mode — only the priority + key columns enter
+    * the sort), never a global window. Feed the result to
+    * [[graft.ops.Layout.writeRangeSharded]] keyed on `epoch_order` to
+    * publish the epoch's shard tree.
+    *
+    * `keyCols` must uniquely key the input (the [[assignRowIds]]
+    * contract).
+    */
+  def epochShuffle(df: DataFrame, keyCols: Seq[String], epoch: Int,
+                   idName: String = "epoch_order"): DataFrame = {
+    require(keyCols.nonEmpty)
+    val prio = md5(concat_ws(":",
+      (lit(epoch.toString) +: keyCols.map(c => col(c).cast("string"))): _*))
+    assignRowIds(df.withColumn("_eprio", prio),
+      "_eprio" +: keyCols, idName).drop("_eprio")
+  }
+
   /** Deterministic NEGATIVE sampling for contrastive training pairs
     * (the retrieval/embedding fine-tuning data step): for every query in
     * `positives`, pick `k` corpus docs that are NOT among that query's

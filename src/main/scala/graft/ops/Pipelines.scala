@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus curation: the composition a training-data run
   * actually executes, chaining the operator suite in its canonical order —
   *
+  *   0. optional URL dedup (`urlCol`: crawl variants of one page collapse
+  *      by canonical URL BEFORE any text is touched — the C4/CCNet first
+  *      step and the cheapest gate in the pipeline)
   *   1. annotate (lang-id, token counts, quality — one narrow pass)
   *   2. quality gate (language allow-list, quality floor, repetition cap)
   *   2a. optional C4 blocklist gate (drop docs containing a listed word —
@@ -51,6 +54,7 @@ object Pipelines {
   final case class CurationResult(chunks: DataFrame, report: DataFrame)
 
   def curateCorpus(docs: DataFrame, eval: DataFrame,
+                   urlCol: Option[String] = None,
                    langs: Seq[String] = Seq("en"),
                    minQuality: Double = 0.3,
                    maxRepetition: Double = 0.3,
@@ -94,8 +98,18 @@ object Pipelines {
       pinned
     }
 
+    // optional URL dedup: crawl variants of one page collapse by
+    // canonical URL before any text is read — the cheapest cut possible
+    val urlDeduped = urlCol match {
+      case Some(u) => stage("url-dedup",
+        CorpusOps.dedupByUrl(docs, u, idCol)
+          .filter(col("is_canonical"))
+          .drop("canonical_url", "url_group_size", "is_canonical"))
+      case None => docs
+    }
+
     val annotated = stage("input+annotate",
-      TextAnalysis.annotate(docs, textCol))
+      TextAnalysis.annotate(urlDeduped, textCol))
 
     val gated = stage("quality-gate", annotated
       .filter(col("lang_pred").isin(langs: _*))

@@ -326,6 +326,25 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     r.chunks.unpersist()
   }
 
+  test("urlCol stage collapses crawl URL variants before any text work") {
+    import spark.implicits._
+    val body = "the cat sat on the mat and then it sat down again today"
+    val docs = Seq(
+      (1L, "https://example.com/a?b=2&a=1", body),
+      (2L, "HTTPS://Example.COM:443/a/?a=1&b=2&utm_source=x#f", body + " x"),
+      (3L, "https://example.com/other", "this is another long sentence of prose with the usual words here")
+    ).toDF("doc_id", "url", "text")
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    val r = Pipelines.curateCorpus(docs, eval, urlCol = Some("url"),
+      minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.95,
+      chunkTokens = 64, chunkStride = 64, packBudget = 256)
+    val stages = r.report.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(stages("url-dedup") == 2, s"URL variants must collapse: $stages")
+    assert(!r.chunks.select("doc_id").collect().map(_.getLong(0)).contains(2L))
+    r.chunks.unpersist()
+  }
+
   test("curateBatch day-1 with empty state equals curateCorpus") {
     import spark.implicits._
     val docs = spark.read

@@ -73,6 +73,18 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((1L, true)))
   }
 
+  test("epochShuffle: dense deterministic permutation, epoch-dependent") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("k").repartition(7)
+    def order(epoch: Int) = graft.ops.CorpusOps.epochShuffle(df, Seq("k"), epoch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e1 = order(1); val e1b = order(1); val e2 = order(2)
+    assert(e1 == e1b, "same epoch must reproduce the same order")
+    assert(e1 != e2, "different epochs must permute differently")
+    assert(e1.values.toSeq.sorted == (0L until 500L),
+      "orders must be dense 0-based")
+  }
+
   test("sampleNegatives: k non-positive docs per query, deterministic") {
     import spark.implicits._
     val corpus = (0L until 200L).toDF("doc_id")
