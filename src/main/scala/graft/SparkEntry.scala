@@ -887,6 +887,26 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25Probe(persistedPostings(s, d), qs)
     }),
 
+    "q_mmr_rerank" -> ((s, d) => {
+      // MMR diversification over a brute-force cosine top-20 candidate
+      // set (rows-only: the greedy iterative argmax isn't SQL-
+      // expressible; Round6OpsSpec pins hand-computed selections)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      val cands = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("score", cosine_sim(col("_qv"), col("embedding")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("score"), col("embedding"))
+      graft.ops.Similarity.mmrRerank(cands, k = 5)
+    }),
+
     "q_rrf_fuse" -> ((s, d) => {
       // hybrid retrieval: BM25 lexical leg + brute-force cosine dense leg,
       // fused by reciprocal rank (ops.Similarity.rrfFuse). Both legs are

@@ -629,6 +629,79 @@ object Similarity {
     *   rankCol) with rank 1-based
     * @return (query_id, docIdCol, rrf, n_legs, fused_rank ≤ topK)
     */
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversification pass after any top-N retrieval:
+    * iteratively select the candidate maximizing
+    * `λ·relevance − (1−λ)·max cosine to the already-selected set`, so
+    * near-duplicate hits don't crowd the result list.
+    *
+    * Greedy selection is inherently sequential PER QUERY — but the input
+    * is a top-N candidate table (bounded per query by construction), so
+    * one `flatMapGroups` pass runs the O(k·N) greedy per query with the
+    * candidates of that query alone in memory; queries parallelize
+    * freely, the corpus is never touched. Deterministic: ties break on
+    * the smallest doc id, float math is plain double arithmetic over the
+    * given scores/embeddings. Model-free and engine-exact, but the
+    * iterative argmax isn't SQL-expressible — rows-only contract, unit
+    * goldens pin the selection.
+    *
+    * @param candidates (queryIdCol, docIdCol, scoreCol,
+    *   vecCol: array<float>) — top-N per query from any retriever
+    * @return (query_id, doc_id, mmr_rank 1..k) — selection order
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double = 0.7,
+                queryIdCol: String = "query_id",
+                docIdCol: String = "doc_id",
+                scoreCol: String = "score",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && lambda >= 0.0 && lambda <= 1.0)
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates.select(col(queryIdCol).cast("long"), col(docIdCol).cast("long"),
+        col(scoreCol).cast("double"), col(vecCol))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(c => (-c._3, c._2)) // relevance, then id
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val chosen = scala.collection.mutable.BitSet.empty
+        while (selected.length < math.min(k, cand.length)) {
+          var bestIdx = -1
+          var bestVal = Double.NegativeInfinity
+          var i = 0
+          while (i < cand.length) {
+            if (!chosen(i)) {
+              val maxSim =
+                if (selected.isEmpty) 0.0
+                else selected.iterator
+                  .map(j => cos(cand(i)._4, cand(j)._4)).max
+              val v = lambda * cand(i)._3 - (1.0 - lambda) * maxSim
+              // strict > with candidates pre-sorted (score desc, id asc)
+              // makes ties deterministic: first (highest-score, lowest-id)
+              if (v > bestVal) { bestVal = v; bestIdx = i }
+            }
+            i += 1
+          }
+          chosen += bestIdx
+          selected += bestIdx
+        }
+        selected.iterator.zipWithIndex.map { case (i, r) =>
+          (qid, cand(i)._2, r + 1)
+        }
+      }
+      .toDF(queryIdCol, docIdCol, "mmr_rank")
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 10,
               queryIdCol: String = "query_id", docIdCol: String = "doc_id",
               rankCol: String = "rank"): DataFrame = {

@@ -61,6 +61,7 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_curate_batch"        -> "1-row totals inside the packing stage, as q_curate_pipeline",
     "q_rrf_fuse"            -> "hybrid retrieval legs: bm25's 1-row stats crossJoin + the dense leg's broadcast 3-row query set",
     "q_sample_negatives"    -> "negative sampling: queries x broadcast bottom-poolSize (64-row) candidate pool",
+    "q_mmr_rerank"          -> "candidate generation: corpus x broadcast 3-row query set (brute-force top-20 feed)",
     "q_curate_pipeline"     -> "1-row totals inside the packing stage")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {

@@ -73,6 +73,31 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((1L, true)))
   }
 
+  test("mmrRerank: diversification beats raw relevance order") {
+    import spark.implicits._
+    // docs 10/11 are near-identical vectors with top scores; doc 12 is
+    // orthogonal with a lower score. Raw top-2 = {10, 11}; MMR with a
+    // diversity term must pick {10, 12}.
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e1b = Array(0.999f, 0.04f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val cands = Seq(
+      (0L, 10L, 0.95, e1.toSeq), (0L, 11L, 0.94, e1b.toSeq),
+      (0L, 12L, 0.80, e2.toSeq))
+      .toDF("query_id", "doc_id", "score", "embedding")
+    val mmr = graft.ops.Similarity.mmrRerank(cands, k = 2, lambda = 0.5)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2).toSeq
+    assert(mmr == Seq((10L, 1), (12L, 2)), s"got $mmr")
+    // lambda = 1.0 degenerates to pure relevance order
+    val rel = graft.ops.Similarity.mmrRerank(cands, k = 2, lambda = 1.0)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2).toSeq
+    assert(rel == Seq((10L, 1), (11L, 2)), s"got $rel")
+    // deterministic across runs
+    val again = graft.ops.Similarity.mmrRerank(cands, k = 2, lambda = 0.5)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2).toSeq
+    assert(again == mmr)
+  }
+
   test("epochShuffle: dense deterministic permutation, epoch-dependent") {
     import spark.implicits._
     val df = (0L until 500L).toDF("k").repartition(7)
