@@ -917,8 +917,9 @@ object SparkEntry {
           array_join(slice(filter(
             split(lower(trim(col("text"))), "\\s+"),
             tk => tk =!= ""), 1, 8), " ").as("text"))
-      val lexical = graft.ops.TextAnalysis.bm25TopK(
-        par(s, t(s, d, "documents")), qs)
+      // lexical leg probes the SESSION postings index (identical scores
+      // to the one-shot operator — q_bm25_probe's certified equivalence)
+      val lexical = graft.ops.TextAnalysis.bm25Probe(cachedPostings(s, d), qs)
         .select("query_id", "doc_id", "rank")
       val emb = t(s, d, "embeddings")
       val dq = emb.filter(col("vec_id") < 3)
