@@ -105,6 +105,12 @@ object CorpusOps {
     */
   def dedupByUrl(docs: DataFrame, urlCol: String = "url",
                  idCol: String = "doc_id"): DataFrame = {
+    val reserved = Seq("canonical_url", "url_group_size", "is_canonical",
+      "_canon_id")
+    val hit = docs.columns.toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"dedupByUrl reserves output/working columns ${reserved.mkString(", ")}; " +
+        s"rename the input columns: ${hit.mkString(", ")}")
     val withUrl = docs.withColumn("canonical_url",
       canonicalizeUrl(col(urlCol)))
     val groups = withUrl.groupBy("canonical_url")
@@ -133,6 +139,8 @@ object CorpusOps {
   def epochShuffle(df: DataFrame, keyCols: Seq[String], epoch: Int,
                    idName: String = "epoch_order"): DataFrame = {
     require(keyCols.nonEmpty)
+    require(!df.columns.contains("_eprio") && !df.columns.contains(idName),
+      s"epochShuffle reserves _eprio and $idName; rename the input columns")
     val prio = md5(concat_ws(":",
       (lit(epoch.toString) +: keyCols.map(c => col(c).cast("string"))): _*))
     assignRowIds(df.withColumn("_eprio", prio),
@@ -164,6 +172,8 @@ object CorpusOps {
                       docIdCol: String = "doc_id"): DataFrame = {
     require(k > 0 && poolSize >= 4 * k,
       s"poolSize=$poolSize must be >= 4*k (k=$k) to absorb positive overlap")
+    require(!positives.columns.contains("neg_rank"),
+      "sampleNegatives reserves neg_rank; rename the input column")
     val pool = corpus.select(col(docIdCol))
       .orderBy(md5(col(docIdCol).cast("string")), col(docIdCol))
       .limit(poolSize)

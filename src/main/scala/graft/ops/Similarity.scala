@@ -706,6 +706,11 @@ object Similarity {
               queryIdCol: String = "query_id", docIdCol: String = "doc_id",
               rankCol: String = "rank"): DataFrame = {
     require(rankings.nonEmpty && k0 >= 0 && topK > 0)
+    // each leg must be a rank table: one row per (query, doc) — a leg
+    // with duplicates would double-count its reciprocal contribution
+    require(!Seq("rrf", "n_legs", "fused_rank").exists(
+      rankings.head.columns.contains),
+      "rrfFuse reserves rrf, n_legs, fused_rank; rename the leg columns")
     val unioned = rankings.map(_.select(col(queryIdCol).as("query_id"),
         col(docIdCol).as("_doc"), col(rankCol).cast("long").as("_r")))
       .reduce(_ union _)

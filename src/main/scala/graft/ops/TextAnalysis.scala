@@ -214,6 +214,12 @@ object TextAnalysis {
                        delim: String = "\n", idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     require(minWords >= 0 && minStopRatio >= 0.0 && minStopRatio <= 1.0)
+    val reserved = Seq("par_idx", "_p", "text_filtered", "n_pars_cut",
+      "_n_kept")
+    val hit = docs.columns.toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"filterParagraphs reserves ${reserved.mkString(", ")}; " +
+        s"rename the input columns: ${hit.mkString(", ")}")
     val kept = paragraphStats(docs, delim, idCol, textCol)
       .filter(col("n_words") >= minWords &&
         col("n_stop").cast("double") >= lit(minStopRatio) * col("n_words"))
