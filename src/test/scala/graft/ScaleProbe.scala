@@ -135,6 +135,28 @@ object ScaleProbe {
       }
       enc.unpersist(); cb.release()
     }
+    // incremental curation against a replicated-corpus state: the state
+    // indexes (fingerprints / lines / minhash) scale with mult, the
+    // arriving batch stays FIXED (one sf0.1 corpus) — the deployment
+    // shape where only the batch side should pay per-day cost. Time
+    // should grow sub-linearly in mult (the state side is narrow index
+    // rows; probe joins shuffle the batch).
+    if (only.isEmpty || only("curate_batch")) {
+      val state = graft.ops.Pipelines.initCorpusState(docs)
+      val batch = base.withColumn("doc_id", col("doc_id") + lit(900_000_000L))
+      val eval = base.filter(col("doc_id") % 97 === 0)
+        .select("doc_id", "text")
+      probe("curate_batch") {
+        graft.ops.Pipelines.curateBatch(state, batch, eval,
+          langs = Seq("en"), minQuality = 0.0, maxRepetition = 0.95,
+          nearDupThreshold = 0.7, audit = false).chunks
+      }
+    }
+    probe("filter_paragraphs") {
+      graft.ops.TextAnalysis.filterParagraphs(docs.withColumn("text",
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n")),
+        minWords = 8, minStopRatio = 0.1)
+    }
     probe("dsir_weights") {
       graft.ops.TextAnalysis.dsirLogRatio(docs,
         docs.filter(col("doc_id") % 10 === 0))
