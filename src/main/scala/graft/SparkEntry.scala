@@ -109,10 +109,16 @@ object SparkEntry {
     persistedPostingsCache.keySet.removeIf(_._1.sparkContext.isStopped)
     persistedPostingsCache.computeIfAbsent((s, d), _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      // table prefix carries the DATA DIR hash: the cache is keyed per
+      // (session, dir), so a fixed table name would let a second dir
+      // overwrite the first entry's tables behind its lazy spark.table
+      // references
+      val prefix = "graft_bm25_persisted_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       graft.ops.IndexStore.writePostingsIndex(
-        cachedPostings(s, d), "graft_bm25_persisted", buckets = 8,
-        path = Some(path))
-      graft.ops.IndexStore.readPostingsIndex(s, "graft_bm25_persisted")
+        cachedPostings(s, d), prefix, buckets = 8, path = Some(path))
+      graft.ops.IndexStore.readPostingsIndex(s, prefix)
     })
   }
 

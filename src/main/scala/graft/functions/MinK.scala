@@ -25,8 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * but `collect_list` buffers the ENTIRE group first, so a 10⁸-dup group
   * still materializes one multi-GB aggregation buffer; this keeps k.
   *
-  * Supports long and string children (the two id shapes the corpus
-  * operators use); set semantics, nulls skipped.
+  * Supports long, int, and string children (the id shapes the corpus
+  * operators use). Strings order by UTF8String's BINARY (UTF-8 byte)
+  * comparison — the same ordering Spark's `min`/`sort_array` use — so
+  * `min_k(s, k)(0)` always equals `min(s)` even for non-BMP code points
+  * (a JVM String ordering would compare UTF-16 code units and disagree
+  * above U+FFFF). Set semantics, nulls skipped.
   */
 case class MinKAgg(child: Expression, k: Int,
                    mutableAggBufferOffset: Int = 0,
@@ -35,11 +39,14 @@ case class MinKAgg(child: Expression, k: Int,
     with UnaryLike[Expression] {
   require(k > 0, "need k > 0")
 
-  private def isLong = child.dataType == LongType
-
-  private def ord: Ordering[Any] =
-    if (isLong) Ordering.by[Any, Long](_.asInstanceOf[Long])
-    else Ordering.by[Any, String](_.asInstanceOf[String])
+  private def ord: Ordering[Any] = child.dataType match {
+    case LongType    => Ordering.by[Any, Long](_.asInstanceOf[Long])
+    case IntegerType => Ordering.by[Any, Int](_.asInstanceOf[Int])
+    case _ => new Ordering[Any] {
+      override def compare(a: Any, b: Any): Int =
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    }
+  }
 
   override def createAggregationBuffer(): mutable.TreeSet[Any] =
     mutable.TreeSet.empty[Any](ord)
@@ -47,10 +54,10 @@ case class MinKAgg(child: Expression, k: Int,
   override def update(buf: mutable.TreeSet[Any], input: InternalRow): mutable.TreeSet[Any] = {
     val v = child.eval(input)
     if (v != null) {
-      // store JVM-native values (Long / String) so ordering and serde are
-      // uniform; UTF8String is converted once on entry
+      // UTF8String from an unsafe row may alias a reused buffer — clone
+      // before retaining across rows
       val jv: Any = v match {
-        case u: UTF8String => u.toString
+        case u: UTF8String => u.clone()
         case other => other
       }
       buf.add(jv)
@@ -65,21 +72,20 @@ case class MinKAgg(child: Expression, k: Int,
     buf
   }
 
-  override def eval(buf: mutable.TreeSet[Any]): Any = {
-    val out: Array[Any] =
-      if (isLong) buf.toArray
-      else buf.toArray.map(s => UTF8String.fromString(s.asInstanceOf[String]): Any)
-    new GenericArrayData(out)
-  }
+  override def eval(buf: mutable.TreeSet[Any]): Any =
+    new GenericArrayData(buf.toArray)
 
   override def serialize(buf: mutable.TreeSet[Any]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    if (isLong) buf.foreach(v => out.writeLong(v.asInstanceOf[Long]))
-    else buf.foreach { v =>
-      val b = v.asInstanceOf[String].getBytes("UTF-8")
-      out.writeInt(b.length); out.write(b)
+    child.dataType match {
+      case LongType    => buf.foreach(v => out.writeLong(v.asInstanceOf[Long]))
+      case IntegerType => buf.foreach(v => out.writeInt(v.asInstanceOf[Int]))
+      case _ => buf.foreach { v =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      }
     }
     out.flush()
     bos.toByteArray
@@ -91,10 +97,12 @@ case class MinKAgg(child: Expression, k: Int,
     val buf = createAggregationBuffer()
     var i = 0
     while (i < n) {
-      if (isLong) buf.add(in.readLong())
-      else {
-        val l = in.readInt(); val b = new Array[Byte](l); in.readFully(b)
-        buf.add(new String(b, "UTF-8"))
+      child.dataType match {
+        case LongType    => buf.add(in.readLong())
+        case IntegerType => buf.add(in.readInt())
+        case _ =>
+          val l = in.readInt(); val b = new Array[Byte](l); in.readFully(b)
+          buf.add(UTF8String.fromBytes(b))
       }
       i += 1
     }
@@ -104,10 +112,11 @@ case class MinKAgg(child: Expression, k: Int,
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType || child.dataType == StringType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"min_k needs a bigint or string child, got ${child.dataType.catalogString}")
+    child.dataType match {
+      case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"min_k needs a bigint, int, or string child, got ${other.catalogString}")
+    }
 
   override def withNewMutableAggBufferOffset(offset: Int): MinKAgg =
     copy(mutableAggBufferOffset = offset)

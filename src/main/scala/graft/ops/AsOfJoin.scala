@@ -74,6 +74,9 @@ object AsOfJoin {
                    forward: Boolean,
                    tolerance: Option[Long] = None): DataFrame = {
     require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
+    require(tolerance.isEmpty ||
+        (!left.columns.contains("_within") && !right.columns.contains("_within")),
+      "asof with tolerance reserves the working column _within; rename it")
     val leftOther = left.columns.filterNot(c => keys.contains(c))
     val tsType = right.schema(tsCol).dataType
 

@@ -102,6 +102,12 @@ object CorpusOps {
     * (map-side-combined narrow aggregate, AQE-skew-splittable annotate
     * join; never a window over full rows), keyed on the URL instead of
     * the text fingerprint.
+    *
+    * Rows with a NULL url (or a url that canonicalizes to null) pass
+    * through as singleton groups (size 1, canonical) — "URL unknown"
+    * must not collapse unrelated docs into one group, and a plain inner
+    * equi-join would instead silently DROP those rows (null keys never
+    * match).
     */
   def dedupByUrl(docs: DataFrame, urlCol: String = "url",
                  idCol: String = "doc_id"): DataFrame = {
@@ -113,14 +119,18 @@ object CorpusOps {
         s"rename the input columns: ${hit.mkString(", ")}")
     val withUrl = docs.withColumn("canonical_url",
       canonicalizeUrl(col(urlCol)))
-    val groups = withUrl.groupBy("canonical_url")
+    val known = withUrl.filter(col("canonical_url").isNotNull)
+    val groups = known.groupBy("canonical_url")
       .agg(count(lit(1)).as("url_group_size"), min(col(idCol)).as("_canon_id"))
-    withUrl.join(groups, Seq("canonical_url"))
+    val annotated = known.join(groups, Seq("canonical_url"))
       .withColumn("is_canonical", col(idCol) === col("_canon_id"))
       .drop("_canon_id")
-      .select(docs.columns.map(col) ++
-        Seq(col("canonical_url"), col("url_group_size"),
-          col("is_canonical")): _*)
+    val unknown = withUrl.filter(col("canonical_url").isNull)
+      .withColumn("url_group_size", lit(1L))
+      .withColumn("is_canonical", lit(true))
+    val outCols = docs.columns.map(col) ++
+      Seq(col("canonical_url"), col("url_group_size"), col("is_canonical"))
+    annotated.select(outCols: _*).unionByName(unknown.select(outCols: _*))
   }
 
   /** Deterministic EPOCH SHUFFLE order: a dense 0-based `epoch_order`
@@ -616,19 +626,32 @@ object CorpusOps {
     * `rank` (0-based) and the 1-row total `_n` (literal-style broadcast).
     *
     * `narrow = true` sorts/pins only the (score, id) projection and
-    * joins ranks back by id — the 100 TB mode: the pinned
-    * materialization carries two slim columns, the wide rows ride one
-    * equi-join. Requires non-null ids (they're ids). Skipped
-    * automatically when the input has no other columns.
+    * joins ranks back — the 100 TB mode: the pinned materialization
+    * carries two slim columns, the wide rows ride one equi-join.
+    * Skipped automatically when the input has no other columns.
+    *
+    * idCol must uniquely key the input (the contract of ANY
+    * deterministic global rank — direct mode gives duplicate-id twins
+    * arbitrary distinct ranks). Narrow mode is defensive about
+    * violations: the projection dedups on (score, id) and joins back
+    * NULL-SAFE on both columns, so duplicate-(score, id) twins share
+    * one rank and null ids rank instead of silently dropping (a plain
+    * Seq(idCol) inner join would multiply duplicate ids and lose null
+    * ones).
     */
   private def globalRank(df: DataFrame, scoreCol: String, idCol: String,
                          narrow: Boolean = true): DataFrame = {
     if (narrow && df.columns.length > 2) {
       val ranks = globalRankDirect(
-        df.select(col(scoreCol), col(idCol)), scoreCol, idCol)
-        .select(col(idCol), col("rank"), col("_n"))
-      df.join(ranks, Seq(idCol))
-        .select(df.columns.map(col) ++ Seq(col("rank"), col("_n")): _*)
+        df.select(col(scoreCol), col(idCol)).dropDuplicates(scoreCol, idCol),
+        scoreCol, idCol)
+        .select(col(scoreCol).as("_rk_s"), col(idCol).as("_rk_i"),
+          col("rank"), col("_n")).as("_r")
+      val l = df.as("_l")
+      l.join(ranks, col(s"_l.$scoreCol") <=> col("_rk_s") &&
+          col(s"_l.$idCol") <=> col("_rk_i"))
+        .select(df.columns.map(c => col(s"_l.$c")) ++
+          Seq(col("rank"), col("_n")): _*)
     } else globalRankDirect(df, scoreCol, idCol)
   }
 

@@ -45,7 +45,12 @@ object Dedup {
     */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val withFp = docs.withColumn("_fp", doc_fingerprint(col(textCol)))
+    // string join key with a null sentinel: null-text docs (null
+    // fingerprint) form one group like the pre-r6 window semantics —
+    // a plain Seq("_fp") equi-join would silently DROP them (null keys
+    // never match). cast(long as string) can never collide with "null".
+    val withFp = docs.withColumn("_fp",
+      coalesce(doc_fingerprint(col(textCol)).cast("string"), lit("null")))
     val groups = withFp.groupBy("_fp")
       .agg(count(lit(1)).as("dup_group_size"), min(col(idCol)).as("_canon_id"))
     withFp.join(groups, Seq("_fp"))

@@ -657,8 +657,13 @@ object Similarity {
     require(k > 0 && lambda >= 0.0 && lambda <= 1.0)
     val spark = candidates.sparkSession
     import spark.implicits._
+    // a NaN score poisons every marginal-relevance comparison (argmax
+    // finds no candidate and the greedy would fail) and a null embedding
+    // NPEs the cosine — drop such rows up front rather than crash a task
     candidates.select(col(queryIdCol).cast("long"), col(docIdCol).cast("long"),
         col(scoreCol).cast("double"), col(vecCol))
+      .filter(col(vecCol).isNotNull && !isnan(col(scoreCol)) &&
+        col(scoreCol).isNotNull)
       .as[(Long, Long, Double, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
@@ -675,7 +680,8 @@ object Similarity {
         }
         val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
         val chosen = scala.collection.mutable.BitSet.empty
-        while (selected.length < math.min(k, cand.length)) {
+        var exhausted = false
+        while (!exhausted && selected.length < math.min(k, cand.length)) {
           var bestIdx = -1
           var bestVal = Double.NegativeInfinity
           var i = 0
@@ -692,8 +698,11 @@ object Similarity {
             }
             i += 1
           }
-          chosen += bestIdx
-          selected += bestIdx
+          if (bestIdx < 0) exhausted = true // unreachable with the NaN filter
+          else {
+            chosen += bestIdx
+            selected += bestIdx
+          }
         }
         selected.iterator.zipWithIndex.map { case (i, r) =>
           (qid, cand(i)._2, r + 1)

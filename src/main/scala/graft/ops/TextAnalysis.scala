@@ -220,13 +220,17 @@ object TextAnalysis {
     require(hit.isEmpty,
       s"filterParagraphs reserves ${reserved.mkString(", ")}; " +
         s"rename the input columns: ${hit.mkString(", ")}")
-    val kept = paragraphStats(docs, delim, idCol, textCol)
-      .filter(col("n_words") >= minWords &&
-        col("n_stop").cast("double") >= lit(minStopRatio) * col("n_words"))
-      .select(col(idCol), col("par_idx"))
-    val pars = docs.select(col(idCol),
-      posexplode(split(col(textCol), delim)).as(Seq("par_idx", "_p")))
-    val rebuilt = pars.join(kept, Seq(idCol, "par_idx"))
+    // ONE explode: stats computed inline on the exploded paragraphs and
+    // the survivors rebuilt from the same rows — no second split pass, no
+    // (id, par_idx) self-join
+    val words = filter(split(lower(trim(col("_p"))), "\\s+"), w => w =!= "")
+    val kept = docs.select(col(idCol),
+        posexplode(split(col(textCol), delim)).as(Seq("par_idx", "_p")))
+      .withColumn("_nw", size(words).cast("long"))
+      .filter(col("_nw") >= minWords &&
+        size(filter(words, w => array_contains(stopwordArray, w)))
+          .cast("double") >= lit(minStopRatio) * col("_nw"))
+    val rebuilt = kept
       .groupBy(idCol)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("par_idx"), col("_p")))),

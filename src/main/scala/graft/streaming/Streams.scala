@@ -501,7 +501,16 @@ object Streams {
                            retainGenerations: Int = 2,
                            idCol: String = "doc_id",
                            textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(retainGenerations >= 1)
+    // >= 2 is a CORRECTNESS bound, not tuning: with only the newest
+    // generation retained, a batch replayed after a crash between its
+    // state write and the checkpoint commit finds no gen < batchId,
+    // falls back to an EMPTY state, and overwrites its generation with
+    // one missing every earlier day's rows — silent permanent
+    // dedup-state corruption. Keeping gen batchId-1 makes replay read
+    // the same pre-batch state it read the first time.
+    require(retainGenerations >= 2,
+      s"retainGenerations=$retainGenerations would drop the previous " +
+        "generation a crash replay must re-read; need >= 2")
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
