@@ -73,6 +73,61 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((1L, true)))
   }
 
+  test("exact dedup keeps null-text docs as one group (review regression)") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, null),
+      (3L, null), (4L, "something else entirely here")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("dup_group_size"), r.getAs[Boolean]("is_canonical"))))
+      .toMap
+    assert(out.size == 4, s"null-text docs must not vanish: $out")
+    assert(out(2L) == ((2L, true)) && out(3L) == ((2L, false)))
+    assert(out(1L) == ((1L, true)))
+  }
+
+  test("exactGroups works with integer ids (min_k int support)") {
+    import spark.implicits._
+    val docs = Seq((1, "same text body here"), (2, "same text body here"),
+      (3, "different body")).toDF("doc_id", "text")
+    val g = graft.ops.Dedup.exactGroups(docs).collect()
+    assert(g.length == 1 && g(0).getSeq[Int](3) == Seq(1, 2))
+  }
+
+  test("min_k string order matches Spark's binary min for non-BMP strings") {
+    import spark.implicits._
+    val df = Seq("￿", new String(Character.toChars(0x10000))).toDF("s")
+    val minK = df.agg(graft.functions.MinK.min_k(col("s"), 1))
+      .head().getSeq[String](0).head
+    val sparkMin = df.agg(min(col("s"))).head().getString(0)
+    assert(minK == sparkMin,
+      "min_k must use UTF8String binary order like Spark's min")
+  }
+
+  test("dedupByUrl passes null-URL rows through as singleton groups") {
+    import spark.implicits._
+    val docs = Seq((1L, "https://example.com/a"), (2L, null),
+      (3L, null)).toDF("doc_id", "url")
+    val out = graft.ops.CorpusOps.dedupByUrl(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("url_group_size"),
+        r.getAs[Boolean]("is_canonical")))).toMap
+    assert(out.size == 3, s"null-url rows must not vanish: $out")
+    assert(out(2L) == ((1L, true)) && out(3L) == ((1L, true)),
+      "null-url docs must NOT collapse into one group")
+  }
+
+  test("mmrRerank survives NaN scores and null embeddings") {
+    import spark.implicits._
+    val e = Array(1.0f, 0.0f)
+    val cands = Seq(
+      (0L, 1L, 0.9, Some(e.toSeq)), (0L, 2L, Double.NaN, Some(e.toSeq)),
+      (0L, 3L, 0.5, Option.empty[Seq[Float]]), (0L, 4L, 0.4, Some(e.toSeq)))
+      .toDF("query_id", "doc_id", "score", "embedding")
+    val out = graft.ops.Similarity.mmrRerank(cands, k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(1L, 4L), s"NaN/null candidates dropped, got $out")
+  }
+
   test("mmrRerank: diversification beats raw relevance order") {
     import spark.implicits._
     // docs 10/11 are near-identical vectors with top scores; doc 12 is
