@@ -1649,6 +1649,59 @@ object SparkEntry {
         window = Some(8))
     }),
 
+    "q_validate_dialogs" -> ((s, d) => {
+      // chat-corpus structural gate (ops.DialogOps.validateDialogs):
+      // synthetic dialogs built from real doc text with planted defects
+      // (role repeat every 5th, empty content every 7th, assistant-first
+      // every 11th) — exact oracle via window lag alternation in DuckDB
+      val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+      val dialogs = docs.select(col("doc_id").as("dialog_id"),
+        array(
+          struct(
+            when(col("doc_id") % 11 === 0, "assistant").otherwise("user")
+              .as("role"),
+            col("text").as("content")),
+          struct(
+            when(col("doc_id") % 5 === 0, "user").otherwise("assistant")
+              .as("role"),
+            when(col("doc_id") % 7 === 0, " ")
+              .otherwise(concat(lit("re: "), col("text"))).as("content")))
+          .as("turns"))
+      graft.ops.DialogOps.validateDialogs(dialogs)
+        .select("dialog_id", "n_turns", "starts_with_user",
+          "ends_with_assistant", "alternates", "all_nonempty", "valid")
+    }),
+
+    "q_render_dialogs" -> ((s, d) => {
+      // dialog flattening (ops.DialogOps.renderDialogs): role-tag
+      // template + newline join — exact string oracle
+      val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+      val dialogs = docs.select(col("doc_id").as("dialog_id"),
+        array(
+          struct(lit("user").as("role"), col("text").as("content")),
+          struct(lit("assistant").as("role"),
+            concat(lit("re: "), col("text")).as("content")))
+          .as("turns"))
+      graft.ops.DialogOps.renderDialogs(dialogs)
+        .select("dialog_id", "rendered_text", "n_render_chars")
+    }),
+
+    "q_split_leakage" -> ((s, d) => {
+      // split-leakage audit (ops.Pipelines.auditSplitLeakage): near-dup
+      // pairs crossing the deterministic hash-split boundary — rows-only
+      // (MinHash bands are model state; the pair stage is the certified
+      // minhashLsh), planted near-dups guarantee a non-empty audit
+      val docs = par(s, t(s, d, "documents")).select("doc_id", "text")
+      // plant near-dups: replicate every 10th doc with a tweaked tail
+      // and a shifted id (lands in a different split bucket often)
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" tail tweak")).as("text"))
+      val corpus = docs.union(planted)
+        .withColumn("split", graft.ops.CorpusOps.hashSplit("doc_id"))
+      graft.ops.Pipelines.auditSplitLeakage(corpus, threshold = 0.8)
+    }),
+
     "q_epoch_shuffle" -> ((s, d) => {
       // deterministic per-epoch training order (ops.CorpusOps.epochShuffle):
       // dense 0-based rank on md5('3:' || doc_id) — reproducible global
@@ -2718,6 +2771,34 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40""".stripMargin,
+
+    "q_validate_dialogs" ->
+      """WITH dlg AS (
+        |  SELECT doc_id AS dialog_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'assistant' ELSE 'user' END
+        |      AS r1,
+        |    text AS c1,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'user' ELSE 'assistant' END
+        |      AS r2,
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ' ELSE 're: ' || text END
+        |      AS c2
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT dialog_id, CAST(2 AS BIGINT) AS n_turns,
+        |  r1 = 'user' AS starts_with_user,
+        |  r2 = 'assistant' AS ends_with_assistant,
+        |  r1 <> r2 AS alternates,
+        |  len(trim(c1)) > 0 AND len(trim(c2)) > 0 AS all_nonempty,
+        |  r1 = 'user' AND r2 = 'assistant' AND r1 <> r2
+        |    AND len(trim(c1)) > 0 AND len(trim(c2)) > 0 AS valid
+        |FROM dlg""".stripMargin,
+
+    "q_render_dialogs" ->
+      """SELECT doc_id AS dialog_id,
+        |  '<|user|>' || text || chr(10) || '<|assistant|>re: ' || text
+        |    AS rendered_text,
+        |  CAST(len('<|user|>' || text || chr(10)
+        |    || '<|assistant|>re: ' || text) AS BIGINT) AS n_render_chars
+        |FROM documents WHERE doc_id < 500""".stripMargin,
 
     "q_epoch_shuffle" ->
       """SELECT doc_id,

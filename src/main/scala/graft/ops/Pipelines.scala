@@ -430,6 +430,35 @@ object Pipelines {
     BatchCurationResult(packed, admitted, newState, report)
   }
 
+  /** SPLIT-LEAKAGE audit: near-dup pairs whose members landed in
+    * DIFFERENT train/val/test splits — the leakage a doc-keyed split
+    * cannot prevent (two near-duplicate but distinct docs hash to
+    * different splits, and the val member leaks the train member's
+    * content). Run on the post-dedup corpus: pairs that survive
+    * curation's own near-dedup at `threshold` but cross a split boundary
+    * are the ones to fix (drop the non-train member, or tighten the
+    * dedup threshold). Pure composition of [[Dedup.minhashLsh]] with two
+    * id-keyed label joins.
+    *
+    * @return (id_a, id_b, jaccard, split_a, split_b), split_a != split_b
+    */
+  def auditSplitLeakage(docs: DataFrame, splitCol: String = "split",
+                        threshold: Double = 0.7, shingleK: Int = 5,
+                        numHashes: Int = 128, bands: Int = 32,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, threshold, shingleK, numHashes,
+      bands, idCol, textCol)
+    val lab = docs.select(col(idCol), col(splitCol))
+    pairs
+      .join(lab.select(col(idCol).as("id_a"), col(splitCol).as("split_a")),
+        Seq("id_a"))
+      .join(lab.select(col(idCol).as("id_b"), col(splitCol).as("split_b")),
+        Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+  }
+
   /** Publish the curated chunks for training: one tree per split, each
     * written as globally sorted shards on (shard, pack_id, chunk_key)
     * ([[Layout.writeRangeSharded]]) — so a training job reads shard files

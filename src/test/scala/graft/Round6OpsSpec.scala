@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Round-6 operator batch: paragraph-granularity quality stats and the
   * jusText-style boilerplate filter.
   */
+case class Turn(role: String, content: String)
+
 class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -71,6 +73,57 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Boolean]("is_canonical")))).toMap
     assert(out(1L) == ((2L, true)) && out(2L) == ((2L, false)))
     assert(out(3L) == ((1L, true)))
+  }
+
+  test("validateDialogs: each structural flag catches its defect") {
+    import spark.implicits._
+    val dialogs = Seq(
+      (1L, Seq(Turn("user", "hi"), Turn("assistant", "hello"))),     // valid
+      (2L, Seq(Turn("assistant", "hi"), Turn("user", "x"))),         // wrong ends
+      (3L, Seq(Turn("user", "a"), Turn("user", "b"),
+        Turn("assistant", "c"))),                                    // no alt
+      (4L, Seq(Turn("user", "a"), Turn("assistant", "  "))),         // blank
+      (5L, Seq(Turn("user", "only one turn"))),                      // too short
+      (6L, Seq.empty[Turn])                                          // empty
+    ).toDF("dialog_id", "turns")
+    val out = graft.ops.DialogOps.validateDialogs(dialogs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Boolean]("starts_with_user"),
+        r.getAs[Boolean]("ends_with_assistant"),
+        r.getAs[Boolean]("alternates"), r.getAs[Boolean]("all_nonempty"),
+        r.getAs[Boolean]("valid")))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L)._5 == false && out(2L)._1 == false && out(2L)._2 == false)
+    assert(out(3L)._3 == false && out(3L)._5 == false)
+    assert(out(4L)._4 == false && out(4L)._5 == false)
+    assert(out(5L)._5 == false)
+    assert(out(6L) == ((false, false, true, true, false)))
+  }
+
+  test("renderDialogs flattens with role tags in turn order") {
+    import spark.implicits._
+    val dialogs = Seq(
+      (1L, Seq(Turn("user", "hi"), Turn("assistant", "hello there"))))
+      .toDF("dialog_id", "turns")
+    val r = graft.ops.DialogOps.renderDialogs(dialogs).head()
+    assert(r.getAs[String]("rendered_text")
+      == "<|user|>hi\n<|assistant|>hello there")
+    assert(r.getAs[Long]("n_render_chars") == 35L)
+  }
+
+  test("auditSplitLeakage reports only cross-split near-dup pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base, "train"), (2L, base + " x", "val"),   // near-dups, cross-split
+      (3L, base + " y", "train"),                        // near-dup, same split as 1
+      (4L, "a completely different body of text with other words", "test"))
+      .toDF("doc_id", "text", "split")
+    val out = graft.ops.Pipelines.auditSplitLeakage(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), s"cross-split pair must be reported: $out")
+    assert(out.contains((2L, 3L)))
+    assert(!out.contains((1L, 3L)), "same-split pair is not leakage")
+    assert(!out.exists { case (a, b) => a == 4L || b == 4L })
   }
 
   test("exact dedup keeps null-text docs as one group (review regression)") {
