@@ -447,9 +447,15 @@ object Pipelines {
                         numHashes: Int = 128, bands: Int = 32,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val pairs = Dedup.minhashLsh(docs, threshold, shingleK, numHashes,
+    // the corpus is referenced five times downstream (three in the pair
+    // generator, two label joins) and Catalyst has no cross-branch scan
+    // reuse — pin the narrow projection once (the semanticDedup
+    // precedent) so the source is read once, not five times
+    val pinned = docs.select(col(idCol), col(textCol), col(splitCol))
+      .localCheckpoint(true)
+    val pairs = Dedup.minhashLsh(pinned, threshold, shingleK, numHashes,
       bands, idCol, textCol)
-    val lab = docs.select(col(idCol), col(splitCol))
+    val lab = pinned.select(col(idCol), col(splitCol))
     pairs
       .join(lab.select(col(idCol).as("id_a"), col(splitCol).as("split_a")),
         Seq("id_a"))

@@ -13,7 +13,10 @@ object ExplainAudit {
         "q_dedup_minhash", "q_sim_topk", "q_bloom_pruned_join",
         "q_dup_spans", "q_quantize_int8", "q_approx_topk",
         "q_ann_ivf_quant", "q_scd2", "q_hamming_pairs", "q_bm25_topk",
-        "q_interval_overlap", "q_knn_classify", "q_centroid_classify")) {
+        "q_interval_overlap", "q_knn_classify", "q_centroid_classify",
+        "q_dedup_url", "q_filter_paragraphs", "q_rrf_fuse",
+        "q_sample_negatives", "q_epoch_shuffle", "q_asof_tolerance",
+        "q_split_leakage", "q_bm25_probe_persisted")) {
       val plan = SparkEntry.queries(name)(spark, d)
         .queryExecution.executedPlan.toString
       println(s"===== $name =====")
