@@ -156,6 +156,8 @@ object IndexStore {
     writeBucketedTable(state.lines, s"${prefix}_lines",
       Seq("line_h"), buckets, path)
     writeMinhashIndex(state.minhash, s"${prefix}_mh", buckets, path)
+    state.urls.foreach(u => writeBucketedTable(u, s"${prefix}_urls",
+      Seq("canonical_url"), buckets, path))
   }
 
   def readCorpusState(spark: SparkSession,
@@ -163,7 +165,10 @@ object IndexStore {
     Pipelines.CorpusState(
       spark.table(s"${prefix}_fingerprints"),
       spark.table(s"${prefix}_lines"),
-      readMinhashIndex(spark, s"${prefix}_mh"))
+      readMinhashIndex(spark, s"${prefix}_mh"),
+      if (spark.catalog.tableExists(s"${prefix}_urls"))
+        Some(spark.table(s"${prefix}_urls"))
+      else None)
 
   // --- tokenizer models --------------------------------------------------
 

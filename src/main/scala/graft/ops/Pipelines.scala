@@ -277,20 +277,27 @@ object Pipelines {
     * the same text the within-day checks saw.
     */
   final case class CorpusState(fingerprints: DataFrame, lines: DataFrame,
-                               minhash: Dedup.MinHashIndex)
+                               minhash: Dedup.MinHashIndex,
+                               urls: Option[DataFrame] = None)
 
   /** Build [[CorpusState]] from an already-admitted corpus (pass
     * `docs.limit(0)` for the day-0 empty state — schemas derive from the
-    * input, so no hand-written empty schemas).
+    * input, so no hand-written empty schemas). Pass `urlCol` to also
+    * carry the canonical-URL index (1 narrow column — the crawl-dedup
+    * state; at 100 TB bucketed by canonical_url).
     */
   def initCorpusState(docs: DataFrame, shingleK: Int = 5,
                       numHashes: Int = 128, bands: Int = 32,
                       delim: String = "\n", idCol: String = "doc_id",
-                      textCol: String = "text"): CorpusState =
+                      textCol: String = "text",
+                      urlCol: Option[String] = None): CorpusState =
     CorpusState(
       Dedup.fingerprintIndex(docs, textCol),
       Dedup.lineIndex(docs, delim, textCol),
-      Dedup.buildMinhashIndex(docs, shingleK, numHashes, bands, idCol, textCol))
+      Dedup.buildMinhashIndex(docs, shingleK, numHashes, bands, idCol, textCol),
+      urlCol.map(u => docs
+        .select(CorpusOps.canonicalizeUrl(col(u)).as("canonical_url"))
+        .filter(col("canonical_url").isNotNull).distinct()))
 
   final case class BatchCurationResult(chunks: DataFrame, admitted: DataFrame,
                                        state: CorpusState, report: DataFrame)
@@ -324,12 +331,16 @@ object Pipelines {
                   nearDupThreshold: Double = 0.7,
                   blocklist: Option[DataFrame] = None,
                   dedupLinesDelim: Option[String] = None,
+                  urlCol: Option[String] = None,
                   shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                   chunkTokens: Int = 256, chunkStride: Int = 256,
                   packBudget: Long = 2048,
                   audit: Boolean = true,
                   idCol: String = "doc_id",
                   textCol: String = "text"): BatchCurationResult = {
+    require(urlCol.isEmpty || state.urls.nonEmpty,
+      "urlCol given but the CorpusState carries no URL index — build the " +
+        "state with initCorpusState(urlCol = ...)")
     val spark = batch.sparkSession
     import spark.implicits._
 
@@ -343,8 +354,23 @@ object Pipelines {
       pinned
     }
 
+    // optional URL dedup, both axes: within-batch canonical winners,
+    // then anti-join against the corpus canonical-URL index — a page
+    // crawled on an earlier day is rejected before its text is read
+    val urlDeduped = urlCol match {
+      case Some(u) => stage("url-dedup-incremental", {
+        // left_anti keeps null-canonical rows by itself (a null key
+        // matches nothing), so no special-casing is needed here
+        CorpusOps.dedupByUrl(batch, u, idCol)
+          .filter(col("is_canonical"))
+          .join(state.urls.get, Seq("canonical_url"), "left_anti")
+          .drop("canonical_url", "url_group_size", "is_canonical")
+      })
+      case None => batch
+    }
+
     val annotated = stage("input+annotate",
-      TextAnalysis.annotate(batch, textCol))
+      TextAnalysis.annotate(urlDeduped, textCol))
 
     val gated = stage("quality-gate", annotated
       .filter(col("lang_pred").isin(langs: _*))
@@ -417,14 +443,18 @@ object Pipelines {
 
     val delim = dedupLinesDelim.getOrElse("\n")
     val admittedIdx = initCorpusState(admitted, shingleK, numHashes, bands,
-      delim, idCol, textCol)
+      delim, idCol, textCol, urlCol)
     val newState = CorpusState(
       state.fingerprints.union(admittedIdx.fingerprints).distinct(),
       state.lines.union(admittedIdx.lines)
         .groupBy("line_h", "line").agg(sum(col("n_occ")).as("n_occ")),
       Dedup.MinHashIndex(
         state.minhash.buckets.union(admittedIdx.minhash.buckets),
-        state.minhash.sigs.union(admittedIdx.minhash.sigs)))
+        state.minhash.sigs.union(admittedIdx.minhash.sigs)),
+      (state.urls, admittedIdx.urls) match {
+        case (Some(a), Some(b)) => Some(a.union(b).distinct())
+        case (a, b) => a.orElse(b)
+      })
 
     val report = stages.toSeq.toDF("stage", "rows")
     BatchCurationResult(packed, admitted, newState, report)

@@ -496,6 +496,7 @@ object Streams {
                            maxRepetition: Double = 0.3,
                            nearDupThreshold: Double = 0.7,
                            dedupLinesDelim: Option[String] = None,
+                           urlCol: Option[String] = None,
                            stateBuckets: Int = 8,
                            statePath: Option[String] = None,
                            retainGenerations: Int = 2,
@@ -520,10 +521,12 @@ object Streams {
           val state = latestStateBefore(spark, statePrefix, batchId)
             .map(_._2)
             .getOrElse(graft.ops.Pipelines.initCorpusState(
-              batch.limit(0), idCol = idCol, textCol = textCol))
+              batch.limit(0), idCol = idCol, textCol = textCol,
+              urlCol = urlCol))
           val r = graft.ops.Pipelines.curateBatch(state, batch, eval,
             langs, minQuality, maxRepetition, nearDupThreshold,
             blocklist = None, dedupLinesDelim = dedupLinesDelim,
+            urlCol = urlCol,
             audit = false, idCol = idCol, textCol = textCol)
           writeBatchIdempotent(r.chunks, batchId, outPath)
           graft.ops.IndexStore.writeCorpusState(r.state,
@@ -535,7 +538,7 @@ object Streams {
           val gens = spark.catalog.listTables().collect().toSeq
             .map(_.name).collect { case pat(n) => n.toLong }.sorted
           gens.dropRight(retainGenerations).foreach { g =>
-            Seq("fingerprints", "lines", "mh_buckets", "mh_sigs").foreach(t =>
+            Seq("fingerprints", "lines", "mh_buckets", "mh_sigs", "urls").foreach(t =>
               spark.sql(s"DROP TABLE IF EXISTS ${statePrefix}_g${g}_$t"))
           }
         }

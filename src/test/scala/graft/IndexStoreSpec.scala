@@ -162,6 +162,17 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == Set(11L) && live == back,
       s"reloaded state must gate identically: live=$live back=$back")
     r1.chunks.unpersist()
+
+    // the optional URL index round-trips too (absent -> None)
+    assert(reloaded.urls.isEmpty)
+    import spark.implicits._
+    val urlState = graft.ops.Pipelines.initCorpusState(
+      Seq((1L, "https://example.com/a?b=2&a=1", "the cat sat on a mat"))
+        .toDF("doc_id", "url", "text"), urlCol = Some("url"))
+    IndexStore.writeCorpusState(urlState, "cstate_u", buckets = 2)
+    val backU = IndexStore.readCorpusState(spark, "cstate_u")
+    assert(backU.urls.map(_.collect().map(_.getString(0)).toSeq)
+      == Some(Seq("https://example.com/a?a=1&b=2")))
   }
 
   test("tokenizer models round-trip; encode identical on reload") {

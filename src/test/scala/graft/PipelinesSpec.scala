@@ -345,6 +345,48 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     r.chunks.unpersist()
   }
 
+  test("curateBatch urlCol: cross-day canonical-URL rejection") {
+    import spark.implicits._
+    val eval = Seq((9L, "no overlap here with any train document at all"))
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      (1L, "https://example.com/a?b=2&a=1",
+        "the cat sat on the mat and then the dog sat down too"))
+      .toDF("doc_id", "url", "text")
+    def curate(state: Pipelines.CorpusState, batch: org.apache.spark.sql.DataFrame) =
+      Pipelines.curateBatch(state, batch, eval,
+        minQuality = 0.0, maxRepetition = 0.95, nearDupThreshold = 0.95,
+        urlCol = Some("url"),
+        chunkTokens = 64, chunkStride = 64, packBudget = 256)
+    val r1 = curate(
+      Pipelines.initCorpusState(day1.limit(0), urlCol = Some("url")), day1)
+    assert(r1.admitted.count() == 1)
+    val day2 = Seq(
+      // same page, URL variant, DIFFERENT text: only the URL state can
+      // catch it (text dedup sees fresh content)
+      (10L, "HTTPS://Example.COM:443/a/?a=1&b=2&utm_source=x#f",
+        "a fresh rewrite of the page with entirely different words in it"),
+      // novel page
+      (11L, "https://example.com/b",
+        "this is another long sentence of prose with the usual words here"),
+      // null URL must pass straight through to the text gates
+      (12L, null,
+        "a third document body that is genuinely new and quite unlike others"))
+      .toDF("doc_id", "url", "text")
+    val r2 = curate(r1.state, day2)
+    val admitted2 = r2.admitted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted2 == Set(11L, 12L),
+      s"day-1 URL variant must be rejected, null URL admitted: $admitted2")
+    // the state rolls forward: day-3 replay of day-2's URL is rejected
+    val day3 = Seq((20L, "https://example.com/b?utm_source=z",
+      "completely new words again for the third day of crawling"))
+      .toDF("doc_id", "url", "text")
+    val r3 = curate(r2.state, day3)
+    assert(r3.admitted.count() == 0)
+    r1.chunks.unpersist(); r2.chunks.unpersist(); r3.chunks.unpersist()
+  }
+
   test("curateBatch day-1 with empty state equals curateCorpus") {
     import spark.implicits._
     val docs = spark.read
