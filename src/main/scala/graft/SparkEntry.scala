@@ -1693,9 +1693,11 @@ object SparkEntry {
       // minhashLsh), planted near-dups guarantee a non-empty audit
       val docs = par(s, t(s, d, "documents")).select("doc_id", "text")
       // plant near-dups: replicate every 10th doc with a tweaked tail
-      // and a shifted id (lands in a different split bucket often)
+      // and a NEGATED id — real doc ids are non-negative at every SF, so
+      // the planted ids can never collide (ids must stay unique for the
+      // label joins and minhash signatures)
       val planted = docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"),
+        .select((-(col("doc_id") + 1)).as("doc_id"),
           concat(col("text"), lit(" tail tweak")).as("text"))
       val corpus = docs.union(planted)
         .withColumn("split", graft.ops.CorpusOps.hashSplit("doc_id"))

@@ -74,9 +74,11 @@ object CorpusOps {
     *  4. drop tracking query params (`utm_*`, `gclid`, `fbclid`, `ref`),
     *     sort the survivors, drop the `?` when none survive
     *
-    * Non-URL strings (no `scheme://`) canonicalize to their
-    * query-stripped tail only — garbage in, deterministic garbage out;
-    * gate upstream if inputs may be malformed.
+    * Non-URL strings (no `scheme://` head — empty, whitespace, "N/A",
+    * bare paths) canonicalize to NULL, the same verdict as a null input:
+    * "not a URL" must flow into [[dedupByUrl]]'s null pass-through
+    * (singleton groups) rather than collapse every malformed record
+    * into one shared ""-keyed group that dedup would then decimate.
     */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(trim(u), "#.*$", "")
@@ -92,8 +94,9 @@ object CorpusOps {
     val params = filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))
     val q = array_join(array_sort(params), "&")
-    concat(headNoPort, pathClean,
-      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+    when(headNoPort === "", lit(null).cast("string"))
+      .otherwise(concat(headNoPort, pathClean,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
   /** Exact dedup on the CANONICAL URL: annotate each row with

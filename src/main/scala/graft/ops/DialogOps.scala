@@ -35,20 +35,24 @@ object DialogOps {
     val t = coalesce(col(turnsCol), array())
     val r = roles(t)
     val n = size(t)
-    // adjacent-pair alternation via zip of the role list with itself
-    // shifted by one; vacuously true below 2 turns
+    // every flag is NULL-PROOF (coalesce to false inside each lambda /
+    // comparison): a null role or null content is a DEFECT, and three-
+    // valued logic would otherwise make the flags NULL — a dialog that
+    // passes neither filter(valid) nor filter(!valid), vanishing from
+    // both the accept set and the reject audit
     val alternates = when(n < 2, lit(true)).otherwise(
       forall(zip_with(slice(r, lit(1), n - 1), slice(r, lit(2), n - 1),
-        (a, b) => a =!= b), x => x))
+        (a, b) => coalesce(a =!= b, lit(false))), x => x))
     dialogs
       .withColumn("n_turns", n.cast("long"))
       .withColumn("starts_with_user",
-        n > 0 && element_at(r, 1) === "user")
+        coalesce(n > 0 && element_at(r, 1) === "user", lit(false)))
       .withColumn("ends_with_assistant",
-        n > 0 && element_at(r, -1) === "assistant")
+        coalesce(n > 0 && element_at(r, -1) === "assistant", lit(false)))
       .withColumn("alternates", alternates)
       .withColumn("all_nonempty",
-        forall(t, x => length(trim(x.getField("content"))) > 0))
+        forall(t, x =>
+          coalesce(length(trim(x.getField("content"))) > 0, lit(false))))
       .withColumn("valid",
         col("n_turns") >= 2 && col("starts_with_user") &&
           col("ends_with_assistant") && col("alternates") &&
@@ -58,7 +62,11 @@ object DialogOps {
   /** Render each dialog to ONE training text:
     * `<rolePrefix>role<roleSuffix>content` per turn, joined by `sep` —
     * the flattening step before tokenization/packing. Pure string
-    * expression; exact cross-engine.
+    * expression; exact cross-engine. Null roles/contents render as ""
+    * INSIDE their turn (the tag structure survives) — a plain `concat`
+    * would null the whole element and `array_join` would then silently
+    * drop the turn, corrupting the sample's turn structure; gate with
+    * [[validateDialogs]] first if such dialogs should not render at all.
     *
     * @return input columns + `rendered_text` + `n_render_chars`
     */
@@ -68,8 +76,8 @@ object DialogOps {
                     sep: String = "\n"): DataFrame = {
     val rendered = array_join(
       transform(coalesce(col(turnsCol), array()),
-        t => concat(lit(rolePrefix), t.getField("role"), lit(roleSuffix),
-          t.getField("content"))), sep)
+        t => concat(lit(rolePrefix), coalesce(t.getField("role"), lit("")),
+          lit(roleSuffix), coalesce(t.getField("content"), lit("")))), sep)
     dialogs
       .withColumn("rendered_text", rendered)
       .withColumn("n_render_chars", length(rendered).cast("long"))

@@ -156,8 +156,17 @@ object IndexStore {
     writeBucketedTable(state.lines, s"${prefix}_lines",
       Seq("line_h"), buckets, path)
     writeMinhashIndex(state.minhash, s"${prefix}_mh", buckets, path)
-    state.urls.foreach(u => writeBucketedTable(u, s"${prefix}_urls",
-      Seq("canonical_url"), buckets, path))
+    state.urls match {
+      case Some(u) => writeBucketedTable(u, s"${prefix}_urls",
+        Seq("canonical_url"), buckets, path)
+      case None =>
+        // a rewrite of the same prefix WITHOUT URL state must not leave
+        // a stale _urls table for readCorpusState to resurrect (it
+        // would be inconsistent with the rest of the generation)
+        state.fingerprints.sparkSession
+          .sql(s"DROP TABLE IF EXISTS ${prefix}_urls")
+        ()
+    }
   }
 
   def readCorpusState(spark: SparkSession,

@@ -341,6 +341,10 @@ object Pipelines {
     require(urlCol.isEmpty || state.urls.nonEmpty,
       "urlCol given but the CorpusState carries no URL index — build the " +
         "state with initCorpusState(urlCol = ...)")
+    require(urlCol.nonEmpty || state.urls.isEmpty,
+      "the CorpusState carries a URL index but no urlCol was given — a " +
+        "day curated without the URL gate would admit docs whose URLs " +
+        "never enter the index, silently breaking later days' rejection")
     val spark = batch.sparkSession
     import spark.implicits._
 

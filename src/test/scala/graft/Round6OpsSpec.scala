@@ -59,6 +59,51 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(graft.ops.CorpusOps.canonicalizeUrl(col("url")))
       .collect().map(_.getString(0)).toSeq
     assert(out == cases.map(_._2), s"got $out")
+    // malformed / non-URL strings canonicalize to NULL (so dedupByUrl's
+    // null pass-through applies) — NOT to a shared "" group
+    val bad = Seq("", "   ", "N/A", "just a path/like/this", "no-scheme.com")
+      .toDF("url")
+      .select(graft.ops.CorpusOps.canonicalizeUrl(col("url")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(bad.forall(_.isEmpty), s"malformed urls must be null: ${bad.toSeq}")
+  }
+
+  test("dedupByUrl: malformed URLs stay singleton groups (review #2 fix)") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "N/A"), (3L, ""),
+      (4L, "https://example.com/a")).toDF("doc_id", "url")
+    val out = graft.ops.CorpusOps.dedupByUrl(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_canonical")).toMap
+    assert(out.size == 4 && out.values.forall(identity),
+      s"malformed-url docs must each stay canonical singletons: $out")
+  }
+
+  test("validateDialogs: null role/content flags false, never NULL") {
+    import spark.implicits._
+    val dialogs = Seq(
+      (1L, Seq(Turn("user", null), Turn("assistant", "ok"))),
+      (2L, Seq(Turn(null, "hi"), Turn("assistant", "ok"))))
+      .toDF("dialog_id", "turns")
+    val rows = graft.ops.DialogOps.validateDialogs(dialogs).collect()
+    rows.foreach { r =>
+      Seq("starts_with_user", "ends_with_assistant", "alternates",
+        "all_nonempty", "valid").foreach(c =>
+        assert(!r.isNullAt(r.fieldIndex(c)),
+          s"flag $c must never be NULL (three-valued-logic escape)"))
+    }
+    val byId = rows.map(r => r.getLong(0) ->
+      r.getAs[Boolean]("valid")).toMap
+    assert(byId(1L) == false && byId(2L) == false)
+  }
+
+  test("renderDialogs keeps turn structure under null role/content") {
+    import spark.implicits._
+    val dialogs = Seq(
+      (1L, Seq(Turn("user", "hi"), Turn("assistant", null))))
+      .toDF("dialog_id", "turns")
+    val r = graft.ops.DialogOps.renderDialogs(dialogs).head()
+    assert(r.getAs[String]("rendered_text") == "<|user|>hi\n<|assistant|>",
+      "a null content must not silently drop the whole turn")
   }
 
   test("dedupByUrl groups URL variants, min doc_id canonical") {
