@@ -1649,6 +1649,23 @@ object SparkEntry {
         window = Some(8))
     }),
 
+    "q_k_anonymity" -> ((s, d) => {
+      // k-anonymity audit (ops.Profile.kAnonymityViolations): classes of
+      // (nationkey, acctbal) smaller than k=5 re-identify their members —
+      // acctbal is near-unique so violations exist at every SF
+      graft.ops.Profile.kAnonymityViolations(
+        t(s, d, "customer"), Seq("c_nationkey", "c_acctbal"), k = 5)
+    }),
+
+    "q_k_anonymity_rows" -> ((s, d) => {
+      // row-level annotation (ops.Profile.annotateKAnonymity): each row
+      // with its equivalence-class size under (mktsegment, nationkey)
+      graft.ops.Profile.annotateKAnonymity(
+        t(s, d, "customer").filter(col("c_custkey") <= 500)
+          .select("c_custkey", "c_mktsegment", "c_nationkey"),
+        Seq("c_mktsegment", "c_nationkey"), k = 3)
+    }),
+
     "q_validate_dialogs" -> ((s, d) => {
       // chat-corpus structural gate (ops.DialogOps.validateDialogs):
       // synthetic dialogs built from real doc text with planted defects
@@ -2773,6 +2790,21 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_acctbal, count(*) AS class_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 5""".stripMargin,
+
+    "q_k_anonymity_rows" ->
+      """WITH sub AS (
+        |  SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+        |  WHERE c_custkey <= 500),
+        |cls AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+        |  FROM sub GROUP BY 1, 2)
+        |SELECT s.c_custkey, s.c_mktsegment, s.c_nationkey,
+        |  c.class_size, c.class_size >= 3 AS is_k_anonymous
+        |FROM sub s JOIN cls c USING (c_mktsegment, c_nationkey)""".stripMargin,
 
     "q_validate_dialogs" ->
       """WITH dlg AS (

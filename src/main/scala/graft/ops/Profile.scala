@@ -47,4 +47,45 @@ object Profile {
       coalesce(col(s"_max_$c"), lit("")).as("max_val"))): _*))
     one.select(stacked.as("_p")).select("_p.*")
   }
+
+  /** k-ANONYMITY audit over quasi-identifier columns (Sweeney 2002) —
+    * the governance gate before publishing a corpus with metadata: a row
+    * is k-anonymous iff at least `k` rows share its full quasi-identifier
+    * combination, so any equivalence class smaller than `k` re-identifies
+    * its members. Returns the VIOLATING classes (one row per class, with
+    * its size) — empty result = the table is k-anonymous.
+    *
+    * One map-side-combinable aggregate on the quasi columns; null is a
+    * value (`groupBy` groups nulls together), matching the attacker model
+    * — "field missing" is itself an identifying signature.
+    *
+    * @return (quasiCols..., class_size) where class_size < k
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2,
+      s"need quasi-identifier columns and k >= 2 (got k=$k)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
+  /** Row-level companion to [[kAnonymityViolations]]: input rows
+    * annotated with their equivalence-class size and `is_k_anonymous` —
+    * the [[graft.ops.Dedup.exact]] agg+join shape (skew-safe; never a
+    * window over full rows). Suppress (`filter(is_k_anonymous)`) or
+    * generalize the flagged rows before publishing.
+    */
+  def annotateKAnonymity(df: DataFrame, quasiCols: Seq[String],
+                         k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2)
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val l = df.as("_l")
+    val cond = quasiCols.map(c => col(s"_l.$c") <=> col(s"_r.$c"))
+      .reduce(_ && _)
+    l.join(sizes.as("_r"), cond)
+      .select(df.columns.map(c => col(s"_l.$c")) ++
+        Seq(col("class_size"), (col("class_size") >= k).as("is_k_anonymous")): _*)
+  }
 }

@@ -251,6 +251,27 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == mmr)
   }
 
+  test("k-anonymity: violations and row annotation, nulls group together") {
+    import spark.implicits._
+    val df = Seq(
+      ("eng", Some(30), 1L), ("eng", Some(30), 2L), ("eng", Some(30), 3L),
+      ("law", Some(40), 4L), // singleton: violation at k=2
+      ("med", None, 5L), ("med", None, 6L) // null quasi value groups
+    ).toDF("dept", "age", "id")
+    val viol = graft.ops.Profile.kAnonymityViolations(df,
+      Seq("dept", "age"), k = 2).collect()
+    assert(viol.length == 1 && viol(0).getString(0) == "law")
+    val rows = graft.ops.Profile.annotateKAnonymity(df,
+      Seq("dept", "age"), k = 2).collect()
+      .map(r => r.getLong(2) -> ((r.getAs[Long]("class_size"),
+        r.getAs[Boolean]("is_k_anonymous")))).toMap
+    assert(rows.size == 6, "null quasi values must not drop rows")
+    assert(rows(4L) == ((1L, false)))
+    assert(rows(5L) == ((2L, true)) && rows(6L) == ((2L, true)),
+      "null quasi values group together (missing-field signature)")
+    assert(rows(1L) == ((3L, true)))
+  }
+
   test("epochShuffle: dense deterministic permutation, epoch-dependent") {
     import spark.implicits._
     val df = (0L until 500L).toDF("k").repartition(7)
