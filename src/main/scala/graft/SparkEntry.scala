@@ -1666,6 +1666,15 @@ object SparkEntry {
         Seq("c_mktsegment", "c_nationkey"), k = 3)
     }),
 
+    "q_l_diversity" -> ((s, d) => {
+      // l-diversity audit (ops.Profile.lDiversityViolations): classes of
+      // (mktsegment, nationkey) whose sensitive acctbal shows < 3
+      // distinct values leak the attribute even when the class is big
+      graft.ops.Profile.lDiversityViolations(
+        t(s, d, "customer"), Seq("c_mktsegment", "c_nationkey"),
+        "c_acctbal", l = 3)
+    }),
+
     "q_validate_dialogs" -> ((s, d) => {
       // chat-corpus structural gate (ops.DialogOps.validateDialogs):
       // synthetic dialogs built from real doc text with planted defects
@@ -2805,6 +2814,12 @@ object SparkEntry {
         |SELECT s.c_custkey, s.c_mktsegment, s.c_nationkey,
         |  c.class_size, c.class_size >= 3 AS is_k_anonymous
         |FROM sub s JOIN cls c USING (c_mktsegment, c_nationkey)""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT c_acctbal) < 3""".stripMargin,
 
     "q_validate_dialogs" ->
       """WITH dlg AS (

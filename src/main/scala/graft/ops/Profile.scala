@@ -70,6 +70,27 @@ object Profile {
       .filter(col("class_size") < k)
   }
 
+  /** l-DIVERSITY audit (Machanavajjhala et al. 2007) — k-anonymity's
+    * stronger sibling: an equivalence class whose SENSITIVE column shows
+    * fewer than `l` distinct values leaks that attribute even when the
+    * class is large (everyone in the class shares the secret). Returns
+    * the violating classes with their size and distinct-sensitive count;
+    * empty result = the table is l-diverse. Same one-aggregate shape as
+    * [[kAnonymityViolations]].
+    *
+    * @return (quasiCols..., class_size, n_sensitive) where
+    *         n_sensitive < l
+    */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2,
+      s"need quasi-identifier columns and l >= 2 (got l=$l)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
+
   /** Row-level companion to [[kAnonymityViolations]]: input rows
     * annotated with their equivalence-class size and `is_k_anonymous` —
     * the [[graft.ops.Dedup.exact]] agg+join shape (skew-safe; never a

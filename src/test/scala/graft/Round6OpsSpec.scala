@@ -272,6 +272,21 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1L) == ((3L, true)))
   }
 
+  test("l-diversity flags classes whose sensitive column lacks variety") {
+    import spark.implicits._
+    val df = Seq(
+      // big class, but everyone shares the diagnosis: leaks at l=2
+      ("eng", 1L, "flu"), ("eng", 2L, "flu"), ("eng", 3L, "flu"),
+      // diverse class: fine
+      ("law", 4L, "flu"), ("law", 5L, "cold"))
+      .toDF("dept", "id", "diagnosis")
+    val viol = graft.ops.Profile.lDiversityViolations(df, Seq("dept"),
+      "diagnosis", l = 2).collect()
+    assert(viol.length == 1 && viol(0).getString(0) == "eng")
+    assert(viol(0).getAs[Long]("class_size") == 3L &&
+      viol(0).getAs[Long]("n_sensitive") == 1L)
+  }
+
   test("epochShuffle: dense deterministic permutation, epoch-dependent") {
     import spark.implicits._
     val df = (0L until 500L).toDF("k").repartition(7)
