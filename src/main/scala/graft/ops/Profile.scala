@@ -100,6 +100,11 @@ object Profile {
   def annotateKAnonymity(df: DataFrame, quasiCols: Seq[String],
                          k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 2)
+    val reserved = Seq("class_size", "is_k_anonymous")
+    val hit = df.columns.toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"annotateKAnonymity reserves ${reserved.mkString(", ")}; " +
+        s"rename the input columns: ${hit.mkString(", ")}")
     val sizes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
     val l = df.as("_l")
