@@ -2134,6 +2134,54 @@ object SparkEntry {
         asOf = lit("2024-01-15 00:00:00").cast("timestamp"),
         isDelete = col("event_type") === "error")
         .select("user_id", "event_id", "event_type", "ts")
+    }),
+
+    "q_t_closeness" -> ((s, d) => {
+      // t-closeness audit (ops.Profile.tClosenessViolations): sources
+      // whose language distribution deviates from the corpus-global one
+      // by total variation > 1/20 — exact integer TVD fraction published
+      // as (tvd_num, tvd_den); completes the k-anonymity / l-diversity /
+      // t-closeness governance triad
+      graft.ops.Profile.tClosenessViolations(
+        t(s, d, "documents").select("doc_id", "source", "lang"),
+        Seq("source"), "lang", tNum = 1, tDen = 20)
+    }),
+
+    "q_pmi_collocations" -> ((s, d) => {
+      // top collocations by PMI (ops.TextAnalysis.pmiCollocations):
+      // adjacent word pairs beating the independence prediction, ranked
+      // on the 6-dp rounded bits score — one explode-agg pass whose
+      // (prev, term) table subsumes unigram/bigram/total
+      graft.ops.TextAnalysis.pmiCollocations(
+        par(s, t(s, d, "documents")), k = 40, minCount = 5)
+    }),
+
+    "q_snapshot_diff" -> ((s, d) => {
+      // corpus version diff (ops.Cdc.snapshotDiff): old = docs minus the
+      // %7 ids, new = docs minus the %11 ids with %5 texts appended-to
+      // and %13 sources rewritten — every status class is planted; one
+      // full-outer equi-join, null-safe per-column compare
+      val docs = t(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select("doc_id", "text", "source")
+      val neu = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 13 === 0, lit("mirror"))
+            .otherwise(col("source")).as("source"))
+      graft.ops.Cdc.snapshotDiff(old, neu, Seq("doc_id"),
+        Seq("text", "source"))
+    }),
+
+    "q_random_project" -> ((s, d) => {
+      // Johnson-Lindenstrauss random projection (ops.Similarity
+      // .randomProject): 64-d float embeddings down to 8 dims through the
+      // md5-seeded ±1 Achlioptas matrix — one codegen'd add/subtract
+      // chain per output dim, no shuffle; the oracle replays the exact
+      // same sign literals and left-associated sum
+      graft.ops.Similarity.randomProject(
+        t(s, d, "embeddings"), inDim = 64, outDim = 8)
     })
   )
 
@@ -2141,7 +2189,108 @@ object SparkEntry {
     // the persisted-index probe (write → read → probe through IndexStore)
     // returns bit-identical rows to the session probe — one oracle
     // certifies the whole disk round-trip
-    "q_bm25_probe_persisted" -> baseOracleSql("q_bm25_probe"))
+    "q_bm25_probe_persisted" -> baseOracleSql("q_bm25_probe"),
+
+    // exact integer TVD fraction; `gl` not `glob` (DuckDB keyword);
+    // null-safe joins because a null sensitive/quasi value is a value
+    "q_t_closeness" ->
+      """WITH tot AS (
+        |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS N FROM documents),
+        |gl AS (SELECT lang AS sv, CAST(count(*) AS DECIMAL(38,0)) AS g
+        |       FROM documents GROUP BY 1),
+        |cls AS (SELECT source, lang AS sv,
+        |    CAST(count(*) AS DECIMAL(38,0)) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |sizes AS (SELECT source, CAST(count(*) AS DECIMAL(38,0)) AS cs
+        |          FROM documents GROUP BY 1),
+        |agg AS (
+        |  SELECT cls.source, s.cs,
+        |    sum(abs(c * N - g * cs)) AS pnum, sum(g) AS gpres,
+        |    max(N) AS N
+        |  FROM cls JOIN gl ON cls.sv IS NOT DISTINCT FROM gl.sv
+        |  JOIN sizes s ON cls.source IS NOT DISTINCT FROM s.source
+        |  CROSS JOIN tot GROUP BY 1, 2)
+        |SELECT source, CAST(cs AS BIGINT) AS class_size,
+        |  CAST(pnum + (N - gpres) * cs AS BIGINT) AS tvd_num,
+        |  CAST(2 * cs * N AS BIGINT) AS tvd_den
+        |FROM agg
+        |WHERE (pnum + (N - gpres) * cs) * 20 > 1 * (2 * cs * N)""".stripMargin,
+
+    // same tokenization as the LM oracles; ranking on the ROUNDED score
+    "q_pmi_collocations" ->
+      """WITH toks AS (SELECT w[i] AS term,
+        |    CASE WHEN i > 1 THEN w[i-1] END AS prev
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |  WHERE w[i] <> ''),
+        |pc AS (SELECT prev, term, count(*) AS n FROM toks GROUP BY 1, 2),
+        |uni AS (SELECT term, CAST(sum(n) AS BIGINT) AS nt
+        |        FROM pc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS T FROM pc
+        |        WHERE prev IS NOT NULL),
+        |bi AS (SELECT prev, term, n FROM pc
+        |       WHERE prev IS NOT NULL AND n >= 5)
+        |SELECT bi.prev, bi.term, bi.n AS n_pair,
+        |  round(ln((CAST(bi.n AS DOUBLE) * T) /
+        |      (CAST(up.nt AS DOUBLE) * CAST(ut.nt AS DOUBLE)))
+        |    / 0.6931471805599453, 6) AS pmi
+        |FROM bi JOIN uni up ON bi.prev = up.term
+        |JOIN uni ut ON bi.term = ut.term
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, bi.prev, bi.term LIMIT 40""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text, source FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+        |      AS text,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'mirror' ELSE source END
+        |      AS source
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN NOT (o.text IS NOT DISTINCT FROM n.text)
+        |           OR NOT (o.source IS NOT DISTINCT FROM n.source)
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |           AND (NOT (o.text IS NOT DISTINCT FROM n.text)
+        |             OR NOT (o.source IS NOT DISTINCT FROM n.source))
+        |      THEN ltrim(
+        |        (CASE WHEN NOT (o.text IS NOT DISTINCT FROM n.text)
+        |          THEN ',text' ELSE '' END) ||
+        |        (CASE WHEN NOT (o.source IS NOT DISTINCT FROM n.source)
+        |          THEN ',source' ELSE '' END), ',')
+        |      ELSE '' END AS changed_cols
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) d
+        |WHERE status <> 'unchanged'""".stripMargin,
+
+    // the oracle replays the EXACT sign literals and left-associated
+    // double sum the Spark expression evaluates (signs from rpSign)
+    "q_random_project" -> rpOracleSql(inDim = 64, outDim = 8, seed = "rp"))
+
+  /** Build the q_random_project oracle: one UNION ALL branch per output
+    * dim, each an explicit left-associated ± chain over
+    * CAST(embedding[i] AS DOUBLE) with the same md5-derived signs as
+    * [[graft.ops.Similarity.randomProject]].
+    */
+  private def rpOracleSql(inDim: Int, outDim: Int, seed: String): String =
+    (0 until outDim).map { j =>
+      val chain = (0 until inDim).map { i =>
+        val term = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+        val sign = graft.ops.Similarity.rpSign(seed, i, j)
+        if (i == 0) { if (sign > 0) term else s"(- $term)" }
+        else { if (sign > 0) s" + $term" else s" - $term" }
+      }.mkString
+      s"""SELECT vec_id, CAST($j AS INTEGER) AS out_dim,
+         |  round($chain, 6) AS value
+         |FROM embeddings
+         |WHERE embedding IS NOT NULL AND len(embedding) = $inDim""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   private def baseOracleSql: Map[String, String] = Map(
     "q_scan_filter_project" ->

@@ -50,4 +50,66 @@ object Cdc {
       .filter(col("_rn") === 1 && !isDelete)
       .drop("_rn")
   }
+
+  /** Diff two corpus snapshots by key: every key classified as `added`
+    * (new side only), `removed` (old side only), `changed` (present in
+    * both, some compared column differs under null-safe equality) or
+    * `unchanged` — the audit a pipeline runs between version N and N+1 of
+    * a 100 TB corpus before promoting it ("yesterday's crawl replaced 2%
+    * and silently dropped 40% — stop"). `changed_cols` names the
+    * differing columns (input order, comma-joined) so the report says
+    * WHAT moved, not just that something did.
+    *
+    * One full-outer hash equi-join on the key — both sides shuffle once,
+    * AQE-splittable, no window, no collect. Comparison is null-safe
+    * (`<=>`): null → value and value → null both count as changes, and a
+    * key duplicated within a side fans out (the join is the audit; feed
+    * deduped snapshots or the fan-out itself is the finding).
+    *
+    * @param compareCols columns to compare (default: every shared
+    *                    non-key column)
+    * @param includeUnchanged keep `unchanged` rows (default false — at
+    *                         corpus scale the interesting set is the
+    *                         delta, which is what survives the filter)
+    * @return (keyCols..., status, changed_cols)
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String] = Nil,
+                   includeUnchanged: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "need key columns")
+    val shared = old.columns.toSet.intersect(neu.columns.toSet)
+    val cmp = if (compareCols.nonEmpty) compareCols
+      else old.columns.toSeq.filter(c => shared(c) && !keyCols.contains(c))
+    require(cmp.nonEmpty, "nothing to compare")
+    require(((keyCols ++ cmp).toSet -- shared).isEmpty,
+      "key/compare columns must exist in both snapshots")
+    val reserved = Seq("status", "changed_cols", "_ok", "_nk")
+    val hit = (keyCols ++ cmp).toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"snapshotDiff reserves ${reserved.mkString(", ")}; " +
+        s"rename: ${hit.mkString(", ")}")
+    val cond = keyCols.map(c => col(s"_o.$c") <=> col(s"_n.$c"))
+      .reduce(_ && _)
+    // presence flags survive the outer join even when every payload
+    // column is legitimately null on a present side
+    val o = old.withColumn("_ok", lit(true)).as("_o")
+    val n = neu.withColumn("_nk", lit(true)).as("_n")
+    val changed = array(cmp.map(c =>
+      when(!(col(s"_o.$c") <=> col(s"_n.$c")), lit(c))): _*)
+    val diffed = o.join(n, cond, "full_outer")
+      .withColumn("status",
+        when(col("_o._ok").isNull, lit("added"))
+          .when(col("_n._nk").isNull, lit("removed"))
+          .when(size(filter(changed, _.isNotNull)) > 0, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("changed_cols",
+        when(col("status") === "changed",
+          array_join(filter(changed, _.isNotNull), ","))
+          .otherwise(lit("")))
+      .select(keyCols.map(c =>
+        coalesce(col(s"_o.$c"), col(s"_n.$c")).as(c)) ++
+        Seq(col("status"), col("changed_cols")): _*)
+    if (includeUnchanged) diffed
+    else diffed.filter(col("status") =!= "unchanged")
+  }
 }

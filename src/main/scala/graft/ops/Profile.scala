@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the schema-health report a pipeline runs before and
@@ -97,6 +97,86 @@ object Profile {
     * window over full rows). Suppress (`filter(is_k_anonymous)`) or
     * generalize the flagged rows before publishing.
     */
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the governance ladder after [[kAnonymityViolations]] and
+    * [[lDiversityViolations]]: an equivalence class whose SENSITIVE-value
+    * distribution sits far from the table-global distribution leaks the
+    * attribute probabilistically even when the class is large and
+    * diverse (a class that is 95% one diagnosis in a 5%-base-rate table
+    * fails l-diversity's letter-counting). Distance is total variation
+    * (the categorical form of the paper's EMD), kept EXACT as an integer
+    * fraction: with class counts c_i (size n), global counts g_i
+    * (total N),
+    *
+    *   TVD = (1/2) Σ_i |c_i/n − g_i/N| = Σ_i |c_i·N − g_i·n| / (2·n·N)
+    *
+    * so `tvd_num`/`tvd_den` are published as integers (the repo's
+    * float-lattice rule) and the threshold is the rational `tNum/tDen`.
+    * Sensitive values absent from a class contribute g_i·n each, folded
+    * in closed form as (N − Σ_{present} g_i)·n — the class×value join
+    * only ever touches values the class actually contains, so the fan-out
+    * is the class-value table, never classes × global vocabulary.
+    *
+    * Scale shape: three map-side-combinable aggregates (global counts are
+    * sensitive-vocabulary-sized and broadcast; class sizes are narrow),
+    * one equi-join chain, no window over data rows. Products run in
+    * DECIMAL(38,0) — n·N wraps a silent bigint past ~3e9·3e9 rows — and
+    * downcast behind a raise_error guard, mirroring [[graft.ops.CorpusOps.ksDrift]].
+    *
+    * @return violating classes only: (quasiCols..., class_size, tvd_num,
+    *         tvd_den) where tvd_num/tvd_den > tNum/tDen; empty result =
+    *         the table is t-close
+    */
+  def tClosenessViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String,
+                           tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty && tNum >= 0 && tDen > 0,
+      s"need quasi-identifier columns and a threshold fraction >= 0 " +
+        s"(got $tNum/$tDen)")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot also be a quasi-identifier")
+    val reserved = Seq("_sv", "_gsv", "_g", "_c", "_N", "_pnum", "_gpres",
+      "_num", "_den", "class_size", "tvd_num", "tvd_den")
+    val hit = (quasiCols :+ sensitiveCol).toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"tClosenessViolations reserves ${reserved.mkString(", ")}; " +
+        s"rename: ${hit.mkString(", ")}")
+    val dec = "decimal(38,0)"
+    val tot = df.agg(count(lit(1)).cast(dec).as("_N"))
+    val glob = df.groupBy(col(sensitiveCol).as("_gsv"))
+      .agg(count(lit(1)).cast(dec).as("_g"))
+    val cls = df.groupBy(quasiCols.map(col) :+ col(sensitiveCol).as("_sv"): _*)
+      .agg(count(lit(1)).cast(dec).as("_c"))
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("class_size"))
+    val qJoin = quasiCols.map(c => col(s"_a.$c") <=> col(s"_b.$c"))
+      .reduce(_ && _)
+    val joined = cls.as("_a")
+      .join(glob, col("_a._sv") <=> col("_gsv")) // null sensitive is a value
+      .join(sizes.as("_b"), qJoin)
+      .crossJoin(tot) // 1-row total: literal-style broadcast
+    def guarded(c: Column, what: String): Column =
+      when(c > lit(Long.MaxValue).cast(dec),
+        raise_error(concat(lit(s"tCloseness: $what overflows BIGINT: "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c.cast("long"))
+    joined
+      .groupBy(quasiCols.map(c => col(s"_a.$c").as(c)) :+
+        col("class_size") :+ col("_N"): _*)
+      .agg(sum(abs(col("_c") * col("_N") - col("_g") * col("class_size")))
+          .as("_pnum"),
+        sum(col("_g")).as("_gpres"))
+      .withColumn("_num",
+        col("_pnum") + (col("_N") - col("_gpres")) * col("class_size"))
+      .withColumn("_den", lit(2).cast(dec) * col("class_size") * col("_N"))
+      .filter(
+        col("_num") * lit(tDen).cast(dec) > lit(tNum).cast(dec) * col("_den"))
+      .select(quasiCols.map(col) ++ Seq(
+        guarded(col("class_size"), "class size").as("class_size"),
+        guarded(col("_num"), "tvd numerator").as("tvd_num"),
+        guarded(col("_den"), "tvd denominator").as("tvd_den")): _*)
+  }
+
   def annotateKAnonymity(df: DataFrame, quasiCols: Seq[String],
                          k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 2)

@@ -733,4 +733,59 @@ object Similarity {
       .select(col("query_id"), col("_doc").as(docIdCol), col("rrf"),
         col("n_legs"), col("fused_rank"))
   }
+
+  /** Deterministic ±1 sign for the random-projection matrix: parity of
+    * the first hex digit of md5("seed:i:j") — reproducible across
+    * engines, sessions, and languages (the matrix IS the seed string, so
+    * a projection written today can be extended or re-verified years
+    * later without storing it).
+    */
+  def rpSign(seed: String, i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+    if (((h(0) >>> 4) & 1) == 0) 1 else -1
+  }
+
+  /** Random projection (Johnson–Lindenstrauss via Achlioptas 2003 ±1
+    * signs): reduce `inDim`-d embeddings to `outDim` dimensions as
+    * y_j = Σ_i sign(i,j)·x_i — the standard cheapening step BEFORE
+    * LSH banding, k-means cells, or pairwise scans when the source
+    * embedding is wide (JL: O(ln n / ε²) dims preserve pairwise
+    * distances to 1±ε regardless of inDim). Signs come from [[rpSign]],
+    * so no projection matrix is ever stored or shuffled.
+    *
+    * Scale shape: a pure narrow map — the whole projection is one
+    * codegen'd left-associated add/subtract chain per output dim (no
+    * explode-join of an (i, j) sign table, which would fan the corpus
+    * out inDim·outDim×); no shuffle, no state, trivially
+    * partition-parallel. Rows whose vector is null or not `inDim` long
+    * are dropped (the projection is undefined for them).
+    *
+    * Output is long-form (one row per (id, out_dim)) with the 6-dp
+    * rounded value — the add chain is evaluated in ascending-i order on
+    * every engine, so values are bit-identical cross-engine before the
+    * rounding even applies. Scale normalization (1/√outDim) is left to
+    * the caller: downstream cosine is scale-invariant.
+    *
+    * @return (idCol, out_dim, value)
+    */
+  def randomProject(vecs: DataFrame, inDim: Int, outDim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: String = "rp"): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dimensions must be positive")
+    val comps = (0 until outDim).map { j =>
+      val terms = (0 until inDim).map { i =>
+        val e = element_at(col(vecCol), i + 1).cast("double")
+        (rpSign(seed, i, j), e)
+      }
+      val head = if (terms.head._1 > 0) terms.head._2 else -terms.head._2
+      val sum = terms.tail.foldLeft(head) { case (acc, (s, e)) =>
+        if (s > 0) acc + e else acc - e
+      }
+      round(sum, 6)
+    }
+    vecs.filter(col(vecCol).isNotNull && size(col(vecCol)) === inDim)
+      .select(col(idCol),
+        posexplode(array(comps: _*)).as(Seq("out_dim", "value")))
+  }
 }

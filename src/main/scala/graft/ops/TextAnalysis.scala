@@ -1065,6 +1065,53 @@ object TextAnalysis {
         col("_a").as("n_label_docs_with_term"), col("chi2"), col("rank"))
   }
 
+  /** Top-k collocations by pointwise mutual information (Church & Hanks
+    * 1990) — the corpus-analysis staple for multiword-expression mining
+    * and tokenizer-merge candidates: adjacent word pairs whose joint
+    * frequency beats the independence prediction,
+    *
+    *   pmi(x,y) = log2( (n_xy · T) / (n_x · n_y) )
+    *
+    * with n_xy the bigram count, n_x/n_y unigram counts and T the TOTAL
+    * bigram count (computed before the `minCount` prune so the
+    * independence normalizer is the true corpus mass). `minCount` kills
+    * the hapax pairs PMI notoriously over-ranks.
+    *
+    * Scale shape: one tokenize/explode pass whose (prev, term) counts
+    * subsume both tables ([[buildBigramLm]]'s trick), two
+    * vocabulary-sized equi-joins, a 1-row total riding a crossJoin, and a
+    * global top-k that plans as TakeOrderedAndProject — no window, no
+    * per-pair state. Ranking is on the 6-dp ROUNDED score (ties then
+    * (prev, term)) so both engines order identically.
+    *
+    * @return (prev, term, n_pair, pmi) — the k highest-PMI adjacent pairs
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 50, minCount: Long = 5L,
+                      textCol: String = "text"): DataFrame = {
+    require(k > 0 && minCount >= 1)
+    val ln2 = lit(0.6931471805599453)
+    val pairCounts = tokenPairs(docs, Nil, textCol)
+      .groupBy("prev", "term").agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // vocabulary-sized; subsumes all three tables
+    val uni = pairCounts.groupBy("term").agg(sum(col("_n")).as("_nt"))
+    val tot = pairCounts.filter(col("prev").isNotNull)
+      .agg(sum(col("_n")).cast("double").as("_T"))
+    val bi = pairCounts.filter(col("prev").isNotNull)
+      .filter(col("_n") >= minCount)
+    val out = bi
+      .join(uni.select(col("term").as("prev"), col("_nt").as("_np")),
+        Seq("prev"))
+      .join(uni, Seq("term"))
+      .crossJoin(tot) // 1-row total: literal-style broadcast
+      .withColumn("pmi", round(
+        log((col("_n").cast("double") * col("_T")) /
+          (col("_np").cast("double") * col("_nt").cast("double"))) / ln2, 6))
+      .select(col("prev"), col("term"), col("_n").as("n_pair"), col("pmi"))
+    out.orderBy(col("pmi").desc, col("prev"), col("term")).limit(k)
+    // (cleanup note: pairCounts stays pinned for the session like the LM
+    // tables — callers composing many passes can unpersist via the plan)
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

@@ -62,7 +62,9 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_rrf_fuse"            -> "hybrid retrieval legs: bm25's 1-row stats crossJoin + the dense leg's broadcast 3-row query set",
     "q_sample_negatives"    -> "negative sampling: queries x broadcast bottom-poolSize (64-row) candidate pool",
     "q_mmr_rerank"          -> "candidate generation: corpus x broadcast 3-row query set (brute-force top-20 feed)",
-    "q_curate_pipeline"     -> "1-row totals inside the packing stage")
+    "q_curate_pipeline"     -> "1-row totals inside the packing stage",
+    "q_t_closeness"         -> "1-row corpus-total table crossJoin into the TVD fraction",
+    "q_pmi_collocations"    -> "1-row total-bigram-count table crossJoin into the PMI expression")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
     val d = "/root/testdata/sf0.001"
