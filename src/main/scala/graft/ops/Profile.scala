@@ -91,12 +91,6 @@ object Profile {
       .filter(col("n_sensitive") < l)
   }
 
-  /** Row-level companion to [[kAnonymityViolations]]: input rows
-    * annotated with their equivalence-class size and `is_k_anonymous` —
-    * the [[graft.ops.Dedup.exact]] agg+join shape (skew-safe; never a
-    * window over full rows). Suppress (`filter(is_k_anonymous)`) or
-    * generalize the flagged rows before publishing.
-    */
   /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
     * rung of the governance ladder after [[kAnonymityViolations]] and
     * [[lDiversityViolations]]: an equivalence class whose SENSITIVE-value
@@ -177,6 +171,12 @@ object Profile {
         guarded(col("_den"), "tvd denominator").as("tvd_den")): _*)
   }
 
+  /** Row-level companion to [[kAnonymityViolations]]: input rows
+    * annotated with their equivalence-class size and `is_k_anonymous` —
+    * the [[graft.ops.Dedup.exact]] agg+join shape (skew-safe; never a
+    * window over full rows). Suppress (`filter(is_k_anonymous)`) or
+    * generalize the flagged rows before publishing.
+    */
   def annotateKAnonymity(df: DataFrame, quasiCols: Seq[String],
                          k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 2)
