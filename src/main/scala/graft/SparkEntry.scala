@@ -2182,6 +2182,48 @@ object SparkEntry {
       // same sign literals and left-associated sum
       graft.ops.Similarity.randomProject(
         t(s, d, "embeddings"), inDim = 64, outDim = 8)
+    }),
+
+    "q_triangle_counts" -> ((s, d) => {
+      // per-vertex triangle counts (graph.GraphOps.triangleCounts) over a
+      // deterministic mod-97 graph derived from doc ids — degree-ordered
+      // orientation caps the wedge join at O(m^1.5); the oracle
+      // enumerates a<b<c triangles directly
+      val e = t(s, d, "documents").select(
+        (col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 7 + 3) % 97).as("dst"))
+      graft.graph.GraphOps.triangleCounts(e)
+    }),
+
+    "q_hash_features" -> ((s, d) => {
+      // feature hashing (ops.TextAnalysis.hashFeatures): token -> md5
+      // bucket counts, no vocabulary build — the fixed-width featurizer;
+      // same md5 lattice as the sampling/bucketing oracles
+      graft.ops.TextAnalysis.hashFeatures(
+        t(s, d, "documents").filter(col("doc_id") < 500), nBuckets = 64)
+    }),
+
+    "q_calibration_bins" -> ((s, d) => {
+      // reliability-diagram bins (ops.CorpusOps.calibrationBins): a
+      // synthetic length-based [0,1] score against the is-English label,
+      // integer (n, n_pos) per bin — one bounded aggregate
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        least(lit(1.0), col("n_chars").cast("double") / lit(5000.0d))
+          .as("score"),
+        (col("lang") === "en").as("is_en"))
+      graft.ops.CorpusOps.calibrationBins(scored, "score", "is_en",
+        bins = 10)
+    }),
+
+    "q_auc_exact" -> ((s, d) => {
+      // exact tie-corrected AUC (ops.CorpusOps.aucExact) of doc length as
+      // a predictor of is-English, published as the doubled integer
+      // fraction — score-lattice aggregate + one narrow prefix window
+      graft.ops.CorpusOps.aucExact(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (col("lang") === "en").as("is_en")),
+        "n_chars", "is_en")
     })
   )
 
@@ -2271,7 +2313,68 @@ object SparkEntry {
 
     // the oracle replays the EXACT sign literals and left-associated
     // double sum the Spark expression evaluates (signs from rpSign)
-    "q_random_project" -> rpOracleSql(inDim = 64, outDim = 8, seed = "rp"))
+    "q_random_project" -> rpOracleSql(inDim = 64, outDim = 8, seed = "rp"),
+
+    // direct a<b<c triangle enumeration (the oracle needs no degree
+    // orientation; the triangle SET is orientation-invariant)
+    "q_triangle_counts" ->
+      """WITH raw AS (SELECT doc_id % 97 AS s, (doc_id * 7 + 3) % 97 AS t
+        |             FROM documents),
+        |e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |      FROM raw WHERE s <> t),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT vertex, count(*) AS n_triangles
+        |FROM (SELECT unnest([u, v, w]) AS vertex FROM tri) x
+        |GROUP BY 1""".stripMargin,
+
+    // same tokenization as the vocab/LM oracles; same md5 hash lattice
+    // as the sampling oracles
+    "q_hash_features" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(w[i]), 1, 8)) AS BIGINT) % 64
+        |    AS INTEGER) AS bucket,
+        |  count(*) AS n
+        |FROM (SELECT doc_id,
+        |        string_split_regex(lower(trim(text)), '\s+') AS w
+        |      FROM documents WHERE doc_id < 500) t,
+        |LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+        |WHERE w[i] <> ''
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_calibration_bins" ->
+      """SELECT least(9, greatest(0,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |      CAST(n_chars AS DOUBLE) / CAST(5000 AS DOUBLE)) * 10)
+        |    AS INTEGER))) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // doubled Mann-Whitney integers; prefix window over the score
+    // lattice exactly as the Spark side
+    "q_auc_exact" ->
+      """WITH g AS (
+        |  SELECT round(CAST(n_chars AS DOUBLE), 6) AS s,
+        |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS np
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (SELECT s, n, np,
+        |    sum(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |t AS (SELECT sum(np * ((cum - n) * 2 + n + 1)) AS r2,
+        |        sum(np) AS npos, sum(n) AS ntot FROM c)
+        |SELECT CAST(npos AS BIGINT) AS n_pos,
+        |  CAST(ntot - npos AS BIGINT) AS n_neg,
+        |  CAST(r2 - npos * (npos + 1) AS BIGINT) AS auc_num2,
+        |  CAST(2 * npos * (ntot - npos) AS BIGINT) AS auc_den2
+        |FROM t""".stripMargin)
 
   /** Build the q_random_project oracle: one UNION ALL branch per output
     * dim, each an explicit left-associated ± chain over

@@ -265,4 +265,57 @@ object GraphOps {
     verts.unpersist()
     out
   }
+
+  /** Per-vertex triangle counts (Schank–Wagner / Cohen's MapReduce
+    * orientation, the standard distributed formulation): edges are
+    * canonicalized undirected, then ORIENTED from the lower to the higher
+    * (degree, id) endpoint — the orientation caps every vertex's
+    * out-degree at O(√m), so the wedge self-join that enumerates
+    * candidate (v, w) pairs is bounded by Σ outdeg² = O(m^1.5) instead of
+    * the hub-quadratic Σ deg² a naive formulation pays (one celebrity
+    * vertex with 10⁷ neighbors would otherwise emit 10¹⁴ wedges).
+    * Closing edges are confirmed with one hash equi-join — every stage is
+    * a shuffle on vertex keys, AQE-splittable, no window, no collect.
+    *
+    * Clustering-coefficient and community-health audits over the
+    * co-citation / co-authorship graphs ride this directly.
+    *
+    * @param edges (srcCol, dstCol) — direction ignored, self-loops and
+    *              duplicate edges dropped, null endpoints dropped
+    * @return (vertex, n_triangles) for every vertex in ≥ 1 triangle
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("_d"))
+    // orient low (deg, id) -> high (deg, id); the dst tuple key rides
+    // along so the wedge pair can be ordered without re-joining degrees
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("_d").as("_da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("_d").as("_db")), Seq("b"))
+    def key(d: String, v: String) =
+      struct(col(d).as("d"), col(v).as("i"))
+    val aLow = key("_da", "a") < key("_db", "b")
+    val o = withDeg.select(
+      when(aLow, col("a")).otherwise(col("b")).as("u"),
+      when(aLow, col("b")).otherwise(col("a")).as("t"),
+      when(aLow, key("_db", "b")).otherwise(key("_da", "a")).as("_tk"))
+    // wedges (u; v < w by tuple order) closed by the oriented edge v->w
+    // (orientation guarantees the closing edge points low-to-high)
+    val tri = o.select(col("u"), col("t").as("v"), col("_tk").as("_vk"))
+      .join(o.select(col("u"), col("t").as("w"), col("_tk").as("_wk")),
+        Seq("u"))
+      .filter(col("_vk") < col("_wk"))
+      .join(o.select(col("u").as("v"), col("t").as("w")), Seq("v", "w"))
+      .select("u", "v", "w")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+  }
 }

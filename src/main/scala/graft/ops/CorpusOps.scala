@@ -809,4 +809,87 @@ object CorpusOps {
       .withColumn("score_bucket", bucket)
       .drop("rank", "_n")
   }
+
+  /** Reliability-diagram bins for a [0, 1]-scored binary classifier —
+    * the calibration audit run before a quality/toxicity classifier's
+    * scores are trusted as keep-probabilities: per equal-width score bin,
+    * row count and positive count as exact integers (the empirical
+    * positive rate n_pos/n vs the bin midpoint IS the reliability
+    * diagram; integer outputs per the repo's float-lattice rule).
+    * Scores outside [0, 1] clamp into the edge bins; null scores drop.
+    *
+    * One map-side-combinable aggregate over ≤ `bins` groups — nothing
+    * else. A null label counts as negative (`when(label)` semantics),
+    * matching "not verified positive".
+    *
+    * @return (bin, n, n_pos), bin ∈ [0, bins)
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String,
+                      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0)
+    val b = least(lit(bins - 1),
+      greatest(lit(0), floor(col(scoreCol).cast("double") * bins)
+        .cast("int")))
+    scored.filter(col(scoreCol).isNotNull)
+      .groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_pos"))
+  }
+
+  /** EXACT tie-corrected AUC (Mann–Whitney U form) as an integer
+    * fraction: with R⁺ the sum of positives' midranks,
+    *
+    *   AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+    *
+    * published doubled (`auc_num2`/`auc_den2`) so tie midranks (half
+    * integers) stay exact integers — the repo's float-lattice rule. The
+    * classifier-gate evaluation a curation pipeline runs against a
+    * labeled holdout; exact so two engines (or two days) can be compared
+    * for bit equality, unlike sampled/bucketed AUC estimates.
+    *
+    * Scale shape: scores are first rounded to the `quantize`-dp lattice
+    * (the repo convention — scores are published at 6 dp anyway), so the
+    * score-level aggregate holds AT MOST one row per lattice point
+    * (≤ ~2·10^(quantize) for [0,1]-ish scores). The single unpartitioned
+    * prefix window then runs over those NARROW aggregated rows, never
+    * over data rows — the [[ksDrift]] shape. Midrank products run in
+    * DECIMAL(38,0) (n⁺·n⁻ wraps bigint past ~3e9·3e9) and downcast
+    * behind a raise_error guard.
+    *
+    * @return one row: (n_pos, n_neg, auc_num2, auc_den2); AUC =
+    *         auc_num2/auc_den2
+    */
+  def aucExact(scored: DataFrame, scoreCol: String, labelCol: String,
+               quantize: Int = 6): DataFrame = {
+    require(quantize >= 0 && quantize <= 9,
+      "quantize must keep the score lattice bounded (0-9 dp)")
+    val dec = "decimal(38,0)"
+    val g = scored.filter(col(scoreCol).isNotNull)
+      .groupBy(round(col(scoreCol).cast("double"), quantize).as("_s"))
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .cast(dec).as("_np"))
+    // <= lattice-size narrow rows from here on: the unpartitioned
+    // window is deliberate and bounded (the ksDrift shape)
+    val w = Window.orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.withColumn("_cum", sum(col("_n")).over(w))
+    def guarded(x: Column, what: String): Column =
+      when(x > lit(Long.MaxValue).cast(dec),
+        raise_error(concat(lit(s"aucExact: $what overflows BIGINT: "),
+          x.cast("string"))).cast("long"))
+        .otherwise(x.cast("long"))
+    c.agg(
+        sum(col("_np") * ((col("_cum") - col("_n")) * lit(2).cast(dec)
+          + col("_n") + lit(1).cast(dec))).as("_r2"),
+        sum(col("_np")).as("_npos"), sum(col("_n")).as("_ntot"))
+      .select(
+        guarded(col("_npos"), "n_pos").as("n_pos"),
+        guarded(col("_ntot") - col("_npos"), "n_neg").as("n_neg"),
+        guarded(col("_r2") - col("_npos") * (col("_npos") + lit(1).cast(dec)),
+          "auc numerator").as("auc_num2"),
+        guarded(lit(2).cast(dec) * col("_npos")
+          * (col("_ntot") - col("_npos")), "auc denominator").as("auc_den2"))
+  }
 }

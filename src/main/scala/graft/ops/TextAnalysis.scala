@@ -1112,6 +1112,33 @@ object TextAnalysis {
     // tables — callers composing many passes can unpersist via the plan)
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009 /
+    * fastText's input layer): token → md5 bucket, no vocabulary build,
+    * no dictionary join — the featurizer of choice at 100 TB because it
+    * is a single stateless pass whose output width is fixed up front
+    * (collisions are the accepted price; nBuckets is the knob).
+    * Bucket = first 8 md5 hex digits mod nBuckets — the repo's standard
+    * cross-engine hash lattice, bit-reproducible in any engine with md5.
+    *
+    * Scale shape: explode → one map-side-combinable (id, bucket) count.
+    * No shuffle wider than the output itself; contrast [[encodeDocs]],
+    * which needs the vocab build + a dictionary equi-join.
+    *
+    * @return (idCol, bucket, n) sparse long-form features
+    */
+  def hashFeatures(docs: DataFrame, nBuckets: Int = 256,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0)
+    docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("bucket",
+        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+          % nBuckets).cast("int"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("n"))
+  }
+
   /** Language distribution report (predicted vs labeled when available). */
   def langReport(docs: DataFrame, textCol: String = "text",
                  labelCol: String = "lang"): DataFrame = {

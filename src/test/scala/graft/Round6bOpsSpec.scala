@@ -150,6 +150,73 @@ class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangleCounts: known triangles; duplicates/direction/loops ignored") {
+    import spark.implicits._
+    // triangles {1,2,3} and {3,4,5}; (5,6) dangles; noise: dup edge,
+    // reversed edge, self-loop
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (5L, 6L), (2L, 1L), (1L, 2L), (4L, 4L))
+      .toDF("src", "dst")
+    val out = graft.graph.GraphOps.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per vertex") {
+    import spark.implicits._
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val e = (for (a <- vs; b <- vs if a < b) yield (a, b)).toDF("src", "dst")
+    val out = graft.graph.GraphOps.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == vs.map(_ -> 3L).toMap)
+  }
+
+  test("hashFeatures: md5 buckets and counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashFeatures(docs, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def bucket(term: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(term.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 16).toInt
+    }
+    assert(out == Map((1L, bucket("a")) -> 2L, (1L, bucket("b")) -> 1L))
+  }
+
+  test("calibrationBins: clamping, null score drop, null label negative") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, java.lang.Boolean.TRUE),   // bin 0
+      (1.0, java.lang.Boolean.TRUE),    // clamps into bin 9
+      (-0.2, java.lang.Boolean.FALSE),  // clamps into bin 0
+      (0.95, null: java.lang.Boolean),  // bin 9, counts as negative
+      (Double.NaN, java.lang.Boolean.TRUE) // NaN*10 floors to null-ish?
+    ).toDF("score", "label").filter(!isnan(col("score")))
+    val out = graft.ops.CorpusOps.calibrationBins(scored, "score", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(0 -> ((2L, 1L)), 9 -> ((2L, 1L))))
+  }
+
+  test("aucExact: perfect, inverted, and tied separations") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Long, Long) = {
+      val r = graft.ops.CorpusOps.aucExact(
+        rows.toDF("score", "label"), "score", "label").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // perfect: every positive outscores every negative -> AUC = 1
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+      == ((2L, 2L, 8L, 8L)))
+    // inverted -> AUC = 0
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false)))
+      == ((2L, 2L, 0L, 8L)))
+    // single tie -> AUC = 1/2 via the midrank
+    assert(auc(Seq((0.5, true), (0.5, false))) == ((1L, 1L, 1L, 2L)))
+  }
+
   test("rpSign: deterministic, seed- and position-sensitive, balanced-ish") {
     val s = for (i <- 0 until 16; j <- 0 until 16)
       yield Similarity.rpSign("rp", i, j)
