@@ -32,6 +32,19 @@ object SparkEntry {
     if (df.rdd.getNumPartitions < n) df.repartition(n) else df
   }
 
+  /** Deterministic md5-random test graph on 97 vertices, one edge per
+    * document, endpoints from two independent md5 lattices. A polynomial
+    * derivation like (doc_id % 97, (7·doc_id+3) % 97) would make dst a
+    * pure function of src — a triangle-free functional permutation — so
+    * the endpoints must hash doc_id, not its residue.
+    */
+  private def mdGraph(docs: DataFrame): DataFrame =
+    docs.select(
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 97).as("src"),
+      (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":t"))),
+        1, 8), 16, 10).cast("long") % 97).as("dst"))
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench
     * sessions). Normalize to a microsecond TimestampType column either way.
@@ -2186,13 +2199,12 @@ object SparkEntry {
 
     "q_triangle_counts" -> ((s, d) => {
       // per-vertex triangle counts (graph.GraphOps.triangleCounts) over a
-      // deterministic mod-97 graph derived from doc ids — degree-ordered
-      // orientation caps the wedge join at O(m^1.5); the oracle
-      // enumerates a<b<c triangles directly
-      val e = t(s, d, "documents").select(
-        (col("doc_id") % 97).as("src"),
-        ((col("doc_id") * 7 + 3) % 97).as("dst"))
-      graft.graph.GraphOps.triangleCounts(e)
+      // deterministic md5-random graph on 97 vertices (~|docs| edges —
+      // triangle-rich; a mod-97 polynomial derivation would make dst a
+      // function of src and the graph a triangle-free permutation) —
+      // degree-ordered orientation caps the wedge join at O(m^1.5); the
+      // oracle enumerates a<b<c triangles directly
+      graft.graph.GraphOps.triangleCounts(mdGraph(t(s, d, "documents")))
     }),
 
     "q_hash_features" -> ((s, d) => {
@@ -2224,6 +2236,33 @@ object SparkEntry {
           .select(col("doc_id"), col("n_chars"),
             (col("lang") === "en").as("is_en")),
         "n_chars", "is_en")
+    }),
+
+    "q_clustering_coeff" -> ((s, d) => {
+      // local clustering coefficient (graph.GraphOps
+      // .clusteringCoefficient) over the same md5-random graph as
+      // q_triangle_counts — exact integer (n_triangles, n_wedges)
+      // fraction per vertex, every vertex reported
+      graft.graph.GraphOps.clusteringCoefficient(
+        mdGraph(t(s, d, "documents")))
+    }),
+
+    "q_retrieval_metrics" -> ((s, d) => {
+      // retrieval evaluation (ops.Similarity.retrievalMetrics): the
+      // q_bm25_topk run judged against synthetic doc_id%17 qrels —
+      // integer P@k/R@k/MRR sources per query; the oracle nests the
+      // FULL bm25 oracle as its ranked CTE, so the metric is certified
+      // end-to-end through the ranking it evaluates
+      val docs = par(s, t(s, d, "documents"))
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      val ranked = graft.ops.TextAnalysis.bm25TopK(docs, qs)
+      val qrels = docs.select((col("doc_id") % 17).as("query_id"),
+        col("doc_id")).filter(col("query_id") < 3)
+      graft.ops.Similarity.retrievalMetrics(ranked, qrels, k = 10)
     })
   )
 
@@ -2318,8 +2357,7 @@ object SparkEntry {
     // direct a<b<c triangle enumeration (the oracle needs no degree
     // orientation; the triangle SET is orientation-invariant)
     "q_triangle_counts" ->
-      """WITH raw AS (SELECT doc_id % 97 AS s, (doc_id * 7 + 3) % 97 AS t
-        |             FROM documents),
+      s"""WITH $mdGraphSql,
         |e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
         |      FROM raw WHERE s <> t),
         |tri AS (
@@ -2374,7 +2412,64 @@ object SparkEntry {
         |  CAST(ntot - npos AS BIGINT) AS n_neg,
         |  CAST(r2 - npos * (npos + 1) AS BIGINT) AS auc_num2,
         |  CAST(2 * npos * (ntot - npos) AS BIGINT) AS auc_den2
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+
+    // same md5-random graph as q_triangle_counts; integer division (//)
+    // mirrors the Spark shiftright
+    "q_clustering_coeff" ->
+      s"""WITH $mdGraphSql,
+        |e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |      FROM raw WHERE s <> t),
+        |deg AS (SELECT v, count(*) AS degree FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) x
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT vertex, count(*) AS n_triangles
+        |  FROM (SELECT unnest([u, v, w]) AS vertex FROM tri) x
+        |  GROUP BY 1)
+        |SELECT deg.v AS vertex, deg.degree,
+        |  coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  CAST((deg.degree * (deg.degree - 1)) // 2 AS BIGINT) AS n_wedges
+        |FROM deg LEFT JOIN tc ON tc.vertex = deg.v""".stripMargin,
+
+    // the ranked CTE IS the full q_bm25_topk oracle (nested WITH), so
+    // the metric is certified through the ranking it evaluates
+    "q_retrieval_metrics" -> retrievalMetricsOracleSql)
+
+  /** The q_triangle_counts / q_clustering_coeff edge CTE — the DuckDB
+    * twin of [[mdGraph]] (same md5 lattice, same 97-vertex space).
+    */
+  private def mdGraphSql: String =
+    "raw AS (SELECT " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+      "AS BIGINT) % 97 AS s, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':t'), 1, 8)) " +
+      "AS BIGINT) % 97 AS t FROM documents)"
+
+  private def retrievalMetricsOracleSql: String =
+    s"""WITH ranked AS (
+       |${baseOracleSql("q_bm25_topk")}
+       |),
+       |qrels AS (SELECT doc_id % 17 AS query_id, doc_id FROM documents
+       |          WHERE doc_id % 17 < 3),
+       |rel AS (SELECT query_id, count(*) AS n_relevant FROM qrels
+       |        GROUP BY 1),
+       |hits AS (SELECT r.query_id,
+       |    CAST(sum(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits_at_k,
+       |    min(CAST(r.rank AS BIGINT)) AS fh
+       |  FROM ranked r JOIN qrels q
+       |    ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+       |  GROUP BY 1)
+       |SELECT b.query_id, coalesce(rel.n_relevant, 0) AS n_relevant,
+       |  coalesce(hits.n_hits_at_k, 0) AS n_hits_at_k,
+       |  coalesce(hits.fh, 0) AS first_hit_rank
+       |FROM (SELECT DISTINCT query_id FROM ranked) b
+       |LEFT JOIN rel USING (query_id)
+       |LEFT JOIN hits USING (query_id)""".stripMargin
 
   /** Build the q_random_project oracle: one UNION ALL branch per output
     * dim, each an explicit left-associated ± chain over

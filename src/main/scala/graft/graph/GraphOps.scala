@@ -286,15 +286,30 @@ object GraphOps {
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst"): DataFrame = {
-    val e = edges
+    val e = canonEdges(edges, srcCol, dstCol)
+    triangleCountsCanonical(e, degreesCanonical(e))
+  }
+
+  /** Undirected canonical edge set: (a < b), self-loops, nulls and
+    * duplicates dropped.
+    */
+  private def canonEdges(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    val deg = e.select(col("a").as("v"))
+
+  /** (v, _d) undirected degrees of the canonical edge set. */
+  private def degreesCanonical(e: DataFrame): DataFrame =
+    e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("_d"))
+
+  private def triangleCountsCanonical(e: DataFrame,
+                                      deg: DataFrame): DataFrame = {
     // orient low (deg, id) -> high (deg, id); the dst tuple key rides
     // along so the wedge pair can be ordered without re-joining degrees
     val withDeg = e
@@ -317,5 +332,32 @@ object GraphOps {
       .select("u", "v", "w")
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Local clustering coefficient as an exact integer fraction: per
+    * vertex, `n_triangles` closed out of `n_wedges` = d·(d−1)/2 open
+    * wedges — cc = n_triangles/n_wedges (the repo's float-lattice rule:
+    * publish the integers, divide downstream). The community-cohesion
+    * audit over co-authorship/co-citation graphs; every vertex of the
+    * graph appears, including triangle-free ones (n_triangles = 0).
+    *
+    * Same scale shape as [[triangleCounts]] (shares its oriented wedge
+    * join) plus one degree aggregate and a left join. `n_wedges` stays
+    * within Long up to d ≈ 4.2·10⁹ — beyond any real vertex degree.
+    *
+    * @return (vertex, degree, n_triangles, n_wedges)
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
+                            dstCol: String = "dst"): DataFrame = {
+    val e = canonEdges(edges, srcCol, dstCol)
+    val deg = degreesCanonical(e)
+    val tri = triangleCountsCanonical(e, deg)
+    deg.join(tri, col("v") === col("vertex"), "left_outer")
+      .select(col("v").as("vertex"), col("_d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        // d(d-1) is even; >> 1 halves it in integer arithmetic (the
+        // double-division route loses exactness past 2^53)
+        shiftright((col("_d") * (col("_d") - 1)).cast("long"), 1)
+          .as("n_wedges"))
   }
 }

@@ -734,6 +734,53 @@ object Similarity {
         col("n_legs"), col("fused_rank"))
   }
 
+  /** Retrieval-quality metrics of a ranked run against a relevance table
+    * (qrels), as exact integers per query: `n_relevant` (total relevant
+    * docs judged for the query), `n_hits_at_k` (relevant docs in the
+    * top-k — precision@k = /k, recall@k = /n_relevant) and
+    * `first_hit_rank` (the MRR numerator source; 0 when no relevant doc
+    * was retrieved AT ANY rank). Works over any ranked table — BM25,
+    * ANN, PQ, or [[rrfFuse]] output — which is the point: one metrics
+    * operator evaluates every retrieval leg and their fusion uniformly.
+    *
+    * Scale shape: qrels dedup + one (query, doc) equi-join + two narrow
+    * aggregates; the base row set is the RUN's query list (left joins),
+    * so queries with zero judged-relevant docs still report. Null
+    * query/doc ids on either side are dropped (a judgment without an id
+    * judges nothing).
+    *
+    * @param ranked (queryIdCol, docIdCol, rankCol) — one row per
+    *               retrieved (query, doc), rank 1-based
+    * @param qrels  (queryIdCol, docIdCol) — the judged-relevant pairs
+    * @return (query_id, n_relevant, n_hits_at_k, first_hit_rank)
+    */
+  def retrievalMetrics(ranked: DataFrame, qrels: DataFrame, k: Int,
+                       queryIdCol: String = "query_id",
+                       docIdCol: String = "doc_id",
+                       rankCol: String = "rank"): DataFrame = {
+    require(k > 0)
+    val r = ranked
+      .filter(col(queryIdCol).isNotNull && col(docIdCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"), col(docIdCol).as("_doc"),
+        col(rankCol).cast("long").as("_r"))
+    val q = qrels
+      .filter(col(queryIdCol).isNotNull && col(docIdCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"), col(docIdCol).as("_doc"))
+      .distinct()
+    val rel = q.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    val hits = r.join(q, Seq("query_id", "_doc"))
+      .groupBy("query_id")
+      .agg(sum(when(col("_r") <= k, 1L).otherwise(0L)).as("n_hits_at_k"),
+        min(col("_r")).as("_fh"))
+    r.select("query_id").distinct()
+      .join(rel, Seq("query_id"), "left_outer")
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_hits_at_k"), lit(0L)).as("n_hits_at_k"),
+        coalesce(col("_fh"), lit(0L)).as("first_hit_rank"))
+  }
+
   /** Deterministic ±1 sign for the random-projection matrix: parity of
     * the first hex digit of md5("seed:i:j") — reproducible across
     * engines, sessions, and languages (the matrix IS the seed string, so

@@ -64,7 +64,8 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_mmr_rerank"          -> "candidate generation: corpus x broadcast 3-row query set (brute-force top-20 feed)",
     "q_curate_pipeline"     -> "1-row totals inside the packing stage",
     "q_t_closeness"         -> "1-row corpus-total table crossJoin into the TVD fraction",
-    "q_pmi_collocations"    -> "1-row total-bigram-count table crossJoin into the PMI expression")
+    "q_pmi_collocations"    -> "1-row total-bigram-count table crossJoin into the PMI expression",
+    "q_retrieval_metrics"   -> "bm25's 1-row stats crossJoin inside the ranked-run leg being evaluated")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
     val d = "/root/testdata/sf0.001"

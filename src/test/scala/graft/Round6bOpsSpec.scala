@@ -171,6 +171,44 @@ class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == vs.map(_ -> 3L).toMap)
   }
 
+  test("clusteringCoefficient: exact integer fractions, all vertices") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant edge (3,4)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val out = graft.graph.GraphOps.clusteringCoefficient(e)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 1L)), 2L -> ((2L, 1L, 1L)),
+      3L -> ((3L, 1L, 3L)), 4L -> ((1L, 0L, 0L))))
+  }
+
+  test("retrievalMetrics: hits, recall base, first hit, zero-qrel query") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("query_id", "doc_id", "rank")
+    // q1 judged {11, 99} (99 never retrieved); q3 judged but never ran
+    val qrels = Seq((1L, 11L), (1L, 99L), (3L, 5L))
+      .toDF("query_id", "doc_id")
+    val out = graft.ops.Similarity.retrievalMetrics(ranked, qrels, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 2L)), // 2 judged, 1 hit in top-2, first at rank 2
+      2L -> ((0L, 0L, 0L)))) // ran but nothing judged
+  }
+
+  test("retrievalMetrics: hit below k counts for MRR but not for @k") {
+    import spark.implicits._
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 5))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 11L)).toDF("query_id", "doc_id")
+    val r = graft.ops.Similarity.retrievalMetrics(ranked, qrels, k = 3)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 0L, 5L)))
+  }
+
   test("hashFeatures: md5 buckets and counts") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
