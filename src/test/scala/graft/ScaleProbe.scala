@@ -202,6 +202,43 @@ object ScaleProbe {
             graft.ops.Similarity.labelCentroids(lemb)))
       }
     }
+
+    // round-6 batch-4 operators. triangle_counts: edges scale with mult
+    // while the md5 vertex space scales TOO (9973·mult), holding density
+    // constant — the regime where the degree-ordered wedge join should
+    // stay ~linear in edge count (a fixed vertex space would densify and
+    // grow triangles ~mult³, measuring the graph, not the operator).
+    probe("triangle_counts") {
+      val m = 9973L * mult
+      graft.graph.GraphOps.triangleCounts(docs.select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % m).as("src"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":t"))), 1, 8), 16, 10).cast("long") % m).as("dst")))
+    }
+    // auc_exact: the md5-fraction score sits on the 6-dp lattice, so the
+    // prefix window runs over <= 1e6 NARROW aggregated rows however large
+    // the corpus — time should be scan-dominated (linear)
+    probe("auc_exact") {
+      graft.ops.CorpusOps.aucExact(docs.select(col("doc_id"),
+        round((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("double") / 4294967296.0), 6).as("score"),
+        (col("doc_id") % 3 === 0).as("label")), "score", "label")
+    }
+    // pmi: the (prev, term) count table is vocabulary-sized and the
+    // replicated corpus only scales the explode-agg term
+    probe("pmi_collocations") {
+      graft.ops.TextAnalysis.pmiCollocations(docs, k = 40, minCount = 5)
+    }
+    // snapshot diff: one full-outer equi-join of corpus vs mutated corpus
+    probe("snapshot_diff") {
+      graft.ops.Cdc.snapshotDiff(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 11 =!= 0).withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))),
+        Seq("doc_id"), Seq("text"))
+    }
     spark.stop()
   }
 }
