@@ -2263,6 +2263,26 @@ object SparkEntry {
       val qrels = docs.select((col("doc_id") % 17).as("query_id"),
         col("doc_id")).filter(col("query_id") < 3)
       graft.ops.Similarity.retrievalMetrics(ranked, qrels, k = 10)
+    }),
+
+    "q_k_core" -> ((s, d) => {
+      // k-core decomposition (graph.GraphOps.kCore): the dense core of
+      // the md5-random graph after iteratively peeling sub-5-degree
+      // vertices. Rows-only (peeling is a fixpoint plain SQL can't
+      // express); Round6bOpsSpec pins multi-round peeling by hand
+      graft.graph.GraphOps.kCore(mdGraph(t(s, d, "documents")), k = 5)
+    }),
+
+    "q_compression_signal" -> ((s, d) => {
+      // compression-ratio quality signal (functions.DeflateLen — codegen
+      // Catalyst expression over java.util.zip): exact integer
+      // (n_bytes, deflate_len) per doc; templated/repetitive text
+      // compresses far below prose. Rows-only (DuckDB ships no deflate);
+      // Round6bOpsSpec pins the kernel's properties
+      par(s, t(s, d, "documents")).select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        graft.functions.CorpusFunctions.deflate_len(col("text"))
+          .as("deflate_len"))
     })
   )
 

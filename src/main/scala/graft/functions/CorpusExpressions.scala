@@ -109,6 +109,24 @@ case class LangId(child: Expression)
   override def prettyName: String = "lang_id"
 }
 
+/** DEFLATE-compressed byte length of the UTF-8 text — the
+  * compression-ratio quality signal's numerator source
+  * ([[CorpusKernels.deflateLen]]); ratio = octet_length / deflate_len,
+  * with repetitive/templated text compressing far below prose.
+  */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    CorpusKernels.deflateLen(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CorpusKernels.deflateLen($c.toString())")
+  override protected def withNewChildInternal(c: Expression): DeflateLen =
+    copy(child = c)
+  override def prettyName: String = "deflate_len"
+}
+
 case class TokenCountBpeIsh(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -288,6 +306,7 @@ object CorpusFunctions {
   def lang_id(c: Column): Column = column(LangId(expression(c)))
   def token_count_bpeish(c: Column): Column =
     column(TokenCountBpeIsh(expression(c)))
+  def deflate_len(c: Column): Column = column(DeflateLen(expression(c)))
   def jaccard_word_shingles(a: Column, b: Column, n: Int = 3): Column =
     column(JaccardWordShingles(expression(a), expression(b), n))
   def jaccard_char_shingles(a: Column, b: Column, k: Int = 5): Column =
@@ -313,5 +332,6 @@ object CorpusFunctions {
     reg.createOrReplaceTempFunction("doc_fingerprint", es => DocFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_count_bpeish", es => TokenCountBpeIsh(es.head), "built-in")
+    reg.createOrReplaceTempFunction("deflate_len", es => DeflateLen(es.head), "built-in")
   }
 }

@@ -328,6 +328,25 @@ object CorpusKernels {
   private val BpePiece =
     java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]")
 
+  /** DEFLATE-compressed byte length of the UTF-8 text (zlib level 6, raw
+    * stream) — the numerator source of the compression-ratio quality
+    * signal several curation recipes ship (machine-generated/repetitive
+    * text compresses far below prose; ratio = octet_length/deflate_len).
+    * Deterministic for a fixed JDK zlib; pure per-row CPU, no state.
+    */
+  def deflateLen(text: String): Int = {
+    if (text == null) return 0
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
+
   // --- vector math -------------------------------------------------------
 
   /** Cosine similarity of two float vectors (0.0 on zero-norm input). */

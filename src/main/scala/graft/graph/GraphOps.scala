@@ -347,6 +347,50 @@ object GraphOps {
     *
     * @return (vertex, degree, n_triangles, n_wedges)
     */
+  /** k-CORE decomposition (Seidman 1983): the maximal subgraph where
+    * every vertex keeps degree ≥ k, found by iteratively peeling all
+    * sub-k vertices until fixpoint — the graph-cleaning gate before
+    * centrality/community passes (peripheral tendrils and one-off
+    * spam vertices fall out; the dense core of the co-citation graph
+    * survives).
+    *
+    * Each round is one degree aggregate + two left-semi equi-joins on
+    * the SHRINKING edge set, localCheckpoint'd so lineage stays one
+    * round deep (the [[coauthorComponents]] iteration discipline). All
+    * sub-k vertices peel SIMULTANEOUSLY per round, so rounds are
+    * bounded by the peeling depth (typically ≪ 20 on real graphs; a
+    * worst-case path graph peels two vertices a round — set `maxIter`
+    * accordingly or pre-filter such tendrils).
+    *
+    * @return (vertex, core_degree) — degree WITHIN the k-core; empty
+    *         when no k-core exists
+    */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+            dstCol: String = "dst", maxIter: Int = 1000): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    var e = canonEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = nEdges == 0
+    while (!converged) {
+      if (rounds >= maxIter)
+        throw new IllegalStateException(
+          s"kCore: no fixpoint after $maxIter rounds ($nEdges edges live)")
+      val keep = degreesCanonical(e).filter(col("_d") >= k).select("v")
+      val e2 = e
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      e.unpersist()
+      converged = n2 == nEdges || n2 == 0
+      e = e2; nEdges = n2; rounds += 1
+    }
+    degreesCanonical(e)
+      .select(col("v").as("vertex"), col("_d").as("core_degree"))
+  }
+
   def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
                             dstCol: String = "dst"): DataFrame = {
     val e = canonEdges(edges, srcCol, dstCol)

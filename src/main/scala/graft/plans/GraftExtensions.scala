@@ -72,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("token_count_bpeish"),
       info("token_count_bpeish", classOf[TokenCountBpeIsh]),
       (es: Seq[Expression]) => TokenCountBpeIsh(es.head)))
+    ext.injectFunction((FunctionIdentifier("deflate_len"),
+      info("deflate_len", classOf[graft.functions.DeflateLen]),
+      (es: Seq[Expression]) => graft.functions.DeflateLen(es.head)))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", classOf[CosineSim]),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))

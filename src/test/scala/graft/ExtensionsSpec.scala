@@ -132,7 +132,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "size(word_shingles('a b c d', 2)) AS nsh, " +
         "size(winnow('abcdefghijklmnop', 4, 3)) AS nwin, " +
         "winnow_positions('abcdefghijklmnop', 4, 3) AS wpos, " +
-        "repetition_stats('a b a b', 2, '\\n') AS reps").head()
+        "repetition_stats('a b a b', 2, '\\n') AS reps, " +
+        "deflate_len('the quick brown fox') AS dl").head()
     assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
     assert(r.getString(2) == "en")
     assert(r.getInt(3) > 0)
@@ -144,6 +145,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wpos.nonEmpty && wpos.forall(p => p >= 1 && p <= 13))
     // 'a b' occurs twice among the three bigrams of "a b a b"
     assert(r.getStruct(9).getAs[String]("top_gram") == "a b")
+    assert(r.getInt(10) ==
+      graft.functions.CorpusKernels.deflateLen("the quick brown fox"))
   }
 
   test("every custom expression compiles under CODEGEN_ONLY factory mode") {
@@ -161,9 +164,9 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "lang_id(t), token_count_bpeish(t), cosine_sim(v, v), " +
         "minhash_sig(t, 3, 8), word_shingles(t, 2), " +
         "winnow(t, 4, 3), winnow_positions(t, 4, 3), " +
-        "repetition_stats(t, 2, '\\n') " +
+        "repetition_stats(t, 2, '\\n'), deflate_len(t) " +
         "FROM codegen_probe").head()
-    assert(row.size == 14)
+    assert(row.size == 15)
   }
 
   test("pure range condition (no equi keys) also rewrites") {

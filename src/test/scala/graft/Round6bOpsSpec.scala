@@ -209,6 +209,41 @@ class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 0L, 5L)))
   }
 
+  test("kCore: multi-round peeling to the dense core") {
+    import spark.implicits._
+    // chain 5-4 into triangle {1,2,3}: round 1 peels 5, round 2 peels 4,
+    // fixpoint is the triangle (every vertex core-degree 2)
+    val e = Seq((5L, 4L), (4L, 3L), (1L, 2L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val core2 = graft.graph.GraphOps.kCore(e, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core exists -> empty
+    assert(graft.graph.GraphOps.kCore(e, k = 3).count() == 0)
+    // path graph fully peels under k=2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(graft.graph.GraphOps.kCore(path, k = 2).count() == 0)
+  }
+
+  test("deflateLen: repetition compresses, kernel == expression == SQL") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders off across the wide river delta toward distant hills"
+    val boiler = "na" * 60 // same length class, maximally repetitive
+    val k = graft.functions.CorpusKernels.deflateLen _
+    assert(k(prose) == k(prose)) // deterministic
+    assert(k(boiler) < k(prose) / 2) // repetition compresses hard
+    assert(k("") == 2) // raw deflate empty-stream terminator
+    // expression output matches the kernel, nulls propagate
+    val out = Seq((1L, prose), (2L, boiler), (3L, null: String))
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.CorpusFunctions.deflate_len(col("text")).as("dl"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out == Map(1L -> k(prose), 2L -> k(boiler), 3L -> -1))
+  }
+
   test("hashFeatures: md5 buckets and counts") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
