@@ -58,6 +58,7 @@ object Pipelines {
                    langs: Seq[String] = Seq("en"),
                    minQuality: Double = 0.3,
                    maxRepetition: Double = 0.3,
+                   maxCompressionRatio: Option[Double] = None,
                    nearDupThreshold: Double = 0.7,
                    blocklist: Option[DataFrame] = None,
                    boilerplateMinDocs: Option[Long] = None,
@@ -111,10 +112,11 @@ object Pipelines {
     val annotated = stage("input+annotate",
       TextAnalysis.annotate(urlDeduped, textCol))
 
-    val gated = stage("quality-gate", annotated
+    val gated = stage("quality-gate", compressionGate(annotated
       .filter(col("lang_pred").isin(langs: _*))
       .filter(col("quality") >= minQuality)
-      .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition))
+      .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition),
+      maxCompressionRatio, textCol))
 
     // optional C4 blocklist gate: drop docs containing ANY listed word —
     // a cheap broadcast-join filter, so it runs right after the rule
@@ -324,10 +326,27 @@ object Pipelines {
     * input state (a narrow union — at 100 TB append the new rows to the
     * bucketed state tables instead of rewriting them).
     */
+  /** Optional compression-ratio gate shared by both pipelines:
+    * templated/generated text (long shared prefixes, serial numbers)
+    * deflates far below prose while keeping its WORD-level n-gram
+    * repetition low, so the deflate signal catches what the repetition
+    * gate can't. bytes <= cap·deflate_len avoids the division
+    * (deflate_len >= 2 on any input, but multiply anyway).
+    */
+  private def compressionGate(df: DataFrame, cap: Option[Double],
+                              textCol: String): DataFrame = cap match {
+    case Some(c) => df.filter(
+      octet_length(col(textCol)).cast("double") <= lit(c) *
+        graft.functions.CorpusFunctions.deflate_len(col(textCol))
+          .cast("double"))
+    case None => df
+  }
+
   def curateBatch(state: CorpusState, batch: DataFrame, eval: DataFrame,
                   langs: Seq[String] = Seq("en"),
                   minQuality: Double = 0.3,
                   maxRepetition: Double = 0.3,
+                  maxCompressionRatio: Option[Double] = None,
                   nearDupThreshold: Double = 0.7,
                   blocklist: Option[DataFrame] = None,
                   dedupLinesDelim: Option[String] = None,
@@ -376,10 +395,11 @@ object Pipelines {
     val annotated = stage("input+annotate",
       TextAnalysis.annotate(urlDeduped, textCol))
 
-    val gated = stage("quality-gate", annotated
+    val gated = stage("quality-gate", compressionGate(annotated
       .filter(col("lang_pred").isin(langs: _*))
       .filter(col("quality") >= minQuality)
-      .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition))
+      .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition),
+      maxCompressionRatio, textCol))
 
     val blGated = blocklist match {
       case Some(bl) => stage("blocklist-gate", gated.join(

@@ -524,7 +524,8 @@ object Streams {
               batch.limit(0), idCol = idCol, textCol = textCol,
               urlCol = urlCol))
           val r = graft.ops.Pipelines.curateBatch(state, batch, eval,
-            langs, minQuality, maxRepetition, nearDupThreshold,
+            langs, minQuality, maxRepetition,
+            nearDupThreshold = nearDupThreshold,
             blocklist = None, dedupLinesDelim = dedupLinesDelim,
             urlCol = urlCol,
             audit = false, idCol = idCol, textCol = textCol)

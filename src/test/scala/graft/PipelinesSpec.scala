@@ -205,6 +205,29 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report("blocklist-gate") == 2L)
   }
 
+  test("maxCompressionRatio gate drops templated text repetition misses") {
+    import spark.implicits._
+    // doc 2 is serial-number text: every WORD is distinct (n-gram
+    // repetition ~0, so the repetition gate passes it) but deflate
+    // collapses the shared prefixes — exactly what the gate is for
+    val serial = (1 to 120).map(i => f"the item$i%05d").mkString(" ")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then wanders " +
+        "off across the wide river delta toward the distant green hills"),
+      (2L, serial)
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "there is no overlap of this with anything here"))
+      .toDF("doc_id", "text")
+    def run(cap: Option[Double]) = Pipelines.curateCorpus(docs, eval,
+      minQuality = 0.0, maxRepetition = 0.95, maxCompressionRatio = cap,
+      nearDupThreshold = 0.95, chunkTokens = 64, chunkStride = 64,
+      packBudget = 512)
+      .chunks.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(run(None) == Set(1L, 2L)) // without the gate both survive
+    assert(run(Some(3.0)) == Set(1L)) // the serial doc deflates > 3x
+  }
+
   test("lmKeepFrac gate keeps the exact head-fraction of the gated set") {
     import spark.implicits._
     val docs = spark.read
