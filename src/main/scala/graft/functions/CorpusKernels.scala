@@ -332,20 +332,28 @@ object CorpusKernels {
     * stream) — the numerator source of the compression-ratio quality
     * signal several curation recipes ship (machine-generated/repetitive
     * text compresses far below prose; ratio = octet_length/deflate_len).
-    * Deterministic for a fixed JDK zlib; pure per-row CPU, no state.
+    * Deterministic for a fixed JDK zlib. The native Deflater (and its
+    * output scratch buffer) is thread-local and `reset()` between rows —
+    * per-call deflateInit/end would dominate the actual compression work
+    * on short documents at corpus scale.
     */
   def deflateLen(text: String): Int = {
     if (text == null) return 0
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val d = new java.util.zip.Deflater(6, true)
+    val d = deflaterTl.get()
+    d.reset()
     d.setInput(bytes)
     d.finish()
-    val buf = new Array[Byte](8192)
+    val buf = deflateBufTl.get()
     var total = 0
     while (!d.finished()) total += d.deflate(buf)
-    d.end()
     total
   }
+  private val deflaterTl =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, true))
+  private val deflateBufTl =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 
   // --- vector math -------------------------------------------------------
 

@@ -334,19 +334,6 @@ object GraphOps {
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** Local clustering coefficient as an exact integer fraction: per
-    * vertex, `n_triangles` closed out of `n_wedges` = d·(d−1)/2 open
-    * wedges — cc = n_triangles/n_wedges (the repo's float-lattice rule:
-    * publish the integers, divide downstream). The community-cohesion
-    * audit over co-authorship/co-citation graphs; every vertex of the
-    * graph appears, including triangle-free ones (n_triangles = 0).
-    *
-    * Same scale shape as [[triangleCounts]] (shares its oriented wedge
-    * join) plus one degree aggregate and a left join. `n_wedges` stays
-    * within Long up to d ≈ 4.2·10⁹ — beyond any real vertex degree.
-    *
-    * @return (vertex, degree, n_triangles, n_wedges)
-    */
   /** k-CORE decomposition (Seidman 1983): the maximal subgraph where
     * every vertex keeps degree ≥ k, found by iteratively peeling all
     * sub-k vertices until fixpoint — the graph-cleaning gate before
@@ -391,17 +378,37 @@ object GraphOps {
       .select(col("v").as("vertex"), col("_d").as("core_degree"))
   }
 
+  /** Local clustering coefficient as an exact integer fraction: per
+    * vertex, `n_triangles` closed out of `n_wedges` = d·(d−1)/2 open
+    * wedges — cc = n_triangles/n_wedges (the repo's float-lattice rule:
+    * publish the integers, divide downstream). The community-cohesion
+    * audit over co-authorship/co-citation graphs; every vertex of the
+    * graph appears, including triangle-free ones (n_triangles = 0).
+    *
+    * Same scale shape as [[triangleCounts]] (shares its oriented wedge
+    * join) plus one degree aggregate and a left join. `n_wedges` is
+    * computed in DECIMAL(38,0) and downcast behind a raise_error guard
+    * (the plain Long product would wrap silently at d ≈ 3·10⁹).
+    *
+    * @return (vertex, degree, n_triangles, n_wedges)
+    */
   def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
                             dstCol: String = "dst"): DataFrame = {
     val e = canonEdges(edges, srcCol, dstCol)
     val deg = degreesCanonical(e)
     val tri = triangleCountsCanonical(e, deg)
+    // d(d-1)/2 in DECIMAL(38,0) behind a raise_error guard: the plain
+    // Long product wraps silently at d ≈ 3e9 (the repo convention for
+    // count products — see aucExact / tClosenessViolations)
+    val dec = "decimal(38,0)"
+    val wedges = (col("_d").cast(dec) * (col("_d") - 1).cast(dec))
+      ./(lit(2).cast(dec))
     deg.join(tri, col("v") === col("vertex"), "left_outer")
       .select(col("v").as("vertex"), col("_d").as("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        // d(d-1) is even; >> 1 halves it in integer arithmetic (the
-        // double-division route loses exactness past 2^53)
-        shiftright((col("_d") * (col("_d") - 1)).cast("long"), 1)
-          .as("n_wedges"))
+        when(wedges > lit(Long.MaxValue).cast(dec),
+          raise_error(concat(lit("clusteringCoefficient: n_wedges " +
+            "overflows BIGINT: "), wedges.cast("string"))).cast("long"))
+          .otherwise(wedges.cast("long")).as("n_wedges"))
   }
 }

@@ -83,8 +83,11 @@ object Cdc {
     require(cmp.nonEmpty, "nothing to compare")
     require(((keyCols ++ cmp).toSet -- shared).isEmpty,
       "key/compare columns must exist in both snapshots")
+    // guard ALL input columns, not just key+compare — a non-compared
+    // 'status' column would survive into the join and make the
+    // withColumn("status", ...) reference ambiguous at runtime
     val reserved = Seq("status", "changed_cols", "_ok", "_nk")
-    val hit = (keyCols ++ cmp).toSet.intersect(reserved.toSet)
+    val hit = (old.columns ++ neu.columns).toSet.intersect(reserved.toSet)
     require(hit.isEmpty,
       s"snapshotDiff reserves ${reserved.mkString(", ")}; " +
         s"rename: ${hit.mkString(", ")}")

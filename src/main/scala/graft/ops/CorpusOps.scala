@@ -820,7 +820,8 @@ object CorpusOps {
     *
     * One map-side-combinable aggregate over ≤ `bins` groups — nothing
     * else. A null label counts as negative (`when(label)` semantics),
-    * matching "not verified positive".
+    * matching "not verified positive". Null AND NaN scores drop — a NaN
+    * would otherwise cast-floor to 0 and silently inflate bin 0.
     *
     * @return (bin, n, n_pos), bin ∈ [0, bins)
     */
@@ -830,7 +831,8 @@ object CorpusOps {
     val b = least(lit(bins - 1),
       greatest(lit(0), floor(col(scoreCol).cast("double") * bins)
         .cast("int")))
-    scored.filter(col(scoreCol).isNotNull)
+    scored.filter(col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .groupBy(b.as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))

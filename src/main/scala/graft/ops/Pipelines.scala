@@ -53,6 +53,22 @@ object Pipelines {
 
   final case class CurationResult(chunks: DataFrame, report: DataFrame)
 
+  /** Optional compression-ratio gate shared by both pipelines:
+    * templated/generated text (long shared prefixes, serial numbers)
+    * deflates far below prose while keeping its WORD-level n-gram
+    * repetition low, so the deflate signal catches what the repetition
+    * gate can't. bytes <= cap·deflate_len avoids the division
+    * (deflate_len >= 2 on any input, but multiply anyway).
+    */
+  private def compressionGate(df: DataFrame, cap: Option[Double],
+                              textCol: String): DataFrame = cap match {
+    case Some(c) => df.filter(
+      octet_length(col(textCol)).cast("double") <= lit(c) *
+        graft.functions.CorpusFunctions.deflate_len(col(textCol))
+          .cast("double"))
+    case None => df
+  }
+
   def curateCorpus(docs: DataFrame, eval: DataFrame,
                    urlCol: Option[String] = None,
                    langs: Seq[String] = Seq("en"),
@@ -326,22 +342,6 @@ object Pipelines {
     * input state (a narrow union — at 100 TB append the new rows to the
     * bucketed state tables instead of rewriting them).
     */
-  /** Optional compression-ratio gate shared by both pipelines:
-    * templated/generated text (long shared prefixes, serial numbers)
-    * deflates far below prose while keeping its WORD-level n-gram
-    * repetition low, so the deflate signal catches what the repetition
-    * gate can't. bytes <= cap·deflate_len avoids the division
-    * (deflate_len >= 2 on any input, but multiply anyway).
-    */
-  private def compressionGate(df: DataFrame, cap: Option[Double],
-                              textCol: String): DataFrame = cap match {
-    case Some(c) => df.filter(
-      octet_length(col(textCol)).cast("double") <= lit(c) *
-        graft.functions.CorpusFunctions.deflate_len(col(textCol))
-          .cast("double"))
-    case None => df
-  }
-
   def curateBatch(state: CorpusState, batch: DataFrame, eval: DataFrame,
                   langs: Seq[String] = Seq("en"),
                   minQuality: Double = 0.3,

@@ -1107,9 +1107,12 @@ object TextAnalysis {
         log((col("_n").cast("double") * col("_T")) /
           (col("_np").cast("double") * col("_nt").cast("double"))) / ln2, 6))
       .select(col("prev"), col("term"), col("_n").as("n_pair"), col("pmi"))
-    out.orderBy(col("pmi").desc, col("prev"), col("term")).limit(k)
-    // (cleanup note: pairCounts stays pinned for the session like the LM
-    // tables — callers composing many passes can unpersist via the plan)
+    // pin the k-row result, then free the vocabulary-sized pair table —
+    // the LM-builder discipline (checkpoint derived, unpersist raw)
+    val top = out.orderBy(col("pmi").desc, col("prev"), col("term"))
+      .limit(k).localCheckpoint(true)
+    pairCounts.unpersist()
+    top
   }
 
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009 /

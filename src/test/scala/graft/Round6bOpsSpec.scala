@@ -7,7 +7,9 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-6 batch 4: t-closeness, PMI collocations, snapshot diff,
-  * random projection.
+  * random projection, triangle counts, clustering coefficient, k-core,
+  * feature hashing, calibration bins, exact AUC, retrieval metrics,
+  * deflate length.
   */
 class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -129,6 +131,12 @@ class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = Seq((1L, "x")).toDF("doc_id", "other")
     intercept[IllegalArgumentException] {
       Cdc.snapshotDiff(b, c, Seq("doc_id"), Seq("text"))
+    }
+    // a NON-compared reserved column must also be rejected — it would
+    // survive into the join and make withColumn("status") ambiguous
+    val d = Seq((1L, "x", "keep")).toDF("doc_id", "text", "status")
+    intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(d, d, Seq("doc_id"), Seq("text"))
     }
   }
 
@@ -258,15 +266,16 @@ class Round6bOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map((1L, bucket("a")) -> 2L, (1L, bucket("b")) -> 1L))
   }
 
-  test("calibrationBins: clamping, null score drop, null label negative") {
+  test("calibrationBins: clamping, null/NaN score drop, null label negative") {
     import spark.implicits._
     val scored = Seq(
       (0.05, java.lang.Boolean.TRUE),   // bin 0
       (1.0, java.lang.Boolean.TRUE),    // clamps into bin 9
       (-0.2, java.lang.Boolean.FALSE),  // clamps into bin 0
       (0.95, null: java.lang.Boolean),  // bin 9, counts as negative
-      (Double.NaN, java.lang.Boolean.TRUE) // NaN*10 floors to null-ish?
-    ).toDF("score", "label").filter(!isnan(col("score")))
+      (Double.NaN, java.lang.Boolean.TRUE) // dropped by the operator —
+        // would otherwise cast-floor to 0 and silently inflate bin 0
+    ).toDF("score", "label")
     val out = graft.ops.CorpusOps.calibrationBins(scored, "score", "label")
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
