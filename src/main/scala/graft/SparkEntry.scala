@@ -2283,6 +2283,83 @@ object SparkEntry {
         octet_length(col("text")).as("n_bytes"),
         graft.functions.CorpusFunctions.deflate_len(col("text"))
           .as("deflate_len"))
+    }),
+
+    "q_confusion_matrix" -> ((s, d) => {
+      // confusion matrix (ops.CorpusOps.confusionMatrix): the " the "
+      // heuristic as a toy English detector against the lang label —
+      // one bounded (label, pred) aggregate, integer counts
+      graft.ops.CorpusOps.confusionMatrix(
+        t(s, d, "documents").select(col("lang"),
+          when(col("text").contains(" the "), lit("en"))
+            .otherwise(lit("other")).as("pred_lang")),
+        "lang", "pred_lang")
+    }),
+
+    "q_cohen_kappa" -> ((s, d) => {
+      // Cohen's kappa integer sources (ops.CorpusOps.cohenKappa): lang
+      // vs a synthetic second rater (disagrees on %5, abstains on %7 —
+      // null ratings drop); kappa = (n_agree*n - pe_num)/(n^2 - pe_num)
+      // downstream of the published integers
+      graft.ops.CorpusOps.cohenKappa(
+        t(s, d, "documents").select(col("lang").as("rater_a"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 5 === 0, lit("xx"))
+            .otherwise(col("lang")).as("rater_b")),
+        "rater_a", "rater_b")
+    }),
+
+    "q_merge_into" -> ((s, d) => {
+      // MERGE INTO (ops.Cdc.mergeInto): the %3 batch upserts into the
+      // %7-gapped target with %9 rows as deletions — matched rows
+      // replaced, new rows appended, deleted rows dropped; one left-anti
+      // equi-join + union, no window, no full outer
+      val docs = t(s, d, "documents")
+      val target = docs.filter(col("doc_id") % 7 =!= 0)
+        .select("doc_id", "text", "source")
+      val source = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("source"))
+      graft.ops.Cdc.mergeInto(target, source, Seq("doc_id"),
+        isDelete = col("doc_id") % 9 === 0)
+    }),
+
+    "q_expectations" -> ((s, d) => {
+      // data-quality expectation suite (ops.Profile.checkExpectations,
+      // the Deequ shape): six checks over documents — all four row-local
+      // checks fold into ONE aggregate pass; unique adds one key
+      // aggregate, refers_to one anti-join. Integer (n_rows,
+      // n_violations) per check
+      import graft.ops.Profile.Expectation._
+      val docs = t(s, d, "documents")
+      graft.ops.Profile.checkExpectations(docs, Seq(
+        NotNull("lang"),
+        InRange("n_chars", 50, 600),
+        MatchesRegex("source", "^src\\d+$"),
+        InSet("lang", Seq("en", "de", "fr", "es")),
+        Unique(Seq("doc_id")),
+        RefersTo("lang", docs.filter(col("lang") =!= "zh"), "lang")))
+    }),
+
+    "q_tfidf_cosine_pairs" -> ((s, d) => {
+      // all-pairs tf-idf cosine similarity (ops.TextAnalysis
+      // .tfidfCosinePairs): inverted-index self-join with the df cap,
+      // dot product as one shared-term aggregate — the WEIGHTED sibling
+      // of q_ngram_jaccard_pairs, scored on the 6-dp rounded lattice.
+      // Trigram terms (n=3): the synthetic corpus' 31-word vocabulary
+      // makes unigram cosine degenerate (every doc shares every word)
+      graft.ops.TextAnalysis.tfidfCosinePairs(
+        par(s, t(s, d, "documents")), threshold = 0.2, maxDocFreq = 1000,
+        n = 3)
+    }),
+
+    "q_label_propagation" -> ((s, d) => {
+      // community detection (graph.GraphOps.labelPropagation) over the
+      // md5-random graph: synchronous min-tie-break LPA with self-vote
+      // damping. Rows-only (iterative fixpoint); Round6cOpsSpec pins
+      // planted two-clique communities and the deterministic tie-break
+      graft.graph.GraphOps.labelPropagation(
+        mdGraph(t(s, d, "documents")), maxIter = 10)
     })
   )
 
@@ -4606,6 +4683,112 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
-        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q_confusion_matrix" ->
+      """SELECT lang AS label,
+        |  CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END
+        |    AS pred,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // integer kappa sources; the pe join is inner (a label only one
+    // rater used contributes 0), HUGEINT sums cast back to BIGINT
+    "q_cohen_kappa" ->
+      """WITH r AS (SELECT lang AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |         WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS b
+        |  FROM documents),
+        |both_r AS (SELECT a, b FROM r WHERE a IS NOT NULL
+        |           AND b IS NOT NULL),
+        |tot AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM both_r),
+        |ma AS (SELECT a AS l, count(*) AS na FROM both_r GROUP BY 1),
+        |mb AS (SELECT b AS l, count(*) AS nb FROM both_r GROUP BY 1),
+        |pe AS (SELECT coalesce(sum(na * nb), 0) AS p
+        |       FROM ma JOIN mb USING (l))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+        |  CAST(p AS BIGINT) AS pe_num
+        |FROM tot CROSS JOIN pe""".stripMargin,
+
+    "q_merge_into" ->
+      """WITH tgt AS (SELECT doc_id, text, source FROM documents
+        |             WHERE doc_id % 7 <> 0),
+        |src AS (SELECT doc_id, text || ' v2' AS text, source
+        |        FROM documents WHERE doc_id % 3 = 0)
+        |SELECT * FROM tgt
+        |WHERE doc_id NOT IN (SELECT doc_id FROM src)
+        |UNION ALL
+        |SELECT * FROM src WHERE doc_id % 9 <> 0""".stripMargin,
+
+    // one SELECT per check; Spark rlike and DuckDB regexp_matches are
+    // both find-anywhere, identical under the ^$ anchors
+    "q_expectations" ->
+      """SELECT 'not_null(lang)' AS "check", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations
+        |FROM documents
+        |UNION ALL
+        |SELECT 'in_range(n_chars)', count(*),
+        |  CAST(sum(CASE WHEN n_chars IS NOT NULL AND
+        |      (isnan(CAST(n_chars AS DOUBLE)) OR n_chars < 50
+        |        OR n_chars > 600)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'matches_regex(source)', count(*),
+        |  CAST(sum(CASE WHEN source IS NOT NULL AND
+        |      NOT regexp_matches(source, '^src\d+$')
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'in_set(lang)', count(*),
+        |  CAST(sum(CASE WHEN lang IS NOT NULL AND
+        |      lang NOT IN ('en', 'de', 'fr', 'es')
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'unique(doc_id)', CAST(sum(n) AS BIGINT),
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id)
+        |UNION ALL
+        |SELECT 'refers_to(lang)', count(*),
+        |  CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN
+        |      (SELECT DISTINCT lang FROM documents WHERE lang <> 'zh')
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents""".stripMargin,
+
+    // replays the tf-idf weight lattice (6-dp rounded) over TRIGRAM
+    // terms, norms over ALL positive-idf terms, candidates+dot over
+    // sub-cap terms only — the documented blocking semantics, identical
+    // on both engines
+    "q_tfidf_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x <> '') AS w
+        |    FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term, df.df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS w
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |  WHERE round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) > 0),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+        |          FROM w GROUP BY 1),
+        |inv AS (SELECT w.doc_id, w.term, w.w, norms.nrm FROM w
+        |        JOIN norms USING (doc_id) WHERE w.df <= 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(sum(a.w * b.w) / (any_value(a.nrm) * any_value(b.nrm)), 6)
+        |    AS cosine
+        |FROM inv a JOIN inv b ON a.term = b.term
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING round(sum(a.w * b.w)
+        |  / (any_value(a.nrm) * any_value(b.nrm)), 6) >= 0.2""".stripMargin
   )
 }

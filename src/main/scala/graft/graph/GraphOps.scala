@@ -411,4 +411,63 @@ object GraphOps {
             "overflows BIGINT: "), wedges.cast("string"))).cast("long"))
           .otherwise(wedges.cast("long")).as("n_wedges"))
   }
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007): every vertex starts in its own community and
+    * per round adopts the most frequent label among its neighbors —
+    * near-linear community detection, the cheap first cut before
+    * anything modularity-based. Deterministic variant: each vertex also
+    * votes for its OWN current label (damps the 2-coloring oscillation
+    * synchronous LPA is known for) and ties break to the smallest label,
+    * so reruns agree bit-for-bit — no randomized vertex order.
+    *
+    * Per round: one equi-join of the symmetrized edge list to the narrow
+    * (vertex, community) table, one map-side-combinable (vertex, label)
+    * count, one min_by argmax per vertex — all AQE-splittable shuffles,
+    * no window over data rows. Lineage is cut per round and the previous
+    * round's blocks released (the [[kCore]] discipline); early exit when
+    * a round changes no label. Isolated vertices have no edges and are
+    * absent, matching [[triangleCounts]] semantics.
+    *
+    * @param edges (srcCol, dstCol) — direction ignored, self-loops and
+    *              duplicate edges dropped, null endpoints dropped
+    * @return (vertex, community) — community = the surviving label,
+    *         itself always some member vertex's id
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst",
+                       maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1)
+    val e = canonEdges(edges, srcCol, dstCol)
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("vertex")).distinct()
+      .withColumn("community", col("vertex"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val nbrVotes = sym
+        .join(labels.select(col("vertex").as("v"), col("community")),
+          Seq("v"))
+        .select(col("u").as("vertex"), col("community"))
+      val next = nbrVotes.union(labels) // self-vote damps oscillation
+        .groupBy("vertex", "community")
+        .agg(count(lit(1)).as("_n"))
+        .groupBy("vertex")
+        .agg(min_by(col("community"), struct(-col("_n"), col("community")))
+          .as("community"))
+        .localCheckpoint(true)
+      val nChanged = next
+        .join(labels.withColumnRenamed("community", "_prev"), Seq("vertex"))
+        .filter(col("community") =!= col("_prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = nChanged == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

@@ -115,4 +115,40 @@ object Cdc {
     if (includeUnchanged) diffed
     else diffed.filter(col("status") =!= "unchanged")
   }
+
+  /** MERGE INTO for schema-equal snapshots — the upsert a corpus state
+    * table takes each batch (Delta/Iceberg `MERGE` semantics without a
+    * table format): source rows matched on the key REPLACE the target
+    * row (update), unmatched source rows append (insert), source rows
+    * satisfying `isDelete` drop their matched target row and are never
+    * inserted; target rows untouched by the source pass through. The
+    * result is the next version of the table.
+    *
+    * Shape: one left-anti equi-join on the key (target vs source keys —
+    * a matched target row is superseded whether the source updates or
+    * deletes it) + a filter + a narrow union. No window, no full outer
+    * join — the anti join shuffles each side once and AQE splits skewed
+    * keys. At 100 TB with a target bucketed by the key the anti join is
+    * shuffle-free on the target side.
+    *
+    * The source must be key-unique (two source rows on one key would
+    * both insert — classic MERGE raises; feed deduped batches, e.g.
+    * through [[snapshotAt]]).
+    *
+    * @param isDelete predicate over SOURCE rows marking deletions
+    *                 (default: none)
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+                isDelete: Column = lit(false)): DataFrame = {
+    require(keyCols.nonEmpty, "need key columns")
+    require(target.columns.toSeq == source.columns.toSeq,
+      "mergeInto needs schema-equal snapshots (same columns, same order); " +
+        s"target=${target.columns.mkString(",")} " +
+        s"source=${source.columns.mkString(",")}")
+    val cond = keyCols.map(c => col(s"_t.$c") <=> col(s"_s.$c"))
+      .reduce(_ && _)
+    val kept = target.as("_t")
+      .join(source.as("_s"), cond, "left_anti")
+    kept.unionByName(source.filter(!isDelete))
+  }
 }

@@ -894,4 +894,65 @@ object CorpusOps {
         guarded(lit(2).cast(dec) * col("_npos")
           * (col("_ntot") - col("_npos")), "auc denominator").as("auc_den2"))
   }
+
+  /** Confusion matrix for a labeled classifier run — the evaluation
+    * staple the calibration/AUC pair doesn't cover: one row per observed
+    * (label, pred) cell with its count, from which every per-class
+    * precision/recall/F1 is an integer ratio downstream (row sums =
+    * support, column sums = predicted totals, diagonal = hits). Null
+    * labels/predictions are cells too (`groupBy` keeps them) — silently
+    * dropping them would overstate accuracy on a partially-labeled run.
+    *
+    * One map-side-combinable aggregate over ≤ |labels|² groups.
+    *
+    * @return (label, pred, n)
+    */
+  def confusionMatrix(scored: DataFrame, labelCol: String,
+                      predCol: String): DataFrame = {
+    scored.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cohen's kappa integer sources (Cohen 1960) — inter-annotator
+    * agreement for a double-labeled corpus sample, the QA gate on any
+    * human- or model-labeled training set: kappa = (p_o − p_e)/(1 − p_e)
+    * with observed agreement p_o = n_agree/n and chance agreement
+    * p_e = Σ_l n_a(l)·n_b(l) / n². Published as EXACT integers (the
+    * repo's float-lattice rule): kappa = (n_agree·n − pe_num) /
+    * (n² − pe_num) downstream. Rows where either rating is null drop
+    * (unrated items are not agreement evidence); null-vs-null therefore
+    * never counts as agreement.
+    *
+    * Shape: one count aggregate plus two label-marginal aggregates
+    * joined on the label (label-vocabulary-sized, broadcast); the
+    * product n_a·n_b and n² run in DECIMAL(38,0) behind raise_error
+    * guards (the [[aucExact]] discipline — n² wraps bigint past ~3e9).
+    *
+    * @return one row: (n, n_agree, pe_num)
+    */
+  def cohenKappa(rated: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val both = rated.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val totals = both.agg(
+      count(lit(1)).cast(dec).as("_n"),
+      sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).cast(dec)
+        .as("_agree"))
+    val ma = both.groupBy(col(aCol).as("_l"))
+      .agg(count(lit(1)).cast(dec).as("_na"))
+    val mb = both.groupBy(col(bCol).as("_l"))
+      .agg(count(lit(1)).cast(dec).as("_nb"))
+    // inner join: a label only one rater ever used contributes 0 to pe
+    val pe = ma.join(mb, "_l")
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0).cast(dec))
+        .as("_pe"))
+    def guarded(x: Column, what: String): Column =
+      when(x > lit(Long.MaxValue).cast(dec),
+        raise_error(concat(lit(s"cohenKappa: $what overflows BIGINT: "),
+          x.cast("string"))).cast("long"))
+        .otherwise(x.cast("long"))
+    totals.crossJoin(pe) // two 1-row frames
+      .select(guarded(col("_n"), "n").as("n"),
+        guarded(col("_agree"), "n_agree").as("n_agree"),
+        guarded(col("_pe"), "pe numerator").as("pe_num"))
+  }
 }

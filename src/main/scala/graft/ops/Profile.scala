@@ -171,6 +171,109 @@ object Profile {
         guarded(col("_den"), "tvd denominator").as("tvd_den")): _*)
   }
 
+  /** Declarative data-quality expectations (the Deequ/Great-Expectations
+    * shape, built from the published constraint-suite idea in Schelter et
+    * al. 2018): a suite of checks evaluated over one DataFrame, one
+    * result row per check with EXACT integer (n_rows, n_violations) —
+    * the admission gate a 100 TB pipeline runs on every batch before
+    * promoting it ("0.3% of yesterday's crawl lost its license tag —
+    * stop").
+    */
+  sealed trait Expectation
+  object Expectation {
+    /** column must be non-null */
+    final case class NotNull(column: String) extends Expectation
+    /** non-null numeric values must fall in [lo, hi]; NaN violates */
+    final case class InRange(column: String, lo: Double, hi: Double)
+      extends Expectation
+    /** non-null values must match the (Java) regex somewhere */
+    final case class MatchesRegex(column: String, pattern: String)
+      extends Expectation
+    /** non-null values must be one of `values` */
+    final case class InSet(column: String, values: Seq[String])
+      extends Expectation
+    /** the column combination must be row-unique; every row of a
+      * duplicated combination counts as a violation */
+    final case class Unique(columns: Seq[String]) extends Expectation
+    /** non-null values must exist in `dim`'s `dimColumn` (referential
+      * integrity against a reference table — license registry, source
+      * catalog; dimension-sized, so Catalyst broadcasts the anti join) */
+    final case class RefersTo(column: String, dim: DataFrame,
+                              dimColumn: String) extends Expectation
+  }
+
+  /** Evaluate an expectation suite. Row-local checks (not-null, range,
+    * regex, set membership) all fold into ONE map-side-combinable
+    * aggregate pass over the data — k checks cost one scan, not k
+    * (conditional sums, the [[profileColumns]] discipline); each
+    * `Unique` adds one aggregate on its key; each `RefersTo` one
+    * left-anti equi-join plus a count. Nothing collects, nothing
+    * windows; the result is checks-many rows.
+    *
+    * Check names are derived (`not_null(col)`, `unique(a,b)`, …) and
+    * collide if the same check type repeats on a column — vary the
+    * column set or split suites if you need both `InRange(x,0,1)` and
+    * `InRange(x,0,100)` in one report.
+    *
+    * @return (check, n_rows, n_violations) — one row per expectation;
+    *         n_violations = 0 for every row means the batch passes
+    */
+  def checkExpectations(df: DataFrame,
+                        checks: Seq[Expectation]): DataFrame = {
+    import Expectation._
+    require(checks.nonEmpty, "empty expectation suite")
+    val rowLocal: Seq[(String, Column)] = checks.collect {
+      case NotNull(c) => s"not_null($c)" -> col(c).isNull
+      case InRange(c, lo, hi) =>
+        val x = col(c).cast("double")
+        s"in_range($c)" ->
+          (x.isNotNull && (isnan(x) || x < lo || x > hi))
+      case MatchesRegex(c, p) =>
+        s"matches_regex($c)" -> (col(c).isNotNull && !col(c).rlike(p))
+      case InSet(c, vs) =>
+        s"in_set($c)" -> (col(c).isNotNull && !col(c).isInCollection(vs))
+    }
+    val names = rowLocal.map(_._1) ++ checks.collect {
+      case Unique(cs) => s"unique(${cs.mkString(",")})"
+      case RefersTo(c, _, _) => s"refers_to($c)"
+    }
+    require(names.distinct.size == names.size,
+      s"duplicate check names: ${names.diff(names.distinct).mkString(", ")}")
+    val local: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggs = rowLocal.zipWithIndex.map { case ((_, bad), i) =>
+          sum(when(bad, 1L).otherwise(0L)).as(s"_v$i")
+        }
+        val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+        val stacked = explode(array(rowLocal.zipWithIndex.map {
+          case ((name, _), i) => struct(lit(name).as("check"),
+            col("_rows").as("n_rows"),
+            coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
+        }: _*))
+        Some(one.select(stacked.as("_c")).select("_c.*"))
+      }
+    val rest: Seq[DataFrame] = checks.collect {
+      case Unique(cs) =>
+        require(cs.nonEmpty, "Unique needs columns")
+        df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("_n"))
+          .agg(coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+            coalesce(sum(when(col("_n") > 1, col("_n")).otherwise(0L)),
+              lit(0L)).as("n_violations"))
+          .select(lit(s"unique(${cs.mkString(",")})").as("check"),
+            col("n_rows"), col("n_violations"))
+      case RefersTo(c, dim, dc) =>
+        val miss = df.select(col(c).as("_v")).filter(col("_v").isNotNull)
+          .join(dim.select(col(dc).as("_v")).distinct(), Seq("_v"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        df.agg(count(lit(1)).as("n_rows")).crossJoin(miss) // 1-row frames
+          .select(lit(s"refers_to($c)").as("check"), col("n_rows"),
+            col("n_violations"))
+    }
+    (local.toSeq ++ rest).reduce(_ unionByName _)
+  }
+
   /** Row-level companion to [[kAnonymityViolations]]: input rows
     * annotated with their equivalence-class size and `is_k_anonymous` —
     * the [[graft.ops.Dedup.exact]] agg+join shape (skew-safe; never a

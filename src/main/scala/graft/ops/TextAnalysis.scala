@@ -306,6 +306,81 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** All-pairs document cosine similarity over tf-idf vectors via the
+    * inverted-index self-join (the sparse sibling of
+    * [[graft.ops.Similarity.cosinePairs]], and the WEIGHTED upgrade of
+    * [[graft.ops.Dedup.ngramJaccardPairs]] — jaccard sees "shares rare
+    * shingles", cosine sees "shares the same topical vocabulary with the
+    * same emphasis"): pairs never materialize beyond documents that
+    * share at least one sub-cap term, and the dot product is ONE
+    * map-side-combinable aggregate over the shared-term stream.
+    *
+    * Blocking semantics match the jaccard operator: terms with document
+    * frequency above `maxDocFreq` neither generate candidates NOR enter
+    * the dot product (norms still cover ALL terms), so the score is a
+    * documented conservative underestimate for pairs whose overlap is
+    * mostly stop-word-frequency terms — exactly the pairs a similarity
+    * pass wants suppressed, and what keeps the self-join off the
+    * quadratic hot-term path at 100 TB (a term in 10⁶ docs would emit
+    * 10¹² candidate rows uncapped). Zero-idf terms (df = N) drop — their
+    * weight is exactly 0.
+    *
+    * Cosine publishes on the 6-dp ROUNDED lattice (weights are the
+    * rounded log lattice, as in [[tfidf]]; the threshold compares the
+    * rounded value, the repo oracle convention).
+    *
+    * `n` picks the term unit: 1 = words (classic tf-idf cosine; only
+    * useful when the vocabulary is discriminative), >= 2 = word n-grams
+    * (the [[graft.ops.Dedup.ngramJaccardPairs]] shingle space — the
+    * right unit on templated corpora whose WORD vocabulary is shared by
+    * every document, where unigram cosine is uniformly high and the df
+    * cap would either drop everything or admit the quadratic join).
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b and
+    *         cosine >= threshold
+    */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.3,
+                       maxDocFreq: Int = 1000, n: Int = 1,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && maxDocFreq >= 1 && n >= 1,
+      "need a positive threshold (0 would emit every co-occurring pair), " +
+        "a positive df cap and n >= 1")
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => x =!= "")
+    val terms =
+      if (n == 1) words
+      else when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val tf = docs.select(col(idCol).as("_id"), explode(terms).as("term"))
+      .groupBy("_id", "term").agg(count(lit(1)).as("_tf"))
+      .localCheckpoint(true) // shared by df + the pair join, as in tfidf
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("_n"))
+    val w = tf.join(dfreq, "term")
+      .crossJoin(nDocs) // 1-row count table: literal-style broadcast
+      .withColumn("tfidf",
+        round(col("_tf") * log(col("_n").cast("double") / col("df")), 6))
+      .filter(col("tfidf") > 0)
+      .select(col("_id"), col("term"), col("df"), col("tfidf"))
+    val norms = w.groupBy("_id")
+      .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("_norm"))
+    val inv = w.filter(col("df") <= maxDocFreq).join(norms, Seq("_id"))
+    inv.select(col("term"), col("_id").as("id_a"),
+        col("tfidf").as("_wa"), col("_norm").as("_na"))
+      .join(inv.select(col("term"), col("_id").as("id_b"),
+        col("tfidf").as("_wb"), col("_norm").as("_nb")), Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "_na", "_nb")
+      .agg(sum(col("_wa") * col("_wb")).as("_dot"))
+      .withColumn("cosine",
+        round(col("_dot") / (col("_na") * col("_nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Frequency-ranked vocabulary: (term, n, id) with id = dense position
     * under (count desc, term asc) — the deterministic "sort by frequency,
     * break ties lexically" vocab every tokenizer build uses.

@@ -65,7 +65,10 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_curate_pipeline"     -> "1-row totals inside the packing stage",
     "q_t_closeness"         -> "1-row corpus-total table crossJoin into the TVD fraction",
     "q_pmi_collocations"    -> "1-row total-bigram-count table crossJoin into the PMI expression",
-    "q_retrieval_metrics"   -> "bm25's 1-row stats crossJoin inside the ranked-run leg being evaluated")
+    "q_retrieval_metrics"   -> "bm25's 1-row stats crossJoin inside the ranked-run leg being evaluated",
+    "q_cohen_kappa"         -> "two 1-row aggregate tables (totals x chance-agreement numerator) crossJoin",
+    "q_expectations"        -> "refers_to check: 1-row total-count table crossJoin onto the 1-row violation count",
+    "q_tfidf_cosine_pairs"  -> "1-row doc-count table crossJoin for idf, as q_tfidf")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
     val d = "/root/testdata/sf0.001"
