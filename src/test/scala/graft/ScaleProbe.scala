@@ -239,6 +239,45 @@ object ScaleProbe {
             .otherwise(col("text"))),
         Seq("doc_id"), Seq("text"))
     }
+    // tf-idf cosine pairs: heavy-duplication worst case — every doc is
+    // replicated mult x, so every candidate pair of the base corpus
+    // becomes mult^2 pairs. The df cap must also scale (df multiplies
+    // with the corpus) or blocking silently shuts off
+    probe("tfidf_cosine_pairs") {
+      graft.ops.TextAnalysis.tfidfCosinePairs(docs, threshold = 0.2,
+        maxDocFreq = 1000 * mult, n = 3)
+    }
+    // merge: corpus-sized target vs corpus-sized source batch
+    probe("merge_into") {
+      graft.ops.Cdc.mergeInto(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0).withColumn("text",
+          concat(col("text"), lit(" v2"))),
+        Seq("doc_id"), isDelete = col("doc_id") % 9 === 0)
+    }
+    // expectation suite: 4 row-local checks in one pass + unique +
+    // referential anti-join
+    probe("expectations") {
+      import graft.ops.Profile.Expectation._
+      graft.ops.Profile.checkExpectations(docs, Seq(
+        NotNull("text"), InRange("doc_id", 0, 1e18),
+        MatchesRegex("text", "\\S"), InSet("text", Seq("x")),
+        Unique(Seq("doc_id")),
+        RefersTo("doc_id", docs.filter(col("doc_id") % 2 === 0),
+          "doc_id")))
+    }
+    // LPA over an md5-random graph whose VERTEX space scales with mult
+    // (constant density — a fixed space would densify and measure the
+    // graph, not the operator; the triangle_counts discipline)
+    probe("label_propagation") {
+      val nv = 97 * mult
+      graft.graph.GraphOps.labelPropagation(docs.select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % nv).as("src"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":t"))), 1, 8), 16, 10).cast("long") % nv).as("dst")),
+        maxIter = 10)
+    }
     spark.stop()
   }
 }
