@@ -2360,6 +2360,44 @@ object SparkEntry {
       // planted two-clique communities and the deterministic tie-break
       graft.graph.GraphOps.labelPropagation(
         mdGraph(t(s, d, "documents")), maxIter = 10)
+    }),
+
+    "q_poisson_bootstrap" -> ((s, d) => {
+      // Poisson-bootstrap accuracy replicates (ops.CorpusOps
+      // .poissonBootstrap): the " the " English detector resampled 16
+      // times through the md5-derived Poisson(1) multiplicity lattice —
+      // integer (n, n_correct) per replicate, CI downstream; one pass,
+      // one aggregate
+      graft.ops.CorpusOps.poissonBootstrap(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          when(col("text").contains(" the "), lit("en"))
+            .otherwise(lit("other")).as("pred_lang")),
+        "doc_id", "lang", "pred_lang", reps = 16)
+    }),
+
+    "q_fleiss_kappa" -> ((s, d) => {
+      // Fleiss' kappa integer sources (ops.CorpusOps.fleissKappa):
+      // every doc rated by 3 synthetic raters on a 3-label arithmetic
+      // lattice — (n_items, n_raters, s2, p2) published exact, kappa a
+      // ratio of integers downstream
+      graft.ops.CorpusOps.fleissKappa(
+        t(s, d, "documents").select(col("doc_id"),
+          explode(sequence(lit(1), lit(3))).as("rater"))
+          .withColumn("label",
+            concat(lit("l"), ((col("doc_id") + 1) * col("rater") % 3)
+              .cast("string"))),
+        "doc_id", "label")
+    }),
+
+    "q_textrank" -> ((s, d) => {
+      // TextRank keywords (ops.TextAnalysis.textRankKeywords): word
+      // co-occurrence graph -> weighted PageRank (graph.GraphOps
+      // .pageRank, run-exactly-30 mode) -> top-20 terms on the rounded
+      // lattice. Rows-only (iterative); Round6dOpsSpec pins a planted
+      // hub graph and the generic pageRank against authorRank's
+      // machinery
+      graft.ops.TextAnalysis.textRankKeywords(
+        par(s, t(s, d, "documents")), k = 20, minCount = 2)
     })
   )
 
@@ -4789,6 +4827,51 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING round(sum(a.w * b.w)
-        |  / (any_value(a.nrm) * any_value(b.nrm)), 6) >= 0.2""".stripMargin
+        |  / (any_value(a.nrm) * any_value(b.nrm)), 6) >= 0.2""".stripMargin,
+
+    // the SAME literal Poisson(1) CDF thresholds the operator embeds
+    // (never a computed exp(-1) ladder — 1-ulp drift between engines
+    // would flip a multiplicity at a threshold boundary)
+    "q_poisson_bootstrap" ->
+      """WITH reps AS (SELECT unnest(generate_series(1, 16)) AS rep),
+        |rows_r AS (SELECT d.doc_id, r.rep,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |      CAST(r.rep AS VARCHAR)), 1, 8)) AS BIGINT) AS u,
+        |    CASE WHEN d.lang =
+        |      (CASE WHEN d.text LIKE '% the %' THEN 'en' ELSE 'other' END)
+        |      THEN TRUE ELSE FALSE END AS ok
+        |  FROM documents d CROSS JOIN reps r),
+        |k AS (SELECT rep, ok,
+        |    CASE WHEN u < 1580030168 THEN 0
+        |         WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2
+        |         WHEN u < 4213413783 THEN 3
+        |         WHEN u < 4279248373 THEN 4
+        |         WHEN u < 4292415291 THEN 5
+        |         WHEN u < 4294609777 THEN 6
+        |         WHEN u < 4294923276 THEN 7
+        |         ELSE 8 END AS k
+        |  FROM rows_r)
+        |SELECT rep, CAST(sum(k) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN ok THEN k ELSE 0 END) AS BIGINT)
+        |    AS n_correct
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "q_fleiss_kappa" ->
+      """WITH ratings AS (
+        |  SELECT doc_id,
+        |    'l' || CAST((doc_id + 1) * r.rater % 3 AS VARCHAR) AS label
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS rater) r),
+        |cells AS (SELECT doc_id, label, count(*) AS c FROM ratings
+        |          GROUP BY 1, 2),
+        |items AS (SELECT count(DISTINCT doc_id) AS N FROM cells),
+        |s2 AS (SELECT sum(c * c) AS s2 FROM cells),
+        |marg AS (SELECT sum(pj * pj) AS p2
+        |         FROM (SELECT sum(c) AS pj FROM cells GROUP BY label) m)
+        |SELECT CAST(N AS BIGINT) AS n_items, CAST(3 AS BIGINT)
+        |    AS n_raters,
+        |  CAST(s2 AS BIGINT) AS s2, CAST(p2 AS BIGINT) AS p2
+        |FROM items CROSS JOIN s2 CROSS JOIN marg""".stripMargin
   )
 }

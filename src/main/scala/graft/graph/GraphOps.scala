@@ -412,6 +412,47 @@ object GraphOps {
           .otherwise(wedges.cast("long")).as("n_wedges"))
   }
 
+  /** Generic weighted PageRank over an ARBITRARY undirected edge list —
+    * the public face of the [[authorRank]] machinery for callers whose
+    * vertices aren't authors (word graphs, URL graphs, citation
+    * projections). Edges are symmetrized (each edge contributes both
+    * directions), so every endpoint has out-degree >= 1 and dangling
+    * mass cannot occur; self-loops and null endpoints drop. Vertex
+    * identity follows the repo convention: xxhash64 of the vertex value
+    * keys every shuffle (8-byte keys, collision-safe at realistic vertex
+    * counts) while the original value rides to the output.
+    *
+    * Same per-round shape and iterate-localCheckpoint-release
+    * discipline as [[authorRank]] (one join + one aggregate + one left
+    * join per round; tol <= 0 = run-exactly-maxIter mode that skips the
+    * per-round convergence query).
+    *
+    * @param weightCol optional edge-weight column (default: every edge
+    *                  weighs 1)
+    * @return (vertex, pagerank), unnormalized (reset + damp * contribs)
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", weightCol: Option[String] = None,
+               tol: Double = 0.001, maxIter: Int = 30): DataFrame = {
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1d))
+    val half = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("_a"), col(dstCol).as("_b"), w.as("w"))
+    val sym = half.union(
+      half.select(col("_b").as("_a"), col("_a").as("_b"), col("w")))
+    val verts = half.select(col("_a").as("uuid"))
+      .union(half.select(col("_b").as("uuid"))).distinct()
+      .select(col("uuid"), vid(col("uuid")).as("vid"))
+      .localCheckpoint(true)
+    val wedges = sym.select(vid(col("_a")).as("src"),
+      vid(col("_b")).as("dst"), col("w"))
+    val out = powerIterate(verts, wedges, tol, maxIter)
+      .withColumnRenamed("author_uuid", "vertex")
+    verts.unpersist()
+    out
+  }
+
   /** Community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara 2007): every vertex starts in its own community and
     * per round adopts the most frequent label among its neighbors —

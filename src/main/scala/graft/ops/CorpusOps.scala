@@ -895,6 +895,119 @@ object CorpusOps {
           * (col("_ntot") - col("_npos")), "auc denominator").as("auc_den2"))
   }
 
+  /** Poisson-bootstrap replicates (Chamandy et al. 2012, "Estimating
+    * Uncertainty for Massive Data Streams" — the Google formulation of
+    * the bootstrap that works in one pass over distributed data): each
+    * row enters replicate r with multiplicity k ~ Poisson(1), derived
+    * DETERMINISTICALLY from the md5 lattice of (key, r) by inverting the
+    * Poisson CDF on the 32-bit uniform — no RNG, membership is a pure
+    * function of the key (the [[hashSplit]] discipline). Classical
+    * with-replacement resampling would need n draws per replicate
+    * coordinated across executors; Poisson(1) multiplicities are iid per
+    * row, embarrassingly parallel, and match the bootstrap to O(1/n).
+    *
+    * Published integer sources per replicate: effective row count and
+    * correct-prediction count — accuracy_r = n_correct/n downstream;
+    * the spread over replicates is the CI (the repo float-lattice rule:
+    * integers out, division downstream). Multiplicity caps at 8
+    * (P[k > 8] < 1e-8 — the tail's contribution is far below the CI's
+    * own resolution).
+    *
+    * Scale shape: ONE pass over rows x `reps` (an explicit, documented
+    * `reps`-way fan-out — generate_series costs no shuffle), one
+    * map-side-combinable aggregate to `reps` rows. No collect, no
+    * window, no per-replicate job.
+    *
+    * @return (rep, n, n_correct), rep in [1, reps]
+    */
+  def poissonBootstrap(scored: DataFrame, idCol: String, labelCol: String,
+                       predCol: String, reps: Int = 32): DataFrame = {
+    require(reps >= 1 && reps <= 10000, s"unreasonable reps=$reps")
+    // Poisson(1) CDF * 2^32 for k = 0..7 (then cap 8), as LITERALS so
+    // the DuckDB oracle replays byte-identical thresholds (a computed
+    // exp(-1) ladder could drift 1 ulp between engines)
+    val cdf: Seq[Long] = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val u = conv(substring(md5(concat_ws(":",
+      col(idCol).cast("string"), col("rep").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val k = cdf.zipWithIndex.foldRight(lit(8): Column) {
+      case ((t, i), rest) => when(u < t, i).otherwise(rest)
+    }
+    scored
+      .select(col(idCol), (col(labelCol) === col(predCol)).as("_ok"))
+      .select(col(idCol), col("_ok"),
+        explode(sequence(lit(1), lit(reps))).as("rep"))
+      .select(col("rep"), k.cast("long").as("_k"), col("_ok"))
+      .groupBy("rep")
+      .agg(sum(col("_k")).as("n"),
+        sum(when(col("_ok"), col("_k")).otherwise(0L)).as("n_correct"))
+  }
+
+  /** Fleiss' kappa integer sources (Fleiss 1971) — inter-annotator
+    * agreement when EVERY item is rated by the same number of raters
+    * n >= 2 (crowd labeling with fixed redundancy; [[cohenKappa]] is the
+    * two-identified-raters sibling). With n_ij = ratings of item i in
+    * category j, p_j = column totals, N items:
+    *
+    *   P_o  = (Σ_ij n_ij² − N·n) / (N·n·(n−1))
+    *   P_e  = Σ_j (p_j / (N·n))²
+    *   kappa = (P_o − P_e)/(1 − P_e)
+    *
+    * Everything is a ratio of the published EXACT integers (N, n,
+    * s2 = Σ n_ij², p2 = Σ p_j²): kappa = ((s2 − N·n)·(N·n)² −
+    * p2·N·n·(n−1)) / ((N·n·(n−1))·((N·n)² − p2)) downstream. Squares
+    * and totals run in DECIMAL(38,0) behind raise_error guards (the
+    * [[aucExact]] discipline). The equal-raters precondition is
+    * enforced IN-PLAN (min != max per-item totals raises), so the
+    * operator stays action-free.
+    *
+    * Shape: one (item, label) aggregate, one label-marginal aggregate
+    * over the label-vocabulary-sized cell table, two 1-row reductions.
+    *
+    * @return one row: (n_items, n_raters, s2, p2)
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+                  labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = ratings
+      .filter(col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("_i"), col(labelCol).as("_l"))
+      .agg(count(lit(1)).cast(dec).as("_c"))
+      .localCheckpoint(true) // feeds three aggregates below
+    val perItem = cells.groupBy("_i").agg(sum(col("_c")).as("_ni"),
+      sum(col("_c") * col("_c")).as("_s2i"))
+    val items = perItem.agg(
+      count(lit(1)).cast(dec).as("_N"),
+      min(col("_ni")).as("_nmin"), max(col("_ni")).as("_nmax"),
+      sum(col("_s2i")).as("_s2"))
+    val marg = cells.groupBy("_l").agg(sum(col("_c")).as("_pj"))
+      .agg(coalesce(sum(col("_pj") * col("_pj")), lit(0).cast(dec))
+        .as("_p2"))
+    def guarded(x: Column, what: String): Column =
+      when(x > lit(Long.MaxValue).cast(dec),
+        raise_error(concat(lit(s"fleissKappa: $what overflows BIGINT: "),
+          x.cast("string"))).cast("long"))
+        .otherwise(x.cast("long"))
+    val out = items.crossJoin(marg) // two 1-row frames
+      .select(
+        when(col("_nmin") =!= col("_nmax"),
+          raise_error(concat(lit("fleissKappa needs every item rated " +
+            "by the same number of raters; saw per-item totals from "),
+            col("_nmin").cast("string"), lit(" to "),
+            col("_nmax").cast("string"))).cast("long"))
+          .otherwise(guarded(col("_N"), "n_items")).as("n_items"),
+        guarded(col("_nmin"), "n_raters").as("n_raters"),
+        guarded(col("_s2"), "s2").as("s2"),
+        guarded(col("_p2"), "p2").as("p2"))
+      // pin the 1-row result, then free the cell table (the
+      // pmiCollocations discipline — never unpersist a checkpoint a
+      // lazy plan still references)
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
   /** Confusion matrix for a labeled classifier run — the evaluation
     * staple the calibration/AUC pair doesn't cover: one row per observed
     * (label, pred) cell with its count, from which every per-class

@@ -1190,6 +1190,43 @@ object TextAnalysis {
     top
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): words are
+    * vertices, adjacent co-occurrence counts are undirected edge
+    * weights, and weighted PageRank scores centrality — the classic
+    * unsupervised keyword ranker, here as a pure composition of the
+    * repo's own primitives (the [[pmiCollocations]] pair table feeding
+    * [[graft.graph.GraphOps.pageRank]]).
+    *
+    * Scale shape: the corpus collapses to a VOCABULARY-sized weighted
+    * pair table in one explode-agg pass (the LM-builder shape); every
+    * PageRank round then runs over that small graph, never over the
+    * corpus. `minCount` prunes hapax edges before iteration. Top-k
+    * ranks on the 6-dp ROUNDED score (ties then term — deterministic,
+    * the repo oracle convention).
+    *
+    * @return (term, textrank) — k rows, textrank on the rounded lattice
+    */
+  def textRankKeywords(docs: DataFrame, k: Int = 20, minCount: Long = 2L,
+                       maxIter: Int = 30,
+                       textCol: String = "text"): DataFrame = {
+    require(k > 0 && minCount >= 1 && maxIter >= 1)
+    val pairCounts = tokenPairs(docs, Nil, textCol)
+      .filter(col("prev").isNotNull && col("prev") =!= col("term"))
+      .groupBy("prev", "term").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minCount)
+      .localCheckpoint(true) // vocabulary-sized; pageRank iterates on it
+    val ranks = graft.graph.GraphOps.pageRank(pairCounts,
+      srcCol = "prev", dstCol = "term", weightCol = Some("_n"),
+      tol = 0.0, maxIter = maxIter)
+    val top = ranks
+      .select(col("vertex").cast("string").as("term"),
+        round(col("pagerank"), 6).as("textrank"))
+      .orderBy(col("textrank").desc, col("term")).limit(k)
+      .localCheckpoint(true)
+    pairCounts.unpersist()
+    top
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009 /
     * fastText's input layer): token → md5 bucket, no vocabulary build,
     * no dictionary join — the featurizer of choice at 100 TB because it
