@@ -2392,12 +2392,13 @@ object SparkEntry {
     "q_textrank" -> ((s, d) => {
       // TextRank keywords (ops.TextAnalysis.textRankKeywords): word
       // co-occurrence graph -> weighted PageRank (graph.GraphOps
-      // .pageRank, run-exactly-30 mode) -> top-20 terms on the rounded
-      // lattice. Rows-only (iterative); Round6dOpsSpec pins a planted
-      // hub graph and the generic pageRank against authorRank's
-      // machinery
+      // .pageRank, run-exactly-20 mode: the word graph is
+      // vocabulary-sized, so bench cost is per-round overhead and 20
+      // rounds sit well past convergence) -> top-20 terms on the
+      // rounded lattice. Rows-only (iterative); Round6dOpsSpec pins a
+      // planted hub graph and the generic pageRank's closed-form star
       graft.ops.TextAnalysis.textRankKeywords(
-        par(s, t(s, d, "documents")), k = 20, minCount = 2)
+        par(s, t(s, d, "documents")), k = 20, minCount = 2, maxIter = 20)
     })
   )
 

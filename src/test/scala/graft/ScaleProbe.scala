@@ -266,6 +266,20 @@ object ScaleProbe {
         RefersTo("doc_id", docs.filter(col("doc_id") % 2 === 0),
           "doc_id")))
     }
+    // poisson bootstrap: one pass over rows x 32 replicates, one
+    // bounded aggregate — should scale linearly in the corpus
+    probe("poisson_bootstrap") {
+      graft.ops.CorpusOps.poissonBootstrap(
+        docs.withColumn("lab", col("doc_id") % 3)
+          .withColumn("prd", col("doc_id") % 2),
+        "doc_id", "lab", "prd", reps = 32)
+    }
+    // textrank: the corpus collapses to a vocabulary-sized pair graph
+    // in one explode-agg; iteration cost is corpus-independent
+    probe("textrank") {
+      graft.ops.TextAnalysis.textRankKeywords(docs, k = 20,
+        minCount = 2, maxIter = 20)
+    }
     // LPA over an md5-random graph whose VERTEX space scales with mult
     // (constant density — a fixed space would densify and measure the
     // graph, not the operator; the triangle_counts discipline)
