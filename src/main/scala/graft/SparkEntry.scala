@@ -2399,6 +2399,47 @@ object SparkEntry {
       // planted hub graph and the generic pageRank's closed-form star
       graft.ops.TextAnalysis.textRankKeywords(
         par(s, t(s, d, "documents")), k = 20, minCount = 2, maxIter = 20)
+    }),
+
+    "q_kfold_assign" -> ((s, d) => {
+      // GROUP k-fold assignment (ops.CorpusOps.kFoldAssign): every doc
+      // of a source lands in the same of 5 folds via the md5 lattice of
+      // the GROUP key — fold-level leakage-freedom (near-dup families
+      // per source never straddle train/eval); one narrow projection
+      graft.ops.CorpusOps.kFoldAssign(
+        t(s, d, "documents"), "doc_id", k = 5,
+        groupCol = Some("source"))
+    }),
+
+    "q_take_n_per_group" -> ((s, d) => {
+      // deterministic n-per-group sample (ops.CorpusOps.takeNPerGroup):
+      // md5-priority top-3 per language — WindowGroupLimit plan, each
+      // task retains 3 rows per group instead of sorting whole groups
+      graft.ops.CorpusOps.takeNPerGroup(
+        t(s, d, "documents"), Seq("lang"), n = 3, keyCol = "doc_id")
+    }),
+
+    "q_fuzzy_join" -> ((s, d) => {
+      // blocked fuzzy join (ops.Joins.blockedFuzzyJoin): generic entity
+      // resolution over 40-char text prefixes against a DETERMINISTIC
+      // mutant of the corpus (every 'a' dropped — difflib ~0.9, never
+      // exact), blocked on (lang, length-band) so candidates are a tiny
+      // equi-join; verified by the difflib-bit-exact name_similarity
+      // codegen kernel. Rows-only (difflib is not SQL-expressible);
+      // Round6eOpsSpec pins kernel goldens and the blocking contract
+      val docs = t(s, d, "documents")
+      val lhs = docs.select(
+        col("doc_id").as("l_id"), col("lang").as("l_lang"),
+        floor(col("n_chars") / 100).as("l_band"),
+        substring(col("text"), 1, 40).as("l_name"))
+      val rhs = docs.select(
+        col("doc_id").as("r_id"), col("lang").as("r_lang"),
+        floor(col("n_chars") / 100).as("r_band"),
+        regexp_replace(substring(col("text"), 1, 40), "a", "")
+          .as("r_name"))
+      graft.ops.Joins.blockedFuzzyJoin(lhs, rhs,
+        Seq("l_lang" -> "r_lang", "l_band" -> "r_band"),
+        "l_name", "r_name", threshold = 0.85)
     })
   )
 
@@ -4873,6 +4914,24 @@ object SparkEntry {
         |SELECT CAST(N AS BIGINT) AS n_items, CAST(3 AS BIGINT)
         |    AS n_raters,
         |  CAST(s2 AS BIGINT) AS s2, CAST(p2 AS BIGINT) AS p2
-        |FROM items CROSS JOIN s2 CROSS JOIN marg""".stripMargin
+        |FROM items CROSS JOIN s2 CROSS JOIN marg""".stripMargin,
+
+    // the q_hash_split 4-hex md5 decode, on the GROUP key (source)
+    "q_kfold_assign" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST((
+        |    (instr('0123456789abcdef', substr(md5(source),1,1))-1)*4096
+        |    + (instr('0123456789abcdef', substr(md5(source),2,1))-1)*256
+        |    + (instr('0123456789abcdef', substr(md5(source),3,1))-1)*16
+        |    + (instr('0123456789abcdef', substr(md5(source),4,1))-1)
+        |  ) % 5 AS INTEGER) AS fold
+        |FROM documents""".stripMargin,
+
+    "q_take_n_per_group" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 3""".stripMargin
   )
 }

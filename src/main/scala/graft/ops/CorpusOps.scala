@@ -895,6 +895,57 @@ object CorpusOps {
           * (col("_ntot") - col("_npos")), "auc denominator").as("auc_den2"))
   }
 
+  /** k-fold cross-validation fold assignment on the md5 lattice — the
+    * CV sibling of [[hashSplit]]: fold membership is a pure function of
+    * the key (no RNG, no state), so folds are reproducible across runs,
+    * machines, and corpus versions, and adding rows never reshuffles
+    * existing ones.
+    *
+    * `groupCol` switches to GROUP k-fold (scikit-learn's GroupKFold
+    * semantics, hash-based): every row of a group lands in the SAME
+    * fold, so near-duplicate clusters, per-source families, or per-
+    * author documents never straddle a train/eval boundary — the fold-
+    * level form of the pipeline's split-leakage audit.
+    *
+    * One narrow projection; nothing shuffles.
+    *
+    * @return input + `fold` in [0, k)
+    */
+  def kFoldAssign(df: DataFrame, keyCol: String, k: Int,
+                  groupCol: Option[String] = None): DataFrame = {
+    require(k >= 2 && k <= 65536, s"need 2 <= k <= 65536 (got $k)")
+    require(!df.columns.contains("fold"),
+      "kFoldAssign reserves the output column 'fold'; rename the input")
+    val keyC = groupCol.getOrElse(keyCol)
+    val bucket = conv(substring(md5(col(keyC).cast("string")), 1, 4),
+      16, 10)
+    df.withColumn("fold", (bucket % k).cast("int"))
+  }
+
+  /** Deterministic n-per-group sample: the md5-priority top-n of every
+    * group — the balanced-subset primitive (n examples per class/source
+    * for a calibration set or a human-review queue), uniform under the
+    * md5 lattice and reproducible like every sampler here.
+    *
+    * One window pass that plans as `WindowGroupLimit` (rank <= n pushes
+    * into the shuffle, so each task retains n rows per group instead of
+    * sorting whole groups — the [[weightedSample]] shape; a corpus-hot
+    * group never materializes beyond n rows per task).
+    *
+    * @return the sampled input rows (all columns, <= n per group)
+    */
+  def takeNPerGroup(df: DataFrame, groupCols: Seq[String], n: Int,
+                    keyCol: String): DataFrame = {
+    require(groupCols.nonEmpty && n >= 1)
+    require(!df.columns.contains("_rn"),
+      "takeNPerGroup reserves the working column '_rn'; rename the input")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n).drop("_rn")
+  }
+
   /** Poisson-bootstrap replicates (Chamandy et al. 2012, "Estimating
     * Uncertainty for Massive Data Streams" — the Google formulation of
     * the bootstrap that works in one pass over distributed data): each

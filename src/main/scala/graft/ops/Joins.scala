@@ -65,4 +65,49 @@ object Joins {
       Bridge.expression(xxhash64(col(key))))))
     pruned.join(dim, Seq(key), joinType)
   }
+
+  /** Blocked fuzzy string join — the GENERIC form of the reference's
+    * author entity resolution (EntityResolution.py's
+    * initial-and-surname candidate lookup followed by difflib
+    * verification): candidates come from an EQUI-join on blocking keys,
+    * then the difflib-bit-exact `name_similarity` codegen kernel scores
+    * each candidate pair and only pairs at or above `threshold`
+    * survive. Blocking is what makes fuzzy matching distributed-legal:
+    * the similarity predicate alone is a theta-join (corpus x corpus —
+    * never planned here; the equi-join shuffles candidates, not the
+    * cross product). Classic blocking keys: first initial + surname,
+    * (lang, length band), canonical-URL host, any [[graft.ops.Dedup]]
+    * signature column.
+    *
+    * Blocking keys pair positionally: `blockCols(i)._1` on the left
+    * equi-joins `blockCols(i)._2` on the right, null-safe (a null block
+    * value is a value — two unknown-host rows do block together).
+    * Column names must be disjoint across sides (the intervalOverlap
+    * discipline) so the output carries every input column unambiguously.
+    *
+    * @return left columns ++ right columns ++ `similarity` (rounded
+    *         6 dp), candidates only where similarity >= threshold
+    */
+  def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
+                       blockCols: Seq[(String, String)],
+                       leftStrCol: String, rightStrCol: String,
+                       threshold: Double = 0.8): DataFrame = {
+    require(blockCols.nonEmpty,
+      "need at least one blocking key pair — an unblocked fuzzy join " +
+        "is a corpus x corpus theta join")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1] (got $threshold)")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty && !left.columns.contains("similarity") &&
+      !right.columns.contains("similarity"),
+      s"blockedFuzzyJoin needs disjoint column names and reserves " +
+        s"'similarity'; rename: ${(overlap + "similarity").mkString(", ")}")
+    val cond = blockCols.map { case (lc, rc) => col(lc) <=> col(rc) }
+      .reduce(_ && _)
+    left.join(right, cond)
+      .withColumn("similarity", round(
+        graft.functions.TextFunctions.name_similarity(
+          col(leftStrCol), col(rightStrCol)), 6))
+      .filter(col("similarity") >= threshold)
+  }
 }

@@ -445,6 +445,49 @@ object Streams {
       }
       .start()
 
+  /** Streaming DATA-QUALITY gate: every arriving micro-batch is
+    * evaluated against a declarative expectation suite
+    * ([[graft.ops.Profile.checkExpectations]] — the Deequ shape) and
+    * routed whole: a batch with ZERO violations lands in `outPath`, a
+    * failing batch is QUARANTINED intact in `rejectPath` (admission is
+    * all-or-nothing per batch — the production contract for corpus
+    * promotion: never promote a partially-bad drop, never lose the
+    * evidence), and the per-check report (n_rows, n_violations) appends
+    * to `auditPath` either way — the audit log IS the quality history.
+    *
+    * foreachBatch because the suite aggregates whole batches (batches
+    * are complete drops by construction, as [[driftMonitor]]); the
+    * routing decision reads the checks-many report rows on the driver
+    * (bounded by the suite size, never by data). All three sinks write
+    * via [[writeBatchIdempotent]] — a replayed batch rewrites its own
+    * `batch_id` partition in whichever sink it routes to, so output
+    * stays exactly-once under the checkpoint even though the decision
+    * re-runs.
+    */
+  def expectationGatedIngest(docs: DataFrame,
+                             checks: Seq[graft.ops.Profile.Expectation],
+                             outPath: String, rejectPath: String,
+                             auditPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checks.nonEmpty, "empty expectation suite")
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val report = graft.ops.Profile.checkExpectations(batch, checks)
+            .localCheckpoint(true) // evaluated once, read twice below
+          val bad = report.agg(sum(col("n_violations")))
+            .head().getLong(0) > 0L
+          writeBatchIdempotent(report, batchId, auditPath)
+          writeBatchIdempotent(batch, batchId,
+            if (bad) rejectPath else outPath)
+          report.unpersist()
+          () // foreachBatch wants Unit; unpersist returns the frame
+        }
+      }
+      .start()
+  }
+
   /** Newest persisted [[graft.ops.Pipelines.CorpusState]] generation
     * strictly BEFORE `batchId` (None when no prior generation exists).
     * Generations are the catalog tables `<prefix>_g<N>_…` written by
