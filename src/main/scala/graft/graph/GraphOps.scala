@@ -435,10 +435,14 @@ object GraphOps {
                dstCol: String = "dst", weightCol: Option[String] = None,
                tol: Double = 0.001, maxIter: Int = 30): DataFrame = {
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1d))
+    // pin the cleaned edge list ONCE: sym/verts/withDeg below would
+    // otherwise re-evaluate the caller's upstream plan four times
+    // before iteration even starts
     val half = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("_a"), col(dstCol).as("_b"), w.as("w"))
+      .localCheckpoint(true)
     val sym = half.union(
       half.select(col("_b").as("_a"), col("_a").as("_b"), col("w")))
     val verts = half.select(col("_a").as("uuid"))
@@ -449,6 +453,9 @@ object GraphOps {
       vid(col("_b")).as("dst"), col("w"))
     val out = powerIterate(verts, wedges, tol, maxIter)
       .withColumnRenamed("author_uuid", "vertex")
+    // powerIterate checkpoints withDeg (built from wedges -> half) and
+    // its own result before returning, so half's blocks are safe to free
+    half.unpersist()
     verts.unpersist()
     out
   }

@@ -149,6 +149,9 @@ object Cdc {
       .reduce(_ && _)
     val kept = target.as("_t")
       .join(source.as("_s"), cond, "left_anti")
-    kept.unionByName(source.filter(!isDelete))
+    // a NULL delete predicate means not-delete (classic MERGE): without
+    // the coalesce, !NULL filters the source row out AFTER the anti
+    // join already removed its matched target row — silent data loss
+    kept.unionByName(source.filter(!coalesce(isDelete, lit(false))))
   }
 }

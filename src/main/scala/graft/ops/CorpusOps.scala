@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** The repo's shared 16-bit md5 bucket: first 4 hex chars of
+    * md5(key) as a long in [0, 65536) — every hash-lattice assignment
+    * (splits, strata, folds) derives from this one expression so the
+    * DuckDB oracles replay a single decode.
+    */
+  private def md5Bucket(keyCol: String): Column =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+
   /** Deterministic train/val/test assignment from a stable key hash.
     * md5 (not an RNG) so membership is a pure function of the key: adding
     * or removing rows never reshuffles other rows' assignments — the
@@ -23,8 +32,7 @@ object CorpusOps {
   def hashSplit(keyCol: String, trainPct: Int = 80,
                 valPct: Int = 10): Column = {
     require(trainPct + valPct <= 100, "train+val must be <= 100")
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
+    val bucket = md5Bucket(keyCol) % 100
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
@@ -37,8 +45,7 @@ object CorpusOps {
     */
   def stratifiedKeep(keyCol: String, stratumCol: String,
                      ratePct: Map[String, Int], defaultPct: Int): Column = {
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
+    val bucket = md5Bucket(keyCol) % 100
     val rate = ratePct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
@@ -917,9 +924,7 @@ object CorpusOps {
     require(!df.columns.contains("fold"),
       "kFoldAssign reserves the output column 'fold'; rename the input")
     val keyC = groupCol.getOrElse(keyCol)
-    val bucket = conv(substring(md5(col(keyC).cast("string")), 1, 4),
-      16, 10)
-    df.withColumn("fold", (bucket % k).cast("int"))
+    df.withColumn("fold", (md5Bucket(keyC) % k).cast("int"))
   }
 
   /** Deterministic n-per-group sample: the md5-priority top-n of every
@@ -1028,10 +1033,14 @@ object CorpusOps {
       .localCheckpoint(true) // feeds three aggregates below
     val perItem = cells.groupBy("_i").agg(sum(col("_c")).as("_ni"),
       sum(col("_c") * col("_c")).as("_s2i"))
+    // coalesce: min/max/sum over ZERO items are NULL — the =!= guard
+    // below would be NULL too and fall through, publishing NULL
+    // n_raters/s2 instead of clean zeros on empty/all-null input
     val items = perItem.agg(
       count(lit(1)).cast(dec).as("_N"),
-      min(col("_ni")).as("_nmin"), max(col("_ni")).as("_nmax"),
-      sum(col("_s2i")).as("_s2"))
+      coalesce(min(col("_ni")), lit(0).cast(dec)).as("_nmin"),
+      coalesce(max(col("_ni")), lit(0).cast(dec)).as("_nmax"),
+      coalesce(sum(col("_s2i")), lit(0).cast(dec)).as("_s2"))
     val marg = cells.groupBy("_l").agg(sum(col("_c")).as("_pj"))
       .agg(coalesce(sum(col("_pj") * col("_pj")), lit(0).cast(dec))
         .as("_p2"))
@@ -1099,8 +1108,10 @@ object CorpusOps {
     val both = rated.filter(col(aCol).isNotNull && col(bCol).isNotNull)
     val totals = both.agg(
       count(lit(1)).cast(dec).as("_n"),
-      sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).cast(dec)
-        .as("_agree"))
+      // coalesce: sum over ZERO rated rows is NULL, not 0 (same
+      // empty-input path _pe already guards)
+      coalesce(sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)),
+        lit(0L)).cast(dec).as("_agree"))
     val ma = both.groupBy(col(aCol).as("_l"))
       .agg(count(lit(1)).cast(dec).as("_na"))
     val mb = both.groupBy(col(bCol).as("_l"))

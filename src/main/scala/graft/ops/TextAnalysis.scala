@@ -354,7 +354,12 @@ object TextAnalysis {
         transform(sequence(lit(0), size(words) - n),
           i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
         .otherwise(array().cast("array<string>"))
-    val tf = docs.select(col(idCol).as("_id"), explode(terms).as("term"))
+    // null-key story (the repo inner-join rule): a null-id doc cannot
+    // pair, but left in it would inflate every shared term's df (wrong
+    // idf for VALID pairs) and then vanish at the norms join — drop it
+    // explicitly before anything counts
+    val tf = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"), explode(terms).as("term"))
       .groupBy("_id", "term").agg(count(lit(1)).as("_tf"))
       .localCheckpoint(true) // shared by df + the pair join, as in tfidf
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -67,6 +67,44 @@ class Round6cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> "a", 2L -> "B", 4L -> "d"))
   }
 
+  test("mergeInto: NULL delete predicate means not-delete (the row " +
+      "updates instead of silently vanishing)") {
+    import spark.implicits._
+    val target = Seq((1L, "a", "ok")).toDF("id", "v", "status")
+    val source = Seq((1L, "A", null: String), (2L, "b", "dead"))
+      .toDF("id", "v", "status")
+    val out = Cdc.mergeInto(target, source, Seq("id"),
+      isDelete = col("status") === "dead")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "A")) // updated, NOT lost; 2 deleted
+  }
+
+  test("cohenKappa: zero rated-both rows yields clean integer zeros") {
+    import spark.implicits._
+    val rated = Seq(("x", null: String), (null: String, "y"))
+      .toDF("a", "b")
+    val r = CorpusOps.cohenKappa(rated, "a", "b").collect()
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+      == ((0L, 0L, 0L)))
+  }
+
+  test("tfidfCosinePairs: a null-id doc neither pairs nor inflates df") {
+    import spark.implicits._
+    val docs = Seq(
+      (Option(1L), "alpha beta gamma delta"),
+      (Option(2L), "alpha beta gamma epsilon"),
+      (Option.empty[Long], "alpha beta gamma zeta")
+    ).toDF("doc_id", "text")
+    val withNull = graft.ops.TextAnalysis
+      .tfidfCosinePairs(docs, threshold = 0.01, maxDocFreq = 10, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val without = graft.ops.TextAnalysis
+      .tfidfCosinePairs(docs.filter(col("doc_id").isNotNull),
+        threshold = 0.01, maxDocFreq = 10, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(withNull.toSeq == without.toSeq) // identical df, idf, cosine
+  }
+
   test("mergeInto: rejects schema mismatch") {
     import spark.implicits._
     val t = Seq((1L, "a")).toDF("id", "v")

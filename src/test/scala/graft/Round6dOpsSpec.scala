@@ -56,6 +56,16 @@ class Round6dOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r(0).getLong(3)) == ((3L, 2L, 10L, 18L)))
   }
 
+  test("fleissKappa: empty/all-null input yields clean integer zeros, " +
+      "not NULLs through the guard") {
+    import spark.implicits._
+    val ratings = Seq((1L, null: String), (2L, null: String))
+      .toDF("item", "label")
+    val r = CorpusOps.fleissKappa(ratings, "item", "label").collect()
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3)) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("fleissKappa: unequal rater counts raise in-plan") {
     import spark.implicits._
     val ratings = Seq((1L, "a"), (1L, "a"), (2L, "b"))

@@ -280,6 +280,22 @@ object ScaleProbe {
       graft.ops.TextAnalysis.textRankKeywords(docs, k = 20,
         minCount = 2, maxIter = 20)
     }
+    // blocked fuzzy join: self-ER against a mutated corpus copy. The
+    // all-duplicated regime is the blocking worst case — every replica
+    // of a doc shares its (band) block with every other replica, so
+    // candidates grow mult^2 within blocks (like tfidf_cosine_pairs);
+    // time should track the candidate count, never the cross product
+    probe("fuzzy_join") {
+      val lhs = docs.select(col("doc_id").as("l_id"),
+        (length(col("text")) / 100).cast("int").as("l_band"),
+        substring(col("text"), 1, 40).as("l_name"))
+      val rhs = docs.select(col("doc_id").as("r_id"),
+        (length(col("text")) / 100).cast("int").as("r_band"),
+        regexp_replace(substring(col("text"), 1, 40), "a", "")
+          .as("r_name"))
+      graft.ops.Joins.blockedFuzzyJoin(lhs, rhs,
+        Seq("l_band" -> "r_band"), "l_name", "r_name", threshold = 0.85)
+    }
     // LPA over an md5-random graph whose VERTEX space scales with mult
     // (constant density — a fixed space would densify and measure the
     // graph, not the operator; the triangle_counts discipline)
