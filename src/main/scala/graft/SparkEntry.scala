@@ -2440,6 +2440,39 @@ object SparkEntry {
       graft.ops.Joins.blockedFuzzyJoin(lhs, rhs,
         Seq("l_lang" -> "r_lang", "l_band" -> "r_band"),
         "l_name", "r_name", threshold = 0.85)
+    }),
+
+    "q_dp_counts" -> ((s, d) => {
+      // epsilon-DP group counts (ops.Profile.dpGroupCounts, Laplace
+      // mechanism): per-(lang, source) noisy counts at eps=0.5, noise
+      // inverted from the md5 lattice — replay-deterministic, oracle
+      // replays the exact same draw; one aggregate, codegen noise
+      graft.ops.Profile.dpGroupCounts(
+        t(s, d, "documents"), Seq("lang", "source"), epsilon = 0.5)
+    }),
+
+    "q_ppr" -> ((s, d) => {
+      // personalized PageRank (graph.GraphOps.pageRankPersonalized):
+      // teleport mass only on vertices {0,1,2} of the md5-random graph
+      // — proximity-to-topic ranking. Rows-only (iterative);
+      // Round6fOpsSpec pins source-component locality and the
+      // closed-form 2-path
+      val g = mdGraph(t(s, d, "documents"))
+      graft.graph.GraphOps.pageRankPersonalized(
+        g, g.sparkSession.range(3).toDF("v"), tol = 0.0, maxIter = 20)
+    }),
+
+    "q_wordpiece_encode" -> ((s, d) => {
+      // WordPiece greedy longest-match encode (ops.Tokenize
+      // .encodeWordPiece) against the corpus-derived char+top-word
+      // vocabulary — the third tokenizer family next to BPE and
+      // unigram-LM. Rows-only (greedy trie walk is not
+      // SQL-expressible); TokenizeSpec pins BERT-rule goldens
+      val docs = par(s, t(s, d, "documents"))
+      val vocab = graft.ops.Tokenize.wordPieceVocab(docs, topWords = 200)
+      graft.ops.Tokenize.encodeWordPiece(docs, vocab)
+        .select(col("doc_id"), col("n_tokens"),
+          size(filter(col("tokens"), tk => tk === "[UNK]")).as("n_unk"))
     })
   )
 
@@ -4932,6 +4965,18 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+
+    // replays the exact Laplace inverse-CDF draw: u from the md5
+    // lattice of (lang|source|seed), x = -(1/eps)*sgn(u-.5)*ln(1-2|u-.5|)
+    "q_dp_counts" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n,
+        |    (CAST(('0x' || substr(md5(lang || '|' || source || '|dp'),
+        |      1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source,
+        |  round(n + (-1.0 / 0.5) * sign(u - 0.5)
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+        |FROM g""".stripMargin
   )
 }

@@ -144,13 +144,19 @@ object GraphOps {
     * @return (author_uuid, pagerank), unnormalized (reset + damp·contribs)
     */
   private def powerIterate(verts: DataFrame, wedges: DataFrame,
-                           tol: Double, maxIter: Int): DataFrame = {
+                           tol: Double, maxIter: Int,
+                           resetCol: Option[String] = None): DataFrame = {
     val withDeg = wedges
       .join(wedges.groupBy("src").agg(sum(col("w")).as("_wdeg")), Seq("src"))
       .localCheckpoint(true)
-    val reset = 0.15
     val damp = 0.85
-    var ranks = verts.select(col("vid"), lit(reset).as("pagerank"))
+    // uniform 0.15 reset (classic PageRank) or a per-vertex reset
+    // vector (personalized PageRank — teleport mass only onto the
+    // topic set); the vector rides the verts table so each round's
+    // rebuild stays one narrow join
+    val vr = resetCol.map(rc => verts.withColumn("_r0", col(rc)))
+      .getOrElse(verts.withColumn("_r0", lit(0.15)))
+    var ranks = vr.select(col("vid"), col("_r0").as("pagerank"))
       .localCheckpoint(true)
     var delta = Double.MaxValue
     var iter = 0
@@ -168,10 +174,10 @@ object GraphOps {
       // numbers (observed at ~25 rounds). Hence convergence is measured by
       // a separate terminal query over the two pinned iterates, whose
       // stats feed nothing downstream.
-      val next = verts.select("vid")
+      val next = vr.select(col("vid"), col("_r0"))
         .join(contribs, Seq("vid"), "left_outer")
         .select(col("vid"),
-          (lit(reset) + lit(damp) * coalesce(col("_csum"), lit(0d)))
+          (col("_r0") + lit(damp) * coalesce(col("_csum"), lit(0d)))
             .as("pagerank"))
         .localCheckpoint(true)
       // tol <= 0 = run-exactly-maxIter mode: when the round budget binds
@@ -455,6 +461,58 @@ object GraphOps {
       .withColumnRenamed("author_uuid", "vertex")
     // powerIterate checkpoints withDeg (built from wedges -> half) and
     // its own result before returning, so half's blocks are safe to free
+    half.unpersist()
+    verts.unpersist()
+    out
+  }
+
+  /** PERSONALIZED PageRank (topic-sensitive, Haveliwala 2002): teleport
+    * mass lands only on the `sources` vertex set instead of uniformly,
+    * so rank measures proximity to the topic set — "papers influential
+    * AROUND this lab", "words central to THIS seed vocabulary",
+    * related-item expansion from a seed list. Same symmetrized-edges /
+    * hashed-vertex / iterate-checkpoint-release machinery as
+    * [[pageRank]]; vertices outside `sources` hold reset mass 0 and are
+    * ranked purely by received contributions, so rank is exactly zero
+    * outside the sources' connected components. Unnormalized like every
+    * rank here (reset + damp·contribs; 0.15 per source vertex).
+    *
+    * The reset vector rides the vertex table as a column — per round
+    * the rebuild is still ONE narrow join; the source set is only
+    * touched once at construction (left-join flag, null-safe).
+    *
+    * @param sources 1-column DataFrame of topic vertices (values of the
+    *                same type as the edge endpoints)
+    * @return (vertex, pagerank)
+    */
+  def pageRankPersonalized(edges: DataFrame, sources: DataFrame,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           weightCol: Option[String] = None,
+                           tol: Double = 0.001,
+                           maxIter: Int = 30): DataFrame = {
+    require(sources.columns.length == 1,
+      "sources must be a single-column DataFrame of topic vertices")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1d))
+    val half = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("_a"), col(dstCol).as("_b"), w.as("w"))
+      .localCheckpoint(true)
+    val sym = half.union(
+      half.select(col("_b").as("_a"), col("_a").as("_b"), col("w")))
+    val src = sources.toDF("uuid").distinct()
+      .withColumn("_isSrc", lit(true))
+    val verts = half.select(col("_a").as("uuid"))
+      .union(half.select(col("_b").as("uuid"))).distinct()
+      .join(src, Seq("uuid"), "left_outer")
+      .select(col("uuid"), vid(col("uuid")).as("vid"),
+        when(col("_isSrc"), lit(0.15)).otherwise(lit(0d)).as("_reset"))
+      .localCheckpoint(true)
+    val wedges = sym.select(vid(col("_a")).as("src"),
+      vid(col("_b")).as("dst"), col("w"))
+    val out = powerIterate(verts, wedges, tol, maxIter,
+      resetCol = Some("_reset"))
+      .withColumnRenamed("author_uuid", "vertex")
     half.unpersist()
     verts.unpersist()
     out

@@ -274,6 +274,52 @@ object Profile {
     (local.toSeq ++ rest).reduce(_ unionByName _)
   }
 
+  /** ε-differentially-private group counts (Dwork, McSherry, Nissim &
+    * Smith 2006 — the Laplace mechanism for sensitivity-1 counting
+    * queries): each group's true count is perturbed by Laplace(1/ε)
+    * noise before publication, the governance release path when even
+    * exact [[kAnonymityViolations]]-clean aggregates leak (differencing
+    * attacks across corpus versions).
+    *
+    * Noise is drawn by inverting the Laplace CDF on the md5 lattice of
+    * (group values, seed) — x = −(1/ε)·sgn(u−½)·ln(1−2|u−½|) with u
+    * uniform from the hash — so releases are REPLAY-DETERMINISTIC (the
+    * repo rule: retries and backfills re-publish identical numbers,
+    * which also prevents the classic averaging attack where re-running
+    * the release n times shrinks the noise √n-fold). The honest caveat,
+    * stated plainly: the DP guarantee is against an adversary who does
+    * NOT know the seed — treat the seed as a secret of the release
+    * process, and change it only when the underlying data genuinely
+    * changes (each (data, seed) release spends ε of budget).
+    *
+    * One map-side-combinable aggregate; noise is a codegen'd expression
+    * over the group key, no RNG, no driver involvement. Only the noisy
+    * count is published — carrying the true count out would defeat the
+    * mechanism.
+    *
+    * @return (groupCols..., noisy_n) — noisy_n on the 6-dp rounded
+    *         lattice, can be negative (clamping would bias sums;
+    *         consumers round/clamp per their own policy)
+    */
+  def dpGroupCounts(df: DataFrame, groupCols: Seq[String],
+                    epsilon: Double, seed: String = "dp"): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0 && epsilon.isFinite,
+      s"need group columns and epsilon > 0 (got $epsilon)")
+    // null group values hash as a sentinel: concat_ws SKIPS nulls, so
+    // ("x", null) and ("x") would otherwise share a noise draw
+    val hashIn = concat_ws("|",
+      groupCols.map(c => coalesce(col(c).cast("string"),
+        lit("\u0000"))) :+ lit(seed): _*)
+    val u = (conv(substring(md5(hashIn), 1, 8), 16, 10).cast("double")
+      + lit(0.5)) / lit(4294967296.0) // (0,1): 1-2|u-1/2| never hits 0
+    val noise = (lit(-1.0) / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .select(groupCols.map(col) :+
+        round(col("_n") + noise, 6).as("noisy_n"): _*)
+  }
+
   /** Row-level companion to [[kAnonymityViolations]]: input rows
     * annotated with their equivalence-class size and `is_k_anonymous` —
     * the [[graft.ops.Dedup.exact]] agg+join shape (skew-safe; never a

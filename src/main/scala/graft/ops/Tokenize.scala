@@ -349,4 +349,94 @@ object Tokenize {
     import spark.implicits._
     pieces.toDF("piece", "log_prob")
   }
+
+  // --- WordPiece (Wu et al. 2016, arXiv:1609.08144 §4.1 — the BERT
+  // tokenizer's inference pass): greedy LONGEST-match-first against a
+  // provided vocabulary, continuation pieces prefixed "##", and the
+  // all-or-nothing word rule (any unmatchable remainder maps the WHOLE
+  // word to [UNK] — BERT's documented behavior, not a per-char
+  // fallback). Completes the tokenizer family: BPE (merge-rank),
+  // unigram-LM (Viterbi), WordPiece (greedy) — the three encodings
+  // production pipelines actually ship.
+
+  /** Encode one word; `vocab` must contain continuation forms with the
+    * "##" prefix. Exposed for the golden tests.
+    */
+  private[graft] def wordPieceWord(word: String, vocab: Set[String],
+                                   unk: String, maxWordLen: Int): Array[String] = {
+    if (word.length > maxWordLen) return Array(unk)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < word.length) {
+      var end = word.length
+      var found: String = null
+      while (end > start && found == null) {
+        val sub = (if (start > 0) "##" else "") + word.substring(start, end)
+        if (vocab(sub)) found = sub else end -= 1
+      }
+      if (found == null) return Array(unk) // all-or-nothing (BERT rule)
+      out += found
+      start = end
+    }
+    out.toArray
+  }
+
+  /** Distributed WordPiece encode: one narrow mapPartitions pass, the
+    * vocabulary broadcast via the closure (vocab-sized — BERT ships
+    * 30k pieces), per-partition word→pieces memo (the [[encodeBpe]]
+    * shape). Whitespace pre-tokenization on the lowercased text, like
+    * the repo's other tokenizers.
+    *
+    * @return one row per doc: (id, tokens array, n_tokens)
+    */
+  def encodeWordPiece(docs: DataFrame, vocab: Seq[String],
+                      unk: String = "[UNK]", maxWordLen: Int = 64,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty && vocab.size <= (1 << 22),
+      s"vocab must be non-empty and closure-shippable (got ${vocab.size})")
+    require(maxWordLen >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabArr = vocab.toArray
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val vs = vocabArr.toSet
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          val tokens = words.flatMap(w =>
+            memo.getOrElseUpdate(w, wordPieceWord(w, vs, unk, maxWordLen)))
+          (id, tokens, tokens.length)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+
+  /** Derive a WordPiece vocabulary from the corpus the cheap published
+    * way (the original WordPiece trains like BPE; pipelines commonly
+    * seed with chars + frequent whole words): every character of the
+    * capped word dict in both initial and "##" continuation form, plus
+    * the `topWords` most frequent whole words. Driver-bounded like
+    * [[trainBpe]] (the word dict collect is capped by `maxWords`).
+    */
+  def wordPieceVocab(docs: DataFrame, topWords: Int = 1000,
+                     minCount: Long = 1, maxWords: Int = 1 << 20,
+                     textCol: String = "text"): Seq[String] = {
+    require(topWords >= 0 && maxWords > 0)
+    val dict = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = dict.iterator.flatMap(_._1.iterator).toSet.toSeq.sorted
+    val whole = dict.take(topWords).map(_._1)
+    (chars.map(_.toString) ++ chars.map(c => s"##$c") ++ whole).distinct
+  }
 }
