@@ -2473,6 +2473,85 @@ object SparkEntry {
       graft.ops.Tokenize.encodeWordPiece(docs, vocab)
         .select(col("doc_id"), col("n_tokens"),
           size(filter(col("tokens"), tk => tk === "[UNK]")).as("n_unk"))
+    }),
+
+    "q_fuzzy_clusters" -> ((s, d) => {
+      // the classic ER pipeline END-TO-END as one composition: blocking
+      // equi-join -> difflib fuzzy verify (ops.Joins.blockedFuzzyJoin)
+      // -> connected-components clustering -> canonical entity
+      // (ops.Dedup.clustersFromPairs) — originals plus id-offset
+      // mutants resolve into 2-member entities. Rows-only (difflib +
+      // iterative CC); the component ops are individually certified
+      val docs = t(s, d, "documents")
+      val mut = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "a", "").as("text"),
+        col("lang"), col("n_chars"))
+      val lhs = docs.select(col("doc_id").as("l_id"),
+        col("lang").as("l_lang"),
+        floor(col("n_chars") / 100).as("l_band"),
+        substring(col("text"), 1, 40).as("l_name"))
+      val rhs = mut.select(col("doc_id").as("r_id"),
+        col("lang").as("r_lang"),
+        floor(col("n_chars") / 100).as("r_band"),
+        substring(col("text"), 1, 40).as("r_name"))
+      val pairs = graft.ops.Joins.blockedFuzzyJoin(lhs, rhs,
+        Seq("l_lang" -> "r_lang", "l_band" -> "r_band"),
+        "l_name", "r_name", threshold = 0.85)
+        .select(col("l_id").as("id_a"), col("r_id").as("id_b"))
+      graft.ops.Dedup.clustersFromPairs(
+        docs.select("doc_id").unionByName(mut.select("doc_id")), pairs)
+    }),
+
+    "q_mad_outliers" -> ((s, d) => {
+      // Hampel median/MAD outliers (ops.CorpusOps.madOutliers): the
+      // robust sibling of q_outliers — length gate that survives a
+      // corrupted shard; two 1-row exact-percentile stats broadcasts
+      graft.ops.CorpusOps.madOutliers(
+        t(s, d, "documents").select("doc_id", "n_chars"), "n_chars",
+        k = 2.0)
+    }),
+
+    "q_quantile_bins" -> ((s, d) => {
+      // equal-frequency quartile binning (ops.CorpusOps.quantileBins):
+      // exact interpolated cut points broadcast, assignment as a
+      // codegen comparison fold; boundary values land low on BOTH
+      // engines (strict >)
+      graft.ops.CorpusOps.quantileBins(
+        t(s, d, "documents").select("doc_id", "n_chars"), "n_chars",
+        k = 4)
+    }),
+
+    "q_rag_retrieve" -> ((s, d) => {
+      // passage retrieval END-TO-END: stride-30/40-token chunking
+      // (ops.CorpusOps.chunkDocs) -> BM25 over CHUNKS (ops.TextAnalysis
+      // .bm25TopK, top-20) -> best-chunk-per-document aggregation ->
+      // top-3 documents per query. The RAG retrieval path composed
+      // from three certified operators, exact-oracled through the
+      // spliced chunk+bm25 oracle CTEs
+      val docs = par(s, t(s, d, "documents"))
+      val chunks = graft.ops.CorpusOps.chunkDocs(docs, chunkTokens = 40,
+        stride = 30)
+        .select((col("doc_id") * 100 + col("chunk_idx")).as("chunk_id"),
+          col("doc_id").as("parent_id"), col("chunk_text"))
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      val hits = graft.ops.TextAnalysis.bm25TopK(chunks, qs, k = 20,
+        idCol = "chunk_id", textCol = "chunk_text")
+      val best = hits
+        .withColumn("parent_id", expr("chunk_id div 100")) // int div:
+        // double division would lose exactness past 2^53 ids
+        .groupBy("query_id", "parent_id")
+        .agg(max(col("bm25")).as("best_bm25"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("best_bm25").desc, col("parent_id"))
+      best.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("parent_id"), col("best_bm25"),
+          col("rank").cast("int").as("rank"))
     })
   )
 
@@ -4977,6 +5056,81 @@ object SparkEntry {
         |SELECT lang, source,
         |  round(n + (-1.0 / 0.5) * sign(u - 0.5)
         |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // med/mad on the 6-dp rounded lattice BEFORE the comparison,
+    // exactly as the operator
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT round(quantile_cont(
+        |    CAST(n_chars AS DOUBLE), 0.5), 6) AS med FROM documents),
+        |mad AS (SELECT round(quantile_cont(
+        |    abs(CAST(d.n_chars AS DOUBLE) - m.med), 0.5), 6) AS mad
+        |  FROM documents d CROSS JOIN med m)
+        |SELECT d.doc_id, d.n_chars, m.med, x.mad,
+        |  abs(CAST(d.n_chars AS DOUBLE) - m.med) > 2.0 * x.mad
+        |    AS is_outlier
+        |FROM documents d CROSS JOIN med m CROSS JOIN mad x""".stripMargin,
+
+    // strict > against the interpolated cut points, as the operator
+    "q_quantile_bins" ->
+      """WITH cuts AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+        |    [0.25, 0.5, 0.75]) AS c FROM documents)
+        |SELECT d.doc_id, d.n_chars,
+        |  CASE WHEN d.n_chars IS NULL THEN NULL ELSE
+        |    CAST(len(list_filter(c, x -> CAST(d.n_chars AS DOUBLE) > x))
+        |      AS INTEGER) END AS bin
+        |FROM documents d CROSS JOIN cuts""".stripMargin,
+
+    // the q_chunk CTE feeding the q_bm25_topk CTE feeding a best-chunk
+    // parent aggregation — three certified oracles spliced end-to-end
+    "q_rag_retrieve" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |c0 AS (SELECT doc_id, w,
+        |    greatest(CAST(ceil(len(w) / 30.0) AS INTEGER), 1) AS nc FROM t),
+        |x AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS k
+        |      FROM c0),
+        |chunks AS (SELECT doc_id * 100 + k AS chunk_id, doc_id AS parent,
+        |    array_to_string(w[k*30+1 : k*30+40], ' ') AS ct FROM x),
+        |tok AS (SELECT chunk_id,
+        |    unnest(string_split_regex(lower(trim(ct)), '\s+')) AS term
+        |  FROM chunks),
+        |tf AS (SELECT chunk_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT chunk_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |qterm AS (
+        |  SELECT DISTINCT doc_id AS query_id,
+        |    unnest(list_slice(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> ''), 1, 8)) AS term
+        |  FROM documents WHERE doc_id < 3),
+        |dft AS (
+        |  SELECT tf.term, count(*) AS df FROM tf
+        |  WHERE tf.term IN (SELECT term FROM qterm) GROUP BY 1),
+        |scored AS (
+        |  SELECT q.query_id, tf.chunk_id,
+        |    round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * tf.tf * (1.2 + 1)
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6)
+        |      AS bm25
+        |  FROM qterm q
+        |  JOIN tf ON tf.term = q.term
+        |  JOIN dft d ON d.term = q.term
+        |  JOIN dl ON dl.chunk_id = tf.chunk_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |hits AS (SELECT query_id, chunk_id, bm25 FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, chunk_id) AS rnk
+        |  FROM scored) WHERE rnk <= 20),
+        |best AS (SELECT query_id, chunk_id // 100 AS parent_id,
+        |    max(bm25) AS best_bm25
+        |  FROM hits GROUP BY 1, 2)
+        |SELECT query_id, parent_id, best_bm25, CAST(rnk AS INTEGER)
+        |    AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY best_bm25 DESC, parent_id) AS rnk FROM best) f
+        |WHERE rnk <= 3""".stripMargin
   )
 }

@@ -902,6 +902,72 @@ object CorpusOps {
           * (col("_ntot") - col("_npos")), "auc denominator").as("auc_den2"))
   }
 
+  /** Robust outlier annotation by median/MAD (the Hampel identifier —
+    * Hampel 1974): a row is an outlier when |x − median| > k·MAD.
+    * [[zscoreOutliers]]' robust sibling: mean/stddev themselves move
+    * with the outliers they're supposed to find (one 10⁹-char document
+    * drags the mean), while median and MAD have a 50% breakdown point —
+    * the length/score gate that survives a corrupted shard.
+    *
+    * Shape: two chained 1-row exact-percentile aggregates over the
+    * NARROW value column (median, then MAD of |x − median|), broadcast
+    * back as literal-style 1-row crossJoins. Exact percentiles reduce
+    * on a single narrow column — the q_median small-data path; at
+    * 100 TB swap the mergeable GK sketch ([[Sketches]]) for the cut
+    * points, same downstream shape.
+    *
+    * @return input + (med, mad, is_outlier) — med/mad rounded 6 dp;
+    *         null values get null flags and pass through
+    */
+  def madOutliers(df: DataFrame, valueCol: String,
+                  k: Double = 3.5): DataFrame = {
+    require(k > 0 && k.isFinite, s"need k > 0 (got $k)")
+    val reserved = Seq("med", "mad", "is_outlier", "_x")
+    val hit = df.columns.toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"madOutliers reserves ${reserved.mkString(", ")}; rename: " +
+        hit.mkString(", "))
+    val x = col(valueCol).cast("double")
+    val med = df.agg(
+      round(percentile(x, lit(0.5)), 6).as("med"))
+    val mad = df.crossJoin(med) // 1-row
+      .agg(round(percentile(abs(x - col("med")), lit(0.5)), 6).as("mad"))
+    df.crossJoin(med).crossJoin(mad) // two 1-row stats tables
+      .withColumn("is_outlier", abs(x - col("med")) > lit(k) * col("mad"))
+  }
+
+  /** Equal-frequency (quantile) binning: k cut points from the exact
+    * interpolated percentile lattice, assignment as a codegen'd
+    * comparison fold — the feature-discretization primitive (score
+    * deciles for stratified eval, length quartiles for curriculum
+    * ordering). bin = number of cut points strictly below the value,
+    * so bins are [0, k) and boundary values land in the LOWER bin on
+    * both engines (the `>` is the whole cross-engine contract; an
+    * interpolated cut can equal a data value exactly).
+    *
+    * One narrow 1-row aggregate (the cut array) + one broadcast
+    * crossJoin + a k-term comparison chain. Same exact-percentile
+    * caveat and GK-sketch at-scale swap as [[madOutliers]].
+    *
+    * @return input + `bin` (null value → null bin)
+    */
+  def quantileBins(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 10000, s"need 2 <= k <= 10000 (got $k)")
+    require(!df.columns.contains("bin") && !df.columns.contains("_cuts"),
+      "quantileBins reserves 'bin' and '_cuts'; rename the input")
+    val x = col(valueCol).cast("double")
+    val fracs = array((1 until k).map(i =>
+      lit(i.toDouble / k)): _*)
+    val cuts = df.agg(
+      percentile(x, fracs).as("_cuts"))
+    df.crossJoin(cuts) // 1-row cut table
+      .withColumn("bin",
+        when(x.isNull, lit(null).cast("int"))
+          .otherwise(aggregate(col("_cuts"), lit(0),
+            (acc, c) => acc + when(x > c, 1).otherwise(0))))
+      .drop("_cuts")
+  }
+
   /** k-fold cross-validation fold assignment on the md5 lattice — the
     * CV sibling of [[hashSplit]]: fold membership is a pure function of
     * the key (no RNG, no state), so folds are reproducible across runs,

@@ -69,7 +69,10 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_cohen_kappa"         -> "two 1-row aggregate tables (totals x chance-agreement numerator) crossJoin",
     "q_expectations"        -> "refers_to check: 1-row total-count table crossJoin onto the 1-row violation count",
     "q_tfidf_cosine_pairs"  -> "1-row doc-count table crossJoin for idf, as q_tfidf",
-    "q_fleiss_kappa"        -> "two 1-row aggregate tables (item totals x label-marginal squares) crossJoin")
+    "q_fleiss_kappa"        -> "two 1-row aggregate tables (item totals x label-marginal squares) crossJoin",
+    "q_mad_outliers"        -> "two 1-row exact-percentile stats tables (median, MAD) crossJoin",
+    "q_quantile_bins"       -> "1-row quantile-cut-array table crossJoin",
+    "q_rag_retrieve"        -> "bm25's 1-row corpus stats crossJoin inside the chunk-scoring leg")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
     val d = "/root/testdata/sf0.001"

@@ -296,6 +296,17 @@ object ScaleProbe {
       graft.ops.Joins.blockedFuzzyJoin(lhs, rhs,
         Seq("l_band" -> "r_band"), "l_name", "r_name", threshold = 0.85)
     }
+    // wordpiece: vocab derivation (bounded collect) + one narrow
+    // mapPartitions encode pass — linear, memoized per partition
+    probe("wordpiece_encode") {
+      val vocab = graft.ops.Tokenize.wordPieceVocab(docs, topWords = 200)
+      graft.ops.Tokenize.encodeWordPiece(docs, vocab)
+    }
+    // dp counts: one aggregate + codegen noise expression
+    probe("dp_counts") {
+      graft.ops.Profile.dpGroupCounts(
+        docs.withColumn("grp", col("doc_id") % 50), Seq("grp"), 0.5)
+    }
     // LPA over an md5-random graph whose VERTEX space scales with mult
     // (constant density — a fixed space would densify and measure the
     // graph, not the operator; the triangle_counts discipline)
