@@ -2529,9 +2529,13 @@ object SparkEntry {
       // from three certified operators, exact-oracled through the
       // spliced chunk+bm25 oracle CTEs
       val docs = par(s, t(s, d, "documents"))
+      // 1e6 multiplier: collision-free up to 30M-token documents
+      // (chunk_idx < 1e6); a *100 key would silently merge doc N's
+      // chunk 100 with doc N+1's chunk 0 past 3000 tokens
       val chunks = graft.ops.CorpusOps.chunkDocs(docs, chunkTokens = 40,
         stride = 30)
-        .select((col("doc_id") * 100 + col("chunk_idx")).as("chunk_id"),
+        .select((col("doc_id") * 1000000L + col("chunk_idx"))
+          .as("chunk_id"),
           col("doc_id").as("parent_id"), col("chunk_text"))
       val qs = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"),
@@ -2541,8 +2545,8 @@ object SparkEntry {
       val hits = graft.ops.TextAnalysis.bm25TopK(chunks, qs, k = 20,
         idCol = "chunk_id", textCol = "chunk_text")
       val best = hits
-        .withColumn("parent_id", expr("chunk_id div 100")) // int div:
-        // double division would lose exactness past 2^53 ids
+        .withColumn("parent_id", expr("chunk_id div 1000000")) // int
+        // div: double division would lose exactness past 2^53 ids
         .groupBy("query_id", "parent_id")
         .agg(max(col("bm25")).as("best_bm25"))
       val w = org.apache.spark.sql.expressions.Window
@@ -5047,10 +5051,13 @@ object SparkEntry {
         |WHERE rn <= 3""".stripMargin,
 
     // replays the exact Laplace inverse-CDF draw: u from the md5
-    // lattice of (lang|source|seed), x = -(1/eps)*sgn(u-.5)*ln(1-2|u-.5|)
+    // lattice of (lang|source|seed), x = -(1/eps)*sgn(u-.5)*ln(1-2|u-.5|);
+    // coalesce-to-chr(0) mirrors the operator's null-group sentinel (||
+    // would NULL-propagate and flake the first null-group corpus)
     "q_dp_counts" ->
       """WITH g AS (SELECT lang, source, count(*) AS n,
-        |    (CAST(('0x' || substr(md5(lang || '|' || source || '|dp'),
+        |    (CAST(('0x' || substr(md5(coalesce(lang, chr(0)) || '|' ||
+        |      coalesce(source, chr(0)) || '|dp'),
         |      1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
         |  FROM documents GROUP BY 1, 2)
         |SELECT lang, source,
@@ -5090,7 +5097,8 @@ object SparkEntry {
         |    greatest(CAST(ceil(len(w) / 30.0) AS INTEGER), 1) AS nc FROM t),
         |x AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS k
         |      FROM c0),
-        |chunks AS (SELECT doc_id * 100 + k AS chunk_id, doc_id AS parent,
+        |chunks AS (SELECT doc_id * 1000000 + k AS chunk_id,
+        |    doc_id AS parent,
         |    array_to_string(w[k*30+1 : k*30+40], ' ') AS ct FROM x),
         |tok AS (SELECT chunk_id,
         |    unnest(string_split_regex(lower(trim(ct)), '\s+')) AS term
@@ -5124,7 +5132,7 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY bm25 DESC, chunk_id) AS rnk
         |  FROM scored) WHERE rnk <= 20),
-        |best AS (SELECT query_id, chunk_id // 100 AS parent_id,
+        |best AS (SELECT query_id, chunk_id // 1000000 AS parent_id,
         |    max(bm25) AS best_bm25
         |  FROM hits GROUP BY 1, 2)
         |SELECT query_id, parent_id, best_bm25, CAST(rnk AS INTEGER)

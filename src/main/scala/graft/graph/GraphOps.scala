@@ -439,11 +439,22 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", weightCol: Option[String] = None,
-               tol: Double = 0.001, maxIter: Int = 30): DataFrame = {
+               tol: Double = 0.001, maxIter: Int = 30): DataFrame =
+    rankUndirected(edges, srcCol, dstCol, weightCol, tol, maxIter, None)
+
+  /** Shared scaffolding of [[pageRank]] / [[pageRankPersonalized]]:
+    * clean + pin the edge list once (sym/verts/withDeg would otherwise
+    * re-evaluate the caller's upstream plan four times before iteration
+    * starts), symmetrize, hash vertices, iterate, release. `sources`
+    * switches on the personalized reset vector — and JOINS INTO the
+    * vertex set, so an isolated topic vertex still holds its 0.15
+    * teleport mass instead of silently vanishing.
+    */
+  private def rankUndirected(edges: DataFrame, srcCol: String,
+                             dstCol: String, weightCol: Option[String],
+                             tol: Double, maxIter: Int,
+                             sources: Option[DataFrame]): DataFrame = {
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1d))
-    // pin the cleaned edge list ONCE: sym/verts/withDeg below would
-    // otherwise re-evaluate the caller's upstream plan four times
-    // before iteration even starts
     val half = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
@@ -451,13 +462,26 @@ object GraphOps {
       .localCheckpoint(true)
     val sym = half.union(
       half.select(col("_b").as("_a"), col("_a").as("_b"), col("w")))
-    val verts = half.select(col("_a").as("uuid"))
-      .union(half.select(col("_b").as("uuid"))).distinct()
-      .select(col("uuid"), vid(col("uuid")).as("vid"))
-      .localCheckpoint(true)
+    val endpoints = half.select(col("_a").as("uuid"))
+      .union(half.select(col("_b").as("uuid")))
+    val verts = (sources match {
+      case None =>
+        endpoints.distinct()
+          .select(col("uuid"), vid(col("uuid")).as("vid"))
+      case Some(srcDf) =>
+        val src = srcDf.toDF("uuid").filter(col("uuid").isNotNull)
+          .distinct().withColumn("_isSrc", lit(true))
+        // union BEFORE distinct: edge-less topic vertices stay ranked
+        endpoints.union(src.select("uuid")).distinct()
+          .join(src, Seq("uuid"), "left_outer")
+          .select(col("uuid"), vid(col("uuid")).as("vid"),
+            when(col("_isSrc"), lit(0.15)).otherwise(lit(0d))
+              .as("_reset"))
+    }).localCheckpoint(true)
     val wedges = sym.select(vid(col("_a")).as("src"),
       vid(col("_b")).as("dst"), col("w"))
-    val out = powerIterate(verts, wedges, tol, maxIter)
+    val out = powerIterate(verts, wedges, tol, maxIter,
+      resetCol = sources.map(_ => "_reset"))
       .withColumnRenamed("author_uuid", "vertex")
     // powerIterate checkpoints withDeg (built from wedges -> half) and
     // its own result before returning, so half's blocks are safe to free
@@ -492,30 +516,8 @@ object GraphOps {
                            maxIter: Int = 30): DataFrame = {
     require(sources.columns.length == 1,
       "sources must be a single-column DataFrame of topic vertices")
-    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1d))
-    val half = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(col(srcCol).as("_a"), col(dstCol).as("_b"), w.as("w"))
-      .localCheckpoint(true)
-    val sym = half.union(
-      half.select(col("_b").as("_a"), col("_a").as("_b"), col("w")))
-    val src = sources.toDF("uuid").distinct()
-      .withColumn("_isSrc", lit(true))
-    val verts = half.select(col("_a").as("uuid"))
-      .union(half.select(col("_b").as("uuid"))).distinct()
-      .join(src, Seq("uuid"), "left_outer")
-      .select(col("uuid"), vid(col("uuid")).as("vid"),
-        when(col("_isSrc"), lit(0.15)).otherwise(lit(0d)).as("_reset"))
-      .localCheckpoint(true)
-    val wedges = sym.select(vid(col("_a")).as("src"),
-      vid(col("_b")).as("dst"), col("w"))
-    val out = powerIterate(verts, wedges, tol, maxIter,
-      resetCol = Some("_reset"))
-      .withColumnRenamed("author_uuid", "vertex")
-    half.unpersist()
-    verts.unpersist()
-    out
+    rankUndirected(edges, srcCol, dstCol, weightCol, tol, maxIter,
+      Some(sources))
   }
 
   /** Community detection by synchronous label propagation (Raghavan,

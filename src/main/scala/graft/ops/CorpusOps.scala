@@ -922,7 +922,7 @@ object CorpusOps {
   def madOutliers(df: DataFrame, valueCol: String,
                   k: Double = 3.5): DataFrame = {
     require(k > 0 && k.isFinite, s"need k > 0 (got $k)")
-    val reserved = Seq("med", "mad", "is_outlier", "_x")
+    val reserved = Seq("med", "mad", "is_outlier")
     val hit = df.columns.toSet.intersect(reserved.toSet)
     require(hit.isEmpty,
       s"madOutliers reserves ${reserved.mkString(", ")}; rename: " +

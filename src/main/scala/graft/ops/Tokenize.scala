@@ -407,7 +407,11 @@ object Tokenize {
         it.map { case (id, text) =>
           val words =
             if (text == null) Array.empty[String]
-            else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+            // Locale.ROOT: default-locale toLowerCase is machine-
+            // dependent (tr_TR dots 'I' to 'ı') and would disagree
+            // with the Spark lower() the vocab derivation used
+            else text.toLowerCase(java.util.Locale.ROOT)
+              .split("\\s+").filter(_.nonEmpty)
           val tokens = words.flatMap(w =>
             memo.getOrElseUpdate(w, wordPieceWord(w, vs, unk, maxWordLen)))
           (id, tokens, tokens.length)
@@ -435,8 +439,12 @@ object Tokenize {
       .orderBy(col("n").desc, col("w"))
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val chars = dict.iterator.flatMap(_._1.iterator).toSet.toSeq.sorted
+    // iterate CODE POINTS, not UTF-16 chars: a supplementary-plane
+    // character (emoji, rare CJK) would otherwise contribute two lone
+    // surrogate halves — invalid strings that parquet/UTF8String mangle
+    val chars = dict.iterator.flatMap(_._1.codePoints().toArray)
+      .toSet.toSeq.sorted.map(cp => new String(Character.toChars(cp)))
     val whole = dict.take(topWords).map(_._1)
-    (chars.map(_.toString) ++ chars.map(c => s"##$c") ++ whole).distinct
+    (chars ++ chars.map(c => s"##$c") ++ whole).distinct
   }
 }

@@ -53,6 +53,34 @@ class Round6fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("c") == 0.0 && out("d") == 0.0, out.toString)
   }
 
+  test("pageRankPersonalized: an edge-less topic vertex keeps its " +
+      "0.15 teleport mass instead of vanishing") {
+    import spark.implicits._
+    val edges = Seq(("c", "d")).toDF("src", "dst")
+    val out = graft.graph.GraphOps.pageRankPersonalized(
+      edges, Seq("a").toDF("v"), tol = 0.0, maxIter = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 0.15, out.toString)
+    assert(out("c") == 0.0 && out("d") == 0.0)
+  }
+
+  test("wordPieceVocab: supplementary-plane chars stay whole code " +
+      "points, never lone surrogate halves") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab 😀cd")).toDF("doc_id", "text")
+    val vocab = graft.ops.Tokenize.wordPieceVocab(docs, topWords = 0)
+    assert(vocab.contains("😀") &&
+      vocab.contains("##😀"))
+    // a lone surrogate half decodes as a code point in D800-DFFF
+    assert(vocab.forall(v => !v.codePoints().toArray
+      .exists(cp => cp >= 0xD800 && cp <= 0xDFFF)))
+    // and the encode round-trips the emoji word without UNK
+    val out = graft.ops.Tokenize.encodeWordPiece(docs, vocab)
+      .collect().head.getSeq[String](1)
+    assert(!out.contains("[UNK]"))
+    assert(out.contains("😀") || out.exists(_.contains("😀")))
+  }
+
   test("wordPieceWord: BERT goldens — longest-match-first, ## " +
       "continuations, all-or-nothing UNK, maxWordLen") {
     import graft.ops.Tokenize.wordPieceWord
