@@ -2556,6 +2556,52 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("parent_id"), col("best_bm25"),
           col("rank").cast("int").as("rank"))
+    }),
+
+    "q_soft_dedup" -> ((s, d) => {
+      // duplication-aware DOWNSAMPLING (ops.Dedup.softKeep): keep each
+      // exact-dup group member independently w.p. 1/n on the integer
+      // md5 lattice (bucket16 * n < 65536 — pure integer comparison,
+      // replayed verbatim by the oracle); md5 fingerprint injected for
+      // cross-engine replay, as in q_dedup_incremental
+      graft.ops.Dedup.softKeep(par(s, t(s, d, "documents")),
+          fingerprint = md5(_))
+        .select("doc_id", "dup_group_size", "kept")
+    }),
+
+    "q_hard_negatives" -> ((s, d) => {
+      // hard-negative mining (ops.Similarity.hardNegatives): top-5
+      // most-similar DIFFERENT-label corpus vectors per labeled query —
+      // the contrastive-training pair miner; brute-force neighbor source
+      // here, ANN/IVF via hardNegativesFrom at scale
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("label"))
+      graft.ops.Similarity.hardNegatives(qs, emb, k = 5)
+    }),
+
+    "q_overlap_estimate" -> ((s, d) => {
+      // KMV bottom-k corpus-overlap sketch (ops.Sketches
+      // .overlapEstimate, Beyer et al. 2007): two overlapping document
+      // subsets reduce to 60-bit md5 hash sets; the k smallest union
+      // hashes carry per-side membership — all-integer output, the
+      // oracle replays the exact sketch
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.Sketches.overlapEstimate(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0), "text", k = 64)
+    }),
+
+    "q_blocklist_phrases_ac" -> ((s, d) => {
+      // the q_blocklist_phrases contract through the Aho–Corasick ONE-
+      // PASS kernel (ops.CorpusOps.flagBlocklistedPhrasesAC) instead of
+      // the per-phrase theta-join — same rows, SAME ORACLE, different
+      // physical plan (no join on the corpus side at all)
+      import s.implicits._
+      graft.ops.CorpusOps.flagBlocklistedPhrasesAC(
+        par(s, t(s, d, "documents")),
+        Seq("hash join", "merge join", "no such phrase").toDF("phrase"))
     })
   )
 
@@ -5139,6 +5185,68 @@ object SparkEntry {
         |    AS rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY best_bm25 DESC, parent_id) AS rnk FROM best) f
-        |WHERE rnk <= 3""".stripMargin
+        |WHERE rnk <= 3""".stripMargin,
+
+    // keep-each-dup w.p. 1/n on the integer md5 lattice — the keep rule is
+    // a pure integer comparison both engines evaluate identically
+    "q_soft_dedup" ->
+      """WITH g AS (SELECT doc_id,
+        |    count(*) OVER (PARTITION BY coalesce(md5(text), 'null'))
+        |      AS dup_group_size
+        |  FROM documents)
+        |SELECT doc_id, CAST(dup_group_size AS BIGINT) AS dup_group_size,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) * dup_group_size < 65536 AS kept
+        |FROM g""".stripMargin,
+
+    // q_knn_classify's neighbor CTE with the different-label predicate —
+    // null labels excluded on BOTH sides, exactly as the operator does
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 10 AND label IS NOT NULL),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q, embeddings e
+        |  WHERE q.query_id <> e.vec_id AND e.label IS NOT NULL
+        |    AND e.label <> q.ql)
+        |SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // the exact bottom-64 union sketch replayed: 60-bit md5 hashes,
+    // full-outer membership merge, k-row head, integer aggregates
+    "q_overlap_estimate" ->
+      """WITH a AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+        |b AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |u AS (SELECT coalesce(a.h, b.h) AS h,
+        |    CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS ina,
+        |    CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS inb
+        |  FROM a FULL OUTER JOIN b ON a.h = b.h),
+        |k AS (SELECT * FROM u ORDER BY h LIMIT 64)
+        |SELECT CAST(count(*) AS BIGINT) AS k_eff,
+        |  CAST(coalesce(sum(ina * inb), 0) AS BIGINT) AS n_both,
+        |  CAST(coalesce(sum(ina), 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(sum(inb), 0) AS BIGINT) AS n_b,
+        |  CAST(coalesce(max(h), 0) AS BIGINT) AS kth_hash60
+        |FROM k""".stripMargin,
+
+    // IDENTICAL SQL to q_blocklist_phrases: the Aho–Corasick plan must
+    // reproduce the theta-join's rows bit-for-bit
+    "q_blocklist_phrases_ac" ->
+      """SELECT doc_id, count(DISTINCT p) AS n_phrases,
+        |  min(p) AS first_phrase
+        |FROM documents,
+        |  (SELECT unnest(['hash join', 'merge join', 'no such phrase'])
+        |     AS p)
+        |WHERE contains(lower(text), p)
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -325,6 +325,8 @@ object CorpusFunctions {
     column(HyperplaneSig(expression(c), planes))
   def repetition_stats(c: Column, n: Int = 2, delim: String = "\n"): Column =
     column(RepetitionStats(expression(c), n, delim))
+  def ac_find_phrases(c: Column, patterns: Seq[String]): Column =
+    column(AcFindPhrases(expression(c), patterns))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -213,4 +213,36 @@ object TextKernels {
 
   def scoreNameSimilarity(a: String, b: String): Double =
     scoreNameSimilarity(a, b, 0.8)
+
+  /** difflib `SequenceMatcher.quick_ratio()` over the SAME cleaned inputs
+    * [[scoreNameSimilarity]] scores — a PROVEN upper bound on its result:
+    * quick_ratio = 2·Σ_c min(countA(c), countB(c)) / (|a|+|b|) ≥ ratio
+    * (matched blocks consume characters from both multisets), and the
+    * word-reversed retry preserves char multisets (split on spaces +
+    * single-space rejoin permutes tokens, never characters), so the bound
+    * covers ratioA, ratioB, and their mean alike. O(|a|+|b|) versus the
+    * matcher's quadratic-with-autojunk — the cheap gate difflib itself
+    * recommends running first; [[graft.ops.Joins.blockedFuzzyJoin]] uses
+    * it to discard non-candidates before the exact kernel.
+    */
+  def nameSimilarityUpper(nameResults: String, nameAuthor: String): Double = {
+    def clean(s: String) = s.strip().toLowerCase(Locale.ROOT)
+    val ca = codePoints(clean(nameResults))
+    val cb = codePoints(clean(nameAuthor))
+    val t = ca.length + cb.length
+    if (t == 0) 1.0
+    else {
+      val counts = new java.util.HashMap[Int, Int]()
+      var i = 0
+      while (i < cb.length) { counts.merge(cb(i), 1, Integer.sum _); i += 1 }
+      var m = 0
+      i = 0
+      while (i < ca.length) {
+        val n = counts.getOrDefault(ca(i), 0)
+        if (n > 0) { m += 1; counts.put(ca(i), n - 1) }
+        i += 1
+      }
+      2.0 * m / t
+    }
+  }
 }

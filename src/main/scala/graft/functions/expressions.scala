@@ -69,6 +69,24 @@ case class NameSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "name_similarity"
 }
 
+/** difflib quick_ratio over the same cleaned inputs — the O(n) upper bound
+  * on [[NameSimilarity]] (see [[TextKernels.nameSimilarityUpper]]); a
+  * candidate below threshold here can never score at threshold.
+  */
+case class NameSimilarityUpper(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.nameSimilarityUpper(
+      l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.TextKernels.nameSimilarityUpper($l.toString(), $r.toString())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NameSimilarityUpper =
+    copy(left = l, right = r)
+  override def prettyName: String = "name_similarity_upper"
+}
+
 /** Column-level API + SQL registration for the custom expressions. */
 object TextFunctions {
   def clean_html(c: Column): Column = column(CleanHtml(expression(c)))
@@ -76,6 +94,8 @@ object TextFunctions {
   def python_title(c: Column): Column = column(PythonTitle(expression(c)))
   def name_similarity(a: Column, b: Column): Column =
     column(NameSimilarity(expression(a), expression(b)))
+  def name_similarity_upper(a: Column, b: Column): Column =
+    column(NameSimilarityUpper(expression(a), expression(b)))
 
   /** Crossref DOI pattern filter (reference doi.py:31,132-149) — plain
     * `rlike`, which is already codegen'd and pushdown-friendly; Java regex

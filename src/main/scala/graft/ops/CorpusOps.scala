@@ -362,6 +362,50 @@ object CorpusOps {
         min(col("_p")).as("first_phrase"))
   }
 
+  /** [[flagBlocklistedPhrases]] via a single Aho–Corasick pass
+    * ([[graft.functions.AhoCorasick]]) — same contract, same output, a
+    * different physical plan: the theta-join re-scans every document once
+    * PER PHRASE (a broadcast nested-loop whose cost is |corpus|·|phrases|
+    * substring searches), this variant finds all phrases in ONE text scan,
+    * so it wins exactly when the blocklist is large (C4's word list is
+    * ~400 entries; production phrase lists run 10⁴–10⁵, a 100–1000×
+    * per-document multiplier the automaton deletes). No join at all on the
+    * corpus side — one narrow codegen pass + a per-doc aggregate-free
+    * select; the phrase list is collected (it is list-sized BY NATURE,
+    * `maxPhrases`-guarded) and the automaton ships with the plan.
+    *
+    * Case-insensitivity matches the theta-join bit-for-bit: both sides go
+    * through Spark's own `lower()` — the phrase list is lowered IN SPARK
+    * before collection, so no driver-locale lowercase ever touches the
+    * data.
+    *
+    * @return flagged docs only: (id, n_phrases, first_phrase) — same
+    *         schema and values as [[flagBlocklistedPhrases]], certified by
+    *         sharing its oracle
+    */
+  def flagBlocklistedPhrasesAC(docs: DataFrame, phrases: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               phraseCol: String = "phrase",
+                               maxPhrases: Int = 1 << 20): DataFrame = {
+    import graft.functions.CorpusFunctions.ac_find_phrases
+    val pats = phrases.select(lower(col(phraseCol)).as("_p"))
+      .filter(col("_p").isNotNull).distinct()
+      .orderBy("_p").limit(maxPhrases + 1)
+      .collect().map(_.getString(0))
+    require(pats.length <= maxPhrases,
+      s"flagBlocklistedPhrasesAC: phrase list exceeds maxPhrases=$maxPhrases" +
+        " — a blocklist this size should be partitioned or routed through" +
+        " the theta-join variant")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        ac_find_phrases(lower(col(textCol)), pats.toSeq).as("_hits"))
+      .filter(size(col("_hits")) > 0)
+      .select(col(idCol),
+        size(col("_hits")).cast("long").as("n_phrases"),
+        element_at(col("_hits"), 1).as("first_phrase"))
+  }
+
   /** Within-document repetition ratio (Gopher-style repetition filter):
     * fraction of duplicate word n-grams, `1 - distinct/total` (0 for docs
     * shorter than n words). Entirely narrow — per-row array ops, no

@@ -133,6 +133,43 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** SOFT exact dedup — duplication-aware downsampling instead of hard
+    * dropping (the reweighting idea behind soft-dedup methods: a group of
+    * n exact duplicates should contribute ~1 expected document, but WHICH
+    * member survives should stay uniform so per-member metadata — source,
+    * crawl date, formatting — keeps its distribution; hard keep-min always
+    * preserves the earliest copy and silently biases toward old crawls).
+    *
+    * Each row is kept independently with probability 1/n (n = its exact-dup
+    * group size), decided on the INTEGER md5 lattice: keep iff
+    * `bucket16(id) * n < 65536` — pure integer comparison, so membership is
+    * a deterministic pure function of (id, n) that any engine replays
+    * bit-for-bit, and unique docs (n = 1) always survive. Expected
+    * survivors per group = 1; P(group loses all copies) = (1−1/n)ⁿ ≤ 1/e,
+    * acceptable for corpus downsampling (use [[exact]]'s `is_canonical`
+    * when exactly-one semantics are required).
+    *
+    * Group sizes come from the same NARROW (fingerprint, count) aggregate +
+    * equi-join shape as [[exact]] — map-side combined, AQE-splittable,
+    * never a window over text rows; null-text docs share one sentinel
+    * group, mirroring [[exact]].
+    *
+    * @return input + (dup_group_size, kept); filter on `kept` to apply
+    */
+  def softKeep(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text",
+               fingerprint: Column => Column = doc_fingerprint(_)
+              ): DataFrame = {
+    val withFp = docs.withColumn("_fp",
+      coalesce(fingerprint(col(textCol)).cast("string"), lit("null")))
+    val groups = withFp.groupBy("_fp").agg(count(lit(1)).as("dup_group_size"))
+    val bucket16 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    withFp.join(groups, Seq("_fp"))
+      .withColumn("kept", bucket16 * col("dup_group_size") < 65536L)
+      .drop("_fp")
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     *
     * signature (numHashes) → bands of rows (bandRows each) → per-band bucket

@@ -529,6 +529,74 @@ object Similarity {
         col("_best").getField("v").as("n_votes"))
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * labeled query vector, the top-k most-similar corpus vectors whose
+    * label DIFFERS — the near-miss examples a bi-encoder or reranker
+    * learns the most from (the in-batch-negatives upgrade every dense
+    * retrieval recipe ships).
+    *
+    * Brute-force scoring against a broadcast query set (queries are
+    * training-batch-sized BY NATURE); at 100 TB swap the candidate source
+    * for [[annTopK]]/[[ivfProbe]] and feed it through
+    * [[hardNegativesFrom]] — the label filter and rerank are
+    * neighbor-source-agnostic. Rows with a NULL label (either side) are
+    * excluded EXPLICITLY: a null label cannot certify "different class",
+    * and leaving it to `=!=`'s three-valued logic would silently drop
+    * query rows too.
+    *
+    * @return (query_id, vec_id, rank) with rank ≤ k per query, ordered by
+    *         cosine desc then vec_id (the [[bruteForceTopK]] tie rule)
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                    labelCol: String = "label",
+                    queryIdCol: String = "query_id",
+                    corpusIdCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries
+      .filter(col(labelCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"),
+        col(labelCol).as("_qlbl")))
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .select(col(corpusIdCol).as("vec_id"), col(vecCol).as("_cv"),
+        col(labelCol).as("_clbl"))
+    // list-sized × corpus: broadcast BNLJ by construction, never a shuffle
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("vec_id"))
+      .filter(col("_qlbl") =!= col("_clbl"))
+      .withColumn("_cos", cosine_sim(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank")
+  }
+
+  /** The label-filter + rerank stage of [[hardNegatives]] over ANY
+    * candidate table with (query_id, vec_id, cosine) columns — e.g.
+    * [[annTopK]] or [[ivfProbe]] output with a generous k. Joins the two
+    * dimension-sized label tables and keeps the top-k different-label
+    * candidates per query.
+    */
+  def hardNegativesFrom(candidates: DataFrame, queries: DataFrame,
+                        corpus: DataFrame, k: Int = 5,
+                        labelCol: String = "label",
+                        queryIdCol: String = "query_id",
+                        corpusIdCol: String = "vec_id"): DataFrame = {
+    val ql = queries.filter(col(labelCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"), col(labelCol).as("_qlbl"))
+    val cl = corpus.filter(col(labelCol).isNotNull)
+      .select(col(corpusIdCol).as("vec_id"), col(labelCol).as("_clbl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates.select("query_id", "vec_id", "cosine")
+      .join(broadcast(ql), Seq("query_id"))
+      .join(cl, Seq("vec_id"))
+      .filter(col("_qlbl") =!= col("_clbl"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank")
+  }
+
   /** Per-label embedding CENTROIDS (class prototypes — the Rocchio /
     * nearest-class-mean building block, also the "label medoid" input of
     * prototype-based curation): element-wise mean per label, returned in

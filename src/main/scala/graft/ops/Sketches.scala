@@ -102,4 +102,53 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
         lit(seed)).as("cms"))
+
+  /** KMV (bottom-k) SET-OVERLAP estimate between two key sets (Beyer et
+    * al., SIGMOD 2007): "how many documents/urls/ids do corpus A and
+    * corpus B share?" answered from two k-row sketches instead of an
+    * |A|×|B|-scale join — the corpus-overlap audit that runs BEFORE
+    * deciding whether two crawls are worth merging.
+    *
+    * Shape: each side reduces to its DISTINCT 60-bit md5-lattice key
+    * hashes (one narrow map-side-combinable pass over each input); the
+    * two hash sets full-outer-merge on the hash, and the k smallest union
+    * hashes (a k-row TakeOrdered, never a global sort materialization)
+    * form the combined sketch K. Published fields are ALL integers —
+    * deterministic, engine-replayable:
+    *
+    *   - `k_eff`      |K| (= min(k, distinct(A ∪ B)))
+    *   - `n_both`     |{h ∈ K : h ∈ A and h ∈ B}|
+    *   - `n_a`,`n_b`  per-side members of K
+    *   - `kth_hash60` max hash in K (the sketch threshold U·2⁶⁰)
+    *
+    * Estimators (compute downstream, floats stay out of the contract):
+    * when `k_eff = k`, distinct(A ∪ B) ≈ (k−1)·2⁶⁰ / kth_hash60 and
+    * Jaccard ≈ n_both/k, so intersection ≈ product of the two; when
+    * `k_eff < k` the sketch saw EVERY key and n_both/k_eff counts are
+    * exact. 60-bit hashing keeps collision odds negligible below ~10⁹
+    * distinct keys per side; null keys are ignored (a null key is not a
+    * shared identity). At 100 TB each side's bottom-k reduces
+    * per-partition before the k-row heads ever cross the network.
+    */
+  def overlapEstimate(a: DataFrame, b: DataFrame, keyCol: String,
+                      k: Int = 256): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    def hashes(df: DataFrame) = df
+      .filter(col(keyCol).isNotNull)
+      .select(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("_h"))
+      .distinct()
+    val ha = hashes(a).withColumn("_ina", lit(1L))
+    val hb = hashes(b).withColumn("_inb", lit(1L))
+    ha.join(hb, Seq("_h"), "full_outer")
+      .select(col("_h"), coalesce(col("_ina"), lit(0L)).as("_ina"),
+        coalesce(col("_inb"), lit(0L)).as("_inb"))
+      .orderBy("_h").limit(k)
+      .agg(count(lit(1)).as("k_eff"),
+        // coalesce: sum/max over ZERO rows (both inputs empty) is NULL
+        coalesce(sum(col("_ina") * col("_inb")), lit(0L)).as("n_both"),
+        coalesce(sum(col("_ina")), lit(0L)).as("n_a"),
+        coalesce(sum(col("_inb")), lit(0L)).as("n_b"),
+        coalesce(max(col("_h")), lit(0L)).as("kth_hash60"))
+  }
 }

@@ -113,6 +113,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => RepetitionStats(es(0),
         intLit(es(1), "repetition_stats", "n"),
         strLit(es(2), "repetition_stats", "delim"))))
+    // quick_ratio upper bound on name_similarity — the fuzzy-join prune gate
+    ext.injectFunction((FunctionIdentifier("name_similarity_upper"),
+      info("name_similarity_upper",
+        classOf[graft.functions.NameSimilarityUpper]),
+      (es: Seq[Expression]) =>
+        graft.functions.NameSimilarityUpper(es(0), es(1))))
+    // Aho–Corasick blocklist matcher: ac_find_phrases(text, patterns) with
+    // patterns as one U+0001-joined string literal (SQL has no string-array
+    // literal the parser folds; the Scala surface takes a Seq directly)
+    ext.injectFunction((FunctionIdentifier("ac_find_phrases"),
+      info("ac_find_phrases", classOf[graft.functions.AcFindPhrases]),
+      (es: Seq[Expression]) => graft.functions.AcFindPhrases(es(0),
+        strLit(es(1), "ac_find_phrases", "patterns")
+          .split('\u0001').toSeq)))
   }
 }
 

@@ -164,9 +164,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "lang_id(t), token_count_bpeish(t), cosine_sim(v, v), " +
         "minhash_sig(t, 3, 8), word_shingles(t, 2), " +
         "winnow(t, 4, 3), winnow_positions(t, 4, 3), " +
-        "repetition_stats(t, 2, '\\n'), deflate_len(t) " +
+        "repetition_stats(t, 2, '\\n'), deflate_len(t), " +
+        "ac_find_phrases(t, 'brown cow\u0001fox\u0001quick'), " + // patterns pre-sorted
+        "name_similarity_upper(t, t) " +
         "FROM codegen_probe").head()
-    assert(row.size == 15)
+    assert(row.size == 17)
+    assert(row.getSeq[String](15) == Seq("fox", "quick"))
+    assert(row.getDouble(16) == 1.0)
   }
 
   test("pure range condition (no equi keys) also rewrites") {
