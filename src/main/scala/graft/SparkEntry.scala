@@ -2560,8 +2560,8 @@ object SparkEntry {
 
     "q_soft_dedup" -> ((s, d) => {
       // duplication-aware DOWNSAMPLING (ops.Dedup.softKeep): keep each
-      // exact-dup group member independently w.p. 1/n on the integer
-      // md5 lattice (bucket16 * n < 65536 — pure integer comparison,
+      // exact-dup group member independently w.p. ~1/n on the 60-bit
+      // integer md5 lattice (hash60 < 2^60 div n — integer division,
       // replayed verbatim by the oracle); md5 fingerprint injected for
       // cross-engine replay, as in q_dedup_incremental
       graft.ops.Dedup.softKeep(par(s, t(s, d, "documents")),
@@ -5187,16 +5187,18 @@ object SparkEntry {
         |    ORDER BY best_bm25 DESC, parent_id) AS rnk FROM best) f
         |WHERE rnk <= 3""".stripMargin,
 
-    // keep-each-dup w.p. 1/n on the integer md5 lattice — the keep rule is
-    // a pure integer comparison both engines evaluate identically
+    // keep-each-dup w.p. ~1/n on the 60-bit integer md5 lattice — integer
+    // DIVISION on both engines (multiplication would overflow; double
+    // division desyncs past 2^53); chr(0) sentinel for null ids
     "q_soft_dedup" ->
       """WITH g AS (SELECT doc_id,
         |    count(*) OVER (PARTITION BY coalesce(md5(text), 'null'))
         |      AS dup_group_size
         |  FROM documents)
         |SELECT doc_id, CAST(dup_group_size AS BIGINT) AS dup_group_size,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-        |    AS BIGINT) * dup_group_size < 65536 AS kept
+        |  CAST(('0x' || substr(md5(
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(0))), 1, 15))
+        |    AS BIGINT) < 1152921504606846976 // dup_group_size AS kept
         |FROM g""".stripMargin,
 
     // q_knn_classify's neighbor CTE with the different-label predicate —

@@ -13,6 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[graft.ops.CorpusOps.flagBlocklistedPhrases]]) re-scans each document
   * once PER PHRASE (O(|text|·|patterns|) vs O(|text| + hits) here).
   *
+  * Patterns are NORMALIZED at construction (distinct + lexicographically
+  * sorted), so [[matchedSorted]]'s ascending-index output is always the
+  * distinct matches in alphabetical order regardless of input order or
+  * duplicates — `element_at(…, 1)` is the alphabetical min, `size` a
+  * distinct count, for the Scala and SQL surfaces alike.
+  *
   * Match semantics are exactly `contains`: case handling stays OUTSIDE
   * (lower both sides with Spark's `lower()` for parity with the theta-join
   * and the SQL oracle); an empty pattern matches every document (contains
@@ -22,84 +28,102 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The automaton is built ONCE on the driver and ships with the plan as a
   * codegen reference object (blocklists are list-sized by nature; the
-  * [[AcFindPhrases]] caller caps pattern count). Output sets are merged
-  * down fail links at build time, so matching does O(1) state work per
-  * char plus O(1) per reported hit — the worst case of the merge is
+  * [[AcFindPhrases]] caller caps pattern count). What serializes and what
+  * the hot loop touches are primitive parallel arrays — per-state sorted
+  * (char, next-state) pairs probed by binary search — never a boxed-key
+  * map (a `HashMap[Long, Integer]` per char would allocate a boxed key
+  * per character of every document). Output sets are merged down fail
+  * links at build time, so matching does O(log fanout) state work per
+  * char plus O(1) per reported hit; the merge's worst case is
   * Σ nesting-depth over patterns (pathological only for chains like
   * "a","aa","aaa",…, still quadratic in PATTERN count, never in text).
   */
-final class AhoCorasick(patterns: Array[String]) extends Serializable {
-  // transitions in one (state << 16 | char)-keyed map: compact to
-  // serialize, O(1) lookup; state count ≤ total pattern chars + 1 < 2^31,
-  // and the key packs state into the high 48 bits so ids never collide
-  private val gotoMap = new java.util.HashMap[Long, Integer]()
-  private val (failLink, outSets): (Array[Int], Array[Array[Int]]) = {
+final class AhoCorasick(patterns0: Array[String]) extends Serializable {
+  private val patterns: Array[String] = patterns0.distinct.sorted
+  // per-state transitions as sorted parallel primitive arrays + fail
+  // links + merged output sets — the complete serialized form
+  private val (transChars, transNext, failLink, outSets):
+      (Array[Array[Char]], Array[Array[Int]], Array[Int], Array[Array[Int]]) = {
+    // build with growable maps, then freeze to arrays
     val children = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer[(Char, Int)]())
+      scala.collection.mutable.TreeMap[Char, Int]())
     val out = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer[Int]())
     var pi = 0
     while (pi < patterns.length) {
       var s = 0
       for (ch <- patterns(pi)) {
-        val key = (s.toLong << 16) | ch
-        val nxt = gotoMap.get(key)
-        if (nxt == null) {
-          gotoMap.put(key, children.size)
-          children += scala.collection.mutable.ArrayBuffer[(Char, Int)]()
-          out += scala.collection.mutable.ArrayBuffer[Int]()
-          children(s) += ((ch, children.size - 1))
-          s = children.size - 1
-        } else s = nxt
+        children(s).get(ch) match {
+          case Some(nxt) => s = nxt
+          case None =>
+            children += scala.collection.mutable.TreeMap[Char, Int]()
+            out += scala.collection.mutable.ArrayBuffer[Int]()
+            children(s).update(ch, children.size - 1)
+            s = children.size - 1
+        }
       }
       out(s) += pi
       pi += 1
     }
-    val fail = Array.fill(children.size)(0)
+    val n = children.size
+    val fail = Array.fill(n)(0)
     val queue = new java.util.ArrayDeque[Int]()
     for ((_, v) <- children(0)) queue.add(v) // depth-1 states fail to root
     while (!queue.isEmpty) {
       val u = queue.poll()
       for ((ch, v) <- children(u)) {
         var f = fail(u)
-        while (f != 0 && gotoMap.get((f.toLong << 16) | ch) == null)
-          f = fail(f)
-        val t = gotoMap.get((f.toLong << 16) | ch)
-        fail(v) = if (t == null || t == v) 0 else t.intValue()
+        while (f != 0 && !children(f).contains(ch)) f = fail(f)
+        val t = children(f).getOrElse(ch, 0)
+        fail(v) = if (t == v) 0 else t
         out(v) ++= out(fail(v)) // merged dictionary-suffix outputs
         queue.add(v)
       }
     }
-    (fail, out.map(_.sorted.toArray).toArray)
+    (children.map(_.keysIterator.toArray).toArray,
+      children.map(_.valuesIterator.toArray).toArray,
+      fail, out.map(_.sorted.toArray).toArray)
   }
   @transient private lazy val utf8Patterns: Array[UTF8String] =
     patterns.map(UTF8String.fromString)
 
-  /** Distinct matched patterns, ascending pattern order (callers pass the
-    * patterns pre-sorted, making this lexicographic — `element_at(…, 1)`
-    * is then the alphabetically first hit, the theta-join's `min`).
+  /** next state for (s, ch): the sorted-transition binary search, root
+    * self-loop on miss (standard AC goto from state 0).
+    */
+  private def step(s0: Int, ch: Char): Int = {
+    var s = s0
+    while (true) {
+      val cs = transChars(s)
+      val idx = java.util.Arrays.binarySearch(cs, ch)
+      if (idx >= 0) return transNext(s)(idx)
+      if (s == 0) return 0
+      s = failLink(s)
+    }
+    0 // unreachable
+  }
+
+  /** Distinct matched patterns, ascending — i.e. lexicographic — order
+    * (patterns are normalized at construction).
     */
   def matchedSorted(text: String): ArrayData = {
     val hits = new java.util.BitSet(patterns.length)
-    for (p <- outSets(0)) hits.set(p) // empty pattern: contains parity
+    var j = 0
+    val rootOut = outSets(0)
+    while (j < rootOut.length) { hits.set(rootOut(j)); j += 1 } // "" parity
     var s = 0
     var i = 0
     while (i < text.length) {
-      val ch = text.charAt(i)
-      while (s != 0 && gotoMap.get((s.toLong << 16) | ch) == null)
-        s = failLink(s)
-      val t = gotoMap.get((s.toLong << 16) | ch)
-      s = if (t == null) 0 else t.intValue()
+      s = step(s, text.charAt(i))
       val o = outSets(s)
-      var j = 0
-      while (j < o.length) { hits.set(o(j)); j += 1 }
+      var k = 0
+      while (k < o.length) { hits.set(o(k)); k += 1 }
       i += 1
     }
     val res = new Array[AnyRef](hits.cardinality())
-    var k = 0
+    var m = 0
     var b = hits.nextSetBit(0)
     while (b >= 0) {
-      res(k) = utf8Patterns(b); k += 1
+      res(m) = utf8Patterns(b); m += 1
       b = hits.nextSetBit(b + 1)
     }
     new GenericArrayData(res)

@@ -370,9 +370,11 @@ object CorpusOps {
     * so it wins exactly when the blocklist is large (C4's word list is
     * ~400 entries; production phrase lists run 10⁴–10⁵, a 100–1000×
     * per-document multiplier the automaton deletes). No join at all on the
-    * corpus side — one narrow codegen pass + a per-doc aggregate-free
-    * select; the phrase list is collected (it is list-sized BY NATURE,
-    * `maxPhrases`-guarded) and the automaton ships with the plan.
+    * corpus side — one narrow codegen pass, then the same per-id aggregate
+    * as the theta-join (over HIT rows only, so duplicate ids — a pre-dedup
+    * crawl — produce identical output from both variants); the phrase list
+    * is collected (it is list-sized BY NATURE, `maxPhrases`-guarded) and
+    * the automaton ships with the plan.
     *
     * Case-insensitivity matches the theta-join bit-for-bit: both sides go
     * through Spark's own `lower()` — the phrase list is lowered IN SPARK
@@ -397,13 +399,16 @@ object CorpusOps {
       s"flagBlocklistedPhrasesAC: phrase list exceeds maxPhrases=$maxPhrases" +
         " — a blocklist this size should be partitioned or routed through" +
         " the theta-join variant")
+    // aggregate per id like the theta-join does, so duplicate ids (a
+    // pre-dedup crawl) produce IDENTICAL rows from both variants; the
+    // explode carries only hit phrases (rare), so the shuffle is
+    // hit-sized, never corpus-sized
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        ac_find_phrases(lower(col(textCol)), pats.toSeq).as("_hits"))
-      .filter(size(col("_hits")) > 0)
-      .select(col(idCol),
-        size(col("_hits")).cast("long").as("n_phrases"),
-        element_at(col("_hits"), 1).as("first_phrase"))
+        explode(ac_find_phrases(lower(col(textCol)), pats.toSeq)).as("_p"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("_p")).as("n_phrases"),
+        min(col("_p")).as("first_phrase"))
   }
 
   /** Within-document repetition ratio (Gopher-style repetition filter):

@@ -140,19 +140,26 @@ object Dedup {
     * crawl date, formatting — keeps its distribution; hard keep-min always
     * preserves the earliest copy and silently biases toward old crawls).
     *
-    * Each row is kept independently with probability 1/n (n = its exact-dup
-    * group size), decided on the INTEGER md5 lattice: keep iff
-    * `bucket16(id) * n < 65536` — pure integer comparison, so membership is
-    * a deterministic pure function of (id, n) that any engine replays
-    * bit-for-bit, and unique docs (n = 1) always survive. Expected
-    * survivors per group = 1; P(group loses all copies) = (1−1/n)ⁿ ≤ 1/e,
-    * acceptable for corpus downsampling (use [[exact]]'s `is_canonical`
-    * when exactly-one semantics are required).
+    * Each row is kept independently with probability ~1/n (n = its
+    * exact-dup group size), decided on the INTEGER md5 lattice: keep iff
+    * `hash60(id) < 2⁶⁰ div n` — integer arithmetic end to end (integer
+    * DIVISION, not multiplication: `hash60 · n` would overflow Long, and a
+    * double division desyncs engines past 2⁵³), so membership is a
+    * deterministic pure function of (id, n) that any engine replays
+    * bit-for-bit. Unique docs (n = 1) always survive (`hash60 < 2⁶⁰`
+    * identically); the 60-bit lattice keeps the rule meaningful up to
+    * n = 2⁶⁰ — a 16-bit bucket would saturate at 65536-dup groups and
+    * quietly keep n/65536 expected survivors. Expected survivors per
+    * group ≈ 1 (exact to within n·2⁻⁶⁰ floor bias); P(group loses all
+    * copies) → 1/e, acceptable for corpus downsampling (use [[exact]]'s
+    * `is_canonical` when exactly-one semantics are required).
     *
     * Group sizes come from the same NARROW (fingerprint, count) aggregate +
     * equi-join shape as [[exact]] — map-side combined, AQE-splittable,
-    * never a window over text rows; null-text docs share one sentinel
-    * group, mirroring [[exact]].
+    * never a window over text rows. Null-text docs share one sentinel
+    * group, mirroring [[exact]]; null IDS hash via a chr(0) sentinel (all
+    * null-id rows share one lattice point), so `kept` is never NULL — a
+    * NULL would silently vanish under `filter(col("kept"))`.
     *
     * @return input + (dup_group_size, kept); filter on `kept` to apply
     */
@@ -163,10 +170,12 @@ object Dedup {
     val withFp = docs.withColumn("_fp",
       coalesce(fingerprint(col(textCol)).cast("string"), lit("null")))
     val groups = withFp.groupBy("_fp").agg(count(lit(1)).as("dup_group_size"))
-    val bucket16 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+    val hash60 = conv(substring(md5(
+      coalesce(col(idCol).cast("string"), lit("\u0000"))), 1, 15), 16, 10)
       .cast("long")
     withFp.join(groups, Seq("_fp"))
-      .withColumn("kept", bucket16 * col("dup_group_size") < 65536L)
+      .withColumn("kept",
+        hash60 < expr(s"${1L << 60}L div dup_group_size"))
       .drop("_fp")
   }
 

@@ -544,6 +544,13 @@ object Similarity {
     * and leaving it to `=!=`'s three-valued logic would silently drop
     * query rows too.
     *
+    * Ids are assumed to share ONE namespace (queries drawn from the corpus
+    * id space, the [[bruteForceTopK]] convention): `query_id = vec_id`
+    * pairs are excluded as self-matches. With independent id spaces,
+    * offset one side first — otherwise a legitimate negative that happens
+    * to collide on id is silently skipped (and a NULL id nulls the
+    * predicate and drops the pair).
+    *
     * @return (query_id, vec_id, rank) with rank ≤ k per query, ordered by
     *         cosine desc then vec_id (the [[bruteForceTopK]] tie rule)
     */

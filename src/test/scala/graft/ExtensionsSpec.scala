@@ -165,7 +165,7 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "minhash_sig(t, 3, 8), word_shingles(t, 2), " +
         "winnow(t, 4, 3), winnow_positions(t, 4, 3), " +
         "repetition_stats(t, 2, '\\n'), deflate_len(t), " +
-        "ac_find_phrases(t, 'brown cow\u0001fox\u0001quick'), " + // patterns pre-sorted
+        "ac_find_phrases(t, 'quick\u0001fox\u0001quick\u0001brown cow'), " + // unsorted+dup: normalized inside
         "name_similarity_upper(t, t) " +
         "FROM codegen_probe").head()
     assert(row.size == 17)

@@ -37,13 +37,30 @@ class Round6hOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dupKept = out.filter(t => t._1 >= 41 && t._1 <= 104)
     assert(dupKept.forall(_._2 == 64L))
     // deterministic lattice: exactly doc 63 survives this group
-    // (bucket16(md5("63")) is the one value < 1024 among ids 41..104)
+    // (hash60(md5("63")) is the one value < 2^60/64 among ids 41..104)
     assert(dupKept.filter(_._3).map(_._1).toSeq == Seq(63L))
     // null texts form ONE group of 2 (not dropped, not singletons);
     // lattice keeps 105, drops 106
     assert(out.filter(_._1 >= 105).forall(_._2 == 2L))
     assert(out.filter(_._1 >= 105).filter(_._3).map(_._1).toSeq ==
       Seq(105L))
+  }
+
+  test("softKeep: no 16-bit saturation — a 70000-dup group still keeps " +
+      "~1 (expected) survivor, and kept is never NULL") {
+    import spark.implicits._
+    val docs = (0L until 70000L).map(i => (i, "same"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.softKeep(docs)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0))
+    // 60-bit lattice: exactly id 5329 lands under 2^60/70000 (a 16-bit
+    // bucket would saturate at 1/65536 and keep ~15 expected members)
+    assert(kept.toSeq == Seq(5329L))
+    // null id: sentinel-hashed, never a NULL kept flag
+    val nid = graft.ops.Dedup.softKeep(
+        Seq((Option.empty[Long], "x")).toDF("doc_id", "text"))
+      .select("kept").collect().head
+    assert(!nid.isNullAt(0) && nid.getBoolean(0)) // n = 1 always survives
   }
 
   // --- AhoCorasick -------------------------------------------------------
@@ -102,6 +119,15 @@ class Round6hOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.CorpusOps.flagBlocklistedPhrasesAC(docs, phrases,
         maxPhrases = 10)
     }
+    // duplicate ids (pre-dedup crawl): both variants aggregate per id
+    val dup = Seq((7L, "alpha beta x"), (7L, "gamma delta y"))
+      .toDF("doc_id", "text")
+    val small = Seq("alpha beta", "gamma delta").toDF("phrase")
+    val t7 = graft.ops.CorpusOps.flagBlocklistedPhrases(dup, small)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val a7 = graft.ops.CorpusOps.flagBlocklistedPhrasesAC(dup, small)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(t7.toSeq == Seq((7L, 2L, "alpha beta")) && a7.toSeq == t7.toSeq)
   }
 
   // --- hardNegatives -----------------------------------------------------
