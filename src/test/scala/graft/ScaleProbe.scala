@@ -319,6 +319,45 @@ object ScaleProbe {
           lit(":t"))), 1, 8), 16, 10).cast("long") % nv).as("dst")),
         maxIter = 10)
     }
+    // soft dedup: mult IS the duplication factor here (every text is
+    // duplicated mult x), so survivors per group stay ~1 as mult grows
+    probe("soft_dedup") {
+      graft.ops.Dedup.softKeep(docs).filter(col("kept"))
+    }
+    // blocklist scaling in PHRASE count at fixed corpus: the theta-join
+    // re-scans each doc once per phrase (linear in phrases), the
+    // Aho-Corasick pass is one scan regardless — run both at
+    // mult x 500 synthetic phrases and compare (probe names ac/theta)
+    locally {
+      import spark.implicits._
+      lazy val phrases = ((1 to 500 * mult).map(i => s"nohit phrase $i")
+        ++ Seq("hash join", "merge join")).toDF("phrase")
+      probe("blocklist_ac") {
+        graft.ops.CorpusOps.flagBlocklistedPhrasesAC(
+          docs.select(col("doc_id"), col("text")), phrases)
+      }
+      probe("blocklist_theta") {
+        graft.ops.CorpusOps.flagBlocklistedPhrases(
+          docs.select(col("doc_id"), col("text")), phrases)
+      }
+    }
+    // KMV overlap: two corpus-scale key sets reduce to 60-bit hashes;
+    // the k-row head is constant-size whatever the corpus
+    probe("overlap_estimate") {
+      graft.ops.Sketches.overlapEstimate(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0), "text", k = 256)
+    }
+    // hard negatives: bounded query set against the scaled corpus —
+    // linear in corpus size (one broadcast BNLJ scan + per-query top-k)
+    probe("hard_negatives") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus = (0 until mult).map(i => emb.withColumn("vec_id",
+        col("vec_id") + lit(i.toLong * 10_000_000L))).reduce(_ union _)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      graft.ops.Similarity.hardNegatives(qs, corpus, k = 5)
+    }
     spark.stop()
   }
 }
