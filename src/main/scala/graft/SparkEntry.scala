@@ -2602,6 +2602,46 @@ object SparkEntry {
       graft.ops.CorpusOps.flagBlocklistedPhrasesAC(
         par(s, t(s, d, "documents")),
         Seq("hash join", "merge join", "no such phrase").toDF("phrase"))
+    }),
+
+    "q_unimax" -> ((s, d) => {
+      // UniMax token-budget allocation (ops.CorpusOps.unimaxFromCorpus,
+      // Chung et al. 2023): exact integer waterfilling over the
+      // 20-source dimension — budget 50000 at maxEpochs=2 saturates the
+      // small sources at sf0.01 and leaves all unsaturated at sf0.1, so
+      // both branches are oracle-exercised
+      graft.ops.CorpusOps.unimaxFromCorpus(
+        par(s, t(s, d, "documents")), budget = 50000L, maxEpochs = 2)
+    }),
+
+    "q_contamination_report" -> ((s, d) => {
+      // per-eval-set contamination data card (ops.Dedup
+      // .contaminationReport over the q_decontaminate pair source):
+      // integer counts per benchmark, zero-hit sets still reported
+      val docs = par(s, t(s, d, "documents"))
+      val sh = docs
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("_s"))
+        .select(col("doc_id"), xxhash64(col("_s")).as("sh"))
+      val pairs = sh.filter(col("doc_id") >= 50)
+        .select(col("doc_id").as("train_id"), col("sh"))
+        .join(sh.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("eval_id"), col("sh")), Seq("sh"))
+        .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      val evals = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          when(col("doc_id") < 25, lit("set_a")).otherwise(lit("set_b"))
+            .as("eval_set"))
+      graft.ops.Dedup.contaminationReport(pairs, evals)
+    }),
+
+    "q_byte_bpe_chars" -> ((s, d) => {
+      // 0-merge BYTE-level BPE (ops.Tokenize.encodeByteBpe): one token
+      // per UTF-8 byte of each non-space word — the byte sibling of
+      // q_bpe_chars, oracled via octet_length
+      graft.ops.Tokenize.encodeByteBpe(par(s, t(s, d, "documents")),
+          merges = Seq.empty)
+        .select(col("doc_id"), col("n_tokens"))
     })
   )
 
@@ -5249,6 +5289,74 @@ object SparkEntry {
         |  (SELECT unnest(['hash join', 'merge join', 'no such phrase'])
         |     AS p)
         |WHERE contains(lower(text), p)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // exact integer waterfilling replay: sources sorted by cap, first
+    // rank whose even-split level undershoots its cap marks the
+    // saturated/level boundary; integer division throughout
+    "q_unimax" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT source, n_tokens, n_tokens * 2 AS cap FROM s),
+        |r AS (SELECT *,
+        |    row_number() OVER
+        |      (ORDER BY cap, coalesce(CAST(source AS VARCHAR), '')) AS j,
+        |    coalesce(sum(cap) OVER
+        |      (ORDER BY cap, coalesce(CAST(source AS VARCHAR), '')
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pfx,
+        |    count(*) OVER () AS k
+        |  FROM b),
+        |l AS (SELECT *, (50000 - pfx) // (k - j + 1) AS lvl FROM r),
+        |t AS (SELECT min(CASE WHEN lvl < cap THEN j END) AS tj FROM l),
+        |tl AS (SELECT l.lvl AS v FROM l, t WHERE l.j = t.tj)
+        |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
+        |  CAST(CASE WHEN (SELECT tj FROM t) IS NULL
+        |         OR j < (SELECT tj FROM t)
+        |       THEN cap ELSE (SELECT v FROM tl) END AS BIGINT) AS quota
+        |FROM l""".stripMargin,
+
+    // the q_decontaminate pair CTE grouped to eval-set level; LEFT joins
+    // from the set totals so zero-hit sets report 0s
+    "q_contamination_report" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |pairs AS (
+        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id >= 50 AND b.doc_id < 50
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |evals AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 25 THEN 'set_a' ELSE 'set_b' END AS eval_set
+        |  FROM documents WHERE doc_id < 50),
+        |hits AS (
+        |  SELECT e.eval_set,
+        |    count(DISTINCT p.eval_id) AS n_eval_docs_hit,
+        |    count(DISTINCT p.train_id) AS n_train_docs_hit,
+        |    count(*) AS n_pairs
+        |  FROM pairs p JOIN evals e ON p.eval_id = e.doc_id
+        |  GROUP BY 1)
+        |SELECT t.eval_set,
+        |  CAST(t.n_eval_docs AS BIGINT) AS n_eval_docs,
+        |  CAST(coalesce(h.n_eval_docs_hit, 0) AS BIGINT) AS n_eval_docs_hit,
+        |  CAST(coalesce(h.n_train_docs_hit, 0) AS BIGINT)
+        |    AS n_train_docs_hit,
+        |  CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs
+        |FROM (SELECT eval_set, count(DISTINCT doc_id) AS n_eval_docs
+        |      FROM evals GROUP BY 1) t
+        |LEFT JOIN hits h ON t.eval_set = h.eval_set""".stripMargin,
+
+    // 0-merge byte-level BPE: one token per UTF-8 BYTE of each non-space
+    // word (runs of spaces contribute nothing, as in the encode)
+    "q_byte_bpe_chars" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(octet_length(encode(replace(text, ' ', ''))), 0)
+        |    AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin
   )
 }

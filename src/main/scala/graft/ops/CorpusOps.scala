@@ -499,6 +499,80 @@ object CorpusOps {
       .drop("_nt", "_before")
   }
 
+  /** UniMax source allocation (Chung et al. 2023): split a total token
+    * budget across sources AS UNIFORMLY AS POSSIBLE, capping each source
+    * at `maxEpochs` passes over its data — the mixing planner that
+    * maximizes coverage of small sources without over-repeating them
+    * (temperature sampling's failure mode: either starve small sources or
+    * epoch them dozens of times).
+    *
+    * Exact integer waterfilling over the SOURCE-DIMENSION-sized size
+    * table: sources sorted by cap (= maxEpochs·n_tokens) ascending; the
+    * smallest j* − 1 sources saturate at their cap, everyone else gets the
+    * common level L = (budget − Σ saturated caps) div (#unsaturated) —
+    * j* is the first rank whose level is below its own cap. Total
+    * allocated ≤ budget with slack < #unsaturated tokens (integer-div
+    * floor), or = Σ caps when the budget covers every source. Integer
+    * arithmetic end to end, so the oracle replays the allocation exactly.
+    *
+    * Shape: one window pass + a 1-row threshold aggregate crossJoined back
+    * (literal-style broadcast) — the input is per-SOURCE rows, list-sized
+    * by nature; build it from the corpus with one groupBy. Null sources
+    * sort via a '' sentinel (engines disagree on NULL order); null/absent
+    * token counts count 0.
+    *
+    * @param sizes (source, n_tokens) one row per source
+    * @return (source, n_tokens, cap, quota) — quota in tokens; consume
+    *         ⌊quota/n_tokens⌋ full epochs + a [[sourceTokenBudget]]-style
+    *         prefix of the remainder
+    */
+  def unimaxAllocate(sizes: DataFrame, budget: Long, maxEpochs: Int = 4,
+                     sourceCol: String = "source",
+                     tokensCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val base = sizes.select(col(sourceCol),
+      coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val w = Window.orderBy(col("cap"),
+      coalesce(col(sourceCol).cast("string"), lit("")))
+    // SOURCE-dimension window: the single partition holds one row per
+    // source — list-sized by nature, never corpus rows
+    val ranked = base
+      .withColumn("_j", row_number().over(w))
+      .withColumn("_pfx",
+        coalesce(sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val withK = ranked.crossJoin(
+      broadcast(base.agg(count(lit(1)).as("_k")))) // 1-row source count
+      .withColumn("_lvl",
+        expr(s"(${budget}L - _pfx) div (_k - _j + 1)"))
+    // first rank whose even-split level undershoots its own cap; rows
+    // before it saturate. No feasible rank => budget covers all caps.
+    val thr = withK
+      .agg(min(when(col("_lvl") < col("cap"),
+        struct(col("_j").as("j"), col("_lvl").as("l")))).as("_t"))
+    withK.crossJoin(broadcast(thr)) // 1-row threshold
+      .withColumn("quota",
+        when(col("_t").isNull || col("_j") < col("_t").getField("j"),
+          col("cap"))
+          .otherwise(col("_t").getField("l")))
+      .select(col(sourceCol), col("n_tokens"), col("cap"), col("quota"))
+  }
+
+  /** [[unimaxAllocate]] straight from the corpus: per-source whitespace
+    * token totals (the [[sourceTokenBudget]] accounting), then the
+    * waterfill.
+    */
+  def unimaxFromCorpus(df: DataFrame, budget: Long, maxEpochs: Int = 4,
+                       sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame =
+    unimaxAllocate(
+      df.groupBy(col(sourceCol))
+        .agg(sum(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+          .as("n_tokens")),
+      budget, maxEpochs, sourceCol)
+
   /** Temperature-based source resampling — the corpus-mixing step that
     * rebalances wildly uneven sources before training (the multilingual
     * α-sampling of Conneau & Lample 2019 / mT5, done WITHOUT replacement):

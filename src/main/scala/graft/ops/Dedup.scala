@@ -483,6 +483,43 @@ object Dedup {
       .filter(col("n_shared") >= minSharedShingles)
   }
 
+  /** Per-eval-set contamination REPORT — the data-card table every release
+    * ships next to the decontamination pass (GPT-3's appendix-C "dirty"
+    * accounting): for each benchmark, how many of its docs leak into the
+    * train corpus and how many train docs carry the leak. Integer-only by
+    * the data-card rule.
+    *
+    * Composes over ANY (train_id, eval_id, n_shared) pairs source —
+    * [[decontaminate]] for doc-level, the span family for substring-level —
+    * so the report needs no second corpus scan; both joined dimensions
+    * (eval→set map, per-set totals) are benchmark-sized broadcasts.
+    * Eval sets with ZERO hits still report (n_* = 0) — the row a release
+    * card actually wants to show.
+    *
+    * @param pairs (train_id, eval_id, n_shared)
+    * @param evals (idCol, setCol) — the eval docs with their set labels
+    * @return (eval_set, n_eval_docs, n_eval_docs_hit, n_train_docs_hit,
+    *         n_pairs)
+    */
+  def contaminationReport(pairs: DataFrame, evals: DataFrame,
+                          idCol: String = "doc_id",
+                          setCol: String = "eval_set"): DataFrame = {
+    val sets = evals.select(col(idCol).as("eval_id"), col(setCol))
+    val totals = evals.groupBy(col(setCol))
+      .agg(countDistinct(col(idCol)).as("n_eval_docs"))
+    pairs.join(broadcast(sets), Seq("eval_id"))
+      .groupBy(col(setCol))
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs_hit"),
+        countDistinct(col("train_id")).as("n_train_docs_hit"),
+        count(lit(1)).as("n_pairs"))
+      .join(totals, Seq(setCol), "right_outer")
+      .select(col(setCol),
+        col("n_eval_docs"),
+        coalesce(col("n_eval_docs_hit"), lit(0L)).as("n_eval_docs_hit"),
+        coalesce(col("n_train_docs_hit"), lit(0L)).as("n_train_docs_hit"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** Per-position k-gram stream: (idCol, _pos: long, gram). With `window`
     * set, positions route through winnowing selection
     * ([[graft.functions.CorpusKernels.winnowPositions]]): ~1/window of

@@ -95,6 +95,7 @@ object Pipelines {
                    chunkTokens: Int = 256, chunkStride: Int = 256,
                    packBudget: Long = 2048,
                    audit: Boolean = true,
+                   softDedup: Boolean = false,
                    idCol: String = "doc_id",
                    textCol: String = "text"): CurationResult = {
     val spark = docs.sparkSession
@@ -215,9 +216,18 @@ object Pipelines {
     }
 
     val exactDeduped = stage("exact-dedup",
-      Dedup.exact(dsirSelected, idCol, textCol)
-        .filter(col("is_canonical"))
-        .drop("dup_group_size", "is_canonical"))
+      if (softDedup)
+        // duplication-aware downsampling: each dup-group member survives
+        // w.p. ~1/n (Dedup.softKeep) — survivor choice stays uniform over
+        // members, so crawl-date/source metadata keeps its distribution
+        // (keep-min always preserves the earliest copy)
+        Dedup.softKeep(dsirSelected, idCol, textCol)
+          .filter(col("kept"))
+          .drop("dup_group_size", "kept")
+      else
+        Dedup.exact(dsirSelected, idCol, textCol)
+          .filter(col("is_canonical"))
+          .drop("dup_group_size", "is_canonical"))
 
     val nearDeduped = stage("near-dedup", exactDeduped.join(
       Dedup.clusters(exactDeduped, nearDupThreshold,

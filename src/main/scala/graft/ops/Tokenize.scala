@@ -109,14 +109,105 @@ object Tokenize {
     require(numMerges.toLong * maxWords <= (1L << 36),
       s"numMerges=$numMerges × maxWords=$maxWords exceeds the 2^36 " +
         "pair-scan budget of the driver merge loop; lower one of them")
-    val dict = wordCounts(docs, textCol)
+    trainBpeOnDict(collectDict(docs, textCol, minCount, maxWords), numMerges)
+  }
+
+  /** The bounded dict collection [[trainBpe]]/[[trainByteBpe]] share:
+    * top-`maxWords` by frequency (ties lexicographic), at least
+    * `minCount` occurrences.
+    */
+  private def collectDict(docs: DataFrame, textCol: String,
+                          minCount: Long, maxWords: Int): Seq[(String, Long)] =
+    wordCounts(docs, textCol)
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("word"))
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
-    trainBpeOnDict(dict, numMerges)
+
+  // --- byte-level BPE (GPT-2) ---------------------------------------
+
+  /** GPT-2's bytes→printable-unicode table (Radford et al. 2019,
+    * `bytes_to_unicode`): the 188 printable latin-1 bytes map to
+    * themselves; the rest take consecutive code points from 256 up, in
+    * byte order — an INJECTIVE map, so byte-level BPE trains and encodes
+    * over ordinary strings with no unprintable symbols in the vocab
+    * artifact.
+    */
+  private[graft] val byteToUnicode: Array[Char] = {
+    val printable = (('!' to '~') ++ ('¡' to '¬') ++
+      ('®' to 'ÿ')).toSet
+    val out = new Array[Char](256)
+    var shift = 0
+    var b = 0
+    while (b < 256) {
+      if (printable.contains(b.toChar)) out(b) = b.toChar
+      else { out(b) = (256 + shift).toChar; shift += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private[graft] def toByteLevel(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(byteToUnicode(bytes(i) & 0xff)); i += 1
+    }
+    sb.toString
+  }
+
+  /** BYTE-level BPE training (GPT-2 / GPT-NeoX lineage): identical trainer,
+    * but words pass through UTF-8 bytes first, so the base alphabet is the
+    * 256 byte symbols — no UNK is ever possible (every string is bytes)
+    * and multi-byte scripts merge at the byte granularity production
+    * tokenizers actually use. Completes the family next to char-BPE,
+    * unigram-LM, and WordPiece. Same driver-footprint guards as
+    * [[trainBpe]].
+    */
+  def trainByteBpe(docs: DataFrame, numMerges: Int, textCol: String = "text",
+                   minCount: Long = 1,
+                   maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    require(maxWords > 0 && maxWords <= (1 << 24),
+      s"maxWords=$maxWords would collect a ~${maxWords >> 13} MB-class dict " +
+        "to the driver; cap it at 2^24 (raise minCount instead)")
+    require(numMerges.toLong * maxWords <= (1L << 36),
+      s"numMerges=$numMerges × maxWords=$maxWords exceeds the 2^36 " +
+        "pair-scan budget of the driver merge loop; lower one of them")
+    trainBpeOnDict(
+      collectDict(docs, textCol, minCount, maxWords)
+        .map { case (w, c) => (toByteLevel(w), c) },
+      numMerges)
+  }
+
+  /** Distributed byte-level encode — [[encodeBpe]] with the byte mapping
+    * applied per word before the merge loop (memo keyed by the original
+    * word, so the mapping also amortizes).
+    */
+  def encodeByteBpe(docs: DataFrame, merges: Seq[(String, String)],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankArr = merges.toArray
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = rankArr.iterator.zipWithIndex
+          .map { case (p, i) => p -> i }.toMap
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.split(" ").filter(_.nonEmpty)
+          val tokens = words.flatMap(w =>
+            memo.getOrElseUpdate(w, encodeWord(toByteLevel(w), rank)))
+          (id, tokens, tokens.length)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
   }
 
   /** Greedy merge application (the standard BPE encode): repeatedly merge
