@@ -5296,8 +5296,8 @@ object SparkEntry {
     // saturated/level boundary; integer division throughout
     "q_unimax" ->
       """WITH s AS (SELECT source,
-        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-        |      AS BIGINT) AS n_tokens
+        |    CAST(coalesce(sum(len(regexp_split_to_array(trim(text),
+        |      '\s+'))), 0) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |b AS (SELECT source, n_tokens, n_tokens * 2 AS cap FROM s),
         |r AS (SELECT *,

@@ -133,6 +133,29 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** [[exact]] with a UNIFORM canonical: the group's survivor is the
+    * member with the smallest (md5(id), id) — a deterministic uniform
+    * draw over members — instead of the smallest id. Exactly-one-survivor
+    * semantics (unlike [[softKeep]]'s keep-w.p.-1/n weighting), so it
+    * drops into any keep-canonical pipeline stage, but without keep-min's
+    * systematic bias toward the earliest crawl/id range; null ids hash
+    * via the chr(0) sentinel.
+    */
+  def exactUniform(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val withFp = docs.withColumn("_fp",
+      coalesce(doc_fingerprint(col(textCol)).cast("string"), lit("null")))
+    val prio = struct(
+      md5(coalesce(col(idCol).cast("string"), lit("\u0000"))).as("h"),
+      col(idCol).as("i"))
+    val groups = withFp.groupBy("_fp")
+      .agg(count(lit(1)).as("dup_group_size"), min(prio).as("_win"))
+    withFp.join(groups, Seq("_fp"))
+      .withColumn("is_canonical",
+        col(idCol) <=> col("_win").getField("i"))
+      .drop("_fp", "_win")
+  }
+
   /** SOFT exact dedup — duplication-aware downsampling instead of hard
     * dropping (the reweighting idea behind soft-dedup methods: a group of
     * n exact duplicates should contribute ~1 expected document, but WHICH
@@ -505,15 +528,21 @@ object Dedup {
                           idCol: String = "doc_id",
                           setCol: String = "eval_set"): DataFrame = {
     val sets = evals.select(col(idCol).as("eval_id"), col(setCol))
+    // null-id rows collapse to one sentinel identity in the totals (they
+    // can't be hit — the pairs join on eval_id is null-dropping by SQL
+    // semantics, correctly: a null id is not an attributable doc)
     val totals = evals.groupBy(col(setCol))
-      .agg(countDistinct(col(idCol)).as("n_eval_docs"))
-    pairs.join(broadcast(sets), Seq("eval_id"))
-      .groupBy(col(setCol))
+      .agg(countDistinct(coalesce(col(idCol).cast("string"),
+        lit("\u0000"))).as("n_eval_docs"))
+    val hits = pairs.join(broadcast(sets), Seq("eval_id"))
+      .groupBy(col(setCol).as("_hset"))
       .agg(countDistinct(col("eval_id")).as("n_eval_docs_hit"),
         countDistinct(col("train_id")).as("n_train_docs_hit"),
         count(lit(1)).as("n_pairs"))
-      .join(totals, Seq(setCol), "right_outer")
-      .select(col(setCol),
+    // null-SAFE set join: a NULL set label is a real (if sloppy) label —
+    // a plain equi-join would zero its hit counts silently
+    totals.join(hits, totals(setCol) <=> hits("_hset"), "left_outer")
+      .select(totals(setCol),
         col("n_eval_docs"),
         coalesce(col("n_eval_docs_hit"), lit(0L)).as("n_eval_docs_hit"),
         coalesce(col("n_train_docs_hit"), lit(0L)).as("n_train_docs_hit"),

@@ -95,7 +95,7 @@ object Pipelines {
                    chunkTokens: Int = 256, chunkStride: Int = 256,
                    packBudget: Long = 2048,
                    audit: Boolean = true,
-                   softDedup: Boolean = false,
+                   uniformCanonical: Boolean = false,
                    idCol: String = "doc_id",
                    textCol: String = "text"): CurationResult = {
     val spark = docs.sparkSession
@@ -216,18 +216,18 @@ object Pipelines {
     }
 
     val exactDeduped = stage("exact-dedup",
-      if (softDedup)
-        // duplication-aware downsampling: each dup-group member survives
-        // w.p. ~1/n (Dedup.softKeep) — survivor choice stays uniform over
-        // members, so crawl-date/source metadata keeps its distribution
-        // (keep-min always preserves the earliest copy)
-        Dedup.softKeep(dsirSelected, idCol, textCol)
-          .filter(col("kept"))
-          .drop("dup_group_size", "kept")
-      else
-        Dedup.exact(dsirSelected, idCol, textCol)
-          .filter(col("is_canonical"))
-          .drop("dup_group_size", "is_canonical"))
+      // uniformCanonical: exactly ONE survivor per dup group, chosen by
+      // id-HASH (uniform over members) instead of min id — de-biases
+      // survivor metadata (keep-min always preserves the earliest copy)
+      // while staying single-survivor, so the downstream near-dup stage
+      // composes unchanged. (softKeep's keep-w.p.-1/n form would leave
+      // multi-survivor groups for near-dup to re-collapse to min id,
+      // silently reintroducing the bias — use it standalone for
+      // weighting, not inside a keep-canonical chain.)
+      (if (uniformCanonical) Dedup.exactUniform(dsirSelected, idCol, textCol)
+       else Dedup.exact(dsirSelected, idCol, textCol))
+        .filter(col("is_canonical"))
+        .drop("dup_group_size", "is_canonical"))
 
     val nearDeduped = stage("near-dedup", exactDeduped.join(
       Dedup.clusters(exactDeduped, nearDupThreshold,

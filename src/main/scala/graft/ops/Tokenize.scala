@@ -99,17 +99,24 @@ object Tokenize {
     */
   def trainBpe(docs: DataFrame, numMerges: Int, textCol: String = "text",
                minCount: Long = 1, maxWords: Int = 1 << 20): Seq[(String, String)] = {
-    // ~128 B/word driver footprint ⇒ 2²⁴ words ≈ 2 GB, past any sane
-    // driver budget for a side artifact; the merge loop is also
-    // O(numMerges × dict), so bound their product too
+    requireTrainerBudget(numMerges, maxWords)
+    trainBpeOnDict(collectDict(docs, textCol, minCount, maxWords), numMerges)
+  }
+
+  /** The driver-footprint guards [[trainBpe]] and [[trainByteBpe]] share:
+    * ~128 B/word ⇒ 2²⁴ words ≈ 2 GB is past any sane driver budget for a
+    * side artifact, and the merge loop is O(numMerges × dict), so the
+    * product is bounded too. Raise `minCount` instead of `maxWords` —
+    * frequency truncation, not dict growth, is how real BPE trainers
+    * scale.
+    */
+  private def requireTrainerBudget(numMerges: Int, maxWords: Int): Unit = {
     require(maxWords > 0 && maxWords <= (1 << 24),
       s"maxWords=$maxWords would collect a ~${maxWords >> 13} MB-class dict " +
-        "to the driver; cap it at 2^24 (raise minCount instead — frequency " +
-        "truncation, not dict growth, is how real BPE trainers scale)")
+        "to the driver; cap it at 2^24 (raise minCount instead)")
     require(numMerges.toLong * maxWords <= (1L << 36),
       s"numMerges=$numMerges × maxWords=$maxWords exceeds the 2^36 " +
         "pair-scan budget of the driver merge loop; lower one of them")
-    trainBpeOnDict(collectDict(docs, textCol, minCount, maxWords), numMerges)
   }
 
   /** The bounded dict collection [[trainBpe]]/[[trainByteBpe]] share:
@@ -170,12 +177,7 @@ object Tokenize {
   def trainByteBpe(docs: DataFrame, numMerges: Int, textCol: String = "text",
                    minCount: Long = 1,
                    maxWords: Int = 1 << 20): Seq[(String, String)] = {
-    require(maxWords > 0 && maxWords <= (1 << 24),
-      s"maxWords=$maxWords would collect a ~${maxWords >> 13} MB-class dict " +
-        "to the driver; cap it at 2^24 (raise minCount instead)")
-    require(numMerges.toLong * maxWords <= (1L << 36),
-      s"numMerges=$numMerges × maxWords=$maxWords exceeds the 2^36 " +
-        "pair-scan budget of the driver merge loop; lower one of them")
+    requireTrainerBudget(numMerges, maxWords)
     trainBpeOnDict(
       collectDict(docs, textCol, minCount, maxWords)
         .map { case (w, c) => (toByteLevel(w), c) },
@@ -183,32 +185,12 @@ object Tokenize {
   }
 
   /** Distributed byte-level encode — [[encodeBpe]] with the byte mapping
-    * applied per word before the merge loop (memo keyed by the original
-    * word, so the mapping also amortizes).
+    * applied per word before the merge loop.
     */
   def encodeByteBpe(docs: DataFrame, merges: Seq[(String, String)],
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val rankArr = merges.toArray
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val rank = rankArr.iterator.zipWithIndex
-          .map { case (p, i) => p -> i }.toMap
-        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
-        it.map { case (id, text) =>
-          val words =
-            if (text == null) Array.empty[String]
-            else text.split(" ").filter(_.nonEmpty)
-          val tokens = words.flatMap(w =>
-            memo.getOrElseUpdate(w, encodeWord(toByteLevel(w), rank)))
-          (id, tokens, tokens.length)
-        }
-      }
-      .toDF(idCol, "tokens", "n_tokens")
-  }
+                    textCol: String = "text"): DataFrame =
+    encodeWith(docs, merges, idCol, textCol, toByteLevel)
 
   /** Greedy merge application (the standard BPE encode): repeatedly merge
     * the present pair with the lowest merge rank until none applies.
@@ -240,7 +222,17 @@ object Tokenize {
     * (id, tokens array, n_tokens).
     */
   def encodeBpe(docs: DataFrame, merges: Seq[(String, String)],
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    encodeWith(docs, merges, idCol, textCol, identity)
+
+  /** The shared encode pass behind [[encodeBpe]] and [[encodeByteBpe]]:
+    * `mapWord` transforms each word before the merge loop (identity for
+    * char BPE, [[toByteLevel]] for byte BPE); the memo keys on the
+    * ORIGINAL word so the mapping amortizes too.
+    */
+  private def encodeWith(docs: DataFrame, merges: Seq[(String, String)],
+                         idCol: String, textCol: String,
+                         mapWord: String => String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rankArr = merges.toArray
@@ -255,7 +247,7 @@ object Tokenize {
             if (text == null) Array.empty[String]
             else text.split(" ").filter(_.nonEmpty)
           val tokens = words.flatMap(w =>
-            memo.getOrElseUpdate(w, encodeWord(w, rank)))
+            memo.getOrElseUpdate(w, encodeWord(mapWord(w), rank)))
           (id, tokens, tokens.length)
         }
       }

@@ -81,6 +81,14 @@ class Round6iOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
     assert(got == Seq(("gsm8k", 1L, 0L, 0L, 0L),
       ("mmlu", 3L, 2L, 3L, 3L)))
+    // a NULL set label is a real label: its hits must NOT be zeroed by
+    // a null-dropping equi-join
+    val evalsN = Seq((1L, Some("mmlu")), (2L, Option.empty[String]))
+      .toDF("doc_id", "eval_set")
+    val pairsN = Seq((100L, 2L, 4L)).toDF("train_id", "eval_id", "n_shared")
+    val gotN = graft.ops.Dedup.contaminationReport(pairsN, evalsN)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(4))).toMap
+    assert(gotN == Map(Some("mmlu") -> 0L, None -> 1L))
   }
 
   // --- byte-level BPE ------------------------------------------------------
@@ -117,10 +125,27 @@ class Round6iOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc2 == enc)
   }
 
-  // --- curateCorpus soft-dedup mode ---------------------------------------
+  // --- exactUniform + curateCorpus uniformCanonical mode -------------------
 
-  test("curateCorpus softDedup mode: exact-dup groups keep ~1 expected " +
-      "member (not necessarily the min id), report stage present") {
+  test("exactUniform: exactly one survivor per group, the min-md5 member " +
+      "(not the min id); null ids never NULL the flag") {
+    import spark.implicits._
+    val docs = ((1L to 30L).map(i => (Some(i), "same text")) ++
+      Seq((Some(31L), "other text"), (Option.empty[Long], "third text")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.exactUniform(docs).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(2), r.isNullAt(3), r.getBoolean(3)))
+    assert(out.forall(!_._3)) // the flag is never NULL, even for null ids
+    // md5-uniform winner of ids 1..30 is 27 (precomputed), NOT id 1; the
+    // null-id singleton is its own canonical via the null-safe compare
+    assert(out.filter(_._4).map(_._1).toSet == Set(27L, 31L, -1L))
+    assert(out.filter(_._1 > 0).forall(t =>
+      t._2 == (if (t._1 == 31L) 1L else 30L)))
+  }
+
+  test("curateCorpus uniformCanonical mode: exactly one hash-chosen " +
+      "survivor per exact-dup group, deterministic, stage reported") {
     import spark.implicits._
     // 30 copies of one doc + 10 uniques, all passing the quality gates
     val text = "the quick brown fox jumps over the lazy dog and then " +
@@ -133,18 +158,18 @@ class Round6iOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     val soft = graft.ops.Pipelines.curateCorpus(docs, eval,
       minQuality = 0.0, maxRepetition = 1.0, nearDupThreshold = 0.99,
-      softDedup = true)
+      uniformCanonical = true)
     val softIds = soft.chunks.select("doc_id").collect()
       .map(_.getLong(0)).toSet
-    // every unique survives the exact stage; the 30-dup group keeps
-    // few (deterministic md5 lattice, E=1; near-dup may trim further)
-    val dupSurvivors = softIds.count(_ <= 30)
-    assert(dupSurvivors <= 4, s"soft dedup kept $dupSurvivors of 30 dups")
+    // the 30-dup group keeps exactly its md5-uniform winner, id 27 —
+    // single-survivor semantics compose with the near-dup stage instead
+    // of being re-collapsed to min id by it
+    assert(softIds.filter(_ <= 30) == Set(27L), s"got $softIds")
     assert(soft.report.filter(col("stage") === "exact-dedup").count() == 1)
     // determinism
     val soft2 = graft.ops.Pipelines.curateCorpus(docs, eval,
       minQuality = 0.0, maxRepetition = 1.0, nearDupThreshold = 0.99,
-      softDedup = true)
+      uniformCanonical = true)
     assert(soft2.chunks.select("doc_id").collect()
       .map(_.getLong(0)).toSet == softIds)
   }
