@@ -2642,6 +2642,18 @@ object SparkEntry {
       graft.ops.Tokenize.encodeByteBpe(par(s, t(s, d, "documents")),
           merges = Seq.empty)
         .select(col("doc_id"), col("n_tokens"))
+    }),
+
+    "q_unimax_apply" -> ((s, d) => {
+      // the q_unimax allocation MATERIALIZED (ops.CorpusOps.unimaxApply):
+      // full epochs fanned out + the md5-order remainder prefix — at
+      // sf0.01 sources run ~2 epochs, at sf0.1 only the prefix lands, so
+      // both paths are oracle-exercised
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.CorpusOps.unimaxApply(docs,
+          graft.ops.CorpusOps.unimaxFromCorpus(docs, budget = 50000L,
+            maxEpochs = 2))
+        .select(col("doc_id"), col("epoch"))
     })
   )
 
@@ -5357,6 +5369,57 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(coalesce(octet_length(encode(replace(text, ' ', ''))), 0)
         |    AS INTEGER) AS n_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the q_unimax waterfill CTEs + epoch fan-out + the
+    // q_source_token_budget exclusive-cumsum remainder prefix
+    "q_unimax_apply" ->
+      """WITH s AS (SELECT source,
+        |    CAST(coalesce(sum(len(regexp_split_to_array(trim(text),
+        |      '\s+'))), 0) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT source, n_tokens, n_tokens * 2 AS cap FROM s),
+        |r AS (SELECT *,
+        |    row_number() OVER
+        |      (ORDER BY cap, coalesce(CAST(source AS VARCHAR), '')) AS j,
+        |    coalesce(sum(cap) OVER
+        |      (ORDER BY cap, coalesce(CAST(source AS VARCHAR), '')
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pfx,
+        |    count(*) OVER () AS k
+        |  FROM b),
+        |l AS (SELECT *, (50000 - pfx) // (k - j + 1) AS lvl FROM r),
+        |t AS (SELECT min(CASE WHEN lvl < cap THEN j END) AS tj FROM l),
+        |tl AS (SELECT l.lvl AS v FROM l, t WHERE l.j = t.tj),
+        |alloc AS (SELECT source, n_tokens,
+        |    CAST(CASE WHEN (SELECT tj FROM t) IS NULL
+        |           OR j < (SELECT tj FROM t)
+        |         THEN cap ELSE (SELECT v FROM tl) END AS BIGINT) AS quota
+        |  FROM l),
+        |a2 AS (SELECT source,
+        |    CASE WHEN n_tokens > 0 THEN quota // n_tokens ELSE 0 END
+        |      AS nfull,
+        |    CASE WHEN n_tokens > 0 THEN quota % n_tokens ELSE 0 END
+        |      AS rem
+        |  FROM alloc),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS nt
+        |  FROM documents),
+        |fulle AS (
+        |  SELECT d.doc_id, unnest(generate_series(0, a2.nfull - 1))
+        |      AS epoch
+        |  FROM d JOIN a2 USING (source) WHERE a2.nfull > 0),
+        |cum AS (
+        |  SELECT d.doc_id, a2.nfull, a2.rem,
+        |    coalesce(sum(d.nt) OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM d JOIN a2 USING (source))
+        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch FROM fulle
+        |UNION ALL
+        |SELECT doc_id, CAST(nfull AS BIGINT) AS epoch FROM cum
+        |WHERE before < rem""".stripMargin
   )
 }

@@ -573,6 +573,52 @@ object CorpusOps {
           .as("n_tokens")),
       budget, maxEpochs, sourceCol)
 
+  /** APPLY a [[unimaxAllocate]] allocation to the corpus — the epoch
+    * materialization a training run consumes: each source's docs are
+    * emitted `quota div n_tokens` full epochs (epoch = 0, 1, …) plus a
+    * deterministic md5-order token-prefix of one more epoch carrying the
+    * remainder (`quota mod n_tokens` — the [[sourceTokenBudget]]
+    * exclusive-cumsum rule, boundary doc kept). Deterministic end to end,
+    * so replays emit identical rows.
+    *
+    * Shape: one broadcast join against the source-dimension allocation
+    * (null-safe on the source key — a null source is a group), one
+    * narrow `posexplode(sequence)` fan-out for full epochs, one window
+    * pass for the remainder prefix. The fan-out multiplies rows by the
+    * epoch count — that is the OUTPUT size, not overhead. Zero-token
+    * sources (cap 0) emit nothing; the epoch-count division is guarded
+    * against them.
+    *
+    * @param alloc [[unimaxAllocate]] output: (sourceCol, n_tokens, quota)
+    * @return input + `epoch` (0-based); full epochs first, remainder
+    *         prefix rows carry the highest epoch number
+    */
+  def unimaxApply(df: DataFrame, alloc: DataFrame,
+                  sourceCol: String = "source", idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val a = broadcast(alloc.select(col(sourceCol).as("_asrc"),
+      col("n_tokens").as("_ant"), col("quota").as("_aq")))
+    val joined = df.join(a, col(sourceCol) <=> col("_asrc"))
+      .withColumn("_full",
+        when(col("_ant") > 0, expr("_aq div _ant")).otherwise(lit(0L)))
+      .withColumn("_rem",
+        when(col("_ant") > 0, expr("_aq % _ant")).otherwise(lit(0L)))
+    val fullEpochs = joined
+      .filter(col("_full") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0L), col("_full") - 1)).as("epoch"): _*)
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val remainder = joined
+      .withColumn("_nt",
+        size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("_before", coalesce(sum(col("_nt")).over(w), lit(0L)))
+      .filter(col("_before") < col("_rem"))
+      .select(df.columns.map(col) :+ col("_full").as("epoch"): _*)
+    fullEpochs.unionByName(remainder)
+  }
+
   /** Temperature-based source resampling — the corpus-mixing step that
     * rebalances wildly uneven sources before training (the multilingual
     * α-sampling of Conneau & Lample 2019 / mT5, done WITHOUT replacement):

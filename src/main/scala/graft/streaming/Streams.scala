@@ -417,6 +417,46 @@ object Streams {
       }
       .start()
 
+  /** Streaming DECONTAMINATION gate: arriving documents sharing at least
+    * `minSharedShingles` word-n-grams with ANY eval/benchmark document
+    * ([[graft.ops.Dedup.decontaminate]]) are quarantined per micro-batch;
+    * clean docs land — eval leakage blocked AT INGEST, not discovered at
+    * release audit. The eval set is STATIC state (benchmark-sized, its
+    * exploded shingle index broadcasts in the stream-static join);
+    * foreachBatch because the gate is per-document. Both sinks are
+    * [[writeBatchIdempotent]] (dynamic overwrite of this batch's
+    * `batch_id` partition) — a replayed batch rewrites, never
+    * duplicates, and quarantined evidence is PRESERVED, not dropped
+    * (the expectation-gate discipline: never lose what you rejected).
+    */
+  def decontaminationGatedIngest(docs: DataFrame, eval: DataFrame,
+                                 outPath: String, quarantinePath: String,
+                                 checkpoint: String,
+                                 n: Int = 3, minSharedShingles: Int = 2,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"
+                                ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val pinned = batch.localCheckpoint(true) // one scan, two sinks
+          val dirty = graft.ops.Dedup.decontaminate(pinned, eval, n,
+            minSharedShingles, idCol, textCol)
+            .select(col("train_id").as(idCol)).distinct()
+          writeBatchIdempotent(
+            pinned.join(dirty, Seq(idCol), "left_semi"),
+            batchId, quarantinePath)
+          writeBatchIdempotent(
+            pinned.join(dirty, Seq(idCol), "left_anti"),
+            batchId, outPath)
+          pinned.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming DRIFT MONITOR: score every arriving micro-batch against a
     * STATIC reference snapshot with the binned KS gate
     * ([[graft.ops.CorpusOps.ksDrift]]) and append one audit row per

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 batch 12: UniMax epoch materialization + streaming
+  * decontamination gate.
+  */
+class Round6jOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .config("spark.ui.enabled", "false")
+    .appName("round6j-ops").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("unimaxApply: full epochs fan out, remainder lands as the " +
+      "md5-order token prefix, zero-token sources emit nothing") {
+    import spark.implicits._
+    // source A: 2 docs x 5 tokens (n=10); B: 1 doc x 4 tokens (n=4);
+    // C: a null-text source (n=0)
+    val docs = Seq(
+      (1L, "a b c d e", "A"), (2L, "f g h i j", "A"),
+      (3L, "k l m n", "B"),
+      (4L, null.asInstanceOf[String], "C"))
+      .toDF("doc_id", "text", "source")
+    // hand allocation: A quota 23 -> 2 full epochs + rem 3 (prefix = the
+    // md5-first doc only: its 5 tokens cross the 3-token boundary but the
+    // boundary doc is KEPT, the sourceTokenBudget rule); B quota 8 -> 2
+    // full epochs, rem 0; C quota 0
+    val alloc = Seq(("A", 10L, 23L), ("B", 4L, 8L), ("C", 0L, 0L))
+      .toDF("source", "n_tokens", "quota")
+    val got = graft.ops.CorpusOps.unimaxApply(docs, alloc)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    // md5("1") < md5("2")? compute: the prefix doc of A is whichever
+    // hashes first — assert structurally instead of pinning
+    val fullPart = got.filter(_._2 < 2)
+    assert(fullPart ==
+      Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L)))
+    val remPart = got.filter(_._2 == 2L)
+    assert(remPart.size == 1 && Set(1L, 2L).contains(remPart.head._1))
+    assert(!got.exists(_._1 == 4L)) // zero-token source: nothing, no DIV/0
+  }
+
+  test("unimaxApply + unimaxFromCorpus: token accounting lands within " +
+      "one doc of each source's quota") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 60L).map { i =>
+      val words = (1 to 3 + rnd.nextInt(10)).map(_ => "w").mkString(" ")
+      (i, words, s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val alloc = graft.ops.CorpusOps.unimaxFromCorpus(docs, budget = 300L,
+      maxEpochs = 3)
+    val applied = graft.ops.CorpusOps.unimaxApply(docs, alloc)
+    val gotTokens = applied
+      .withColumn("_nt", size(split(trim(col("text")), "\\s+")))
+      .groupBy("source").agg(sum(col("_nt")).as("emitted"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = alloc.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    for ((src, n, q) <- quotas) {
+      val maxDoc = 13L // max doc tokens in this corpus
+      assert(gotTokens(src) >= q - maxDoc && gotTokens(src) < q + maxDoc,
+        s"$src: emitted ${gotTokens(src)} vs quota $q")
+    }
+  }
+
+  test("decontaminationGatedIngest: leaking docs quarantine, clean docs " +
+      "land, batch == stream verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dc-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("dc-out").toString
+    val quar = java.nio.file.Files.createTempDirectory("dc-q").toString
+    val eval = Seq((100L, "the secret benchmark question about turtles"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "a clean document with original words"),
+      (2L, "copied the secret benchmark question about turtles verbatim"),
+      (3L, "another clean one entirely"))
+    graft.streaming.Streams.decontaminationGatedIngest(
+      mem.toDF().toDF("doc_id", "text"), eval, out, quar, ckpt)
+      .awaitTermination()
+    val landed = spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val quarantined = spark.read.parquet(quar).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(landed == Set(1L, 3L) && quarantined == Set(2L))
+    // batch == stream verdict
+    val batchDirty = graft.ops.Dedup.decontaminate(
+      Seq((1L, "a clean document with original words"),
+        (2L, "copied the secret benchmark question about turtles verbatim"),
+        (3L, "another clean one entirely")).toDF("doc_id", "text"),
+      eval).select("train_id").collect().map(_.getLong(0)).toSet
+    assert(batchDirty == quarantined)
+  }
+}

@@ -341,6 +341,14 @@ object ScaleProbe {
           docs.select(col("doc_id"), col("text")), phrases)
       }
     }
+    // unimax: allocation is source-dimension work; APPLY's fan-out is
+    // output-sized (epochs x corpus) — emitted rows, not overhead
+    probe("unimax_apply") {
+      val srcd = docs.withColumn("source", col("doc_id") % 20)
+      graft.ops.CorpusOps.unimaxApply(srcd,
+        graft.ops.CorpusOps.unimaxFromCorpus(srcd,
+          budget = 500000L * mult, maxEpochs = 2))
+    }
     // KMV overlap: two corpus-scale key sets reduce to 60-bit hashes;
     // the k-row head is constant-size whatever the corpus
     probe("overlap_estimate") {
