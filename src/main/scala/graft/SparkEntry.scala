@@ -5409,14 +5409,15 @@ object SparkEntry {
         |fulle AS (
         |  SELECT d.doc_id, unnest(generate_series(0, a2.nfull - 1))
         |      AS epoch
-        |  FROM d JOIN a2 USING (source) WHERE a2.nfull > 0),
+        |  FROM d JOIN a2 ON d.source IS NOT DISTINCT FROM a2.source
+        |  WHERE a2.nfull > 0),
         |cum AS (
         |  SELECT d.doc_id, a2.nfull, a2.rem,
         |    coalesce(sum(d.nt) OVER (PARTITION BY d.source
         |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS before
-        |  FROM d JOIN a2 USING (source))
+        |  FROM d JOIN a2 ON d.source IS NOT DISTINCT FROM a2.source)
         |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch FROM fulle
         |UNION ALL
         |SELECT doc_id, CAST(nfull AS BIGINT) AS epoch FROM cum

@@ -489,6 +489,17 @@ object CorpusOps {
   def sourceTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
                         textCol: String, budget: Long): DataFrame = {
     require(budget > 0)
+    tokenPrefix(df, sourceCol, idCol, textCol, lit(budget))
+  }
+
+  /** The md5-order exclusive-cumsum token-prefix rule
+    * [[sourceTokenBudget]] and [[unimaxApply]] share: per source, keep
+    * docs while the tokens BEFORE them (md5-hash order, ties on id) stay
+    * under `budget` — the boundary doc is kept. One window shuffle on the
+    * source key; the running sum streams.
+    */
+  private def tokenPrefix(df: DataFrame, sourceCol: String, idCol: String,
+                          textCol: String, budget: Column): DataFrame = {
     val w = Window.partitionBy(sourceCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -607,14 +618,11 @@ object CorpusOps {
       .filter(col("_full") > 0)
       .select(df.columns.map(col) :+
         explode(sequence(lit(0L), col("_full") - 1)).as("epoch"): _*)
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val remainder = joined
-      .withColumn("_nt",
-        size(split(trim(col(textCol)), "\\s+")).cast("long"))
-      .withColumn("_before", coalesce(sum(col("_nt")).over(w), lit(0L)))
-      .filter(col("_before") < col("_rem"))
+    // rem = 0 sources can't survive the prefix filter — prune them
+    // BEFORE the window so exactly-saturated sources never shuffle
+    val remainder = tokenPrefix(
+        joined.filter(col("_rem") > 0), sourceCol, idCol, textCol,
+        col("_rem"))
       .select(df.columns.map(col) :+ col("_full").as("epoch"): _*)
     fullEpochs.unionByName(remainder)
   }

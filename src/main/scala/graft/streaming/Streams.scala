@@ -419,15 +419,21 @@ object Streams {
 
   /** Streaming DECONTAMINATION gate: arriving documents sharing at least
     * `minSharedShingles` word-n-grams with ANY eval/benchmark document
-    * ([[graft.ops.Dedup.decontaminate]]) are quarantined per micro-batch;
-    * clean docs land — eval leakage blocked AT INGEST, not discovered at
-    * release audit. The eval set is STATIC state (benchmark-sized, its
-    * exploded shingle index broadcasts in the stream-static join);
-    * foreachBatch because the gate is per-document. Both sinks are
-    * [[writeBatchIdempotent]] (dynamic overwrite of this batch's
-    * `batch_id` partition) — a replayed batch rewrites, never
-    * duplicates, and quarantined evidence is PRESERVED, not dropped
-    * (the expectation-gate discipline: never lose what you rejected).
+    * ([[graft.ops.Dedup.decontaminateAgainstIndex]]) are quarantined per
+    * micro-batch; clean docs land — eval leakage blocked AT INGEST, not
+    * discovered at release audit. The eval set is STATIC state: its
+    * exploded shingle index ([[graft.ops.Dedup.evalShingleIndex]]) is
+    * built and pinned ONCE at query start, so each micro-batch pays only
+    * the train-side shingling; foreachBatch because the gate is
+    * per-document. Both sinks are [[writeBatchIdempotent]] (dynamic
+    * overwrite of this batch's `batch_id` partition) — a replayed batch
+    * rewrites, never duplicates. Quarantined rows carry their EVIDENCE
+    * (n_eval_hits, max_shared, first_eval_id), so the release audit can
+    * answer "which benchmark leaked, how strongly" from the quarantine
+    * sink alone. Docs with a NULL id split null-SAFELY on a sentinel key:
+    * all null-id docs share one identity, so one dirty null-id doc
+    * quarantines them all — fail-closed, never a silent landing (a plain
+    * equi-join split would let contaminated null-id docs through).
     */
   def decontaminationGatedIngest(docs: DataFrame, eval: DataFrame,
                                  outPath: String, quarantinePath: String,
@@ -435,27 +441,40 @@ object Streams {
                                  n: Int = 3, minSharedShingles: Int = 2,
                                  idCol: String = "doc_id",
                                  textCol: String = "text"
-                                ): org.apache.spark.sql.streaming.StreamingQuery =
+                                ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val evalIndex = graft.ops.Dedup
+      .evalShingleIndex(eval, n, idCol, textCol)
+      .localCheckpoint(true) // benchmark-sized; built once per query
+    def key(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("\u0000"))
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val pinned = batch.localCheckpoint(true) // one scan, two sinks
-          val dirty = graft.ops.Dedup.decontaminate(pinned, eval, n,
-            minSharedShingles, idCol, textCol)
-            .select(col("train_id").as(idCol)).distinct()
+          val pinned = batch
+            .withColumn("_k", key(col(idCol)))
+            .localCheckpoint(true) // one scan, two sinks
+          val pairs = graft.ops.Dedup.decontaminateAgainstIndex(
+            pinned, evalIndex, minSharedShingles, idCol, textCol, n)
+          val evidence = pairs
+            .groupBy(key(col("train_id")).as("_k"))
+            .agg(count(lit(1)).as("n_eval_hits"),
+              max(col("n_shared")).as("max_shared"),
+              min(col("eval_id")).as("first_eval_id"))
           writeBatchIdempotent(
-            pinned.join(dirty, Seq(idCol), "left_semi"),
+            pinned.join(broadcast(evidence), Seq("_k")).drop("_k"),
             batchId, quarantinePath)
           writeBatchIdempotent(
-            pinned.join(dirty, Seq(idCol), "left_anti"),
+            pinned.join(broadcast(evidence.select("_k")), Seq("_k"),
+              "left_anti").drop("_k"),
             batchId, outPath)
           pinned.unpersist()
           ()
         }
       }
       .start()
+  }
 
   /** Streaming DRIFT MONITOR: score every arriving micro-batch against a
     * STATIC reference snapshot with the binned KS gate

@@ -82,25 +82,44 @@ class Round6jOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val quar = java.nio.file.Files.createTempDirectory("dc-q").toString
     val eval = Seq((100L, "the secret benchmark question about turtles"))
       .toDF("doc_id", "text")
-    val mem = MemoryStream[(Long, String)]
+    val mem = MemoryStream[(Option[Long], String)]
     mem.addData(
-      (1L, "a clean document with original words"),
-      (2L, "copied the secret benchmark question about turtles verbatim"),
-      (3L, "another clean one entirely"))
+      (Some(1L), "a clean document with original words"),
+      (Some(2L),
+        "copied the secret benchmark question about turtles verbatim"),
+      (Some(3L), "another clean one entirely"),
+      // null id + contaminated: must quarantine (fail-closed), not land
+      (None,
+        "also has the secret benchmark question about turtles inside"))
     graft.streaming.Streams.decontaminationGatedIngest(
       mem.toDF().toDF("doc_id", "text"), eval, out, quar, ckpt)
       .awaitTermination()
     val landed = spark.read.parquet(out).collect()
-      .map(_.getAs[Long]("doc_id")).toSet
-    val quarantined = spark.read.parquet(quar).collect()
-      .map(_.getAs[Long]("doc_id")).toSet
-    assert(landed == Set(1L, 3L) && quarantined == Set(2L))
-    // batch == stream verdict
+      .map(r => Option(r.getAs[java.lang.Long]("doc_id"))
+        .map(_.longValue)).toSet
+    val quarRows = spark.read.parquet(quar).collect()
+    val quarantined = quarRows
+      .map(r => Option(r.getAs[java.lang.Long]("doc_id"))
+        .map(_.longValue)).toSet
+    assert(landed == Set(Some(1L), Some(3L)))
+    assert(quarantined == Set(Some(2L), None))
+    // evidence travels with the quarantined rows
+    assert(quarRows.forall(r => r.getAs[Long]("n_eval_hits") == 1L &&
+      r.getAs[Long]("max_shared") >= 2L &&
+      r.getAs[Long]("first_eval_id") == 100L))
+    // batch == stream verdict on the non-null-id rows
     val batchDirty = graft.ops.Dedup.decontaminate(
       Seq((1L, "a clean document with original words"),
         (2L, "copied the secret benchmark question about turtles verbatim"),
         (3L, "another clean one entirely")).toDF("doc_id", "text"),
       eval).select("train_id").collect().map(_.getLong(0)).toSet
-    assert(batchDirty == quarantined)
+    assert(batchDirty == Set(2L))
+    // and a prebuilt-index probe equals the convenience form
+    val idx = graft.ops.Dedup.evalShingleIndex(eval)
+    val viaIdx = graft.ops.Dedup.decontaminateAgainstIndex(
+      Seq((2L, "copied the secret benchmark question about turtles " +
+        "verbatim")).toDF("doc_id", "text"), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaIdx.toSeq == Seq((2L, 100L)))
   }
 }
