@@ -2644,6 +2644,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"))
     }),
 
+    "q_hard_negatives_from" -> ((s, d) => {
+      // the rerank stage certified separately (ops.Similarity
+      // .hardNegativesFrom): exhaustive brute-force candidates (k =
+      // corpus size) make the staged form equal the one-shot by
+      // construction — SAME ORACLE as q_hard_negatives, the
+      // build/probe certification pattern
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("label"))
+      val cands = graft.ops.Similarity.bruteForceTopK(
+        qs.select("query_id", "embedding"), emb, k = 1 << 20)
+      graft.ops.Similarity.hardNegativesFrom(cands, qs, emb, k = 5)
+    }),
+
     "q_unimax_apply" -> ((s, d) => {
       // the q_unimax allocation MATERIALIZED (ops.CorpusOps.unimaxApply):
       // full epochs fanned out + the md5-order remainder prefix — at
@@ -5256,6 +5271,24 @@ object SparkEntry {
     // q_knn_classify's neighbor CTE with the different-label predicate —
     // null labels excluded on BOTH sides, exactly as the operator does
     "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 10 AND label IS NOT NULL),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q, embeddings e
+        |  WHERE q.query_id <> e.vec_id AND e.label IS NOT NULL
+        |    AND e.label <> q.ql)
+        |SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // IDENTICAL SQL to q_hard_negatives: exhaustive candidates make the
+    // staged rerank equal the one-shot form by construction
+    "q_hard_negatives_from" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
         |           FROM embeddings WHERE vec_id < 10 AND label IS NOT NULL),
         |scored AS (

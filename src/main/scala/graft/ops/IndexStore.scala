@@ -219,4 +219,22 @@ object IndexStore {
   def readNbModel(spark: SparkSession, prefix: String): TextAnalysis.NbModel =
     TextAnalysis.NbModel(spark.table(s"${prefix}_classes"),
       spark.table(s"${prefix}_terms"))
+
+  // --- decontamination eval-shingle index ---------------------------------
+
+  /** Persist a [[Dedup.evalShingleIndex]] — the decontamination state a
+    * release pipeline (and [[graft.streaming.Streams
+    * .decontaminationGatedIngest]]) probes every batch against: bucketed
+    * on `_shingle`, the probe-join key, so each batch's join shuffles
+    * only the batch side. Benchmarks change rarely; write once per
+    * benchmark revision.
+    */
+  def writeEvalShingleIndex(index: DataFrame, prefix: String,
+                            buckets: Int = 8,
+                            path: Option[String] = None): Unit =
+    writeBucketedTable(index, s"${prefix}_evalshingles",
+      Seq("_shingle"), buckets, path)
+
+  def readEvalShingleIndex(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_evalshingles")
 }

@@ -71,6 +71,7 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_tfidf_cosine_pairs"  -> "1-row doc-count table crossJoin for idf, as q_tfidf",
     "q_fleiss_kappa"        -> "two 1-row aggregate tables (item totals x label-marginal squares) crossJoin",
     "q_hard_negatives"      -> "hard-negative mining: bounded labeled query set (10 rows) broadcast against corpus scan",
+    "q_hard_negatives_from" -> "same bounded query set broadcast in the exhaustive brute-force candidate leg of the staged-form certification",
     "q_unimax"              -> "waterfilling over the source dimension: 1-row source-count and 1-row threshold tables crossJoin",
     "q_unimax_apply"        -> "embeds the q_unimax allocation subplan (same 1-row crossJoins); the apply side is a broadcast dimension join",
     "q_mad_outliers"        -> "two 1-row exact-percentile stats tables (median, MAD) crossJoin",

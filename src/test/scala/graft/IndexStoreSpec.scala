@@ -234,4 +234,30 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == back)
     m.release()
   }
+
+  test("eval shingle index round-trips; decontaminateAgainstIndex " +
+      "identical; eval side reads pre-shuffled") {
+    import spark.implicits._
+    val eval = docs.filter(col("doc_id") < 16)
+    val train = docs.filter(col("doc_id") >= 16)
+    val idx = Dedup.evalShingleIndex(eval)
+    IndexStore.writeEvalShingleIndex(idx, "dc_idx", buckets = 4)
+    val reloaded = IndexStore.readEvalShingleIndex(spark, "dc_idx")
+    val live = rowsOf(Dedup.decontaminateAgainstIndex(train, idx))
+    val back = rowsOf(Dedup.decontaminateAgainstIndex(train, reloaded))
+    assert(live.nonEmpty && live == back)
+    // the reloaded eval side must read pre-shuffled: no Exchange between
+    // the shingle join and the bucketed scan
+    val probe = Dedup.decontaminateAgainstIndex(train, reloaded)
+    probe.write.format("noop").mode("overwrite").save()
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanIdx = plan.indexOf("dc_idx_evalshingles")
+    assert(scanIdx > 0, s"expected the bucketed scan in:\n$plan")
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    if (joinIdx >= 0 && joinIdx < scanIdx) {
+      val between = plan.substring(joinIdx, scanIdx)
+      assert(!between.contains("Exchange hashpartitioning"),
+        s"eval side must read pre-shuffled:\n$plan")
+    }
+  }
 }
