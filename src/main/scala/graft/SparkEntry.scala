@@ -2644,6 +2644,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"))
     }),
 
+    "q_mask_phrases" -> ((s, d) => {
+      // APPLY form of the blocklist (ops.CorpusOps
+      // .maskBlocklistedPhrases): one Aho–Corasick pass masks every
+      // occurrence, leftmost-longest ("hash join" beats its nested
+      // prefix "hash" wherever both match) — the oracle's longest-first
+      // replace chain agrees because selection runs on the ORIGINAL
+      // text and the mask character occurs in no pattern
+      import s.implicits._
+      graft.ops.CorpusOps.maskBlocklistedPhrases(
+        par(s, t(s, d, "documents")).select("doc_id", "text"),
+        Seq("hash join", "merge join", "hash").toDF("phrase"),
+        mask = "*")
+    }),
+
     "q_hard_negatives_from" -> ((s, d) => {
       // the rerank stage certified separately (ops.Similarity
       // .hardNegativesFrom): exhaustive brute-force candidates (k =
@@ -5285,6 +5299,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // longest-first replace chain == the kernel's leftmost-longest
+    // single pass for THIS pattern set (no cross-pattern overlaps are
+    // possible; the nested "hash" ⊂ "hash join" case is ordered by the
+    // chain; '*' occurs in no pattern so masking can't cascade)
+    "q_mask_phrases" ->
+      """SELECT doc_id,
+        |  replace(replace(replace(text, 'hash join', '*'),
+        |    'merge join', '*'), 'hash', '*') AS text
+        |FROM documents""".stripMargin,
 
     // IDENTICAL SQL to q_hard_negatives: exhaustive candidates make the
     // staged rerank equal the one-shot form by construction

@@ -102,6 +102,55 @@ final class AhoCorasick(patterns0: Array[String]) extends Serializable {
     0 // unreachable
   }
 
+  /** Mask every pattern occurrence with `mask` in ONE pass — the APPLY
+    * form of the blocklist (PII strings, bad phrases) the way
+    * cutDuplicateSpans is the apply form of duplicateSpans. Overlapping
+    * matches resolve LEFTMOST-LONGEST (the lexer rule): earliest start
+    * wins; among matches at the same start, the longest; the next match
+    * must start after the previous selection ends. Selection happens on
+    * the ORIGINAL text only, so a mask can never create or destroy a
+    * match (sequential `replace` chains can — their result depends on
+    * application order). Empty patterns are ignored here (an empty match
+    * would mask nothing, everywhere).
+    */
+  def maskLeftmostLongest(text: String, mask: String): UTF8String = {
+    // collect match intervals: at each scan position, every pattern in
+    // the merged out set ends here
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      s = step(s, text.charAt(i))
+      val o = outSets(s)
+      var k = 0
+      while (k < o.length) {
+        val len = patterns(o(k)).length
+        if (len > 0) { starts.add(i - len + 1); ends.add(i + 1) }
+        k += 1
+      }
+      i += 1
+    }
+    if (starts.isEmpty) return UTF8String.fromString(text)
+    // leftmost-longest sweep: sort by (start asc, end desc), keep
+    // non-overlapping
+    val idx = Array.tabulate(starts.size)(identity)
+    val sortedIdx = idx.sortBy(j => (starts.get(j), -ends.get(j)))
+    val sb = new java.lang.StringBuilder(text.length)
+    var pos = 0
+    var j = 0
+    while (j < sortedIdx.length) {
+      val st = starts.get(sortedIdx(j)); val en = ends.get(sortedIdx(j))
+      if (st >= pos) {
+        sb.append(text, pos, st).append(mask)
+        pos = en
+      }
+      j += 1
+    }
+    sb.append(text, pos, text.length)
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Distinct matched patterns, ascending — i.e. lexicographic — order
     * (patterns are normalized at construction).
     */
@@ -150,4 +199,27 @@ case class AcFindPhrases(child: Expression, patterns: Seq[String])
   override protected def withNewChildInternal(c: Expression): AcFindPhrases =
     copy(child = c)
   override def prettyName: String = "ac_find_phrases"
+}
+
+/** Codegen'd scalar surface of [[AhoCorasick.maskLeftmostLongest]]:
+  * text → text with every pattern occurrence masked, one pass,
+  * leftmost-longest overlap resolution on the ORIGINAL text.
+  */
+case class AcMaskPhrases(child: Expression, patterns: Seq[String],
+                         mask: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+  override def nullSafeEval(input: Any): Any =
+    ac.maskLeftmostLongest(input.asInstanceOf[UTF8String].toString, mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ahoCorasickM", ac,
+      classOf[AhoCorasick].getName)
+    val maskRef = ctx.addReferenceObj("acMask", mask, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $acRef.maskLeftmostLongest($c.toString(), $maskRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): AcMaskPhrases =
+    copy(child = c)
+  override def prettyName: String = "ac_mask_phrases"
 }

@@ -327,6 +327,9 @@ object CorpusFunctions {
     column(RepetitionStats(expression(c), n, delim))
   def ac_find_phrases(c: Column, patterns: Seq[String]): Column =
     column(AcFindPhrases(expression(c), patterns))
+  def ac_mask_phrases(c: Column, patterns: Seq[String],
+                      mask: String = "[MASKED]"): Column =
+    column(AcMaskPhrases(expression(c), patterns, mask))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

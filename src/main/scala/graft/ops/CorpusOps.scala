@@ -411,6 +411,38 @@ object CorpusOps {
         min(col("_p")).as("first_phrase"))
   }
 
+  /** MASK blocklisted phrases in place — the APPLY form of the phrase
+    * blocklist ([[flagBlocklistedPhrasesAC]] flags, this rewrites): every
+    * occurrence of every listed phrase is replaced by `mask` in ONE
+    * Aho–Corasick pass per document, overlaps resolved leftmost-longest
+    * on the ORIGINAL text (so masking can never create or destroy a
+    * match — a sequential `replace` chain's output depends on
+    * application order). CASE-SENSITIVE by design: the mask use case is
+    * exact strings (PII values, secrets, canonical bad phrases), where
+    * the flag use case is case-folded content matching.
+    *
+    * One narrow codegen pass, no join, no shuffle; the phrase list
+    * collects (list-sized BY NATURE, `maxPhrases`-guarded) and the
+    * automaton ships with the plan.
+    *
+    * @return input with `textCol` rewritten (null text passes through)
+    */
+  def maskBlocklistedPhrases(docs: DataFrame, phrases: DataFrame,
+                             mask: String = "[MASKED]",
+                             textCol: String = "text",
+                             phraseCol: String = "phrase",
+                             maxPhrases: Int = 1 << 20): DataFrame = {
+    import graft.functions.CorpusFunctions.ac_mask_phrases
+    val pats = phrases.select(col(phraseCol).as("_p"))
+      .filter(col("_p").isNotNull && length(col("_p")) > 0).distinct()
+      .orderBy("_p").limit(maxPhrases + 1)
+      .collect().map(_.getString(0))
+    require(pats.length <= maxPhrases,
+      s"maskBlocklistedPhrases: phrase list exceeds maxPhrases=$maxPhrases")
+    docs.withColumn(textCol,
+      ac_mask_phrases(col(textCol), pats.toSeq, mask))
+  }
+
   /** Within-document repetition ratio (Gopher-style repetition filter):
     * fraction of duplicate word n-grams, `1 - distinct/total` (0 for docs
     * shorter than n words). Entirely narrow — per-row array ops, no

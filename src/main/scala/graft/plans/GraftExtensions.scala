@@ -127,6 +127,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.AcFindPhrases(es(0),
         strLit(es(1), "ac_find_phrases", "patterns")
           .split('\u0001').toSeq)))
+    // one-pass leftmost-longest masking: ac_mask_phrases(text, patterns,
+    // mask), patterns U+0001-joined as above
+    ext.injectFunction((FunctionIdentifier("ac_mask_phrases"),
+      info("ac_mask_phrases", classOf[graft.functions.AcMaskPhrases]),
+      (es: Seq[Expression]) => graft.functions.AcMaskPhrases(es(0),
+        strLit(es(1), "ac_mask_phrases", "patterns")
+          .split('\u0001').toSeq,
+        strLit(es(2), "ac_mask_phrases", "mask"))))
   }
 }
 

@@ -166,11 +166,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "winnow(t, 4, 3), winnow_positions(t, 4, 3), " +
         "repetition_stats(t, 2, '\\n'), deflate_len(t), " +
         "ac_find_phrases(t, 'quick\u0001fox\u0001quick\u0001brown cow'), " + // unsorted+dup: normalized inside
-        "name_similarity_upper(t, t) " +
+        "name_similarity_upper(t, t), " +
+        "ac_mask_phrases(t, 'quick\u0001brown fox', '_') " +
         "FROM codegen_probe").head()
-    assert(row.size == 17)
+    assert(row.size == 18)
     assert(row.getSeq[String](15) == Seq("fox", "quick"))
     assert(row.getDouble(16) == 1.0)
+    assert(row.getString(17) == "the _ _ jumps")
   }
 
   test("pure range condition (no equi keys) also rewrites") {

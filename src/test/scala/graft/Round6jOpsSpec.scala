@@ -72,6 +72,55 @@ class Round6jOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maskLeftmostLongest: goldens — longest wins at a shared start, " +
+      "leftmost wins across starts, masking never cascades") {
+    def mask(pats: Seq[String], text: String): String =
+      new graft.functions.AhoCorasick(pats.toArray)
+        .maskLeftmostLongest(text, "*").toString
+    // nested: "hash join" beats its prefix "hash" at the same start
+    assert(mask(Seq("hash", "hash join"), "a hash join b hash c") ==
+      "a * b * c")
+    // leftmost beats longer-but-later: "aa" at 0 wins over "ab" at 1
+    assert(mask(Seq("aa", "ab"), "aab") == "*b")
+    // adjacent non-overlapping both mask
+    assert(mask(Seq("ab"), "abab") == "**")
+    // selection runs on the ORIGINAL text: a '*'-containing pattern
+    // matches pre-existing '*'s but a freshly written mask is never
+    // rescanned (replace-chains would cascade here)
+    assert(mask(Seq("*a"), "**a") == "**")
+    // empty pattern ignored; null-free empty text round-trips
+    assert(mask(Seq("", "x"), "axb") == "a*b")
+    assert(mask(Seq("x"), "") == "")
+  }
+
+  test("maskLeftmostLongest: randomized equivalence with a brute-force " +
+      "leftmost-longest reference") {
+    val rnd = new scala.util.Random(11)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar)
+      .mkString
+    val pats = (1 to 12).map(_ => randStr(1 + rnd.nextInt(3))).distinct
+    val ac = new graft.functions.AhoCorasick(pats.toArray)
+    def brute(text: String): String = {
+      val occ = for {
+        p <- pats
+        st <- Iterator.iterate(text.indexOf(p))(i =>
+          text.indexOf(p, i + 1)).takeWhile(_ >= 0)
+      } yield (st, st + p.length)
+      val sb = new StringBuilder
+      var pos = 0
+      for ((st, en) <- occ.sortBy(t => (t._1, -(t._2 - t._1)))
+           if st >= pos) {
+        sb.append(text.substring(pos, st)).append("*"); pos = en
+      }
+      sb.append(text.substring(pos)).toString
+    }
+    for (_ <- 1 to 300) {
+      val t = randStr(rnd.nextInt(30))
+      assert(ac.maskLeftmostLongest(t, "*").toString == brute(t),
+        s"text='$t'")
+    }
+  }
+
   test("decontaminationGatedIngest: leaking docs quarantine, clean docs " +
       "land, batch == stream verdict") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
