@@ -2647,14 +2647,16 @@ object SparkEntry {
     "q_mask_phrases" -> ((s, d) => {
       // APPLY form of the blocklist (ops.CorpusOps
       // .maskBlocklistedPhrases): one Aho–Corasick pass masks every
-      // occurrence, leftmost-longest ("hash join" beats its nested
-      // prefix "hash" wherever both match) — the oracle's longest-first
-      // replace chain agrees because selection runs on the ORIGINAL
-      // text and the mask character occurs in no pattern
+      // occurrence, leftmost-longest. Pattern set chosen so the
+      // replace-chain oracle is provably order-independent: the two
+      // phrases share no border (no suffix of one is a prefix of the
+      // other, neither self-overlaps), so occurrences can NEVER overlap
+      // in ANY text — nested/overlapping selection is pinned by unit
+      // goldens instead, where a replace chain genuinely diverges
       import s.implicits._
       graft.ops.CorpusOps.maskBlocklistedPhrases(
         par(s, t(s, d, "documents")).select("doc_id", "text"),
-        Seq("hash join", "merge join", "hash").toDF("phrase"),
+        Seq("hash join", "merge join").toDF("phrase"),
         mask = "*")
     }),
 
@@ -5300,14 +5302,14 @@ object SparkEntry {
         |      ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
 
-    // longest-first replace chain == the kernel's leftmost-longest
-    // single pass for THIS pattern set (no cross-pattern overlaps are
-    // possible; the nested "hash" ⊂ "hash join" case is ordered by the
-    // chain; '*' occurs in no pattern so masking can't cascade)
+    // replace chain == the kernel's leftmost-longest single pass,
+    // PROVABLY for this pattern set: the phrases share no border and
+    // neither self-overlaps, so occurrences can never overlap in any
+    // text ('*' occurs in no pattern, so masking can't cascade either)
     "q_mask_phrases" ->
       """SELECT doc_id,
-        |  replace(replace(replace(text, 'hash join', '*'),
-        |    'merge join', '*'), 'hash', '*') AS text
+        |  replace(replace(text, 'hash join', '*'),
+        |    'merge join', '*') AS text
         |FROM documents""".stripMargin,
 
     // IDENTICAL SQL to q_hard_negatives: exhaustive candidates make the

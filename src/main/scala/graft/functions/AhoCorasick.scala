@@ -114,10 +114,13 @@ final class AhoCorasick(patterns0: Array[String]) extends Serializable {
     * would mask nothing, everywhere).
     */
   def maskLeftmostLongest(text: String, mask: String): UTF8String = {
-    // collect match intervals: at each scan position, every pattern in
-    // the merged out set ends here
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
+    // collect match intervals packed into ONE long each —
+    // (start << 32) | (MaxValue − len) — so the natural long sort IS the
+    // (start asc, len desc) sweep order and the hot path stays
+    // boxing-free (the class contract: primitive arrays, never boxed
+    // keys per row)
+    var packed = new Array[Long](16)
+    var nMatches = 0
     var s = 0
     var i = 0
     while (i < text.length) {
@@ -126,24 +129,28 @@ final class AhoCorasick(patterns0: Array[String]) extends Serializable {
       var k = 0
       while (k < o.length) {
         val len = patterns(o(k)).length
-        if (len > 0) { starts.add(i - len + 1); ends.add(i + 1) }
+        if (len > 0) {
+          if (nMatches == packed.length)
+            packed = java.util.Arrays.copyOf(packed, packed.length * 2)
+          packed(nMatches) =
+            ((i - len + 1).toLong << 32) | (Int.MaxValue - len).toLong
+          nMatches += 1
+        }
         k += 1
       }
       i += 1
     }
-    if (starts.isEmpty) return UTF8String.fromString(text)
-    // leftmost-longest sweep: sort by (start asc, end desc), keep
-    // non-overlapping
-    val idx = Array.tabulate(starts.size)(identity)
-    val sortedIdx = idx.sortBy(j => (starts.get(j), -ends.get(j)))
+    if (nMatches == 0) return UTF8String.fromString(text)
+    java.util.Arrays.sort(packed, 0, nMatches)
     val sb = new java.lang.StringBuilder(text.length)
     var pos = 0
     var j = 0
-    while (j < sortedIdx.length) {
-      val st = starts.get(sortedIdx(j)); val en = ends.get(sortedIdx(j))
+    while (j < nMatches) {
+      val st = (packed(j) >>> 32).toInt
+      val len = Int.MaxValue - (packed(j) & 0x7fffffffL).toInt
       if (st >= pos) {
         sb.append(text, pos, st).append(mask)
-        pos = en
+        pos = st + len
       }
       j += 1
     }

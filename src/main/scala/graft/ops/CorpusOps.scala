@@ -385,20 +385,40 @@ object CorpusOps {
     *         schema and values as [[flagBlocklistedPhrases]], certified by
     *         sharing its oracle
     */
+  /** Driver-collect of a blocklist phrase column, shared by the AC
+    * operators: distinct, sorted (lexicographic determinism), optionally
+    * case-folded IN SPARK (never a driver-locale lowercase), with the
+    * overflow-detecting `limit(maxPhrases + 1)` guard.
+    */
+  private def collectPhraseList(phrases: DataFrame, phraseCol: String,
+                                maxPhrases: Int, fold: Boolean,
+                                dropEmpty: Boolean,
+                                op: String): Array[String] = {
+    val p0 = if (fold) lower(col(phraseCol)) else col(phraseCol)
+    // dropEmpty: masking ignores '' (an empty mask target is a no-op);
+    // flagging KEEPS it for contains() parity with the theta variant
+    // (contains(text, '') is true for every doc)
+    val nonNull = phrases.select(p0.as("_p")).filter(col("_p").isNotNull)
+    val pats = (if (dropEmpty) nonNull.filter(length(col("_p")) > 0)
+                else nonNull)
+      .distinct()
+      .orderBy("_p").limit(maxPhrases + 1)
+      .collect().map(_.getString(0))
+    require(pats.length <= maxPhrases,
+      s"$op: phrase list exceeds maxPhrases=$maxPhrases — a blocklist " +
+        "this size should be partitioned or routed through the " +
+        "theta-join variant")
+    pats
+  }
+
   def flagBlocklistedPhrasesAC(docs: DataFrame, phrases: DataFrame,
                                idCol: String = "doc_id",
                                textCol: String = "text",
                                phraseCol: String = "phrase",
                                maxPhrases: Int = 1 << 20): DataFrame = {
     import graft.functions.CorpusFunctions.ac_find_phrases
-    val pats = phrases.select(lower(col(phraseCol)).as("_p"))
-      .filter(col("_p").isNotNull).distinct()
-      .orderBy("_p").limit(maxPhrases + 1)
-      .collect().map(_.getString(0))
-    require(pats.length <= maxPhrases,
-      s"flagBlocklistedPhrasesAC: phrase list exceeds maxPhrases=$maxPhrases" +
-        " — a blocklist this size should be partitioned or routed through" +
-        " the theta-join variant")
+    val pats = collectPhraseList(phrases, phraseCol, maxPhrases,
+      fold = true, dropEmpty = false, "flagBlocklistedPhrasesAC")
     // aggregate per id like the theta-join does, so duplicate ids (a
     // pre-dedup crawl) produce IDENTICAL rows from both variants; the
     // explode carries only hit phrases (rare), so the shuffle is
@@ -433,12 +453,8 @@ object CorpusOps {
                              phraseCol: String = "phrase",
                              maxPhrases: Int = 1 << 20): DataFrame = {
     import graft.functions.CorpusFunctions.ac_mask_phrases
-    val pats = phrases.select(col(phraseCol).as("_p"))
-      .filter(col("_p").isNotNull && length(col("_p")) > 0).distinct()
-      .orderBy("_p").limit(maxPhrases + 1)
-      .collect().map(_.getString(0))
-    require(pats.length <= maxPhrases,
-      s"maskBlocklistedPhrases: phrase list exceeds maxPhrases=$maxPhrases")
+    val pats = collectPhraseList(phrases, phraseCol, maxPhrases,
+      fold = false, dropEmpty = true, "maskBlocklistedPhrases")
     docs.withColumn(textCol,
       ac_mask_phrases(col(textCol), pats.toSeq, mask))
   }

@@ -500,32 +500,49 @@ object Dedup {
       evalShingleIndex(eval, n, idCol, textCol),
       minSharedShingles, idCol, textCol, n)
 
-  /** The eval set's exploded shingle INDEX: (eval_id, _shingle) — the
-    * decontamination state to build ONCE and reuse (persist it next to
-    * the benchmark; a streaming gate computes it once per query, not per
-    * micro-batch).
+  /** The eval set's exploded shingle INDEX: (eval_id, _shingle, _n) —
+    * the decontamination state to build ONCE and reuse (persist it next
+    * to the benchmark; a streaming gate computes it once per query, not
+    * per micro-batch). `_n` records the shingle width the index was
+    * built with, so a probe with a DIFFERENT n fails fast instead of
+    * silently matching nothing — a contamination gate that joins 3-gram
+    * probes against a 5-gram index would pass every leaking doc as
+    * clean, the fail-open failure mode.
     */
   def evalShingleIndex(eval: DataFrame, n: Int = 3,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame =
     eval.select(col(idCol).as("eval_id"),
-      explode(word_shingles(col(textCol), n)).as("_shingle"))
+      explode(word_shingles(col(textCol), n)).as("_shingle"),
+      lit(n).as("_n"))
 
   /** [[decontaminate]] against a PREBUILT [[evalShingleIndex]] — the
     * deployment/streaming shape: only the train side is shingled per
-    * call.
+    * call. Requires the index's recorded `_n` to equal this probe's `n`
+    * (one first()-row lookup — parquet answers it from footer stats);
+    * a mismatch throws rather than failing open.
     */
   def decontaminateAgainstIndex(train: DataFrame, index: DataFrame,
                                 minSharedShingles: Int = 2,
                                 idCol: String = "doc_id",
                                 textCol: String = "text",
-                                n: Int = 3): DataFrame =
+                                n: Int = 3): DataFrame = {
+    require(index.columns.contains("_n"),
+      "decontaminateAgainstIndex: index lacks the _n width column — " +
+        "rebuild it with Dedup.evalShingleIndex")
+    index.select("_n").head(1).foreach { r =>
+      require(r.getInt(0) == n,
+        s"decontaminateAgainstIndex: probe n=$n but the index was built " +
+          s"with n=${r.getInt(0)} — shingles would never match " +
+          "(fail-open); rebuild one side")
+    }
     train.select(col(idCol).as("train_id"),
         explode(word_shingles(col(textCol), n)).as("_shingle"))
-      .join(index, Seq("_shingle"))
+      .join(index.drop("_n"), Seq("_shingle"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedShingles)
+  }
 
   /** Per-eval-set contamination REPORT — the data-card table every release
     * ships next to the decontamination pass (GPT-3's appendix-C "dirty"

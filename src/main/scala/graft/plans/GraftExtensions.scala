@@ -127,14 +127,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => graft.functions.AcFindPhrases(es(0),
         strLit(es(1), "ac_find_phrases", "patterns")
           .split('\u0001').toSeq)))
-    // one-pass leftmost-longest masking: ac_mask_phrases(text, patterns,
-    // mask), patterns U+0001-joined as above
+    // one-pass leftmost-longest masking: ac_mask_phrases(text, patterns
+    // [, mask]), patterns U+0001-joined as above; 2-arg form uses the
+    // Scala surface's '[MASKED]' default
     ext.injectFunction((FunctionIdentifier("ac_mask_phrases"),
       info("ac_mask_phrases", classOf[graft.functions.AcMaskPhrases]),
-      (es: Seq[Expression]) => graft.functions.AcMaskPhrases(es(0),
-        strLit(es(1), "ac_mask_phrases", "patterns")
-          .split('\u0001').toSeq,
-        strLit(es(2), "ac_mask_phrases", "mask"))))
+      (es: Seq[Expression]) => {
+        require(es.length == 2 || es.length == 3,
+          s"ac_mask_phrases takes (text, patterns[, mask]); got ${es.length} args")
+        graft.functions.AcMaskPhrases(es(0),
+          strLit(es(1), "ac_mask_phrases", "patterns")
+            .split('\u0001').toSeq,
+          if (es.length == 3) strLit(es(2), "ac_mask_phrases", "mask")
+          else "[MASKED]")
+      }))
   }
 }
 

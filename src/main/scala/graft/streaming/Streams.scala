@@ -457,18 +457,24 @@ object Streams {
             .localCheckpoint(true) // one scan, two sinks
           val pairs = graft.ops.Dedup.decontaminateAgainstIndex(
             pinned, evalIndex, minSharedShingles, idCol, textCol, n)
+          // pinned once, read by both sinks; UNHINTED joins — evidence is
+          // one row per dirty doc, unbounded on a contaminated backlog
+          // (AvailableNow's first batch IS the backlog), so the planner
+          // must stay free to pick a shuffle join over a broadcast
           val evidence = pairs
             .groupBy(key(col("train_id")).as("_k"))
             .agg(count(lit(1)).as("n_eval_hits"),
               max(col("n_shared")).as("max_shared"),
               min(col("eval_id")).as("first_eval_id"))
+            .localCheckpoint(true)
           writeBatchIdempotent(
-            pinned.join(broadcast(evidence), Seq("_k")).drop("_k"),
+            pinned.join(evidence, Seq("_k")).drop("_k"),
             batchId, quarantinePath)
           writeBatchIdempotent(
-            pinned.join(broadcast(evidence.select("_k")), Seq("_k"),
-              "left_anti").drop("_k"),
+            pinned.join(evidence.select("_k"), Seq("_k"), "left_anti")
+              .drop("_k"),
             batchId, outPath)
+          evidence.unpersist()
           pinned.unpersist()
           ()
         }
