@@ -2644,6 +2644,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"))
     }),
 
+    "q_pass_at_k" -> ((s, d) => {
+      // unbiased pass@5 (ops.CorpusOps.passAtK, Chen et al. 2021) over
+      // synthetic graded samples (problem = doc_id % 50, pass = a
+      // deterministic length predicate) — the left-to-right product
+      // fold is bit-identical across engines (aggregate == list_reduce
+      // sequential semantics), so the float column rides the hash
+      val samples = par(s, t(s, d, "documents"))
+        .select((col("doc_id") % 50).as("problem_id"),
+          (col("n_chars") % 3 === 0).as("correct"))
+      graft.ops.CorpusOps.passAtK(samples, k = 5)
+    }),
+
     "q_mask_phrases" -> ((s, d) => {
       // APPLY form of the blocklist (ops.CorpusOps
       // .maskBlocklistedPhrases): one Aho–Corasick pass masks every
@@ -5301,6 +5313,25 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    // the same ascending-i sequential product fold as the operator
+    // (list_reduce folds left-to-right like Spark's aggregate), so the
+    // IEEE doubles are bit-identical before the shared 6-dp round
+    "q_pass_at_k" ->
+      """WITH s AS (SELECT doc_id % 50 AS problem_id,
+        |    CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS ok
+        |  FROM documents),
+        |g AS (SELECT problem_id, count(*) AS n, sum(ok) AS c
+        |  FROM s GROUP BY 1)
+        |SELECT problem_id, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+        |  CASE WHEN n < 5 THEN NULL
+        |       WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE round(CAST(1.0 AS DOUBLE) - list_reduce(
+        |         list_transform(generate_series(0, 4),
+        |           i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+        |         (x, y) -> x * y), 6)
+        |  END AS pass_at_k
+        |FROM g""".stripMargin,
 
     // replace chain == the kernel's leftmost-longest single pass,
     // PROVABLY for this pattern set: the phrases share no border and

@@ -72,6 +72,33 @@ class Round6jOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("passAtK: Codex-estimator goldens — certain pass, undefined, " +
+      "closed-form checks, null correct counts failed") {
+    import spark.implicits._
+    val samples = (
+      // p1: n=10, c=2 -> pass@5 = 1 - C(8,5)/C(10,5) = 1 - 56/252
+      (1 to 10).map(i => (1L, Some(i <= 2))) ++
+      // p2: n=10, c=6 -> n-c=4 < 5 -> exactly 1.0
+      (1 to 10).map(i => (2L, Some(i <= 6))) ++
+      // p3: n=3 < k -> NULL
+      (1 to 3).map(i => (3L, Some(true))) ++
+      // p4: n=10, c=0 -> 0.0; one null correct counts as failed
+      (1 to 9).map(_ => (4L, Some(false))) :+ (4L, Option.empty[Boolean])
+    ).toDF("problem_id", "correct")
+    val got = graft.ops.CorpusOps.passAtK(samples, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((10L, 2L,
+      Some(BigDecimal(1.0 - 56.0 / 252.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(got(2L) == ((10L, 6L, Some(1.0))))
+    assert(got(3L) == ((3L, 3L, None)))
+    assert(got(4L) == ((10L, 0L, Some(0.0))))
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.passAtK(samples, k = 0)
+    }
+  }
+
   test("maskLeftmostLongest: goldens — longest wins at a shared start, " +
       "leftmost wins across starts, masking never cascades") {
     def mask(pats: Seq[String], text: String): String =
