@@ -1042,6 +1042,46 @@ object CorpusOps {
       .drop("rank", "_n")
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, the Codex estimator): per
+    * problem with n graded samples of which c pass,
+    * `pass@k = 1 − C(n−c, k)/C(n, k)` — the probability that a random
+    * size-k subset contains at least one passing sample. Computed in the
+    * numerically-stable product form
+    * `1 − Π_{i<k} (n−c−i)/(n−i)`, each ratio divided FIRST and the
+    * ratios then folded LEFT-TO-RIGHT in ascending i — Spark's
+    * `aggregate` and DuckDB's `list_reduce` both evaluate exactly that
+    * sequence of IEEE operations (the parenthesization matters: folding
+    * `(acc·num)/den` instead diverges from the oracle's pre-divided
+    * ratios by an ulp on hundreds of thousands of (n, c) pairs), so the
+    * oracle is bit-exact, not approximately close. `n − c < k` short-circuits to
+    * exactly 1.0 (every size-k subset must contain a pass); `n < k`
+    * yields NULL (the estimator is undefined — document k against your
+    * sampling budget, don't extrapolate). A NULL `correct` counts as
+    * not-passing (`when` semantics: unverified is failed).
+    *
+    * One map-side-combinable (n, c) aggregate per problem plus a narrow
+    * codegen fold — no joins, no windows.
+    *
+    * @return (problemCol, n, c, pass_at_k — rounded 6 dp, null iff n<k)
+    */
+  def passAtK(samples: DataFrame, k: Int,
+              problemCol: String = "problem_id",
+              correctCol: String = "correct"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(!Seq("n", "c", "pass_at_k").contains(problemCol),
+      s"passAtK reserves column names n, c, pass_at_k; rename '$problemCol'")
+    samples.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(correctCol), 1L).otherwise(0L)).as("c"))
+      .withColumn("pass_at_k",
+        when(col("n") < k, lit(null).cast("double"))
+          .when(col("n") - col("c") < k, lit(1.0))
+          .otherwise(round(lit(1.0) - expr(
+            s"""aggregate(sequence(0, ${k - 1}), CAST(1.0 AS DOUBLE),
+               |(acc, i) -> acc * (CAST(n - c - i AS DOUBLE)
+               |  / CAST(n - i AS DOUBLE)))""".stripMargin), 6)))
+  }
+
   /** Reliability-diagram bins for a [0, 1]-scored binary classifier —
     * the calibration audit run before a quality/toxicity classifier's
     * scores are trusted as keep-probabilities: per equal-width score bin,
@@ -1057,41 +1097,6 @@ object CorpusOps {
     *
     * @return (bin, n, n_pos), bin ∈ [0, bins)
     */
-  /** Unbiased pass@k (Chen et al. 2021, the Codex estimator): per
-    * problem with n graded samples of which c pass,
-    * `pass@k = 1 − C(n−c, k)/C(n, k)` — the probability that a random
-    * size-k subset contains at least one passing sample. Computed in the
-    * numerically-stable product form
-    * `1 − Π_{i<k} (n−c−i)/(n−i)`, folded LEFT-TO-RIGHT in ascending i —
-    * Spark's `aggregate` and DuckDB's `list_reduce` both evaluate that
-    * fold sequentially over identical IEEE doubles, so the oracle is
-    * bit-exact, not approximately close. `n − c < k` short-circuits to
-    * exactly 1.0 (every size-k subset must contain a pass); `n < k`
-    * yields NULL (the estimator is undefined — document k against your
-    * sampling budget, don't extrapolate). A NULL `correct` counts as
-    * not-passing (`when` semantics: unverified is failed).
-    *
-    * One map-side-combinable (n, c) aggregate per problem plus a narrow
-    * codegen fold — no joins, no windows.
-    *
-    * @return (problemCol, n, c, pass_at_k — rounded 6 dp, null iff n<k)
-    */
-  def passAtK(samples: DataFrame, k: Int,
-              problemCol: String = "problem_id",
-              correctCol: String = "correct"): DataFrame = {
-    require(k > 0, s"k must be > 0, got $k")
-    samples.groupBy(col(problemCol))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col(correctCol), 1L).otherwise(0L)).as("c"))
-      .withColumn("pass_at_k",
-        when(col("n") < k, lit(null).cast("double"))
-          .when(col("n") - col("c") < k, lit(1.0))
-          .otherwise(round(lit(1.0) - expr(
-            s"""aggregate(sequence(0, ${k - 1}), CAST(1.0 AS DOUBLE),
-               |(acc, i) -> acc * CAST(n - c - i AS DOUBLE)
-               |  / CAST(n - i AS DOUBLE))""".stripMargin), 6)))
-  }
-
   def calibrationBins(scored: DataFrame, scoreCol: String,
                       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins > 0)

@@ -97,6 +97,13 @@ class Round6jOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       graft.ops.CorpusOps.passAtK(samples, k = 0)
     }
+    // reserved internal names rejected (the expr references n/c
+    // unqualified — a colliding problem column would be ambiguous)
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusOps.passAtK(
+        samples.withColumnRenamed("problem_id", "n"), k = 5,
+        problemCol = "n")
+    }
   }
 
   test("maskLeftmostLongest: goldens — longest wins at a shared start, " +
