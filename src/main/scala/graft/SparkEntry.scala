@@ -170,6 +170,19 @@ object SparkEntry {
         par(s, t(s, d, "documents")), numMerges = 50, minCount = 2))
   }
 
+  /** Session-lifetime BYTE-BPE merge table per (session, dir) — trained
+    * once, shared by the encode and round-trip queries.
+    */
+  private val byteBpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]
+
+  private def cachedByteBpeMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    byteBpeMergesCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    byteBpeMergesCache.computeIfAbsent((s, d), _ =>
+      graft.ops.Tokenize.trainByteBpe(
+        par(s, t(s, d, "documents")), numMerges = 50, minCount = 2))
+  }
+
   /** Session-lifetime unigram-LM piece table per (session, dir) — the
     * tokenizer-model twin of [[cachedBpeMerges]].
     */
@@ -2505,20 +2518,25 @@ object SparkEntry {
     "q_mad_outliers" -> ((s, d) => {
       // Hampel median/MAD outliers (ops.CorpusOps.madOutliers): the
       // robust sibling of q_outliers — length gate that survives a
-      // corrupted shard; two 1-row exact-percentile stats broadcasts
+      // corrupted shard; two 1-row percentile stats broadcasts.
+      // exact = true: the oracle interpolates exactly, and n_chars is a
+      // bounded integer lattice (the documented exact-mode use case —
+      // the DEFAULT is the GK sketch, pinned equal on lattices like
+      // this one by Round7OpsSpec)
       graft.ops.CorpusOps.madOutliers(
         t(s, d, "documents").select("doc_id", "n_chars"), "n_chars",
-        k = 2.0)
+        k = 2.0, exact = true)
     }),
 
     "q_quantile_bins" -> ((s, d) => {
       // equal-frequency quartile binning (ops.CorpusOps.quantileBins):
       // exact interpolated cut points broadcast, assignment as a
       // codegen comparison fold; boundary values land low on BOTH
-      // engines (strict >)
+      // engines (strict >). exact = true for the oracle's interpolation
+      // (bounded n_chars lattice); the default is the GK-sketch path
       graft.ops.CorpusOps.quantileBins(
         t(s, d, "documents").select("doc_id", "n_chars"), "n_chars",
-        k = 4)
+        k = 4, exact = true)
     }),
 
     "q_rag_retrieve" -> ((s, d) => {
@@ -2697,6 +2715,140 @@ object SparkEntry {
           graft.ops.CorpusOps.unimaxFromCorpus(docs, budget = 50000L,
             maxEpochs = 2))
         .select(col("doc_id"), col("epoch"))
+    }),
+
+    // ---- round 7 -----------------------------------------------------
+
+    "q_bleu_counts" -> ((s, d) => {
+      // BLEU-1..4 clipped-precision COUNTS (ops.TextAnalysis.bleuCounts)
+      // over the q_rouge_counts pair fixture (doc i candidate vs doc
+      // i+250 reference) — integer numerators/denominators + lengths;
+      // p_n, BP, and the geometric mean are the consumer's divisions
+      val docs = par(s, t(s, d, "documents"))
+      val a = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("pair_id"), col("text").as("text_a"))
+      val b = docs.select((col("doc_id") - 250).as("pair_id"),
+        col("text").as("text_b"))
+      graft.ops.TextAnalysis.bleuCounts(a.join(b, Seq("pair_id")), maxN = 4)
+    }),
+
+    "q_modularity" -> ((s, d) => {
+      // per-community modularity PARTS (graph.GraphOps.modularityParts)
+      // over the md5-random graph with the deterministic vertex%10
+      // labeling — the integer sufficient statistics (e_c, d_c) of Q,
+      // exact-oracled so community QUALITY is certifiable even though
+      // the community DETECTOR (LPA) is iterative/rows-only
+      val g = mdGraph(t(s, d, "documents"))
+      val verts = g.select(col("src").as("vertex"))
+        .union(g.select(col("dst"))).distinct()
+      graft.graph.GraphOps.modularityParts(g,
+        verts.withColumn("community", col("vertex") % 10))
+    }),
+
+    "q_modularity_score" -> ((s, d) => {
+      // the folded one-row form (graph.GraphOps.modularity): Q as the
+      // exact integer fraction q_num/q_den = (4m·Σe_c − Σd_c²)/4m² —
+      // DECIMAL-guarded against BIGINT overflow at real edge counts
+      val g = mdGraph(t(s, d, "documents"))
+      val verts = g.select(col("src").as("vertex"))
+        .union(g.select(col("dst"))).distinct()
+      graft.graph.GraphOps.modularity(g,
+        verts.withColumn("community", col("vertex") % 10))
+    }),
+
+    "q_contamination_closure" -> ((s, d) => {
+      // TRANSITIVE contamination closure (ops.Dedup.contaminationClosure):
+      // the q_decontaminate direct hits composed with planted near-dup
+      // CHAINS i ~ i+1 ~ i+2 (i % 10 == 0) — docs flagged via_neardup
+      // carry eval content through a near-duplicate of a contaminated
+      // doc, the leak doc-level decontamination misses (and the
+      // chain's far end exercises transitivity through CC). Rows-only
+      // (iterative CC); Round7OpsSpec pins the planted-paraphrase chain
+      // end-to-end through decontaminateTransitive.
+      val docs = par(s, t(s, d, "documents"))
+      val sh = docs
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("_s"))
+        .select(col("doc_id"), xxhash64(col("_s")).as("sh"))
+      val direct = sh.filter(col("doc_id") >= 50)
+        .select(col("doc_id").as("train_id"), col("sh"))
+        .join(sh.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("eval_id"), col("sh")), Seq("sh"))
+        .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      val train = docs.filter(col("doc_id") >= 50).select("doc_id")
+      val chains = train.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .unionByName(train.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")))
+      graft.ops.Dedup.contaminationClosure(direct, chains, train)
+    }),
+
+    "q_bpe_roundtrip" -> ((s, d) => {
+      // decode ∘ encode == whitespace-normalized identity for the
+      // TRAINED char-BPE (ops.Tokenize.decodeBpe) — an exact SQL
+      // identity certifying the encoder's losslessness END-TO-END for
+      // any merge table (merges only concatenate adjacent symbols)
+      val docs = par(s, t(s, d, "documents"))
+        .filter(col("text").isNotNull)
+      graft.ops.Tokenize.decodeBpe(
+        graft.ops.Tokenize.encodeBpe(docs, cachedBpeMerges(s, d)))
+    }),
+
+    "q_byte_bpe_roundtrip" -> ((s, d) => {
+      // the byte-level sibling (ops.Tokenize.decodeByteBpe): trained
+      // byte merges, inverse GPT-2 byte table, UTF-8 re-decode — the
+      // no-UNK claim certified end-to-end by the SAME normalization
+      // oracle as q_bpe_roundtrip
+      val docs = par(s, t(s, d, "documents"))
+        .filter(col("text").isNotNull)
+      graft.ops.Tokenize.decodeByteBpe(
+        graft.ops.Tokenize.encodeByteBpe(docs, cachedByteBpeMerges(s, d)))
+    }),
+
+    "q_unigram_roundtrip" -> ((s, d) => {
+      // unigram-LM round trip via the ▁ word-start mark
+      // (encodeUnigram(markWordStart) + decodeUnigram): the marked form
+      // is what makes ids→text possible at all — pieces carry no
+      // word-boundary structure (SentencePiece's convention); same
+      // normalization oracle
+      val docs = par(s, t(s, d, "documents"))
+        .filter(col("text").isNotNull)
+      graft.ops.Tokenize.decodeUnigram(
+        graft.ops.Tokenize.encodeUnigram(docs, cachedUnigramPieces(s, d),
+          markWordStart = true))
+    }),
+
+    "q_wordpiece_roundtrip" -> ((s, d) => {
+      // WordPiece round trip (decodeWordPiece fuses ## continuations):
+      // with the corpus-derived vocabulary no word UNKs, so the round
+      // trip is exact on the LOWERCASED normalized text — the oracle
+      // lowercases; an [UNK] anywhere would hash-break it
+      val docs = par(s, t(s, d, "documents"))
+        .filter(col("text").isNotNull)
+      val vocab = graft.ops.Tokenize.wordPieceVocab(docs, topWords = 200)
+      graft.ops.Tokenize.decodeWordPiece(
+        graft.ops.Tokenize.encodeWordPiece(docs, vocab))
+    }),
+
+    "q_curate_batch_card" -> ((s, d) => {
+      // the incremental pipeline's per-day DATA CARD (ops.Pipelines
+      // .curateBatch result.card): corpusReport integers over the
+      // ADMITTED rows keyed by batch_id — the same release table
+      // curateCorpus users publish, emitted per day. Rows-only (the
+      // admitted set rides the full pipeline); PipelinesSpec reconciles
+      // the card against admitted rows across two days.
+      val docs = par(s, t(s, d, "documents"))
+        .select("doc_id", "text", "source", "lang")
+      val eval = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select("doc_id", "text")
+      val r = graft.ops.Pipelines.curateBatch(
+        graft.ops.Pipelines.initCorpusState(docs.limit(0)),
+        docs.filter(col("doc_id") < 150), eval,
+        minQuality = 0.0, maxRepetition = 0.9, nearDupThreshold = 0.5,
+        chunkTokens = 64, chunkStride = 64, packBudget = 512,
+        audit = false, batchId = "day-1")
+      r.chunks.unpersist()
+      r.card
     })
   )
 
@@ -2705,6 +2857,115 @@ object SparkEntry {
     // returns bit-identical rows to the session probe — one oracle
     // certifies the whole disk round-trip
     "q_bm25_probe_persisted" -> baseOracleSql("q_bm25_probe"),
+
+    // ---- round 7 -----------------------------------------------------
+
+    // the q_rouge_counts pair fixture generalized to all n in 1..4 in
+    // one grams CTE (variable-width list slice); integer-only columns
+    "q_bleu_counts" ->
+      """WITH p AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS ta, b.text AS tb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+        |  WHERE a.doc_id < 250),
+        |wa AS (SELECT pair_id,
+        |  list_filter(string_split_regex(lower(trim(ta)), '\s+'),
+        |    t -> t <> '') AS w FROM p),
+        |wb AS (SELECT pair_id,
+        |  list_filter(string_split_regex(lower(trim(tb)), '\s+'),
+        |    t -> t <> '') AS w FROM p),
+        |ns AS (SELECT unnest(generate_series(1, 4)) AS n),
+        |ga AS (SELECT pair_id, n, g, count(*) AS ca FROM (
+        |  SELECT pair_id, n, array_to_string(w[i:i+n-1], ' ') AS g
+        |  FROM wa, ns,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+        |  WHERE i <= len(w) - n + 1)
+        |  GROUP BY 1, 2, 3),
+        |gb AS (SELECT pair_id, n, g, count(*) AS cb FROM (
+        |  SELECT pair_id, n, array_to_string(w[i:i+n-1], ' ') AS g
+        |  FROM wb, ns,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+        |  WHERE i <= len(w) - n + 1)
+        |  GROUP BY 1, 2, 3),
+        |ov AS (SELECT pair_id, n,
+        |    CAST(sum(least(ca, cb)) AS BIGINT) AS n_match
+        |  FROM ga JOIN gb USING (pair_id, n, g) GROUP BY 1, 2),
+        |tot AS (SELECT wa.pair_id AS pair_id, CAST(n AS INTEGER) AS n,
+        |    CAST(greatest(len(wa.w) - n + 1, 0) AS BIGINT) AS n_cand,
+        |    CAST(len(wa.w) AS BIGINT) AS cand_len,
+        |    CAST(len(wb.w) AS BIGINT) AS ref_len
+        |  FROM wa JOIN wb ON wa.pair_id = wb.pair_id, ns)
+        |SELECT tot.pair_id AS pair_id, tot.n AS n,
+        |  CAST(coalesce(ov.n_match, 0) AS BIGINT) AS n_match,
+        |  n_cand, cand_len, ref_len
+        |FROM tot LEFT JOIN ov
+        |  ON tot.pair_id = ov.pair_id AND tot.n = ov.n""".stripMargin,
+
+    // the q_triangle_counts md5 graph with the deterministic vertex%10
+    // labeling; labels derive from edge ENDPOINTS, so every canonical
+    // edge is labeled and the labeled subgraph is the whole graph
+    "q_modularity" ->
+      s"""WITH $mdGraphSql,
+        |e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |      FROM raw WHERE s <> t),
+        |deg AS (SELECT v % 10 AS community, count(*) AS degree_sum
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) x
+        |  GROUP BY 1),
+        |intra AS (SELECT a % 10 AS community, count(*) AS n_intra
+        |  FROM e WHERE a % 10 = b % 10 GROUP BY 1)
+        |SELECT deg.community,
+        |  CAST(coalesce(intra.n_intra, 0) AS BIGINT) AS n_intra_edges,
+        |  CAST(deg.degree_sum AS BIGINT) AS degree_sum
+        |FROM deg LEFT JOIN intra ON deg.community = intra.community"""
+        .stripMargin,
+
+    // folded integer fraction: q_num = 4m·Σe_c − Σd_c², q_den = 4m²
+    // (values far under BIGINT at the 97-vertex fixture; the Spark side
+    // DECIMAL-guards real scales)
+    "q_modularity_score" ->
+      s"""WITH $mdGraphSql,
+        |e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |      FROM raw WHERE s <> t),
+        |m AS (SELECT count(*) AS m FROM e),
+        |deg AS (SELECT v % 10 AS community, count(*) AS ds
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) x
+        |  GROUP BY 1),
+        |si AS (SELECT count(*) AS si FROM e WHERE a % 10 = b % 10),
+        |sd AS (SELECT CAST(sum(ds * ds) AS BIGINT) AS sd2 FROM deg)
+        |SELECT CAST(m.m AS BIGINT) AS m, CAST(si.si AS BIGINT) AS sum_intra,
+        |  CAST(4 * m.m * si.si - sd.sd2 AS BIGINT) AS q_num,
+        |  CAST(4 * m.m * m.m AS BIGINT) AS q_den
+        |FROM m, si, sd""".stripMargin,
+
+    // decode ∘ encode == single-space-split normalization — one oracle
+    // certifies char-BPE and byte-BPE losslessness end-to-end (the
+    // byte path additionally round-trips the GPT-2 byte table + UTF-8)
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list_filter(string_split(text, ' '), w -> w <> ''), ' '), '')
+        |    AS text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q_byte_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list_filter(string_split(text, ' '), w -> w <> ''), ' '), '')
+        |    AS text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q_unigram_roundtrip" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list_filter(string_split(text, ' '), w -> w <> ''), ' '), '')
+        |    AS text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // WordPiece lowercases and pre-tokenizes on \s+; no [UNK] with the
+    // corpus-derived vocab, so the round trip is exact on this form
+    "q_wordpiece_roundtrip" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w <> ''), ' '), '') AS text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // exact integer TVD fraction; `gl` not `glob` (DuckDB keyword);
     // null-safe joins because a null sensitive/quasi value is a value

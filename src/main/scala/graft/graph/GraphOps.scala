@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-shaped analytics over the property-graph tables, as pure
@@ -577,5 +577,106 @@ object GraphOps {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Per-community modularity PARTS (Newman & Girvan 2004): for each
+    * community of a labeling, the intra-community canonical edge count
+    * `n_intra_edges` (both endpoints in the community) and the community
+    * degree sum `degree_sum` — the two integer sufficient statistics of
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ]. Exposed as integers so community
+    * quality is exact-oracle-checkable even when the community DETECTOR
+    * ([[labelPropagation]]) is iterative/rows-only; [[modularity]] folds
+    * them into the one-row (m, q_num, q_den) form.
+    *
+    * Graph semantics match the module's other undirected operators
+    * (canonical a<b edges, self-loops/nulls/duplicates dropped), over
+    * the LABELED subgraph: edges with an endpoint missing from
+    * `communities` are excluded from m, intra counts, and degrees — the
+    * restricted graph's modularity, deterministic instead of silently
+    * null-joining. A NULL community label is a real label (null-safe
+    * grouping), matching [[graft.ops.Dedup.contaminationReport]]'s rule.
+    *
+    * Scale shape: two broadcast-or-shuffle equi-joins of the edge set
+    * against the (vertex, community) table, then community-dimension
+    * aggregates — no window, no product; the parts table is
+    * |communities|-sized.
+    *
+    * @param communities (vertexCol, communityCol)
+    * @return (community, n_intra_edges, degree_sum)
+    */
+  def modularityParts(edges: DataFrame, communities: DataFrame,
+                      srcCol: String = "src", dstCol: String = "dst",
+                      vertexCol: String = "vertex",
+                      communityCol: String = "community"): DataFrame = {
+    val e = canonEdges(edges, srcCol, dstCol)
+    val lab = communities
+      .select(col(vertexCol).as("_v"), col(communityCol).as("_c"))
+      .distinct()
+    val le = e
+      .join(lab.select(col("_v").as("a"), col("_c").as("_ca")), Seq("a"))
+      .join(lab.select(col("_v").as("b"), col("_c").as("_cb")), Seq("b"))
+    // degree sums from the labeled edge set's endpoint stream — one
+    // union-explode aggregate; intra counts gate on label equality
+    // (null-SAFE: two null-labeled endpoints are the same community)
+    val degSums = le
+      .select(explode(array(col("_ca"), col("_cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    val intra = le.filter(col("_ca") <=> col("_cb"))
+      .groupBy(col("_ca").as("community"))
+      .agg(count(lit(1)).as("n_intra_edges"))
+    degSums.join(intra, degSums("community") <=> intra("community"),
+        "left_outer")
+      .select(degSums("community"),
+        coalesce(col("n_intra_edges"), lit(0L)).as("n_intra_edges"),
+        col("degree_sum"))
+  }
+
+  /** Modularity Q of a community labeling as an exact integer fraction:
+    * Q = q_num / q_den with q_num = 4m·Σ_c e_c − Σ_c d_c² and
+    * q_den = 4m² (the closed form of Σ_c [e_c/m − (d_c/2m)²] over a
+    * common denominator) — one bounded aggregate over the
+    * [[modularityParts]] table plus the 1-row edge count. Integer-only
+    * by the data-card rule; the consumer divides. d_c² and 4m² are
+    * computed in DECIMAL(38,0) and guard-cast back to BIGINT (the
+    * [[graft.ops.CorpusOps.aucExact]] overflow discipline — at 10⁹+
+    * edges the fraction overflows BIGINT and this raises instead of
+    * wrapping).
+    *
+    * @return one row (m, sum_intra, q_num, q_den)
+    */
+  def modularity(edges: DataFrame, communities: DataFrame,
+                 srcCol: String = "src", dstCol: String = "dst",
+                 vertexCol: String = "vertex",
+                 communityCol: String = "community"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def guarded(x: Column, what: String): Column =
+      when(x > lit(Long.MaxValue).cast(dec) ||
+          x < lit(Long.MinValue).cast(dec),
+        raise_error(concat(lit(s"modularity: $what overflows BIGINT: "),
+          x.cast("string"))).cast("long"))
+        .otherwise(x.cast("long"))
+    val e = canonEdges(edges, srcCol, dstCol)
+    val lab = communities
+      .select(col(vertexCol).as("_v"), col(communityCol).as("_c"))
+      .distinct()
+    val m = e
+      .join(lab.select(col("_v").as("a")), Seq("a"), "left_semi")
+      .join(lab.select(col("_v").as("b")), Seq("b"), "left_semi")
+      .agg(count(lit(1)).cast(dec).as("_m"))
+    modularityParts(edges, communities, srcCol, dstCol, vertexCol,
+        communityCol)
+      .agg(sum(col("n_intra_edges")).cast(dec).as("_si"),
+        sum(col("degree_sum").cast(dec) * col("degree_sum").cast(dec))
+          .as("_sd2"))
+      .crossJoin(m) // 1-row totals
+      .select(guarded(col("_m"), "m").as("m"),
+        guarded(coalesce(col("_si"), lit(0).cast(dec)), "sum_intra")
+          .as("sum_intra"),
+        guarded(lit(4).cast(dec) * col("_m") *
+            coalesce(col("_si"), lit(0).cast(dec)) -
+            coalesce(col("_sd2"), lit(0).cast(dec)), "q numerator")
+          .as("q_num"),
+        guarded(lit(4).cast(dec) * col("_m") * col("_m"), "q denominator")
+          .as("q_den"))
   }
 }

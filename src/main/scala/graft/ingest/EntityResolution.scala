@@ -129,6 +129,12 @@ object EntityResolution {
 
     // Stage 4: mint new authors for the rest. Canonical row per natural key
     // = first arrival (reference processes sequentially; first wins).
+    // EXEMPT from the repo's no-window-over-full-rows rule: the window
+    // partitions by the author NATURAL KEY, whose group size is the
+    // mention count of one author within one ingest batch — bounded by
+    // reference-scale semantics (a submission batch, not a corpus), so
+    // no key can drag a corpus-sized partition into a single task the
+    // way a text-fingerprint key can (the Dedup.exact r6 lesson).
     val natKey = coalesce(col("orcid"), lower(fullName))
     val w = Window.partitionBy("_nat_key").orderBy("mention_order")
     resolvedExisting

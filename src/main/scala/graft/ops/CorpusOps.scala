@@ -1174,29 +1174,41 @@ object CorpusOps {
     * drags the mean), while median and MAD have a 50% breakdown point —
     * the length/score gate that survives a corrupted shard.
     *
-    * Shape: two chained 1-row exact-percentile aggregates over the
-    * NARROW value column (median, then MAD of |x − median|), broadcast
-    * back as literal-style 1-row crossJoins. Exact percentiles reduce
-    * on a single narrow column — the q_median small-data path; at
-    * 100 TB swap the mergeable GK sketch ([[Sketches]]) for the cut
-    * points, same downstream shape.
+    * Shape: two chained 1-row percentile aggregates over the NARROW
+    * value column (median, then MAD of |x − median|), broadcast back as
+    * literal-style 1-row crossJoins. The DEFAULT percentile is the
+    * mergeable GK sketch (`percentile_approx`, O(`accuracy`) memory per
+    * task regardless of value cardinality — the 100 TB plan: an
+    * all-distinct double score column costs the same as an integer
+    * lattice). `exact = true` opts into Spark's exact `percentile`
+    * aggregate, whose FINAL MERGE buffers the full distinct-value
+    * histogram in one task — only safe on bounded lattices (integer
+    * lengths, rounded scores); the contract queries use it because the
+    * DuckDB oracle interpolates exactly. Any input with fewer distinct
+    * values than `accuracy` is summarized exactly by the sketch too —
+    * the two modes then differ only in interpolation at even-count
+    * midpoints (the sketch returns a data value; exact interpolates).
     *
     * @return input + (med, mad, is_outlier) — med/mad rounded 6 dp;
     *         null values get null flags and pass through
     */
   def madOutliers(df: DataFrame, valueCol: String,
-                  k: Double = 3.5): DataFrame = {
+                  k: Double = 3.5, exact: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
     require(k > 0 && k.isFinite, s"need k > 0 (got $k)")
+    require(accuracy >= 100, s"need accuracy >= 100 (got $accuracy)")
     val reserved = Seq("med", "mad", "is_outlier")
     val hit = df.columns.toSet.intersect(reserved.toSet)
     require(hit.isEmpty,
       s"madOutliers reserves ${reserved.mkString(", ")}; rename: " +
         hit.mkString(", "))
     val x = col(valueCol).cast("double")
-    val med = df.agg(
-      round(percentile(x, lit(0.5)), 6).as("med"))
+    def p50(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(accuracy))
+    val med = df.agg(round(p50(x), 6).as("med"))
     val mad = df.crossJoin(med) // 1-row
-      .agg(round(percentile(abs(x - col("med")), lit(0.5)), 6).as("mad"))
+      .agg(round(p50(abs(x - col("med"))), 6).as("mad"))
     df.crossJoin(med).crossJoin(mad) // two 1-row stats tables
       .withColumn("is_outlier", abs(x - col("med")) > lit(k) * col("mad"))
   }
@@ -1211,20 +1223,29 @@ object CorpusOps {
     * interpolated cut can equal a data value exactly).
     *
     * One narrow 1-row aggregate (the cut array) + one broadcast
-    * crossJoin + a k-term comparison chain. Same exact-percentile
-    * caveat and GK-sketch at-scale swap as [[madOutliers]].
+    * crossJoin + a k-term comparison chain. Same percentile-mode story
+    * as [[madOutliers]]: the DEFAULT cut points come from the mergeable
+    * GK sketch (task memory O(`accuracy`) however many distinct scores
+    * exist — the 100 TB plan); `exact = true` opts into the exact
+    * interpolated aggregate, safe only on bounded lattices and used by
+    * the contract queries to match the oracle's interpolation.
     *
     * @return input + `bin` (null value → null bin)
     */
-  def quantileBins(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+  def quantileBins(df: DataFrame, valueCol: String, k: Int,
+                   exact: Boolean = false,
+                   accuracy: Int = 10000): DataFrame = {
     require(k >= 2 && k <= 10000, s"need 2 <= k <= 10000 (got $k)")
+    require(accuracy >= 100, s"need accuracy >= 100 (got $accuracy)")
     require(!df.columns.contains("bin") && !df.columns.contains("_cuts"),
       "quantileBins reserves 'bin' and '_cuts'; rename the input")
     val x = col(valueCol).cast("double")
     val fracs = array((1 until k).map(i =>
       lit(i.toDouble / k)): _*)
     val cuts = df.agg(
-      percentile(x, fracs).as("_cuts"))
+      (if (exact) percentile(x, fracs)
+       else percentile_approx(x, fracs, lit(accuracy))
+        .cast("array<double>")).as("_cuts"))
     df.crossJoin(cuts) // 1-row cut table
       .withColumn("bin",
         when(x.isNull, lit(null).cast("int"))

@@ -587,6 +587,77 @@ object Dedup {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
   }
 
+  /** TRANSITIVE contamination closure — the leak doc-level
+    * [[decontaminate]] structurally misses (the accounting gap GPT-3's
+    * appendix-C noted): a training doc that shares no n-gram with any
+    * eval doc but is a NEAR-DUPLICATE of a contaminated doc (a
+    * paraphrase, a re-crawl with the leaking span lightly mutated)
+    * carries the same eval content and must go too. Composes the two
+    * certified primitives: direct hits from any (train_id, eval_id,
+    * n_shared) pair source ([[decontaminate]] / the span family) and
+    * near-dup connected components from any (id_a, id_b) pair source
+    * ([[minhashLsh]] etc. via [[clustersFromPairs]]) — every doc in a
+    * component containing a direct hit is flagged, so the closure is
+    * transitive through near-dup CHAINS (A~B~C flags C when only A
+    * leaks).
+    *
+    * Scale shape: the CC dataflow over the near-dup pairs (the
+    * [[clusters]] cost, already paid if the pipeline deduped), then
+    * three equi-joins against the direct-hit set (decontaminate-output
+    * sized — small). No new corpus scan.
+    *
+    * @param directHits (train_id, eval_id, n_shared) — [[decontaminate]]
+    *                   output (or the span family's)
+    * @param nearDupPairs (id_a, id_b) — any near-dup pair source
+    * @param docs the training corpus (ids only are read)
+    * @return one row per flagged doc: (idCol,
+    *         reason ∈ {direct, via_neardup},
+    *         evidence — for direct, the min leaking eval_id; for
+    *         via_neardup, the min DIRECTLY contaminated doc id in the
+    *         doc's near-dup component)
+    */
+  def contaminationClosure(directHits: DataFrame, nearDupPairs: DataFrame,
+                           docs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    // per-doc direct evidence: the smallest leaking eval id
+    val direct = directHits.groupBy(col("train_id").as(idCol))
+      .agg(min(col("eval_id")).as("_ev"))
+    val comps = clustersFromPairs(docs, nearDupPairs, idCol)
+      .select(col(idCol), col("cluster_id"))
+    // contaminated components + their via-evidence (min direct member)
+    val hotClusters = comps.join(direct.select(idCol), Seq(idCol))
+      .groupBy("cluster_id").agg(min(col(idCol)).as("_via"))
+    comps.join(hotClusters, Seq("cluster_id"))
+      .join(direct, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("_ev").isNotNull, lit("direct"))
+          .otherwise(lit("via_neardup")).as("reason"),
+        coalesce(col("_ev"), col("_via")).as("evidence"))
+  }
+
+  /** One-shot [[contaminationClosure]]: doc-level [[decontaminate]] hits
+    * plus [[minhashLsh]] near-dup pairs over the SAME training corpus —
+    * the form a pipeline calls when it has no precomputed pair source.
+    * Flags strictly more than [[decontaminate]] alone whenever a
+    * contaminated doc has near-duplicates below the shingle-overlap
+    * radar (the planted-paraphrase spec pins exactly that chain).
+    */
+  def decontaminateTransitive(train: DataFrame, eval: DataFrame,
+                              n: Int = 3, minSharedShingles: Int = 2,
+                              threshold: Double = 0.8, shingleK: Int = 5,
+                              numHashes: Int = 128, bands: Int = 32,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    // the corpus feeds both the hit probe and the pair generator — pin
+    // the narrow projection once (the auditSplitLeakage discipline)
+    val pinned = train.select(col(idCol), col(textCol)).localCheckpoint(true)
+    contaminationClosure(
+      decontaminate(pinned, eval, n, minSharedShingles, idCol, textCol),
+      minhashLsh(pinned, threshold, shingleK, numHashes, bands, idCol,
+        textCol),
+      pinned, idCol)
+  }
+
   /** Per-position k-gram stream: (idCol, _pos: long, gram). With `window`
     * set, positions route through winnowing selection
     * ([[graft.functions.CorpusKernels.winnowPositions]]): ~1/window of

@@ -327,8 +327,17 @@ object Pipelines {
         .select(CorpusOps.canonicalizeUrl(col(u)).as("canonical_url"))
         .filter(col("canonical_url").isNotNull).distinct()))
 
+  /** `card` is the per-day integer data card: [[CorpusOps.corpusReport]]
+    * over the ADMITTED rows, keyed by a leading `batch_id` column — the
+    * same (source, lang)-dimensioned integer table full-rerun
+    * ([[curateCorpus]]) users publish, emitted per batch so a daily
+    * deployment can append day cards into one release table. Missing
+    * source/lang columns report as the "_unknown" dimension value
+    * rather than failing (the card is an audit artifact, not a gate).
+    */
   final case class BatchCurationResult(chunks: DataFrame, admitted: DataFrame,
-                                       state: CorpusState, report: DataFrame)
+                                       state: CorpusState, report: DataFrame,
+                                       card: DataFrame)
 
   /** INCREMENTAL curation — the daily-batch form of [[curateCorpus]]:
     * curate one arriving batch against the persisted [[CorpusState]] of
@@ -365,6 +374,7 @@ object Pipelines {
                   chunkTokens: Int = 256, chunkStride: Int = 256,
                   packBudget: Long = 2048,
                   audit: Boolean = true,
+                  batchId: String = "batch-0",
                   idCol: String = "doc_id",
                   textCol: String = "text"): BatchCurationResult = {
     require(urlCol.isEmpty || state.urls.nonEmpty,
@@ -491,7 +501,16 @@ object Pipelines {
       })
 
     val report = stages.toSeq.toDF("stage", "rows")
-    BatchCurationResult(packed, admitted, newState, report)
+    // per-day data card over the ADMITTED rows (the stage position the
+    // state describes — pre-scrub, so day cards reconcile with the
+    // indexes): integer corpusReport dimensions, keyed by batch_id so a
+    // deployment appends one card table across days
+    val forCard = Seq("source", "lang").foldLeft(admitted)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit("_unknown")))
+    val card = CorpusOps.corpusReport(forCard, "source", "lang", textCol)
+      .select(lit(batchId).as("batch_id"), col("*"))
+    BatchCurationResult(packed, admitted, newState, report, card)
   }
 
   /** SPLIT-LEAKAGE audit: near-dup pairs whose members landed in

@@ -1083,6 +1083,69 @@ object TextAnalysis {
       .select(col(idCol), col("n_overlap"), col("n_a"), col("n_b"))
   }
 
+  /** BLEU-N overlap COUNTS for aligned (candidate, reference) text pairs
+    * (Papineni et al. 2002 — the generation-eval staple next to
+    * [[rougeNCounts]]): for every n in 1..`maxN`, the CLIPPED candidate
+    * n-gram match count `n_match` = Σ_g min(count_cand(g), count_ref(g))
+    * and the modified-precision denominator `n_cand` (total candidate
+    * n-grams), plus the candidate/reference token lengths for the
+    * brevity penalty. INTEGERS ONLY by the data-card rule — precision
+    * p_n = n_match/n_cand, BP = exp(1 − ref_len/cand_len), and the
+    * geometric mean are the consumer's float divisions (ratios of small
+    * integers sit on the 6-dp rounding lattice where cross-engine
+    * hashes flake; the [[rougeNCounts]] precedent).
+    *
+    * Scale shape (one generalization of [[rougeNCounts]]'s): each side
+    * explodes ONCE to (pair, n, gram) positional n-grams for all n —
+    * one pass, not maxN scans — and reduces to per-(pair, n, gram)
+    * counts (map-side combinable); the clip is one equi-join on
+    * (pair id, n, gram) + a per-(pair, n) sum. Candidates only, no
+    * cross term. Tokens are the module's shared whitespace tokenizer.
+    *
+    * @return one row per (idCol, n ∈ 1..maxN): (idCol, n, n_match,
+    *         n_cand, cand_len, ref_len); sides too short for n report
+    *         zeros
+    */
+  def bleuCounts(pairs: DataFrame, maxN: Int = 4, idCol: String = "pair_id",
+                 candCol: String = "text_a",
+                 refCol: String = "text_b"): DataFrame = {
+    require(maxN >= 1 && maxN <= 16, s"need 1 <= maxN <= 16 (got $maxN)")
+    val gramType = "array<struct<n:int,_g:string>>"
+    def gramCounts(c: String, as: String): DataFrame = {
+      val arr0 = split(lower(trim(col(c))), "\\s+")
+      val arr = filter(arr0, t => t =!= "")
+      // all n in one expression tree: flatten the per-n positional gram
+      // lists, so the source scans once however large maxN is
+      val grams = flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+        when(size(arr) >= nn,
+          transform(sequence(lit(1), size(arr) - nn + 1), i =>
+            struct(nn.as("n"), array_join(slice(arr, i, nn), " ").as("_g"))))
+          .otherwise(array().cast(gramType))))
+      pairs.select(col(idCol), explode(grams).as("_s"))
+        .select(col(idCol), col("_s.n").as("n"), col("_s._g").as("_g"))
+        .groupBy(idCol, "n", "_g").agg(count(lit(1)).as(as))
+    }
+    val a = gramCounts(candCol, "_ca")
+    val b = gramCounts(refCol, "_cb")
+    val overlap = a.join(b, Seq(idCol, "n", "_g"))
+      .groupBy(idCol, "n")
+      .agg(sum(least(col("_ca"), col("_cb"))).as("n_match"))
+    def toks(c: String): Column =
+      size(filter(split(lower(trim(col(c))), "\\s+"), t => t =!= ""))
+        .cast("long")
+    val totals = pairs
+      .select(col(idCol), toks(candCol).as("cand_len"),
+        toks(refCol).as("ref_len"))
+      .select(col(idCol), explode(sequence(lit(1), lit(maxN))).as("n"),
+        col("cand_len"), col("ref_len"))
+      .withColumn("n_cand",
+        greatest(col("cand_len") - col("n") + 1, lit(0L)))
+    totals.join(overlap, Seq(idCol, "n"), "left_outer")
+      .select(col(idCol), col("n"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("n_cand"), col("cand_len"), col("ref_len"))
+  }
+
   /** χ² FEATURE SELECTION for text classification (the classical vocab
     * pruning step before training a [[classifyLinear]]/[[trainNaiveBayes]]
     * model): per (term, label) the chi-square statistic of the 2×2

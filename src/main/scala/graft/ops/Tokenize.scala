@@ -399,10 +399,20 @@ object Tokenize {
     * [[encodeBpe]] shape. Output one row per doc: (id, tokens array,
     * n_tokens). Unknown characters at encode time segment as single-char
     * pieces (floor log-prob), so every document encodes.
+    *
+    * `markWordStart = true` prefixes each word's FIRST piece with "▁"
+    * (U+2581 — the SentencePiece word-boundary convention), which is
+    * what makes [[decodeUnigram]]'s ids→text round trip possible: plain
+    * piece streams lose word boundaries (pieces carry no `</w>`/`##`
+    * structure). The decoration is applied AFTER Viterbi, so the
+    * segmentation (and token COUNT) is identical to the unmarked form —
+    * only the token strings differ; the default stays unmarked to keep
+    * the piece table the published artifact verbatim.
     */
   def encodeUnigram(docs: DataFrame, pieces: Seq[(String, Double)],
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    markWordStart: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val pieceArr = pieces.toArray
@@ -417,8 +427,14 @@ object Tokenize {
           val words =
             if (text == null) Array.empty[String]
             else text.split(" ").filter(_.nonEmpty)
-          val tokens = words.flatMap(w =>
-            memo.getOrElseUpdate(w, viterbiSegment(w, lp, maxLen, unk)))
+          val tokens = words.flatMap { w =>
+            memo.getOrElseUpdate(w, {
+              val segs = viterbiSegment(w, lp, maxLen, unk)
+              if (markWordStart && segs.nonEmpty) {
+                val m = segs.clone(); m(0) = "▁" + m(0); m
+              } else segs
+            })
+          }
           (id, tokens, tokens.length)
         }
       }
@@ -530,4 +546,135 @@ object Tokenize {
     val whole = dict.take(topWords).map(_._1)
     (chars ++ chars.map(c => s"##$c") ++ whole).distinct
   }
+
+  // --- decoders (ids→text): the debugging/pack-validation direction
+  // every tokenizer family needs — and the only way to certify the
+  // encoders' losslessness END-TO-END (decode ∘ encode == whitespace-
+  // normalized identity, pinned by exact-oracle contract queries and
+  // property specs). All four are single narrow passes; three are pure
+  // codegen expression chains (no kernel at all), byte-BPE alone needs
+  // the inverse byte table.
+
+  /** Decode char-BPE tokens back to text: concatenate, turn each fused
+    * `</w>` end-of-word marker into a space, drop the trailing one. The
+    * exact inverse of [[encodeBpe]]'s tokenization up to whitespace
+    * normalization (encode splits on single spaces and drops empties),
+    * for ANY merge table — BPE merges only ever concatenate adjacent
+    * symbols, so the symbol stream is lossless by construction. Shares
+    * the module-header caveat: corpus text containing a literal `</w>`
+    * aliases the marker.
+    *
+    * Pure codegen (array_join + replace + rtrim): no shuffle, no kernel.
+    *
+    * @return (idCol, outCol)
+    */
+  def decodeBpe(encoded: DataFrame, idCol: String = "doc_id",
+                tokensCol: String = "tokens",
+                outCol: String = "text"): DataFrame =
+    encoded.select(col(idCol),
+      rtrim(replace(array_join(col(tokensCol), ""), lit("</w>"), lit(" ")),
+        " ").as(outCol))
+
+  /** [[byteToUnicode]]'s inverse: printable-proxy char → original byte,
+    * -1 for chars outside the 323-point image (never produced by
+    * [[toByteLevel]]).
+    */
+  private[graft] val unicodeToByte: Array[Int] = {
+    val out = Array.fill(512)(-1)
+    var b = 0
+    while (b < 256) { out(byteToUnicode(b)) = b; b += 1 }
+    out
+  }
+
+  /** Decode byte-level BPE tokens back to text: split the concatenated
+    * symbol stream at `</w>` markers, map each word's proxy chars back
+    * through the GPT-2 byte table, and UTF-8-decode — the round trip
+    * that certifies byte-BPE's no-UNK claim end-to-end (EVERY string,
+    * emoji and lone-surrogate-free arbitrary UTF-8 included, survives
+    * encode→decode bit-exactly up to whitespace normalization; the
+    * property spec drives it with arbitrary unicode). One narrow
+    * mapPartitions pass (the [[encodeByteBpe]] shape); the 512-entry
+    * inverse table rides the closure.
+    *
+    * @return (idCol, outCol)
+    */
+  def decodeByteBpe(encoded: DataFrame, idCol: String = "doc_id",
+                    tokensCol: String = "tokens",
+                    outCol: String = "text"): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.select(col(idCol).cast("long"), col(tokensCol))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (id, tokens) =>
+          val words = (if (tokens == null) "" else tokens.mkString(""))
+            .split("</w>", -1)
+          val sb = new java.lang.StringBuilder()
+          var wi = 0
+          while (wi < words.length) {
+            val w = words(wi)
+            // the stream ends with a marker, so the final split cell is
+            // empty — emit spaces BETWEEN words only
+            if (wi > 0 && !(wi == words.length - 1 && w.isEmpty))
+              sb.append(' ')
+            val bytes = new Array[Byte](w.length)
+            var ok = true
+            var i = 0
+            while (i < w.length) {
+              val c = w.charAt(i)
+              val b = if (c < 512) unicodeToByte(c) else -1
+              if (b < 0) ok = false else bytes(i) = b.toByte
+              i += 1
+            }
+            // chars outside the byte image can only come from a token
+            // table this decoder didn't produce — surface, don't mangle
+            if (!ok) throw new IllegalArgumentException(
+              s"decodeByteBpe: token stream of id=$id contains a " +
+                "non-byte-level symbol — was this encoded with " +
+                "encodeByteBpe?")
+            sb.append(new String(bytes,
+              java.nio.charset.StandardCharsets.UTF_8))
+            wi += 1
+          }
+          (id, sb.toString)
+        }
+      }
+      .toDF(idCol, outCol)
+  }
+
+  /** Decode marked unigram tokens back to text: concatenate and turn
+    * each "▁" word-start marker into a space. Requires tokens from
+    * [[encodeUnigram]] with `markWordStart = true` — the UNMARKED piece
+    * stream has no word boundaries to recover (that is the marker's
+    * whole job; SentencePiece made the same call). Alias caveat: corpus
+    * text containing a literal ▁ aliases the marker, like `</w>` for
+    * BPE. Pure codegen chain.
+    *
+    * @return (idCol, outCol)
+    */
+  def decodeUnigram(encoded: DataFrame, idCol: String = "doc_id",
+                    tokensCol: String = "tokens",
+                    outCol: String = "text"): DataFrame =
+    encoded.select(col(idCol),
+      ltrim(replace(array_join(col(tokensCol), ""), lit("▁"), lit(" ")),
+        " ").as(outCol))
+
+  /** Decode WordPiece tokens back to text: join on spaces, then fuse
+    * "##"-continuation pieces onto their predecessors. The inverse of
+    * [[encodeWordPiece]] up to its OWN lossy steps — lowercasing and
+    * the all-or-nothing `[UNK]` rule (an UNK'd word decodes as the UNK
+    * string; with a [[wordPieceVocab]]-derived vocabulary over the same
+    * corpus no word UNKs, and the round trip is exact on the lowercased
+    * normalized text — the contract query's configuration). Alias
+    * caveat: a corpus word containing a literal " ##" boundary aliases
+    * the continuation marker. Pure codegen chain.
+    *
+    * @return (idCol, outCol)
+    */
+  def decodeWordPiece(encoded: DataFrame, idCol: String = "doc_id",
+                      tokensCol: String = "tokens",
+                      outCol: String = "text"): DataFrame =
+    encoded.select(col(idCol),
+      replace(array_join(col(tokensCol), " "), lit(" ##"), lit(""))
+        .as(outCol))
 }

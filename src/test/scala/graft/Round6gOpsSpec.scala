@@ -24,7 +24,9 @@ class Round6gOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "itself; null value -> null flag") {
     import spark.implicits._
     // values 10,12,14,16,1000: med=14, |x-med|=4,2,0,2,986 -> mad=2
-    // outliers at k=3: |x-14| > 6 -> only 1000
+    // outliers at k=3: |x-14| > 6 -> only 1000. Runs on the DEFAULT
+    // (GK sketch) path — odd counts make the sketch medians exact, so
+    // this golden pins the scale-safe default's values.
     val df = Seq(Some(10.0), Some(12.0), Some(14.0), Some(16.0),
       Some(1000.0), None).map(Tuple1(_)).toDF("v")
     val out = CorpusOps.madOutliers(df, "v", k = 3.0).collect()
@@ -44,7 +46,7 @@ class Round6gOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val df = (1 to 8).map(i => Some(i.toDouble)).:+(None)
       .map(Tuple1(_)).toDF("v")
-    val out = CorpusOps.quantileBins(df, "v", k = 4).collect()
+    val out = CorpusOps.quantileBins(df, "v", k = 4, exact = true).collect()
       .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]) ->
         Option(r.get(1)).map(_.asInstanceOf[Int])).toMap
     // cuts at 0.25/0.5/0.75 of 1..8 = 2.75, 4.5, 6.25

@@ -356,6 +356,23 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 2 === 0), "text", k = 256)
     }
+    // round-7: the robust-stats DEFAULT (GK sketch) on an ALL-DISTINCT
+    // doubles column — the regime exact `percentile` cannot survive (its
+    // final merge holds every distinct value in one task's heap, growing
+    // linearly in mult with no runtime escape). The sketch path keeps
+    // task memory O(accuracy) whatever the cardinality, so time should
+    // be scan-linear and memory flat across mult=1 -> 8.
+    locally {
+      lazy val distinctScores = docs.select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("double") / 281474976710656.0).as("score"))
+      probe("mad_outliers_distinct") {
+        graft.ops.CorpusOps.madOutliers(distinctScores, "score")
+      }
+      probe("quantile_bins_distinct") {
+        graft.ops.CorpusOps.quantileBins(distinctScores, "score", k = 10)
+      }
+    }
     // hard negatives: bounded query set against the scaled corpus —
     // linear in corpus size (one broadcast BNLJ scan + per-query top-k)
     probe("hard_negatives") {
