@@ -155,6 +155,19 @@ object SparkEntry {
     })
   }
 
+  /** Session-lifetime IVF-PQ combined index per (session, data dir) —
+    * the cell-routed byte-code tier; build once, probe per query.
+    */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.IvfPqIndex]
+
+  private def cachedIvfPq(s: SparkSession, d: String): graft.ops.Similarity.IvfPqIndex = {
+    ivfPqCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfPqCache.computeIfAbsent((s, d), _ =>
+      graft.ops.Similarity.buildIvfPqIndex(par(s, t(s, d, "embeddings")),
+        nCenters = 8, m = 16, ksub = 16))
+  }
+
   /** Session-lifetime BPE merge table per (session, data dir) — train-once/
     * encode-many, the deployment shape of a real tokenizer (the model is an
     * artifact, not a per-query cost). Same stopped-session eviction
@@ -2830,6 +2843,34 @@ object SparkEntry {
         graft.ops.Tokenize.encodeWordPiece(docs, vocab))
     }),
 
+    "q_ivfpq_topk" -> ((s, d) => {
+      // the combined IVF-PQ tier (ops.Similarity.ivfPqProbe) in its
+      // STAGED-FORM certification: nProbe = nCenters (all cells probed)
+      // and k·overfetch > corpus size (every ADC candidate survives to
+      // the exact re-rank), so the full cell-routing + byte-scan +
+      // re-rank code path must reproduce brute force EXACTLY — SAME
+      // oracle as q_sim_topk (the q_hard_negatives_from pattern)
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.ivfPqProbe(qs, cachedIvfPq(s, d), emb, k = 5,
+          nProbe = 8, overfetch = 1 << 18)
+        .select("query_id", "vec_id", "rank")
+    }),
+
+    "q_ivfpq_probe" -> ((s, d) => {
+      // the same index at DEPLOYMENT parameters (nProbe 4 of 8 cells,
+      // 3x overfetch): the plan a billion-vector store actually runs —
+      // rows-only (approximate by design); Round7bOpsSpec pins the
+      // recall floor against bruteForceTopK
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.ivfPqProbe(qs, cachedIvfPq(s, d), emb, k = 5,
+          nProbe = 4, overfetch = 3)
+        .select("query_id", "vec_id", "rank")
+    }),
+
     "q_curate_batch_card" -> ((s, d) => {
       // the incremental pipeline's per-day DATA CARD (ops.Pipelines
       // .curateBatch result.card): corpusReport integers over the
@@ -2859,6 +2900,11 @@ object SparkEntry {
     "q_bm25_probe_persisted" -> baseOracleSql("q_bm25_probe"),
 
     // ---- round 7 -----------------------------------------------------
+
+    // the staged-form IVF-PQ identity rides brute force's exact oracle
+    // (all cells probed + exhaustive overfetch == bruteForceTopK by
+    // construction, through the REAL probe code path)
+    "q_ivfpq_topk" -> baseOracleSql("q_sim_topk"),
 
     // the q_rouge_counts pair fixture generalized to all n in 1..4 in
     // one grams CTE (variable-width list slice); integer-only columns

@@ -482,6 +482,113 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** IVF-PQ index: cell-routed byte codes — the combined retrieval tier
+    * (FAISS's IndexIVFPQ shape, Jégou et al. 2011): IVF prunes WHICH
+    * vectors a query touches (≈ nProbe/nCenters of the corpus), PQ
+    * shrinks WHAT is read per touched vector (`m` bytes + one double,
+    * never the float). `cells` carries (vec_id, center_id, codes,
+    * recon_norm) — no float column, so the probe-path scan is byte-only;
+    * codes quantize the RAW vector (FAISS `by_residual=false` mode),
+    * which lets the build reuse [[pqEncode]]/[[trainPqCodebooks]]
+    * verbatim and keeps the ADC table query-global instead of
+    * per-(query, cell).
+    */
+  final case class IvfPqIndex(centroids: DataFrame, cells: DataFrame,
+                              cb: PqCodebooks) {
+    def release(): Unit = {
+      centroids.unpersist(); cells.unpersist(); cb.release()
+    }
+  }
+
+  /** Build the combined index: IVF cell assignment + PQ codes joined on
+    * the vector id, floats dropped, pinned. Build-path cost ≈ one IVF
+    * build + one PQ train/encode (both already certified); the float
+    * cell table is released once the byte cells are pinned.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, nCenters: Int = 16,
+                      iters: Int = 3, m: Int = 8, ksub: Int = 16,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfPqIndex = {
+    val ivf = buildIvfIndex(corpus, nCenters, iters, idCol, vecCol)
+    val cb = trainPqCodebooks(corpus, m, ksub, iters, idCol, vecCol)
+    val cells = ivf.cells.select(col("vec_id"), col("center_id"))
+      .join(pqEncode(corpus, cb, idCol, vecCol), Seq("vec_id"))
+      .localCheckpoint(true)
+    ivf.cells.unpersist()
+    IvfPqIndex(ivf.centroids, cells, cb)
+  }
+
+  /** Probe the combined index: (1) rank cells per query against the
+    * broadcast centroid table and keep the nProbe nearest ([[ivfProbe]]'s
+    * routing); (2) ADC-score ONLY the probed cells' byte codes against
+    * the query's broadcast `m × ksub` inner-product table ([[pqProbe]]'s
+    * scan, restricted by one equi-join on center_id); (3) keep
+    * `k × overfetch` ADC candidates per query and exact-cosine re-rank
+    * them against the float corpus ([[pqProbeRerank]]'s tail — floats are
+    * read for the candidate set only, riding a broadcast).
+    *
+    * Corpus fraction touched ≈ nProbe/nCenters, at `m` bytes per touched
+    * vector — the two pruning levers compose multiplicatively; this is
+    * the tier that makes billion-vector cosine search a practical scan.
+    * Approximate by construction (cell routing can miss, ADC ranking is
+    * lossy) → certified by the STAGED-FORM identity: with
+    * nProbe ≥ nCenters and k·overfetch ≥ corpus size it equals
+    * [[bruteForceTopK]] by construction, and the contract query rides
+    * q_sim_topk's EXACT oracle through this full code path (the
+    * q_hard_negatives_from pattern); the realistic-parameter recall
+    * floor is spec-pinned against brute force.
+    */
+  def ivfPqProbe(queries: DataFrame, index: IvfPqIndex, corpus: DataFrame,
+                 k: Int = 10, nProbe: Int = 4, overfetch: Int = 5,
+                 queryIdCol: String = "query_id",
+                 corpusIdCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && overfetch >= 1 && k >= 1)
+    val cb = index.cb
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("_qv"))
+    // (1) cell routing: query set x centroid table (nCenters rows)
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_cos_c").desc, col("center_id"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("_cos_c", cosine_sim(col("_qv"), col("centroid")))
+      .withColumn("_rn", row_number().over(wp))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "center_id")
+    // (2) per-query ADC distance table (m x ksub rows per query)
+    val dtab = q.withColumn("_qn", sqrt(normSq(col("_qv"))))
+      .crossJoin(broadcast(cb.codebooks))
+      .withColumn("_ip",
+        dotp(slice(col("_qv"), col("sub") * cb.subDim + 1, lit(cb.subDim)),
+          col("centroid")))
+      .select("query_id", "_qn", "sub", "code", "_ip")
+    val fan = index.cells.join(broadcast(probed), Seq("center_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("recon_norm"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val adc = fan.join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("_ip")).as("_ips"),
+        first(col("recon_norm")).as("_rn"), first(col("_qn")).as("_q"))
+      .withColumn("_adc",
+        when(col("_rn") > 0d && col("_q") > 0d,
+          col("_ips") / (col("_rn") * col("_q"))).otherwise(lit(0.0d)))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("_adc").desc, col("vec_id"))
+    val cands = adc.withColumn("_crn", row_number().over(wc))
+      .filter(col("_crn") <= k.toLong * overfetch)
+      .select("query_id", "vec_id")
+    // (3) exact re-rank of the candidate set against the float corpus
+    val c = corpus.select(col(corpusIdCol).as("vec_id"), col(vecCol).as("_cv"))
+    val exact = c.join(broadcast(cands.join(q, Seq("query_id"))), Seq("vec_id"))
+      .withColumn("cosine", cosine_sim(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** kNN LABEL CLASSIFICATION — propagate labels from the k nearest
     * corpus vectors to each query (label transfer / semi-supervised
     * labeling / quality-tag propagation over an embedding store):

@@ -76,7 +76,10 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_unimax_apply"        -> "embeds the q_unimax allocation subplan (same 1-row crossJoins); the apply side is a broadcast dimension join",
     "q_mad_outliers"        -> "two 1-row exact-percentile stats tables (median, MAD) crossJoin",
     "q_quantile_bins"       -> "1-row quantile-cut-array table crossJoin",
-    "q_rag_retrieve"        -> "bm25's 1-row corpus stats crossJoin inside the chunk-scoring leg")
+    "q_rag_retrieve"        -> "bm25's 1-row corpus stats crossJoin inside the chunk-scoring leg",
+    "q_modularity_score"    -> "1-row edge-count table (m) crossJoin onto the 1-row parts aggregate for the folded integer fraction",
+    "q_ivfpq_topk"          -> "IVF-PQ probe: query set x broadcast centroid table + x broadcast m*ksub codebook table (staged-form exhaustive certification)",
+    "q_ivfpq_probe"         -> "same broadcast centroid/codebook tables at deployment parameters")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
     val d = "/root/testdata/sf0.001"
