@@ -2843,6 +2843,33 @@ object SparkEntry {
         graft.ops.Tokenize.encodeWordPiece(docs, vocab))
     }),
 
+    "q_chrf_counts" -> ((s, d) => {
+      // chrF 1..6-gram clipped char counts (ops.TextAnalysis.chrfCounts)
+      // — the character-level member of the eval trio, over the first
+      // 100 aligned pairs (char grams are ~6x denser than word grams;
+      // the cap keeps the bench honest). Integer-only; chrP/chrR/F are
+      // the consumer's divisions
+      val docs = par(s, t(s, d, "documents"))
+      val a = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("pair_id"), col("text").as("text_a"))
+      val b = docs.select((col("doc_id") - 250).as("pair_id"),
+        col("text").as("text_b"))
+      graft.ops.TextAnalysis.chrfCounts(a.join(b, Seq("pair_id")), maxN = 6)
+    }),
+
+    "q_rouge_l" -> ((s, d) => {
+      // ROUGE-L LCS counts (ops.TextAnalysis.rougeLCounts, codegen
+      // lcs_tokens kernel) over the shared 250-pair fixture — integer
+      // (lcs_len, n_a, n_b); rows-only (LCS has no sane SQL form),
+      // Round7cOpsSpec pins the DP goldens
+      val docs = par(s, t(s, d, "documents"))
+      val a = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("pair_id"), col("text").as("text_a"))
+      val b = docs.select((col("doc_id") - 250).as("pair_id"),
+        col("text").as("text_b"))
+      graft.ops.TextAnalysis.rougeLCounts(a.join(b, Seq("pair_id")))
+    }),
+
     "q_ivfpq_topk" -> ((s, d) => {
       // the combined IVF-PQ tier (ops.Similarity.ivfPqProbe) in its
       // STAGED-FORM certification: nProbe = nCenters (all cells probed)
@@ -2943,6 +2970,43 @@ object SparkEntry {
         |SELECT tot.pair_id AS pair_id, tot.n AS n,
         |  CAST(coalesce(ov.n_match, 0) AS BIGINT) AS n_match,
         |  n_cand, cand_len, ref_len
+        |FROM tot LEFT JOIN ov
+        |  ON tot.pair_id = ov.pair_id AND tot.n = ov.n""".stripMargin,
+
+    // char n-grams of the whitespace-stripped lowercased text, n=1..6
+    // (the q_bleu_counts shape at character granularity)
+    "q_chrf_counts" ->
+      """WITH p AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS ta, b.text AS tb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+        |  WHERE a.doc_id < 100),
+        |ca AS (SELECT pair_id,
+        |  regexp_replace(lower(trim(ta)), '\s+', '', 'g') AS t FROM p),
+        |cb AS (SELECT pair_id,
+        |  regexp_replace(lower(trim(tb)), '\s+', '', 'g') AS t FROM p),
+        |ns AS (SELECT unnest(generate_series(1, 6)) AS n),
+        |ga AS (SELECT pair_id, n, g, count(*) AS cca FROM (
+        |  SELECT pair_id, n, substr(t, i, n) AS g
+        |  FROM ca, ns,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+        |  WHERE i <= len(t) - n + 1)
+        |  GROUP BY 1, 2, 3),
+        |gb AS (SELECT pair_id, n, g, count(*) AS ccb FROM (
+        |  SELECT pair_id, n, substr(t, i, n) AS g
+        |  FROM cb, ns,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+        |  WHERE i <= len(t) - n + 1)
+        |  GROUP BY 1, 2, 3),
+        |ov AS (SELECT pair_id, n,
+        |    CAST(sum(least(cca, ccb)) AS BIGINT) AS n_match
+        |  FROM ga JOIN gb USING (pair_id, n, g) GROUP BY 1, 2),
+        |tot AS (SELECT ca.pair_id AS pair_id, CAST(n AS INTEGER) AS n,
+        |    CAST(greatest(len(ca.t) - n + 1, 0) AS BIGINT) AS n_cand,
+        |    CAST(greatest(len(cb.t) - n + 1, 0) AS BIGINT) AS n_ref
+        |  FROM ca JOIN cb ON ca.pair_id = cb.pair_id, ns)
+        |SELECT tot.pair_id AS pair_id, tot.n AS n,
+        |  CAST(coalesce(ov.n_match, 0) AS BIGINT) AS n_match,
+        |  n_cand, n_ref
         |FROM tot LEFT JOIN ov
         |  ON tot.pair_id = ov.pair_id AND tot.n = ov.n""".stripMargin,
 

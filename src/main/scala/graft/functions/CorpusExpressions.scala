@@ -154,6 +154,24 @@ case class JaccardWordShingles(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "jaccard_word_shingles"
 }
 
+/** ROUGE-L kernel: LCS length of the two sides' lowercased whitespace
+  * token sequences ([[CorpusKernels.lcsTokens]] — capped DP, integer
+  * output by the data-card rule).
+  */
+case class LcsTokens(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CorpusKernels.lcsTokens(
+      l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.CorpusKernels.lcsTokens($l.toString(), $r.toString())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsTokens =
+    copy(left = l, right = r)
+  override def prettyName: String = "lcs_tokens"
+}
+
 case class JaccardCharShingles(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -307,6 +325,8 @@ object CorpusFunctions {
   def token_count_bpeish(c: Column): Column =
     column(TokenCountBpeIsh(expression(c)))
   def deflate_len(c: Column): Column = column(DeflateLen(expression(c)))
+  def lcs_tokens(a: Column, b: Column): Column =
+    column(LcsTokens(expression(a), expression(b)))
   def jaccard_word_shingles(a: Column, b: Column, n: Int = 3): Column =
     column(JaccardWordShingles(expression(a), expression(b), n))
   def jaccard_char_shingles(a: Column, b: Column, k: Int = 5): Column =

@@ -355,6 +355,45 @@ object CorpusKernels {
   private val deflateBufTl =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 
+  /** Longest-common-subsequence length of the two texts' WHITESPACE
+    * token sequences (lowercased — the module's shared tokenizer) — the
+    * ROUGE-L kernel (Lin 2004 §3.1: sentence-level LCS over words).
+    * Two-row dynamic program, O(min len) memory, O(n·m) time; each side
+    * is capped at `MaxLcsTokens` tokens (ROUGE pairs are summary/
+    * reference-sized by nature — the cap bounds the per-row DP at ~4M
+    * cells so one adversarial document pair cannot stall an executor
+    * core; past-cap tails are ignored, documented in rougeLCounts).
+    */
+  def lcsTokens(a: String, b: String): Long = {
+    if (a == null || b == null) return 0L
+    val ta0 = a.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .filter(_.nonEmpty)
+    val tb0 = b.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .filter(_.nonEmpty)
+    val ta = if (ta0.length > MaxLcsTokens) ta0.take(MaxLcsTokens) else ta0
+    val tb = if (tb0.length > MaxLcsTokens) tb0.take(MaxLcsTokens) else tb0
+    if (ta.isEmpty || tb.isEmpty) return 0L
+    // DP over the SHORTER side for O(min) memory
+    val (xs, ys) = if (ta.length >= tb.length) (ta, tb) else (tb, ta)
+    var prev = new Array[Int](ys.length + 1)
+    var cur = new Array[Int](ys.length + 1)
+    var i = 0
+    while (i < xs.length) {
+      val xi = xs(i)
+      var j = 0
+      while (j < ys.length) {
+        cur(j + 1) =
+          if (xi == ys(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(ys.length).toLong
+  }
+  final val MaxLcsTokens = 2048
+
   // --- vector math -------------------------------------------------------
 
   /** Cosine similarity of two float vectors (0.0 on zero-norm input). */

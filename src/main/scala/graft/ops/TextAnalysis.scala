@@ -1146,6 +1146,90 @@ object TextAnalysis {
         col("n_cand"), col("cand_len"), col("ref_len"))
   }
 
+  /** chrF COUNTS for aligned (candidate, reference) pairs (Popović 2015
+    * — the character-level generation metric that survives morphology
+    * and tokenizer mismatch, the third of the eval trio next to
+    * [[bleuCounts]] and [[rougeNCounts]]): for every n in 1..`maxN`
+    * (chrF's published default is 6), the clipped char-n-gram match
+    * count plus each side's total — chrP = n_match/n_cand,
+    * chrR = n_match/n_ref, and the harmonic mean are the consumer's
+    * divisions (integer-only by the data-card rule).
+    *
+    * Char n-grams are taken over the lowercased text with ALL
+    * whitespace removed (sacreBLEU's chrF default of ignoring
+    * whitespace, plus the module's lowercasing convention); positions
+    * are UTF-16-unit based on the Spark side and code-point based in
+    * DuckDB — identical on the BMP text the oracles run on.
+    *
+    * Same one-pass all-n explode shape as [[bleuCounts]].
+    *
+    * @return one row per (idCol, n): (idCol, n, n_match, n_cand, n_ref)
+    */
+  def chrfCounts(pairs: DataFrame, maxN: Int = 6, idCol: String = "pair_id",
+                 candCol: String = "text_a",
+                 refCol: String = "text_b"): DataFrame = {
+    require(maxN >= 1 && maxN <= 16, s"need 1 <= maxN <= 16 (got $maxN)")
+    val gramType = "array<struct<n:int,_g:string>>"
+    def gramCounts(c: String, as: String): DataFrame = {
+      val t = regexp_replace(lower(trim(col(c))), "\\s+", "")
+      val grams = flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+        when(length(t) >= nn,
+          transform(sequence(lit(1), length(t) - nn + 1), i =>
+            struct(nn.as("n"), t.substr(i, nn).as("_g"))))
+          .otherwise(array().cast(gramType))))
+      pairs.select(col(idCol), explode(grams).as("_s"))
+        .select(col(idCol), col("_s.n").as("n"), col("_s._g").as("_g"))
+        .groupBy(idCol, "n", "_g").agg(count(lit(1)).as(as))
+    }
+    val a = gramCounts(candCol, "_ca")
+    val b = gramCounts(refCol, "_cb")
+    val overlap = a.join(b, Seq(idCol, "n", "_g"))
+      .groupBy(idCol, "n")
+      .agg(sum(least(col("_ca"), col("_cb"))).as("n_match"))
+    def chars(c: String): Column =
+      length(regexp_replace(lower(trim(col(c))), "\\s+", "")).cast("long")
+    val totals = pairs
+      .select(col(idCol), chars(candCol).as("_la"), chars(refCol).as("_lb"))
+      .select(col(idCol), explode(sequence(lit(1), lit(maxN))).as("n"),
+        col("_la"), col("_lb"))
+      .select(col(idCol), col("n"),
+        greatest(col("_la") - col("n") + 1, lit(0L)).as("n_cand"),
+        greatest(col("_lb") - col("n") + 1, lit(0L)).as("n_ref"))
+    totals.join(overlap, Seq(idCol, "n"), "left_outer")
+      .select(col(idCol), col("n"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("n_cand"), col("n_ref"))
+  }
+
+  /** ROUGE-L COUNTS for aligned pairs (Lin 2004 §3.1 — the
+    * subsequence-based member of the eval trio): per pair the LCS
+    * length of the lowercased whitespace token sequences plus both
+    * token counts; P = lcs_len/n_a, R = lcs_len/n_b, and F are the
+    * consumer's divisions. Unlike n-gram overlap, LCS rewards in-ORDER
+    * matches without requiring adjacency — the metric that separates a
+    * reordered paraphrase from a shuffled bag of words.
+    *
+    * One narrow codegen projection (the [[graft.functions.LcsTokens]]
+    * kernel — two-row DP, each side capped at
+    * [[graft.functions.CorpusKernels.MaxLcsTokens]] tokens, so one
+    * adversarial mega-pair cannot stall an executor core; ROUGE pairs
+    * are summary-sized by nature). No shuffle at all. Rows-only at the
+    * gate (LCS has no sane SQL form) — goldens pin the DP.
+    *
+    * @return (idCol, lcs_len, n_a, n_b)
+    */
+  def rougeLCounts(pairs: DataFrame, idCol: String = "pair_id",
+                   aCol: String = "text_a",
+                   bCol: String = "text_b"): DataFrame = {
+    import graft.functions.CorpusFunctions.lcs_tokens
+    def toks(c: String): Column =
+      size(filter(split(lower(trim(col(c))), "\\s+"), t => t =!= ""))
+        .cast("long")
+    pairs.select(col(idCol),
+      lcs_tokens(col(aCol), col(bCol)).as("lcs_len"),
+      toks(aCol).as("n_a"), toks(bCol).as("n_b"))
+  }
+
   /** χ² FEATURE SELECTION for text classification (the classical vocab
     * pruning step before training a [[classifyLinear]]/[[trainNaiveBayes]]
     * model): per (term, label) the chi-square statistic of the 2×2

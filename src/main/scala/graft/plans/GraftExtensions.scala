@@ -78,6 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", classOf[CosineSim]),
       (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+    // ROUGE-L kernel: lcs_tokens(a, b) — LCS length of the whitespace
+    // token sequences (capped DP, integer)
+    ext.injectFunction((FunctionIdentifier("lcs_tokens"),
+      info("lcs_tokens", classOf[graft.functions.LcsTokens]),
+      (es: Seq[Expression]) => graft.functions.LcsTokens(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", classOf[MinHashSig]),
       (es: Seq[Expression]) => MinHashSig(es(0),

@@ -167,9 +167,11 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "repetition_stats(t, 2, '\\n'), deflate_len(t), " +
         "ac_find_phrases(t, 'quick\u0001fox\u0001quick\u0001brown cow'), " + // unsorted+dup: normalized inside
         "name_similarity_upper(t, t), " +
-        "ac_mask_phrases(t, 'quick\u0001brown fox', '_') " +
+        "ac_mask_phrases(t, 'quick\u0001brown fox', '_'), " +
+        "lcs_tokens(t, t) " +
         "FROM codegen_probe").head()
-    assert(row.size == 18)
+    assert(row.size == 19)
+    assert(row.getLong(18) == 5L) // LCS of a token sequence with itself
     assert(row.getSeq[String](15) == Seq("fox", "quick"))
     assert(row.getDouble(16) == 1.0)
     assert(row.getString(17) == "the _ _ jumps")
