@@ -89,6 +89,26 @@ object IndexStore {
     Similarity.IvfIndexQ(spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_cells"))
 
+  /** Persist an [[Similarity.IvfPqIndex]]: byte-code cells bucketed on
+    * center_id (the probe routing join — only the query side ever
+    * shuffles), centroid table plain, codebooks + (m, subDim) meta via
+    * the PQ writer. The combined tier joins the build-once artifact
+    * family with the same probe-after-reload equality guarantee.
+    */
+  def writeIvfPqIndex(index: Similarity.IvfPqIndex, prefix: String,
+                      buckets: Int = 8, path: Option[String] = None): Unit = {
+    writeBucketedTable(index.cells, s"${prefix}_cells",
+      Seq("center_id"), buckets, path)
+    writeSmallTable(index.centroids, s"${prefix}_centroids", path)
+    writePqCodebooks(index.cb, s"${prefix}_pq", path)
+  }
+
+  def readIvfPqIndex(spark: SparkSession,
+                     prefix: String): Similarity.IvfPqIndex =
+    Similarity.IvfPqIndex(spark.table(s"${prefix}_centroids"),
+      spark.table(s"${prefix}_cells"),
+      readPqCodebooks(spark, s"${prefix}_pq"))
+
   // --- PQ codebooks ------------------------------------------------------
 
   /** Persist [[Similarity.PqCodebooks]] (codebooks are m×ksub rows — a

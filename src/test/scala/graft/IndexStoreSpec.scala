@@ -93,6 +93,23 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF-PQ combined index round-trips; ivfPqProbe identical on " +
+      "reload (cells, centroids, codebooks + meta)") {
+    val idx = Similarity.buildIvfPqIndex(vecs, nCenters = 4, iters = 2,
+      m = 4, ksub = 8)
+    IndexStore.writeIvfPqIndex(idx, "ivfpq_idx", buckets = 4)
+    val reloaded = IndexStore.readIvfPqIndex(spark, "ivfpq_idx")
+    assert(reloaded.cb.m == idx.cb.m && reloaded.cb.subDim == idx.cb.subDim)
+    val qs = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val live = rowsOf(Similarity.ivfPqProbe(qs, idx, vecs, k = 5,
+      nProbe = 2, overfetch = 3))
+    val back = rowsOf(Similarity.ivfPqProbe(qs, reloaded, vecs, k = 5,
+      nProbe = 2, overfetch = 3))
+    assert(live.nonEmpty && live == back)
+    idx.release()
+  }
+
   test("quantized IVF index round-trips; ivfProbeQuantized identical") {
     val idx = Similarity.buildIvfIndex(vecs, nCenters = 4, iters = 2)
     val qidx = Similarity.quantizeIndex(idx)
