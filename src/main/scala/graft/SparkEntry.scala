@@ -2917,10 +2917,236 @@ object SparkEntry {
         audit = false, batchId = "day-1")
       r.chunks.unpersist()
       r.card
+    }),
+
+    "q_mcnemar" -> ((s, d) => {
+      // McNemar paired-comparison cells (ops.CorpusOps.mcnemarCounts):
+      // truth = lang, model A flips every %5 to 'xx', model B flips
+      // every %3 to 'yy' and ABSTAINS (null) on %7 — the abstain counts
+      // as wrong, not dropped; chi2 is the consumer's division
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.CorpusOps.mcnemarCounts(docs.select(
+        col("lang").as("truth"),
+        when(col("doc_id") % 5 === 0, lit("xx"))
+          .otherwise(col("lang")).as("pa"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 3 === 0, lit("yy"))
+          .otherwise(col("lang")).as("pb")),
+        "truth", "pa", "pb")
+    }),
+
+    "q_spearman_counts" -> ((s, d) => {
+      // Spearman rank-moment integers (ops.CorpusOps.spearmanCounts):
+      // n_chars (tie-heavy) vs the shared 16-bit md5 lattice — doubled
+      // average ranks make every published moment exact; rho is the
+      // consumer's division (sqrt makes the float un-hashable)
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.CorpusOps.spearmanCounts(docs.select(
+        col("n_chars").as("a"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("b")),
+        "a", "b")
+    }),
+
+    "q_krippendorff" -> ((s, d) => {
+      // Krippendorff's alpha exact-fraction data card (ops.CorpusOps
+      // .krippendorffAlpha): units of 3 consecutive docs, rater =
+      // doc_id%3, value = lang with %11/%13 ratings MISSING — the
+      // missing-data regime kappa can't handle; alpha is the
+      // consumer's fold over the per-m rows
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.CorpusOps.krippendorffAlpha(docs.select(
+        expr("doc_id div 3").as("unit"),
+        concat(lit("r"), (col("doc_id") % 3).cast("string")).as("rater"),
+        when(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 0,
+          lit(null).cast("string")).otherwise(col("lang")).as("value")),
+        "unit", "rater", "value")
+    }),
+
+    "q_distinct_n" -> ((s, d) => {
+      // distinct-n diversity integers per source (ops.TextAnalysis
+      // .distinctN): unique vs total word 1..3-grams — the
+      // mode-collapse / boilerplate-farm signal; distinct-n is the
+      // consumer's division
+      graft.ops.TextAnalysis.distinctN(par(s, t(s, d, "documents")),
+        "source", "text", maxN = 3)
+    }),
+
+    "q_preference_pairs" -> ((s, d) => {
+      // DPO pair construction (ops.Preference.preferencePairs):
+      // prompts of ~n/97 completions (doc_id%97), score = the shared
+      // md5 lattice; strict-margin pairs with struct-extrema
+      // tie-breaks — all-integer columns ride the hash
+      val docs = par(s, t(s, d, "documents"))
+      graft.ops.Preference.preferencePairs(docs.select(
+        (col("doc_id") % 97).as("prompt"),
+        col("doc_id").as("completion"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("score")),
+        "prompt", "completion", "score")
+    }),
+
+    "q_win_matrix" -> ((s, d) => {
+      // arena win matrix (ops.Preference.winMatrix): 5 synthetic
+      // models battle by doc (%5 vs //5%5, winner by %3), pair order
+      // normalized so A-vs-B and B-vs-A land in one row — the exact
+      // sufficient statistic Bradley-Terry consumes
+      graft.ops.Preference.winMatrix(battleFixture(s, d),
+        "ma", "mb", "w")
+    }),
+
+    "q_bradley_terry" -> ((s, d) => {
+      // Bradley-Terry MM strengths (ops.Preference.bradleyTerry) over
+      // the same battle log — iterative (rows-only); Round7dOpsSpec
+      // pins the 2-player closed form and a planted transitive triple.
+      // The corpus collapses to the 5x5 pair lattice FIRST; 20 rounds
+      // iterate on the 5-row model table only
+      graft.ops.Preference.bradleyTerry(battleFixture(s, d),
+        "ma", "mb", "w", iters = 20)
+        .orderBy("model")
     })
   )
 
+  /** Shared arena-battle fixture for q_win_matrix / q_bradley_terry:
+    * deterministic (model_a, model_b, winner) rows derived from doc_id
+    * (%5 vs //5%5; winner by %3 — 'a'/'b'/'tie'). */
+  private def battleFixture(s: SparkSession, d: String): DataFrame = {
+    par(s, t(s, d, "documents")).select(
+      concat(lit("m"), (col("doc_id") % 5).cast("string")).as("ma"),
+      concat(lit("m"), (expr("doc_id div 5") % 5).cast("string")).as("mb"),
+      when(col("doc_id") % 3 === 0, lit("a"))
+        .when(col("doc_id") % 3 === 1, lit("b"))
+        .otherwise(lit("tie")).as("w"))
+  }
+
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q_mcnemar" ->
+      """WITH p AS (SELECT lang AS truth,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS pa,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'yy' ELSE lang END AS pb
+        |  FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT coalesce(pa = truth, FALSE) AS oa,
+        |             coalesce(pb = truth, FALSE) AS ob FROM p)
+        |SELECT
+        |  CAST(sum(CASE WHEN NOT oa AND NOT ob THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n00,
+        |  CAST(sum(CASE WHEN NOT oa AND ob THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n01,
+        |  CAST(sum(CASE WHEN oa AND NOT ob THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n10,
+        |  CAST(sum(CASE WHEN oa AND ob THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n11
+        |FROM c""".stripMargin,
+
+    // doubled average ranks: r2 = 2*(count below) + (count equal) + 1,
+    // built on each DISTINCT-value lattice exactly like the operator
+    "q_spearman_counts" ->
+      """WITH b0 AS (SELECT n_chars AS a,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) AS b
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |pairs AS (SELECT a, b, count(*) AS np FROM b0 GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(np) AS cv FROM pairs GROUP BY 1),
+        |ra AS (SELECT a, 2 * coalesce(sum(cv) OVER (ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cv + 1 AS r2a FROM ca),
+        |cb AS (SELECT b, sum(np) AS cv FROM pairs GROUP BY 1),
+        |rb AS (SELECT b, 2 * coalesce(sum(cv) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cv + 1 AS r2b FROM cb),
+        |j AS (SELECT p.np, ra.r2a, rb.r2b FROM pairs p
+        |  JOIN ra USING (a) JOIN rb USING (b))
+        |SELECT CAST(sum(np) AS BIGINT) AS n,
+        |  CAST(sum(np * r2a) AS BIGINT) AS s_a,
+        |  CAST(sum(np * r2b) AS BIGINT) AS s_b,
+        |  CAST(sum(np * r2a * r2a) AS BIGINT) AS s_a2,
+        |  CAST(sum(np * r2b * r2b) AS BIGINT) AS s_b2,
+        |  CAST(sum(np * r2a * r2b) AS BIGINT) AS s_ab
+        |FROM j""".stripMargin,
+
+    "q_krippendorff" ->
+      """WITH r AS (SELECT doc_id // 3 AS u,
+        |    'r' || CAST(doc_id % 3 AS VARCHAR) AS rt,
+        |    CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN NULL
+        |         ELSE lang END AS v
+        |  FROM documents),
+        |clean AS (SELECT u, rt, min(v) AS v FROM r
+        |  WHERE v IS NOT NULL GROUP BY 1, 2),
+        |cells AS (SELECT u, v, count(*) AS c FROM clean GROUP BY 1, 2),
+        |units AS (SELECT u, sum(c) AS m, sum(c * c) AS s2 FROM cells
+        |  GROUP BY 1 HAVING sum(c) >= 2),
+        |perm AS (SELECT m, count(*) AS n_units,
+        |    sum(m * m - s2) AS disagree_m
+        |  FROM units GROUP BY 1),
+        |nt AS (SELECT sum(m) AS n FROM units),
+        |sq AS (SELECT sum(nc * nc) AS sq_sum FROM
+        |  (SELECT cells.v, sum(cells.c) AS nc FROM cells
+        |   JOIN units USING (u) GROUP BY 1))
+        |SELECT CAST(m AS BIGINT) AS m, CAST(n_units AS BIGINT) AS n_units,
+        |  CAST(disagree_m AS BIGINT) AS disagree_m,
+        |  CAST(n AS BIGINT) AS n, CAST(sq_sum AS BIGINT) AS sq_sum
+        |FROM perm, nt, sq""".stripMargin,
+
+    "q_distinct_n" ->
+      """WITH toks AS (SELECT source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |ns AS (SELECT unnest(generate_series(1, 3)) AS n),
+        |grams AS (SELECT source, n, array_to_string(w[i : i + n - 1], ' ')
+        |    AS g
+        |  FROM toks, ns,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+        |  WHERE i <= len(w) - n + 1),
+        |gcnt AS (SELECT source, n, g, count(*) AS c FROM grams
+        |  GROUP BY 1, 2, 3)
+        |SELECT source AS "group", CAST(n AS INTEGER) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c) AS BIGINT) AS n_total
+        |FROM gcnt GROUP BY 1, 2""".stripMargin,
+
+    // struct-extrema tie-breaks == (score DESC, id DESC) / (ASC, ASC)
+    "q_preference_pairs" ->
+      """WITH s AS (SELECT doc_id % 97 AS prompt, doc_id AS c,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) AS sc
+        |  FROM documents),
+        |mx AS (SELECT prompt, c AS chosen_id, sc AS chosen_score FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY prompt
+        |     ORDER BY sc DESC, c DESC) AS rn FROM s) WHERE rn = 1),
+        |mn AS (SELECT prompt, c AS rejected_id, sc AS rejected_score FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY prompt
+        |     ORDER BY sc ASC, c ASC) AS rn FROM s) WHERE rn = 1),
+        |cnt AS (SELECT prompt, count(*) AS n FROM s GROUP BY 1)
+        |SELECT mx.prompt AS prompt, chosen_id, chosen_score,
+        |  rejected_id, rejected_score,
+        |  chosen_score - rejected_score AS margin,
+        |  CAST(n AS BIGINT) AS n_completions
+        |FROM mx JOIN mn USING (prompt) JOIN cnt USING (prompt)
+        |WHERE chosen_score - rejected_score > 0""".stripMargin,
+
+    "q_win_matrix" ->
+      """WITH b AS (SELECT
+        |    'm' || CAST(doc_id % 5 AS VARCHAR) AS ma,
+        |    'm' || CAST((doc_id // 5) % 5 AS VARCHAR) AS mb,
+        |    CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+        |      ELSE 'tie' END AS w
+        |  FROM documents),
+        |nrm AS (SELECT least(ma, mb) AS m1, greatest(ma, mb) AS m2,
+        |    CASE WHEN w = 'tie' THEN 'tie'
+        |         WHEN (w = 'a') = (ma <= mb) THEN '1' ELSE '2' END AS who
+        |  FROM b WHERE ma <> mb)
+        |SELECT m1 AS model_1, m2 AS model_2,
+        |  CAST(sum(CASE WHEN who = '1' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS wins_1,
+        |  CAST(sum(CASE WHEN who = '2' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS wins_2,
+        |  CAST(sum(CASE WHEN who = 'tie' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ties,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM nrm GROUP BY 1, 2""".stripMargin,
+
     // the persisted-index probe (write → read → probe through IndexStore)
     // returns bit-identical rows to the session probe — one oracle
     // certifies the whole disk round-trip

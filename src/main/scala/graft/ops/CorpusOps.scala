@@ -1482,4 +1482,180 @@ object CorpusOps {
         guarded(col("_agree"), "n_agree").as("n_agree"),
         guarded(col("_pe"), "pe numerator").as("pe_num"))
   }
+
+  /** McNemar contingency counts for a PAIRED classifier comparison —
+    * "is model B actually better than model A on the same examples?",
+    * the question per-model accuracy can't answer because it ignores
+    * pairing (McNemar 1947). One row of integers:
+    *
+    *   n00 both wrong, n01 only B right, n10 only A right, n11 both right
+    *
+    * The test statistic is the consumer's division (data-card rule):
+    * chi2 = (n01 - n10)^2 / (n01 + n10), or the exact binomial on
+    * (n01, n01 + n10). Null truth rows drop (unjudgeable); a null
+    * PREDICTION counts as wrong, not dropped — dropping it would let a
+    * model improve its score by abstaining on hard examples.
+    *
+    * One map-side-combinable aggregate; no shuffle beyond the 1-row
+    * fold. Safe at any scale.
+    *
+    * @return one row: (n00, n01, n10, n11)
+    */
+  def mcnemarCounts(scored: DataFrame, truthCol: String,
+                    aCol: String, bCol: String): DataFrame = {
+    val okA = coalesce(col(aCol) === col(truthCol), lit(false))
+    val okB = coalesce(col(bCol) === col(truthCol), lit(false))
+    def cell(a: Boolean, b: Boolean): Column =
+      coalesce(sum(when(okA === lit(a) && okB === lit(b), 1L)
+        .otherwise(0L)), lit(0L))
+    scored.filter(col(truthCol).isNotNull)
+      .agg(cell(a = false, b = false).as("n00"),
+        cell(a = false, b = true).as("n01"),
+        cell(a = true, b = false).as("n10"),
+        cell(a = true, b = true).as("n11"))
+  }
+
+  /** Spearman rank-correlation integer sources — monotonic agreement
+    * between two per-row scores (an LLM judge vs a human rubric, two
+    * quality heuristics) where Pearson on raw values is distorted by
+    * scale. Publishes the rank-moment INTEGERS; rho is the consumer's
+    * division (data-card rule, and sqrt makes the float un-hashable):
+    *
+    *   rho = (n*s_ab - s_a*s_b)
+    *         / sqrt((n*s_a2 - s_a^2) * (n*s_b2 - s_b^2))
+    *
+    * Ties get AVERAGE ranks (the standard treatment). Average ranks
+    * live on a half-integer lattice, so the published moments are of
+    * DOUBLED ranks r2 = 2*min_rank + tie_count - 1 — exact integers;
+    * the doubling cancels in rho. `s_a` always equals n*(n+1) — kept
+    * as a rank-construction invariant the oracle re-derives.
+    *
+    * Plan shape: ranks are NOT a window over rows (the repo rule) —
+    * rows collapse to the (value_a, value_b) PAIR lattice first, the
+    * two per-value rank tables are cumulative sums over each DISTINCT-
+    * VALUE lattice (the aucExact discipline: bounded by distinct
+    * scores, not rows; the unpartitioned-window warning is expected),
+    * and two equi-joins put ranks back on the pair lattice. Moments
+    * accumulate in DECIMAL(38,0) behind overflow guards: r2 <= 2n, so
+    * a product term is <= 4n^2 and the sum <= 4n^3 — past ~1.3e6 rows
+    * the guard fires rather than silently wrapping.
+    *
+    * @return one row: (n, s_a, s_b, s_a2, s_b2, s_ab) — BIGINTs over
+    *         doubled ranks
+    */
+  def spearmanCounts(scored: DataFrame, aCol: String,
+                     bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pairs = scored
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_va"), col(bCol).as("_vb"))
+      .agg(count(lit(1)).as("_np"))
+      .localCheckpoint(true) // feeds both rank lattices + the join
+    def rankTable(vCol: String, out: String): DataFrame = {
+      val byValue = pairs.groupBy(col(vCol).as("_v"))
+        .agg(sum(col("_np")).as("_cv"))
+      // distinct-value lattice cumsum (bounded; aucExact discipline)
+      val w = Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byValue.select(col("_v").as(vCol),
+        (lit(2) * coalesce(sum(col("_cv")).over(w), lit(0L))
+          + col("_cv") + lit(1)).as(out))
+    }
+    def guarded(x: Column, what: String): Column =
+      when(x > lit(Long.MaxValue).cast(dec),
+        raise_error(concat(
+          lit(s"spearmanCounts: $what overflows BIGINT: "),
+          x.cast("string"))).cast("long"))
+        .otherwise(x.cast("long"))
+    val ranked = pairs
+      .join(rankTable("_va", "_ra"), Seq("_va"))
+      .join(rankTable("_vb", "_rb"), Seq("_vb"))
+    def mom(x: Column, name: String): Column =
+      guarded(coalesce(sum((col("_np") * x).cast(dec)),
+        lit(0).cast(dec)), name)
+    val out = ranked.agg(
+      mom(lit(1L), "n").as("n"),
+      mom(col("_ra"), "s_a").as("s_a"),
+      mom(col("_rb"), "s_b").as("s_b"),
+      mom(col("_ra") * col("_ra"), "s_a2").as("s_a2"),
+      mom(col("_rb") * col("_rb"), "s_b2").as("s_b2"),
+      mom(col("_ra") * col("_rb"), "s_ab").as("s_ab"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    out
+  }
+
+  /** Krippendorff's alpha (nominal) integer sources — the agreement
+    * coefficient that handles MISSING ratings, completing the family
+    * (cohenKappa: 2 fixed raters; fleissKappa: every item rated
+    * exactly k times; this: any-rater any-subset, the real shape of
+    * crowd annotation runs) (Krippendorff 2004).
+    *
+    *   alpha = 1 - (n-1) * [ sum_m disagree_m / (m-1) ]
+    *               / (n^2 - sq_sum)
+    *
+    * The only non-integer part of alpha is the per-unit 1/(m_u - 1)
+    * weight, so the output is the exact-fraction data card GROUPED BY
+    * m: one row per observed ratings-per-unit count m with integer
+    * (n_units, disagree_m = sum over those units of m^2 - sum_c
+    * n_uc^2), plus the global integers (n = total pairable ratings,
+    * sq_sum = sum_c n_c^2 over value marginals) repeated on every row
+    * so the card is one self-contained frame. The consumer folds the
+    * <= |raters| rows of the tiny sum above.
+    *
+    * Semantics: null unit/rater/value rows drop; duplicate
+    * (unit, rater) ratings collapse to the MIN value (deterministic —
+    * the reference assumption is one rating per rater per unit);
+    * units with m_u < 2 are unpairable and contribute nothing (the
+    * standard treatment).
+    *
+    * Plan shape: unit-keyed aggregates (group sizes = ratings per
+    * unit, annotation-bounded), a value-marginal aggregate, and a
+    * crossJoin of a <= |raters|-row frame with a 1-row frame.
+    * DECIMAL(38,0) + overflow guards on every published sum.
+    *
+    * @return rows (m, n_units, disagree_m, n, sq_sum), m ascending
+    */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        raterCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = ratings
+      .filter(col(unitCol).isNotNull && col(raterCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"), col(raterCol).as("_r"))
+      .agg(min(col(valueCol)).as("_v"))
+      .groupBy(col("_u"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // feeds units + marginals
+    val units = cells.groupBy("_u")
+      .agg(sum(col("_c")).as("_m"),
+        sum(col("_c") * col("_c")).as("_s2"))
+      .filter(col("_m") >= 2)
+      .localCheckpoint(true) // feeds perM + globals + the semi join
+    def guarded(x: Column, what: String): Column =
+      when(x > lit(Long.MaxValue).cast(dec),
+        raise_error(concat(
+          lit(s"krippendorffAlpha: $what overflows BIGINT: "),
+          x.cast("string"))).cast("long"))
+        .otherwise(x.cast("long"))
+    val perM = units.groupBy(col("_m").as("m"))
+      .agg(count(lit(1)).as("n_units"),
+        guarded(coalesce(sum((col("_m") * col("_m") - col("_s2"))
+          .cast(dec)), lit(0).cast(dec)), "disagree_m").as("disagree_m"))
+    val nTotal = units.agg(
+      guarded(coalesce(sum(col("_m").cast(dec)), lit(0).cast(dec)),
+        "n").as("n"))
+    // value marginals over PAIRABLE units only (semi join on the
+    // unit key; cells is the larger side, units is unit-keyed)
+    val sqSum = cells.join(units.select("_u"), Seq("_u"), "left_semi")
+      .groupBy("_v").agg(sum(col("_c")).as("_nc"))
+      .agg(guarded(coalesce(sum((col("_nc") * col("_nc")).cast(dec)),
+        lit(0).cast(dec)), "sq_sum").as("sq_sum"))
+    val out = perM.crossJoin(nTotal).crossJoin(sqSum) // 1-row frames
+      .select(col("m").cast("long").as("m"), col("n_units"),
+        col("disagree_m"), col("n"), col("sq_sum"))
+      .localCheckpoint(true)
+    cells.unpersist(); units.unpersist()
+    out
+  }
 }

@@ -1414,4 +1414,47 @@ object TextAnalysis {
       base.groupBy(labelCol, "lang_pred").count()
     else base.groupBy("lang_pred").count()
   }
+
+  /** Distinct-n diversity counts per group — the generation-diversity
+    * metric (Li et al. 2016, "distinct-1/2"): how repetitive is a
+    * model's (or a source's) output? Published as INTEGERS per
+    * (group, n): `n_distinct` unique word n-grams and `n_total` n-gram
+    * occurrences; distinct-n = n_distinct / n_total is the consumer's
+    * division (data-card rule). Low distinct-2 on a generation dump is
+    * the canonical mode-collapse smell; on a crawl source it flags
+    * boilerplate farms.
+    *
+    * Tokens are lowercased whitespace words (the repo's shared
+    * convention); all n in 1..maxN come from ONE positional explode
+    * (the chrfCounts shape) so the corpus is scanned once. The
+    * aggregate collapses to the (group, n, gram) lattice first —
+    * vocabulary-sized, map-side combinable — then to (group, n).
+    * Groups with no tokens emit nothing for the ns they can't fill
+    * (a 3-word doc has no 4-grams), matching the oracle exactly.
+    *
+    * @return (group, n, n_distinct, n_total), n in 1..maxN
+    */
+  def distinctN(docs: DataFrame, groupCol: String, textCol: String,
+                maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"distinctN: maxN 1..8, got $maxN")
+    val w = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("group"), w.as("_w"))
+      // sequence(1, 0) is DESCENDING in Spark — zero-token docs must
+      // be filtered, not fed to the n fan-out
+      .filter(size(col("_w")) >= 1)
+      .select(col("group"), col("_w"),
+        explode(sequence(lit(1), least(lit(maxN), size(col("_w")))))
+          .as("n"))
+      .select(col("group"), col("n"),
+        explode(transform(
+          sequence(lit(1), size(col("_w")) - col("n") + 1),
+          i => concat_ws(" ", slice(col("_w"), i, col("n")))))
+          .as("_g"))
+    grams.groupBy("group", "n", "_g").agg(count(lit(1)).as("_c"))
+      .groupBy("group", "n")
+      .agg(count(lit(1)).as("n_distinct"), sum(col("_c")).as("n_total"))
+  }
 }
