@@ -3004,6 +3004,96 @@ object SparkEntry {
       graft.ops.Preference.bradleyTerry(battleFixture(s, d),
         "ma", "mb", "w", iters = 20)
         .orderBy("model")
+    }),
+
+    "q_emb_moments" -> ((s, d) => {
+      // exact integer covariance sufficient statistics (ops.Similarity
+      // .embeddingMoments): quantize-first (float*1e6 is exact in
+      // double), then every sum is integer-exact and ORDER-INDEPENDENT
+      // — upper-triangle (i<=j) pair stream collapsed by map-side agg
+      graft.ops.Similarity.embeddingMoments(
+        t(s, d, "embeddings").filter(col("vec_id") < 2000),
+        dim = 64)
+    }),
+
+    "q_pca_project" -> ((s, d) => {
+      // PCA fit + project (ops.Similarity.pcaFit/pcaProject): one-scan
+      // covariance -> driver Jacobi on the 64x64 (dimension-sized,
+      // never corpus-sized) -> k=4 compiled-in projection chain.
+      // Rows-only (eigensolve floats); Round7eOpsSpec pins planted
+      // low-rank recovery, orthonormality, eigenvalue ordering
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 2000)
+      val model = graft.ops.Similarity.pcaFit(emb, k = 4, dim = 64)
+      graft.ops.Similarity.pcaProject(emb, model)
+    }),
+
+    "q_normalize_scores" -> ((s, d) => {
+      // zscore + minmax normalization (ops.CorpusOps.normalizeScores):
+      // zscore from explicit (n, sum, sum-of-squares) — exact on
+      // integer-valued columns whatever the summation order — minmax
+      // from exact min/max; both 1-row stats crossJoins
+      val docs = par(s, t(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars"))
+      val z = graft.ops.CorpusOps.normalizeScores(docs, "n_chars",
+        method = "zscore").withColumnRenamed("norm", "z_norm")
+      graft.ops.CorpusOps.normalizeScores(z, "n_chars",
+        method = "minmax").withColumnRenamed("norm", "mm_norm")
+        .select("doc_id", "z_norm", "mm_norm")
+    }),
+
+    "q_normalize_robust" -> ((s, d) => {
+      // robust (median/IQR) normalization, exact-percentile opt-in so
+      // the DuckDB quantile_cont interpolation matches; stats rounded
+      // 6 dp before the division (the madOutliers discipline). The
+      // DEFAULT is the GK sketch — the 100 TB plan
+      graft.ops.CorpusOps.normalizeScores(
+        par(s, t(s, d, "documents")).select(col("doc_id"), col("n_chars")),
+        "n_chars", method = "robust", exact = true)
+        .select("doc_id", "norm")
+    }),
+
+    "q_winsorize" -> ((s, d) => {
+      // quantile clamping (ops.CorpusOps.winsorize): keep-but-de-weight
+      // alternative to madOutliers' drop; exact percentile opt-in for
+      // the oracle, sketch default for scale
+      graft.ops.CorpusOps.winsorize(
+        par(s, t(s, d, "documents")).select(col("doc_id"), col("n_chars")),
+        "n_chars", pLo = 0.05, pHi = 0.95, exact = true)
+        .select("doc_id", "winsorized")
+    }),
+
+    "q_fim_transform" -> ((s, d) => {
+      // fill-in-the-middle re-ordering (ops.TextAnalysis.fimTransform):
+      // deterministic PSM cuts from the md5 split lattice — exact
+      // string oracle, pure narrow codegen
+      graft.ops.TextAnalysis.fimTransform(
+        par(s, t(s, d, "documents")).filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("text")))
+        .select("doc_id", "fim_lo", "fim_hi", "fim_text")
+    }),
+
+    "q_truncate_dialogs" -> ((s, d) => {
+      // context-budget truncation (ops.DialogOps.truncateDialogs):
+      // system turn pinned, longest fitting suffix kept — 5-turn
+      // synthetic dialogs with doc_id-modulated lengths so the cut
+      // point lands everywhere from "all fits" to "system only";
+      // kept turns re-rendered so the STRING rides the hash
+      val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+      def cut(m: Int, w: Int): org.apache.spark.sql.Column =
+        col("text").substr(lit(1), lit(1) + (col("doc_id") % m) * w)
+      val dialogs = docs.select(col("doc_id").as("dialog_id"),
+        array(
+          struct(lit("system").as("role"),
+            concat(lit("sys: "), coalesce(col("lang"), lit("")))
+              .as("content")),
+          struct(lit("user").as("role"), cut(7, 40).as("content")),
+          struct(lit("assistant").as("role"), cut(5, 60).as("content")),
+          struct(lit("user").as("role"), cut(3, 80).as("content")),
+          struct(lit("assistant").as("role"), cut(11, 25).as("content")))
+          .as("turns"))
+      val trunc = graft.ops.DialogOps.truncateDialogs(dialogs, budget = 400)
+      graft.ops.DialogOps.renderDialogs(trunc, turnsCol = "turns_kept")
+        .select("dialog_id", "n_kept", "kept_chars", "rendered_text")
     })
   )
 
@@ -6108,6 +6198,124 @@ object SparkEntry {
         |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch FROM fulle
         |UNION ALL
         |SELECT doc_id, CAST(nfull AS BIGINT) AS epoch FROM cum
-        |WHERE before < rem""".stripMargin
+        |WHERE before < rem""".stripMargin,
+
+    // quantize-first (round(x*1e6) exact in double), then integer sums:
+    // the one covariance formulation that is order-independent
+    "q_emb_moments" ->
+      """WITH base AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |  WHERE vec_id < 2000 AND embedding IS NOT NULL
+        |    AND len(embedding) = 64),
+        |pairs AS (
+        |  SELECT s.i AS i, u.j AS j, q[s.i] AS xi, q[u.j] AS xj
+        |  FROM base, generate_series(1, 64) s(i),
+        |    generate_series(1, 64) u(j)
+        |  WHERE u.j >= s.i)
+        |SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+        |  count(*) AS n,
+        |  CAST(sum(xi) AS BIGINT) AS s_i,
+        |  CAST(sum(xj) AS BIGINT) AS s_j,
+        |  CAST(sum(xi * xj) AS BIGINT) AS s_ij
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // zscore from explicit (n, sum, sum-of-squares) — exact on the
+    // integer n_chars lattice in any summation order; minmax exact
+    "q_normalize_scores" ->
+      """WITH s AS (SELECT count(n_chars) AS n,
+        |    sum(CAST(n_chars AS DOUBLE)) AS sx,
+        |    sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS sx2,
+        |    min(CAST(n_chars AS DOUBLE)) AS lo,
+        |    max(CAST(n_chars AS DOUBLE)) AS hi
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN sx2 / n - (sx / n) * (sx / n) > 0
+        |    THEN round((CAST(n_chars AS DOUBLE) - sx / n)
+        |      / sqrt(sx2 / n - (sx / n) * (sx / n)), 6) END AS z_norm,
+        |  CASE WHEN hi > lo
+        |    THEN round((CAST(n_chars AS DOUBLE) - lo) / (hi - lo), 6)
+        |    END AS mm_norm
+        |FROM documents, s""".stripMargin,
+
+    // quantile_cont == Spark's exact interpolated percentile (the
+    // madOutliers precedent); stats rounded 6 dp before the division
+    "q_normalize_robust" ->
+      """WITH s AS (SELECT
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS med,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6) AS q1,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS q3
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN q3 > q1
+        |  THEN round((CAST(n_chars AS DOUBLE) - med) / (q3 - q1), 6)
+        |  END AS norm
+        |FROM documents, s""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH c AS (SELECT
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 6) AS wlo,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 6) AS whi
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN n_chars IS NULL THEN NULL
+        |  ELSE round(least(greatest(CAST(n_chars AS DOUBLE), wlo), whi), 6)
+        |  END AS winsorized
+        |FROM documents, c""".stripMargin,
+
+    // two independent 4-hex md5 windows -> PSM cut points (the
+    // q_hash_split lattice, twice)
+    "q_fim_transform" ->
+      """WITH h AS (SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS BIGINT) % (len(text) + 1) AS p1,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+        |      AS BIGINT) % (len(text) + 1) AS p2
+        |  FROM documents WHERE doc_id < 500 AND text IS NOT NULL)
+        |SELECT doc_id, CAST(least(p1, p2) AS INTEGER) AS fim_lo,
+        |  CAST(greatest(p1, p2) AS INTEGER) AS fim_hi,
+        |  '<PRE>' || substr(text, 1, least(p1, p2))
+        |    || '<SUF>' || substr(text, greatest(p1, p2) + 1, len(text))
+        |    || '<MID>' || substr(text, least(p1, p2) + 1,
+        |         greatest(p1, p2) - least(p1, p2)) AS fim_text
+        |FROM h""".stripMargin,
+
+    // 5-turn construction -> the suffix-fit count is monotone, so the
+    // cut point is 6 - fits; rendered with renderDialogs' template
+    "q_truncate_dialogs" ->
+      """WITH d0 AS (
+        |  SELECT doc_id AS dialog_id,
+        |    'sys: ' || coalesce(lang, '') AS c1,
+        |    substr(text, 1, 1 + (doc_id % 7) * 40) AS t2,
+        |    substr(text, 1, 1 + (doc_id % 5) * 60) AS t3,
+        |    substr(text, 1, 1 + (doc_id % 3) * 80) AS t4,
+        |    substr(text, 1, 1 + (doc_id % 11) * 25) AS t5
+        |  FROM documents WHERE doc_id < 500),
+        |c AS (SELECT *, len(c1) AS l1, len(t2) AS l2, len(t3) AS l3,
+        |    len(t4) AS l4, len(t5) AS l5 FROM d0),
+        |f AS (SELECT *,
+        |    (CASE WHEN l1 + l2 + l3 + l4 + l5 <= 400 THEN 1 ELSE 0 END
+        |     + CASE WHEN l1 + l3 + l4 + l5 <= 400 THEN 1 ELSE 0 END
+        |     + CASE WHEN l1 + l4 + l5 <= 400 THEN 1 ELSE 0 END
+        |     + CASE WHEN l1 + l5 <= 400 THEN 1 ELSE 0 END
+        |     + CASE WHEN l1 <= 400 THEN 1 ELSE 0 END) AS fits
+        |  FROM c),
+        |k AS (SELECT *, 6 - greatest(fits, 1) AS kf FROM f)
+        |SELECT dialog_id,
+        |  CAST(6 - kf AS BIGINT) AS n_kept,
+        |  CAST(l1 + CASE WHEN kf <= 1 THEN l2 ELSE 0 END
+        |    + CASE WHEN kf <= 2 THEN l3 ELSE 0 END
+        |    + CASE WHEN kf <= 3 THEN l4 ELSE 0 END
+        |    + CASE WHEN kf <= 4 THEN l5 ELSE 0 END AS BIGINT)
+        |    AS kept_chars,
+        |  '<|system|>' || c1
+        |    || CASE WHEN kf <= 1 THEN chr(10) || '<|user|>' || t2
+        |       ELSE '' END
+        |    || CASE WHEN kf <= 2 THEN chr(10) || '<|assistant|>' || t3
+        |       ELSE '' END
+        |    || CASE WHEN kf <= 3 THEN chr(10) || '<|user|>' || t4
+        |       ELSE '' END
+        |    || CASE WHEN kf <= 4 THEN chr(10) || '<|assistant|>' || t5
+        |       ELSE '' END AS rendered_text
+        |FROM k""".stripMargin
   )
 }

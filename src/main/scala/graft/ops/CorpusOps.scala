@@ -1254,6 +1254,106 @@ object CorpusOps {
       .drop("_cuts")
   }
 
+  /** Score normalization — the step before mixing heterogeneous quality
+    * signals (a perplexity, a classifier logit, and a length prior live
+    * on incomparable scales; any weighted blend or threshold sweep needs
+    * them normalized first). Three methods:
+    *
+    *  - `zscore`: (x − mean)/σ_pop, from explicit (n, Σx, Σx²) sums —
+    *    NOT Welford/stddev_pop, whose M2 merge order varies run-to-run;
+    *    plain sums are order-independent whenever the values are
+    *    integer-valued (exact in doubles to 2⁵³), which is what makes
+    *    the integer-column contract query hash-stable cross-engine.
+    *  - `minmax`: (x − min)/(max − min) into [0, 1].
+    *  - `robust`: (x − median)/IQR — same percentile-mode story as
+    *    [[madOutliers]]: DEFAULT quantiles come from the mergeable GK
+    *    sketch (the 100 TB plan); `exact = true` opts into the exact
+    *    interpolated aggregate for bounded lattices.
+    *
+    * Scale shape: one 1-row stats aggregate + a broadcast crossJoin +
+    * a narrow codegen expression. Degenerate spread (σ = 0, max = min,
+    * IQR = 0) yields null — a constant column has no meaningful
+    * normalization, and silently emitting 0 would let it pass a
+    * downstream blend as "perfectly average".
+    *
+    * @return input + `norm` (rounded 6 dp; null value → null norm)
+    */
+  def normalizeScores(df: DataFrame, valueCol: String,
+                      method: String = "zscore",
+                      exact: Boolean = false,
+                      accuracy: Int = 10000): DataFrame = {
+    require(Seq("zscore", "minmax", "robust").contains(method),
+      s"method must be zscore | minmax | robust (got $method)")
+    require(!df.columns.contains("norm"),
+      "normalizeScores reserves the output column 'norm'; rename the input")
+    val x = col(valueCol).cast("double")
+    def pct(c: Column, f: Double): Column =
+      if (exact) percentile(c, lit(f))
+      else percentile_approx(c, lit(f), lit(accuracy))
+    val (stats, norm) = method match {
+      case "zscore" =>
+        val s = df.agg(count(x).as("_n"), sum(x).as("_s"),
+          sum(x * x).as("_s2"))
+        val mean = col("_s") / col("_n")
+        val varP = col("_s2") / col("_n") - mean * mean
+        (s, when(varP > 0, round((x - mean) / sqrt(varP), 6)))
+      case "minmax" =>
+        val s = df.agg(min(x).as("_lo"), max(x).as("_hi"))
+        (s, when(col("_hi") > col("_lo"),
+          round((x - col("_lo")) / (col("_hi") - col("_lo")), 6)))
+      case "robust" =>
+        // stats rounded 6 dp BEFORE the division (madOutliers'
+        // discipline): interpolated quantiles are the one stat whose
+        // last-ulp can differ cross-engine
+        val s = df.agg(round(pct(x, 0.5), 6).as("_med"),
+          round(pct(x, 0.25), 6).as("_q1"), round(pct(x, 0.75), 6).as("_q3"))
+        (s, when(col("_q3") > col("_q1"),
+          round((x - col("_med")) / (col("_q3") - col("_q1")), 6)))
+    }
+    val statCols = stats.columns
+    df.crossJoin(stats) // 1-row stats table
+      .withColumn("norm", norm)
+      .drop(statCols: _*)
+  }
+
+  /** Winsorize: clamp values into the [pLo, pHi] quantile interval —
+    * heavy-tail taming for loss weights, sampling scores, or any signal
+    * where a handful of extreme documents would otherwise dominate a
+    * mean (the alternative to [[madOutliers]]' drop decision when rows
+    * must be KEPT, just de-weighted).
+    *
+    * Same plan and percentile-mode story as [[quantileBins]]: one 1-row
+    * quantile aggregate (GK sketch by DEFAULT — bounded task memory on
+    * all-distinct doubles; `exact = true` for bounded lattices and the
+    * oracle's interpolation) + a broadcast crossJoin + a narrow clamp.
+    *
+    * @return input + `winsorized` (rounded 6 dp; null value → null)
+    */
+  def winsorize(df: DataFrame, valueCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99,
+                exact: Boolean = false,
+                accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    require(!df.columns.contains("winsorized"),
+      "winsorize reserves the output column 'winsorized'; rename the input")
+    val x = col(valueCol).cast("double")
+    def pct(c: Column, f: Double): Column =
+      if (exact) percentile(c, lit(f))
+      else percentile_approx(c, lit(f), lit(accuracy))
+    // cut points rounded 6 dp before the clamp, so a last-ulp
+    // interpolation difference can never leak into a clamped value
+    val cuts = df.agg(round(pct(x, pLo), 6).as("_wlo"),
+      round(pct(x, pHi), 6).as("_whi"))
+    df.crossJoin(cuts) // 1-row cut table
+      // greatest/least SKIP nulls (a null value would clamp to the cut
+      // itself) — gate explicitly so null stays null
+      .withColumn("winsorized",
+        when(x.isNull, lit(null).cast("double"))
+          .otherwise(round(least(greatest(x, col("_wlo")), col("_whi")), 6)))
+      .drop("_wlo", "_whi")
+  }
+
   /** k-fold cross-validation fold assignment on the md5 lattice — the
     * CV sibling of [[hashSplit]]: fold membership is a pure function of
     * the key (no RNG, no state), so folds are reproducible across runs,

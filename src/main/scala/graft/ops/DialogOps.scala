@@ -82,4 +82,59 @@ object DialogOps {
       .withColumn("rendered_text", rendered)
       .withColumn("n_render_chars", length(rendered).cast("long"))
   }
+
+  /** Context-budget truncation: keep the leading system turn (if any)
+    * plus the LONGEST SUFFIX of the remaining turns whose total content
+    * cost fits `budget` — the standard chat-corpus fitting rule (recent
+    * turns carry the signal; the system prompt is never dropped, even
+    * when it alone exceeds the budget, because silently removing it
+    * changes the sample's meaning rather than its length).
+    *
+    * Cost is content CHARACTER count (swap in a token-count column
+    * upstream by pre-rendering if needed). Suffix feasibility is
+    * monotone — if the suffix starting at turn s fits, every shorter
+    * suffix fits — so the cut point is `count of fitting suffixes`,
+    * computed with pure higher-order functions: O(n²) adds per dialog
+    * where n is the dialog's own turn count (bounded by format, never
+    * by corpus size), all inside one narrow codegen pass. No explode,
+    * no shuffle, no state.
+    *
+    * @return input + `turns_kept` (array), `n_kept`, `kept_chars`
+    *         (content chars of kept turns, system included)
+    */
+  def truncateDialogs(dialogs: DataFrame, budget: Int,
+                      turnsCol: String = "turns"): DataFrame = {
+    require(budget >= 0, s"need budget >= 0 (got $budget)")
+    val reserved = Seq("turns_kept", "n_kept", "kept_chars")
+    val hit = dialogs.columns.toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"truncateDialogs reserves ${reserved.mkString(", ")}; rename: " +
+        hit.mkString(", "))
+    def contentLen(turn: Column): Column =
+      coalesce(length(turn.getField("content")), lit(0))
+    val t = coalesce(col(turnsCol), array())
+    val hasSys = coalesce(
+      size(t) > 0 && element_at(t, 1).getField("role") === "system",
+      lit(false))
+    val sys = slice(t, lit(1), when(hasSys, 1).otherwise(0))
+    val rest = when(hasSys, slice(t, lit(2), size(t) - 1)).otherwise(t)
+    val sysCost = when(hasSys, contentLen(element_at(t, 1))).otherwise(0)
+    val costs = transform(rest, contentLen(_))
+    val nRest = size(rest)
+    // suffix starting at 1-based s fits iff sysCost + sum(costs[s..]) <=
+    // budget; s = nRest + 1 is the empty suffix (fits iff sysCost does)
+    val fits = size(filter(sequence(lit(1), nRest + 1), s =>
+      sysCost + aggregate(slice(costs, s, nRest - s + 1), lit(0),
+        (acc, c) => acc + c) <= budget))
+    // fits = 0 only when even the bare system turn is over budget:
+    // keep it anyway (see scaladoc), i.e. keep the empty suffix
+    val keepFrom = nRest + lit(2) - greatest(fits, lit(1))
+    val kept = concat(sys, slice(rest, keepFrom, nRest - keepFrom + 1))
+    dialogs
+      .withColumn("turns_kept", kept)
+      .withColumn("n_kept", size(col("turns_kept")).cast("long"))
+      .withColumn("kept_chars",
+        aggregate(col("turns_kept"), lit(0L),
+          (acc, turn) => acc + contentLen(turn).cast("long")))
+  }
 }

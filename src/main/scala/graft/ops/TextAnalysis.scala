@@ -1457,4 +1457,46 @@ object TextAnalysis {
       .groupBy("group", "n")
       .agg(count(lit(1)).as("n_distinct"), sum(col("_c")).as("n_total"))
   }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022): re-order each
+    * document as `<PRE> prefix <SUF> suffix <MID> middle` (PSM mode), so
+    * a left-to-right LM learns infilling. The two cut points are
+    * DETERMINISTIC — decoded from two independent 4-hex windows of
+    * md5(id) mod (len+1), the corpus's standard split-lattice recipe —
+    * so the transform is a pure function of (id, text): reproducible
+    * across runs and engines (exact-oracle-checkable, unlike an RNG
+    * draw), and re-running an incremental refresh never re-cuts
+    * existing documents differently.
+    *
+    * One narrow codegen pass: md5 + two substrings + concat. Null texts
+    * are dropped (the transform is undefined); empty texts pass through
+    * as pure sentinels (lo = hi = 0).
+    *
+    * @return input + (fim_lo, fim_hi, fim_text)
+    */
+  def fimTransform(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   preTok: String = "<PRE>", sufTok: String = "<SUF>",
+                   midTok: String = "<MID>"): DataFrame = {
+    val reserved = Seq("fim_lo", "fim_hi", "fim_text")
+    val hit = docs.columns.toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"fimTransform reserves ${reserved.mkString(", ")}; rename: " +
+        hit.mkString(", "))
+    val t = col(textCol)
+    val n = length(t)
+    def hex4(off: Int): Column =
+      conv(substring(md5(col(idCol).cast("string")), off, 4), 16, 10)
+        .cast("long")
+    val p1 = (hex4(1) % (n + 1)).cast("int")
+    val p2 = (hex4(5) % (n + 1)).cast("int")
+    docs.filter(t.isNotNull)
+      .withColumn("fim_lo", least(p1, p2))
+      .withColumn("fim_hi", greatest(p1, p2))
+      .withColumn("fim_text",
+        concat(lit(preTok), t.substr(lit(1), col("fim_lo")),
+          lit(sufTok), t.substr(col("fim_hi") + 1, length(t)),
+          lit(midTok),
+          t.substr(col("fim_lo") + 1, col("fim_hi") - col("fim_lo"))))
+  }
 }

@@ -79,7 +79,10 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_rag_retrieve"        -> "bm25's 1-row corpus stats crossJoin inside the chunk-scoring leg",
     "q_modularity_score"    -> "1-row edge-count table (m) crossJoin onto the 1-row parts aggregate for the folded integer fraction",
     "q_ivfpq_topk"          -> "IVF-PQ probe: query set x broadcast centroid table + x broadcast m*ksub codebook table (staged-form exhaustive certification)",
-    "q_ivfpq_probe"         -> "same broadcast centroid/codebook tables at deployment parameters")
+    "q_ivfpq_probe"         -> "same broadcast centroid/codebook tables at deployment parameters",
+    "q_normalize_scores"    -> "two 1-row stats tables (zscore sums, minmax bounds) crossJoin",
+    "q_normalize_robust"    -> "1-row exact-percentile stats table (med, q1, q3) crossJoin",
+    "q_winsorize"           -> "1-row quantile-cut table crossJoin")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
     val d = "/root/testdata/sf0.001"

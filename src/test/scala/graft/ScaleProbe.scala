@@ -383,6 +383,28 @@ object ScaleProbe {
         .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
       graft.ops.Similarity.hardNegatives(qs, corpus, k = 5)
     }
+    // round-7e: integer covariance moments — the upper-triangle explode
+    // is collapsed by map-side hash agg (2,080-entry buffer per task),
+    // so time is scan-linear in mult and the shuffle stays
+    // partitions x 2,080 tiny rows whatever the corpus size
+    probe("emb_moments") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus = (0 until mult).map(i => emb.withColumn("vec_id",
+        col("vec_id") + lit(i.toLong * 10_000_000L))).reduce(_ union _)
+      graft.ops.Similarity.embeddingMoments(corpus, dim = 64)
+    }
+    // round-7e: normalize/winsorize DEFAULTS (GK sketch) on the same
+    // all-distinct doubles regime as the robust-stats probes — task
+    // memory O(accuracy) whatever the cardinality; time scan-linear
+    probe("normalize_winsorize_distinct") {
+      val distinctScores = docs.select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("double") / 281474976710656.0).as("score"))
+      graft.ops.CorpusOps.winsorize(
+        graft.ops.CorpusOps.normalizeScores(distinctScores, "score",
+          method = "robust").withColumnRenamed("norm", "robust_norm"),
+        "score")
+    }
     spark.stop()
   }
 }
