@@ -3094,6 +3094,29 @@ object SparkEntry {
       val trunc = graft.ops.DialogOps.truncateDialogs(dialogs, budget = 400)
       graft.ops.DialogOps.renderDialogs(trunc, turnsCol = "turns_kept")
         .select("dialog_id", "n_kept", "kept_chars", "rendered_text")
+    }),
+
+    "q_kwic" -> ((s, d) => {
+      // keyword-in-context concordance (ops.TextAnalysis.kwicWindows):
+      // every phrase occurrence with offset + context windows via the
+      // ac_hit_positions kernel (one AC pass, O(text + hits)); the
+      // oracle re-finds positions by brute substring scan
+      graft.ops.TextAnalysis.kwicWindows(
+        par(s, t(s, d, "documents"))
+          .select(col("doc_id"), lower(col("text")).as("text")),
+        Seq("hash join", "merge join"), window = 24)
+    }),
+
+    "q_zorder_key" -> ((s, d) => {
+      // Morton interleave key (ops.Layout.zorderKey): 8-bit uniform
+      // buckets over two integer dims on power-of-two bounds (exact
+      // double arithmetic in both engines), bits interleaved
+      // round-robin — the layout key behind writeZordered's
+      // range-repartition, surfaced so the key itself is oracled
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        graft.ops.Layout.zorderKey(
+          Seq((col("user_id"), 0.0, 256.0),
+            (col("event_id"), 0.0, 65536.0)), bits = 8).as("z"))
     })
   )
 
@@ -6316,6 +6339,45 @@ object SparkEntry {
         |       ELSE '' END
         |    || CASE WHEN kf <= 4 THEN chr(10) || '<|assistant|>' || t5
         |       ELSE '' END AS rendered_text
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    // brute-force position scan (every offset tested) — the oracle for
+    // the one-pass Aho-Corasick evidence kernel
+    "q_kwic" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS text FROM documents
+        |  WHERE text IS NOT NULL),
+        |ph AS (SELECT unnest(['hash join', 'merge join']) AS phrase),
+        |m AS (SELECT doc_id, text, phrase,
+        |  list_filter(generate_series(1, len(text) - len(phrase) + 1),
+        |    p -> substr(text, p, len(phrase)) = phrase) AS ps
+        |  FROM d, ph),
+        |hits AS (SELECT doc_id, text, phrase, unnest(ps) - 1 AS start
+        |  FROM m)
+        |SELECT doc_id, phrase, CAST(start AS INTEGER) AS start,
+        |  substr(text, greatest(start + 1 - 24, 1), least(24, start))
+        |    AS left_ctx,
+        |  substr(text, start + len(phrase) + 1, 24) AS right_ctx
+        |FROM hits""".stripMargin,
+
+    // 8-bit ordinals on [0, 65536) (width 256 = power of two: the
+    // bucket arithmetic is exact in double on both engines), clamped,
+    // bits interleaved user_id -> even positions, event_id -> odd
+    "q_zorder_key" ->
+      """WITH o AS (SELECT event_id, user_id,
+        |  least(greatest(CAST(floor(256 * CAST(user_id AS DOUBLE)
+        |    / 256) AS BIGINT), 0), 255) AS ua,
+        |  least(greatest(CAST(floor(256 * CAST(event_id AS DOUBLE)
+        |    / 65536) AS BIGINT), 0), 255) AS ea
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  (((ua >> 0) & 1) << 0) + (((ea >> 0) & 1) << 1)
+        |  + (((ua >> 1) & 1) << 2) + (((ea >> 1) & 1) << 3)
+        |  + (((ua >> 2) & 1) << 4) + (((ea >> 2) & 1) << 5)
+        |  + (((ua >> 3) & 1) << 6) + (((ea >> 3) & 1) << 7)
+        |  + (((ua >> 4) & 1) << 8) + (((ea >> 4) & 1) << 9)
+        |  + (((ua >> 5) & 1) << 10) + (((ea >> 5) & 1) << 11)
+        |  + (((ua >> 6) & 1) << 12) + (((ea >> 6) & 1) << 13)
+        |  + (((ua >> 7) & 1) << 14) + (((ea >> 7) & 1) << 15) AS z
+        |FROM o""".stripMargin
   )
 }

@@ -158,6 +158,50 @@ final class AhoCorasick(patterns0: Array[String]) extends Serializable {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Every occurrence of every (non-empty) pattern as (0-based start,
+    * pattern) structs, sorted (start asc, pattern index asc) — the
+    * EVIDENCE form of the matcher: where [[matchedSorted]] answers
+    * "which phrases appear", this answers "where exactly", feeding
+    * concordance windows, span-level audits, and mask previews. Same
+    * one-pass O(|text| + hits) scan; the packed-long sort keeps the hot
+    * path boxing-free (start in the high 32 bits, pattern index low —
+    * both nonnegative, so the natural long order IS (start, index)).
+    * Empty patterns are skipped (they would "occur" at every offset).
+    */
+  def hitPositions(text: String): ArrayData = {
+    var packed = new Array[Long](16)
+    var nMatches = 0
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      s = step(s, text.charAt(i))
+      val o = outSets(s)
+      var k = 0
+      while (k < o.length) {
+        val pi = o(k)
+        val len = patterns(pi).length
+        if (len > 0) {
+          if (nMatches == packed.length)
+            packed = java.util.Arrays.copyOf(packed, packed.length * 2)
+          packed(nMatches) = ((i - len + 1).toLong << 32) | pi.toLong
+          nMatches += 1
+        }
+        k += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(packed, 0, nMatches)
+    val res = new Array[Any](nMatches)
+    var j = 0
+    while (j < nMatches) {
+      val st = (packed(j) >>> 32).toInt
+      val pi = (packed(j) & 0x7fffffffL).toInt
+      res(j) = org.apache.spark.sql.catalyst.InternalRow(st, utf8Patterns(pi))
+      j += 1
+    }
+    new GenericArrayData(res)
+  }
+
   /** Distinct matched patterns, ascending — i.e. lexicographic — order
     * (patterns are normalized at construction).
     */
@@ -206,6 +250,30 @@ case class AcFindPhrases(child: Expression, patterns: Seq[String])
   override protected def withNewChildInternal(c: Expression): AcFindPhrases =
     copy(child = c)
   override def prettyName: String = "ac_find_phrases"
+}
+
+/** Codegen'd scalar surface of [[AhoCorasick.hitPositions]]: text →
+  * array<struct<start, phrase>> of every occurrence with its 0-based
+  * character offset, one pass.
+  */
+case class AcHitPositions(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("phrase", StringType, nullable = false))),
+    containsNull = false)
+  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+  override def nullSafeEval(input: Any): Any =
+    ac.hitPositions(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ahoCorasickH", ac,
+      classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $acRef.hitPositions($c.toString());")
+  }
+  override protected def withNewChildInternal(c: Expression): AcHitPositions =
+    copy(child = c)
+  override def prettyName: String = "ac_hit_positions"
 }
 
 /** Codegen'd scalar surface of [[AhoCorasick.maskLeftmostLongest]]:

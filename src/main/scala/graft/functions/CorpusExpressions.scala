@@ -350,6 +350,8 @@ object CorpusFunctions {
   def ac_mask_phrases(c: Column, patterns: Seq[String],
                       mask: String = "[MASKED]"): Column =
     column(AcMaskPhrases(expression(c), patterns, mask))
+  def ac_hit_positions(c: Column, patterns: Seq[String]): Column =
+    column(AcHitPositions(expression(c), patterns))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1458,6 +1458,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_distinct"), sum(col("_c")).as("n_total"))
   }
 
+  /** Keyword-in-context (KWIC) concordance: every occurrence of every
+    * phrase with its 0-based offset and `window` characters of context
+    * on each side — the evidence view behind a blocklist or
+    * decontamination decision (reviewers adjudicate "is this hit real?"
+    * from the surrounding text, not from a count).
+    *
+    * One narrow pass: the [[graft.functions.AcHitPositions ac_hit
+    * _positions]] kernel (Aho–Corasick, O(|text| + hits) independent of
+    * phrase count) emits (start, phrase) structs inside codegen; the
+    * explode is output-sized (hits, not positions). Matching is exact
+    * `contains` semantics over the text AS GIVEN — lowercase both sides
+    * upstream for case-insensitive hits (done outside so offsets refer
+    * to the text the caller sees). Null texts are dropped.
+    *
+    * @return (idCol, phrase, start, left_ctx, right_ctx)
+    */
+  def kwicWindows(docs: DataFrame, phrases: Seq[String], window: Int = 30,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "kwicWindows needs at least one phrase")
+    require(phrases.forall(_.nonEmpty),
+      "kwicWindows phrases must be non-empty (an empty phrase matches everywhere)")
+    require(window > 0 && window <= 10000,
+      s"need 0 < window <= 10000 (got $window)")
+    import graft.functions.CorpusFunctions.ac_hit_positions
+    val t = col(textCol)
+    docs.filter(t.isNotNull)
+      .select(col(idCol), t.as("_t"),
+        explode(ac_hit_positions(t, phrases)).as("_h"))
+      .select(col(idCol),
+        col("_h.phrase").as("phrase"),
+        col("_h.start").as("start"),
+        col("_t").substr(greatest(col("_h.start") + 1 - window, lit(1)),
+          least(lit(window), col("_h.start"))).as("left_ctx"),
+        col("_t").substr(col("_h.start") + length(col("_h.phrase")) + 1,
+          lit(window)).as("right_ctx"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022): re-order each
     * document as `<PRE> prefix <SUF> suffix <MID> middle` (PSM mode), so
     * a left-to-right LM learns infilling. The two cut points are

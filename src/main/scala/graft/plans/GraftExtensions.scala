@@ -146,6 +146,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (es.length == 3) strLit(es(2), "ac_mask_phrases", "mask")
           else "[MASKED]")
       }))
+    // occurrence evidence: ac_hit_positions(text, patterns) ->
+    // array<struct<start, phrase>>, patterns U+0001-joined as above
+    ext.injectFunction((FunctionIdentifier("ac_hit_positions"),
+      info("ac_hit_positions", classOf[graft.functions.AcHitPositions]),
+      (es: Seq[Expression]) => graft.functions.AcHitPositions(es(0),
+        strLit(es(1), "ac_hit_positions", "patterns")
+          .split('\u0001').toSeq)))
   }
 }
 

@@ -168,13 +168,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ac_find_phrases(t, 'quick\u0001fox\u0001quick\u0001brown cow'), " + // unsorted+dup: normalized inside
         "name_similarity_upper(t, t), " +
         "ac_mask_phrases(t, 'quick\u0001brown fox', '_'), " +
-        "lcs_tokens(t, t) " +
+        "lcs_tokens(t, t), " +
+        "ac_hit_positions(t, 'quick\u0001fox') " +
         "FROM codegen_probe").head()
-    assert(row.size == 19)
+    assert(row.size == 20)
     assert(row.getLong(18) == 5L) // LCS of a token sequence with itself
     assert(row.getSeq[String](15) == Seq("fox", "quick"))
     assert(row.getDouble(16) == 1.0)
     assert(row.getString(17) == "the _ _ jumps")
+    val hits = row.getSeq[org.apache.spark.sql.Row](19)
+      .map(h => (h.getInt(0), h.getString(1)))
+    assert(hits == Seq((4, "quick"), (16, "fox")))
   }
 
   test("pure range condition (no equi keys) also rewrites") {
