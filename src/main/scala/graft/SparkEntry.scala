@@ -3117,6 +3117,42 @@ object SparkEntry {
         graft.ops.Layout.zorderKey(
           Seq((col("user_id"), 0.0, 256.0),
             (col("event_id"), 0.0, 65536.0)), bits = 8).as("z"))
+    }),
+
+    "q_mask_dialogs" -> ((s, d) => {
+      // in-turn AC masking (ops.DialogOps.maskDialogContents) then
+      // render: the chosen phrases cannot overlap each other or
+      // themselves and the mask token contains no pattern characters,
+      // so leftmost-longest single-pass == chained replace — which is
+      // exactly how the oracle spells it
+      val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+      val dialogs = docs.select(col("doc_id").as("dialog_id"),
+        array(
+          struct(lit("user").as("role"), lower(col("text")).as("content")),
+          struct(lit("assistant").as("role"),
+            concat(lit("re: "), lower(col("text"))).as("content")))
+          .as("turns"))
+      graft.ops.DialogOps.renderDialogs(
+        graft.ops.DialogOps.maskDialogContents(dialogs,
+          Seq("hash join", "merge join"), mask = "[X]"))
+        .select("dialog_id", "rendered_text", "n_render_chars")
+    }),
+
+    "q_funnel" -> ((s, d) => {
+      // earliest-anchored funnel (ops.Sessions.funnel): view -> click
+      // -> purchase within 1 day of the anchor; per-step filtered
+      // aggregations chained on the user key, no per-user event
+      // buffering — semantics stated in the scaladoc ARE the contract,
+      // replicated step-for-step by the oracle CTEs
+      graft.ops.Sessions.funnel(t(s, d, "events"),
+        Seq("view", "click", "purchase"), withinSeconds = 86400L)
+    }),
+
+    "q_retention" -> ((s, d) => {
+      // weekly cohort retention triangle (ops.Sessions.retention):
+      // ISO-Monday week truncation aligns cohort and activity weeks in
+      // both engines, so the day delta is always a multiple of 7
+      graft.ops.Sessions.retention(t(s, d, "events"))
     })
   )
 
@@ -6378,6 +6414,57 @@ object SparkEntry {
         |  + (((ua >> 5) & 1) << 10) + (((ea >> 5) & 1) << 11)
         |  + (((ua >> 6) & 1) << 12) + (((ea >> 6) & 1) << 13)
         |  + (((ua >> 7) & 1) << 14) + (((ea >> 7) & 1) << 15) AS z
-        |FROM o""".stripMargin
+        |FROM o""".stripMargin,
+
+    // disjoint, non-self-overlapping phrases + a mask with no pattern
+    // characters: leftmost-longest AC == chained replace
+    "q_mask_dialogs" ->
+      """WITH m AS (SELECT doc_id AS dialog_id,
+        |    replace(replace(lower(text), 'hash join', '[X]'),
+        |      'merge join', '[X]') AS c1
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT dialog_id,
+        |  '<|user|>' || c1 || chr(10) || '<|assistant|>re: ' || c1
+        |    AS rendered_text,
+        |  CAST(len('<|user|>' || c1 || chr(10) || '<|assistant|>re: '
+        |    || c1) AS BIGINT) AS n_render_chars
+        |FROM m""".stripMargin,
+
+    // step-for-step replica of the earliest-anchored definition: each
+    // CTE narrows to (first event of step i >= t_{i-1}, <= anchor+window)
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |a2 AS (SELECT e.user_id, a1.t1, min(e.ts) AS t2
+        |  FROM e JOIN a1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= a1.t1
+        |    AND e.ts <= a1.t1 + INTERVAL 86400 SECOND
+        |  GROUP BY 1, 2),
+        |a3 AS (SELECT e.user_id, a2.t1, a2.t2, min(e.ts) AS t3
+        |  FROM e JOIN a2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= a2.t2
+        |    AND e.ts <= a2.t1 + INTERVAL 86400 SECOND
+        |  GROUP BY 1, 2, 3)
+        |SELECT a1.user_id, a1.t1, a2.t2, a3.t3,
+        |  CAST(CASE WHEN a3.t3 IS NOT NULL THEN 3
+        |    WHEN a2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS stage
+        |FROM a1 LEFT JOIN a2 USING (user_id)
+        |  LEFT JOIN a3 USING (user_id)""".stripMargin,
+
+    "q_retention" ->
+      """WITH b AS (SELECT user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM b GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM b)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, w) / 7 AS INTEGER)
+        |    AS offset_weeks,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
   )
 }

@@ -158,6 +158,9 @@ final class AhoCorasick(patterns0: Array[String]) extends Serializable {
     UTF8String.fromString(sb.toString)
   }
 
+  @transient private lazy val patternCpLens: Array[Int] =
+    patterns.map(p => p.codePointCount(0, p.length))
+
   /** Every occurrence of every (non-empty) pattern as (0-based start,
     * pattern) structs, sorted (start asc, pattern index asc) — the
     * EVIDENCE form of the matcher: where [[matchedSorted]] answers
@@ -167,23 +170,35 @@ final class AhoCorasick(patterns0: Array[String]) extends Serializable {
     * path boxing-free (start in the high 32 bits, pattern index low —
     * both nonnegative, so the natural long order IS (start, index)).
     * Empty patterns are skipped (they would "occur" at every offset).
+    *
+    * Offsets are CODE POINTS, not UTF-16 units — the unit Spark's
+    * `length`/`substring` count, so a consumer can slice context
+    * windows at the reported offset even past a surrogate pair (the
+    * match loop still walks UTF-16 chars; a running code-point counter
+    * converts at hit time).
     */
   def hitPositions(text: String): ArrayData = {
     var packed = new Array[Long](16)
     var nMatches = 0
     var s = 0
     var i = 0
+    var cp = 0 // code points among chars [0..i] once i is processed
     while (i < text.length) {
-      s = step(s, text.charAt(i))
+      val ch = text.charAt(i)
+      if (!(Character.isLowSurrogate(ch) && i > 0 &&
+        Character.isHighSurrogate(text.charAt(i - 1)))) cp += 1
+      s = step(s, ch)
       val o = outSets(s)
       var k = 0
       while (k < o.length) {
         val pi = o(k)
-        val len = patterns(pi).length
-        if (len > 0) {
+        if (patterns(pi).length > 0) {
+          // match ends at code point cp-1; a pattern is a valid string,
+          // so its end never splits a surrogate pair
+          val startCp = cp - patternCpLens(pi)
           if (nMatches == packed.length)
             packed = java.util.Arrays.copyOf(packed, packed.length * 2)
-          packed(nMatches) = ((i - len + 1).toLong << 32) | pi.toLong
+          packed(nMatches) = (startCp.toLong << 32) | pi.toLong
           nMatches += 1
         }
         k += 1

@@ -210,6 +210,45 @@ object Dedup {
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
+  /** LSH parameter planner (Leskovec, Rajaraman & Ullman, "Mining of
+    * Massive Datasets" §3.4.3): choose (bands, rowsPerBand) for a
+    * signature of `numHashes` so the S-curve's behavior at the target
+    * Jaccard `threshold` is as close as possible to a step function.
+    * Candidate probability at similarity s is 1 − (1 − s^r)^b; the
+    * planner minimizes ∫₀^t p(s) ds + ∫ₜ¹ (1 − p(s)) ds (false-positive
+    * area below the threshold plus false-negative area above — the
+    * standard datasketch objective, numerically integrated), over every
+    * divisor split b·r = numHashes. Driver-side pure arithmetic over
+    * O(divisors × grid) terms — call it once, pass the result to
+    * [[minhashLsh]].
+    *
+    * @return (bands, rowsPerBand)
+    */
+  def planLshBands(threshold: Double, numHashes: Int = 128,
+                   falsePositiveWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"need 0 < threshold < 1 (got $threshold)")
+    require(numHashes >= 2, s"need numHashes >= 2 (got $numHashes)")
+    require(falsePositiveWeight >= 0 && falsePositiveWeight <= 1,
+      s"need 0 <= falsePositiveWeight <= 1 (got $falsePositiveWeight)")
+    val grid = 1000
+    def err(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var g = 0
+      while (g < grid) {
+        val s = (g + 0.5) / grid
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        g += 1
+      }
+      (falsePositiveWeight * fp + (1 - falsePositiveWeight) * fn) / grid
+    }
+    val splits = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    splits.minBy { case (b, r) => err(b, r) }
+  }
+
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

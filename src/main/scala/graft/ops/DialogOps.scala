@@ -137,4 +137,30 @@ object DialogOps {
         aggregate(col("turns_kept"), lit(0L),
           (acc, turn) => acc + contentLen(turn).cast("long")))
   }
+
+  /** Mask every blocklisted phrase inside every turn's content — the
+    * chat-corpus form of the corpus-level AC mask (PII strings, refusal
+    * templates, instruction-injection markers), applied INSIDE the turn
+    * structure so roles and turn boundaries survive untouched.
+    *
+    * One narrow pass: the [[graft.functions.AcMaskPhrases]] kernel runs
+    * once per turn content (O(content + hits) regardless of phrase
+    * count), leftmost-longest overlap resolution on the original text.
+    * Null contents and null turn arrays pass through unchanged —
+    * masking is a rewrite, not a validity gate ([[validateDialogs]] is).
+    *
+    * @return input with `turnsCol` rewritten (same schema)
+    */
+  def maskDialogContents(dialogs: DataFrame, phrases: Seq[String],
+                         mask: String = "[MASKED]",
+                         turnsCol: String = "turns"): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "maskDialogContents needs non-empty phrases")
+    import graft.functions.CorpusFunctions.ac_mask_phrases
+    dialogs.withColumn(turnsCol,
+      transform(col(turnsCol), t => struct(
+        t.getField("role").as("role"),
+        ac_mask_phrases(t.getField("content"), phrases, mask)
+          .as("content"))))
+  }
 }

@@ -110,76 +110,84 @@ object Preference {
     * denominator from poisoning opponents with NaN.
     *
     * Scale shape: the battle log collapses to [[winMatrix]]'s pair
-    * lattice FIRST; the loop then iterates on the models-sized table
-    * only (the pageRank discipline — localCheckpoint per round,
-    * release the previous iterate; the corpus is never re-scanned).
-    * The iterate appears TWICE per round (both endpoints of every pair
-    * need a strength), so GraphOps.powerIterate's "exactly one
-    * reference" rule can't be met structurally — instead each round's
-    * iterate is rebuilt from its checkpointed RDD with fresh default
-    * stats, because a localCheckpoint'd plan INHERITS the
-    * pre-checkpoint sizeInBytes and two references would square it
-    * every round until Catalyst multiplies million-digit BigInts
-    * during planning (observed: 8-minute planning stalls by round 25).
+    * lattice FIRST — one distributed aggregation; the MM loop then runs
+    * DRIVER-SIDE over the collected lattice, which is models²-bounded
+    * (an arena ranks hundreds of models: thousands of pairs), never
+    * corpus-sized — the same boundedness that lets pcaFit collect its
+    * d×d moments. `maxPairs` guards the collect. (The first
+    * implementation iterated a models-sized DataFrame through
+    * localCheckpoint rounds; correct, but each round cost a full Spark
+    * job — 8 s for 20 rounds over FIVE models — and the twice-referenced
+    * iterate forced stats-reset gymnastics to stop Catalyst from
+    * squaring the checkpoint's inherited sizeInBytes estimate into
+    * million-digit BigInt products. A bounded lattice does not need a
+    * cluster.)
     *
     * @return (model, strength, wins, games) — strength double, wins
     *         includes half-ties, games = battles played
     */
   def bradleyTerry(battles: DataFrame, aCol: String, bCol: String,
-                   winnerCol: String, iters: Int = 30): DataFrame = {
+                   winnerCol: String, iters: Int = 30,
+                   maxPairs: Int = 2000000): DataFrame = {
     require(iters >= 1, s"bradleyTerry: iters >= 1, got $iters")
-    val wm = winMatrix(battles, aCol, bCol, winnerCol)
-    // directed edge list over the tiny pair lattice: i's view of (i,j)
-    val edges = wm.select(col("model_1").as("_i"), col("model_2").as("_j"),
-        (col("wins_1") + col("ties") * lit(0.5)).as("_w"),
-        col("n").as("_n"))
-      .unionByName(wm.select(col("model_2").as("_i"),
-        col("model_1").as("_j"),
-        (col("wins_2") + col("ties") * lit(0.5)).as("_w"),
-        col("n").as("_n")))
-      .localCheckpoint(true) // iterated against every round
-    val totals = edges.groupBy("_i")
-      .agg(sum(col("_w")).as("_wins"), sum(col("_n")).as("_games"))
-      .localCheckpoint(true)
-    val nModels = totals.count()
-    // stats-reset view over the checkpointed blocks: createDataFrame
-    // attaches no origin plan, so each round's size estimate is a
-    // constant, not last round's estimate squared
-    def fresh(ck: DataFrame): DataFrame =
-      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-    var pCk = totals.select(col("_i"), lit(1.0).as("_p"))
-      .localCheckpoint(true)
-    var p = fresh(pCk)
-    for (_ <- 1 to iters) {
-      val pi = p.select(col("_i"), col("_p").as("_pi"))
-      val pj = p.select(col("_i").as("_j"), col("_p").as("_pj"))
-      val denom = edges.join(pi, Seq("_i")).join(pj, Seq("_j"))
-        .groupBy("_i")
-        .agg(sum(when(col("_pi") + col("_pj") > 0,
-          col("_n") / (col("_pi") + col("_pj"))).otherwise(lit(0.0)))
-          .as("_d"))
-      val raw = totals.join(denom, Seq("_i"))
-        .select(col("_i"),
-          when(col("_d") > 0, col("_wins") / col("_d"))
-            .otherwise(lit(0.0)).as("_p"))
-      // mean-1 normalization folded into the plan (1-row crossJoin) —
-      // no driver-side scalar per round
-      val total = raw.agg(coalesce(sum(col("_p")), lit(0.0)).as("_t"))
-      val nextCk = raw.crossJoin(total)
-        .select(col("_i"),
-          when(col("_t") > 0,
-            col("_p") * lit(nModels.toDouble) / col("_t"))
-            .otherwise(col("_p")).as("_p"))
-        .localCheckpoint(true)
-      pCk.unpersist()
-      pCk = nextCk
-      p = fresh(nextCk)
+    val wm = winMatrix(battles, aCol, bCol, winnerCol).localCheckpoint(true)
+    val nPairs = wm.count()
+    require(nPairs <= maxPairs,
+      s"bradleyTerry: $nPairs model pairs exceeds maxPairs=$maxPairs — " +
+        "raise the budget only if the driver can hold the lattice")
+    // a null model name has no identity to rank — drop the pair rather
+    // than NPE in the id sort (winMatrix passes nulls through)
+    val pairs = wm.filter(col("model_1").isNotNull &&
+        col("model_2").isNotNull)
+      .select("model_1", "model_2", "wins_1", "wins_2",
+        "ties", "n").collect()
+    wm.unpersist()
+    val ids = pairs.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val k = ids.length
+    // per-model sufficient statistics (ties count half a win each)
+    val wins = new Array[Double](k)
+    val games = new Array[Long](k)
+    val ei = new Array[Int](pairs.length)
+    val ej = new Array[Int](pairs.length)
+    val en = new Array[Long](pairs.length)
+    pairs.zipWithIndex.foreach { case (r, e) =>
+      val i = idx(r.getString(0)); val j = idx(r.getString(1))
+      val (w1, w2, t, n) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      wins(i) += w1 + 0.5 * t; wins(j) += w2 + 0.5 * t
+      games(i) += n; games(j) += n
+      ei(e) = i; ej(e) = j; en(e) = n
     }
-    val out = totals.join(p, Seq("_i"))
-      .select(col("_i").as("model"), col("_p").as("strength"),
-        col("_wins").as("wins"), col("_games").as("games"))
-      .localCheckpoint(true)
-    pCk.unpersist(); edges.unpersist(); totals.unpersist()
-    out
+    val p = Array.fill(k)(1.0)
+    for (_ <- 1 to iters) {
+      val denom = new Array[Double](k)
+      var e = 0
+      while (e < pairs.length) {
+        val s = p(ei(e)) + p(ej(e))
+        if (s > 0) {
+          denom(ei(e)) += en(e) / s
+          denom(ej(e)) += en(e) / s
+        }
+        e += 1
+      }
+      var total = 0.0
+      var i = 0
+      while (i < k) {
+        p(i) = if (denom(i) > 0) wins(i) / denom(i) else 0.0
+        total += p(i)
+        i += 1
+      }
+      // mean-1 normalization for identifiability (BT is scale-free)
+      if (total > 0) {
+        i = 0
+        while (i < k) { p(i) *= k / total; i += 1 }
+      }
+    }
+    val spark = battles.sparkSession
+    import spark.implicits._
+    ids.indices.map(i => (ids(i), p(i), wins(i), games(i)))
+      .toDF("model", "strength", "wins", "games")
   }
 }

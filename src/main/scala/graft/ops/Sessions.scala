@@ -58,4 +58,91 @@ object Sessions {
         (epochUs(max(col(tsCol))) - epochUs(min(col(tsCol))))
           .as("duration_us"),
         count(lit(1)).as("n_events"))
+
+  /** Funnel analysis, EARLIEST-ANCHORED: per user, `t1` is the first
+    * occurrence of step 1; each later step is the first event of its
+    * type at-or-after the previous step's time AND within
+    * `withinSeconds` of the ANCHOR (ClickHouse windowFunnel's window
+    * convention). Deterministic and exactly SQL-expressible — the
+    * sliding-anchor greedy variant (retry from every step-1 event) can
+    * reach deeper but is order-sensitive per-user state; this is the
+    * conservative, oracle-checkable definition, stated here so the
+    * semantics are the contract.
+    *
+    * Shape: one filtered aggregation per step, chained by equi-joins on
+    * the user key — the step filter pushes into the scan, every join is
+    * a hash join on `userCol`, per-step state is one timestamp per
+    * user. No per-user event buffering (a windowFunnel-style
+    * TypedImperativeAggregate must collect and sort each user's events
+    * to be merge-correct — a hot user then owns an unbounded buffer).
+    * k−1 shuffles for a k-step funnel, each over only that step's
+    * filtered events.
+    *
+    * @return (userCol, t1 … tk nullable timestamps, stage ∈ [1, k]) —
+    *         one row per user who performed step 1
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             withinSeconds: Long,
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel: 2..8 steps (got ${steps.size})")
+    require(withinSeconds > 0, s"need withinSeconds > 0 (got $withinSeconds)")
+    val k = steps.size
+    def stepEvents(i: Int): DataFrame = events
+      .filter(col(typeCol) === steps(i) && col(tsCol).isNotNull &&
+        col(userCol).isNotNull)
+      .select(col(userCol), col(tsCol).as("_ts"))
+    var cur = stepEvents(0).groupBy(userCol)
+      .agg(min(col("_ts")).as("t1"))
+    for (i <- 2 to k) {
+      val prevTs = Seq.tabulate(i - 1)(j => s"t${j + 1}")
+      cur = stepEvents(i - 1)
+        .join(cur, Seq(userCol))
+        .filter(col("_ts") >= col(s"t${i - 1}") &&
+          col("_ts") <= col("t1") + expr(s"INTERVAL $withinSeconds SECOND"))
+        .groupBy((userCol +: prevTs).map(col): _*) // t1..t_{i-1} are
+        .agg(min(col("_ts")).as(s"t$i")) // constant per user
+        .join(cur, (userCol +: prevTs), "right_outer") // keep partials
+        .select((userCol +: prevTs :+ s"t$i").map(col): _*)
+    }
+    // fold 2..k so the DEEPEST reached stage is the outermost test
+    // (t_i non-null implies all earlier t's non-null)
+    val stage = (2 to k).foldLeft(lit(1)) { (acc, i) =>
+      when(col(s"t$i").isNotNull, lit(i)).otherwise(acc)
+    }
+    cur.withColumn("stage", stage)
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * FIRST event; cell (cohort_week, offset_weeks) counts distinct
+    * users of that cohort active offset weeks later — the standard
+    * retention triangle, exactly (both engines truncate weeks to ISO
+    * Monday, so cohort and activity weeks align and the day difference
+    * is always a multiple of 7).
+    *
+    * Shape: one aggregation for first-seen, one distinct over (user,
+    * week) — both shuffle on the user key — then a broadcast-or-hash
+    * join and a cells-sized rollup. Exact distinct counts; swap in
+    * approx_count_distinct upstream if the triangle itself is too hot
+    * at extreme user counts.
+    *
+    * @return (cohort_week date, offset_weeks int, n_users)
+    */
+  def retention(events: DataFrame,
+                userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val firstSeen = base.groupBy(userCol)
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    val active = base
+      .select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("_week"))
+      .distinct()
+    active.join(firstSeen, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("_week"), col("cohort_week")) / 7)
+          .cast("int").as("offset_weeks"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

@@ -1061,6 +1061,9 @@ object Similarity {
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .agg(graft.functions.TriMoments.tri_moments(q, dim).as("_tm"))
       .select(col("_tm.n").as("n"), explode(col("_tm.moments")).as("_m"))
+      // empty corpus -> empty result (the GROUP-BY spelling's semantics),
+      // not a triangle of zeros from the global aggregate's one row
+      .filter(col("n") > 0)
       .select(col("_m.i").as("i"), col("_m.j").as("j"), col("n"),
         col("_m.s_i").cast("long").as("s_i"),
         col("_m.s_j").cast("long").as("s_j"),

@@ -60,4 +60,96 @@ class Round7fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) === ((1L, 17, " and ", " at t")))
     assert(out(2) === ((1L, 37, " end ", "")), "right context empty at EOF")
   }
+
+  test("hitPositions offsets are code points: windows slice correctly " +
+      "past a surrogate pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "a😀fox and fox")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.kwicWindows(docs, Seq("fox"),
+      window = 3).collect()
+      .map(r => (r.getInt(2), r.getString(3), r.getString(4))).sortBy(_._1)
+    assert(out(0) === ((2, "a😀", " an")),
+      "start counts the emoji as ONE code point; left window includes it")
+    assert(out(1) === ((10, "nd ", "")))
+  }
+
+  test("embeddingMoments: empty input yields empty output, not a " +
+      "zero triangle") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.embeddingMoments(empty, dim = 2).count() === 0L)
+  }
+
+  test("planLshBands: divisor split, S-curve midpoint tracks the " +
+      "threshold, more bands for lower thresholds") {
+    import graft.ops.Dedup.planLshBands
+    def midpoint(b: Int, r: Int): Double = math.pow(1.0 / b, 1.0 / r)
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val (b, r) = planLshBands(t, numHashes = 128)
+      assert(b * r === 128)
+      assert(math.abs(midpoint(b, r) - t) < 0.17,
+        s"threshold $t -> (b=$b, r=$r), midpoint ${midpoint(b, r)}")
+    }
+    val (bLow, _) = planLshBands(0.4, numHashes = 128)
+    val (bHigh, _) = planLshBands(0.9, numHashes = 128)
+    assert(bLow > bHigh,
+      "catching lower-similarity pairs needs more, smaller bands")
+  }
+
+  test("funnel: ordering, anchor window, and partial stages " +
+      "(hand-computed)") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: full funnel inside the window
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      // u2: click outside the anchor window -> stage 1
+      (2L, 0L, "view"), (2L, 200L, "click"),
+      // u3: no step-1 event -> absent from the funnel
+      (3L, 5L, "click"), (3L, 6L, "purchase"),
+      // u4: purchase BEFORE the click -> ordering blocks stage 3
+      (4L, 0L, "view"), (4L, 10L, "click"), (4L, 5L, "purchase"),
+      // u5: purchase after anchor+window (anchored at t1, not t2)
+      (5L, 0L, "view"), (5L, 90L, "click"), (5L, 150L, "purchase"))
+      .toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.ops.Sessions.funnel(events,
+      Seq("view", "click", "purchase"), withinSeconds = 100L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("stage")).toMap
+    assert(out === Map(1L -> 3, 2L -> 1, 4L -> 2, 5L -> 2))
+  }
+
+  test("retention: weekly cohort triangle (hand-computed on ISO weeks)") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday: W0 = 01-01, W1 = 01-08, W3 = 01-22
+    val events = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-09 10:00:00"),
+      (2L, "2024-01-03 10:00:00"),
+      (3L, "2024-01-08 10:00:00"), (3L, "2024-01-24 10:00:00"))
+      .toDF("user_id", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = graft.ops.Sessions.retention(events).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-08", 0) -> 1L, ("2024-01-08", 2) -> 1L))
+  }
+
+  test("maskDialogContents: phrase masked inside turns, roles and " +
+      "null contents untouched") {
+    import spark.implicits._
+    val dialogs = Seq(
+      (1L, Seq(Turn("user", "run a hash join now"),
+        Turn("assistant", null))),
+      (2L, (null: Seq[Turn])))
+      .toDF("dialog_id", "turns")
+    val out = graft.ops.DialogOps.maskDialogContents(dialogs,
+      Seq("hash join"), mask = "[X]").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val turns1 = out(1L).getSeq[org.apache.spark.sql.Row](1)
+    assert(turns1.map(_.getString(0)) === Seq("user", "assistant"))
+    assert(turns1(0).getString(1) === "run a [X] now")
+    assert(turns1(1).isNullAt(1), "null content passes through")
+    assert(out(2L).isNullAt(1), "null turn array passes through")
+  }
 }
