@@ -3153,6 +3153,43 @@ object SparkEntry {
       // ISO-Monday week truncation aligns cohort and activity weeks in
       // both engines, so the day delta is always a multiple of 7
       graft.ops.Sessions.retention(t(s, d, "events"))
+    }),
+
+    "q_event_transitions" -> ((s, d) => {
+      // first-order Markov transition counts (ops.Sessions
+      // .eventTransitions): per-user lead over a TOTAL sort key
+      // (ts, type, event_id) so colliding timestamps still produce one
+      // deterministic sequence in both engines
+      graft.ops.Sessions.eventTransitions(t(s, d, "events"))
+    }),
+
+    "q_rfm" -> ((s, d) => {
+      // RFM segmentation composed from existing operators: per-user
+      // recency (days from the corpus max ts — a 1-row reference
+      // table), frequency, and monetary in integer CENTS
+      // (round(value*100): the double product is computed identically
+      // by IEEE rules in both engines, so the quantize is exact), each
+      // discretized by exact quantileBins (k=4)
+      import graft.ops.CorpusOps.quantileBins
+      val e = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val rfm = e.groupBy("user_id").agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
+      val ref = e.agg(max(col("ts")).as("_ref")) // 1-row reference date
+      val withR = rfm.crossJoin(ref)
+        .withColumn("recency_days",
+          datediff(col("_ref"), col("last_ts")).cast("long"))
+        .drop("_ref", "last_ts")
+      val r = quantileBins(withR, "recency_days", k = 4, exact = true)
+        .withColumnRenamed("bin", "r_bin")
+      val f = quantileBins(r, "frequency", k = 4, exact = true)
+        .withColumnRenamed("bin", "f_bin")
+      quantileBins(f, "monetary_cents", k = 4, exact = true)
+        .withColumnRenamed("bin", "m_bin")
+        .select("user_id", "recency_days", "frequency", "monetary_cents",
+          "r_bin", "f_bin", "m_bin")
     })
   )
 
@@ -6465,6 +6502,54 @@ object SparkEntry {
         |  CAST(date_diff('day', cohort_week, w) / 7 AS INTEGER)
         |    AS offset_weeks,
         |  count(DISTINCT user_id) AS n_users
-        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // lead over the same TOTAL (ts, type, event_id) order
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type, event_id) AS next_type
+        |  FROM e)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // integer-cents monetary (IEEE product + half-away round identical
+    // cross-engine), day recency from the corpus max ts, q_quantile_bins'
+    // strictly-below bin rule per dimension
+    "q_rfm" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |rfm AS (SELECT user_id, max(ts) AS last_ts,
+        |    count(*) AS frequency,
+        |    -- sum(BIGINT) is HUGEINT: re-cast so the dtype matches
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM e GROUP BY 1),
+        |ref AS (SELECT max(ts) AS r FROM e),
+        |base AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(r AS DATE))
+        |      AS BIGINT) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM rfm CROSS JOIN ref),
+        |cuts AS (SELECT
+        |    quantile_cont(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75])
+        |      AS rc,
+        |    quantile_cont(CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75])
+        |      AS fc,
+        |    quantile_cont(CAST(monetary_cents AS DOUBLE),
+        |      [0.25, 0.5, 0.75]) AS mc
+        |  FROM base)
+        |SELECT user_id, recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+        |  CAST(len(list_filter(rc, x -> CAST(recency_days AS DOUBLE) > x))
+        |    AS INTEGER) AS r_bin,
+        |  CAST(len(list_filter(fc, x -> CAST(frequency AS DOUBLE) > x))
+        |    AS INTEGER) AS f_bin,
+        |  CAST(len(list_filter(mc, x -> CAST(monetary_cents AS DOUBLE)
+        |    > x)) AS INTEGER) AS m_bin
+        |FROM base CROSS JOIN cuts""".stripMargin
   )
 }

@@ -114,6 +114,39 @@ object Sessions {
     cur.withColumn("stage", stage)
   }
 
+  /** Event-transition (first-order Markov) counts: how often each event
+    * type is immediately followed by each other type within a user's
+    * stream — the path-analysis primitive behind "where do users go
+    * after X" and drop-off diagnosis, and the raw counts for a
+    * transition-probability matrix (the consumer's division).
+    *
+    * One window shuffle on the user key — per-user cost is O(its rows),
+    * the same bounded-partition exemption sessionize documents — then a
+    * pair-lattice-sized count. The sort key (ts, type, extra tiebreaks)
+    * is made TOTAL by appending `tieBreakCols`, so the lead sequence —
+    * and therefore the counts — are deterministic and exactly
+    * SQL-replicable even when timestamps collide.
+    *
+    * @return (event_type, next_type, n)
+    */
+  def eventTransitions(events: DataFrame,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       typeCol: String = "event_type",
+                       tieBreakCols: Seq[String] = Seq("event_id")
+                      ): DataFrame = {
+    val order = (col(tsCol) +: col(typeCol) +: tieBreakCols.map(col))
+      .map(_.asc)
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol), col("_next").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * FIRST event; cell (cohort_week, offset_weeks) counts distinct
     * users of that cohort active offset weeks later — the standard

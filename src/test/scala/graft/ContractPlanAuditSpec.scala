@@ -82,7 +82,8 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ivfpq_probe"         -> "same broadcast centroid/codebook tables at deployment parameters",
     "q_normalize_scores"    -> "two 1-row stats tables (zscore sums, minmax bounds) crossJoin",
     "q_normalize_robust"    -> "1-row exact-percentile stats table (med, q1, q3) crossJoin",
-    "q_winsorize"           -> "1-row quantile-cut table crossJoin")
+    "q_winsorize"           -> "1-row quantile-cut table crossJoin",
+    "q_rfm"                 -> "1-row reference-date table + three 1-row quantile-cut tables crossJoin")
 
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
     val d = "/root/testdata/sf0.001"

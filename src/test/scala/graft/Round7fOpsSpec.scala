@@ -118,6 +118,22 @@ class Round7fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> 3, 2L -> 1, 4L -> 2, 5L -> 2))
   }
 
+  test("eventTransitions: lead over a total order; timestamp ties " +
+      "broken by (type, id)") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"),
+      (1L, 3L, 30L, "view"),
+      // u2: two events at the SAME ts -> type order decides ('click' <
+      // 'view'), so the sequence is click -> view deterministically
+      (2L, 4L, 50L, "view"), (2L, 5L, 50L, "click"))
+      .toDF("user_id", "event_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.ops.Sessions.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("view", "click") -> 1L, ("click", "view") -> 2L))
+  }
+
   test("retention: weekly cohort triangle (hand-computed on ISO weeks)") {
     import spark.implicits._
     // 2024-01-01 is a Monday: W0 = 01-01, W1 = 01-08, W3 = 01-22
