@@ -110,21 +110,23 @@ object DialogOps {
     require(hit.isEmpty,
       s"truncateDialogs reserves ${reserved.mkString(", ")}; rename: " +
         hit.mkString(", "))
+    // costs summed as LONG: many large turns could wrap an int sum and
+    // a wrapped-negative total would "fit" any budget
     def contentLen(turn: Column): Column =
-      coalesce(length(turn.getField("content")), lit(0))
+      coalesce(length(turn.getField("content")).cast("long"), lit(0L))
     val t = coalesce(col(turnsCol), array())
     val hasSys = coalesce(
       size(t) > 0 && element_at(t, 1).getField("role") === "system",
       lit(false))
     val sys = slice(t, lit(1), when(hasSys, 1).otherwise(0))
     val rest = when(hasSys, slice(t, lit(2), size(t) - 1)).otherwise(t)
-    val sysCost = when(hasSys, contentLen(element_at(t, 1))).otherwise(0)
+    val sysCost = when(hasSys, contentLen(element_at(t, 1))).otherwise(0L)
     val costs = transform(rest, contentLen(_))
     val nRest = size(rest)
     // suffix starting at 1-based s fits iff sysCost + sum(costs[s..]) <=
     // budget; s = nRest + 1 is the empty suffix (fits iff sysCost does)
     val fits = size(filter(sequence(lit(1), nRest + 1), s =>
-      sysCost + aggregate(slice(costs, s, nRest - s + 1), lit(0),
+      sysCost + aggregate(slice(costs, s, nRest - s + 1), lit(0L),
         (acc, c) => acc + c) <= budget))
     // fits = 0 only when even the bare system turn is over budget:
     // keep it anyway (see scaladoc), i.e. keep the empty suffix

@@ -67,7 +67,10 @@ object Sessions {
     * sliding-anchor greedy variant (retry from every step-1 event) can
     * reach deeper but is order-sensitive per-user state; this is the
     * conservative, oracle-checkable definition, stated here so the
-    * semantics are the contract.
+    * semantics are the contract. A step list with REPEATED types uses
+    * at-or-after matching, so one event can satisfy two consecutive
+    * identical steps — deduplicate or pre-label such streams upstream
+    * if each step must consume a distinct event.
     *
     * Shape: one filtered aggregation per step, chained by equi-joins on
     * the user key — the step filter pushes into the scan, every join is

@@ -1058,7 +1058,10 @@ object Similarity {
     val q = transform(col(vecCol),
       x => round(x.cast("double") * quantScale).cast("long"))
     vecs
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      // a null ELEMENT makes the row's moments undefined too (and would
+      // NPE the aggregate's primitive extraction) — drop, like null rows
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+        !exists(col(vecCol), _.isNull))
       .agg(graft.functions.TriMoments.tri_moments(q, dim).as("_tm"))
       .select(col("_tm.n").as("n"), explode(col("_tm.moments")).as("_m"))
       // empty corpus -> empty result (the GROUP-BY spelling's semantics),
@@ -1102,7 +1105,8 @@ object Similarity {
     val q = transform(col(vecCol),
       x => round(x.cast("double") * quantScale).cast("long"))
     val head = vecs
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+        !exists(col(vecCol), _.isNull))
       .agg(graft.functions.TriMoments.tri_moments(q, dim).as("_tm"))
       .select("_tm.n", "_tm.moments")
       .head() // ONE dimension-sized row
