@@ -3163,6 +3163,15 @@ object SparkEntry {
       graft.ops.Sessions.eventTransitions(t(s, d, "events"))
     }),
 
+    "q_sentence_stats" -> ((s, d) => {
+      // sentence/word shape counts (ops.TextAnalysis.sentenceStats):
+      // anchor-free terminal-punctuation runs so Java and RE2 regex
+      // agree; ratio is the consumer's division
+      graft.ops.TextAnalysis.sentenceStats(
+        par(s, t(s, d, "documents")).select(col("doc_id"), col("text")))
+        .select("doc_id", "n_sentences", "n_words")
+    }),
+
     "q_rfm" -> ((s, d) => {
       // RFM segmentation composed from existing operators: per-user
       // recency (days from the corpus max ts — a 1-row reference
@@ -6515,6 +6524,15 @@ object SparkEntry {
         |  FROM e)
         |SELECT event_type, next_type, count(*) AS n
         |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q_sentence_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |    AS n_sentences,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) END AS n_words
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // integer-cents monetary (IEEE product + half-away round identical
     // cross-engine), day recency from the corpus max ts, q_quantile_bins'

@@ -1458,6 +1458,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_distinct"), sum(col("_c")).as("n_total"))
   }
 
+  /** Sentence-level shape counts: `n_sentences` (runs of terminal
+    * punctuation `[.!?]+` — anchor-free so Java and RE2 agree; a
+    * lookbehind split would not port) and `n_words` (whitespace
+    * tokens). Mean words-per-sentence is the consumer's division (the
+    * integer data-card rule); a words/sentences ratio outside ~[4, 60]
+    * is a classic boilerplate/table-scrape signal alongside the Gopher
+    * flags. One narrow codegen pass; null texts dropped.
+    *
+    * @return input + (n_sentences, n_words)
+    */
+  def sentenceStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val reserved = Seq("n_sentences", "n_words")
+    val hit = docs.columns.toSet.intersect(reserved.toSet)
+    require(hit.isEmpty,
+      s"sentenceStats reserves ${reserved.mkString(", ")}; rename: " +
+        hit.mkString(", "))
+    val t = col(textCol)
+    docs.filter(t.isNotNull)
+      .withColumn("n_sentences",
+        size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"))
+      // split("") yields [""] — an empty doc must count 0 words, not 1
+      .withColumn("n_words",
+        when(length(trim(t)) === 0, 0L)
+          .otherwise(size(split(trim(t), "\\s+")).cast("long")))
+  }
+
   /** Keyword-in-context (KWIC) concordance: every occurrence of every
     * phrase with its 0-based offset and `window` characters of context
     * on each side — the evidence view behind a blocklist or

@@ -118,6 +118,17 @@ class Round7fOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> 3, 2L -> 1, 4L -> 2, 5L -> 2))
   }
 
+  test("sentenceStats goldens: punctuation runs, empty and null texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hi! How are you? Ok."), (2L, ""), (3L, "..."),
+      (4L, "no terminal punctuation"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.sentenceStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((3L, 5L)), 2L -> ((0L, 0L)),
+      3L -> ((1L, 1L)), 4L -> ((0L, 3L))), s"got $out")
+  }
+
   test("eventTransitions: lead over a total order; timestamp ties " +
       "broken by (type, id)") {
     import spark.implicits._
