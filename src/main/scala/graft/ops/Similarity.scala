@@ -47,17 +47,24 @@ object Similarity {
     * buckets → higher recall, more compute. 16 planes / 4 bands ≈ 4-bit
     * bands: on clustered data this recalls near-duplicate-grade neighbors
     * while touching a small corpus fraction.
+    *
+    * STAGED-FORM certification seam: `planes = 0` (with `bands = 1`) is
+    * the degenerate configuration — the signature is the constant 0, all
+    * vectors meet in one bucket, so the full band/bucket-join/re-rank
+    * code path must reproduce [[bruteForceTopK]] EXACTLY (the contract
+    * rides brute force's exact oracle through it; the q_ivfpq_topk
+    * pattern). Deployment always uses planes ≥ bands ≥ 1.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
               planes: Int = 16, bands: Int = 4,
               queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    require(planes % bands == 0, "bands must divide planes")
+    require(bands >= 1 && planes % bands == 0, "bands must divide planes")
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
 
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val sig = hyperplane_sig(col("_v"), planes)
+      val sig = if (planes == 0) lit(0L) else hyperplane_sig(col("_v"), planes)
       val bandKeys = array((0 until bands).map(b =>
         shiftrightunsigned(sig, b * bandBits).bitwiseAND(lit(mask))): _*)
       df.select(col("_id").as(idAs), col("_v").as(vecAs),
@@ -223,15 +230,22 @@ object Similarity {
 
   /** All corpus pairs with cosine ≥ threshold, via hyperplane-band blocking
     * (the embedding-cosine near-dup tier of [[Dedup]]).
+    *
+    * STAGED-FORM certification seam: `planes = 0, bands = 1` degenerates
+    * the blocking to one bucket — every pair becomes a candidate and the
+    * full band/dedup/threshold code path must equal the exact all-pairs
+    * form (the contract rides q_emb_near_pairs' exact oracle through it).
+    * Deployment always uses planes ≥ bands ≥ 1.
     */
   def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   planes: Int = 16, bands: Int = 4): DataFrame = {
-    require(planes % bands == 0, "bands must divide planes")
+    require(bands >= 1 && planes % bands == 0, "bands must divide planes")
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
     val base = embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .withColumn("_sig", hyperplane_sig(col("_v"), planes))
+      .withColumn("_sig",
+        if (planes == 0) lit(0L) else hyperplane_sig(col("_v"), planes))
     val bandKeys = array((0 until bands).map(b =>
       shiftrightunsigned(col("_sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
     val banded = base.select(col("_id"), col("_v"),
@@ -1213,7 +1227,9 @@ object Similarity {
     * d-term chain per component overflows the 64 KB method limit and
     * drops the whole stage to interpreted mode), fixed left-to-right
     * summation order, nothing broadcast, shuffled, or stored. Null /
-    * wrong-dimension vectors are dropped.
+    * wrong-dimension vectors — and vectors containing null ELEMENTS —
+    * are dropped (the same predicate as [[embeddingMoments]]/[[pcaFit]],
+    * so fit and project see the same row set).
     *
     * @return (idCol, component, value) long-form, value rounded 6 dp
     */
@@ -1228,7 +1244,8 @@ object Similarity {
         zip_with(col(vecCol), coeffs, (x, c) => x.cast("double") * c),
         lit(0.0d), (acc, v) => acc + v) - lit(meanDot), 6)
     }
-    vecs.filter(col(vecCol).isNotNull && size(col(vecCol)) === model.dim)
+    vecs.filter(col(vecCol).isNotNull && size(col(vecCol)) === model.dim
+        && !exists(col(vecCol), _.isNull))
       .select(col(idCol),
         posexplode(array(comps: _*)).as(Seq("component", "value")))
   }
