@@ -469,8 +469,11 @@ object SparkEntry {
       // (ops.Dedup.ngramContainmentPairs shape): containment
       // inter/min(sizes) catches a doc EMBEDDED in a larger one, where
       // jaccard dilutes toward 0 as the size gap grows. Same inverted
-      // index, df-cap, and integer outputs; the 0.3 threshold applies as
-      // an integer cross-multiply so the oracle compare stays exact
+      // index, df-cap, and integer outputs; the 1/25 threshold applies
+      // as an integer cross-multiply so the oracle compare stays exact
+      // (0.04 — calibrated so the %20 sample yields pairs at BOTH gate
+      // SFs: max containment there is 0.054 at sf0.01 / 0.22 at sf0.1,
+      // so the old 0.3 made the query vacuously 0-row)
       val sh0 = par(s, t(s, d, "documents")).filter(col("doc_id") % 20 === 0)
         .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
       val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("setsize"))
@@ -485,7 +488,7 @@ object SparkEntry {
           col("setsize").as("size_a")), Seq("id_a"))
         .join(sizes.select(col("doc_id").as("id_b"),
           col("setsize").as("size_b")), Seq("id_b"))
-        .filter(col("inter") * 10 >= least(col("size_a"), col("size_b")) * 3)
+        .filter(col("inter") * 25 >= least(col("size_a"), col("size_b")))
         .select("id_a", "id_b", "inter", "size_a", "size_b")
     }),
 
@@ -1720,11 +1723,17 @@ object SparkEntry {
     }),
 
     "q_l_diversity" -> ((s, d) => {
-      // l-diversity audit (ops.Profile.lDiversityViolations): classes of
-      // (mktsegment, nationkey) whose sensitive acctbal shows < 3
-      // distinct values leak the attribute even when the class is big
+      // l-diversity audit (ops.Profile.lDiversityViolations): classes
+      // whose sensitive acctbal shows < 3 distinct values leak the
+      // attribute even when the class passes k-anonymity. The synthetic
+      // `cohort` quasi-column (custkey % 50, a zip-code stand-in) keeps
+      // classes SMALL at every SF so the audit returns a real mix of
+      // violating and passing classes (2965 of 5653 at sf0.1) — a 0-row
+      // result would certify only the schema
       graft.ops.Profile.lDiversityViolations(
-        t(s, d, "customer"), Seq("c_mktsegment", "c_nationkey"),
+        t(s, d, "customer")
+          .withColumn("cohort", col("c_custkey") % 50),
+        Seq("c_mktsegment", "c_nationkey", "cohort"),
         "c_acctbal", l = 3)
     }),
 
@@ -4364,7 +4373,7 @@ object SparkEntry {
         |FROM pairs
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE inter * 10 >= least(sa.setsize, sb.setsize) * 3""".stripMargin,
+        |WHERE inter * 25 >= least(sa.setsize, sb.setsize)""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE
@@ -4504,9 +4513,10 @@ object SparkEntry {
         |FROM sub s JOIN cls c USING (c_mktsegment, c_nationkey)""".stripMargin,
 
     "q_l_diversity" ->
-      """SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+      """SELECT c_mktsegment, c_nationkey, c_custkey % 50 AS cohort,
+        |  count(*) AS class_size,
         |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive
-        |FROM customer GROUP BY 1, 2
+        |FROM customer GROUP BY 1, 2, 3
         |HAVING count(DISTINCT c_acctbal) < 3""".stripMargin,
 
     "q_validate_dialogs" ->
@@ -6486,9 +6496,9 @@ object SparkEntry {
     // q_hash_split lattice, twice)
     "q_fim_transform" ->
       """WITH h AS (SELECT doc_id, text,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |      AS BIGINT) % (len(text) + 1) AS p1,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
         |      AS BIGINT) % (len(text) + 1) AS p2
         |  FROM documents WHERE doc_id < 500 AND text IS NOT NULL)
         |SELECT doc_id, CAST(least(p1, p2) AS INTEGER) AS fim_lo,
@@ -6645,8 +6655,8 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
         |    AS n_sentences,
         |  CASE WHEN len(trim(text)) = 0 THEN 0
-        |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
-        |      AS BIGINT) END AS n_words
+        |    ELSE CAST(len(regexp_split_to_array(trim(text),
+        |      '[ \t\n\f\r]+')) AS BIGINT) END AS n_words
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // integer-cents monetary (IEEE product + half-away round identical

@@ -202,14 +202,6 @@ object Dedup {
       .drop("_fp")
   }
 
-  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
-    *
-    * signature (numHashes) → bands of rows (bandRows each) → per-band bucket
-    * key = hash(band slice) → self-join inside buckets → distinct pairs →
-    * verify jaccard ≥ threshold on the original text.
-    *
-    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
-    */
   /** LSH parameter planner (Leskovec, Rajaraman & Ullman, "Mining of
     * Massive Datasets" §3.4.3): choose (bands, rowsPerBand) for a
     * signature of `numHashes` so the S-curve's behavior at the target
@@ -249,6 +241,14 @@ object Dedup {
     splits.minBy { case (b, r) => err(b, r) }
   }
 
+  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
+    *
+    * signature (numHashes) → bands of rows (bandRows each) → per-band bucket
+    * key = hash(band slice) → self-join inside buckets → distinct pairs →
+    * verify jaccard ≥ threshold on the original text.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -360,6 +360,16 @@ object Pipelines {
     * The returned state unions the batch survivors' index rows onto the
     * input state (a narrow union — at 100 TB append the new rows to the
     * bucketed state tables instead of rewriting them).
+    *
+    * Checkpoint policy: with `audit = true` every stage pins and counts
+    * (the run-log). With `audit = false` (the 100 TB mode) only stages
+    * whose OUTPUT fans out pin (exact-dedup, near-dedup, admitted);
+    * everything else stays one lazy chain — including `chunks`, which a
+    * day whose caller only consumes `state`/`card` then never computes
+    * at all. Ops that internally read their input twice (the
+    * fingerprint/line-owner aggregate + join-back shapes) recompute a
+    * narrow scan in this mode — deliberately: re-running per-row kernels
+    * is cheaper than materializing the full batch per stage.
     */
   def curateBatch(state: CorpusState, batch: DataFrame, eval: DataFrame,
                   langs: Seq[String] = Seq("en"),
@@ -389,13 +399,24 @@ object Pipelines {
 
     val stages = scala.collection.mutable.ListBuffer[(String, Long)]()
     var prevPinned: Option[DataFrame] = None
-    def stage(name: String, df: DataFrame): DataFrame = {
-      val pinned = df.localCheckpoint(true)
-      if (audit) stages += name -> pinned.count()
-      prevPinned.foreach(_.unpersist())
-      prevPinned = Some(pinned)
-      pinned
-    }
+    // Pin a stage ONLY when something re-reads its rows: `audit` counts
+    // every stage, and a `fanout` stage's output feeds more than one
+    // downstream consumer (the self-join dedup shapes; the admitted
+    // set's index/card/chunk fan-out). A purely linear stage stays a
+    // lazy chain — at 100 TB an unconditional per-stage pin is one full
+    // corpus materialization per stage, ~10x the pipeline's necessary
+    // I/O. The previous pin is released only when the NEXT pin has
+    // materialized (localCheckpoint(true) is eager), so lazy spans
+    // between pins never read unpersisted blocks.
+    def stage(name: String, df: DataFrame,
+              fanout: Boolean = false): DataFrame =
+      if (audit || fanout) {
+        val pinned = df.localCheckpoint(true)
+        if (audit) stages += name -> pinned.count()
+        prevPinned.foreach(_.unpersist())
+        prevPinned = Some(pinned)
+        pinned
+      } else df
 
     // optional URL dedup, both axes: within-batch canonical winners,
     // then anti-join against the corpus canonical-URL index — a page
@@ -419,7 +440,10 @@ object Pipelines {
       .filter(col("lang_pred").isin(langs: _*))
       .filter(col("quality") >= minQuality)
       .filter(CorpusOps.repetitionRatio(col(textCol)) <= maxRepetition),
-      maxCompressionRatio, textCol))
+      maxCompressionRatio, textCol),
+      // the blocklist gate anti-joins `gated` against a flagged subset
+      // OF `gated` — two consumers
+      fanout = blocklist.nonEmpty)
 
     val blGated = blocklist match {
       case Some(bl) => stage("blocklist-gate", gated.join(
@@ -433,7 +457,8 @@ object Pipelines {
     // batch, anti-join against the corpus fingerprint index
     val exactNew = stage("exact-dedup-incremental",
       Dedup.incrementalAgainstIndex(state.fingerprints, blGated,
-        idCol, textCol))
+        idCol, textCol),
+      fanout = true) // near-dedup self-joins it (clusters + semi-join)
 
     // near dedup within the batch (same clusters policy as curateCorpus)…
     val nearBatch = exactNew.join(
@@ -449,7 +474,8 @@ object Pipelines {
       Dedup.nearDupAgainstIndex(state.minhash, nearBatch,
         nearDupThreshold, shingleK, numHashes, bands, idCol, textCol)
         .select(col("batch_id").as(idCol)).distinct(),
-      Seq(idCol), "left_anti"))
+      Seq(idCol), "left_anti"),
+      fanout = true) // decontaminate self-joins it
 
     val clean = stage("decontaminate", nearNew.join(
       Dedup.decontaminate(nearNew, eval, idCol = idCol, textCol = textCol)
@@ -469,7 +495,10 @@ object Pipelines {
 
     // ADMITTED text (pre-scrub — the stage position the dedup state
     // describes; see CorpusState)
-    val admitted = stage("admitted", lineDeduped)
+    val admitted = stage("admitted", lineDeduped,
+      // fans out three ways: chunk/pack, the new-state index build
+      // (which itself reads it several times), and the per-day card
+      fanout = true)
 
     val scrubbed = admitted.withColumn(textCol,
       CorpusOps.scrubText(col(textCol)))

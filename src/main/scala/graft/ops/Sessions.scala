@@ -126,9 +126,14 @@ object Sessions {
     * One window shuffle on the user key — per-user cost is O(its rows),
     * the same bounded-partition exemption sessionize documents — then a
     * pair-lattice-sized count. The sort key (ts, type, extra tiebreaks)
-    * is made TOTAL by appending `tieBreakCols`, so the lead sequence —
-    * and therefore the counts — are deterministic and exactly
-    * SQL-replicable even when timestamps collide.
+    * is made TOTAL by appending `tieBreakCols` — every tiebreak column
+    * must exist (validated up front, the default `event_id` included)
+    * and sorts NULLS LAST explicitly: Spark's bare `asc` is nulls-first
+    * where DuckDB defaults to nulls-last, so a nullable tiebreak would
+    * otherwise reorder colliding rows differently per engine. With that
+    * pinned, the lead sequence — and therefore the counts — are
+    * deterministic and exactly SQL-replicable even when timestamps
+    * collide.
     *
     * @return (event_type, next_type, n)
     */
@@ -138,8 +143,13 @@ object Sessions {
                        typeCol: String = "event_type",
                        tieBreakCols: Seq[String] = Seq("event_id")
                       ): DataFrame = {
+    val missing = (tieBreakCols :+ userCol :+ tsCol :+ typeCol)
+      .filterNot(events.columns.contains)
+    require(missing.isEmpty,
+      s"eventTransitions: column(s) not in input: ${missing.mkString(", ")}" +
+        " (pass tieBreakCols explicitly if there is no event_id)")
     val order = (col(tsCol) +: col(typeCol) +: tieBreakCols.map(col))
-      .map(_.asc)
+      .map(_.asc_nulls_last)
     val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
     events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&

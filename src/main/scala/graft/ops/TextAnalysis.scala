@@ -1460,8 +1460,11 @@ object TextAnalysis {
 
   /** Sentence-level shape counts: `n_sentences` (runs of terminal
     * punctuation `[.!?]+` — anchor-free so Java and RE2 agree; a
-    * lookbehind split would not port) and `n_words` (whitespace
-    * tokens). Mean words-per-sentence is the consumer's division (the
+    * lookbehind split would not port) and `n_words` (whitespace tokens —
+    * split on the EXPLICIT class `[ \t\n\f\r]+`, not `\s`: Java's `\s`
+    * includes U+000B where RE2's does not, so the shorthand diverges
+    * cross-engine on vertical tabs). Mean words-per-sentence is the
+    * consumer's division (the
     * integer data-card rule); a words/sentences ratio outside ~[4, 60]
     * is a classic boilerplate/table-scrape signal alongside the Gopher
     * flags. One narrow codegen pass; null texts dropped.
@@ -1482,7 +1485,7 @@ object TextAnalysis {
       // split("") yields [""] — an empty doc must count 0 words, not 1
       .withColumn("n_words",
         when(length(trim(t)) === 0, 0L)
-          .otherwise(size(split(trim(t), "\\s+")).cast("long")))
+          .otherwise(size(split(trim(t), "[ \\t\\n\\f\\r]+")).cast("long")))
   }
 
   /** Keyword-in-context (KWIC) concordance: every occurrence of every
@@ -1526,8 +1529,10 @@ object TextAnalysis {
   /** Fill-in-the-middle transform (Bavarian et al. 2022): re-order each
     * document as `<PRE> prefix <SUF> suffix <MID> middle` (PSM mode), so
     * a left-to-right LM learns infilling. The two cut points are
-    * DETERMINISTIC — decoded from two independent 4-hex windows of
-    * md5(id) mod (len+1), the corpus's standard split-lattice recipe —
+    * DETERMINISTIC — decoded from two independent 8-hex (32-bit) windows
+    * of md5(id) mod (len+1), the corpus's standard split-lattice recipe
+    * (32 bits cover any realistic document length with negligible modulo
+    * bias; a 16-bit window would confine cuts to the first 64 K chars) —
     * so the transform is a pure function of (id, text): reproducible
     * across runs and engines (exact-oracle-checkable, unlike an RNG
     * draw), and re-running an incremental refresh never re-cuts
@@ -1550,11 +1555,11 @@ object TextAnalysis {
         hit.mkString(", "))
     val t = col(textCol)
     val n = length(t)
-    def hex4(off: Int): Column =
-      conv(substring(md5(col(idCol).cast("string")), off, 4), 16, 10)
+    def hex8(off: Int): Column =
+      conv(substring(md5(col(idCol).cast("string")), off, 8), 16, 10)
         .cast("long")
-    val p1 = (hex4(1) % (n + 1)).cast("int")
-    val p2 = (hex4(5) % (n + 1)).cast("int")
+    val p1 = (hex8(1) % (n + 1)).cast("int")
+    val p2 = (hex8(9) % (n + 1)).cast("int")
     docs.filter(t.isNotNull)
       .withColumn("fim_lo", least(p1, p2))
       .withColumn("fim_hi", greatest(p1, p2))
