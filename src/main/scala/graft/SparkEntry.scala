@@ -744,7 +744,23 @@ object SparkEntry {
 
     // --- non-SQL-expressible operators (rows-only driver check) ---------
     "q_dedup_minhash" -> ((s, d) => {
-      graft.ops.Dedup.minhashLsh(par(s, t(s, d, "documents")), threshold = 0.5)
+      // MinHash-LSH near-dup pairs in the STAGED-FORM certification:
+      // numHashes = 0 / bands = 1 puts every pair of the 1-in-10 sample
+      // into one bucket, so the band-join/dedup/verify code path must
+      // equal exact all-pairs shingle-Jaccard — replayed in SQL over the
+      // same distinct char-5-gram sets, threshold 0.25 as the integer
+      // cross-multiply 4·inter >= union (a ratio that lands exactly on
+      // 0.25 is IEEE-exact, so the double filter and the integer filter
+      // agree). Pairs only ride the hash: the kernel dedups shingles by
+      // 32-bit hash, the oracle by string — equal unless a 5-gram
+      // collision lands inside a near-threshold pair (P < 1e-4 per
+      // corpus at these set sizes; exact at both gate SFs). Deployment
+      // parameters (128 hashes / 32 bands, full corpus) remain on
+      // q_dedup_minhash_clusters/_incr and the recall specs.
+      graft.ops.Dedup.minhashLsh(
+        par(s, t(s, d, "documents")).filter(col("doc_id") % 10 === 0),
+        threshold = 0.25, numHashes = 0, bands = 1)
+        .select("id_a", "id_b")
     }),
 
     "q_dedup_simhash" -> ((s, d) => {
@@ -3183,6 +3199,43 @@ object SparkEntry {
         Seq("view", "click", "purchase"), withinSeconds = 86400L)
     }),
 
+    "q_funnel_sliding" -> ((s, d) => {
+      // sliding-anchor funnel (ops.Sessions.funnelSliding — ClickHouse
+      // windowFunnel's greedy mode): max depth over ALL view anchors,
+      // one shuffle + O(k)-state pass per user with the cap-and-raise
+      // buffer guard. Rows-only (order-sensitive per-user state isn't
+      // SQL-expressible); Round8OpsSpec pins goldens, per-user dominance
+      // over q_funnel's earliest-anchored stage, and a planted stream
+      // where sliding reaches strictly deeper.
+      graft.ops.Sessions.funnelSliding(events(s, d),
+        Seq("view", "click", "purchase"), withinSeconds = 86400L)
+    }),
+
+    "q_decontaminate_dialogs" -> ((s, d) => {
+      // dialog-level decontamination (ops.DialogOps.decontaminateDialogs
+      // = renderDialogs ∘ Dedup.decontaminate): chat corpora get the
+      // same eval-leak gate documents have. The planted leak is each
+      // dialog's user turn carrying a full document text; eval = docs
+      // 300..399, so those dialogs must flag. EXACT oracle: rendering is
+      // a pure string template and the gate is the q_decontaminate shape
+      // over the rendered text (DISTINCT word 3-grams; the kernel dedups
+      // by 32-bit hash, the oracle by string — equal unless a murmur
+      // collision lands in a counted pair, empirically exact at both
+      // gate SFs)
+      val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+      val dialogs = docs.select(col("doc_id").as("dialog_id"),
+        array(
+          struct(lit("user").as("role"), col("text").as("content")),
+          struct(lit("assistant").as("role"),
+            concat(lit("re: "), coalesce(col("lang"), lit("")))
+              .as("content")))
+          .as("turns"))
+      val evalDocs = t(s, d, "documents")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select("doc_id", "text")
+      graft.ops.DialogOps.decontaminateDialogs(dialogs, evalDocs)
+    }),
+
     "q_retention" -> ((s, d) => {
       // weekly cohort retention triangle (ops.Sessions.retention):
       // ISO-Monday week truncation aligns cohort and activity weeks in
@@ -3772,6 +3825,48 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // renderDialogs' template replayed as a string expression, then the
+    // q_decontaminate shape over the rendered text (distinct 3-grams)
+    "q_decontaminate_dialogs" ->
+      """WITH r AS (SELECT doc_id AS dialog_id,
+        |    '<|user|>' || text || chr(10) || '<|assistant|>re: '
+        |      || coalesce(lang, '') AS rt
+        |  FROM documents WHERE doc_id < 500),
+        |tsh AS (SELECT DISTINCT dialog_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT dialog_id, list_filter(
+        |      string_split_regex(rt, '\s+'), x -> x <> '') AS w FROM r) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |esh AS (SELECT DISTINCT doc_id AS eval_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |    FROM documents WHERE doc_id >= 300 AND doc_id < 400) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g)
+        |SELECT tsh.dialog_id AS train_id, esh.eval_id,
+        |  count(*) AS n_shared
+        |FROM tsh JOIN esh USING (s)
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // the minhashLsh staged form: one global bucket admits every sample
+    // pair, exact-jaccard verify == all-pairs distinct char-5-gram
+    // Jaccard, threshold 0.25 as 4·inter >= |A|+|B|−inter
+    "q_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 10 = 0),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    len(text) - 4)) AS i) g),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b
+        |FROM p JOIN sizes sa ON sa.doc_id = id_a
+        |       JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE 4 * inter >= sa.n + sb.n - inter""".stripMargin,
 
     // exhaustive overfetch → every vector survives ADC nomination →
     // exact re-rank IS brute force (same shape as q_sim_topk at k = 10)

@@ -247,12 +247,21 @@ object Dedup {
     * key = hash(band slice) → self-join inside buckets → distinct pairs →
     * verify jaccard ≥ threshold on the original text.
     *
+    * STAGED-FORM certification seam: `numHashes = 0` (with `bands = 1`)
+    * degenerates the blocking to one constant bucket and disables the
+    * signature-agreement prune (undefined on an empty signature), so
+    * EVERY pair is a candidate and the band/dedup/verify code path must
+    * equal exact all-pairs shingle-Jaccard — the contract rides an exact
+    * SQL oracle through it on a corpus sample (the planes = 0 seam of
+    * [[Similarity.cosinePairs]]). Deployment always uses
+    * numHashes ≥ bands ≥ 1.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bands >= 1 && numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // one narrow pass per doc: signature + sorted shingle set (verification
     // is then a merge over int arrays — the text is never re-hashed)
@@ -262,8 +271,10 @@ object Dedup {
 
     // fan out band keys: (band_idx, hash(slice)) — bands is a plan-time
     // constant, so the key array is built statically (pure codegen'd exprs)
-    val bandKeys = array((0 until bands).map(b =>
-      hash(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val bandKeys =
+      if (numHashes == 0) array(lit(0)) // staged form: one global bucket
+      else array((0 until bands).map(b =>
+        hash(slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     val banded = sig.select(col("_id"),
       posexplode(bandKeys).as(Seq("_band", "_bucket")))
 
@@ -284,8 +295,12 @@ object Dedup {
       col("_sh").as("_sh_a"))
     val b = sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b"),
       col("_sh").as("_sh_b"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .filter(sig_agreement(col("_sig_a"), col("_sig_b")) >= threshold - margin)
+    val verified = cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    val pruned =
+      if (numHashes == 0) verified // staged form: no signature to estimate
+      else verified.filter(
+        sig_agreement(col("_sig_a"), col("_sig_b")) >= threshold - margin)
+    pruned
       .withColumn("jaccard", jaccard_sorted_arrays(col("_sh_a"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

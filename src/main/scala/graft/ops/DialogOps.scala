@@ -83,6 +83,37 @@ object DialogOps {
       .withColumn("n_render_chars", length(rendered).cast("long"))
   }
 
+  /** Dialog-level DECONTAMINATION — the eval-leak gate chat corpora need
+    * exactly as document corpora do: a benchmark prompt pasted into ANY
+    * turn leaks the eval set into training. Composes [[renderDialogs]]
+    * (one text per dialog) with [[Dedup.decontaminate]]'s word-n-gram
+    * shingle gate: every n-gram INSIDE a turn's content survives
+    * rendering verbatim, so a leaked eval passage of
+    * ≥ n + minSharedShingles − 1 words is caught whichever turn carries
+    * it (a role tag fuses only with the single content word it abuts,
+    * perturbing just the ≤ n−1 shingles that span a turn boundary — an
+    * in-content leak never rides those).
+    *
+    * Scale shape = decontaminate's: the eval side is benchmark-sized and
+    * broadcasts as an exploded shingle index; the dialog side renders
+    * and explodes once, no self-join. Returns one row per contaminated
+    * dialog — anti-join on `train_id` to clean.
+    *
+    * @return (train_id = dialog id, eval_id, n_shared)
+    */
+  def decontaminateDialogs(dialogs: DataFrame, eval: DataFrame, n: Int = 3,
+                           minSharedShingles: Int = 2,
+                           idCol: String = "dialog_id",
+                           turnsCol: String = "turns",
+                           evalIdCol: String = "doc_id",
+                           evalTextCol: String = "text"): DataFrame =
+    Dedup.decontaminate(
+      renderDialogs(dialogs, idCol, turnsCol)
+        .select(col(idCol), col("rendered_text")),
+      eval.select(col(evalIdCol).as(idCol),
+        col(evalTextCol).as("rendered_text")),
+      n, minSharedShingles, idCol, "rendered_text")
+
   /** Context-budget truncation: keep the leading system turn (if any)
     * plus the LONGEST SUFFIX of the remaining turns whose total content
     * cost fits `budget` — the standard chat-corpus fitting rule (recent

@@ -117,6 +117,90 @@ object Sessions {
     cur.withColumn("stage", stage)
   }
 
+  /** Funnel analysis, SLIDING-ANCHOR (ClickHouse windowFunnel's greedy
+    * mode — the variant [[funnel]]'s scaladoc scopes out): per user the
+    * MAXIMUM depth over ALL step-1 anchors — a chain may start at any
+    * step-1 event, each later step must follow the chain's previous step
+    * in (ts, step) order and fall within `withinSeconds` of that chain's
+    * OWN anchor. Reaches at least as deep as the earliest-anchored form
+    * (a later anchor strictly dominates: any continuation within window
+    * of an earlier anchor is within window of a later one, which is why
+    * per-level state only needs the LATEST anchor able to reach that
+    * level — the standard windowFunnel recurrence, one pass with O(k)
+    * state after the per-user sort).
+    *
+    * Pinned semantics: events sort by (ts, step index), so
+    * equal-timestamp events chain in step order (the at-or-after rule of
+    * [[funnel]]); each event advances exactly its own step's level, so
+    * REPEATED step types are rejected (`require(distinct)`) rather than
+    * silently double-matched.
+    *
+    * Scale shape: the stream is pre-filtered to the k step types and
+    * shuffled ONCE on the user key; each user's step events buffer only
+    * for the sort, guarded by a hard `maxEventsPerUser` cap that RAISES
+    * on pathological users (the maxPairs discipline — silent truncation
+    * would understate depth). Order-sensitive per-user state is not
+    * SQL-expressible → rows-only contract; Round8OpsSpec pins goldens,
+    * the dominance property vs [[funnel]], and the planted stream where
+    * sliding reaches strictly deeper.
+    *
+    * @return (userCol long, stage ∈ [1, k], anchor_us epoch-micros of
+    *         the deepest chain's latest anchor) — one row per user with
+    *         ≥ 1 step-1 event
+    */
+  def funnelSliding(events: DataFrame, steps: Seq[String],
+                    withinSeconds: Long, maxEventsPerUser: Int = 1 << 20,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnelSliding: 2..8 steps (got ${steps.size})")
+    require(steps.distinct.size == steps.size,
+      "funnelSliding: step types must be distinct (an event advances " +
+        "exactly one level; use funnel's at-or-after form for repeats)")
+    require(withinSeconds > 0, s"need withinSeconds > 0 (got $withinSeconds)")
+    require(maxEventsPerUser >= 2,
+      s"need maxEventsPerUser >= 2 (got $maxEventsPerUser)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val idx = steps.zipWithIndex.toMap
+    val windowUs = withinSeconds * 1000000L
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long"), epochUs(col(tsCol)), col(typeCol))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        it.foreach { e =>
+          buf += ((e._2, idx(e._3)))
+          if (buf.length > maxEventsPerUser)
+            throw new IllegalStateException(
+              s"funnelSliding: user $user exceeds maxEventsPerUser=" +
+                s"$maxEventsPerUser step events — raise the cap or " +
+                "pre-thin the stream")
+        }
+        buf.sortInPlace()
+        // anchor(j) = latest step-1 timestamp whose chain reached level
+        // j+1 given the events processed so far (time order = buf order)
+        val anchor = Array.fill(k)(Long.MinValue)
+        buf.foreach { case (ts, s) =>
+          if (s == 0) { if (ts > anchor(0)) anchor(0) = ts }
+          else if (anchor(s - 1) != Long.MinValue &&
+              ts - anchor(s - 1) <= windowUs &&
+              anchor(s - 1) > anchor(s))
+            anchor(s) = anchor(s - 1)
+        }
+        if (anchor(0) == Long.MinValue) Iterator.empty
+        else {
+          val depth = anchor.lastIndexWhere(_ != Long.MinValue) + 1
+          Iterator.single((user, depth, anchor(depth - 1)))
+        }
+      }
+      .toDF(userCol, "stage", "anchor_us")
+  }
+
   /** Event-transition (first-order Markov) counts: how often each event
     * type is immediately followed by each other type within a user's
     * stream — the path-analysis primitive behind "where do users go
