@@ -95,6 +95,19 @@ object SparkEntry {
     ivfIndexQCache.computeIfAbsent((s, d), _ => build)
   }
 
+  /** Session-lifetime NSW graph index per (session, data dir) — the
+    * graph-ANN build-once/probe-many tier, same stopped-session
+    * eviction discipline as the IVF cache.
+    */
+  private val nswCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.NswIndex]
+
+  private def cachedNsw(s: SparkSession, d: String): graft.ops.Similarity.NswIndex = {
+    nswCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    nswCache.computeIfAbsent((s, d), _ =>
+      graft.ops.Similarity.buildNswGraph(par(s, t(s, d, "embeddings"))))
+  }
+
   /** Session-lifetime BM25 postings index per (session, data dir) — the
     * lexical build-once/probe-many twin of the IVF cache, same
     * stopped-session eviction discipline.
@@ -2936,6 +2949,37 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     }),
 
+    "q_nsw_topk" -> ((s, d) => {
+      // the graph-ANN tier (ops.Similarity.nswSearch over the cached
+      // single-layer NSW graph) in its STAGED-FORM certification:
+      // entries = the whole corpus with ef > corpus size scores every
+      // node up front, so the full score/dedup/prune/rank code path —
+      // one beam hop included — must equal bruteForceTopK — SAME oracle
+      // as q_sim_topk (the q_ivfpq_topk recipe). Deployment parameters
+      // live on q_nsw_probe + the Round8bOpsSpec recall floor.
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.nswSearch(qs, cachedNsw(s, d), emb, k = 5,
+          ef = 1 << 18, hops = 1, entries = Some(emb.select("vec_id")))
+        .select("query_id", "vec_id", "rank")
+    }),
+
+    "q_nsw_probe" -> ((s, d) => {
+      // the same graph at DEPLOYMENT parameters: beam from the nCenters
+      // cell gateways, ef = 32, 3 hops — per hop only the (queries × ef)
+      // frontier broadcasts against the adjacency and only new nodes
+      // fetch a vector. Rows-only (graph reachability is approximate by
+      // construction); Round8bOpsSpec pins the recall floor vs
+      // bruteForceTopK and a planted must-hop graph golden.
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.nswSearch(qs, cachedNsw(s, d), emb, k = 5,
+          ef = 32, hops = 3)
+        .select("query_id", "vec_id", "rank")
+    }),
+
     "q_ivfpq_probe" -> ((s, d) => {
       // the same index at DEPLOYMENT parameters (nProbe 4 of 8 cells,
       // 3x overfetch): the plan a billion-vector store actually runs —
@@ -3761,6 +3805,7 @@ object SparkEntry {
     // (the q_ivfpq_topk recipe — see each query's comment)
     "q_ann_topk" -> baseOracleSql("q_sim_topk"),
     "q_ann_ivf" -> baseOracleSql("q_sim_topk"),
+    "q_nsw_topk" -> baseOracleSql("q_sim_topk"),
     "q_knn_classify_ann" -> baseOracleSql("q_knn_classify"),
     "q_emb_near_pairs_lsh" -> baseOracleSql("q_emb_near_pairs"),
 

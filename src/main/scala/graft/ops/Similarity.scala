@@ -603,6 +603,171 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** A built NSW graph index (single-layer HNSW-lite, Malkov & Yashunin
+    * 2016 reduced to its navigable-small-world core): `edges` is the
+    * (src, dst) adjacency — each vector's M nearest WITHIN its IVF cell
+    * plus a complete mesh over the nCenters cell gateways — and
+    * `entries` are the gateway nodes search starts from. Both pinned;
+    * at 100 TB persist `edges` bucketed by `src`
+    * ([[graft.ops.Bucketing.writeBucketed]]) so each beam hop's
+    * frontier join is one-sided.
+    *
+    * Design note (why not full HNSW): the hierarchy's greedy descent is
+    * inherently sequential per query; what survives distribution is the
+    * single-layer graph + a coarse entry tier. Cell-local kNN gives the
+    * local navigability, the gateway mesh replaces the upper layers
+    * (any query reaches any cell region in one hop), and beam search
+    * runs as set-at-a-time joins — per hop: broadcast the (queries × ef)
+    * frontier against the adjacency, score only new candidates.
+    */
+  final case class NswIndex(edges: DataFrame, entries: DataFrame) {
+    def release(): Unit = { edges.unpersist(); entries.unpersist() }
+  }
+
+  /** Build the NSW graph. Three edge families, each covering a failure
+    * mode of the others:
+    *
+    *  - CELL-LOCAL kNN (`m` per node): the similarity gradient beam
+    *    search climbs. IVF cells bound the quadratic (per-cell pairing
+    *    only — the SemDeDup argument: nCenters grows with the corpus,
+    *    cell size stays bounded).
+    *  - IN-CELL FINGERS (`fingers` per node): Chord-style hash-ring
+    *    skips at halving distances — deterministic long-range links
+    *    that keep a cell's INTERIOR small-world even when k-means has
+    *    merged two genuinely separate clusters into one cell, where
+    *    pure-kNN edges never cross the gap (measured failure mode: a
+    *    merged cell's unlucky sub-cluster was unreachable and recall
+    *    collapsed to 0 for its queries).
+    *  - GATEWAY MESH: `gatewaysPerCell` HASH-SPREAD nodes per cell
+    *    (coverage draw, not the centroid-nearest hub — a merged cell's
+    *    single hub sits between sub-clusters and its kNN edges commit
+    *    to one of them), fully meshed so any query reaches any cell
+    *    region in one hop; search enters at all gateways.
+    *
+    * Deterministic end-to-end: seeded k-means, hash-ordered draws, ties
+    * to the smallest id. Build-path cost, paid once
+    * ([[cachedIvfIndex]]-style lifecycle); probes touch only
+    * `edges`/`entries`.
+    */
+  def buildNswGraph(corpus: DataFrame, m: Int = 8, nCenters: Int = 16,
+                    iters: Int = 3, gatewaysPerCell: Int = 4,
+                    fingers: Int = 3, corpusIdCol: String = "vec_id",
+                    vecCol: String = "embedding"): NswIndex = {
+    require(m >= 1 && nCenters >= 1 && gatewaysPerCell >= 1 && fingers >= 0)
+    val ivf = buildIvfIndex(corpus, nCenters, iters, corpusIdCol, vecCol)
+    val a = ivf.cells.select(col("center_id"), col("vec_id").as("src"),
+      col("_cv").as("_va"))
+    val b = ivf.cells.select(col("center_id"), col("vec_id").as("dst"),
+      col("_cv").as("_vb"))
+    val w = Window.partitionBy("src").orderBy(col("_cos").desc, col("dst"))
+    val local = a.join(b, Seq("center_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("_cos", cosine_sim(col("_va"), col("_vb")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= m)
+      .select("src", "dst")
+    // hash ring per cell: rank in xxhash order (cell-bounded window)
+    val wRing = Window.partitionBy("center_id")
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val ranked = ivf.cells
+      .select(col("center_id"), col("vec_id"),
+        (row_number().over(wRing) - 1).as("_rank"),
+        count(lit(1)).over(Window.partitionBy("center_id")).as("_size"))
+      .localCheckpoint(true)
+    val fingerEdges = (0 until fingers).map { r =>
+      val skip = greatest(shiftright(col("_size"), r + 1), lit(1L))
+      val probe = ranked.select(col("center_id"),
+        col("vec_id").as("src"),
+        ((col("_rank") + skip) % col("_size")).as("_trank"))
+      probe.join(ranked.select(col("center_id"),
+          col("_rank").as("_trank"), col("vec_id").as("dst")),
+        Seq("center_id", "_trank"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+    }
+    val gateways = ranked.filter(col("_rank") < gatewaysPerCell)
+      .select("vec_id")
+    val mesh = gateways.select(col("vec_id").as("src"))
+      .crossJoin(broadcast(gateways.select(col("vec_id").as("dst"))))
+      .filter(col("src") =!= col("dst"))
+    val edges = (local +: mesh +: fingerEdges).reduce(_ union _)
+      .distinct().localCheckpoint(true)
+    val entries = gateways.localCheckpoint(true)
+    ranked.unpersist()
+    ivf.release()
+    NswIndex(edges, entries)
+  }
+
+  /** Beam search over a prebuilt [[NswIndex]]: score the entry set, then
+    * `hops` rounds of expand-score-prune — per round the (queries × ef)
+    * frontier broadcasts into an equi-join on `edges.src`, only the
+    * newly reached nodes fetch their vector (equi-join on the corpus
+    * id), and a per-query window keeps the best `ef`. Run-exactly-N
+    * rounds (the PageRank discipline — a data-dependent convergence test
+    * would serialize the job graph); each round pins its frontier and
+    * releases the previous one. Deterministic: ties to the smallest id.
+    *
+    * Approximate by construction (the graph may not connect a query's
+    * region to its true neighbors) → rows-only at deployment
+    * parameters, recall-floor spec-pinned; the STAGED FORM — `entries` =
+    * the whole corpus with ef ≥ corpus size — makes the search equal
+    * [[bruteForceTopK]] by construction (every node is scored up front;
+    * hops only re-find them), so the contract rides q_sim_topk's exact
+    * oracle through the full score/dedup/prune/rank code path (the
+    * q_ivfpq_topk recipe).
+    *
+    * @param entries override the index's entry set (the staged seam)
+    * @return (query_id, vec_id, cosine, rank) with rank ≤ k per query
+    */
+  def nswSearch(queries: DataFrame, index: NswIndex, corpus: DataFrame,
+                k: Int = 10, ef: Int = 32, hops: Int = 3,
+                entries: Option[DataFrame] = None,
+                queryIdCol: String = "query_id",
+                corpusIdCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && ef >= k && hops >= 0,
+      s"need ef >= k >= 1 and hops >= 0 (got k=$k ef=$ef hops=$hops)")
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"), col(vecCol).as("_cv"))
+    val entry = entries.getOrElse(index.entries).select(col("vec_id"))
+    def score(cands: DataFrame): DataFrame = // (query_id, vec_id) -> +cos
+      cands.join(c, Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("_cos", cosine_sim(col("_qv"), col("_cv")))
+        .select("query_id", "vec_id", "_cos")
+    val wEf = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("vec_id"))
+    def topEf(scored: DataFrame): DataFrame = scored
+      .withColumn("_rn", row_number().over(wEf))
+      .filter(col("_rn") <= ef)
+      .select("query_id", "vec_id", "_cos")
+    var best = topEf(score(q.select("query_id")
+        .crossJoin(broadcast(entry))))
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val reached = best.select(col("query_id"), col("vec_id").as("src"))
+        .join(index.edges, Seq("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .dropDuplicates("query_id", "vec_id")
+      // dedup AFTER the union: a re-reached node rescores to the
+      // identical cosine, so dropDuplicates is deterministic here
+      val next = topEf(best.union(score(reached))
+          .dropDuplicates("query_id", "vec_id"))
+        .localCheckpoint(true)
+      best.unpersist()
+      best = next
+    }
+    val out = best
+      .withColumn("rank", row_number().over(wEf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("_cos").as("cosine"),
+        col("rank"))
+      .localCheckpoint(true)
+    best.unpersist()
+    out
+  }
+
   /** kNN LABEL CLASSIFICATION — propagate labels from the k nearest
     * corpus vectors to each query (label transfer / semi-supervised
     * labeling / quality-tag propagation over an embedding store):
