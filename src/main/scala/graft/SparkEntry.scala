@@ -1117,9 +1117,17 @@ object SparkEntry {
     }),
 
     "q_dedup_minhash_clusters" -> ((s, d) => {
-      // LSH pairs -> connected components -> canonical doc per cluster
-      // (hash-based blocking: rows-only driver check)
-      graft.ops.Dedup.clusters(par(s, t(s, d, "documents")), threshold = 0.5)
+      // LSH pairs -> connected components -> canonical doc per cluster,
+      // in the q_dedup_minhash STAGED FORM (numHashes = 0 / bands = 1 on
+      // the 1-in-10 sample): the pair set equals exact all-pairs
+      // char-5-gram Jaccard, so the CC + canonical labeling rides an
+      // exact recursive min-label oracle through the REAL clusters code
+      // path (minhashLsh -> ConnectedComponents -> is_canonical).
+      // Deployment blocking stays covered by q_dedup_minhash_incr and
+      // the recall specs.
+      graft.ops.Dedup.clusters(
+        par(s, t(s, d, "documents")).filter(col("doc_id") % 10 === 0),
+        threshold = 0.25, numHashes = 0, bands = 1)
     }),
 
     "q_dedup_clusters" -> ((s, d) => {
@@ -3893,6 +3901,35 @@ object SparkEntry {
         |  count(*) AS n_shared
         |FROM tsh JOIN esh USING (s)
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // q_dedup_minhash's staged pair set + the q_dedup_clusters
+    // min-label recursive closure, over the sample universe
+    "q_dedup_minhash_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    len(text) - 4)) AS i) g),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM p JOIN sizes sa ON sa.doc_id = id_a
+        |         JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE 4 * inter >= sa.n + sb.n - inter),
+        |sym AS (SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(x, y) AS (SELECT x, y FROM sym
+        |  UNION SELECT r.x, s2.y FROM reach r JOIN sym s2 ON r.y = s2.x)
+        |SELECT d.doc_id,
+        |  CAST(least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS BIGINT)
+        |    AS cluster_id,
+        |  least(d.doc_id, coalesce(min(r.y), d.doc_id)) = d.doc_id
+        |    AS is_canonical
+        |FROM d LEFT JOIN reach r ON r.x = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
 
     // the minhashLsh staged form: one global bucket admits every sample
     // pair, exact-jaccard verify == all-pairs distinct char-5-gram

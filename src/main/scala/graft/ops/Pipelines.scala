@@ -107,6 +107,18 @@ object Pipelines {
     // intermediate is ever resident, and the final stage stays pinned for
     // the caller. The audit count is an EXTRA action per boundary — the
     // run-log row counts — skipped when audit=false (the 100 TB mode).
+    //
+    // Unlike curateBatch (whose no-audit mode pins only fan-out stages),
+    // the pins here stay UNCONDITIONAL by design: in the full-rerun
+    // pipeline nearly every stage output is re-read by its consumer's
+    // statistic + join-back shape (blocklist/LM/classifier/DSIR gates,
+    // Dedup.exact's fingerprint aggregate, the near-dup/decontaminate
+    // self-joins, the span/line rebuilds), so without the pin each stage
+    // would recompute the ENTIRE accumulated upstream chain at least
+    // twice — strictly worse than one materialization per boundary. The
+    // batch pipeline escapes this only because its statistics live in
+    // the PREBUILT CorpusState indexes, leaving most of its stages
+    // single-read anti-joins.
     var prevPinned: Option[DataFrame] = None
     def stage(name: String, df: DataFrame): DataFrame = {
       val pinned = df.localCheckpoint(true)
