@@ -1180,34 +1180,36 @@ object SparkEntry {
     "q_author_rank" -> ((s, d) => {
       // co-supplier PageRank (graph.GraphOps.authorRank): star-edge
       // centrality over the same bipartite graph as q_graph_components.
-      // Rows-only (iterative float fixpoint is not SQL-replayable);
-      // GraphAndStreamSpec pins the dataflow against a reference
-      // implementation, and the rank column is floor-scaled for stability.
-      // 8 fixed rounds in run-exactly-N mode (tol=0 skips the per-round
-      // convergence query): a contract snapshot doesn't need the 50+
-      // rounds a 1e-4 damped fixpoint takes, and with the round budget
-      // binding, each convergence check would be pure overhead
+      // EXACT oracle via the FIXED-POINT seam (scale = 1e6): every round
+      // is integer (rank·w) DIV wdeg + (85·Σ) DIV 100, so the 8 rounds
+      // unroll to 8 SQL CTE levels bit-for-bit — the iterative-rank
+      // family's staged-form certification. 8 fixed rounds in
+      // run-exactly-N mode (tol=0 skips the per-round convergence
+      // query); GraphAndStreamSpec additionally pins the double-mode
+      // dataflow against a reference implementation.
       val supplierOrders = par(s, t(s, d, "lineitem"))
         .filter(col("l_orderkey") <= 1000)
         .select(col("l_suppkey").cast("string").as("src"),
           col("l_orderkey").cast("string").as("dst"))
       graft.graph.GraphOps.authorRank(supplierOrders, tol = 0.0,
-        maxIter = 8)
+        maxIter = 8, scale = Some(1000000L))
         .select(col("author_uuid").cast("long").as("supp_key"),
-          floor(col("pagerank") * 1e6).cast("long").as("rank_u6"))
+          col("pagerank").as("rank_fp6"))
     }),
 
     "q_author_rank_weighted" -> ((s, d) => {
       // true co-occurrence weights (#shared orders per supplier pair),
       // k^2 pair join capped per order group (GraphOps.authorRankWeighted)
+      // — same fixed-point seam and unrolled exact oracle as
+      // q_author_rank, with the count weights riding the integer rounds
       val supplierOrders = par(s, t(s, d, "lineitem"))
         .filter(col("l_orderkey") <= 1000)
         .select(col("l_suppkey").cast("string").as("src"),
           col("l_orderkey").cast("string").as("dst"))
       graft.graph.GraphOps.authorRankWeighted(supplierOrders, tol = 0.0,
-        maxIter = 8, maxGroupSize = 100)
+        maxIter = 8, maxGroupSize = 100, scale = Some(1000000L))
         .select(col("author_uuid").cast("long").as("supp_key"),
-          floor(col("pagerank") * 1e6).cast("long").as("rank_u6"))
+          col("pagerank").as("rank_fp6"))
     }),
 
     "q_graph_components" -> ((s, d) => {
@@ -1813,20 +1815,26 @@ object SparkEntry {
 
     "q_split_leakage" -> ((s, d) => {
       // split-leakage audit (ops.Pipelines.auditSplitLeakage): near-dup
-      // pairs crossing the deterministic hash-split boundary — rows-only
-      // (MinHash bands are model state; the pair stage is the certified
-      // minhashLsh), planted near-dups guarantee a non-empty audit
-      val docs = par(s, t(s, d, "documents")).select("doc_id", "text")
-      // plant near-dups: replicate every 10th doc with a tweaked tail
-      // and a NEGATED id — real doc ids are non-negative at every SF, so
-      // the planted ids can never collide (ids must stay unique for the
-      // label joins and minhash signatures)
-      val planted = docs.filter(col("doc_id") % 10 === 0)
+      // pairs crossing the deterministic hash-split boundary. STAGED
+      // FORM (numHashes = 0 / bands = 1 through auditSplitLeakage's own
+      // lsh params): the pair stage equals exact all-pairs char-5-gram
+      // Jaccard >= 0.8 on the 1-in-10 sample, so the audit — pair set,
+      // split labels, boundary filter — rides an exact oracle through
+      // the REAL composition. Planted near-dups (tweaked tails, NEGATED
+      // ids so they can never collide with real ids) guarantee a
+      // non-empty audit; jaccard floor-scaled to the u6 lattice.
+      val docs = par(s, t(s, d, "documents"))
+        .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      val planted = docs
         .select((-(col("doc_id") + 1)).as("doc_id"),
           concat(col("text"), lit(" tail tweak")).as("text"))
       val corpus = docs.union(planted)
         .withColumn("split", graft.ops.CorpusOps.hashSplit("doc_id"))
-      graft.ops.Pipelines.auditSplitLeakage(corpus, threshold = 0.8)
+      graft.ops.Pipelines.auditSplitLeakage(corpus, threshold = 0.8,
+        numHashes = 0, bands = 1)
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1e6).cast("long").as("jaccard_u6"),
+          col("split_a"), col("split_b"))
     }),
 
     "q_epoch_shuffle" -> ((s, d) => {
@@ -2003,15 +2011,21 @@ object SparkEntry {
       // docs the arriving batch — the daily-ingest near-dup gate. The
       // index's two tables mirror the deployment shape (band buckets
       // without signature replication; signatures joined per-candidate
-      // only). Rows-only like the other LSH paths; Round5bOpsSpec pins
-      // equivalence with full corpus-wide LSH restricted to the cross
-      // axis.
+      // only). STAGED FORM (numHashes = 0 / bands = 1, the q_dedup_minhash
+      // seam): one global bucket admits every cross pair, so the result
+      // equals exact cross-axis char-5-gram Jaccard >= 0.5 and rides an
+      // exact oracle through the REAL index+probe code path. The batch
+      // side is capped at doc_id < 1000 so the all-pairs verify stays
+      // bounded at every SF; deployment banding recall is pinned by
+      // Round5bOpsSpec (equivalence with corpus-wide LSH on the cross
+      // axis).
       val docs = par(s, t(s, d, "documents"))
       val half = 250
       val idx = graft.ops.Dedup.buildMinhashIndex(
-        docs.filter(col("doc_id") < half))
+        docs.filter(col("doc_id") < half), numHashes = 0, bands = 1)
       graft.ops.Dedup.nearDupAgainstIndex(idx,
-        docs.filter(col("doc_id") >= half), threshold = 0.5)
+        docs.filter(col("doc_id") >= half && col("doc_id") < 1000),
+        threshold = 0.5, numHashes = 0, bands = 1)
         .select(col("batch_id"), col("corpus_id"),
           floor(col("jaccard") * 1e6).cast("long").as("jaccard_u6"))
     }),
@@ -2366,8 +2380,9 @@ object SparkEntry {
     "q_k_core" -> ((s, d) => {
       // k-core decomposition (graph.GraphOps.kCore): the dense core of
       // the md5-random graph after iteratively peeling sub-5-degree
-      // vertices. Rows-only (peeling is a fixpoint plain SQL can't
-      // express); Round6bOpsSpec pins multi-round peeling by hand
+      // vertices. EXACT oracle: the peel is integer degree-filtering, so
+      // it unrolls to KcoreOracleRounds CTE levels (overshoot idles on
+      // the converged core); Round6bOpsSpec pins multi-round peeling
       graft.graph.GraphOps.kCore(mdGraph(t(s, d, "documents")), k = 5)
     }),
 
@@ -2454,8 +2469,10 @@ object SparkEntry {
     "q_label_propagation" -> ((s, d) => {
       // community detection (graph.GraphOps.labelPropagation) over the
       // md5-random graph: synchronous min-tie-break LPA with self-vote
-      // damping. Rows-only (iterative fixpoint); Round6cOpsSpec pins
-      // planted two-clique communities and the deterministic tie-break
+      // damping. EXACT oracle: every round is integer votes + integer
+      // tie-break, so the 10 rounds unroll to 10 CTE levels (post-
+      // convergence rounds are identity — round counts need not agree);
+      // Round6cOpsSpec pins planted communities and the tie-break
       graft.graph.GraphOps.labelPropagation(
         mdGraph(t(s, d, "documents")), maxIter = 10)
     }),
@@ -2492,11 +2509,14 @@ object SparkEntry {
       // co-occurrence graph -> weighted PageRank (graph.GraphOps
       // .pageRank, run-exactly-20 mode: the word graph is
       // vocabulary-sized, so bench cost is per-round overhead and 20
-      // rounds sit well past convergence) -> top-20 terms on the
-      // rounded lattice. Rows-only (iterative); Round6dOpsSpec pins a
-      // planted hub graph and the generic pageRank's closed-form star
+      // rounds sit well past convergence) -> top-20 terms. EXACT oracle
+      // via the fixed-point seam (scale = 1e6): graph build, rounds,
+      // and the (textrank DESC, term) top-k tie-break are all integer;
+      // Round6dOpsSpec pins the double mode's planted hub graph and
+      // the generic pageRank's closed-form star
       graft.ops.TextAnalysis.textRankKeywords(
-        par(s, t(s, d, "documents")), k = 20, minCount = 2, maxIter = 20)
+        par(s, t(s, d, "documents")), k = 20, minCount = 2, maxIter = 20,
+        scale = Some(1000000L))
     }),
 
     "q_kfold_assign" -> ((s, d) => {
@@ -2552,12 +2572,15 @@ object SparkEntry {
     "q_ppr" -> ((s, d) => {
       // personalized PageRank (graph.GraphOps.pageRankPersonalized):
       // teleport mass only on vertices {0,1,2} of the md5-random graph
-      // — proximity-to-topic ranking. Rows-only (iterative);
-      // Round6fOpsSpec pins source-component locality and the
-      // closed-form 2-path
+      // — proximity-to-topic ranking. EXACT oracle via the fixed-point
+      // seam (scale = 1e6): the teleport vector is built integrally and
+      // the 20 rounds unroll to SQL; Round6fOpsSpec pins double-mode
+      // source-component locality and the closed-form 2-path
       val g = mdGraph(t(s, d, "documents"))
       graft.graph.GraphOps.pageRankPersonalized(
-        g, g.sparkSession.range(3).toDF("v"), tol = 0.0, maxIter = 20)
+        g, g.sparkSession.range(3).toDF("v"), tol = 0.0, maxIter = 20,
+        scale = Some(1000000L))
+        .select(col("vertex"), col("pagerank").as("rank_fp6"))
     }),
 
     "q_wordpiece_encode" -> ((s, d) => {
@@ -2847,9 +2870,12 @@ object SparkEntry {
       // CHAINS i ~ i+1 ~ i+2 (i % 10 == 0) — docs flagged via_neardup
       // carry eval content through a near-duplicate of a contaminated
       // doc, the leak doc-level decontamination misses (and the
-      // chain's far end exercises transitivity through CC). Rows-only
-      // (iterative CC); Round7OpsSpec pins the planted-paraphrase chain
-      // end-to-end through decontaminateTransitive.
+      // chain's far end exercises transitivity through CC). EXACT
+      // oracle: direct hits are the q_decontaminate shape, the chains
+      // are arithmetic, and the CC + evidence labeling is the recursive
+      // min-label closure (q_dedup_clusters' recipe); Round7OpsSpec
+      // additionally pins the planted-paraphrase chain end-to-end
+      // through decontaminateTransitive.
       val docs = par(s, t(s, d, "documents"))
       val sh = docs
         .select(col("doc_id"), explode(shingles3(col("text"))).as("_s"))
@@ -3950,6 +3976,129 @@ object SparkEntry {
         |       JOIN sizes sb ON sb.doc_id = id_b
         |WHERE 4 * inter >= sa.n + sb.n - inter""".stripMargin,
 
+    // the staged index+probe form: one global bucket admits every
+    // (batch, corpus) pair, exact-jaccard verify == cross-axis distinct
+    // char-5-gram Jaccard; threshold 0.5 as the integer cross-multiply
+    // (2·inter >= union, exactly the double predicate for any real
+    // corpus size), jaccard_u6 replayed divide-then-scale like the op
+    "q_dedup_minhash_incr" ->
+      """WITH csh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    substr(text, i, 5) AS s
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 250) c,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |bsh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    substr(text, i, 5) AS s
+        |  FROM (SELECT doc_id, text FROM documents
+        |        WHERE doc_id >= 250 AND doc_id < 1000) b,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |cs AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |bs AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+        |p AS (SELECT b1.doc_id AS batch_id, c1.doc_id AS corpus_id,
+        |    count(*) AS inter
+        |  FROM bsh b1 JOIN csh c1 ON b1.s = c1.s GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id,
+        |  CAST(floor(CAST(inter AS DOUBLE)
+        |    / (bs.n + cs.n - inter) * 1e6) AS BIGINT) AS jaccard_u6
+        |FROM p JOIN bs ON bs.doc_id = batch_id
+        |       JOIN cs ON cs.doc_id = corpus_id
+        |WHERE 2 * inter >= bs.n + cs.n - inter""".stripMargin,
+
+    // the staged auditSplitLeakage form: exact all-pairs Jaccard >= 0.8
+    // (5·inter >= 4·union — exactly the double predicate) over the
+    // sampled+planted corpus, then the md5-4-hex split lattice and the
+    // boundary filter — the full audit composition replayed
+    "q_split_leakage" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id % 10 = 0),
+        |corpus AS MATERIALIZED (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT -(doc_id + 1) AS doc_id, text || ' tail tweak' AS text
+        |  FROM base),
+        |lab AS MATERIALIZED (SELECT doc_id,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |        AS BIGINT) % 100 AS b
+        |    FROM corpus) t),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM corpus,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh
+        |  GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b,
+        |    CAST(floor(CAST(inter AS DOUBLE)
+        |      / (sa.n + sb.n - inter) * 1e6) AS BIGINT) AS jaccard_u6
+        |  FROM p JOIN sizes sa ON sa.doc_id = id_a
+        |         JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE 5 * inter >= 4 * (sa.n + sb.n - inter))
+        |SELECT pr.id_a, pr.id_b, pr.jaccard_u6,
+        |  la.split AS split_a, lb.split AS split_b
+        |FROM pairs pr JOIN lab la ON la.doc_id = pr.id_a
+        |              JOIN lab lb ON lb.doc_id = pr.id_b
+        |WHERE la.split <> lb.split""".stripMargin,
+
+    // the q_decontaminate direct-hit shape + the planted chain pairs +
+    // the q_dedup_clusters recursive min-label closure: contamination
+    // closure is a pure integer function of its three inputs, so the
+    // whole transitive flag set replays in SQL (same murmur-vs-string
+    // shingle caveat as q_dedup_clusters)
+    "q_contamination_closure" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |hits AS (
+        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id >= 50 AND b.doc_id < 50
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |direct AS MATERIALIZED (SELECT train_id AS doc_id,
+        |    min(eval_id) AS ev FROM hits GROUP BY 1),
+        |train AS MATERIALIZED (SELECT doc_id FROM documents
+        |  WHERE doc_id >= 50),
+        |chains AS (
+        |  SELECT doc_id AS x, doc_id + 1 AS y FROM train
+        |  WHERE doc_id % 10 = 0 OR doc_id % 10 = 1),
+        |sym AS (SELECT x, y FROM chains UNION SELECT y, x FROM chains),
+        |reach(x, y) AS (SELECT x, y FROM sym
+        |  UNION SELECT r.x, s2.y FROM reach r JOIN sym s2 ON r.y = s2.x),
+        |comp AS MATERIALIZED (SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+        |  FROM train d LEFT JOIN reach r ON r.x = d.doc_id
+        |  GROUP BY d.doc_id),
+        |hot AS (SELECT c.cluster_id, min(c.doc_id) AS via
+        |  FROM comp c JOIN direct dr USING (doc_id) GROUP BY 1)
+        |SELECT c.doc_id,
+        |  CASE WHEN dr.doc_id IS NOT NULL THEN 'direct'
+        |       ELSE 'via_neardup' END AS reason,
+        |  CAST(coalesce(dr.ev, h.via) AS BIGINT) AS evidence
+        |FROM comp c JOIN hot h USING (cluster_id)
+        |LEFT JOIN direct dr USING (doc_id)""".stripMargin,
+
+    // fixed-point PageRank family (the GraphOps scale = 1e6 seam):
+    // integer rounds unroll to CTE levels bit-for-bit
+    "q_author_rank" -> authorRankOracleSql,
+    "q_author_rank_weighted" -> authorRankWeightedOracleSql,
+    "q_ppr" -> pprOracleSql,
+    "q_textrank" -> textrankOracleSql,
+
+    // synchronous min-tie-break LPA is pure integer arithmetic (labels
+    // are vertex ids, votes are counts), so the 10 rounds unroll to 10
+    // CTE levels; rounds past the op's early exit re-apply a fixpoint
+    // and change nothing, so round counts need not agree
+    "q_label_propagation" -> lpaOracleSql(rounds = 10),
+
+    // k-core peeling is integer degree-filtering to a fixpoint; the
+    // unrolled levels overshoot the op's data-dependent round count and
+    // idle on the converged core (KCORE_ORACLE_ROUNDS >> observed
+    // rounds at every SF, asserted by Round8cOpsSpec)
+    "q_k_core" -> kCoreOracleSql(k = 5, rounds = KcoreOracleRounds),
+
     // exhaustive overfetch → every vector survives ADC nomination →
     // exact re-rank IS brute force (same shape as q_sim_topk at k = 10)
     "q_pq_probe_rerank" ->
@@ -3975,6 +4124,191 @@ object SparkEntry {
       "AS BIGINT) % 97 AS s, " +
       "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':t'), 1, 8)) " +
       "AS BIGINT) % 97 AS t FROM documents)"
+
+  /** q_k_core oracle depth: far above the observed peel rounds (≤ 5 at
+    * every SF on the 97-vertex md5 graph); extra rounds idle on the
+    * converged core, so overshoot is free correctness margin.
+    */
+  private val KcoreOracleRounds = 24
+
+  /** Unrolled FIXED-POINT PageRank rounds (the GraphOps scale seam,
+    * S = 1e6): expects prologue CTEs `edges(src, dst, w)` (symmetrized,
+    * duplicates preserved), `deg(src, wdeg)` and `verts(v)`; emits
+    * r0..rN replaying powerIterate's integer recurrence verbatim —
+    * per-edge (rank·w) // wdeg, damp as (85·Σ) // 100, reset re-added
+    * each round. `resetSql` is the per-vertex scaled reset expression
+    * over `verts.v` (e.g. "150000" for the uniform 0.15·1e6).
+    */
+  private def fpRankRoundsSql(rounds: Int, resetSql: String): String = {
+    // each round is referenced once by the next, but MATERIALIZED keeps
+    // DuckDB 1.0 from inlining the whole chain (and edges/deg/verts,
+    // referenced every round, must be materialized in the prologue)
+    val r0 = s"r0 AS MATERIALIZED (SELECT verts.v AS v,\n" +
+      s"  CAST($resetSql AS HUGEINT) AS rnk FROM verts)"
+    val steps = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT verts.v AS v,
+         |    CAST($resetSql AS HUGEINT)
+         |      + (85 * coalesce(c.s, 0)) // 100 AS rnk
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, sum((pr.rnk * e.w) // d.wdeg) AS s
+         |    FROM edges e JOIN deg d ON d.src = e.src
+         |      JOIN r${i - 1} pr ON pr.v = e.src
+         |    GROUP BY 1) c ON c.v = verts.v)""".stripMargin
+    }
+    (r0 +: steps).mkString(",\n")
+  }
+
+  /** q_author_rank / q_author_rank_weighted oracles: replay the star (or
+    * capped-pair) co-supplier edge construction over VARCHAR keys (the
+    * op compares uuids as STRINGS — min/inequality must be lexicographic
+    * here too), then the unrolled fixed-point rounds.
+    */
+  private def authorRankOracleSql: String =
+    s"""WITH mem AS (SELECT CAST(l_orderkey AS VARCHAR) AS o,
+       |    CAST(l_suppkey AS VARCHAR) AS m
+       |  FROM lineitem WHERE l_orderkey <= 1000),
+       |hub AS (SELECT o, min(m) AS h FROM mem GROUP BY 1),
+       |star AS (SELECT DISTINCT h AS src, m AS dst
+       |  FROM mem JOIN hub USING (o) WHERE m <> h),
+       |edges AS MATERIALIZED (SELECT src, dst, 1 AS w FROM star
+       |  UNION ALL SELECT dst, src, 1 FROM star),
+       |deg AS MATERIALIZED (SELECT src, sum(w) AS wdeg FROM edges
+       |  GROUP BY 1),
+       |verts AS MATERIALIZED (SELECT DISTINCT m AS v FROM mem),
+       |${fpRankRoundsSql(8, "150000")}
+       |SELECT CAST(v AS BIGINT) AS supp_key,
+       |  CAST(rnk AS BIGINT) AS rank_fp6 FROM r8""".stripMargin
+
+  private def authorRankWeightedOracleSql: String =
+    s"""WITH mem AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS o,
+       |    CAST(l_suppkey AS VARCHAR) AS m
+       |  FROM lineitem WHERE l_orderkey <= 1000),
+       |sizes AS (SELECT o, count(*) AS k FROM mem GROUP BY 1),
+       |small AS (SELECT mem.o, mem.m FROM mem JOIN sizes USING (o)
+       |          WHERE k <= 100),
+       |prs AS (SELECT a.m AS ma, b.m AS mb, count(*) AS w
+       |  FROM small a JOIN small b ON a.o = b.o AND a.m < b.m
+       |  GROUP BY 1, 2),
+       |big AS (SELECT mem.o, mem.m FROM mem JOIN sizes USING (o)
+       |        WHERE k > 100),
+       |bighub AS (SELECT o, min(m) AS h FROM big GROUP BY 1),
+       |bigstar AS (SELECT DISTINCT h AS ma, m AS mb
+       |  FROM big JOIN bighub USING (o) WHERE m <> h),
+       |half AS (SELECT ma, mb, w FROM prs
+       |  UNION ALL SELECT ma, mb, 1 AS w FROM bigstar),
+       |edges AS MATERIALIZED (SELECT ma AS src, mb AS dst, w FROM half
+       |  UNION ALL SELECT mb, ma, w FROM half),
+       |deg AS MATERIALIZED (SELECT src, sum(w) AS wdeg FROM edges
+       |  GROUP BY 1),
+       |verts AS MATERIALIZED (SELECT DISTINCT m AS v FROM mem),
+       |${fpRankRoundsSql(8, "150000")}
+       |SELECT CAST(v AS BIGINT) AS supp_key,
+       |  CAST(rnk AS BIGINT) AS rank_fp6 FROM r8""".stripMargin
+
+  /** q_ppr oracle: the md5-random edge list with DUPLICATES preserved
+    * (rankUndirected never dedups — each parallel edge carries weight),
+    * teleport mass 0.15·1e6 on {0,1,2} only, 20 unrolled rounds.
+    */
+  private def pprOracleSql: String =
+    s"""WITH $mdGraphSql,
+       |e0 AS (SELECT s AS a, t AS b FROM raw WHERE s <> t),
+       |edges AS MATERIALIZED (SELECT a AS src, b AS dst, 1 AS w FROM e0
+       |  UNION ALL SELECT b, a, 1 FROM e0),
+       |deg AS MATERIALIZED (SELECT src, sum(w) AS wdeg FROM edges
+       |  GROUP BY 1),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0
+       |  UNION ALL SELECT unnest([0, 1, 2])) x),
+       |${fpRankRoundsSql(20,
+          "CASE WHEN verts.v IN (0, 1, 2) THEN 150000 ELSE 0 END")}
+       |SELECT CAST(v AS BIGINT) AS vertex,
+       |  CAST(rnk AS BIGINT) AS rank_fp6 FROM r20""".stripMargin
+
+  /** q_textrank oracle: the pmi-collocation tokenization builds the
+    * co-occurrence graph (prev <> term, count >= 2), 20 unrolled
+    * fixed-point rounds, top-20 on (textrank DESC, term).
+    */
+  private def textrankOracleSql: String =
+    s"""WITH toks AS (SELECT w[i] AS term,
+       |    CASE WHEN i > 1 THEN w[i-1] END AS prev
+       |  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM documents) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+       |  WHERE w[i] <> ''),
+       |pc AS (SELECT prev, term, count(*) AS w FROM toks
+       |  WHERE prev IS NOT NULL AND prev <> term GROUP BY 1, 2
+       |  HAVING count(*) >= 2),
+       |edges AS MATERIALIZED (SELECT prev AS src, term AS dst, w FROM pc
+       |  UNION ALL SELECT term, prev, w FROM pc),
+       |deg AS MATERIALIZED (SELECT src, sum(w) AS wdeg FROM edges
+       |  GROUP BY 1),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+       |  SELECT prev AS v FROM pc UNION ALL SELECT term FROM pc) x),
+       |${fpRankRoundsSql(20, "150000")}
+       |SELECT CAST(v AS VARCHAR) AS term,
+       |  CAST(rnk AS BIGINT) AS textrank FROM r20
+       |ORDER BY textrank DESC, term LIMIT 20""".stripMargin
+
+  /** Unrolled synchronous label propagation over [[mdGraphSql]] — one CTE
+    * level per round, each replaying labelPropagation's integer recipe
+    * exactly: neighbor votes + one self-vote, count, argmax with
+    * (count DESC, community ASC) tie-break. Rounds at-or-past the op's
+    * early-exit fixpoint are identity, so any `rounds` >= the op's
+    * maxIter-capped round count replays the result bit-for-bit.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    // AS MATERIALIZED: DuckDB 1.0 inlines CTEs by default, and each
+    // round references the previous label table twice — inlining would
+    // double the expression tree per round (2^rounds blowup)
+    val head =
+      s"""WITH $mdGraphSql,
+         |e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+         |      FROM raw WHERE s <> t),
+         |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |lab0 AS MATERIALIZED (SELECT DISTINCT u AS vertex, u AS community
+         |  FROM sym)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""lab$r AS MATERIALIZED (SELECT vertex, community FROM (
+         |  SELECT vertex, community, row_number() OVER (
+         |      PARTITION BY vertex ORDER BY n DESC, community) AS rn
+         |  FROM (SELECT vertex, community, count(*) AS n FROM (
+         |      SELECT s.u AS vertex, l.community
+         |      FROM sym s JOIN lab${r - 1} l ON l.vertex = s.v
+         |      UNION ALL SELECT vertex, community FROM lab${r - 1}) v
+         |    GROUP BY 1, 2) c) WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT CAST(vertex AS BIGINT) AS vertex," +
+      s"\n  CAST(community AS BIGINT) AS community FROM lab$rounds"
+  }
+
+  /** Unrolled k-core peeling over [[mdGraphSql]]: per level, keep the
+    * vertices of canonical degree >= k, restrict edges to kept×kept —
+    * kCore's loop verbatim. Peeling is monotone (a converged core maps
+    * to itself), so any `rounds` >= the op's convergence count is exact.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED on every level: each e/k level is referenced 2-3
+    // times by the next — DuckDB 1.0's default inlining would make the
+    // plan tree exponential in the round count
+    val head =
+      s"""WITH $mdGraphSql,
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a,
+         |       greatest(s, t) AS b FROM raw WHERE s <> t)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e${r - 1}
+         |    UNION ALL SELECT b FROM e${r - 1}) x
+         |  GROUP BY v HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT v AS vertex, count(*) AS core_degree
+         |FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) x
+         |GROUP BY v""".stripMargin
+  }
 
   private def retrievalMetricsOracleSql: String =
     s"""WITH ranked AS (

@@ -145,26 +145,47 @@ object GraphOps {
     */
   private def powerIterate(verts: DataFrame, wedges: DataFrame,
                            tol: Double, maxIter: Int,
-                           resetCol: Option[String] = None): DataFrame = {
-    val withDeg = wedges
-      .join(wedges.groupBy("src").agg(sum(col("w")).as("_wdeg")), Seq("src"))
+                           resetCol: Option[String] = None,
+                           scale: Option[Long] = None): DataFrame = {
+    // scale = Some(S) switches the cell arithmetic to FIXED-POINT LONGS
+    // (rank in units of 1/S): per-edge contribution (rank·w) DIV wdeg,
+    // damp as (85·Σ) DIV 100 — exact integer ops that are associative
+    // and engine-independent, so an S-scaled run replays bit-for-bit in
+    // any SQL engine as unrolled rounds (the contract-certification
+    // seam; the double mode stays the production default). Weights must
+    // be integer-valued; caller picks S so N·S·max(w) stays far below
+    // 2^63/85 (overflow wraps silently, the plain-Long convention of
+    // the module's guarded siblings does not apply to per-round hot
+    // loops).
+    scale.foreach(s => require(s >= 20 && s % 20 == 0,
+      "scale must be a positive multiple of 20 (0.15·S must be integral)"))
+    val fixed = scale.isDefined
+    val wNorm =
+      if (fixed) wedges.withColumn("w", col("w").cast("long")) else wedges
+    val withDeg = wNorm
+      .join(wNorm.groupBy("src").agg(sum(col("w")).as("_wdeg")), Seq("src"))
       .localCheckpoint(true)
     val damp = 0.85
     // uniform 0.15 reset (classic PageRank) or a per-vertex reset
     // vector (personalized PageRank — teleport mass only onto the
     // topic set); the vector rides the verts table so each round's
-    // rebuild stays one narrow join
+    // rebuild stays one narrow join. In fixed mode a caller-supplied
+    // reset column must already be the scaled LONG vector.
     val vr = resetCol.map(rc => verts.withColumn("_r0", col(rc)))
-      .getOrElse(verts.withColumn("_r0", lit(0.15)))
+      .getOrElse(verts.withColumn("_r0",
+        scale.map(s => lit(3L * (s / 20)).cast("long") // 0.15·S, integrally
+        ).getOrElse(lit(0.15))))
     var ranks = vr.select(col("vid"), col("_r0").as("pagerank"))
       .localCheckpoint(true)
     var delta = Double.MaxValue
     var iter = 0
     while (iter < maxIter && delta > tol) {
+      val contribExpr =
+        if (fixed) expr("(pagerank * w) DIV _wdeg")
+        else col("pagerank") * col("w") / col("_wdeg")
       val contribs = withDeg
         .join(ranks.withColumnRenamed("vid", "src"), Seq("src"))
-        .select(col("dst").as("vid"),
-          (col("pagerank") * col("w") / col("_wdeg")).as("_c"))
+        .select(col("dst").as("vid"), contribExpr.as("_c"))
         .groupBy("vid").agg(sum(col("_c")).as("_csum"))
       // `ranks` must appear in next's plan exactly ONCE: localCheckpoint
       // rewrites the LogicalRDD's stats from the pre-checkpoint plan, and
@@ -174,11 +195,13 @@ object GraphOps {
       // numbers (observed at ~25 rounds). Hence convergence is measured by
       // a separate terminal query over the two pinned iterates, whose
       // stats feed nothing downstream.
+      val dampTerm =
+        if (fixed)
+          expr("(85 * coalesce(_csum, CAST(0 AS BIGINT))) DIV 100")
+        else lit(damp) * coalesce(col("_csum"), lit(0d))
       val next = vr.select(col("vid"), col("_r0"))
         .join(contribs, Seq("vid"), "left_outer")
-        .select(col("vid"),
-          (col("_r0") + lit(damp) * coalesce(col("_csum"), lit(0d)))
-            .as("pagerank"))
+        .select(col("vid"), (col("_r0") + dampTerm).as("pagerank"))
         .localCheckpoint(true)
       // tol <= 0 = run-exactly-maxIter mode: when the round budget binds
       // (bounded-round snapshots), the convergence query is pure per-round
@@ -186,7 +209,8 @@ object GraphOps {
       if (tol > 0)
         delta = next
           .join(ranks.withColumnRenamed("pagerank", "_prev"), Seq("vid"))
-          .agg(coalesce(max(abs(col("pagerank") - col("_prev"))), lit(0d)))
+          .agg(coalesce(max(abs(col("pagerank") - col("_prev")))
+            .cast("double"), lit(0d)))
           .head().getDouble(0)
       ranks.unpersist()
       ranks = next
@@ -207,7 +231,8 @@ object GraphOps {
     * weights on moderate hubs see [[authorRankWeighted]].
     */
   def authorRank(authorOf: DataFrame, tol: Double = 0.001,
-                 maxIter: Int = 30): DataFrame = {
+                 maxIter: Int = 30,
+                 scale: Option[Long] = None): DataFrame = {
     val membership = authorOf.select(col("dst").as("o"), col("src").as("m"))
     val star = starEdges(membership)
     val coedges = star.union(
@@ -218,7 +243,7 @@ object GraphOps {
     val edges = coedges
       .select(vid(col("src")).as("src"), vid(col("dst")).as("dst"),
         lit(1L).as("w"))
-    val out = powerIterate(verts, edges, tol, maxIter)
+    val out = powerIterate(verts, edges, tol, maxIter, scale = scale)
     verts.unpersist()
     out
   }
@@ -241,7 +266,8 @@ object GraphOps {
     */
   def authorRankWeighted(authorOf: DataFrame, tol: Double = 0.001,
                          maxIter: Int = 30,
-                         maxGroupSize: Int = 1000): DataFrame = {
+                         maxGroupSize: Int = 1000,
+                         scale: Option[Long] = None): DataFrame = {
     require(maxGroupSize >= 2, "maxGroupSize must allow at least one pair")
     val membership = authorOf
       .select(col("dst").as("o"), col("src").as("m")).distinct()
@@ -267,7 +293,7 @@ object GraphOps {
       .localCheckpoint(true)
     val edges = coedges
       .select(vid(col("ma")).as("src"), vid(col("mb")).as("dst"), col("w"))
-    val out = powerIterate(verts, edges, tol, maxIter)
+    val out = powerIterate(verts, edges, tol, maxIter, scale = scale)
     verts.unpersist()
     out
   }
@@ -439,8 +465,10 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", weightCol: Option[String] = None,
-               tol: Double = 0.001, maxIter: Int = 30): DataFrame =
-    rankUndirected(edges, srcCol, dstCol, weightCol, tol, maxIter, None)
+               tol: Double = 0.001, maxIter: Int = 30,
+               scale: Option[Long] = None): DataFrame =
+    rankUndirected(edges, srcCol, dstCol, weightCol, tol, maxIter, None,
+      scale)
 
   /** Shared scaffolding of [[pageRank]] / [[pageRankPersonalized]]:
     * clean + pin the edge list once (sym/verts/withDeg would otherwise
@@ -453,8 +481,14 @@ object GraphOps {
   private def rankUndirected(edges: DataFrame, srcCol: String,
                              dstCol: String, weightCol: Option[String],
                              tol: Double, maxIter: Int,
-                             sources: Option[DataFrame]): DataFrame = {
-    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1d))
+                             sources: Option[DataFrame],
+                             scale: Option[Long] = None): DataFrame = {
+    val w = scale match {
+      case Some(_) => // fixed-point mode: integer-valued weights required
+        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+      case None =>
+        weightCol.map(c => col(c).cast("double")).getOrElse(lit(1d))
+    }
     val half = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
@@ -471,17 +505,23 @@ object GraphOps {
       case Some(srcDf) =>
         val src = srcDf.toDF("uuid").filter(col("uuid").isNotNull)
           .distinct().withColumn("_isSrc", lit(true))
-        // union BEFORE distinct: edge-less topic vertices stay ranked
+        // union BEFORE distinct: edge-less topic vertices stay ranked.
+        // Fixed mode builds the reset vector INTEGRALLY (0.15·S as
+        // 3·(S/20)) — never 0.15·S through double multiplication
+        val resetHit = scale.map(s => lit(3L * (s / 20)).cast("long"))
+          .getOrElse(lit(0.15))
+        val resetMiss = scale.map(_ => lit(0L).cast("long"))
+          .getOrElse(lit(0d))
         endpoints.union(src.select("uuid")).distinct()
           .join(src, Seq("uuid"), "left_outer")
           .select(col("uuid"), vid(col("uuid")).as("vid"),
-            when(col("_isSrc"), lit(0.15)).otherwise(lit(0d))
+            when(col("_isSrc"), resetHit).otherwise(resetMiss)
               .as("_reset"))
     }).localCheckpoint(true)
     val wedges = sym.select(vid(col("_a")).as("src"),
       vid(col("_b")).as("dst"), col("w"))
     val out = powerIterate(verts, wedges, tol, maxIter,
-      resetCol = sources.map(_ => "_reset"))
+      resetCol = sources.map(_ => "_reset"), scale = scale)
       .withColumnRenamed("author_uuid", "vertex")
     // powerIterate checkpoints withDeg (built from wedges -> half) and
     // its own result before returning, so half's blocks are safe to free
@@ -513,11 +553,12 @@ object GraphOps {
                            srcCol: String = "src", dstCol: String = "dst",
                            weightCol: Option[String] = None,
                            tol: Double = 0.001,
-                           maxIter: Int = 30): DataFrame = {
+                           maxIter: Int = 30,
+                           scale: Option[Long] = None): DataFrame = {
     require(sources.columns.length == 1,
       "sources must be a single-column DataFrame of topic vertices")
     rankUndirected(edges, srcCol, dstCol, weightCol, tol, maxIter,
-      Some(sources))
+      Some(sources), scale)
   }
 
   /** Community detection by synchronous label propagation (Raghavan,

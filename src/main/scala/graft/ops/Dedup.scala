@@ -335,8 +335,13 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("doc_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("sig"),
       sorted_shingles(col(textCol), shingleK).as("shingles"))
-    val bandKeys = array((0 until bands).map(b =>
-      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    // numHashes = 0 is [[minhashLsh]]'s staged-form seam: one global
+    // bucket, so probing the index is exact all-pairs verification —
+    // the cross-axis twin of the oracle certification there
+    val bandKeys =
+      if (numHashes == 0) array(lit(0))
+      else array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     val buckets = sigs.select(col("doc_id"),
       posexplode(bandKeys).as(Seq("band", "bucket")))
       .select("band", "bucket", "doc_id")
@@ -369,20 +374,32 @@ object Dedup {
     val bsig = batch.select(col(idCol).as("batch_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("_bsig"),
       sorted_shingles(col(textCol), shingleK).as("_bsh"))
-    val bandKeys = array((0 until bands).map(b =>
-      hash(slice(col("_bsig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    // the numHashes = 0 staged seam mirrors [[buildMinhashIndex]]'s:
+    // every batch doc probes the one global bucket and there is no
+    // signature to estimate, so the result is exact cross-axis Jaccard
+    val bandKeys =
+      if (numHashes == 0) array(lit(0))
+      else array((0 until bands).map(b =>
+        hash(slice(col("_bsig"), b * rowsPerBand + 1, rowsPerBand))): _*)
     val probes = bsig.select(col("batch_id"),
       posexplode(bandKeys).as(Seq("band", "bucket")))
     val cand = probes
       .join(index.buckets, Seq("band", "bucket"))
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
-    val margin = 3.0 * math.sqrt(threshold * (1.0 - threshold) / numHashes)
-    cand
+    val joined = cand
       .join(bsig, Seq("batch_id"))
       .join(index.sigs.select(col("doc_id").as("corpus_id"),
         col("sig").as("_csig"), col("shingles").as("_csh")), Seq("corpus_id"))
-      .filter(sig_agreement(col("_bsig"), col("_csig")) >= threshold - margin)
+    val pruned =
+      if (numHashes == 0) joined
+      else {
+        val margin =
+          3.0 * math.sqrt(threshold * (1.0 - threshold) / numHashes)
+        joined.filter(
+          sig_agreement(col("_bsig"), col("_csig")) >= threshold - margin)
+      }
+    pruned
       .withColumn("jaccard", jaccard_sorted_arrays(col("_bsh"), col("_csh")))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")

@@ -1356,11 +1356,20 @@ object TextAnalysis {
     * ranks on the 6-dp ROUNDED score (ties then term — deterministic,
     * the repo oracle convention).
     *
+    * `scale = Some(S)` switches the underlying
+    * [[graft.graph.GraphOps.pageRank]] to its FIXED-POINT mode and
+    * emits `textrank` as the scaled LONG (units of 1/S) — pure integer
+    * arithmetic end to end, so the whole extraction (graph build, every
+    * round, the top-k tie-break) replays bit-for-bit as unrolled SQL:
+    * the contract-certification seam. Default stays the double mode.
+    *
     * @return (term, textrank) — k rows, textrank on the rounded lattice
+    *         (double mode) or the 1/S integer lattice (fixed mode)
     */
   def textRankKeywords(docs: DataFrame, k: Int = 20, minCount: Long = 2L,
                        maxIter: Int = 30,
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       scale: Option[Long] = None): DataFrame = {
     require(k > 0 && minCount >= 1 && maxIter >= 1)
     val pairCounts = tokenPairs(docs, Nil, textCol)
       .filter(col("prev").isNotNull && col("prev") =!= col("term"))
@@ -1369,10 +1378,13 @@ object TextAnalysis {
       .localCheckpoint(true) // vocabulary-sized; pageRank iterates on it
     val ranks = graft.graph.GraphOps.pageRank(pairCounts,
       srcCol = "prev", dstCol = "term", weightCol = Some("_n"),
-      tol = 0.0, maxIter = maxIter)
+      tol = 0.0, maxIter = maxIter, scale = scale)
+    val score =
+      if (scale.isDefined) col("pagerank") // already the 1/S lattice
+      else round(col("pagerank"), 6)
     val top = ranks
       .select(col("vertex").cast("string").as("term"),
-        round(col("pagerank"), 6).as("textrank"))
+        score.as("textrank"))
       .orderBy(col("textrank").desc, col("term")).limit(k)
       .localCheckpoint(true)
     pairCounts.unpersist()
