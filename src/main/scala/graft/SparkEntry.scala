@@ -968,8 +968,9 @@ object SparkEntry {
 
     "q_mmr_rerank" -> ((s, d) => {
       // MMR diversification over a brute-force cosine top-20 candidate
-      // set (rows-only: the greedy iterative argmax isn't SQL-
-      // expressible; Round6OpsSpec pins hand-computed selections)
+      // set. EXACT oracle: the greedy argmax unrolls to k = 5 CTE
+      // levels with the op's exact double arithmetic (mmrOracleSql);
+      // Round6OpsSpec additionally pins hand-computed selections
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
@@ -3126,12 +3127,14 @@ object SparkEntry {
 
     "q_bradley_terry" -> ((s, d) => {
       // Bradley-Terry MM strengths (ops.Preference.bradleyTerry) over
-      // the same battle log — iterative (rows-only); Round7dOpsSpec
-      // pins the 2-player closed form and a planted transitive triple.
-      // The corpus collapses to the 5x5 pair lattice FIRST; 20 rounds
-      // iterate on the 5-row model table only
+      // the same battle log. EXACT oracle via the fixed-point seam
+      // (scale = 1e6): the MM fold is integer division end-to-end, so
+      // the 20 driver-side rounds unroll to SQL over the win-matrix
+      // lattice; Round7dOpsSpec pins the double mode's 2-player closed
+      // form and a planted transitive triple. The corpus collapses to
+      // the 5x5 pair lattice FIRST; rounds iterate on 5 rows only
       graft.ops.Preference.bradleyTerry(battleFixture(s, d),
-        "ma", "mb", "w", iters = 20)
+        "ma", "mb", "w", iters = 20, scale = Some(1000000L))
         .orderBy("model")
     }),
 
@@ -4080,6 +4083,14 @@ object SparkEntry {
         |FROM comp c JOIN hot h USING (cluster_id)
         |LEFT JOIN direct dr USING (doc_id)""".stripMargin,
 
+    // greedy MMR unrolled to k selection levels (engine-exact doubles:
+    // list_inner_product == the op's sequential cosine loop)
+    "q_mmr_rerank" -> mmrOracleSql(k = 5),
+
+    // fixed-point Bradley-Terry MM (the scale = 1e6 seam): 20 integer
+    // rounds over the win-matrix lattice, unrolled
+    "q_bradley_terry" -> bradleyTerryOracleSql(iters = 20),
+
     // fixed-point PageRank family (the GraphOps scale = 1e6 seam):
     // integer rounds unroll to CTE levels bit-for-bit
     "q_author_rank" -> authorRankOracleSql,
@@ -4308,6 +4319,130 @@ object SparkEntry {
          |SELECT v AS vertex, count(*) AS core_degree
          |FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) x
          |GROUP BY v""".stripMargin
+  }
+
+  /** q_mmr_rerank oracle: the greedy argmax unrolls to k CTE levels.
+    * Each level computes, for every unselected candidate, the max cosine
+    * to the selected set — cosine spelled ip/(sqrt·sqrt) with
+    * list_inner_product exactly like mmrRerank's inner loop (the
+    * q_pq_probe precedent: sequential dot products are bit-equal) — and
+    * picks argmax of CAST(0.7)·score − (1.0−0.7)·msim with the op's
+    * (v DESC, score DESC, doc_id) tie-break. All literals CAST to
+    * DOUBLE (DuckDB parses 0.7 as DECIMAL; the op's (1.0 − 0.7) is the
+    * double 0.30000000000000004, NOT 0.3).
+    */
+  private def mmrOracleSql(k: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"""CASE WHEN list_inner_product($a, $a) > 0
+         |        AND list_inner_product($b, $b) > 0
+         |   THEN list_inner_product($a, $b)
+         |     / (sqrt(list_inner_product($a, $a))
+         |        * sqrt(list_inner_product($b, $b)))
+         |   ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    val head =
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |c0 AS (SELECT q.query_id, e.vec_id AS doc_id,
+         |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+         |      AS score,
+         |    CAST(e.embedding AS DOUBLE[]) AS dv
+         |  FROM q, embeddings e WHERE q.query_id <> e.vec_id),
+         |cands AS MATERIALIZED (SELECT query_id, doc_id, score, dv FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS rn FROM c0) WHERE rn <= 20),
+         |sel1 AS MATERIALIZED (SELECT query_id, doc_id, dv,
+         |    1 AS mmr_rank FROM (
+         |  SELECT query_id, doc_id, dv, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+         |  FROM cands) WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { r =>
+      s"""pick$r AS MATERIALIZED (SELECT query_id, doc_id, dv,
+         |    $r AS mmr_rank FROM (
+         |  SELECT m.query_id, m.doc_id, m.dv, row_number() OVER (
+         |      PARTITION BY m.query_id
+         |      ORDER BY CAST(0.7 AS DOUBLE) * m.score
+         |          - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * m.msim
+         |          DESC,
+         |        m.score DESC, m.doc_id) AS rn
+         |  FROM (SELECT c.query_id, c.doc_id,
+         |      any_value(c.score) AS score, any_value(c.dv) AS dv,
+         |      max(${cos("c.dv", "s.dv")}) AS msim
+         |    FROM cands c
+         |    JOIN sel${r - 1} s ON s.query_id = c.query_id
+         |    LEFT JOIN sel${r - 1} x ON x.query_id = c.query_id
+         |      AND x.doc_id = c.doc_id
+         |    WHERE x.doc_id IS NULL
+         |    GROUP BY c.query_id, c.doc_id) m) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+         |  UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT query_id, doc_id, CAST(mmr_rank AS INTEGER) AS mmr_rank
+         |FROM sel$k""".stripMargin
+  }
+
+  /** q_bradley_terry oracle: the q_win_matrix lattice, then `iters`
+    * unrolled fixed-point MM rounds (bradleyTerry's scale seam, S =
+    * 1e6): per-pair n·S² // (p_i+p_j) summed into each endpoint's
+    * denominator, update wins2·S² // (2·D), mean-1 normalization
+    * p·k·S // total. All HUGEINT; integer adds are order-free, so the
+    * driver fold and the SQL agree bit-for-bit.
+    */
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    val S = "CAST(1000000 AS HUGEINT)"
+    val head =
+      s"""WITH b AS (SELECT
+         |    'm' || CAST(doc_id % 5 AS VARCHAR) AS ma,
+         |    'm' || CAST((doc_id // 5) % 5 AS VARCHAR) AS mb,
+         |    CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+         |      ELSE 'tie' END AS w
+         |  FROM documents),
+         |nrm AS (SELECT least(ma, mb) AS m1, greatest(ma, mb) AS m2,
+         |    CASE WHEN w = 'tie' THEN 'tie'
+         |         WHEN (w = 'a') = (ma <= mb) THEN '1' ELSE '2' END AS who
+         |  FROM b WHERE ma <> mb),
+         |wm AS MATERIALIZED (SELECT m1, m2,
+         |    sum(CASE WHEN who = '1' THEN 1 ELSE 0 END) AS wins_1,
+         |    sum(CASE WHEN who = '2' THEN 1 ELSE 0 END) AS wins_2,
+         |    sum(CASE WHEN who = 'tie' THEN 1 ELSE 0 END) AS ties,
+         |    count(*) AS n
+         |  FROM nrm GROUP BY 1, 2),
+         |stat AS MATERIALIZED (SELECT m, sum(wins2) AS wins2,
+         |    sum(n) AS games FROM (
+         |  SELECT m1 AS m, 2 * wins_1 + ties AS wins2, n FROM wm
+         |  UNION ALL SELECT m2, 2 * wins_2 + ties, n FROM wm) y
+         |  GROUP BY 1),
+         |kk AS MATERIALIZED (SELECT count(*) AS k FROM stat),
+         |p0 AS MATERIALIZED (SELECT m, $S AS p FROM stat)""".stripMargin
+    val steps = (1 to iters).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT m, sum(c) AS d FROM (
+         |    SELECT wm.m1 AS m, (wm.n * $S * $S) // (pa.p + pb.p) AS c
+         |    FROM wm JOIN p${r - 1} pa ON pa.m = wm.m1
+         |             JOIN p${r - 1} pb ON pb.m = wm.m2
+         |    WHERE pa.p + pb.p > 0
+         |    UNION ALL
+         |    SELECT wm.m2, (wm.n * $S * $S) // (pa.p + pb.p)
+         |    FROM wm JOIN p${r - 1} pa ON pa.m = wm.m1
+         |             JOIN p${r - 1} pb ON pb.m = wm.m2
+         |    WHERE pa.p + pb.p > 0) z GROUP BY 1),
+         |praw$r AS MATERIALIZED (SELECT s.m,
+         |    CASE WHEN coalesce(d.d, 0) > 0
+         |      THEN (s.wins2 * $S * $S) // (2 * d.d) ELSE 0 END AS p
+         |  FROM stat s LEFT JOIN d$r d ON d.m = s.m),
+         |t$r AS MATERIALIZED (SELECT sum(p) AS tot FROM praw$r),
+         |p$r AS MATERIALIZED (SELECT m,
+         |    CASE WHEN tot > 0 THEN (p * (SELECT k FROM kk) * $S) // tot
+         |         ELSE p END AS p
+         |  FROM praw$r, t$r)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT s.m AS model, CAST(p.p AS BIGINT) AS strength,
+         |  CAST(s.wins2 AS DOUBLE) / 2 AS wins,
+         |  CAST(s.games AS BIGINT) AS games
+         |FROM p$iters p JOIN stat s ON s.m = p.m""".stripMargin
   }
 
   private def retrievalMetricsOracleSql: String =

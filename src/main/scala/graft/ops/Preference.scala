@@ -123,13 +123,27 @@ object Preference {
     * million-digit BigInt products. A bounded lattice does not need a
     * cluster.)
     *
-    * @return (model, strength, wins, games) — strength double, wins
-    *         includes half-ties, games = battles played
+    * `scale = Some(S)` switches the MM fold to FIXED-POINT LONGS
+    * (strength in units of 1/S; integer division at every step:
+    * per-pair n·S² DIV (p_i+p_j), update wins2·S² DIV (2·D_i),
+    * normalization p·k·S DIV total). Integer adds are commutative, so
+    * the result is independent of pair order AND replays bit-for-bit
+    * as unrolled SQL — the contract-certification seam. Bounds the
+    * caller owns: max games-per-pair · S² and k²·S² must stay below
+    * 2^63 (S = 1e6 allows ~9e6 games per pair and ~3000 models).
+    * Fixed mode emits strength as the scaled LONG; `wins` stays the
+    * exact half-win double in both modes.
+    *
+    * @return (model, strength, wins, games) — strength double (or the
+    *         scaled long in fixed mode), wins includes half-ties,
+    *         games = battles played
     */
   def bradleyTerry(battles: DataFrame, aCol: String, bCol: String,
                    winnerCol: String, iters: Int = 30,
-                   maxPairs: Int = 2000000): DataFrame = {
+                   maxPairs: Int = 2000000,
+                   scale: Option[Long] = None): DataFrame = {
     require(iters >= 1, s"bradleyTerry: iters >= 1, got $iters")
+    scale.foreach(s => require(s > 0, "scale must be positive"))
     val wm = winMatrix(battles, aCol, bCol, winnerCol).localCheckpoint(true)
     val nPairs = wm.count()
     require(nPairs <= maxPairs,
@@ -160,34 +174,75 @@ object Preference {
       games(i) += n; games(j) += n
       ei(e) = i; ej(e) = j; en(e) = n
     }
-    val p = Array.fill(k)(1.0)
-    for (_ <- 1 to iters) {
-      val denom = new Array[Double](k)
-      var e = 0
-      while (e < pairs.length) {
-        val s = p(ei(e)) + p(ej(e))
-        if (s > 0) {
-          denom(ei(e)) += en(e) / s
-          denom(ej(e)) += en(e) / s
-        }
-        e += 1
-      }
-      var total = 0.0
-      var i = 0
-      while (i < k) {
-        p(i) = if (denom(i) > 0) wins(i) / denom(i) else 0.0
-        total += p(i)
-        i += 1
-      }
-      // mean-1 normalization for identifiability (BT is scale-free)
-      if (total > 0) {
-        i = 0
-        while (i < k) { p(i) *= k / total; i += 1 }
-      }
-    }
     val spark = battles.sparkSession
     import spark.implicits._
-    ids.indices.map(i => (ids(i), p(i), wins(i), games(i)))
-      .toDF("model", "strength", "wins", "games")
+    scale match {
+      case Some(sc) =>
+        // FIXED-POINT MM: the identical recurrence over scaled longs.
+        // wins2 = 2·wins + ties keeps the half-win exact as an integer.
+        val wins2 = new Array[Long](k)
+        pairs.zipWithIndex.foreach { case (r, e) =>
+          val i = ei(e); val j = ej(e)
+          wins2(i) += 2 * r.getLong(2) + r.getLong(4)
+          wins2(j) += 2 * r.getLong(3) + r.getLong(4)
+        }
+        val p = Array.fill(k)(sc) // strength 1.0, scaled
+        for (_ <- 1 to iters) {
+          val denom = new Array[Long](k)
+          var e = 0
+          while (e < pairs.length) {
+            val s = p(ei(e)) + p(ej(e))
+            if (s > 0) {
+              val c = en(e) * sc * sc / s
+              denom(ei(e)) += c
+              denom(ej(e)) += c
+            }
+            e += 1
+          }
+          var total = 0L
+          var i = 0
+          while (i < k) {
+            p(i) = if (denom(i) > 0) wins2(i) * sc * sc / (2 * denom(i))
+                   else 0L
+            total += p(i)
+            i += 1
+          }
+          // mean-1 normalization for identifiability (BT is scale-free)
+          if (total > 0) {
+            i = 0
+            while (i < k) { p(i) = p(i) * k * sc / total; i += 1 }
+          }
+        }
+        ids.indices.map(i => (ids(i), p(i), wins2(i) / 2.0, games(i)))
+          .toDF("model", "strength", "wins", "games")
+      case None =>
+        val p = Array.fill(k)(1.0)
+        for (_ <- 1 to iters) {
+          val denom = new Array[Double](k)
+          var e = 0
+          while (e < pairs.length) {
+            val s = p(ei(e)) + p(ej(e))
+            if (s > 0) {
+              denom(ei(e)) += en(e) / s
+              denom(ej(e)) += en(e) / s
+            }
+            e += 1
+          }
+          var total = 0.0
+          var i = 0
+          while (i < k) {
+            p(i) = if (denom(i) > 0) wins(i) / denom(i) else 0.0
+            total += p(i)
+            i += 1
+          }
+          // mean-1 normalization for identifiability (BT is scale-free)
+          if (total > 0) {
+            i = 0
+            while (i < k) { p(i) *= k / total; i += 1 }
+          }
+        }
+        ids.indices.map(i => (ids(i), p(i), wins(i), games(i)))
+          .toDF("model", "strength", "wins", "games")
+    }
   }
 }

@@ -100,6 +100,34 @@ class Round8cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fixed-point bradleyTerry tracks the double mode and hits the " +
+      "2-player closed form") {
+    import spark.implicits._
+    // m1 beats m2 3:1 -> closed-form strengths 1.5 / 0.5 (mean 1)
+    val battles = Seq(
+      ("m1", "m2", "a"), ("m1", "m2", "a"), ("m1", "m2", "a"),
+      ("m1", "m2", "b")).toDF("ma", "mb", "w")
+    val fp = graft.ops.Preference.bradleyTerry(battles, "ma", "mb", "w",
+        iters = 30, scale = Some(S))
+      .select("model", "strength").as[(String, Long)].collect().toMap
+    assert(math.abs(fp("m1").toDouble / S - 1.5) < 1e-3)
+    assert(math.abs(fp("m2").toDouble / S - 0.5) < 1e-3)
+    // a 3-model log: fixed tracks double within the floor budget
+    val tri = Seq(("a", "b", "a"), ("a", "b", "a"), ("b", "c", "a"),
+      ("b", "c", "a"), ("a", "c", "a"), ("a", "c", "tie"))
+      .toDF("ma", "mb", "w")
+    val f2 = graft.ops.Preference.bradleyTerry(tri, "ma", "mb", "w",
+        iters = 25, scale = Some(S))
+      .select("model", "strength").as[(String, Long)].collect().toMap
+    val d2 = graft.ops.Preference.bradleyTerry(tri, "ma", "mb", "w",
+        iters = 25)
+      .select("model", "strength").as[(String, Double)].collect().toMap
+    f2.foreach { case (m, v) =>
+      assert(math.abs(v.toDouble / S - d2(m)) < 1e-3,
+        s"model $m: fp=${v.toDouble / S} double=${d2(m)}")
+    }
+  }
+
   test("nearDupAgainstIndex staged seam (numHashes = 0) equals exact " +
       "cross-axis Jaccard") {
     import spark.implicits._
