@@ -1965,12 +1965,17 @@ object SparkEntry {
     }),
 
     "q_dedup_semantic" -> ((s, d) => {
-      // SemDeDup (ops.Dedup.semanticDedup): deterministic k-means cells +
-      // within-cell cosine, smallest-id survivor per tight neighborhood.
-      // Rows-only (centroids are model state, not SQL); Round5OpsSpec
-      // re-derives the keep policy by brute force on the same table
-      graft.ops.Dedup.semanticDedup(t(s, d, "embeddings"),
-        threshold = 0.3, nCenters = 8)
+      // SemDeDup (ops.Dedup.semanticDedup): k-means cells + within-cell
+      // cosine, smallest-id survivor per tight neighborhood. STAGED FORM
+      // (nCenters = 1 on the 1-in-8 sample): one cell makes the
+      // within-cell pairing exact all-pairs cosine, so keep/drop rides
+      // an exact oracle through the REAL index-build + cell-join path
+      // (center_id degenerates to the constant 0 while the dataflow
+      // still runs); deployment cells stay covered by Round5OpsSpec's
+      // brute-force keep-policy re-derivation
+      graft.ops.Dedup.semanticDedup(
+        t(s, d, "embeddings").filter(col("vec_id") % 8 === 0),
+        threshold = 0.3, nCenters = 1)
     }),
 
     "q_gopher_repetition" -> ((s, d) => {
@@ -4086,6 +4091,19 @@ object SparkEntry {
     // greedy MMR unrolled to k selection levels (engine-exact doubles:
     // list_inner_product == the op's sequential cosine loop)
     "q_mmr_rerank" -> mmrOracleSql(k = 5),
+
+    // the staged SemDeDup form: one cell == all-pairs cosine on the
+    // sample; dropped = some smaller id within cosine >= 0.3
+    "q_dedup_semantic" ->
+      """WITH s AS MATERIALIZED (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 8 = 0),
+        |drops AS (SELECT DISTINCT b.vec_id
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= CAST(0.3 AS DOUBLE))
+        |SELECT s.vec_id, CAST(0 AS INTEGER) AS center_id,
+        |  d.vec_id IS NULL AS is_kept
+        |FROM s LEFT JOIN drops d ON d.vec_id = s.vec_id""".stripMargin,
 
     // fixed-point Bradley-Terry MM (the scale = 1e6 seam): 20 integer
     // rounds over the win-matrix lattice, unrolled
