@@ -2964,8 +2964,10 @@ object SparkEntry {
     "q_rouge_l" -> ((s, d) => {
       // ROUGE-L LCS counts (ops.TextAnalysis.rougeLCounts, codegen
       // lcs_tokens kernel) over the shared 250-pair fixture — integer
-      // (lcs_len, n_a, n_b); rows-only (LCS has no sane SQL form),
-      // Round7cOpsSpec pins the DP goldens
+      // (lcs_len, n_a, n_b). EXACT oracle: the LCS DP replays as a
+      // recursive antidiagonal CTE (one diagonal per iteration, the
+      // previous two kept as fresh + age-1 carries); Round7cOpsSpec
+      // additionally pins the DP goldens and the MaxLcsTokens cap
       val docs = par(s, t(s, d, "documents"))
       val a = docs.filter(col("doc_id") < 250)
         .select(col("doc_id").as("pair_id"), col("text").as("text_a"))
@@ -4108,6 +4110,72 @@ object SparkEntry {
     // fixed-point Bradley-Terry MM (the scale = 1e6 seam): 20 integer
     // rounds over the win-matrix lattice, unrolled
     "q_bradley_terry" -> bradleyTerryOracleSql(iters = 20),
+
+    // LCS as a recursive antidiagonal DP: each iteration materializes
+    // one diagonal per pair from the previous two (the fresh rows are
+    // diag d, the age-1 carries diag d-1), replaying lcsTokens' DP
+    // cell-for-cell — integer-only, so ROUGE-L rides an exact oracle.
+    // The [1:2048] slice mirrors the kernel's MaxLcsTokens cap (inert
+    // on this corpus). DuckDB 1.0 permits multiple recursive refs and
+    // keeps only the last iteration's rows in the working set, which
+    // is exactly the two-diagonal window the DP needs.
+    "q_rouge_l" ->
+      """WITH RECURSIVE
+        |p AS MATERIALIZED (SELECT a.doc_id AS pair_id, a.text AS text_a,
+        |    b.text AS text_b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+        |  WHERE a.doc_id < 250),
+        |ta AS MATERIALIZED (SELECT pair_id, i, w[i] AS tok, len(w) AS n
+        |  FROM (SELECT pair_id, list_filter(string_split_regex(
+        |      lower(trim(text_a)), '\s+'), t -> t <> '')[1:2048] AS w
+        |    FROM p) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |tb AS MATERIALIZED (SELECT pair_id, i, w[i] AS tok, len(w) AS n
+        |  FROM (SELECT pair_id, list_filter(string_split_regex(
+        |      lower(trim(text_b)), '\s+'), t -> t <> '')[1:2048] AS w
+        |    FROM p) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |lens AS MATERIALIZED (SELECT p.pair_id,
+        |    coalesce(max(ta.n), 0) AS na, coalesce(max(tb.n), 0) AS nb
+        |  FROM p LEFT JOIN ta ON ta.pair_id = p.pair_id
+        |         LEFT JOIN tb ON tb.pair_id = p.pair_id
+        |  GROUP BY 1),
+        |work(pair_id, d, i, v, age) AS (
+        |  SELECT pair_id, 0, 0, 0, 0 FROM lens
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT c.pair_id, c.d, c.i,
+        |      CASE WHEN c.i = 0 OR c.j = 0 THEN 0
+        |           WHEN xa.tok = xb.tok THEN coalesce(d2.v, 0) + 1
+        |           ELSE greatest(coalesce(up.v, 0), coalesce(lf.v, 0))
+        |      END AS v,
+        |      0 AS age
+        |    FROM (
+        |      SELECT DISTINCT w.pair_id, w.d + 1 AS d, w.i + s.s AS i,
+        |        w.d + 1 - (w.i + s.s) AS j
+        |      FROM work w JOIN lens l ON l.pair_id = w.pair_id
+        |      CROSS JOIN (SELECT unnest([0, 1]) AS s) s
+        |      WHERE w.age = 0 AND w.i + s.s <= l.na
+        |        AND w.d + 1 - (w.i + s.s) >= 0
+        |        AND w.d + 1 - (w.i + s.s) <= l.nb
+        |    ) c
+        |    LEFT JOIN work up ON up.age = 0 AND up.pair_id = c.pair_id
+        |      AND up.i = c.i
+        |    LEFT JOIN work lf ON lf.age = 0 AND lf.pair_id = c.pair_id
+        |      AND lf.i = c.i - 1
+        |    LEFT JOIN work d2 ON d2.age = 1 AND d2.pair_id = c.pair_id
+        |      AND d2.i = c.i - 1
+        |    LEFT JOIN ta xa ON xa.pair_id = c.pair_id AND xa.i = c.i
+        |    LEFT JOIN tb xb ON xb.pair_id = c.pair_id AND xb.i = c.j
+        |    UNION ALL
+        |    SELECT pair_id, d, i, v, 1 FROM work WHERE age = 0
+        |  )
+        |)
+        |SELECT l.pair_id, CAST(coalesce(w.v, 0) AS BIGINT) AS lcs_len,
+        |  CAST(l.na AS BIGINT) AS n_a, CAST(l.nb AS BIGINT) AS n_b
+        |FROM lens l LEFT JOIN work w ON w.pair_id = l.pair_id
+        |  AND w.age = 0 AND w.d = l.na + l.nb AND w.i = l.na
+        |  AND l.na > 0 AND l.nb > 0""".stripMargin,
 
     // fixed-point PageRank family (the GraphOps scale = 1e6 seam):
     // integer rounds unroll to CTE levels bit-for-bit

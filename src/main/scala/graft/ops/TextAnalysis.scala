@@ -1213,8 +1213,9 @@ object TextAnalysis {
     * kernel — two-row DP, each side capped at
     * [[graft.functions.CorpusKernels.MaxLcsTokens]] tokens, so one
     * adversarial mega-pair cannot stall an executor core; ROUGE pairs
-    * are summary-sized by nature). No shuffle at all. Rows-only at the
-    * gate (LCS has no sane SQL form) — goldens pin the DP.
+    * are summary-sized by nature). No shuffle at all. Exact-oracled at
+    * the gate (the DP unrolls as a recursive antidiagonal CTE — see
+    * q_rouge_l's oracle); goldens additionally pin the DP and the cap.
     *
     * @return (idCol, lcs_len, n_a, n_b)
     */
