@@ -2075,17 +2075,22 @@ object SparkEntry {
       // annotate -> quality gate -> exact dedup -> MinHash dedup ->
       // decontaminate -> scrub -> chunk -> split+pack, on a bounded doc
       // subset with the high-id tail standing in as the eval set.
-      // Returns the per-stage row report (rows-only: lang-id/quality/LSH
-      // stages are model-based; every stage has its own oracle/property
-      // coverage, and PipelinesSpec asserts the cross-stage invariants).
-      // fixed id windows so both roles are non-empty at every SF the
-      // driver runs (sf0.01 has ids 0..499, sf0.1 has 0..4999)
+      // Returns the per-stage row report. EXACT oracle via the near-dup
+      // staged seam (nearDupNumHashes = 0): every stage count then
+      // replays in SQL — the lang-id argmax, the repetition gate, the
+      // fingerprint groups, all-pairs Jaccard + recursive CC, the
+      // decontaminate anti-join, and the scrub+chunk token arithmetic —
+      // so the COMPOSITION itself is oracle-certified end-to-end, not
+      // just its stages. PipelinesSpec keeps the cross-stage invariants
+      // and deployment banding. Fixed id windows so both roles are
+      // non-empty at every SF the driver runs.
       val docs = par(s, t(s, d, "documents"))
       val r = graft.ops.Pipelines.curateCorpus(
         docs.filter(col("doc_id") < 300),
         docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
           .select("doc_id", "text"),
         minQuality = 0.0, maxRepetition = 0.9, nearDupThreshold = 0.5,
+        nearDupNumHashes = 0, nearDupBands = 1,
         chunkTokens = 64, chunkStride = 64, packBudget = 512)
       r.chunks.unpersist()
       r.report
@@ -2096,15 +2101,23 @@ object SparkEntry {
       // day 1 curates the low-id half against an empty CorpusState; day 2
       // curates a batch that replays part of day 1 (plus novel docs)
       // against day 1's returned state — the daily-ingest deployment
-      // shape. Returns day 2's per-stage report (rows-only, like
-      // q_curate_pipeline); PipelinesSpec pins day-1 equivalence with
-      // curateCorpus and the cross-day keep-one invariants.
+      // shape. Returns day 2's per-stage report. EXACT oracle via the
+      // near-dup staged seam (numHashes = 0 on BOTH days, so the state's
+      // band index degenerates to exact cross-axis Jaccard): the oracle
+      // replays day 1's admissions, then each day-2 stage count —
+      // incremental exact dedup (batch-min-id + text anti-join),
+      // incremental near dedup (within-batch CC + cross-day Jaccard
+      // rejection), decontaminate, and the scrub+chunk arithmetic.
+      // PipelinesSpec keeps day-1 curateCorpus-equivalence and the
+      // cross-day keep-one invariants at deployment banding.
       val docs = par(s, t(s, d, "documents")).select("doc_id", "text")
       val eval = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
       val day1 = docs.filter(col("doc_id") < 150)
       val r1 = graft.ops.Pipelines.curateBatch(
-        graft.ops.Pipelines.initCorpusState(docs.limit(0)), day1, eval,
+        graft.ops.Pipelines.initCorpusState(docs.limit(0), numHashes = 0,
+          bands = 1), day1, eval,
         minQuality = 0.0, maxRepetition = 0.9, nearDupThreshold = 0.5,
+        numHashes = 0, bands = 1,
         chunkTokens = 64, chunkStride = 64, packBudget = 512,
         audit = false)
       // day 2: 50 replayed day-1 docs (remapped ids — must be rejected by
@@ -2113,6 +2126,7 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
       val r2 = graft.ops.Pipelines.curateBatch(r1.state, day2, eval,
         minQuality = 0.0, maxRepetition = 0.9, nearDupThreshold = 0.5,
+        numHashes = 0, bands = 1,
         chunkTokens = 64, chunkStride = 64, packBudget = 512)
       r1.chunks.unpersist(); r2.chunks.unpersist()
       r2.report
@@ -3039,17 +3053,21 @@ object SparkEntry {
       // the incremental pipeline's per-day DATA CARD (ops.Pipelines
       // .curateBatch result.card): corpusReport integers over the
       // ADMITTED rows keyed by batch_id — the same release table
-      // curateCorpus users publish, emitted per day. Rows-only (the
-      // admitted set rides the full pipeline); PipelinesSpec reconciles
-      // the card against admitted rows across two days.
+      // curateCorpus users publish, emitted per day. EXACT oracle via
+      // the near-dup staged seam (numHashes = 0): the oracle replays
+      // day 1's admissions, joins source/lang back, and reproduces the
+      // corpusReport integers; PipelinesSpec reconciles the card
+      // against admitted rows across two days at deployment banding.
       val docs = par(s, t(s, d, "documents"))
         .select("doc_id", "text", "source", "lang")
       val eval = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
         .select("doc_id", "text")
       val r = graft.ops.Pipelines.curateBatch(
-        graft.ops.Pipelines.initCorpusState(docs.limit(0)),
+        graft.ops.Pipelines.initCorpusState(docs.limit(0), numHashes = 0,
+          bands = 1),
         docs.filter(col("doc_id") < 150), eval,
         minQuality = 0.0, maxRepetition = 0.9, nearDupThreshold = 0.5,
+        numHashes = 0, bands = 1,
         chunkTokens = 64, chunkStride = 64, packBudget = 512,
         audit = false, batchId = "day-1")
       r.chunks.unpersist()
@@ -4176,6 +4194,364 @@ object SparkEntry {
         |FROM lens l LEFT JOIN work w ON w.pair_id = l.pair_id
         |  AND w.age = 0 AND w.d = l.na + l.nb AND w.i = l.na
         |  AND l.na > 0 AND l.nb > 0""".stripMargin,
+
+    // the WHOLE curation pipeline's per-stage row report, replayed
+    // stage by stage: langId's argmax (en wins iff its stopword count
+    // is positive and >= every later profile's), the repetition gate's
+    // verbatim double compare, fingerprint groups as GROUP BY text,
+    // all-pairs Jaccard (the near-dup staged seam) + recursive
+    // min-label CC, the decontaminate anti-join, scrub + ceil-div
+    // chunk counts (split+pack preserves rows). quality >= 0.0 is
+    // inert on non-null text, so it adds no SQL term.
+    "q_curate_pipeline" ->
+      """WITH RECURSIVE
+        |d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 300),
+        |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
+        |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |    FROM d0) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |prof(lang, tok) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
+        |  ('en','in'),('en','is'),('en','that'),('en','for'),('en','it'),
+        |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+        |  ('es','en'),('es','un'),('es','los'),('es','se'),('es','por'),
+        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+        |  ('de','von'),('de','mit'),('de','den'),('de','nicht'),('de','ein'),
+        |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+        |  ('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','pour'),
+        |  ('pt','o'),('pt','a'),('pt','de'),('pt','que'),('pt','e'),
+        |  ('pt','do'),('pt','da'),('pt','em'),('pt','um'),('pt','para'),
+        |  ('it','il'),('it','di'),('it','che'),('it','e'),('it','la'),
+        |  ('it','per'),('it','un'),('it','in'),('it','non'),('it','sono')),
+        |sc0 AS (SELECT l.doc_id, p.lang, count(*) AS s
+        |  FROM ltoks l JOIN prof p ON p.tok = l.tok GROUP BY 1, 2),
+        |langok AS MATERIALIZED (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      sum(CASE WHEN lang = 'en' THEN s ELSE 0 END) AS s_en,
+        |      max(CASE WHEN lang <> 'en' THEN s ELSE 0 END) AS s_other
+        |    FROM sc0 GROUP BY 1) y
+        |  WHERE s_en > 0 AND s_en >= coalesce(s_other, 0)),
+        |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d0) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) gg),
+        |repok AS MATERIALIZED (SELECT d0.doc_id
+        |  FROM d0 LEFT JOIN (
+        |    SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS nd
+        |    FROM grams GROUP BY 1) r ON r.doc_id = d0.doc_id
+        |  WHERE r.doc_id IS NULL
+        |     OR (CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / r.ng)
+        |        <= CAST(0.9 AS DOUBLE)),
+        |gated AS MATERIALIZED (SELECT d0.doc_id, d0.text FROM d0
+        |  JOIN langok USING (doc_id) JOIN repok USING (doc_id)),
+        |exd AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text
+        |  FROM gated GROUP BY text),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM exd,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pp AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (SELECT x, y FROM pp JOIN sizes sa ON sa.doc_id = x
+        |  JOIN sizes sb ON sb.doc_id = y
+        |  WHERE 2 * inter >= sa.n + sb.n - inter),
+        |sym AS (SELECT x, y FROM prs UNION SELECT y, x FROM prs),
+        |reach(x, y) AS (SELECT x, y FROM sym UNION
+        |  SELECT r.x, s2.y FROM reach r JOIN sym s2 ON r.y = s2.x),
+        |nd AS MATERIALIZED (SELECT e.doc_id, e.text FROM exd e
+        |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach GROUP BY 1) r
+        |    ON r.x = e.doc_id
+        |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
+        |tsh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM nd) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |esh AS (SELECT DISTINCT doc_id AS eval_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id >= 300 AND doc_id < 400) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |hot AS (SELECT t.doc_id FROM tsh t JOIN esh e USING (s3)
+        |  GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2),
+        |clean AS MATERIALIZED (SELECT nd.doc_id, nd.text FROM nd
+        |  LEFT JOIN (SELECT DISTINCT doc_id FROM hot) h
+        |    ON h.doc_id = nd.doc_id
+        |  WHERE h.doc_id IS NULL),
+        |scr AS (SELECT doc_id, regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '[0-9]{9,}', '<NUM>', 'g') AS text FROM clean),
+        |ck AS (SELECT doc_id, greatest(CAST(ceil(len(
+        |    regexp_split_to_array(trim(text), '\s+')) / 64.0) AS BIGINT),
+        |    1) AS nc FROM scr),
+        |chunkn AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n
+        |  FROM ck)
+        |SELECT 'input+annotate' AS stage,
+        |  CAST((SELECT count(*) FROM d0) AS BIGINT) AS "rows"
+        |UNION ALL SELECT 'quality-gate',
+        |  CAST((SELECT count(*) FROM gated) AS BIGINT)
+        |UNION ALL SELECT 'exact-dedup',
+        |  CAST((SELECT count(*) FROM exd) AS BIGINT)
+        |UNION ALL SELECT 'near-dedup',
+        |  CAST((SELECT count(*) FROM nd) AS BIGINT)
+        |UNION ALL SELECT 'decontaminate',
+        |  CAST((SELECT count(*) FROM clean) AS BIGINT)
+        |UNION ALL SELECT 'chunk', (SELECT n FROM chunkn)
+        |UNION ALL SELECT 'split+pack', (SELECT n FROM chunkn)""".stripMargin,
+
+    // the INCREMENTAL pipeline's day-2 report: replay day 1's
+    // admissions (the q_curate_pipeline machinery on ids < 150), then
+    // each day-2 stage — gates on the batch texts, batch-min-id exact
+    // dedup anti-joined on day-1 admitted TEXTS, within-batch CC plus
+    // cross-day Jaccard rejection (the numHashes = 0 state is exact),
+    // decontaminate, and scrub+chunk. Gate outcomes depend only on
+    // text, so one `gated` set over ids < 300 serves both days.
+    "q_curate_batch" ->
+      """WITH RECURSIVE
+        |d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 300),
+        |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
+        |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |    FROM d0) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |prof(lang, tok) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
+        |  ('en','in'),('en','is'),('en','that'),('en','for'),('en','it'),
+        |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+        |  ('es','en'),('es','un'),('es','los'),('es','se'),('es','por'),
+        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+        |  ('de','von'),('de','mit'),('de','den'),('de','nicht'),('de','ein'),
+        |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+        |  ('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','pour'),
+        |  ('pt','o'),('pt','a'),('pt','de'),('pt','que'),('pt','e'),
+        |  ('pt','do'),('pt','da'),('pt','em'),('pt','um'),('pt','para'),
+        |  ('it','il'),('it','di'),('it','che'),('it','e'),('it','la'),
+        |  ('it','per'),('it','un'),('it','in'),('it','non'),('it','sono')),
+        |sc0 AS (SELECT l.doc_id, p.lang, count(*) AS s
+        |  FROM ltoks l JOIN prof p ON p.tok = l.tok GROUP BY 1, 2),
+        |langok AS (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      sum(CASE WHEN lang = 'en' THEN s ELSE 0 END) AS s_en,
+        |      max(CASE WHEN lang <> 'en' THEN s ELSE 0 END) AS s_other
+        |    FROM sc0 GROUP BY 1) y
+        |  WHERE s_en > 0 AND s_en >= coalesce(s_other, 0)),
+        |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d0) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) gg),
+        |repok AS (SELECT d0.doc_id
+        |  FROM d0 LEFT JOIN (
+        |    SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS nd
+        |    FROM grams GROUP BY 1) r ON r.doc_id = d0.doc_id
+        |  WHERE r.doc_id IS NULL
+        |     OR (CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / r.ng)
+        |        <= CAST(0.9 AS DOUBLE)),
+        |gated AS MATERIALIZED (SELECT d0.doc_id, d0.text FROM d0
+        |  JOIN langok USING (doc_id) JOIN repok USING (doc_id)),
+        |-- day 1: ids < 150 through exact -> near -> decontaminate
+        |ex1 AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text
+        |  FROM gated WHERE doc_id < 150 GROUP BY text),
+        |sh1 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM ex1,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY 1),
+        |pp1 AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+        |  FROM sh1 a JOIN sh1 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr1 AS (SELECT x, y FROM pp1 JOIN sz1 sa ON sa.doc_id = x
+        |  JOIN sz1 sb ON sb.doc_id = y
+        |  WHERE 2 * inter >= sa.n + sb.n - inter),
+        |sym1 AS (SELECT x, y FROM pr1 UNION SELECT y, x FROM pr1),
+        |reach1(x, y) AS (SELECT x, y FROM sym1 UNION
+        |  SELECT r.x, s2.y FROM reach1 r JOIN sym1 s2 ON r.y = s2.x),
+        |nd1 AS (SELECT e.doc_id, e.text FROM ex1 e
+        |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach1 GROUP BY 1) r
+        |    ON r.x = e.doc_id
+        |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
+        |esh AS MATERIALIZED (SELECT DISTINCT doc_id AS eval_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id >= 300 AND doc_id < 400) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |t1sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM nd1) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |adm1 AS MATERIALIZED (SELECT nd1.doc_id, nd1.text FROM nd1
+        |  LEFT JOIN (SELECT DISTINCT doc_id FROM (
+        |      SELECT t.doc_id FROM t1sh t JOIN esh e USING (s3)
+        |      GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2) hh) h
+        |    ON h.doc_id = nd1.doc_id
+        |  WHERE h.doc_id IS NULL),
+        |-- day 2: texts of ids 100..299, ids remapped +1e6
+        |b0 AS MATERIALIZED (SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM gated WHERE doc_id >= 100 AND doc_id < 300),
+        |ex2 AS MATERIALIZED (SELECT b.doc_id, b.text FROM b0 b
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM b0 GROUP BY text) m
+        |    ON m.doc_id = b.doc_id
+        |  LEFT JOIN (SELECT DISTINCT text FROM adm1) a1
+        |    ON a1.text = b.text
+        |  WHERE a1.text IS NULL),
+        |sh2 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM ex2,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |sz2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+        |pp2 AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+        |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr2 AS (SELECT x, y FROM pp2 JOIN sz2 sa ON sa.doc_id = x
+        |  JOIN sz2 sb ON sb.doc_id = y
+        |  WHERE 2 * inter >= sa.n + sb.n - inter),
+        |sym2 AS (SELECT x, y FROM pr2 UNION SELECT y, x FROM pr2),
+        |reach2(x, y) AS (SELECT x, y FROM sym2 UNION
+        |  SELECT r.x, s2.y FROM reach2 r JOIN sym2 s2 ON r.y = s2.x),
+        |nb2 AS MATERIALIZED (SELECT e.doc_id, e.text FROM ex2 e
+        |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach2 GROUP BY 1) r
+        |    ON r.x = e.doc_id
+        |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
+        |-- cross-day near-dup rejection against day-1 admitted texts
+        |ash AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM adm1,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |asz AS (SELECT doc_id, count(*) AS n FROM ash GROUP BY 1),
+        |bsh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM nb2,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+        |xhit AS (SELECT DISTINCT x FROM (
+        |  SELECT b.doc_id AS x, a.doc_id AS y, count(*) AS inter
+        |  FROM bsh b JOIN ash a ON a.s = b.s GROUP BY 1, 2) p
+        |  JOIN bsz ON bsz.doc_id = p.x JOIN asz ON asz.doc_id = p.y
+        |  WHERE 2 * inter >= bsz.n + asz.n - inter),
+        |n2 AS MATERIALIZED (SELECT nb2.doc_id, nb2.text FROM nb2
+        |  LEFT JOIN xhit ON xhit.x = nb2.doc_id WHERE xhit.x IS NULL),
+        |t2sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM n2) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |c2 AS MATERIALIZED (SELECT n2.doc_id, n2.text FROM n2
+        |  LEFT JOIN (SELECT DISTINCT doc_id FROM (
+        |      SELECT t.doc_id FROM t2sh t JOIN esh e USING (s3)
+        |      GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2) hh) h
+        |    ON h.doc_id = n2.doc_id
+        |  WHERE h.doc_id IS NULL),
+        |ck2 AS (SELECT greatest(CAST(ceil(len(regexp_split_to_array(trim(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |      'g'), '[0-9]{9,}', '<NUM>', 'g')), '\s+')) / 64.0)
+        |    AS BIGINT), 1) AS nc FROM c2),
+        |chn AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n FROM ck2)
+        |SELECT 'input+annotate' AS stage, CAST((SELECT count(*)
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 300)
+        |  AS BIGINT) AS "rows"
+        |UNION ALL SELECT 'quality-gate',
+        |  CAST((SELECT count(*) FROM b0) AS BIGINT)
+        |UNION ALL SELECT 'exact-dedup-incremental',
+        |  CAST((SELECT count(*) FROM ex2) AS BIGINT)
+        |UNION ALL SELECT 'near-dedup-incremental',
+        |  CAST((SELECT count(*) FROM n2) AS BIGINT)
+        |UNION ALL SELECT 'decontaminate',
+        |  CAST((SELECT count(*) FROM c2) AS BIGINT)
+        |UNION ALL SELECT 'admitted',
+        |  CAST((SELECT count(*) FROM c2) AS BIGINT)
+        |UNION ALL SELECT 'chunk', (SELECT n FROM chn)
+        |UNION ALL SELECT 'split+pack', (SELECT n FROM chn)""".stripMargin,
+
+    // the per-day data card: day-1 admissions replayed (the
+    // q_curate_batch machinery restricted to ids < 150), source/lang
+    // joined back, corpusReport integers per dimension
+    "q_curate_batch_card" ->
+      """WITH RECURSIVE
+        |d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 150),
+        |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
+        |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |    FROM d0) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |prof(lang, tok) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
+        |  ('en','in'),('en','is'),('en','that'),('en','for'),('en','it'),
+        |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+        |  ('es','en'),('es','un'),('es','los'),('es','se'),('es','por'),
+        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+        |  ('de','von'),('de','mit'),('de','den'),('de','nicht'),('de','ein'),
+        |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+        |  ('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','pour'),
+        |  ('pt','o'),('pt','a'),('pt','de'),('pt','que'),('pt','e'),
+        |  ('pt','do'),('pt','da'),('pt','em'),('pt','um'),('pt','para'),
+        |  ('it','il'),('it','di'),('it','che'),('it','e'),('it','la'),
+        |  ('it','per'),('it','un'),('it','in'),('it','non'),('it','sono')),
+        |sc0 AS (SELECT l.doc_id, p.lang, count(*) AS s
+        |  FROM ltoks l JOIN prof p ON p.tok = l.tok GROUP BY 1, 2),
+        |langok AS (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      sum(CASE WHEN lang = 'en' THEN s ELSE 0 END) AS s_en,
+        |      max(CASE WHEN lang <> 'en' THEN s ELSE 0 END) AS s_other
+        |    FROM sc0 GROUP BY 1) y
+        |  WHERE s_en > 0 AND s_en >= coalesce(s_other, 0)),
+        |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d0) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) gg),
+        |repok AS (SELECT d0.doc_id
+        |  FROM d0 LEFT JOIN (
+        |    SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS nd
+        |    FROM grams GROUP BY 1) r ON r.doc_id = d0.doc_id
+        |  WHERE r.doc_id IS NULL
+        |     OR (CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / r.ng)
+        |        <= CAST(0.9 AS DOUBLE)),
+        |gated AS MATERIALIZED (SELECT d0.doc_id, d0.text FROM d0
+        |  JOIN langok USING (doc_id) JOIN repok USING (doc_id)),
+        |ex1 AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text
+        |  FROM gated GROUP BY text),
+        |sh1 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |  FROM ex1,
+        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+        |sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY 1),
+        |pp1 AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+        |  FROM sh1 a JOIN sh1 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr1 AS (SELECT x, y FROM pp1 JOIN sz1 sa ON sa.doc_id = x
+        |  JOIN sz1 sb ON sb.doc_id = y
+        |  WHERE 2 * inter >= sa.n + sb.n - inter),
+        |sym1 AS (SELECT x, y FROM pr1 UNION SELECT y, x FROM pr1),
+        |reach1(x, y) AS (SELECT x, y FROM sym1 UNION
+        |  SELECT r.x, s2.y FROM reach1 r JOIN sym1 s2 ON r.y = s2.x),
+        |nd1 AS (SELECT e.doc_id, e.text FROM ex1 e
+        |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach1 GROUP BY 1) r
+        |    ON r.x = e.doc_id
+        |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
+        |esh AS MATERIALIZED (SELECT DISTINCT doc_id AS eval_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id >= 300 AND doc_id < 400) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |t1sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM nd1) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+        |adm1 AS MATERIALIZED (SELECT nd1.doc_id FROM nd1
+        |  LEFT JOIN (SELECT DISTINCT doc_id FROM (
+        |      SELECT t.doc_id FROM t1sh t JOIN esh e USING (s3)
+        |      GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2) hh) h
+        |    ON h.doc_id = nd1.doc_id
+        |  WHERE h.doc_id IS NULL)
+        |SELECT 'day-1' AS batch_id, source, lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens,
+        |  CAST(sum(em) AS BIGINT) AS n_email_docs,
+        |  CAST(sum(num) AS BIGINT) AS n_longnum_docs
+        |FROM (
+        |  SELECT d.source, d.lang,
+        |    CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS nt,
+        |    CAST(length(d.text) AS BIGINT) AS nc,
+        |    CASE WHEN regexp_matches(d.text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |      THEN 1 ELSE 0 END AS em,
+        |    CASE WHEN regexp_matches(d.text, '[0-9]{9,}')
+        |      THEN 1 ELSE 0 END AS num
+        |  FROM adm1 JOIN documents d USING (doc_id))
+        |GROUP BY source, lang""".stripMargin,
 
     // fixed-point PageRank family (the GraphOps scale = 1e6 seam):
     // integer rounds unroll to CTE levels bit-for-bit

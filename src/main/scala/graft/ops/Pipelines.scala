@@ -76,6 +76,8 @@ object Pipelines {
                    maxRepetition: Double = 0.3,
                    maxCompressionRatio: Option[Double] = None,
                    nearDupThreshold: Double = 0.7,
+                   nearDupNumHashes: Int = 128,
+                   nearDupBands: Int = 32,
                    blocklist: Option[DataFrame] = None,
                    boilerplateMinDocs: Option[Long] = None,
                    boilerplateDelim: String = "\n",
@@ -241,8 +243,12 @@ object Pipelines {
         .filter(col("is_canonical"))
         .drop("dup_group_size", "is_canonical"))
 
+    // nearDupNumHashes = 0 / nearDupBands = 1 is minhashLsh's staged
+    // seam (exact all-pairs Jaccard) — the q_curate_pipeline oracle
+    // rides it; deployment keeps the banded defaults
     val nearDeduped = stage("near-dedup", exactDeduped.join(
       Dedup.clusters(exactDeduped, nearDupThreshold,
+        numHashes = nearDupNumHashes, bands = nearDupBands,
         idCol = idCol, textCol = textCol)
         .filter(col("is_canonical"))
         .select(idCol),
