@@ -1017,9 +1017,17 @@ object SparkEntry {
     }),
 
     "q_text_annotate" -> ((s, d) => {
+      // the one-pass document annotator (ops.TextAnalysis.annotate).
+      // EXACT oracle over its discrete columns: lang_pred replays as the
+      // stopword-profile argmax, n_tokens_bpeish as the regex-piece sum,
+      // and the rolling-hash fingerprint as a recursive Horner over the
+      // whitespace-normalized text (base 257 mod 2^61-1 — pure integer).
+      // The round(x, 6) ratio columns stay covered by q_quality_score's
+      // floor-lattice forms (round() is the one cross-engine-unsafe
+      // spelling, so the contract projects the exact columns).
       graft.ops.TextAnalysis.annotate(par(s, t(s, d, "documents")))
         .select("doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpeish",
-          "punct_ratio", "stopword_ratio", "quality", "fingerprint")
+          "fingerprint")
     }),
 
     "q_ann_topk" -> ((s, d) => {
@@ -4552,6 +4560,71 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS num
         |  FROM adm1 JOIN documents d USING (doc_id))
         |GROUP BY source, lang""".stripMargin,
+
+    // annotate's discrete columns: langId argmax (first profile in
+    // order with the max positive stopword count), whitespace token
+    // count, BPE-ish piece sum (RE2 and java.util.regex share
+    // leftmost-first alternation), and the rolling-hash fingerprint as
+    // a recursive Horner — h_i = (h_{i-1}*257 + code) mod 2^61-1 over
+    // the lowercased, whitespace-collapsed, leading-space-stripped text
+    "q_text_annotate" ->
+      """WITH RECURSIVE
+        |prof(ord, lang, tok) AS (VALUES
+        |  (1,'en','the'),(1,'en','and'),(1,'en','of'),(1,'en','to'),
+        |  (1,'en','a'),(1,'en','in'),(1,'en','is'),(1,'en','that'),
+        |  (1,'en','for'),(1,'en','it'),
+        |  (2,'es','el'),(2,'es','la'),(2,'es','de'),(2,'es','que'),
+        |  (2,'es','y'),(2,'es','en'),(2,'es','un'),(2,'es','los'),
+        |  (2,'es','se'),(2,'es','por'),
+        |  (3,'de','der'),(3,'de','die'),(3,'de','und'),(3,'de','das'),
+        |  (3,'de','ist'),(3,'de','von'),(3,'de','mit'),(3,'de','den'),
+        |  (3,'de','nicht'),(3,'de','ein'),
+        |  (4,'fr','le'),(4,'fr','la'),(4,'fr','et'),(4,'fr','les'),
+        |  (4,'fr','des'),(4,'fr','un'),(4,'fr','une'),(4,'fr','du'),
+        |  (4,'fr','est'),(4,'fr','pour'),
+        |  (5,'pt','o'),(5,'pt','a'),(5,'pt','de'),(5,'pt','que'),
+        |  (5,'pt','e'),(5,'pt','do'),(5,'pt','da'),(5,'pt','em'),
+        |  (5,'pt','um'),(5,'pt','para'),
+        |  (6,'it','il'),(6,'it','di'),(6,'it','che'),(6,'it','e'),
+        |  (6,'it','la'),(6,'it','per'),(6,'it','un'),(6,'it','in'),
+        |  (6,'it','non'),(6,'it','sono')),
+        |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
+        |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |    FROM documents) x,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+        |sc0 AS (SELECT l.doc_id, p.ord, p.lang, count(*) AS s
+        |  FROM ltoks l JOIN prof p ON p.tok = l.tok GROUP BY 1, 2, 3),
+        |lp AS MATERIALIZED (SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s DESC, ord) AS rn
+        |    FROM sc0 WHERE s > 0) z WHERE rn = 1),
+        |bpe AS (SELECT doc_id,
+        |    CAST(coalesce((SELECT sum(1 + (length(p) - 1) // 4)
+        |      FROM unnest(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) u(p)), 0)
+        |      AS INTEGER) AS n_bpeish
+        |  FROM documents),
+        |norm AS MATERIALIZED (SELECT doc_id,
+        |    ltrim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |fp(doc_id, i, h) AS (
+        |  SELECT doc_id, 0, CAST(0 AS HUGEINT) FROM norm
+        |  UNION ALL
+        |  SELECT f.doc_id, f.i + 1,
+        |    (f.h * 257 + unicode(substr(n.t, f.i + 1, 1)))
+        |      % 2305843009213693951
+        |  FROM fp f JOIN norm n ON n.doc_id = f.doc_id
+        |  WHERE f.i < len(n.t))
+        |SELECT d.doc_id, coalesce(lp.lang, 'und') AS lang_pred,
+        |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER)
+        |    AS n_tokens_ws,
+        |  b.n_bpeish AS n_tokens_bpeish,
+        |  CAST(f.h AS BIGINT) AS fingerprint
+        |FROM documents d
+        |LEFT JOIN lp ON lp.doc_id = d.doc_id
+        |JOIN bpe b ON b.doc_id = d.doc_id
+        |JOIN norm n ON n.doc_id = d.doc_id
+        |JOIN fp f ON f.doc_id = d.doc_id AND f.i = len(n.t)""".stripMargin,
 
     // fixed-point PageRank family (the GraphOps scale = 1e6 seam):
     // integer rounds unroll to CTE levels bit-for-bit
