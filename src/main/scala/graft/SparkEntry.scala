@@ -3317,10 +3317,12 @@ object SparkEntry {
       // sliding-anchor funnel (ops.Sessions.funnelSliding — ClickHouse
       // windowFunnel's greedy mode): max depth over ALL view anchors,
       // one shuffle + O(k)-state pass per user with the cap-and-raise
-      // buffer guard. Rows-only (order-sensitive per-user state isn't
-      // SQL-expressible); Round8OpsSpec pins goldens, per-user dominance
-      // over q_funnel's earliest-anchored stage, and a planted stream
-      // where sliding reaches strictly deeper.
+      // buffer guard. EXACT oracle: each level's anchor is a running
+      // MAX of the previous level's window-valid candidates over the
+      // (ts, step) total order, so the whole recurrence is k-1 chained
+      // window layers in SQL; Round8OpsSpec pins goldens, per-user
+      // dominance over q_funnel's earliest-anchored stage, and a
+      // planted stream where sliding reaches strictly deeper.
       graft.ops.Sessions.funnelSliding(events(s, d),
         Seq("view", "click", "purchase"), withinSeconds = 86400L)
     }),
@@ -4625,6 +4627,44 @@ object SparkEntry {
         |JOIN bpe b ON b.doc_id = d.doc_id
         |JOIN norm n ON n.doc_id = d.doc_id
         |JOIN fp f ON f.doc_id = d.doc_id AND f.i = len(n.t)""".stripMargin,
+
+    // windowFunnel's greedy recurrence as chained running-max layers:
+    // r0 = running max of view timestamps, c1/c2 = window-valid
+    // previous-level anchors at click/purchase rows, a_s = per-user max
+    // candidate; depth = deepest non-null level, anchor = its value.
+    // The (tus, s) ROWS order makes equal-timestamp events chain in
+    // step order exactly like the op's sort
+    "q_funnel_sliding" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS u,
+        |    epoch_ns(ts) // 1000 AS tus,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |      ELSE 2 END AS s
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |l0 AS (SELECT u, tus, s,
+        |    max(CASE WHEN s = 0 THEN tus END) OVER (PARTITION BY u
+        |      ORDER BY tus, s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r0
+        |  FROM e),
+        |l1 AS (SELECT u, tus, s, c1,
+        |    max(c1) OVER (PARTITION BY u ORDER BY tus, s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+        |  FROM (SELECT *, CASE WHEN s = 1 AND r0 IS NOT NULL
+        |      AND tus - r0 <= 86400000000 THEN r0 END AS c1 FROM l0) x),
+        |l2 AS (SELECT u, tus, s, c1,
+        |    CASE WHEN s = 2 AND r1 IS NOT NULL
+        |      AND tus - r1 <= 86400000000 THEN r1 END AS c2
+        |  FROM l1),
+        |agg AS (SELECT u,
+        |    max(CASE WHEN s = 0 THEN tus END) AS a0,
+        |    max(c1) AS a1, max(c2) AS a2
+        |  FROM l2 GROUP BY 1)
+        |SELECT u AS user_id,
+        |  CAST(CASE WHEN a2 IS NOT NULL THEN 3
+        |    WHEN a1 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS stage,
+        |  coalesce(a2, a1, a0) AS anchor_us
+        |FROM agg WHERE a0 IS NOT NULL""".stripMargin,
 
     // fixed-point PageRank family (the GraphOps scale = 1e6 seam):
     // integer rounds unroll to CTE levels bit-for-bit

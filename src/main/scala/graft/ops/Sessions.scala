@@ -139,10 +139,13 @@ object Sessions {
     * shuffled ONCE on the user key; each user's step events buffer only
     * for the sort, guarded by a hard `maxEventsPerUser` cap that RAISES
     * on pathological users (the maxPairs discipline — silent truncation
-    * would understate depth). Order-sensitive per-user state is not
-    * SQL-expressible → rows-only contract; Round8OpsSpec pins goldens,
-    * the dominance property vs [[funnel]], and the planted stream where
-    * sliding reaches strictly deeper.
+    * would understate depth). The recurrence is monotone (each level's
+    * anchor is a running MAX of the previous level's window-valid
+    * candidates), so it replays exactly as k−1 chained running-max
+    * window layers — q_funnel_sliding rides an exact oracle;
+    * Round8OpsSpec additionally pins goldens, the dominance property vs
+    * [[funnel]], and the planted stream where sliding reaches strictly
+    * deeper.
     *
     * @return (userCol long, stage ∈ [1, k], anchor_us epoch-micros of
     *         the deepest chain's latest anchor) — one row per user with
