@@ -755,7 +755,7 @@ object SparkEntry {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
-    // --- non-SQL-expressible operators (rows-only driver check) ---------
+    // --- model-state / staged-certification operators -------------------
     "q_dedup_minhash" -> ((s, d) => {
       // MinHash-LSH near-dup pairs in the STAGED-FORM certification:
       // numHashes = 0 / bands = 1 puts every pair of the 1-in-10 sample
@@ -2872,8 +2872,8 @@ object SparkEntry {
       // per-community modularity PARTS (graph.GraphOps.modularityParts)
       // over the md5-random graph with the deterministic vertex%10
       // labeling — the integer sufficient statistics (e_c, d_c) of Q,
-      // exact-oracled so community QUALITY is certifiable even though
-      // the community DETECTOR (LPA) is iterative/rows-only
+      // exact-oracled so community QUALITY is certifiable independently
+      // of the detector (LPA itself is also exact-oracled — unrolled)
       val g = mdGraph(t(s, d, "documents"))
       val verts = g.select(col("src").as("vertex"))
         .union(g.select(col("dst"))).distinct()

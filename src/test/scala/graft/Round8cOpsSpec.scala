@@ -170,6 +170,12 @@ class Round8cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && !got.exists(_._1 == 20L))
   }
 
+  test("every oracleSql key has a queries entry (a typo'd oracle key " +
+      "would silently demote its query to rows-only)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
   test("auditSplitLeakage staged seam flags exactly the planted " +
       "cross-split near-dup pair") {
     import spark.implicits._
