@@ -28,6 +28,14 @@ object GraphOps {
 
   private def vid(c: org.apache.spark.sql.Column) = xxhash64(c)
 
+  /** Driver budget for [[powerIterate]]'s fold fast path: 2M edges ≈
+    * 64 MB of driver arrays (the [[graft.ops.Preference.bradleyTerry]]
+    * maxPairs discipline) — word graphs, citation projections and other
+    * dimension-sized rank inputs sit far below it; corpus-scale graphs
+    * exceed it and take the distributed per-round loop.
+    */
+  private val RankDriverFoldMaxRows = 2L * 1000 * 1000
+
   /** Transitive closure of the unit_of hierarchy: for every unit, the set
     * of ancestor unit ids (workstream containment). Iterative DataFrame
     * self-joins with early exit — depth-bounded (org hierarchies are
@@ -175,6 +183,106 @@ object GraphOps {
       .getOrElse(verts.withColumn("_r0",
         scale.map(s => lit(3L * (s / 20)).cast("long") // 0.15·S, integrally
         ).getOrElse(lit(0.15))))
+    // DRIVER FOLD fast path — the bradleyTerry bounded-lattice
+    // discipline: when the (pinned) edge list and vertex set both fit
+    // the driver budget (word-co-occurrence graphs, citation
+    // projections, anything dimension-sized), 20 rounds of per-round
+    // Spark jobs are pure scheduling overhead — fold the rounds over
+    // arrays instead. The recurrence is IDENTICAL: in fixed mode the
+    // integer ops are order-free, so the fold is bit-equal to the
+    // distributed loop (and to the unrolled SQL oracles); in double
+    // mode summation order differs only within the non-order-pinned
+    // float semantics the distributed loop already has. Beyond the cap
+    // the distributed loop below runs unchanged — the 100 TB path.
+    val nEdges = withDeg.count()
+    if (nEdges <= RankDriverFoldMaxRows) {
+      val nVerts = vr.count()
+      if (nVerts <= RankDriverFoldMaxRows) {
+        val spark = verts.sparkSession
+        import spark.implicits._
+        val ranksDf =
+          if (fixed) {
+            val vs = vr.select(col("vid"), col("_r0").cast("long"))
+              .as[(Long, Long)].collect()
+            val idx = new java.util.HashMap[Long, Integer](vs.length * 2)
+            vs.indices.foreach(i => idx.put(vs(i)._1, i))
+            val es = withDeg.select(col("src"), col("dst"),
+                col("w").cast("long"), col("_wdeg").cast("long"))
+              .as[(Long, Long, Long, Long)].collect()
+              .flatMap { case (s0, d0, w0, wd) =>
+                val si = idx.get(s0); val di = idx.get(d0)
+                if (si != null && di != null)
+                  Some((si.intValue, di.intValue, w0, wd))
+                else None // endpoint outside verts: dropped, like the joins
+              }
+            var rank = vs.map(_._2)
+            var it = 0
+            var dlt = Double.MaxValue
+            while (it < maxIter && dlt > tol) {
+              val acc = new Array[Long](vs.length)
+              es.foreach { case (si, di, w0, wd) =>
+                acc(di) += rank(si) * w0 / wd
+              }
+              val next = Array.tabulate(vs.length)(i =>
+                vs(i)._2 + 85L * acc(i) / 100L)
+              if (tol > 0) {
+                dlt = 0d
+                var i = 0
+                while (i < next.length) {
+                  val d0 = math.abs(next(i) - rank(i)).toDouble
+                  if (d0 > dlt) dlt = d0
+                  i += 1
+                }
+              }
+              rank = next; it += 1
+            }
+            vs.indices.map(i => (vs(i)._1, rank(i)))
+              .toDF("vid", "pagerank")
+          } else {
+            val vs = vr.select(col("vid"), col("_r0").cast("double"))
+              .as[(Long, Double)].collect()
+            val idx = new java.util.HashMap[Long, Integer](vs.length * 2)
+            vs.indices.foreach(i => idx.put(vs(i)._1, i))
+            val es = withDeg.select(col("src"), col("dst"),
+                col("w").cast("double"), col("_wdeg").cast("double"))
+              .as[(Long, Long, Double, Double)].collect()
+              .flatMap { case (s0, d0, w0, wd) =>
+                val si = idx.get(s0); val di = idx.get(d0)
+                if (si != null && di != null)
+                  Some((si.intValue, di.intValue, w0, wd))
+                else None
+              }
+            var rank = vs.map(_._2)
+            var it = 0
+            var dlt = Double.MaxValue
+            while (it < maxIter && dlt > tol) {
+              val acc = new Array[Double](vs.length)
+              es.foreach { case (si, di, w0, wd) =>
+                acc(di) += rank(si) * w0 / wd
+              }
+              val next = Array.tabulate(vs.length)(i =>
+                vs(i)._2 + damp * acc(i))
+              if (tol > 0) {
+                dlt = 0d
+                var i = 0
+                while (i < next.length) {
+                  val d0 = math.abs(next(i) - rank(i))
+                  if (d0 > dlt) dlt = d0
+                  i += 1
+                }
+              }
+              rank = next; it += 1
+            }
+            vs.indices.map(i => (vs(i)._1, rank(i)))
+              .toDF("vid", "pagerank")
+          }
+        val out = verts.join(ranksDf, Seq("vid"))
+          .select(col("uuid").as("author_uuid"), col("pagerank"))
+          .localCheckpoint(true)
+        withDeg.unpersist()
+        return out
+      }
+    }
     var ranks = vr.select(col("vid"), col("_r0").as("pagerank"))
       .localCheckpoint(true)
     var delta = Double.MaxValue
