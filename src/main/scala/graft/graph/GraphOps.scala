@@ -154,7 +154,9 @@ object GraphOps {
   private def powerIterate(verts: DataFrame, wedges: DataFrame,
                            tol: Double, maxIter: Int,
                            resetCol: Option[String] = None,
-                           scale: Option[Long] = None): DataFrame = {
+                           scale: Option[Long] = None,
+                           driverFoldMaxRows: Long = RankDriverFoldMaxRows
+                          ): DataFrame = {
     // scale = Some(S) switches the cell arithmetic to FIXED-POINT LONGS
     // (rank in units of 1/S): per-edge contribution (rank·w) DIV wdeg,
     // damp as (85·Σ) DIV 100 — exact integer ops that are associative
@@ -195,9 +197,9 @@ object GraphOps {
     // float semantics the distributed loop already has. Beyond the cap
     // the distributed loop below runs unchanged — the 100 TB path.
     val nEdges = withDeg.count()
-    if (nEdges <= RankDriverFoldMaxRows) {
+    if (nEdges <= driverFoldMaxRows) {
       val nVerts = vr.count()
-      if (nVerts <= RankDriverFoldMaxRows) {
+      if (nVerts <= driverFoldMaxRows) {
         val spark = verts.sparkSession
         import spark.implicits._
         val ranksDf =
@@ -574,9 +576,10 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", weightCol: Option[String] = None,
                tol: Double = 0.001, maxIter: Int = 30,
-               scale: Option[Long] = None): DataFrame =
+               scale: Option[Long] = None,
+               driverFoldMaxRows: Long = RankDriverFoldMaxRows): DataFrame =
     rankUndirected(edges, srcCol, dstCol, weightCol, tol, maxIter, None,
-      scale)
+      scale, driverFoldMaxRows)
 
   /** Shared scaffolding of [[pageRank]] / [[pageRankPersonalized]]:
     * clean + pin the edge list once (sym/verts/withDeg would otherwise
@@ -590,7 +593,9 @@ object GraphOps {
                              dstCol: String, weightCol: Option[String],
                              tol: Double, maxIter: Int,
                              sources: Option[DataFrame],
-                             scale: Option[Long] = None): DataFrame = {
+                             scale: Option[Long] = None,
+                             driverFoldMaxRows: Long = RankDriverFoldMaxRows
+                            ): DataFrame = {
     val w = scale match {
       case Some(_) => // fixed-point mode: integer-valued weights required
         weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
@@ -629,7 +634,8 @@ object GraphOps {
     val wedges = sym.select(vid(col("_a")).as("src"),
       vid(col("_b")).as("dst"), col("w"))
     val out = powerIterate(verts, wedges, tol, maxIter,
-      resetCol = sources.map(_ => "_reset"), scale = scale)
+      resetCol = sources.map(_ => "_reset"), scale = scale,
+      driverFoldMaxRows = driverFoldMaxRows)
       .withColumnRenamed("author_uuid", "vertex")
     // powerIterate checkpoints withDeg (built from wedges -> half) and
     // its own result before returning, so half's blocks are safe to free

@@ -170,6 +170,27 @@ class Round8cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && !got.exists(_._1 == 20L))
   }
 
+  test("pageRank driver fold is BIT-EQUAL to the distributed loop in " +
+      "fixed mode (and agrees in double mode)") {
+    import spark.implicits._
+    val fold = graft.graph.GraphOps.pageRank(plantedEdges, tol = 0.0,
+        maxIter = 12, scale = Some(S))
+      .as[(String, Long)].collect().toMap
+    val dist = graft.graph.GraphOps.pageRank(plantedEdges, tol = 0.0,
+        maxIter = 12, scale = Some(S), driverFoldMaxRows = 0)
+      .as[(String, Long)].collect().toMap
+    assert(fold === dist) // integer ops are order-free: exact equality
+    val foldD = graft.graph.GraphOps.pageRank(plantedEdges, tol = 0.0,
+        maxIter = 12)
+      .as[(String, Double)].collect().toMap
+    val distD = graft.graph.GraphOps.pageRank(plantedEdges, tol = 0.0,
+        maxIter = 12, driverFoldMaxRows = 0)
+      .as[(String, Double)].collect().toMap
+    foldD.foreach { case (v, r) =>
+      assert(math.abs(r - distD(v)) < 1e-12, s"vertex $v")
+    }
+  }
+
   test("every oracleSql key has a queries entry (a typo'd oracle key " +
       "would silently demote its query to rows-only)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
