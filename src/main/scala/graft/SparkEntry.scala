@@ -3982,7 +3982,14 @@ object SparkEntry {
         |pairs AS (SELECT id_a, id_b
         |  FROM p JOIN sizes sa ON sa.doc_id = id_a
         |         JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE 4 * inter >= sa.n + sb.n - inter),
+        |  WHERE 4 * inter >= sa.n + sb.n - inter
+        |  UNION ALL
+        |  -- empty-empty shingle sets are kernel-jaccard 1.0 (nulls
+        |  -- pair with nothing — the null-safe kernels return NULL)
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM (SELECT doc_id FROM d WHERE len(text) < 5) a
+        |  JOIN (SELECT doc_id FROM d WHERE len(text) < 5) b
+        |    ON a.doc_id < b.doc_id),
         |sym AS (SELECT id_a AS x, id_b AS y FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs),
         |reach(x, y) AS (SELECT x, y FROM sym
@@ -4012,7 +4019,14 @@ object SparkEntry {
         |SELECT id_a, id_b
         |FROM p JOIN sizes sa ON sa.doc_id = id_a
         |       JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE 4 * inter >= sa.n + sb.n - inter""".stripMargin,
+        |WHERE 4 * inter >= sa.n + sb.n - inter
+        |UNION ALL
+        |-- empty-empty shingle sets are kernel-jaccard 1.0: non-null
+        |-- sub-5-char sample texts all-pair (nulls pair with nothing)
+        |SELECT a.doc_id, b.doc_id
+        |FROM (SELECT doc_id FROM d WHERE len(text) < 5) a
+        |JOIN (SELECT doc_id FROM d WHERE len(text) < 5) b
+        |  ON a.doc_id < b.doc_id""".stripMargin,
 
     // the staged index+probe form: one global bucket admits every
     // (batch, corpus) pair, exact-jaccard verify == cross-axis distinct
@@ -4039,7 +4053,20 @@ object SparkEntry {
         |    / (bs.n + cs.n - inter) * 1e6) AS BIGINT) AS jaccard_u6
         |FROM p JOIN bs ON bs.doc_id = batch_id
         |       JOIN cs ON cs.doc_id = corpus_id
-        |WHERE 2 * inter >= bs.n + cs.n - inter""".stripMargin,
+        |WHERE 2 * inter >= bs.n + cs.n - inter
+        |UNION ALL
+        |-- two EMPTY shingle sets are jaccard 1.0 in the kernel
+        |-- (jaccardSorted's empty-empty case), and the one global bucket
+        |-- pairs them: sub-5-char NON-NULL texts cross-pair at 1e6
+        |-- (null text makes the null-safe kernels return NULL, which the
+        |-- jaccard filter drops — so nulls pair with nothing)
+        |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |  CAST(1000000 AS BIGINT) AS jaccard_u6
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE doc_id >= 250 AND doc_id < 1000
+        |        AND len(text) < 5) b,
+        |     (SELECT doc_id FROM documents
+        |      WHERE doc_id < 250 AND len(text) < 5) c""".stripMargin,
 
     // the staged auditSplitLeakage form: exact all-pairs Jaccard >= 0.8
     // (5·inter >= 4·union — exactly the double predicate) over the
@@ -4073,7 +4100,15 @@ object SparkEntry {
         |      / (sa.n + sb.n - inter) * 1e6) AS BIGINT) AS jaccard_u6
         |  FROM p JOIN sizes sa ON sa.doc_id = id_a
         |         JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE 5 * inter >= 4 * (sa.n + sb.n - inter))
+        |  WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
+        |  UNION ALL
+        |  -- empty-empty shingle sets are kernel-jaccard 1.0: non-null
+        |  -- sub-5-char corpus texts all-pair at 1e6 (nulls pair with
+        |  -- nothing — the null-safe kernels return NULL there)
+        |  SELECT a.doc_id, b.doc_id, CAST(1000000 AS BIGINT)
+        |  FROM (SELECT doc_id FROM corpus WHERE len(text) < 5) a
+        |  JOIN (SELECT doc_id FROM corpus WHERE len(text) < 5) b
+        |    ON a.doc_id < b.doc_id)
         |SELECT pr.id_a, pr.id_b, pr.jaccard_u6,
         |  la.split AS split_a, lb.split AS split_b
         |FROM pairs pr JOIN lab la ON la.doc_id = pr.id_a
@@ -4153,18 +4188,26 @@ object SparkEntry {
         |    b.text AS text_b
         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
         |  WHERE a.doc_id < 250),
-        |ta AS MATERIALIZED (SELECT pair_id, i, w[i] AS tok, len(w) AS n
-        |  FROM (SELECT pair_id, list_filter(string_split_regex(
-        |      lower(trim(text_a)), '\s+'), t -> t <> '')[1:2048] AS w
-        |    FROM p) x,
+        |-- n = CAPPED length (bounds the DP like MaxLcsTokens);
+        |-- nf = UNCAPPED token count (rougeLCounts' n_a/n_b output has
+        |-- no cap — only the LCS itself is capped)
+        |ta AS MATERIALIZED (SELECT pair_id, i, w[i] AS tok, len(w) AS n,
+        |    nf
+        |  FROM (SELECT pair_id, w0[1:2048] AS w, len(w0) AS nf
+        |    FROM (SELECT pair_id, list_filter(string_split_regex(
+        |        lower(trim(text_a)), '\s+'), t -> t <> '') AS w0
+        |      FROM p) x0) x,
         |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
-        |tb AS MATERIALIZED (SELECT pair_id, i, w[i] AS tok, len(w) AS n
-        |  FROM (SELECT pair_id, list_filter(string_split_regex(
-        |      lower(trim(text_b)), '\s+'), t -> t <> '')[1:2048] AS w
-        |    FROM p) x,
+        |tb AS MATERIALIZED (SELECT pair_id, i, w[i] AS tok, len(w) AS n,
+        |    nf
+        |  FROM (SELECT pair_id, w0[1:2048] AS w, len(w0) AS nf
+        |    FROM (SELECT pair_id, list_filter(string_split_regex(
+        |        lower(trim(text_b)), '\s+'), t -> t <> '') AS w0
+        |      FROM p) x0) x,
         |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
         |lens AS MATERIALIZED (SELECT p.pair_id,
-        |    coalesce(max(ta.n), 0) AS na, coalesce(max(tb.n), 0) AS nb
+        |    coalesce(max(ta.n), 0) AS na, coalesce(max(tb.n), 0) AS nb,
+        |    coalesce(max(ta.nf), 0) AS naf, coalesce(max(tb.nf), 0) AS nbf
         |  FROM p LEFT JOIN ta ON ta.pair_id = p.pair_id
         |         LEFT JOIN tb ON tb.pair_id = p.pair_id
         |  GROUP BY 1),
@@ -4200,99 +4243,25 @@ object SparkEntry {
         |  )
         |)
         |SELECT l.pair_id, CAST(coalesce(w.v, 0) AS BIGINT) AS lcs_len,
-        |  CAST(l.na AS BIGINT) AS n_a, CAST(l.nb AS BIGINT) AS n_b
+        |  CAST(l.naf AS BIGINT) AS n_a, CAST(l.nbf AS BIGINT) AS n_b
         |FROM lens l LEFT JOIN work w ON w.pair_id = l.pair_id
         |  AND w.age = 0 AND w.d = l.na + l.nb AND w.i = l.na
         |  AND l.na > 0 AND l.nb > 0""".stripMargin,
 
     // the WHOLE curation pipeline's per-stage row report, replayed
-    // stage by stage: langId's argmax (en wins iff its stopword count
-    // is positive and >= every later profile's), the repetition gate's
-    // verbatim double compare, fingerprint groups as GROUP BY text,
-    // all-pairs Jaccard (the near-dup staged seam) + recursive
-    // min-label CC, the decontaminate anti-join, scrub + ceil-div
-    // chunk counts (split+pack preserves rows). quality >= 0.0 is
-    // inert on non-null text, so it adds no SQL term.
+    // stage by stage via curateChainSql: langId argmax, the repetition
+    // gate's verbatim double compare, fingerprint-NORMALIZED exact
+    // dedup groups, all-pairs Jaccard (incl. the kernel's empty-shingle
+    // 1.0 pairs) + recursive min-label CC, the decontaminate anti-join,
+    // then scrub + ceil-div chunk counts (split+pack preserves rows)
     "q_curate_pipeline" ->
-      """WITH RECURSIVE
-        |d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
-        |  WHERE doc_id < 300),
-        |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
-        |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |    FROM d0) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
-        |prof(lang, tok) AS (VALUES
-        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
-        |  ('en','in'),('en','is'),('en','that'),('en','for'),('en','it'),
-        |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
-        |  ('es','en'),('es','un'),('es','los'),('es','se'),('es','por'),
-        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
-        |  ('de','von'),('de','mit'),('de','den'),('de','nicht'),('de','ein'),
-        |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
-        |  ('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','pour'),
-        |  ('pt','o'),('pt','a'),('pt','de'),('pt','que'),('pt','e'),
-        |  ('pt','do'),('pt','da'),('pt','em'),('pt','um'),('pt','para'),
-        |  ('it','il'),('it','di'),('it','che'),('it','e'),('it','la'),
-        |  ('it','per'),('it','un'),('it','in'),('it','non'),('it','sono')),
-        |sc0 AS (SELECT l.doc_id, p.lang, count(*) AS s
-        |  FROM ltoks l JOIN prof p ON p.tok = l.tok GROUP BY 1, 2),
-        |langok AS MATERIALIZED (SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      sum(CASE WHEN lang = 'en' THEN s ELSE 0 END) AS s_en,
-        |      max(CASE WHEN lang <> 'en' THEN s ELSE 0 END) AS s_other
-        |    FROM sc0 GROUP BY 1) y
-        |  WHERE s_en > 0 AND s_en >= coalesce(s_other, 0)),
-        |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d0) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) gg),
-        |repok AS MATERIALIZED (SELECT d0.doc_id
-        |  FROM d0 LEFT JOIN (
-        |    SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS nd
-        |    FROM grams GROUP BY 1) r ON r.doc_id = d0.doc_id
-        |  WHERE r.doc_id IS NULL
-        |     OR (CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / r.ng)
-        |        <= CAST(0.9 AS DOUBLE)),
-        |gated AS MATERIALIZED (SELECT d0.doc_id, d0.text FROM d0
-        |  JOIN langok USING (doc_id) JOIN repok USING (doc_id)),
-        |exd AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text
-        |  FROM gated GROUP BY text),
-        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
-        |  FROM exd,
-        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pp AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |prs AS (SELECT x, y FROM pp JOIN sizes sa ON sa.doc_id = x
-        |  JOIN sizes sb ON sb.doc_id = y
-        |  WHERE 2 * inter >= sa.n + sb.n - inter),
-        |sym AS (SELECT x, y FROM prs UNION SELECT y, x FROM prs),
-        |reach(x, y) AS (SELECT x, y FROM sym UNION
-        |  SELECT r.x, s2.y FROM reach r JOIN sym s2 ON r.y = s2.x),
-        |nd AS MATERIALIZED (SELECT e.doc_id, e.text FROM exd e
-        |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach GROUP BY 1) r
-        |    ON r.x = e.doc_id
-        |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
-        |tsh AS (SELECT DISTINCT doc_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM nd) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
-        |esh AS (SELECT DISTINCT doc_id AS eval_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |        WHERE doc_id >= 300 AND doc_id < 400) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
-        |hot AS (SELECT t.doc_id FROM tsh t JOIN esh e USING (s3)
-        |  GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2),
-        |clean AS MATERIALIZED (SELECT nd.doc_id, nd.text FROM nd
-        |  LEFT JOIN (SELECT DISTINCT doc_id FROM hot) h
-        |    ON h.doc_id = nd.doc_id
-        |  WHERE h.doc_id IS NULL),
+      s"""WITH RECURSIVE
+        |${curateChainSql(gateMaxId = 300, dayMaxId = 300)},
         |scr AS (SELECT doc_id, regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
-        |    'g'), '[0-9]{9,}', '<NUM>', 'g') AS text FROM clean),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '[0-9]{9,}', '<NUM>', 'g') AS text FROM adm1),
         |ck AS (SELECT doc_id, greatest(CAST(ceil(len(
-        |    regexp_split_to_array(trim(text), '\s+')) / 64.0) AS BIGINT),
+        |    regexp_split_to_array(trim(text), '\\s+')) / 64.0) AS BIGINT),
         |    1) AS nc FROM scr),
         |chunkn AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n
         |  FROM ck)
@@ -4301,106 +4270,32 @@ object SparkEntry {
         |UNION ALL SELECT 'quality-gate',
         |  CAST((SELECT count(*) FROM gated) AS BIGINT)
         |UNION ALL SELECT 'exact-dedup',
-        |  CAST((SELECT count(*) FROM exd) AS BIGINT)
+        |  CAST((SELECT count(*) FROM ex1) AS BIGINT)
         |UNION ALL SELECT 'near-dedup',
-        |  CAST((SELECT count(*) FROM nd) AS BIGINT)
+        |  CAST((SELECT count(*) FROM nd1) AS BIGINT)
         |UNION ALL SELECT 'decontaminate',
-        |  CAST((SELECT count(*) FROM clean) AS BIGINT)
+        |  CAST((SELECT count(*) FROM adm1) AS BIGINT)
         |UNION ALL SELECT 'chunk', (SELECT n FROM chunkn)
         |UNION ALL SELECT 'split+pack', (SELECT n FROM chunkn)""".stripMargin,
 
-    // the INCREMENTAL pipeline's day-2 report: replay day 1's
-    // admissions (the q_curate_pipeline machinery on ids < 150), then
-    // each day-2 stage — gates on the batch texts, batch-min-id exact
-    // dedup anti-joined on day-1 admitted TEXTS, within-batch CC plus
-    // cross-day Jaccard rejection (the numHashes = 0 state is exact),
-    // decontaminate, and scrub+chunk. Gate outcomes depend only on
-    // text, so one `gated` set over ids < 300 serves both days.
+    // the INCREMENTAL pipeline's day-2 report: day 1's admissions via
+    // curateChainSql (gates over ids < 300 serve both days — gate
+    // outcomes depend only on text), then each day-2 stage —
+    // batch-min-id exact dedup anti-joined on day-1 admitted NORMALIZED
+    // texts (the fingerprint key), within-batch CC plus cross-day
+    // Jaccard rejection (incl. empty-shingle 1.0 pairs on both axes),
+    // decontaminate, and scrub+chunk
     "q_curate_batch" ->
-      """WITH RECURSIVE
-        |d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
-        |  WHERE doc_id < 300),
-        |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
-        |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |    FROM d0) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
-        |prof(lang, tok) AS (VALUES
-        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
-        |  ('en','in'),('en','is'),('en','that'),('en','for'),('en','it'),
-        |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
-        |  ('es','en'),('es','un'),('es','los'),('es','se'),('es','por'),
-        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
-        |  ('de','von'),('de','mit'),('de','den'),('de','nicht'),('de','ein'),
-        |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
-        |  ('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','pour'),
-        |  ('pt','o'),('pt','a'),('pt','de'),('pt','que'),('pt','e'),
-        |  ('pt','do'),('pt','da'),('pt','em'),('pt','um'),('pt','para'),
-        |  ('it','il'),('it','di'),('it','che'),('it','e'),('it','la'),
-        |  ('it','per'),('it','un'),('it','in'),('it','non'),('it','sono')),
-        |sc0 AS (SELECT l.doc_id, p.lang, count(*) AS s
-        |  FROM ltoks l JOIN prof p ON p.tok = l.tok GROUP BY 1, 2),
-        |langok AS (SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      sum(CASE WHEN lang = 'en' THEN s ELSE 0 END) AS s_en,
-        |      max(CASE WHEN lang <> 'en' THEN s ELSE 0 END) AS s_other
-        |    FROM sc0 GROUP BY 1) y
-        |  WHERE s_en > 0 AND s_en >= coalesce(s_other, 0)),
-        |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d0) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) gg),
-        |repok AS (SELECT d0.doc_id
-        |  FROM d0 LEFT JOIN (
-        |    SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS nd
-        |    FROM grams GROUP BY 1) r ON r.doc_id = d0.doc_id
-        |  WHERE r.doc_id IS NULL
-        |     OR (CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / r.ng)
-        |        <= CAST(0.9 AS DOUBLE)),
-        |gated AS MATERIALIZED (SELECT d0.doc_id, d0.text FROM d0
-        |  JOIN langok USING (doc_id) JOIN repok USING (doc_id)),
-        |-- day 1: ids < 150 through exact -> near -> decontaminate
-        |ex1 AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text
-        |  FROM gated WHERE doc_id < 150 GROUP BY text),
-        |sh1 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
-        |  FROM ex1,
-        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
-        |sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY 1),
-        |pp1 AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
-        |  FROM sh1 a JOIN sh1 b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pr1 AS (SELECT x, y FROM pp1 JOIN sz1 sa ON sa.doc_id = x
-        |  JOIN sz1 sb ON sb.doc_id = y
-        |  WHERE 2 * inter >= sa.n + sb.n - inter),
-        |sym1 AS (SELECT x, y FROM pr1 UNION SELECT y, x FROM pr1),
-        |reach1(x, y) AS (SELECT x, y FROM sym1 UNION
-        |  SELECT r.x, s2.y FROM reach1 r JOIN sym1 s2 ON r.y = s2.x),
-        |nd1 AS (SELECT e.doc_id, e.text FROM ex1 e
-        |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach1 GROUP BY 1) r
-        |    ON r.x = e.doc_id
-        |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
-        |esh AS MATERIALIZED (SELECT DISTINCT doc_id AS eval_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |        WHERE doc_id >= 300 AND doc_id < 400) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
-        |t1sh AS (SELECT DISTINCT doc_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM nd1) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
-        |adm1 AS MATERIALIZED (SELECT nd1.doc_id, nd1.text FROM nd1
-        |  LEFT JOIN (SELECT DISTINCT doc_id FROM (
-        |      SELECT t.doc_id FROM t1sh t JOIN esh e USING (s3)
-        |      GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2) hh) h
-        |    ON h.doc_id = nd1.doc_id
-        |  WHERE h.doc_id IS NULL),
-        |-- day 2: texts of ids 100..299, ids remapped +1e6
-        |b0 AS MATERIALIZED (SELECT doc_id + 1000000 AS doc_id, text
+      s"""WITH RECURSIVE
+        |${curateChainSql(gateMaxId = 300, dayMaxId = 150)},
+        |b0 AS MATERIALIZED (SELECT doc_id + 1000000 AS doc_id, text, norm
         |  FROM gated WHERE doc_id >= 100 AND doc_id < 300),
         |ex2 AS MATERIALIZED (SELECT b.doc_id, b.text FROM b0 b
-        |  JOIN (SELECT min(doc_id) AS doc_id FROM b0 GROUP BY text) m
-        |    ON m.doc_id = b.doc_id
-        |  LEFT JOIN (SELECT DISTINCT text FROM adm1) a1
-        |    ON a1.text = b.text
-        |  WHERE a1.text IS NULL),
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM b0 GROUP BY norm) m
+        |    USING (doc_id)
+        |  LEFT JOIN (SELECT DISTINCT norm FROM adm1) a1
+        |    ON a1.norm = b.norm
+        |  WHERE a1.norm IS NULL),
         |sh2 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
         |  FROM ex2,
         |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
@@ -4410,7 +4305,12 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |pr2 AS (SELECT x, y FROM pp2 JOIN sz2 sa ON sa.doc_id = x
         |  JOIN sz2 sb ON sb.doc_id = y
-        |  WHERE 2 * inter >= sa.n + sb.n - inter),
+        |  WHERE 2 * inter >= sa.n + sb.n - inter
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM (SELECT doc_id FROM ex2 WHERE len(text) < 5) a
+        |  JOIN (SELECT doc_id FROM ex2 WHERE len(text) < 5) b
+        |    ON a.doc_id < b.doc_id),
         |sym2 AS (SELECT x, y FROM pr2 UNION SELECT y, x FROM pr2),
         |reach2(x, y) AS (SELECT x, y FROM sym2 UNION
         |  SELECT r.x, s2.y FROM reach2 r JOIN sym2 s2 ON r.y = s2.x),
@@ -4418,7 +4318,6 @@ object SparkEntry {
         |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach2 GROUP BY 1) r
         |    ON r.x = e.doc_id
         |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
-        |-- cross-day near-dup rejection against day-1 admitted texts
         |ash AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
         |  FROM adm1,
         |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
@@ -4428,10 +4327,15 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
         |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
         |xhit AS (SELECT DISTINCT x FROM (
-        |  SELECT b.doc_id AS x, a.doc_id AS y, count(*) AS inter
-        |  FROM bsh b JOIN ash a ON a.s = b.s GROUP BY 1, 2) p
+        |  SELECT p.x FROM (
+        |    SELECT b.doc_id AS x, a.doc_id AS y, count(*) AS inter
+        |    FROM bsh b JOIN ash a ON a.s = b.s GROUP BY 1, 2) p
         |  JOIN bsz ON bsz.doc_id = p.x JOIN asz ON asz.doc_id = p.y
-        |  WHERE 2 * inter >= bsz.n + asz.n - inter),
+        |  WHERE 2 * inter >= bsz.n + asz.n - inter
+        |  UNION ALL
+        |  SELECT b.doc_id FROM (SELECT doc_id FROM nb2
+        |    WHERE len(text) < 5) b,
+        |    (SELECT doc_id FROM adm1 WHERE len(text) < 5) a) z),
         |n2 AS MATERIALIZED (SELECT nb2.doc_id, nb2.text FROM nb2
         |  LEFT JOIN xhit ON xhit.x = nb2.doc_id WHERE xhit.x IS NULL),
         |t2sh AS (SELECT DISTINCT doc_id,
@@ -4446,8 +4350,8 @@ object SparkEntry {
         |  WHERE h.doc_id IS NULL),
         |ck2 AS (SELECT greatest(CAST(ceil(len(regexp_split_to_array(trim(
         |    regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
-        |      'g'), '[0-9]{9,}', '<NUM>', 'g')), '\s+')) / 64.0)
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+        |      'g'), '[0-9]{9,}', '<NUM>', 'g')), '\\s+')) / 64.0)
         |    AS BIGINT), 1) AS nc FROM c2),
         |chn AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n FROM ck2)
         |SELECT 'input+annotate' AS stage, CAST((SELECT count(*)
@@ -4466,84 +4370,11 @@ object SparkEntry {
         |UNION ALL SELECT 'chunk', (SELECT n FROM chn)
         |UNION ALL SELECT 'split+pack', (SELECT n FROM chn)""".stripMargin,
 
-    // the per-day data card: day-1 admissions replayed (the
-    // q_curate_batch machinery restricted to ids < 150), source/lang
-    // joined back, corpusReport integers per dimension
+    // the per-day data card: day-1 admissions via curateChainSql
+    // (ids < 150), source/lang joined back, corpusReport integers
     "q_curate_batch_card" ->
-      """WITH RECURSIVE
-        |d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
-        |  WHERE doc_id < 150),
-        |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
-        |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |    FROM d0) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
-        |prof(lang, tok) AS (VALUES
-        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
-        |  ('en','in'),('en','is'),('en','that'),('en','for'),('en','it'),
-        |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
-        |  ('es','en'),('es','un'),('es','los'),('es','se'),('es','por'),
-        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
-        |  ('de','von'),('de','mit'),('de','den'),('de','nicht'),('de','ein'),
-        |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
-        |  ('fr','un'),('fr','une'),('fr','du'),('fr','est'),('fr','pour'),
-        |  ('pt','o'),('pt','a'),('pt','de'),('pt','que'),('pt','e'),
-        |  ('pt','do'),('pt','da'),('pt','em'),('pt','um'),('pt','para'),
-        |  ('it','il'),('it','di'),('it','che'),('it','e'),('it','la'),
-        |  ('it','per'),('it','un'),('it','in'),('it','non'),('it','sono')),
-        |sc0 AS (SELECT l.doc_id, p.lang, count(*) AS s
-        |  FROM ltoks l JOIN prof p ON p.tok = l.tok GROUP BY 1, 2),
-        |langok AS (SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      sum(CASE WHEN lang = 'en' THEN s ELSE 0 END) AS s_en,
-        |      max(CASE WHEN lang <> 'en' THEN s ELSE 0 END) AS s_other
-        |    FROM sc0 GROUP BY 1) y
-        |  WHERE s_en > 0 AND s_en >= coalesce(s_other, 0)),
-        |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d0) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) gg),
-        |repok AS (SELECT d0.doc_id
-        |  FROM d0 LEFT JOIN (
-        |    SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS nd
-        |    FROM grams GROUP BY 1) r ON r.doc_id = d0.doc_id
-        |  WHERE r.doc_id IS NULL
-        |     OR (CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / r.ng)
-        |        <= CAST(0.9 AS DOUBLE)),
-        |gated AS MATERIALIZED (SELECT d0.doc_id, d0.text FROM d0
-        |  JOIN langok USING (doc_id) JOIN repok USING (doc_id)),
-        |ex1 AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text
-        |  FROM gated GROUP BY text),
-        |sh1 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
-        |  FROM ex1,
-        |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
-        |sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY 1),
-        |pp1 AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
-        |  FROM sh1 a JOIN sh1 b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pr1 AS (SELECT x, y FROM pp1 JOIN sz1 sa ON sa.doc_id = x
-        |  JOIN sz1 sb ON sb.doc_id = y
-        |  WHERE 2 * inter >= sa.n + sb.n - inter),
-        |sym1 AS (SELECT x, y FROM pr1 UNION SELECT y, x FROM pr1),
-        |reach1(x, y) AS (SELECT x, y FROM sym1 UNION
-        |  SELECT r.x, s2.y FROM reach1 r JOIN sym1 s2 ON r.y = s2.x),
-        |nd1 AS (SELECT e.doc_id, e.text FROM ex1 e
-        |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach1 GROUP BY 1) r
-        |    ON r.x = e.doc_id
-        |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
-        |esh AS MATERIALIZED (SELECT DISTINCT doc_id AS eval_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |        WHERE doc_id >= 300 AND doc_id < 400) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
-        |t1sh AS (SELECT DISTINCT doc_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM nd1) x,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
-        |adm1 AS MATERIALIZED (SELECT nd1.doc_id FROM nd1
-        |  LEFT JOIN (SELECT DISTINCT doc_id FROM (
-        |      SELECT t.doc_id FROM t1sh t JOIN esh e USING (s3)
-        |      GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2) hh) h
-        |    ON h.doc_id = nd1.doc_id
-        |  WHERE h.doc_id IS NULL)
+      s"""WITH RECURSIVE
+        |${curateChainSql(gateMaxId = 150, dayMaxId = 150)}
         |SELECT 'day-1' AS batch_id, source, lang, count(*) AS n_docs,
         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
         |  CAST(sum(nc) AS BIGINT) AS n_chars,
@@ -4552,15 +4383,15 @@ object SparkEntry {
         |  CAST(sum(num) AS BIGINT) AS n_longnum_docs
         |FROM (
         |  SELECT d.source, d.lang,
-        |    CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |    CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
         |      t -> t <> '')) AS BIGINT) AS nt,
         |    CAST(length(d.text) AS BIGINT) AS nc,
         |    CASE WHEN regexp_matches(d.text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
         |      THEN 1 ELSE 0 END AS em,
         |    CASE WHEN regexp_matches(d.text, '[0-9]{9,}')
         |      THEN 1 ELSE 0 END AS num
-        |  FROM adm1 JOIN documents d USING (doc_id))
+        |  FROM adm1 JOIN documents d USING (doc_id)) t2
         |GROUP BY source, lang""".stripMargin,
 
     // annotate's discrete columns: langId argmax (first profile in
@@ -4570,28 +4401,10 @@ object SparkEntry {
     // a recursive Horner — h_i = (h_{i-1}*257 + code) mod 2^61-1 over
     // the lowercased, whitespace-collapsed, leading-space-stripped text
     "q_text_annotate" ->
-      """WITH RECURSIVE
-        |prof(ord, lang, tok) AS (VALUES
-        |  (1,'en','the'),(1,'en','and'),(1,'en','of'),(1,'en','to'),
-        |  (1,'en','a'),(1,'en','in'),(1,'en','is'),(1,'en','that'),
-        |  (1,'en','for'),(1,'en','it'),
-        |  (2,'es','el'),(2,'es','la'),(2,'es','de'),(2,'es','que'),
-        |  (2,'es','y'),(2,'es','en'),(2,'es','un'),(2,'es','los'),
-        |  (2,'es','se'),(2,'es','por'),
-        |  (3,'de','der'),(3,'de','die'),(3,'de','und'),(3,'de','das'),
-        |  (3,'de','ist'),(3,'de','von'),(3,'de','mit'),(3,'de','den'),
-        |  (3,'de','nicht'),(3,'de','ein'),
-        |  (4,'fr','le'),(4,'fr','la'),(4,'fr','et'),(4,'fr','les'),
-        |  (4,'fr','des'),(4,'fr','un'),(4,'fr','une'),(4,'fr','du'),
-        |  (4,'fr','est'),(4,'fr','pour'),
-        |  (5,'pt','o'),(5,'pt','a'),(5,'pt','de'),(5,'pt','que'),
-        |  (5,'pt','e'),(5,'pt','do'),(5,'pt','da'),(5,'pt','em'),
-        |  (5,'pt','um'),(5,'pt','para'),
-        |  (6,'it','il'),(6,'it','di'),(6,'it','che'),(6,'it','e'),
-        |  (6,'it','la'),(6,'it','per'),(6,'it','un'),(6,'it','in'),
-        |  (6,'it','non'),(6,'it','sono')),
+      s"""WITH RECURSIVE
+        |${langProfilesSql(withOrd = true)},
         |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
-        |    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
         |    FROM documents) x,
         |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
         |sc0 AS (SELECT l.doc_id, p.ord, p.lang, count(*) AS s
@@ -4603,11 +4416,11 @@ object SparkEntry {
         |bpe AS (SELECT doc_id,
         |    CAST(coalesce((SELECT sum(1 + (length(p) - 1) // 4)
         |      FROM unnest(regexp_extract_all(text,
-        |        '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) u(p)), 0)
+        |        '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) u(p)), 0)
         |      AS INTEGER) AS n_bpeish
         |  FROM documents),
         |norm AS MATERIALIZED (SELECT doc_id,
-        |    ltrim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS t
+        |    ltrim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS t
         |  FROM documents),
         |fp(doc_id, i, h) AS (
         |  SELECT doc_id, 0, CAST(0 AS HUGEINT) FROM norm
@@ -4618,7 +4431,7 @@ object SparkEntry {
         |  FROM fp f JOIN norm n ON n.doc_id = f.doc_id
         |  WHERE f.i < len(n.t))
         |SELECT d.doc_id, coalesce(lp.lang, 'und') AS lang_pred,
-        |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER)
+        |  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS INTEGER)
         |    AS n_tokens_ws,
         |  b.n_bpeish AS n_tokens_bpeish,
         |  CAST(f.h AS BIGINT) AS fingerprint
@@ -4681,8 +4494,11 @@ object SparkEntry {
 
     // k-core peeling is integer degree-filtering to a fixpoint; the
     // unrolled levels overshoot the op's data-dependent round count and
-    // idle on the converged core (KCORE_ORACLE_ROUNDS >> observed
-    // rounds at every SF, asserted by Round8cOpsSpec)
+    // idle on the converged core. KcoreOracleRounds = 24 vs <= 5
+    // observed peel rounds at every driver SF; if a future SF ever
+    // needed more, the end-to-end DuckDB compare would fail loudly
+    // (an unconverged oracle core differs from the op's fixpoint)
+    // rather than silently pass.
     "q_k_core" -> kCoreOracleSql(k = 5, rounds = KcoreOracleRounds),
 
     // exhaustive overfetch → every vector survives ADC nomination →
@@ -4716,6 +4532,118 @@ object SparkEntry {
     * converged core, so overshoot is free correctness margin.
     */
   private val KcoreOracleRounds = 24
+
+  /** The langId stopword-profile VALUES lattice (CorpusKernels.profiles
+    * verbatim), shared by the curate and annotate oracles; `withOrd`
+    * prefixes the profile order index the argmax tie-break needs.
+    */
+  private def langProfilesSql(withOrd: Boolean): String = {
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that",
+        "for", "it"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se",
+        "por"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den",
+        "nicht", "ein"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du",
+        "est", "pour"),
+      "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um",
+        "para"),
+      "it" -> Seq("il", "di", "che", "e", "la", "per", "un", "in", "non",
+        "sono"))
+    val rows = profiles.zipWithIndex.flatMap { case ((lang, toks), i) =>
+      toks.map(t =>
+        if (withOrd) s"(${i + 1},'$lang','$t')" else s"('$lang','$t')")
+    }
+    val cols = if (withOrd) "(ord, lang, tok)" else "(lang, tok)"
+    s"prof$cols AS (VALUES\n  " +
+      rows.grouped(5).map(_.mkString(",")).mkString(",\n  ") + ")"
+  }
+
+  /** Day-style curation admission replay shared by the three pipeline
+    * oracles: gates over docs < `gateMaxId` (langId argmax + the
+    * repetition gate's verbatim double compare; quality >= 0 is inert on
+    * non-null text, and null text never passes the lang gate), then over
+    * day docs < `dayMaxId`: exact dedup keyed on the FINGERPRINT
+    * NORMALIZATION (lower + collapse whitespace + strip leading space —
+    * equal normalized strings <=> equal doc_fingerprints, mod the
+    * accepted hash-collision caveat), staged all-pairs near-dedup
+    * including the kernel's empty-shingle jaccard-1.0 pairs, and the
+    * decontaminate anti-join vs eval docs 300..399. Emits CTEs up to
+    * `adm1(doc_id, text, norm)` plus `esh`; callers append their stage
+    * counts / day-2 tail / card projection.
+    */
+  private def curateChainSql(gateMaxId: Int, dayMaxId: Int): String =
+    s"""d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  WHERE doc_id < $gateMaxId),
+       |ltoks AS (SELECT doc_id, w[i] AS tok FROM (
+       |    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |    FROM d0) x,
+       |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+       |${langProfilesSql(withOrd = false)},
+       |sc0 AS (SELECT l.doc_id, p.lang, count(*) AS s
+       |  FROM ltoks l JOIN prof p ON p.tok = l.tok GROUP BY 1, 2),
+       |langok AS (SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      sum(CASE WHEN lang = 'en' THEN s ELSE 0 END) AS s_en,
+       |      max(CASE WHEN lang <> 'en' THEN s ELSE 0 END) AS s_other
+       |    FROM sc0 GROUP BY 1) y
+       |  WHERE s_en > 0 AND s_en >= coalesce(s_other, 0)),
+       |grams AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d0) x,
+       |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) gg),
+       |repok AS (SELECT d0.doc_id
+       |  FROM d0 LEFT JOIN (
+       |    SELECT doc_id, count(*) AS ng, count(DISTINCT g) AS nd
+       |    FROM grams GROUP BY 1) r ON r.doc_id = d0.doc_id
+       |  WHERE r.doc_id IS NULL
+       |     OR (CAST(1.0 AS DOUBLE) - CAST(r.nd AS DOUBLE) / r.ng)
+       |        <= CAST(0.9 AS DOUBLE)),
+       |gated AS MATERIALIZED (SELECT d0.doc_id, d0.text,
+       |    ltrim(regexp_replace(lower(d0.text), '\\s+', ' ', 'g'), ' ')
+       |      AS norm
+       |  FROM d0 JOIN langok USING (doc_id) JOIN repok USING (doc_id)),
+       |ex1 AS MATERIALIZED (SELECT g2.doc_id, g2.text, g2.norm
+       |  FROM gated g2 JOIN (SELECT min(doc_id) AS doc_id FROM gated
+       |    WHERE doc_id < $dayMaxId GROUP BY norm) m USING (doc_id)),
+       |sh1 AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+       |  FROM ex1,
+       |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
+       |sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY 1),
+       |pp1 AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+       |  FROM sh1 a JOIN sh1 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pr1 AS (SELECT x, y FROM pp1 JOIN sz1 sa ON sa.doc_id = x
+       |  JOIN sz1 sb ON sb.doc_id = y
+       |  WHERE 2 * inter >= sa.n + sb.n - inter
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM (SELECT doc_id FROM ex1 WHERE len(text) < 5) a
+       |  JOIN (SELECT doc_id FROM ex1 WHERE len(text) < 5) b
+       |    ON a.doc_id < b.doc_id),
+       |sym1 AS (SELECT x, y FROM pr1 UNION SELECT y, x FROM pr1),
+       |reach1(x, y) AS (SELECT x, y FROM sym1 UNION
+       |  SELECT r.x, s2.y FROM reach1 r JOIN sym1 s2 ON r.y = s2.x),
+       |nd1 AS (SELECT e.doc_id, e.text, e.norm FROM ex1 e
+       |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach1 GROUP BY 1) r
+       |    ON r.x = e.doc_id
+       |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),
+       |esh AS MATERIALIZED (SELECT DISTINCT doc_id AS eval_id,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE doc_id >= 300 AND doc_id < 400) x,
+       |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+       |t1sh AS (SELECT DISTINCT doc_id,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s3
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM nd1) x,
+       |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
+       |adm1 AS MATERIALIZED (SELECT nd1.doc_id, nd1.text, nd1.norm
+       |  FROM nd1
+       |  LEFT JOIN (SELECT DISTINCT doc_id FROM (
+       |      SELECT t.doc_id FROM t1sh t JOIN esh e USING (s3)
+       |      GROUP BY t.doc_id, e.eval_id HAVING count(*) >= 2) hh) h
+       |    ON h.doc_id = nd1.doc_id
+       |  WHERE h.doc_id IS NULL)""".stripMargin
 
   /** Unrolled FIXED-POINT PageRank rounds (the GraphOps scale seam,
     * S = 1e6): expects prologue CTEs `edges(src, dst, w)` (symmetrized,

@@ -202,80 +202,109 @@ object GraphOps {
       if (nVerts <= driverFoldMaxRows) {
         val spark = verts.sparkSession
         import spark.implicits._
+        // decode into PARALLEL PRIMITIVE ARRAYS (the bradleyTerry
+        // ei/ej/en layout): boxed tuples at the 2M cap would cost
+        // several hundred MB where the budget math assumes ~32 B/edge
         val ranksDf =
           if (fixed) {
-            val vs = vr.select(col("vid"), col("_r0").cast("long"))
-              .as[(Long, Long)].collect()
-            val idx = new java.util.HashMap[Long, Integer](vs.length * 2)
-            vs.indices.foreach(i => idx.put(vs(i)._1, i))
-            val es = withDeg.select(col("src"), col("dst"),
-                col("w").cast("long"), col("_wdeg").cast("long"))
-              .as[(Long, Long, Long, Long)].collect()
-              .flatMap { case (s0, d0, w0, wd) =>
-                val si = idx.get(s0); val di = idx.get(d0)
-                if (si != null && di != null)
-                  Some((si.intValue, di.intValue, w0, wd))
-                else None // endpoint outside verts: dropped, like the joins
+            val vRows = vr.select(col("vid"), col("_r0").cast("long"))
+              .collect()
+            val n = vRows.length
+            val vids = new Array[Long](n)
+            val r0 = new Array[Long](n)
+            val idx = new java.util.HashMap[Long, Integer](n * 2)
+            var i = 0
+            while (i < n) {
+              vids(i) = vRows(i).getLong(0); r0(i) = vRows(i).getLong(1)
+              idx.put(vids(i), i); i += 1
+            }
+            val eRows = withDeg.select(col("src"), col("dst"),
+              col("w").cast("long"), col("_wdeg").cast("long")).collect()
+            val esi = new Array[Int](eRows.length)
+            val edi = new Array[Int](eRows.length)
+            val ew = new Array[Long](eRows.length)
+            val ewd = new Array[Long](eRows.length)
+            var m = 0
+            eRows.foreach { r =>
+              val si = idx.get(r.getLong(0)); val di = idx.get(r.getLong(1))
+              if (si != null && di != null) { // outside verts: dropped,
+                esi(m) = si.intValue         // like the joins
+                edi(m) = di.intValue
+                ew(m) = r.getLong(2); ewd(m) = r.getLong(3); m += 1
               }
-            var rank = vs.map(_._2)
+            }
+            var rank = r0.clone()
             var it = 0
             var dlt = Double.MaxValue
             while (it < maxIter && dlt > tol) {
-              val acc = new Array[Long](vs.length)
-              es.foreach { case (si, di, w0, wd) =>
-                acc(di) += rank(si) * w0 / wd
+              val acc = new Array[Long](n)
+              var e = 0
+              while (e < m) {
+                acc(edi(e)) += rank(esi(e)) * ew(e) / ewd(e); e += 1
               }
-              val next = Array.tabulate(vs.length)(i =>
-                vs(i)._2 + 85L * acc(i) / 100L)
+              val next = Array.tabulate(n)(i2 => r0(i2) + 85L * acc(i2) / 100L)
               if (tol > 0) {
                 dlt = 0d
-                var i = 0
-                while (i < next.length) {
-                  val d0 = math.abs(next(i) - rank(i)).toDouble
+                var i2 = 0
+                while (i2 < n) {
+                  val d0 = math.abs(next(i2) - rank(i2)).toDouble
                   if (d0 > dlt) dlt = d0
-                  i += 1
+                  i2 += 1
                 }
               }
               rank = next; it += 1
             }
-            vs.indices.map(i => (vs(i)._1, rank(i)))
+            vids.indices.map(i2 => (vids(i2), rank(i2)))
               .toDF("vid", "pagerank")
           } else {
-            val vs = vr.select(col("vid"), col("_r0").cast("double"))
-              .as[(Long, Double)].collect()
-            val idx = new java.util.HashMap[Long, Integer](vs.length * 2)
-            vs.indices.foreach(i => idx.put(vs(i)._1, i))
-            val es = withDeg.select(col("src"), col("dst"),
-                col("w").cast("double"), col("_wdeg").cast("double"))
-              .as[(Long, Long, Double, Double)].collect()
-              .flatMap { case (s0, d0, w0, wd) =>
-                val si = idx.get(s0); val di = idx.get(d0)
-                if (si != null && di != null)
-                  Some((si.intValue, di.intValue, w0, wd))
-                else None
+            val vRows = vr.select(col("vid"), col("_r0").cast("double"))
+              .collect()
+            val n = vRows.length
+            val vids = new Array[Long](n)
+            val r0 = new Array[Double](n)
+            val idx = new java.util.HashMap[Long, Integer](n * 2)
+            var i = 0
+            while (i < n) {
+              vids(i) = vRows(i).getLong(0); r0(i) = vRows(i).getDouble(1)
+              idx.put(vids(i), i); i += 1
+            }
+            val eRows = withDeg.select(col("src"), col("dst"),
+              col("w").cast("double"), col("_wdeg").cast("double")).collect()
+            val esi = new Array[Int](eRows.length)
+            val edi = new Array[Int](eRows.length)
+            val ew = new Array[Double](eRows.length)
+            val ewd = new Array[Double](eRows.length)
+            var m = 0
+            eRows.foreach { r =>
+              val si = idx.get(r.getLong(0)); val di = idx.get(r.getLong(1))
+              if (si != null && di != null) {
+                esi(m) = si.intValue
+                edi(m) = di.intValue
+                ew(m) = r.getDouble(2); ewd(m) = r.getDouble(3); m += 1
               }
-            var rank = vs.map(_._2)
+            }
+            var rank = r0.clone()
             var it = 0
             var dlt = Double.MaxValue
             while (it < maxIter && dlt > tol) {
-              val acc = new Array[Double](vs.length)
-              es.foreach { case (si, di, w0, wd) =>
-                acc(di) += rank(si) * w0 / wd
+              val acc = new Array[Double](n)
+              var e = 0
+              while (e < m) {
+                acc(edi(e)) += rank(esi(e)) * ew(e) / ewd(e); e += 1
               }
-              val next = Array.tabulate(vs.length)(i =>
-                vs(i)._2 + damp * acc(i))
+              val next = Array.tabulate(n)(i2 => r0(i2) + damp * acc(i2))
               if (tol > 0) {
                 dlt = 0d
-                var i = 0
-                while (i < next.length) {
-                  val d0 = math.abs(next(i) - rank(i))
+                var i2 = 0
+                while (i2 < n) {
+                  val d0 = math.abs(next(i2) - rank(i2))
                   if (d0 > dlt) dlt = d0
-                  i += 1
+                  i2 += 1
                 }
               }
               rank = next; it += 1
             }
-            vs.indices.map(i => (vs(i)._1, rank(i)))
+            vids.indices.map(i2 => (vids(i2), rank(i2)))
               .toDF("vid", "pagerank")
           }
         val out = verts.join(ranksDf, Seq("vid"))

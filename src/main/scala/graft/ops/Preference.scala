@@ -160,8 +160,10 @@ object Preference {
       .distinct.sorted
     val idx = ids.zipWithIndex.toMap
     val k = ids.length
-    // per-model sufficient statistics (ties count half a win each)
-    val wins = new Array[Double](k)
+    // per-model sufficient statistics: wins2 = 2*wins + ties keeps the
+    // half-win exact as an integer (wins2/2.0 is exact in double, so
+    // both arithmetic modes publish identical `wins`)
+    val wins2 = new Array[Long](k)
     val games = new Array[Long](k)
     val ei = new Array[Int](pairs.length)
     val ej = new Array[Int](pairs.length)
@@ -170,7 +172,7 @@ object Preference {
       val i = idx(r.getString(0)); val j = idx(r.getString(1))
       val (w1, w2, t, n) = (r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5))
-      wins(i) += w1 + 0.5 * t; wins(j) += w2 + 0.5 * t
+      wins2(i) += 2 * w1 + t; wins2(j) += 2 * w2 + t
       games(i) += n; games(j) += n
       ei(e) = i; ej(e) = j; en(e) = n
     }
@@ -178,14 +180,7 @@ object Preference {
     import spark.implicits._
     scale match {
       case Some(sc) =>
-        // FIXED-POINT MM: the identical recurrence over scaled longs.
-        // wins2 = 2·wins + ties keeps the half-win exact as an integer.
-        val wins2 = new Array[Long](k)
-        pairs.zipWithIndex.foreach { case (r, e) =>
-          val i = ei(e); val j = ej(e)
-          wins2(i) += 2 * r.getLong(2) + r.getLong(4)
-          wins2(j) += 2 * r.getLong(3) + r.getLong(4)
-        }
+        // FIXED-POINT MM: the identical recurrence over scaled longs
         val p = Array.fill(k)(sc) // strength 1.0, scaled
         for (_ <- 1 to iters) {
           val denom = new Array[Long](k)
@@ -231,7 +226,7 @@ object Preference {
           var total = 0.0
           var i = 0
           while (i < k) {
-            p(i) = if (denom(i) > 0) wins(i) / denom(i) else 0.0
+            p(i) = if (denom(i) > 0) wins2(i) / 2.0 / denom(i) else 0.0
             total += p(i)
             i += 1
           }
@@ -241,7 +236,7 @@ object Preference {
             while (i < k) { p(i) *= k / total; i += 1 }
           }
         }
-        ids.indices.map(i => (ids(i), p(i), wins(i), games(i)))
+        ids.indices.map(i => (ids(i), p(i), wins2(i) / 2.0, games(i)))
           .toDF("model", "strength", "wins", "games")
     }
   }

@@ -197,6 +197,38 @@ class Round8cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
+  test("staged nearDupAgainstIndex pairs empty shingle sets at " +
+      "jaccard 1.0 and drops null texts entirely") {
+    import spark.implicits._
+    // corpus doc 1 and batch docs 10/11 are sub-5-char (empty shingle
+    // sets -> kernel jaccard 1.0); batch doc 12 has a null text (the
+    // null-safe kernels return NULL -> pairs with nothing)
+    val corpus = Seq((1L, "ab"), (2L, "some long enough text here"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "xy"), (11L, "q"), (12L, null))
+      .toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.buildMinhashIndex(corpus, numHashes = 0,
+      bands = 1)
+    val got = graft.ops.Dedup.nearDupAgainstIndex(idx, batch,
+        threshold = 0.5, numHashes = 0, bands = 1)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 1L, 1.0), (11L, 1L, 1.0)))
+  }
+
+  test("rougeLCounts emits UNCAPPED token counts while only the LCS DP " +
+      "is capped at MaxLcsTokens") {
+    import spark.implicits._
+    val n = graft.functions.CorpusKernels.MaxLcsTokens + 100
+    val long = (0 until n).map(i => s"w$i").mkString(" ")
+    val pairs = Seq((0L, long, long)).toDF("pair_id", "text_a", "text_b")
+    val r = graft.ops.TextAnalysis.rougeLCounts(pairs)
+      .select("lcs_len", "n_a", "n_b")
+      .as[(Long, Long, Long)].head()
+    assert(r._2 === n.toLong && r._3 === n.toLong) // counts uncapped
+    assert(r._1 === graft.functions.CorpusKernels.MaxLcsTokens.toLong)
+  }
+
   test("auditSplitLeakage staged seam flags exactly the planted " +
       "cross-split near-dup pair") {
     import spark.implicits._
