@@ -4624,7 +4624,7 @@ object SparkEntry {
        |sym1 AS (SELECT x, y FROM pr1 UNION SELECT y, x FROM pr1),
        |reach1(x, y) AS (SELECT x, y FROM sym1 UNION
        |  SELECT r.x, s2.y FROM reach1 r JOIN sym1 s2 ON r.y = s2.x),
-       |nd1 AS (SELECT e.doc_id, e.text, e.norm FROM ex1 e
+       |nd1 AS MATERIALIZED (SELECT e.doc_id, e.text, e.norm FROM ex1 e
        |  LEFT JOIN (SELECT x, min(y) AS mn FROM reach1 GROUP BY 1) r
        |    ON r.x = e.doc_id
        |  WHERE least(e.doc_id, coalesce(r.mn, e.doc_id)) = e.doc_id),

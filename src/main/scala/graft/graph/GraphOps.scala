@@ -196,15 +196,20 @@ object GraphOps {
     // mode summation order differs only within the non-order-pinned
     // float semantics the distributed loop already has. Beyond the cap
     // the distributed loop below runs unchanged — the 100 TB path.
-    val nEdges = withDeg.count()
+    // driverFoldMaxRows = 0 disables the fold (and skips the gate's
+    // count job entirely — an at-scale caller that opts out pays nothing)
+    val nEdges = if (driverFoldMaxRows > 0) withDeg.count() else Long.MaxValue
     if (nEdges <= driverFoldMaxRows) {
       val nVerts = vr.count()
       if (nVerts <= driverFoldMaxRows) {
         val spark = verts.sparkSession
         import spark.implicits._
         // decode into PARALLEL PRIMITIVE ARRAYS (the bradleyTerry
-        // ei/ej/en layout): boxed tuples at the 2M cap would cost
-        // several hundred MB where the budget math assumes ~32 B/edge
+        // ei/ej/en layout) via toLocalIterator, so the driver peak is
+        // the arrays themselves (~32 B/edge) plus one partition of
+        // Rows, not a full boxed collect. NOTE: the fixed and double
+        // branches below are deliberate near-twins (the arithmetic in
+        // the hot loop genuinely differs) — edit them in LOCKSTEP.
         val ranksDf =
           if (fixed) {
             val vRows = vr.select(col("vid"), col("_r0").cast("long"))
@@ -218,21 +223,22 @@ object GraphOps {
               vids(i) = vRows(i).getLong(0); r0(i) = vRows(i).getLong(1)
               idx.put(vids(i), i); i += 1
             }
-            val eRows = withDeg.select(col("src"), col("dst"),
-              col("w").cast("long"), col("_wdeg").cast("long")).collect()
-            val esi = new Array[Int](eRows.length)
-            val edi = new Array[Int](eRows.length)
-            val ew = new Array[Long](eRows.length)
-            val ewd = new Array[Long](eRows.length)
+            val esi = new Array[Int](nEdges.toInt)
+            val edi = new Array[Int](nEdges.toInt)
+            val ew = new Array[Long](nEdges.toInt)
+            val ewd = new Array[Long](nEdges.toInt)
             var m = 0
-            eRows.foreach { r =>
-              val si = idx.get(r.getLong(0)); val di = idx.get(r.getLong(1))
-              if (si != null && di != null) { // outside verts: dropped,
-                esi(m) = si.intValue         // like the joins
-                edi(m) = di.intValue
-                ew(m) = r.getLong(2); ewd(m) = r.getLong(3); m += 1
+            withDeg.select(col("src"), col("dst"),
+                col("w").cast("long"), col("_wdeg").cast("long"))
+              .toLocalIterator().forEachRemaining { r =>
+                val si = idx.get(r.getLong(0))
+                val di = idx.get(r.getLong(1))
+                if (si != null && di != null) { // outside verts: dropped,
+                  esi(m) = si.intValue         // like the joins
+                  edi(m) = di.intValue
+                  ew(m) = r.getLong(2); ewd(m) = r.getLong(3); m += 1
+                }
               }
-            }
             var rank = r0.clone()
             var it = 0
             var dlt = Double.MaxValue
@@ -268,21 +274,22 @@ object GraphOps {
               vids(i) = vRows(i).getLong(0); r0(i) = vRows(i).getDouble(1)
               idx.put(vids(i), i); i += 1
             }
-            val eRows = withDeg.select(col("src"), col("dst"),
-              col("w").cast("double"), col("_wdeg").cast("double")).collect()
-            val esi = new Array[Int](eRows.length)
-            val edi = new Array[Int](eRows.length)
-            val ew = new Array[Double](eRows.length)
-            val ewd = new Array[Double](eRows.length)
+            val esi = new Array[Int](nEdges.toInt)
+            val edi = new Array[Int](nEdges.toInt)
+            val ew = new Array[Double](nEdges.toInt)
+            val ewd = new Array[Double](nEdges.toInt)
             var m = 0
-            eRows.foreach { r =>
-              val si = idx.get(r.getLong(0)); val di = idx.get(r.getLong(1))
-              if (si != null && di != null) {
-                esi(m) = si.intValue
-                edi(m) = di.intValue
-                ew(m) = r.getDouble(2); ewd(m) = r.getDouble(3); m += 1
+            withDeg.select(col("src"), col("dst"),
+                col("w").cast("double"), col("_wdeg").cast("double"))
+              .toLocalIterator().forEachRemaining { r =>
+                val si = idx.get(r.getLong(0))
+                val di = idx.get(r.getLong(1))
+                if (si != null && di != null) {
+                  esi(m) = si.intValue
+                  edi(m) = di.intValue
+                  ew(m) = r.getDouble(2); ewd(m) = r.getDouble(3); m += 1
+                }
               }
-            }
             var rank = r0.clone()
             var it = 0
             var dlt = Double.MaxValue
