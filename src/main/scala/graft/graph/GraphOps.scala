@@ -205,11 +205,18 @@ object GraphOps {
         val spark = verts.sparkSession
         import spark.implicits._
         // decode into PARALLEL PRIMITIVE ARRAYS (the bradleyTerry
-        // ei/ej/en layout) via toLocalIterator, so the driver peak is
+        // ei/ej/en layout). Below ~100k edges a plain collect is one
+        // job and the boxed transient is a few MB; above it, stream
+        // partition-at-a-time via toLocalIterator so the driver peak is
         // the arrays themselves (~32 B/edge) plus one partition of
-        // Rows, not a full boxed collect. NOTE: the fixed and double
-        // branches below are deliberate near-twins (the arithmetic in
-        // the hot loop genuinely differs) — edit them in LOCKSTEP.
+        // Rows — never a cap-sized boxed collect. NOTE: the fixed and
+        // double branches below are deliberate near-twins (the
+        // arithmetic in the hot loop genuinely differs) — edit them in
+        // LOCKSTEP.
+        def decodeRows(df: DataFrame)(f: org.apache.spark.sql.Row => Unit)
+            : Unit =
+          if (nEdges <= 100000) df.collect().foreach(f)
+          else df.toLocalIterator().forEachRemaining(r => f(r))
         val ranksDf =
           if (fixed) {
             val vRows = vr.select(col("vid"), col("_r0").cast("long"))
@@ -228,17 +235,16 @@ object GraphOps {
             val ew = new Array[Long](nEdges.toInt)
             val ewd = new Array[Long](nEdges.toInt)
             var m = 0
-            withDeg.select(col("src"), col("dst"),
-                col("w").cast("long"), col("_wdeg").cast("long"))
-              .toLocalIterator().forEachRemaining { r =>
-                val si = idx.get(r.getLong(0))
-                val di = idx.get(r.getLong(1))
-                if (si != null && di != null) { // outside verts: dropped,
-                  esi(m) = si.intValue         // like the joins
-                  edi(m) = di.intValue
-                  ew(m) = r.getLong(2); ewd(m) = r.getLong(3); m += 1
-                }
+            decodeRows(withDeg.select(col("src"), col("dst"),
+                col("w").cast("long"), col("_wdeg").cast("long"))) { r =>
+              val si = idx.get(r.getLong(0))
+              val di = idx.get(r.getLong(1))
+              if (si != null && di != null) { // outside verts: dropped,
+                esi(m) = si.intValue         // like the joins
+                edi(m) = di.intValue
+                ew(m) = r.getLong(2); ewd(m) = r.getLong(3); m += 1
               }
+            }
             var rank = r0.clone()
             var it = 0
             var dlt = Double.MaxValue
@@ -279,17 +285,16 @@ object GraphOps {
             val ew = new Array[Double](nEdges.toInt)
             val ewd = new Array[Double](nEdges.toInt)
             var m = 0
-            withDeg.select(col("src"), col("dst"),
-                col("w").cast("double"), col("_wdeg").cast("double"))
-              .toLocalIterator().forEachRemaining { r =>
-                val si = idx.get(r.getLong(0))
-                val di = idx.get(r.getLong(1))
-                if (si != null && di != null) {
-                  esi(m) = si.intValue
-                  edi(m) = di.intValue
-                  ew(m) = r.getDouble(2); ewd(m) = r.getDouble(3); m += 1
-                }
+            decodeRows(withDeg.select(col("src"), col("dst"),
+                col("w").cast("double"), col("_wdeg").cast("double"))) { r =>
+              val si = idx.get(r.getLong(0))
+              val di = idx.get(r.getLong(1))
+              if (si != null && di != null) {
+                esi(m) = si.intValue
+                edi(m) = di.intValue
+                ew(m) = r.getDouble(2); ewd(m) = r.getDouble(3); m += 1
               }
+            }
             var rank = r0.clone()
             var it = 0
             var dlt = Double.MaxValue
