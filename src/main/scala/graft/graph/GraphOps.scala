@@ -162,14 +162,39 @@ object GraphOps {
     // damp as (85·Σ) DIV 100 — exact integer ops that are associative
     // and engine-independent, so an S-scaled run replays bit-for-bit in
     // any SQL engine as unrolled rounds (the contract-certification
-    // seam; the double mode stays the production default). Weights must
-    // be integer-valued; caller picks S so N·S·max(w) stays far below
-    // 2^63/85 (overflow wraps silently, the plain-Long convention of
-    // the module's guarded siblings does not apply to per-round hot
-    // loops).
+    // seam; the double mode stays the production default). Both fixed-
+    // mode preconditions — integer-valued weights and Long headroom for
+    // the per-round products — are VALIDATED below with two cheap guard
+    // aggregations (fixed mode is the certification seam, never the
+    // 100 TB default, so the extra jobs are free where it runs), failing
+    // loudly instead of silently truncating on the long cast or wrapping
+    // on overflow.
     scale.foreach(s => require(s >= 20 && s % 20 == 0,
       "scale must be a positive multiple of 20 (0.15·S must be integral)"))
     val fixed = scale.isDefined
+    // guard 1: weights integral (checked in double space, so also < 2^53
+    // where that check is itself exact) and strictly positive (a zero
+    // weight can zero a source's out-degree and divide by it)
+    val maxW: Long =
+      if (!fixed) 1L
+      else {
+        val c = wedges.agg(
+          max(abs(col("w").cast("double") - floor(col("w").cast("double")))),
+          max(col("w").cast("double")), min(col("w").cast("double"))).head()
+        if (c.isNullAt(0)) 1L // empty edge list: nothing to overflow
+        else {
+          require(c.getDouble(2) > 0d, "fixed-point rank mode requires " +
+            s"strictly positive weights (min w = ${c.getDouble(2)})")
+          require(c.getDouble(1) < 9007199254740992d, // 2^53
+            s"fixed-point rank mode requires weights < 2^53 " +
+              s"(max w = ${c.getDouble(1)})")
+          require(c.getDouble(0) == 0d, "fixed-point rank mode requires " +
+            "integer-valued weights (a fractional weight would be " +
+            "silently truncated by the long cast) — scale the weights " +
+            "onto the integer lattice first")
+          c.getDouble(1).toLong
+        }
+      }
     val wNorm =
       if (fixed) wedges.withColumn("w", col("w").cast("long")) else wedges
     val withDeg = wNorm
@@ -185,6 +210,26 @@ object GraphOps {
       .getOrElse(verts.withColumn("_r0",
         scale.map(s => lit(3L * (s / 20)).cast("long") // 0.15·S, integrally
         ).getOrElse(lit(0.15))))
+    // guard 2: Long headroom. Total damped mass is bounded by
+    // sum(_r0)/0.15 (per-source contributions never exceed the source's
+    // rank, and integer DIV only shrinks them), so the two per-round
+    // products — rank·w per edge and 85·Σcontribs per vertex — stay
+    // inside Long iff the bound does; checked in BigInt so the check
+    // itself cannot wrap. The DuckDB oracles compute in HUGEINT, so past
+    // this bound op and oracle would silently diverge — hence the loud
+    // failure here.
+    if (fixed) {
+      val c = vr.agg(coalesce(sum(col("_r0").cast("long")), lit(0L)),
+        coalesce(min(col("_r0").cast("long")), lit(0L))).head()
+      require(c.getLong(1) >= 0L,
+        "fixed-point reset vector must be non-negative")
+      val bound = BigInt(c.getLong(0)) * 100 / 15 + 1
+      require(bound * maxW <= BigInt(Long.MaxValue) &&
+          bound * 85 <= BigInt(Long.MaxValue),
+        s"fixed-point overflow precondition failed: damped-mass bound " +
+          s"$bound times max weight $maxW (or times 85) exceeds Long — " +
+          "lower the scale or the weights")
+    }
     // DRIVER FOLD fast path — the bradleyTerry bounded-lattice
     // discipline: when the (pinned) edge list and vertex set both fit
     // the driver budget (word-co-occurrence graphs, citation
@@ -197,37 +242,42 @@ object GraphOps {
     // float semantics the distributed loop already has. Beyond the cap
     // the distributed loop below runs unchanged — the 100 TB path.
     // driverFoldMaxRows = 0 disables the fold (and skips the gate's
-    // count job entirely — an at-scale caller that opts out pays nothing)
+    // count job entirely — an at-scale caller that opts out pays nothing).
+    // The fold allocates Int-indexed arrays, so the effective cap clamps
+    // at Int.MaxValue — a larger caller budget must not let nEdges.toInt
+    // truncate silently.
+    val foldCap = math.min(driverFoldMaxRows, Int.MaxValue.toLong)
     val nEdges = if (driverFoldMaxRows > 0) withDeg.count() else Long.MaxValue
-    if (nEdges <= driverFoldMaxRows) {
+    if (nEdges <= foldCap) {
       val nVerts = vr.count()
-      if (nVerts <= driverFoldMaxRows) {
+      if (nVerts <= foldCap) {
         val spark = verts.sparkSession
         import spark.implicits._
         // decode into PARALLEL PRIMITIVE ARRAYS (the bradleyTerry
-        // ei/ej/en layout). Below ~100k edges a plain collect is one
+        // ei/ej/en layout). Below ~100k rows a plain collect is one
         // job and the boxed transient is a few MB; above it, stream
         // partition-at-a-time via toLocalIterator so the driver peak is
         // the arrays themselves (~32 B/edge) plus one partition of
-        // Rows — never a cap-sized boxed collect. NOTE: the fixed and
+        // Rows — never a cap-sized boxed collect; BOTH the edge list and
+        // the vertex set ride this hybrid. NOTE: the fixed and
         // double branches below are deliberate near-twins (the
         // arithmetic in the hot loop genuinely differs) — edit them in
         // LOCKSTEP.
-        def decodeRows(df: DataFrame)(f: org.apache.spark.sql.Row => Unit)
-            : Unit =
-          if (nEdges <= 100000) df.collect().foreach(f)
+        def decodeRows(df: DataFrame, nRows: Long)
+                      (f: org.apache.spark.sql.Row => Unit): Unit =
+          if (nRows <= 100000) df.collect().foreach(f)
           else df.toLocalIterator().forEachRemaining(r => f(r))
+        val hashCap = math.min(nVerts * 2, 1L << 30).toInt
         val ranksDf =
           if (fixed) {
-            val vRows = vr.select(col("vid"), col("_r0").cast("long"))
-              .collect()
-            val n = vRows.length
+            val n = nVerts.toInt
             val vids = new Array[Long](n)
             val r0 = new Array[Long](n)
-            val idx = new java.util.HashMap[Long, Integer](n * 2)
+            val idx = new java.util.HashMap[Long, Integer](hashCap)
             var i = 0
-            while (i < n) {
-              vids(i) = vRows(i).getLong(0); r0(i) = vRows(i).getLong(1)
+            decodeRows(vr.select(col("vid"), col("_r0").cast("long")),
+              nVerts) { r =>
+              vids(i) = r.getLong(0); r0(i) = r.getLong(1)
               idx.put(vids(i), i); i += 1
             }
             val esi = new Array[Int](nEdges.toInt)
@@ -236,7 +286,8 @@ object GraphOps {
             val ewd = new Array[Long](nEdges.toInt)
             var m = 0
             decodeRows(withDeg.select(col("src"), col("dst"),
-                col("w").cast("long"), col("_wdeg").cast("long"))) { r =>
+                col("w").cast("long"), col("_wdeg").cast("long")),
+              nEdges) { r =>
               val si = idx.get(r.getLong(0))
               val di = idx.get(r.getLong(1))
               if (si != null && di != null) { // outside verts: dropped,
@@ -269,15 +320,14 @@ object GraphOps {
             vids.indices.map(i2 => (vids(i2), rank(i2)))
               .toDF("vid", "pagerank")
           } else {
-            val vRows = vr.select(col("vid"), col("_r0").cast("double"))
-              .collect()
-            val n = vRows.length
+            val n = nVerts.toInt
             val vids = new Array[Long](n)
             val r0 = new Array[Double](n)
-            val idx = new java.util.HashMap[Long, Integer](n * 2)
+            val idx = new java.util.HashMap[Long, Integer](hashCap)
             var i = 0
-            while (i < n) {
-              vids(i) = vRows(i).getLong(0); r0(i) = vRows(i).getDouble(1)
+            decodeRows(vr.select(col("vid"), col("_r0").cast("double")),
+              nVerts) { r =>
+              vids(i) = r.getLong(0); r0(i) = r.getDouble(1)
               idx.put(vids(i), i); i += 1
             }
             val esi = new Array[Int](nEdges.toInt)
@@ -286,7 +336,8 @@ object GraphOps {
             val ewd = new Array[Double](nEdges.toInt)
             var m = 0
             decodeRows(withDeg.select(col("src"), col("dst"),
-                col("w").cast("double"), col("_wdeg").cast("double"))) { r =>
+                col("w").cast("double"), col("_wdeg").cast("double")),
+              nEdges) { r =>
               val si = idx.get(r.getLong(0))
               val di = idx.get(r.getLong(1))
               if (si != null && di != null) {
@@ -379,7 +430,9 @@ object GraphOps {
     * [[coauthorComponents]] (symmetrized), trading exact clique weights for
     * linear edge growth — rank ordering within components is preserved for
     * hub detection while staying skew-proof. For exact co-occurrence
-    * weights on moderate hubs see [[authorRankWeighted]].
+    * weights on moderate hubs see [[authorRankWeighted]]. Sub-cap graphs
+    * take the driver fold — see [[pageRank]]'s note on double-mode
+    * summation-order drift and the gate's count() job.
     */
   def authorRank(authorOf: DataFrame, tol: Double = 0.001,
                  maxIter: Int = 30,
@@ -610,6 +663,16 @@ object GraphOps {
     * join per round; tol <= 0 = run-exactly-maxIter mode that skips the
     * per-round convergence query).
     *
+    * Sub-cap graphs (<= driverFoldMaxRows edges AND vertices) fold the
+    * rounds driver-side. In fixed-point mode the fold is provably
+    * bit-equal to the distributed loop; in DOUBLE mode it changes the
+    * floating-point summation order, so floor-scaled projections (e.g.
+    * floor(pagerank*1e6)) of pre-fold baselines can flip on boundary
+    * values — last-ulp drift, within the non-order-pinned float
+    * semantics the distributed loop already has. The fold gate also
+    * costs one count() job per call on graphs that do NOT take the
+    * fold; pass driverFoldMaxRows = 0 to skip both gate and fold.
+    *
     * @param weightCol optional edge-weight column (default: every edge
     *                  weighs 1)
     * @return (vertex, pagerank), unnormalized (reset + damp * contribs)
@@ -638,8 +701,12 @@ object GraphOps {
                              driverFoldMaxRows: Long = RankDriverFoldMaxRows
                             ): DataFrame = {
     val w = scale match {
-      case Some(_) => // fixed-point mode: integer-valued weights required
-        weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+      case Some(_) =>
+        // fixed-point mode: integer-valued weights required — pass the
+        // RAW values through (as double) so powerIterate's integrality
+        // guard sees them; truncating here would hide a fractional
+        // weight from the loud check
+        weightCol.map(c => col(c).cast("double")).getOrElse(lit(1L))
       case None =>
         weightCol.map(c => col(c).cast("double")).getOrElse(lit(1d))
     }

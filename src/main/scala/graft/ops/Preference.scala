@@ -180,7 +180,28 @@ object Preference {
     import spark.implicits._
     scale match {
       case Some(sc) =>
-        // FIXED-POINT MM: the identical recurrence over scaled longs
+        // FIXED-POINT MM: the identical recurrence over scaled longs.
+        // Loud overflow preconditions first — the DuckDB oracles compute
+        // in HUGEINT, so a wrapped Long here would silently diverge from
+        // them. Bounds (checked in BigInt so the check itself can't
+        // wrap): strengths stay <= 2k·sc (p = wins2·sc²/(2·denom) with
+        // denom >= games·sc/(2k) and wins2 <= 2·games, preserved by the
+        // mean-1 normalization), so the hot products are bounded by
+        // n·sc² (pair term c), games·sc² (denom accumulation, since each
+        // c <= en·sc²), 2·games·sc² (the wins2·sc² update), and 2·k²·sc²
+        // (normalization p·k·sc and the total accumulator).
+        val lmax = BigInt(Long.MaxValue)
+        val maxN = if (en.isEmpty) 0L else en.max
+        val maxG = if (games.isEmpty) 0L else games.max
+        require(BigInt(maxN) * sc * sc <= lmax,
+          s"bradleyTerry fixed mode: n*scale^2 overflows Long " +
+            s"(max n = $maxN, scale = $sc) — lower the scale")
+        require(BigInt(2) * maxG * sc * sc <= lmax,
+          s"bradleyTerry fixed mode: 2*games*scale^2 overflows Long " +
+            s"(max games = $maxG, scale = $sc) — lower the scale")
+        require(BigInt(2) * k * k * sc * sc <= lmax,
+          s"bradleyTerry fixed mode: 2*k^2*scale^2 overflows Long " +
+            s"(k = $k, scale = $sc) — lower the scale")
         val p = Array.fill(k)(sc) // strength 1.0, scaled
         for (_ <- 1 to iters) {
           val denom = new Array[Long](k)
