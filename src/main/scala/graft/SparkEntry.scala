@@ -777,7 +777,16 @@ object SparkEntry {
     }),
 
     "q_dedup_simhash" -> ((s, d) => {
-      graft.ops.Dedup.simhashPairs(par(s, t(s, d, "documents")), maxHamming = 3)
+      // SimHash near-dup pairs over the FULL corpus with the md5 word-
+      // hash certification seam (CorpusKernels.simHashMd5): the whole
+      // pipeline — 64-bit signature (per-word ±1 bit votes), pigeonhole
+      // band join, exact bit_count verify — replays in the oracle, which
+      // computes the identical signatures from md5() and brute-forces
+      // all pairs at hamming <= 3 (so the banding's COMPLETENESS is also
+      // certified, like q_hamming_pairs). Production near-dup keeps the
+      // MurmurHash3 word hash (same code path, hash swapped).
+      graft.ops.Dedup.simhashPairs(par(s, t(s, d, "documents")),
+        maxHamming = 3, md5Seam = true)
     }),
 
     "q_hamming_pairs" -> ((s, d) => {
@@ -1746,11 +1755,16 @@ object SparkEntry {
     "q_dup_spans_winnow" -> ((s, d) => {
       // the shuffle-divided form: winnowing-selected positions (~1/window)
       // instead of every position — any span duplicated at length >=
-      // k+window-1 still surfaces. Rows-only (winnow selection is
-      // model-based); KernelPropertySpec pins the guarantee, and the row
-      // count here is a strict subset of q_dup_spans' grams
+      // k+window-1 still surfaces. EXACT oracle via the md5 gram-hash
+      // certification seam (CorpusKernels.winnowPositionsMd5): the
+      // rightmost-minimum window selection replays in SQL as one
+      // window-frame MIN over the composite key h*2^24 + (2^24-1-pos)
+      // (min hash, rightmost tiebreak — ties happen whenever a 60-gram
+      // repeats inside one window, so the tiebreak is load-bearing).
+      // Production winnowing keeps MurmurHash3 (same selection loop,
+      // hash swapped); KernelPropertySpec pins the coverage guarantee.
       graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")), k = 60,
-        window = Some(8))
+        window = Some(8), md5Seam = true)
     }),
 
     "q_k_anonymity" -> ((s, d) => {
@@ -6873,6 +6887,82 @@ object SparkEntry {
         |  WHERE length(text) >= 60)
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM grams GROUP BY gram HAVING count(*) >= 2""".stripMargin,
+
+    // the winnow selection replayed exactly: per-gram md5-seam hash
+    // (first 8 hex digits, unsigned 32-bit), rightmost-minimum per
+    // 8-window via ONE frame MIN over the composite key
+    // h*2^24 + (2^24-1-pos) (min h; ties -> max pos, matching the
+    // kernel's `<=` update), valid window starts only
+    // (pos <= max(1, n-7); the frame self-truncates for docs with
+    // n <= window), DISTINCT selected positions (argmin positions are
+    // non-decreasing, so consecutive-dedup == distinct), then the same
+    // dup-gram census as q_dup_spans over the selected grams
+    "q_dup_spans_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT), 60)),
+        |                         1, 8)) AS BIGINT) AS h,
+        |    length(text) - 59 AS n
+        |  FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(1, length(text) - 59))
+        |           AS pos) t
+        |  WHERE length(text) >= 60),
+        |wmin AS (
+        |  SELECT doc_id, pos, n,
+        |    MIN(h * 16777216 + (16777215 - pos)) OVER
+        |      (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cmin
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, 16777215 - (cmin % 16777216) AS spos
+        |  FROM wmin WHERE pos <= GREATEST(1, n - 7)),
+        |sgrams AS (
+        |  SELECT s.doc_id, substr(d.text, CAST(s.spos AS INT), 60) AS gram
+        |  FROM sel s JOIN documents d USING (doc_id))
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM sgrams GROUP BY gram HAVING count(*) >= 2""".stripMargin,
+
+    // md5-seam SimHash replayed from scratch: per-word 64-bit hash from
+    // the first 16 md5 hex digits (two 8-digit halves; the signed-hi
+    // subtraction reconstructs (hi32 << 32) | lo32 without BIGINT
+    // overflow), ±1 votes per bit position, sign-of-tally signature
+    // (bit 63 added as the Long min literal — DuckDB's << errors at 63),
+    // then BRUTE-FORCE all pairs at hamming <= 3 — certifying the
+    // pigeonhole banding's completeness, not just its candidates
+    "q_dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM documents,
+        |  unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS t(w)
+        |  WHERE text IS NOT NULL AND w <> ''),
+        |wh AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+        |      - CASE WHEN CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+        |               >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |     * 4294967296
+        |     + CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT)) AS h
+        |  FROM words),
+        |votes AS (
+        |  SELECT doc_id, b.bit AS bit,
+        |    SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM wh, (SELECT unnest(range(0, 64)) AS bit) b
+        |  GROUP BY 1, 2),
+        |sig0 AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt > 0 THEN
+        |      CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |           ELSE CAST((CAST(1 AS BIGINT) << CAST(bit AS INT))
+        |                     AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id),
+        |sig AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+        |  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+        |  WHERE d.text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
     // capacity >= |distinct items per group| at verify scale => MG counts
     // are provably exact, so the oracle is the exact two-stage top-k

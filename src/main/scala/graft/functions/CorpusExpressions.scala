@@ -35,14 +35,21 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
-case class SimHash64(child: Expression)
+/** `md5Seam = true` switches the word hash to the md5-derived
+  * certification seam ([[CorpusKernels.simHashMd5]]) — SQL-replayable,
+  * used only by contract queries; production defaults to MurmurHash3.
+  */
+case class SimHash64(child: Expression, md5Seam: Boolean = false)
     extends UnaryExpression {
+  private def fn: String = if (md5Seam) "simHashMd5" else "simHash"
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    CorpusKernels.simHash(input.asInstanceOf[UTF8String].toString)
+    if (md5Seam)
+      CorpusKernels.simHashMd5(input.asInstanceOf[UTF8String].toString)
+    else CorpusKernels.simHash(input.asInstanceOf[UTF8String].toString)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.CorpusKernels.simHash($c.toString())")
+      s"graft.functions.CorpusKernels.$fn($c.toString())")
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
   override def prettyName: String = "simhash64"
@@ -77,18 +84,27 @@ case class Winnow(child: Expression, k: Int, window: Int)
 }
 
 /** Winnowing-selected gram start positions (1-based) — see
-  * [[CorpusKernels.winnowPositions]].
+  * [[CorpusKernels.winnowPositions]]. `md5Seam = true` switches the gram
+  * hash to the md5 certification seam
+  * ([[CorpusKernels.winnowPositionsMd5]]).
   */
-case class WinnowPositions(child: Expression, k: Int, window: Int)
+case class WinnowPositions(child: Expression, k: Int, window: Int,
+                           md5Seam: Boolean = false)
     extends UnaryExpression {
+  private def fn: String =
+    if (md5Seam) "winnowPositionsMd5" else "winnowPositions"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ArrayData.toArrayData(CorpusKernels.winnowPositions(
-      input.asInstanceOf[UTF8String].toString, k, window))
+    ArrayData.toArrayData(
+      if (md5Seam)
+        CorpusKernels.winnowPositionsMd5(
+          input.asInstanceOf[UTF8String].toString, k, window)
+      else CorpusKernels.winnowPositions(
+        input.asInstanceOf[UTF8String].toString, k, window))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
-        s"graft.functions.CorpusKernels.winnowPositions($c.toString(), $k, $window))")
+        s"graft.functions.CorpusKernels.$fn($c.toString(), $k, $window))")
   override protected def withNewChildInternal(c: Expression): WinnowPositions =
     copy(child = c)
   override def prettyName: String = "winnow_positions"
@@ -315,12 +331,14 @@ case class HyperplaneSig(child: Expression, planes: Int)
 object CorpusFunctions {
   def minhash_sig(c: Column, k: Int = 5, numHashes: Int = 128): Column =
     column(MinHashSig(expression(c), k, numHashes))
-  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def simhash64(c: Column, md5Seam: Boolean = false): Column =
+    column(SimHash64(expression(c), md5Seam))
   def doc_fingerprint(c: Column): Column = column(DocFingerprint(expression(c)))
   def winnow(c: Column, k: Int = 8, window: Int = 4): Column =
     column(Winnow(expression(c), k, window))
-  def winnow_positions(c: Column, k: Int = 8, window: Int = 4): Column =
-    column(WinnowPositions(expression(c), k, window))
+  def winnow_positions(c: Column, k: Int = 8, window: Int = 4,
+                       md5Seam: Boolean = false): Column =
+    column(WinnowPositions(expression(c), k, window, md5Seam))
   def lang_id(c: Column): Column = column(LangId(expression(c)))
   def token_count_bpeish(c: Column): Column =
     column(TokenCountBpeIsh(expression(c)))

@@ -173,6 +173,70 @@ object CorpusKernels {
     out
   }
 
+  // --- md5 certification-seam hashes --------------------------------------
+
+  private val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of md5(UTF-8 s) as the signed 64-bit value
+    * `(hi32 << 32) | lo32` — exactly what any engine with `md5()`
+    * reconstructs from the first 16 hex digits (two 8-digit halves, the
+    * repo's standard hashSplit/fimTransform lattice widened to 64 bits).
+    * Certification-seam hash: NOT for production hot paths (MurmurHash3
+    * is ~10× cheaper); it exists so signature pipelines can be replayed
+    * bit-for-bit in a cross-engine SQL oracle.
+    */
+  def md5Hash64(s: String): Long = {
+    val d = md5Digest.get(); d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+      ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+      ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+  }
+
+  /** First 4 md5 bytes (= first 8 hex digits) as an UNSIGNED value in
+    * [0, 2^32), carried in a Long — the winnowing seam's gram hash
+    * ([[winnowPositionsMd5]]): unsigned order matches the SQL replay's
+    * BIGINT order directly, no sign fix-up.
+    */
+  def md5Hash32(s: String): Long = {
+    val d = md5Digest.get(); d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  /** SimHash64 with md5-derived word hashes — [[simHash]]'s STAGED-FORM
+    * certification seam: the identical vote/sign algorithm, but each
+    * word's 64-bit hash is [[md5Hash64]] and the tokenizer is the
+    * explicit class `[ \t\n\x0B\f\r]+` (the same set Java's `\s` matches,
+    * spelled out so the oracle's RE2 class is character-identical), so a
+    * SQL engine with `md5()` replays the signature bit-for-bit.
+    * Production near-dup stays on the MurmurHash3 [[simHash]].
+    */
+  def simHashMd5(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    val it = text.split("[ \\t\\n\\x0B\\f\\r]+").iterator.filter(_.nonEmpty)
+    while (it.hasNext) {
+      val h = md5Hash64(it.next())
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
   // --- rolling-hash document fingerprint ---------------------------------
 
   /** a·b mod 2^61-1 without overflow: fold the 128-bit product with
@@ -231,6 +295,47 @@ object CorpusKernels {
   def winnowPositions(text: String, k: Int, window: Int): Array[Long] =
     winnowSelect(text, k, window, emitPositions = true)
       .map(p => (p + 1).toLong)
+
+  /** [[winnowPositions]] with md5-derived gram hashes — the winnowing
+    * certification seam: the identical rightmost-minimum selection loop,
+    * but gram hashes are [[md5Hash32]] (unsigned 32-bit values carried
+    * in Longs, so comparison order equals the SQL BIGINT order), which
+    * lets the per-window argmin replay in a SQL oracle as one
+    * window-frame MIN over the composite key `h·2^24 + (2^24−1−pos)`
+    * (min h, rightmost-pos tiebreak, decoded back from the low bits).
+    * Positions are 1-based, substr convention. Production keeps the
+    * MurmurHash3 [[winnowPositions]].
+    */
+  def winnowPositionsMd5(text: String, k: Int, window: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = md5Hash32(text.substring(i, i + k)); i += 1 }
+    if (n <= window) {
+      var minPos = 0
+      var j = 1
+      while (j < n) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
+      return Array((minPos + 1).toLong)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = 0
+    var prevMinPos = -1
+    while (w <= n - window) {
+      var minPos = w
+      var j = w + 1
+      while (j < w + window) {
+        if (hs(j) <= hs(minPos)) minPos = j
+        j += 1
+      }
+      if (minPos != prevMinPos) {
+        out += (minPos + 1).toLong
+        prevMinPos = minPos
+      }
+      w += 1
+    }
+    out.toArray
+  }
 
   private def winnowSelect(text: String, k: Int, window: Int,
                            emitPositions: Boolean): Array[Int] = {

@@ -407,11 +407,19 @@ object Dedup {
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ maxHamming.
     * One narrow signature pass, then the generic [[hammingPairs]] blocking.
+    *
+    * `md5Seam = true` switches the word hash to the md5-derived
+    * certification seam ([[graft.functions.CorpusKernels.simHashMd5]]):
+    * the FULL pipeline — signature, pigeonhole banding, bit_count verify —
+    * becomes replayable in a SQL oracle (the contract rides it through
+    * this real code path); production near-dup keeps the MurmurHash3
+    * default.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                   idCol: String = "doc_id", textCol: String = "text",
+                   md5Seam: Boolean = false): DataFrame =
     hammingPairs(
-      docs.select(col(idCol), simhash64(col(textCol)).as("_sh64")),
+      docs.select(col(idCol), simhash64(col(textCol), md5Seam).as("_sh64")),
       maxHamming, idCol, "_sh64")
 
   /** Near-dup pairs by Hamming distance over PRECOMPUTED 64-bit signatures
@@ -739,11 +747,12 @@ object Dedup {
     * duplicated region are ≤ window apart.
     */
   private def gramStream(df: DataFrame, k: Int, window: Option[Int],
-                         idCol: String, textCol: String): DataFrame = {
+                         idCol: String, textCol: String,
+                         md5Seam: Boolean = false): DataFrame = {
     val positions = window match {
       case Some(w) =>
         require(w > 0, "winnow window must be positive")
-        winnow_positions(col(textCol), k, w)
+        winnow_positions(col(textCol), k, w, md5Seam)
       case None =>
         sequence(lit(1L), (length(col(textCol)) - (k - 1)).cast("long"))
     }
@@ -864,14 +873,18 @@ object Dedup {
     * winnowing selection (~1/window of positions), dividing the shuffle by
     * the window factor; any span duplicated at length ≥ k+window−1 still
     * shares a selected gram (shorter duplicates may be missed — the
-    * documented approximation trade).
+    * documented approximation trade). `md5Seam = true` switches the
+    * winnow gram hash to the md5 certification seam
+    * ([[graft.functions.CorpusKernels.winnowPositionsMd5]]) so the
+    * selection replays in a SQL oracle; production keeps MurmurHash3.
     */
   def duplicateSpans(docs: DataFrame, k: Int = 60, minOcc: Int = 2,
                      idCol: String = "doc_id",
                      textCol: String = "text",
-                     window: Option[Int] = None): DataFrame = {
+                     window: Option[Int] = None,
+                     md5Seam: Boolean = false): DataFrame = {
     require(k > 0 && minOcc > 1)
-    def grams = gramStream(docs, k, window, idCol, textCol)
+    def grams = gramStream(docs, k, window, idCol, textCol, md5Seam)
     val hot = gateBroadcast(
       grams
         .groupBy(xxhash64(col("gram")).as("_h"))
