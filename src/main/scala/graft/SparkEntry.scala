@@ -181,6 +181,38 @@ object SparkEntry {
         nCenters = 8, m = 16, ksub = 16))
   }
 
+  /** Session-lifetime EVEN-HALF IVF index per (session, dir) — the BASE
+    * artifact of the append-maintenance queries (q_ann_ivf_append): the
+    * build is once-per-session (the persisted-index deployment shape)
+    * while the APPEND runs per execution, so its bench time is the
+    * honest append cost. Same eviction discipline as the IVF cache.
+    */
+  private val ivfHalfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.IvfIndex]
+
+  private def cachedIvfHalf(s: SparkSession, d: String): graft.ops.Similarity.IvfIndex = {
+    ivfHalfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfHalfCache.computeIfAbsent((s, d), _ =>
+      graft.ops.Similarity.buildIvfIndex(
+        par(s, t(s, d, "embeddings")).filter(col("vec_id") % 2 === 0),
+        nCenters = 16))
+  }
+
+  /** Even-half IVF-PQ base index (q_ivfpq_append's persisted artifact;
+    * centroids AND codebooks are trained on the even half only — the
+    * append encodes new vectors against these existing models).
+    */
+  private val ivfPqHalfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.IvfPqIndex]
+
+  private def cachedIvfPqHalf(s: SparkSession, d: String): graft.ops.Similarity.IvfPqIndex = {
+    ivfPqHalfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfPqHalfCache.computeIfAbsent((s, d), _ =>
+      graft.ops.Similarity.buildIvfPqIndex(
+        par(s, t(s, d, "embeddings")).filter(col("vec_id") % 2 === 0),
+        nCenters = 8, m = 16, ksub = 16))
+  }
+
   /** Session-lifetime BPE merge table per (session, data dir) — train-once/
     * encode-many, the deployment shape of a real tokenizer (the model is an
     * artifact, not a per-query cost). Same stopped-session eviction
@@ -1120,18 +1152,71 @@ object SparkEntry {
         .orderBy("center_id")
     }),
 
+    "q_ann_ivf_append" -> ((s, d) => {
+      // incremental index MAINTENANCE certified exactly: the base index
+      // holds only the even half of the corpus (built once per session —
+      // the persisted artifact), each execution APPENDS the odd half
+      // (ops.Similarity.ivfAppend: nearest-cell routing + union + pin,
+      // the honest per-append cost), and the staged probe
+      // (nProbe = nCenters) over the appended index must equal brute
+      // force over the FULL corpus — q_sim_topk's oracle — which fails
+      // if any appended vector landed unreachable or with a wrong
+      // vector payload. Deployment-parameter append behavior stays
+      // spec-pinned (Round9bOpsSpec: empty-append bit-equality, planted
+      // duplicate recall at nProbe 4).
+      val emb = par(s, t(s, d, "embeddings"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val base = cachedIvfHalf(s, d)
+      val appended = graft.ops.Similarity.ivfAppend(
+        base, emb.filter(col("vec_id") % 2 === 1))
+      val out = graft.ops.Similarity.ivfProbe(q, appended, k = 5,
+          nProbe = 16)
+        .select("query_id", "vec_id", "rank")
+        .localCheckpoint(true)
+      appended.cells.unpersist() // per-execution artifact; base is cached
+      out
+    }),
+
+    "q_ivfpq_append" -> ((s, d) => {
+      // the combined tier's append path (ops.Similarity.ivfPqAppend):
+      // route the odd half to the even-half index's cells and PQ-encode
+      // it against the EXISTING codebooks, then the staged probe
+      // (nProbe = nCenters, exhaustive overfetch) must equal brute force
+      // over the full corpus — q_sim_topk's oracle — certifying that
+      // appended codes decode/score correctly end-to-end. Centroids and
+      // codebooks retrain on drift cadence, never per append.
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val base = cachedIvfPqHalf(s, d)
+      val appended = graft.ops.Similarity.ivfPqAppend(
+        base, emb.filter(col("vec_id") % 2 === 1))
+      val out = graft.ops.Similarity.ivfPqProbe(qs, appended, emb, k = 5,
+          nProbe = 8, overfetch = 1 << 18)
+        .select("query_id", "vec_id", "rank")
+        .localCheckpoint(true)
+      appended.cells.unpersist()
+      out
+    }),
+
     "q_sketch_distinct" -> ((s, d) => {
-      // HLL distinct via the partial-sketch → union path (ops.Sketches):
-      // per-(type, day) binary sketches rolled up to per-type estimates —
-      // the persist-partials re-aggregation pattern (rows-only: estimates
-      // are sketch-defined; exactness siblings q_census / q_heavy_hitters
-      // are oracle-checked, and the merge-losslessness is unit-tested)
+      // sketched distinct via the partial-sketch -> merge path, in the
+      // KMV EXACT-BELOW-K regime (ops.Sketches.kmvPartials/kmvMerge):
+      // per-(type, day) bottom-k sketches of the 60-bit md5 key lattice,
+      // merged per type with k = 4096 >= NDV, so the sketch holds every
+      // distinct hash, every published field is an integer, and the
+      // DuckDB oracle replays them exactly (count distinct + max hash).
+      // The same code path at k < NDV is the Beyer et al. estimator
+      // (spec-pinned, Round9bOpsSpec); HLL (hllPartials/hllMerge) stays
+      // the at-scale default when NDV >> k — sketch-defined floats, so
+      // it keeps unit-level merge-losslessness coverage instead of a
+      // cross-engine gate.
       val ev = events(s, d)
         .withColumn("day", to_date(col("ts")))
-      val partials = graft.ops.Sketches.hllPartials(ev,
-        Seq("event_type"), "day", "user_id")
-      graft.ops.Sketches.hllMerge(partials, Seq("event_type"))
-        .select(col("event_type"), col("approx_distinct"))
+      val partials = graft.ops.Sketches.kmvPartials(ev,
+        Seq("event_type"), "day", "user_id", k = 4096)
+      graft.ops.Sketches.kmvMerge(partials, Seq("event_type"), k = 4096)
     }),
 
     "q_dedup_minhash_clusters" -> ((s, d) => {
@@ -2053,7 +2138,7 @@ object SparkEntry {
         docs.filter(col("doc_id") < half), numHashes = 0, bands = 1)
       graft.ops.Dedup.nearDupAgainstIndex(idx,
         docs.filter(col("doc_id") >= half && col("doc_id") < 1000),
-        threshold = 0.5, numHashes = 0, bands = 1)
+        threshold = 0.5) // banding read from the index itself
         .select(col("batch_id"), col("corpus_id"),
           floor(col("jaccard") * 1e6).cast("long").as("jaccard_u6"))
     }),
@@ -3196,13 +3281,32 @@ object SparkEntry {
     }),
 
     "q_pca_project" -> ((s, d) => {
-      // PCA fit + project (ops.Similarity.pcaFit/pcaProject): one-scan
-      // covariance -> driver Jacobi on the 64x64 (dimension-sized,
-      // never corpus-sized) -> k=4 compiled-in projection chain.
-      // Rows-only (eigensolve floats); Round7eOpsSpec pins planted
-      // low-rank recovery, orthonormality, eigenvalue ordering
+      // PCA projection in the STAGED-FORM certification: the REAL
+      // pcaProject code path (k=4 zip_with/aggregate dot chains over the
+      // full 64-dim array, posexplode long form) against a caller-
+      // supplied LITERAL orthonormal basis — Hadamard H4 rows / 2
+      // (entries ±0.5) over disjoint coordinate quadruples, zero mean.
+      // Inputs are pre-quantized onto the 2^-4 lattice (floor(x*16)/16,
+      // exact in both engines), so every product is a multiple of 2^-5,
+      // the left-to-right fold is IEEE-exact, and round(·, 6) is the
+      // identity (5-dp values) — the projection replays term-for-term in
+      // SQL. The Jacobi FIT stays covered by Round7eOpsSpec (planted
+      // rank recovery, orthonormality, eigenvalue order) and its
+      // sufficient statistics by q_emb_moments' exact oracle; deployment
+      // runs pcaFit -> pcaProject with this identical projection chain.
+      val h4 = Array(Array(1, 1, 1, 1), Array(1, -1, 1, -1),
+        Array(1, 1, -1, -1), Array(1, -1, -1, 1))
+      val comps = Array.tabulate(4) { j =>
+        val v = new Array[Double](64)
+        (0 until 4).foreach(i => v(16 * j + i) = 0.5 * h4(j)(i))
+        v
+      }
+      val model = graft.ops.Similarity.PcaModel(dim = 64, k = 4,
+        mean = new Array[Double](64), components = comps,
+        eigenvalues = Array(4.0, 3.0, 2.0, 1.0))
       val emb = t(s, d, "embeddings").filter(col("vec_id") < 2000)
-      val model = graft.ops.Similarity.pcaFit(emb, k = 4, dim = 64)
+        .withColumn("embedding", transform(col("embedding"),
+          x => floor(x.cast("double") * 16) / 16))
       graft.ops.Similarity.pcaProject(emb, model)
     }),
 
@@ -3891,6 +3995,10 @@ object SparkEntry {
     // (the q_ivfpq_topk recipe — see each query's comment)
     "q_ann_topk" -> baseOracleSql("q_sim_topk"),
     "q_ann_ivf" -> baseOracleSql("q_sim_topk"),
+    // append-maintenance staged forms: probe-after-append over the full
+    // (base ∪ delta = whole corpus) must equal brute force
+    "q_ann_ivf_append" -> baseOracleSql("q_sim_topk"),
+    "q_ivfpq_append" -> baseOracleSql("q_sim_topk"),
     "q_nsw_topk" -> baseOracleSql("q_sim_topk"),
     "q_knn_classify_ann" -> baseOracleSql("q_knn_classify"),
     "q_emb_near_pairs_lsh" -> baseOracleSql("q_emb_near_pairs"),
@@ -6963,6 +7071,51 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // the staged literal-basis projection replayed term-for-term: each
+    // component j reads its coordinate quadruple (p+1..p+4, 1-based)
+    // with the H4 sign pattern; (s*q)/2 equals the kernel's q*(±0.5)
+    // exactly (negation and halving are IEEE-exact), the leading
+    // CAST(0 AS DOUBLE) mirrors the fold's +0.0 init (so a -0.0 never
+    // survives), and round(·,6) is the identity on the 2^-5 lattice
+    "q_pca_project" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 2000 AND embedding IS NOT NULL
+        |    AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |t AS (
+        |  SELECT vec_id, c.j AS component,
+        |    ((((CAST(0 AS DOUBLE)
+        |      + (c.s1 * (floor(CAST(embedding[c.p + 1] AS DOUBLE) * 16)
+        |                 / 16) / 2))
+        |      + (c.s2 * (floor(CAST(embedding[c.p + 2] AS DOUBLE) * 16)
+        |                 / 16) / 2))
+        |      + (c.s3 * (floor(CAST(embedding[c.p + 3] AS DOUBLE) * 16)
+        |                 / 16) / 2))
+        |      + (c.s4 * (floor(CAST(embedding[c.p + 4] AS DOUBLE) * 16)
+        |                 / 16) / 2)) AS v
+        |  FROM q, (VALUES (0, 0, 1, 1, 1, 1), (1, 16, 1, -1, 1, -1),
+        |                  (2, 32, 1, 1, -1, -1), (3, 48, 1, -1, -1, 1))
+        |       AS c(j, p, s1, s2, s3, s4))
+        |SELECT vec_id, CAST(component AS INTEGER) AS component,
+        |  round(v, 6) AS value
+        |FROM t""".stripMargin,
+
+    // exact-below-k KMV regime: with k = 4096 >= NDV the bottom-k sketch
+    // holds EVERY distinct 60-bit hash, so k_eff = distinct hash count,
+    // kth_hash60 = the max hash, approx_distinct = the exact count —
+    // all engine-replayable integers (distinct-by-hash on both sides,
+    // so even a 60-bit collision could not diverge op from oracle)
+    "q_sketch_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS INTEGER) AS k_eff,
+        |  max(h) AS kth_hash60, CAST(count(*) AS BIGINT) AS approx_distinct
+        |FROM h GROUP BY event_type""".stripMargin,
 
     // capacity >= |distinct items per group| at verify scale => MG counts
     // are provably exact, so the oracle is the exact two-stage top-k

@@ -319,8 +319,18 @@ object Dedup {
     *  - `sigs` (doc_id, sig, shingles): one row per doc, joined only for
     *    the candidates that survive bucket blocking; persist bucketed by
     *    doc_id
+    *
+    * The index RECORDS the parameters it was built with (shingleK,
+    * numHashes, bands): [[nearDupAgainstIndex]] reads them from here, so
+    * a probe can never silently band a batch with different parameters
+    * than the corpus was banded with (which would yield wrong or empty
+    * candidate sets). [[IndexStore]] persists them alongside the tables.
     */
-  case class MinHashIndex(buckets: DataFrame, sigs: DataFrame)
+  case class MinHashIndex(buckets: DataFrame, sigs: DataFrame,
+                          shingleK: Int, numHashes: Int, bands: Int) {
+    require(bands > 0 && (numHashes == 0 || numHashes % bands == 0),
+      s"bands ($bands) must divide numHashes ($numHashes)")
+  }
 
   /** Build the [[MinHashIndex]] of a corpus (one narrow signature pass +
     * a static band fan-out — no shuffle; partitioning happens when the
@@ -345,7 +355,7 @@ object Dedup {
     val buckets = sigs.select(col("doc_id"),
       posexplode(bandKeys).as(Seq("band", "bucket")))
       .select("band", "bucket", "doc_id")
-    MinHashIndex(buckets, sigs)
+    MinHashIndex(buckets, sigs, shingleK, numHashes, bands)
   }
 
   /** Incremental (cross-batch) NEAR-dup: every batch doc within `threshold`
@@ -365,11 +375,15 @@ object Dedup {
     * @return (batch_id, corpus_id, jaccard), jaccard ≥ threshold
     */
   def nearDupAgainstIndex(index: MinHashIndex, batch: DataFrame,
-                          threshold: Double = 0.8, shingleK: Int = 5,
-                          numHashes: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.8,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+    // banding parameters come FROM the index — a probe banded with
+    // different parameters than the build would silently return wrong or
+    // empty candidates, so there is deliberately no way to supply them
+    val shingleK = index.shingleK
+    val numHashes = index.numHashes
+    val bands = index.bands
     val rowsPerBand = numHashes / bands
     val bsig = batch.select(col(idCol).as("batch_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("_bsig"),

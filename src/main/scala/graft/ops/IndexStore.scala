@@ -56,11 +56,24 @@ object IndexStore {
       Seq("band", "bucket"), buckets, path)
     writeBucketedTable(index.sigs, s"${prefix}_sigs",
       Seq("doc_id"), buckets, path)
+    // the build parameters travel WITH the artifact (one-row meta table):
+    // a reloaded index must probe with exactly the banding it was built
+    // with, across sessions and engines
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    writeSmallTable(
+      Seq((index.shingleK, index.numHashes, index.bands))
+        .toDF("shingle_k", "num_hashes", "bands"),
+      s"${prefix}_meta", path)
   }
 
-  def readMinhashIndex(spark: SparkSession, prefix: String): Dedup.MinHashIndex =
+  def readMinhashIndex(spark: SparkSession, prefix: String): Dedup.MinHashIndex = {
+    val m = spark.table(s"${prefix}_meta").head()
     Dedup.MinHashIndex(spark.table(s"${prefix}_buckets"),
-      spark.table(s"${prefix}_sigs"))
+      spark.table(s"${prefix}_sigs"),
+      m.getAs[Int]("shingle_k"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"))
+  }
 
   // --- IVF index (float and quantized cells) -----------------------------
 

@@ -488,9 +488,19 @@ object Pipelines {
     // …then against the corpus minhash index: any batch doc within
     // threshold of SOME admitted doc is rejected (the admitted twin
     // already carries the content)
+    // banding parameters ride the index itself (MinHashIndex records its
+    // build parameters); the caller-supplied ones are validated against
+    // it so a state built elsewhere can't be probed with a mismatch
+    require(state.minhash.shingleK == shingleK &&
+        state.minhash.numHashes == numHashes &&
+        state.minhash.bands == bands,
+      s"curateBatch banding (shingleK=$shingleK, numHashes=$numHashes, " +
+        s"bands=$bands) does not match the state's index " +
+        s"(${state.minhash.shingleK}, ${state.minhash.numHashes}, " +
+        s"${state.minhash.bands})")
     val nearNew = stage("near-dedup-incremental", nearBatch.join(
       Dedup.nearDupAgainstIndex(state.minhash, nearBatch,
-        nearDupThreshold, shingleK, numHashes, bands, idCol, textCol)
+        nearDupThreshold, idCol, textCol)
         .select(col("batch_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti"),
       fanout = true) // decontaminate self-joins it
@@ -541,7 +551,9 @@ object Pipelines {
         .groupBy("line_h", "line").agg(sum(col("n_occ")).as("n_occ")),
       Dedup.MinHashIndex(
         state.minhash.buckets.union(admittedIdx.minhash.buckets),
-        state.minhash.sigs.union(admittedIdx.minhash.sigs)),
+        state.minhash.sigs.union(admittedIdx.minhash.sigs),
+        state.minhash.shingleK, state.minhash.numHashes,
+        state.minhash.bands),
       (state.urls, admittedIdx.urls) match {
         case (Some(a), Some(b)) => Some(a.union(b).distinct())
         case (a, b) => a.orElse(b)

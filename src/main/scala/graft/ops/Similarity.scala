@@ -217,6 +217,30 @@ object Similarity {
       .select(col("_id").as("vec_id"), col("_v").as("_cv"),
         col("center_id"))
 
+  /** MAINTAIN an [[IvfIndex]] under append: route the new batch to its
+    * nearest cells ([[ivfAssign]] — no Lloyd re-run; retrain on drift
+    * cadence, not append cadence) and pin the unioned cell table. The
+    * centroid table is shared unchanged, so an appended index probes
+    * with the identical cell routing — probing after appending an empty
+    * batch is bit-equal to probing the original (spec-pinned), and the
+    * staged-parameter probe over an appended index equals brute force
+    * over the unioned corpus (the contract's exact certification).
+    *
+    * Caller owns vec_id uniqueness across appends (the incremental-index
+    * convention, like [[graft.ops.Dedup.nearDupAgainstIndex]]'s corpus
+    * ids) and releases the PREVIOUS index when done probing it — the old
+    * cells block is not unpersisted here. At 100 TB the equivalent move
+    * is appending the assignment rows into the cells table persisted
+    * bucketed by center_id ([[graft.ops.Bucketing.writeBucketed]]); this
+    * is the in-session form.
+    */
+  def ivfAppend(index: IvfIndex, batch: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): IvfIndex =
+    IvfIndex(index.centroids,
+      index.cells.unionByName(ivfAssign(batch, index, idCol, vecCol))
+        .localCheckpoint(true))
+
   /** One-shot IVF top-k (build + probe). Convenience for ad-hoc use and
     * tests; anything that probes more than once should [[buildIvfIndex]]
     * once and [[ivfProbe]] against it (and `release()` when done).
@@ -283,6 +307,28 @@ object Similarity {
         col("q_min"), col("q_scale"))
       .localCheckpoint(true)
     IvfIndexQ(index.centroids, qcells)
+  }
+
+  /** [[ivfAppend]] for the quantized tier: route the batch to its
+    * nearest cells, int8-quantize the new vectors ([[quantizeInt8]] —
+    * per-vector min/scale, same encoding as the build), and pin the
+    * unioned byte-cell table. Same ownership conventions as
+    * [[ivfAppend]] (caller-unique ids; previous index released by the
+    * caller; at 100 TB this is an append into the bucketed cells table).
+    */
+  def ivfQAppend(index: IvfIndexQ, batch: DataFrame,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): IvfIndexQ = {
+    val assigned = assignToCentroids(
+      batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+      index.centroids)
+      .select(col("_id").as("vec_id"), col("_v").as("embedding"),
+        col("center_id"))
+    val q = quantizeInt8(assigned, "embedding")
+      .select(col("vec_id"), col("center_id"), col("codes"),
+        col("q_min"), col("q_scale"))
+    IvfIndexQ(index.centroids,
+      index.cells.unionByName(q).localCheckpoint(true))
   }
 
   /** Probe a quantized IVF index: identical cell ranking to [[ivfProbe]],
@@ -530,6 +576,27 @@ object Similarity {
       .localCheckpoint(true)
     ivf.cells.unpersist()
     IvfPqIndex(ivf.centroids, cells, cb)
+  }
+
+  /** [[ivfAppend]] for the combined tier: route the batch to its nearest
+    * cells, PQ-encode the new vectors against the index's EXISTING
+    * codebooks ([[pqEncode]] — codebooks retrain on drift cadence, like
+    * the centroids), and pin the unioned byte-cell table. Centroids and
+    * codebooks are shared unchanged, so probe routing and the ADC table
+    * are identical before and after an append; same ownership
+    * conventions as [[ivfAppend]].
+    */
+  def ivfPqAppend(index: IvfPqIndex, batch: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): IvfPqIndex = {
+    val assigned = assignToCentroids(
+      batch.select(col(idCol).as("_id"), col(vecCol).as("_v")),
+      index.centroids)
+      .select(col("_id").as("vec_id"), col("center_id"))
+    val newCells = assigned
+      .join(pqEncode(batch, index.cb, idCol, vecCol), Seq("vec_id"))
+    IvfPqIndex(index.centroids,
+      index.cells.unionByName(newCells).localCheckpoint(true), index.cb)
   }
 
   /** Probe the combined index: (1) rank cells per query against the

@@ -103,6 +103,78 @@ object Sketches {
       .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
         lit(seed)).as("cms"))
 
+  /** KMV (bottom-k) distinct-count PARTIAL sketches per (group, slice) —
+    * the bottom-k twin of [[hllPartials]]: each row carries the k
+    * smallest DISTINCT 60-bit md5-lattice hashes of `valueCol`
+    * ([[graft.functions.MinKAgg]]: bounded O(k) aggregation state,
+    * map-side-combinable, shuffles ≤ k longs per (partition, group)).
+    * Persist these; any later rollup merges sketches instead of
+    * re-scanning rows.
+    *
+    * Unlike HLL, bottom-k merge is EXACTLY lossless in all regimes
+    * (bottom-k of a union of bottom-ks = bottom-k of the union — a
+    * semilattice), and when the true distinct count is ≤ k the sketch
+    * saw every distinct hash, so the estimate is EXACT and every
+    * published field is an integer — deterministic and engine-replayable
+    * (the certification regime). HLL stays the at-scale default when NDV
+    * >> k (fixed 2^lgK bytes beats k·8); KMV is the tier that also gives
+    * exactness below k and an integer contract.
+    */
+  def kmvPartials(df: DataFrame, groupCols: Seq[String], sliceCol: String,
+                  valueCol: String, k: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    df.groupBy((groupCols :+ sliceCol).map(col): _*)
+      .agg(graft.functions.MinK.min_k(hash60(col(valueCol)), k).as("kmv"))
+  }
+
+  /** Roll KMV partial sketches up to the group level and estimate:
+    * re-bottom-k the union of the partials' hashes (lossless), then
+    * publish the integer contract fields —
+    *
+    *   - `k_eff`           |sketch| = min(k, distinct hashes seen)
+    *   - `kth_hash60`      the largest sketch hash (threshold U·2⁶⁰)
+    *   - `approx_distinct` k_eff when k_eff < k (EXACT: the sketch holds
+    *                       every distinct hash); else the Beyer et al.
+    *                       estimator floor((k−1)·2⁶⁰ / kth_hash60),
+    *                       computed in DECIMAL so it cannot overflow.
+    *
+    * 60-bit hashing keeps collision odds negligible below ~10⁹ distinct
+    * keys ([[overlapEstimate]]'s convention); null values are skipped on
+    * sketch build (a null key is not an identity).
+    */
+  def kmvMerge(partials: DataFrame, groupCols: Seq[String],
+               k: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    partials
+      .select(groupCols.map(col) :+ explode(col("kmv")).as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.MinK.min_k(col("_h"), k).as("_kmv"))
+      .withColumn("k_eff", size(col("_kmv")))
+      .withColumn("kth_hash60", element_at(col("_kmv"), -1))
+      .withColumn("approx_distinct",
+        when(col("k_eff") < k, col("k_eff").cast("long"))
+          .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0))) DIV " +
+            "CAST(kth_hash60 AS DECIMAL(38,0)) AS BIGINT)")))
+      .drop("_kmv")
+  }
+
+  /** One-shot KMV distinct per group (build + merge in one aggregation —
+    * no slice level). Same contract fields as [[kmvMerge]].
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 1024): DataFrame =
+    kmvMerge(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(graft.functions.MinK.min_k(hash60(col(valueCol)), k).as("kmv")),
+      groupCols, k)
+
+  /** The repo's standard 60-bit md5-lattice key hash (15 hex digits) —
+    * shared by [[kmvPartials]]/[[kmvDistinct]] and [[overlapEstimate]].
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** KMV (bottom-k) SET-OVERLAP estimate between two key sets (Beyer et
     * al., SIGMOD 2007): "how many documents/urls/ids do corpus A and
     * corpus B share?" answered from two k-row sketches instead of an

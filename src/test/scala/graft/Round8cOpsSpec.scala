@@ -143,7 +143,7 @@ class Round8cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = graft.ops.Dedup.buildMinhashIndex(corpus, numHashes = 0,
       bands = 1)
     val got = graft.ops.Dedup.nearDupAgainstIndex(idx, batch,
-        threshold = 0.5, numHashes = 0, bands = 1)
+        threshold = 0.5)
       .select("batch_id", "corpus_id")
       .as[(Long, Long)].collect().toSet
     // brute force: every (batch, corpus) pair at exact shingle Jaccard
@@ -210,7 +210,7 @@ class Round8cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = graft.ops.Dedup.buildMinhashIndex(corpus, numHashes = 0,
       bands = 1)
     val got = graft.ops.Dedup.nearDupAgainstIndex(idx, batch,
-        threshold = 0.5, numHashes = 0, bands = 1)
+        threshold = 0.5)
       .select("batch_id", "corpus_id", "jaccard")
       .as[(Long, Long, Double)].collect().toSet
     assert(got === Set((10L, 1L, 1.0), (11L, 1L, 1.0)))
