@@ -121,6 +121,20 @@ object SparkEntry {
       graft.ops.TextAnalysis.buildPostingsIndex(par(s, t(s, d, "documents"))))
   }
 
+  /** Even-half postings index (q_bm25_append's persisted base artifact —
+    * the lexical twin of [[cachedIvfHalf]]; the append runs per
+    * execution so its bench time is the honest append cost).
+    */
+  private val postingsHalfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.TextAnalysis.PostingsIndex]
+
+  private def cachedPostingsHalf(s: SparkSession, d: String): graft.ops.TextAnalysis.PostingsIndex = {
+    postingsHalfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    postingsHalfCache.computeIfAbsent((s, d), _ =>
+      graft.ops.TextAnalysis.buildPostingsIndex(
+        par(s, t(s, d, "documents")).filter(col("doc_id") % 2 === 0)))
+  }
+
   /** The DURABLE twin of [[cachedPostings]]: the postings index written to
     * bucketed tables ([[graft.ops.IndexStore]]) and read BACK — probes in
     * this cache run against the reloaded on-disk artifact, certifying the
@@ -992,6 +1006,30 @@ object SparkEntry {
             split(lower(trim(col("text"))), "\\s+"),
             tk => tk =!= ""), 1, 8), " ").as("text"))
       graft.ops.TextAnalysis.bm25Probe(cachedPostings(s, d), qs)
+    }),
+
+    "q_bm25_append" -> ((s, d) => {
+      // the lexical tier's index MAINTENANCE (ops.TextAnalysis
+      // .appendPostingsIndex): per-execution append of the odd docs onto
+      // the cached even-half base — every component is additive and
+      // model-free, so df/N/avgdl update EXACTLY and the probe of the
+      // appended index must equal the full-corpus probe — the SAME exact
+      // oracle as q_bm25_topk/q_bm25_probe. Unlike the vector tiers this
+      // append needs no staging: the equality is unconditional.
+      val qs = t(s, d, "documents").filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      val appended = graft.ops.TextAnalysis.appendPostingsIndex(
+        cachedPostingsHalf(s, d),
+        par(s, t(s, d, "documents")).filter(col("doc_id") % 2 === 1))
+      val out = graft.ops.TextAnalysis.bm25Probe(appended, qs)
+        .localCheckpoint(true)
+      // per-execution artifact: release everything but the cached base
+      appended.postings.unpersist(); appended.docLens.unpersist()
+      appended.docFreqs.unpersist(); appended.stats.unpersist()
+      out
     }),
 
     "q_bm25_probe_persisted" -> ((s, d) => {
@@ -3128,6 +3166,31 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     }),
 
+    "q_nsw_append" -> ((s, d) => {
+      // graph-tier index MAINTENANCE (ops.Similarity.nswAppend — HNSW
+      // insertion as ONE batch beam search + bidirectional connect) in
+      // the STAGED FORM: entries = the whole corpus with exhaustive ef
+      // makes the neighbor search exact brute-force top-m by
+      // construction, so the appended edge set (forward + back-edges)
+      // replays in SQL as top-8-cosine per batch vector plus its mirror
+      // — certifying the insertion path end-to-end through the real
+      // search/connect code. Deployment-parameter appends (ef 32,
+      // 3 hops) are pinned by planted-duplicate reachability in
+      // Round9cOpsSpec; the base graph stays session-cached (build
+      // cadence) while the append runs per execution (append cadence).
+      val emb = par(s, t(s, d, "embeddings"))
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val appended = graft.ops.Similarity.nswAppend(cachedNsw(s, d),
+        batch, emb, m = 8, ef = 1 << 18, hops = 0,
+        entries = Some(emb.select(col("vec_id"))))
+      val out = appended.edges
+        .filter(col("src") >= 1000000L || col("dst") >= 1000000L)
+        .localCheckpoint(true)
+      appended.edges.unpersist() // per-execution artifact; base is cached
+      out
+    }),
+
     "q_nsw_probe" -> ((s, d) => {
       // the same graph at DEPLOYMENT parameters: beam from the nCenters
       // cell gateways, ef = 32, 3 hops — per hop only the (queries × ef)
@@ -3668,6 +3731,9 @@ object SparkEntry {
     // returns bit-identical rows to the session probe — one oracle
     // certifies the whole disk round-trip
     "q_bm25_probe_persisted" -> baseOracleSql("q_bm25_probe"),
+    // append maintenance: additive stats make the appended-index probe
+    // unconditionally equal to the full-corpus probe
+    "q_bm25_append" -> baseOracleSql("q_bm25_probe"),
 
     // ---- round 7 -----------------------------------------------------
 
@@ -4000,6 +4066,26 @@ object SparkEntry {
     "q_ann_ivf_append" -> baseOracleSql("q_sim_topk"),
     "q_ivfpq_append" -> baseOracleSql("q_sim_topk"),
     "q_nsw_topk" -> baseOracleSql("q_sim_topk"),
+
+    // staged nswAppend: the appended edge set is exact brute-force top-8
+    // per batch vector (entries = corpus, exhaustive ef) plus its mirror
+    "q_nsw_append" ->
+      """WITH b AS (
+        |  SELECT vec_id + 1000000 AS bid, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT b.bid, e.vec_id,
+        |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM b, embeddings e),
+        |nn AS MATERIALIZED (
+        |  SELECT bid, vec_id FROM (
+        |    SELECT bid, vec_id, row_number() OVER (PARTITION BY bid
+        |      ORDER BY cos DESC, vec_id) AS rn FROM scored)
+        |  WHERE rn <= 8)
+        |SELECT bid AS src, vec_id AS dst FROM nn
+        |UNION
+        |SELECT vec_id AS src, bid AS dst FROM nn""".stripMargin,
     "q_knn_classify_ann" -> baseOracleSql("q_knn_classify"),
     "q_emb_near_pairs_lsh" -> baseOracleSql("q_emb_near_pairs"),
 

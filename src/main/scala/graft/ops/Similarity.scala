@@ -835,6 +835,49 @@ object Similarity {
     out
   }
 
+  /** MAINTAIN an [[NswIndex]] under append — the graph tier's
+    * [[ivfAppend]], via the classic HNSW insertion move: each new vector
+    * SEARCHES the existing graph for its m nearest ([[nswSearch]] — the
+    * same set-at-a-time beam the queries run, so the append is one batch
+    * search, not per-row work) and connects BIDIRECTIONALLY to them.
+    * Forward edges give the new node its local gradient; the back-edges
+    * are what make it REACHABLE (search entering anywhere near its
+    * region steps onto it through a neighbor). Entries are unchanged —
+    * gateway coverage is a build-cadence concern, like centroid retrain.
+    *
+    * Caller conventions match [[ivfAppend]]: batch ids unique vs the
+    * corpus (and across appends), the previous index is released by the
+    * caller, and future searches pass `corpus ∪ batch` as the corpus.
+    * Degree is additive across appends (an appended node gets m forward
+    * edges; existing nodes gain back-edges) — on drift cadence rebuild,
+    * as with every other tier.
+    *
+    * The staged form (`entries` = the full corpus with `ef` ≥ its size)
+    * makes the neighbor search exact brute-force top-m by construction —
+    * the contract certifies the appended EDGE SET against a SQL
+    * brute-force oracle through this real code path; deployment-
+    * parameter appends are spec-pinned by planted-duplicate recall.
+    */
+  def nswAppend(index: NswIndex, batch: DataFrame, corpus: DataFrame,
+                m: Int = 8, ef: Int = 32, hops: Int = 3,
+                entries: Option[DataFrame] = None,
+                batchIdCol: String = "vec_id",
+                corpusIdCol: String = "vec_id",
+                vecCol: String = "embedding"): NswIndex = {
+    require(m >= 1, s"need m >= 1 (got $m)")
+    val q = batch.select(col(batchIdCol).as("query_id"),
+      col(vecCol).as("embedding"))
+    val found = nswSearch(q, index, corpus, k = m, ef = math.max(ef, m),
+      hops = hops, entries = entries, corpusIdCol = corpusIdCol)
+    val nn = found.select(col("query_id").as("src"), col("vec_id").as("dst"))
+    val edges = index.edges
+      .union(nn)
+      .union(nn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    found.unpersist() // the search's pinned result is folded into edges
+    NswIndex(edges, index.entries)
+  }
+
   /** kNN LABEL CLASSIFICATION — propagate labels from the k nearest
     * corpus vectors to each query (label transfer / semi-supervised
     * labeling / quality-tag propagation over an embedding store):

@@ -993,6 +993,36 @@ object TextAnalysis {
       ix.stats.localCheckpoint(true), idCol)
   }
 
+  /** MAINTAIN a [[PostingsIndex]] under append — the lexical tier's
+    * ivfAppend: every component is ADDITIVE, so a batch appends with one
+    * postings pass over the NEW docs only (no corpus re-scan):
+    * postings/docLens union, docFreqs merge by term-count sum, corpus
+    * stats recomputed over the unioned docLens. Unlike the vector tiers
+    * there is no model to go stale — df/N/avgdl update EXACTLY, so a
+    * probe of the appended index equals a probe of a fresh full build
+    * (bit-equal: _df sums are integer-exact, and avg(_dl) sums exact
+    * integers in double — exact below 2^53 total tokens, i.e. far past
+    * 100 TB of text). Caller conventions match [[graft.ops.Similarity
+    * .ivfAppend]]: batch ids unique vs the corpus, previous index
+    * released by the caller; at scale this is an append into the
+    * bucketed postings tables ([[graft.ops.IndexStore]]).
+    */
+  def appendPostingsIndex(index: PostingsIndex, docs: DataFrame,
+                          textCol: String = "text"): PostingsIndex = {
+    val add = postingsOf(docs, index.idCol, textCol)
+    val postings = index.postings.unionByName(add.postings)
+      .localCheckpoint(true)
+    val docLens = index.docLens.unionByName(add.docLens)
+      .localCheckpoint(true)
+    val docFreqs = index.docFreqs.unionByName(add.docFreqs)
+      .groupBy("term").agg(sum(col("_df")).as("_df"))
+      .localCheckpoint(true)
+    val stats = docLens
+      .agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+      .localCheckpoint(true)
+    PostingsIndex(postings, docLens, docFreqs, stats, index.idCol)
+  }
+
   /** BM25 against a prebuilt [[PostingsIndex]] — the probe half of
     * [[bm25TopK]] (identical scores; see there for the formula and the
     * scale shape: broadcast semi-prune of postings to query terms before

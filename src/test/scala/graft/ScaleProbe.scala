@@ -393,6 +393,43 @@ object ScaleProbe {
         col("vec_id") + lit(i.toLong * 10_000_000L))).reduce(_ union _)
       graft.ops.Similarity.embeddingMoments(corpus, dim = 64)
     }
+    // round-9: the NSW graph-ANN tier. nCenters scales WITH mult so cell
+    // size stays constant (the deployment discipline — cell-local kNN is
+    // per-cell quadratic, so fixed cells + more of them = linear build),
+    // the query set stays fixed, and search is run-exactly-N-hops beam
+    // joins whose per-hop frontier is (queries x ef) — corpus size only
+    // enters through the newly-reached-node vector fetch, so search time
+    // should be ~scan-linear and recall@10 should HOLD as the corpus
+    // and cell count grow (the gateway mesh grows as nCenters² but stays
+    // tiny at these scales).
+    if (only.isEmpty || only("nsw_search")) {
+      val t0 = System.nanoTime()
+      val nsw = graft.ops.Similarity.buildNswGraph(embs,
+        nCenters = 16 * mult)
+      nsw.edges.count() // force the pinned build
+      val buildSecs = (System.nanoTime() - t0) / 1e9
+      val q = embBase.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .localCheckpoint(true)
+      probe("nsw_search") {
+        graft.ops.Similarity.nswSearch(q, nsw, embs, k = 10, ef = 32,
+          hops = 3)
+      }
+      val got = graft.ops.Similarity.nswSearch(q, nsw, embs, k = 10,
+          ef = 32, hops = 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = graft.ops.Similarity.bruteForceTopK(q, embs, k = 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (exact.isEmpty) 1.0
+        else got.intersect(exact).size.toDouble / exact.size
+      println(f"PROBE nsw_build_recall     mult=$mult " +
+        f"build=$buildSecs%.1fs recall@10=$recall%.3f")
+      nsw.release()
+    }
+
     // round-7e: normalize/winsorize DEFAULTS (GK sketch) on the same
     // all-distinct doubles regime as the robust-stats probes — task
     // memory O(accuracy) whatever the cardinality; time scan-linear
