@@ -162,6 +162,28 @@ object SparkEntry {
     })
   }
 
+  /** The DURABLE twin of [[cachedNsw]] ([[persistedPostings]]'s recipe):
+    * the NSW graph written to bucketed tables (edges on src — the beam
+    * hop's join key) and read BACK, so the persisted-probe query runs
+    * against the reloaded on-disk artifact with the same oracle as the
+    * in-session staged search.
+    */
+  private val persistedNswCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.NswIndex]
+
+  private def persistedNsw(s: SparkSession, d: String): graft.ops.Similarity.NswIndex = {
+    persistedNswCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    persistedNswCache.computeIfAbsent((s, d), _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_nsw_idx").toString
+      val prefix = "graft_nsw_persisted_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      graft.ops.IndexStore.writeNswIndex(
+        cachedNsw(s, d), prefix, buckets = 8, path = Some(path))
+      graft.ops.IndexStore.readNswIndex(s, prefix)
+    })
+  }
+
   /** Session-lifetime trained-PQ artifacts per (session, data dir): the
     * codebooks AND the encoded corpus (both are build-once artifacts a
     * deployment persists; probes touch byte codes only). Same
@@ -1176,13 +1198,25 @@ object SparkEntry {
     }),
 
     "q_ivf_assign" -> ((s, d) => {
-      // incremental index append (ops.Similarity.ivfAssign): a simulated
-      // new shard (remapped ids) routed to the session-cached index's
-      // cells without re-running Lloyd — per-cell append occupancy.
-      // Rows-only (k-means cells are model-based); Round5dOpsSpec pins
-      // that unchanged vectors reproduce the build's cells exactly.
-      val idx = cachedIvfIndex(s, d, graft.ops.Similarity.buildIvfIndex(
-        par(s, t(s, d, "embeddings")), nCenters = 16))
+      // incremental cell routing (ops.Similarity.ivfAssign) made EXACT
+      // via the literal-model seam (the q_pca_project recipe): the index
+      // carries 16 FORMULA centroids — centroid[j][i] =
+      // ((1 + (i+1)·(j+1)) mod 67) − 33, integer-valued floats both
+      // engines rebuild verbatim — so nearest-cell assignment (argmax
+      // cosine, ties to the smallest center_id) replays in SQL through
+      // the REAL assignToCentroids code path. K-MEANS-built routing
+      // stays covered by q_ann_ivf_append (ivfAssign inside) and
+      // Round5dOpsSpec's unchanged-vectors-reproduce-cells pin; the
+      // honest Lloyd build cost stays on q_ann_ivf_build.
+      import s.implicits._
+      val cents = (0 until 16).map(j =>
+        (j, Array.tabulate(64)(i0 =>
+          (((1 + (i0 + 1) * (j + 1)) % 67) - 33).toFloat)))
+        .toDF("center_id", "centroid")
+      val idx = graft.ops.Similarity.IvfIndex(cents,
+        t(s, d, "embeddings").limit(0)
+          .select(col("vec_id"), col("embedding").as("_cv"),
+            lit(0).as("center_id")))
       val batch = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)
       graft.ops.Similarity.ivfAssign(batch, idx)
@@ -3166,6 +3200,22 @@ object SparkEntry {
         .select("query_id", "vec_id", "rank")
     }),
 
+    "q_nsw_topk_persisted" -> ((s, d) => {
+      // the CROSS-SESSION deployment shape of the graph tier
+      // (q_bm25_probe_persisted's recipe): the NSW graph written to
+      // bucketed tables (IndexStore, edges on src) and read back from
+      // disk — the staged search (entries = corpus, ef > n, one hop
+      // through the RELOADED adjacency) runs against the on-disk
+      // artifact and the SAME exact oracle as q_nsw_topk certifies
+      // write -> read -> search.
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.ops.Similarity.nswSearch(qs, persistedNsw(s, d), emb, k = 5,
+          ef = 1 << 18, hops = 1, entries = Some(emb.select("vec_id")))
+        .select("query_id", "vec_id", "rank")
+    }),
+
     "q_nsw_append" -> ((s, d) => {
       // graph-tier index MAINTENANCE (ops.Similarity.nswAppend — HNSW
       // insertion as ONE batch beam search + bidirectional connect) in
@@ -4066,6 +4116,8 @@ object SparkEntry {
     "q_ann_ivf_append" -> baseOracleSql("q_sim_topk"),
     "q_ivfpq_append" -> baseOracleSql("q_sim_topk"),
     "q_nsw_topk" -> baseOracleSql("q_sim_topk"),
+    // write -> read -> staged search over the reloaded on-disk graph
+    "q_nsw_topk_persisted" -> baseOracleSql("q_sim_topk"),
 
     // staged nswAppend: the appended edge set is exact brute-force top-8
     // per batch vector (entries = corpus, exhaustive ef) plus its mirror
@@ -4086,6 +4138,31 @@ object SparkEntry {
         |SELECT bid AS src, vec_id AS dst FROM nn
         |UNION
         |SELECT vec_id AS src, bid AS dst FROM nn""".stripMargin,
+
+    // literal-model seam: the 16 formula centroids rebuild verbatim in
+    // SQL (integer-valued floats), so nearest-cell routing replays as
+    // argmax cosine with the smallest-center tiebreak
+    "q_ivf_assign" ->
+      """WITH b AS (
+        |  SELECT vec_id + 1000000 AS bid, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |cents AS (
+        |  SELECT CAST(j AS INTEGER) AS center_id,
+        |    [CAST(((1 + i * (j + 1)) % 67) - 33 AS DOUBLE)
+        |     FOR i IN range(1, 65)] AS c
+        |  FROM range(0, 16) t(j)),
+        |scored AS (
+        |  SELECT b.bid, cents.center_id,
+        |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |      cents.c) AS cos
+        |  FROM b, cents),
+        |best AS (
+        |  SELECT bid, center_id FROM (
+        |    SELECT bid, center_id, row_number() OVER (PARTITION BY bid
+        |      ORDER BY cos DESC, center_id) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT center_id, count(*) AS appended
+        |FROM best GROUP BY center_id""".stripMargin,
     "q_knn_classify_ann" -> baseOracleSql("q_knn_classify"),
     "q_emb_near_pairs_lsh" -> baseOracleSql("q_emb_near_pairs"),
 

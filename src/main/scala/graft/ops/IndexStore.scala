@@ -91,6 +91,22 @@ object IndexStore {
     Similarity.IvfIndex(spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_cells"))
 
+  /** Persist an [[Similarity.NswIndex]]: the adjacency bucketed on `src`
+    * (each beam hop's frontier join is one-sided against it — the
+    * graph-tier equivalent of the cells/center_id bucketing), the entry
+    * set plain (it is gateway-sized and broadcasts at search).
+    */
+  def writeNswIndex(index: Similarity.NswIndex, prefix: String,
+                    buckets: Int = 8, path: Option[String] = None): Unit = {
+    writeBucketedTable(index.edges, s"${prefix}_edges",
+      Seq("src"), buckets, path)
+    writeSmallTable(index.entries, s"${prefix}_entries", path)
+  }
+
+  def readNswIndex(spark: SparkSession, prefix: String): Similarity.NswIndex =
+    Similarity.NswIndex(spark.table(s"${prefix}_edges"),
+      spark.table(s"${prefix}_entries"))
+
   def writeIvfIndexQ(index: Similarity.IvfIndexQ, prefix: String,
                      buckets: Int = 8, path: Option[String] = None): Unit = {
     writeBucketedTable(index.cells, s"${prefix}_cells",

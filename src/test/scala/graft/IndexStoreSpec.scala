@@ -93,6 +93,36 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("NSW graph index round-trips; nswSearch identical on reload; " +
+      "edges side reads pre-shuffled") {
+    val idx = Similarity.buildNswGraph(vecs, nCenters = 4)
+    IndexStore.writeNswIndex(idx, "nsw_idx", buckets = 4)
+    val reloaded = IndexStore.readNswIndex(spark, "nsw_idx")
+    val qs = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val live = rowsOf(Similarity.nswSearch(qs, idx, vecs, k = 5,
+      ef = 16, hops = 2))
+    val back = rowsOf(Similarity.nswSearch(qs, reloaded, vecs, k = 5,
+      ef = 16, hops = 2))
+    assert(live.nonEmpty && live == back)
+    idx.release()
+
+    // plan shape: a frontier join against the reloaded bucketed edges
+    // must not exchange the edges side
+    val frontier = qs.select(col("query_id"), col("query_id").as("src"))
+    val hop = frontier.join(spark.table("nsw_idx_edges"), Seq("src"))
+    hop.write.format("noop").mode("overwrite").save()
+    val plan = hop.queryExecution.executedPlan.toString
+    val scanIdx = plan.indexOf("nsw_idx_edges")
+    assert(scanIdx > 0, s"expected a bucketed table scan in:\n$plan")
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    if (joinIdx >= 0) {
+      val between = plan.substring(joinIdx, scanIdx)
+      assert(!between.contains("Exchange hashpartitioning"),
+        s"edges side must read pre-shuffled:\n$plan")
+    }
+  }
+
   test("IVF-PQ combined index round-trips; ivfPqProbe identical on " +
       "reload (cells, centroids, codebooks + meta)") {
     val idx = Similarity.buildIvfPqIndex(vecs, nCenters = 4, iters = 2,
