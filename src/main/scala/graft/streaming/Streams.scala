@@ -510,6 +510,52 @@ object Streams {
       }
       .start()
 
+  case class KeyedValue(group: String, value: String)
+  case class KmvState(hashes: Array[Long])
+  case class KmvEstimate(group: String, k_eff: Int, kth_hash60: Long,
+                         approx_distinct: Long)
+
+  /** Streaming DISTINCT-COUNT monitor — the KMV bottom-k sketch
+    * ([[graft.ops.Sketches.kmvDistinct]]) as typed streaming state:
+    * per group the state is the k smallest distinct 60-bit md5 hashes
+    * seen so far (O(k) longs, bounded FOREVER — the reason a bottom-k
+    * beats `dropDuplicates` for "how many distinct users/urls/ids so
+    * far", whose state grows with the true cardinality), and every
+    * trigger emits the group's refreshed integer estimate: EXACT while
+    * distinct ≤ k, the Beyer et al. estimator beyond. Bottom-k is a
+    * semilattice, so the state merge is lossless and arrival
+    * order/redelivery cannot change it (idempotent under replay).
+    * mapGroupsWithState, Update output mode — the state-store twin of
+    * the batch partials → merge path, sharing its hash lattice
+    * (first 15 md5 hex digits = md5Hash64 >>> 4).
+    */
+  def distinctMonitor(rows: Dataset[KeyedValue],
+                      k: Int = 1024): Dataset[KmvEstimate] = {
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.group)
+      .mapGroupsWithState[KmvState, KmvEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[KeyedValue],
+         state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.hashes)
+            .getOrElse(Array.empty[Long])
+          val incoming = batch.filter(_.value != null).map(r =>
+            graft.functions.CorpusKernels.md5Hash64(r.value) >>> 4)
+          val merged = (prev.iterator ++ incoming)
+            .toArray.distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val kEff = merged.length
+          val kth = if (kEff == 0) 0L else merged(kEff - 1)
+          val est =
+            if (kEff < k || kth == 0L) kEff.toLong
+            else (BigInt(k - 1) * BigInt(1152921504606846976L) / kth)
+              .toLong
+          KmvEstimate(group, kEff, kth, est)
+      }
+  }
+
   /** Streaming DATA-QUALITY gate: every arriving micro-batch is
     * evaluated against a declarative expectation suite
     * ([[graft.ops.Profile.checkExpectations]] — the Deequ shape) and

@@ -430,6 +430,31 @@ object ScaleProbe {
       nsw.release()
     }
 
+    // round-9: index APPEND maintenance — the corpus-side index
+    // replicates with mult, the arriving batch stays FIXED (one sf0.1
+    // shard), so append time should stay ~flat in mult (assignment
+    // scores batch x centroids; the union/pin is narrow index rows) —
+    // the deployment claim that appends cost batch-side work only. The
+    // postings append is the same shape over term rows (df merge is
+    // vocabulary-sized, not corpus-sized).
+    if (only.isEmpty || only("ivf_append") || only("bm25_append")) {
+      val ivfBase = graft.ops.Similarity.buildIvfIndex(embs, nCenters = 16)
+      val batch = embBase.withColumn("vec_id",
+        col("vec_id") + lit(900_000_000L))
+      probe("ivf_append") {
+        graft.ops.Similarity.ivfAppend(ivfBase, batch).cells
+      }
+      ivfBase.release()
+      val postBase = graft.ops.TextAnalysis.buildPostingsIndex(docs)
+      val dbatch = base.withColumn("doc_id",
+        col("doc_id") + lit(900_000_000L))
+      probe("bm25_append") {
+        graft.ops.TextAnalysis.appendPostingsIndex(postBase, dbatch)
+          .postings
+      }
+      postBase.release()
+    }
+
     // round-7e: normalize/winsorize DEFAULTS (GK sketch) on the same
     // all-distinct doubles regime as the robust-stats probes — task
     // memory O(accuracy) whatever the cardinality; time scan-linear
