@@ -1501,9 +1501,11 @@ object SparkEntry {
       // real trained encode: merges learned once per (session, dir) from
       // the corpus word-frequency dict (minCount=2, 50 merges), then one
       // narrow distributed pass with the merge table on the closure.
-      // Training is model-based (greedy tie-broken merge loop) — not
-      // SQL-expressible, so rows-only here; exactness of the algorithm is
-      // pinned by TokenizeSpec's hand-derived goldens.
+      // EXACT oracle: the oracle re-trains the merges itself (the
+      // unrolled trainer rounds, see bpeTrainCtes) and replays
+      // encodeWord's lowest-rank-first loop as per-word apply rounds —
+      // n_tokens and first_token must match token-for-token.
+      // TokenizeSpec's hand-derived goldens stay as the unit pins.
       graft.ops.Tokenize.encodeBpe(
         par(s, t(s, d, "documents")), cachedBpeMerges(s, d))
         .select(col("doc_id"), col("n_tokens"),
@@ -1511,7 +1513,11 @@ object SparkEntry {
     }),
 
     "q_bpe_merges" -> ((s, d) => {
-      // the published model artifact (rank-ordered merge table)
+      // the published model artifact (rank-ordered merge table) — EXACT
+      // oracle: the greedy tie-broken merge loop replays as 50 unrolled
+      // SQL rounds (pair census -> best by (count DESC, left, right) ->
+      // parity-island mergeIn -> rebuilt symbol lists), reproducing the
+      // trainer's merge table rank-for-rank from the raw corpus.
       graft.ops.Tokenize.mergesDf(s, cachedBpeMerges(s, d))
     }),
 
@@ -2786,10 +2792,18 @@ object SparkEntry {
       // WordPiece greedy longest-match encode (ops.Tokenize
       // .encodeWordPiece) against the corpus-derived char+top-word
       // vocabulary — the third tokenizer family next to BPE and
-      // unigram-LM. Rows-only (greedy trie walk is not
-      // SQL-expressible); TokenizeSpec pins BERT-rule goldens
+      // unigram-LM. EXACT oracle (wordPieceOracle): the vocabulary is
+      // non-iterative (chars + ##chars + top-10 whole words, all
+      // SQL-derivable) and the greedy longest-prefix walk unrolls as
+      // per-word rounds (each consumes >= 1 char; try-all-ends + max).
+      // topWords = 10 keeps the walk NON-trivial: only the 10 most
+      // frequent words match whole, everything else genuinely splits
+      // into ## continuation pieces (a 200-word vocab would swallow the
+      // whole corpus vocabulary and trivialize the gate). TokenizeSpec
+      // keeps the BERT-rule goldens, incl. the [UNK] paths this corpus
+      // never hits (n_unk = 0 is itself oracle-checked).
       val docs = par(s, t(s, d, "documents"))
-      val vocab = graft.ops.Tokenize.wordPieceVocab(docs, topWords = 200)
+      val vocab = graft.ops.Tokenize.wordPieceVocab(docs, topWords = 10)
       graft.ops.Tokenize.encodeWordPiece(docs, vocab)
         .select(col("doc_id"), col("n_tokens"),
           size(filter(col("tokens"), tk => tk === "[UNK]")).as("n_unk"))
@@ -3650,6 +3664,14 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // the BPE trainer and encoder replayed as unrolled SQL rounds — see
+    // bpeTrainCtes/bpeEncodeOracle; parameters mirror cachedBpeMerges
+    // (50 merges, minCount 2); applyRounds = 12 > max word length
+    "q_bpe_merges" -> bpeMergesOracle(rounds = 50, minCount = 2),
+    "q_bpe_encode" -> bpeEncodeOracle(rounds = 50, minCount = 2,
+      applyRounds = 12),
+    // the greedy longest-prefix walk unrolled; topWords mirrors the query
+    "q_wordpiece_encode" -> wordPieceOracle(topWords = 10, rounds = 12),
     "q_mcnemar" ->
       """WITH p AS (SELECT lang AS truth,
         |  CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS pa,
@@ -5273,6 +5295,196 @@ object SparkEntry {
          |FROM embeddings
          |WHERE embedding IS NOT NULL AND len(embedding) = $inDim""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** The BPE TRAINER unrolled to SQL — one CTE block per merge round
+    * (the fixed-point-rank recipe applied to a trainer): round n explodes
+    * the previous symbol lists (e), picks the best pair by
+    * (count DESC, left, right) (b — Java and DuckDB string orders agree
+    * on the corpus's ASCII symbols), selects the greedy LEFT-TO-RIGHT
+    * non-overlapping match positions as run-parity islands (k: inside a
+    * run of consecutive matches — only possible when left == right —
+    * keep even offsets from the run start, exactly mergeIn's skip-ahead),
+    * and rebuilds the lists (w: kept positions emit the fused pair, the
+    * position after a kept one drops). Early stop replicates naturally:
+    * an empty pair table yields an empty b_n and every later round
+    * passes through unchanged. The dict cap (maxWords = 2^20) is not
+    * replayed — the corpus vocabulary is orders of magnitude below it.
+    */
+  private def bpeTrainCtes(rounds: Int, minCount: Int): String = {
+    val w0 = s"""w0 AS MATERIALIZED (
+  SELECT word, cnt,
+    [CASE WHEN i = length(word) THEN word[i:i] || '</w>'
+          ELSE word[i:i] END FOR i IN range(1, length(word)+1)] AS syms
+  FROM (SELECT w AS word, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w HAVING count(*) >= $minCount))"""
+    val blocks = (1 to rounds).map { n =>
+      val p = n - 1
+      s"""e$n AS MATERIALIZED (
+  SELECT word, cnt, t.i, syms[t.i] AS sym,
+    CASE WHEN t.i < len(syms) THEN syms[t.i+1] ELSE NULL END AS nxt
+  FROM w$p, LATERAL (SELECT unnest(range(1, len(syms)+1)) AS i) t),
+b$n AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b FROM e$n WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY sum(cnt) DESC, a, b LIMIT 1),
+k$n AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS rs FROM (
+      SELECT e.word, e.i,
+        (e.i - row_number() OVER (PARTITION BY e.word ORDER BY e.i)) AS grp
+      FROM e$n e, b$n WHERE e.sym = b$n.a AND e.nxt = b$n.b))
+  WHERE (i - rs) % 2 = 0),
+w$n AS MATERIALIZED (
+  SELECT e.word, min(e.cnt) AS cnt,
+    list(CASE WHEN k.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+         ORDER BY e.i) AS syms
+  FROM e$n e
+  LEFT JOIN k$n k ON e.word = k.word AND e.i = k.i
+  LEFT JOIN k$n k2 ON e.word = k2.word AND e.i = k2.i + 1
+  WHERE k2.i IS NULL
+  GROUP BY e.word)"""
+    }
+    val mt = (1 to rounds).map(n =>
+      s"SELECT CAST(${n - 1} AS INTEGER) AS rank, a, b FROM b$n")
+      .mkString(" UNION ALL ")
+    (w0 +: blocks).mkString(",\n") + s",\nmt AS MATERIALIZED ($mt)"
+  }
+
+  /** q_bpe_merges: the trainer replay's merge table, rank-ordered. */
+  private def bpeMergesOracle(rounds: Int, minCount: Int): String =
+    s"""WITH ${bpeTrainCtes(rounds, minCount)}
+SELECT rank, a AS "left", b AS "right" FROM mt ORDER BY rank"""
+
+  /** q_bpe_encode: the ENCODER unrolled on top of the trainer replay —
+    * encodeWord's loop (merge the present pair with the LOWEST rank,
+    * repeat) as `applyRounds` per-word rounds over the distinct corpus
+    * vocabulary (each round shortens a word by >= 1 symbol, so
+    * max-word-length − 1 rounds suffice; extra rounds are no-ops), the
+    * same parity-island mergeIn replay with a PER-WORD pair (min rank
+    * present, rank -> unique pair). Docs then join word -> tokens:
+    * n_tokens = Σ per-word token counts, first_token = the first word's
+    * first token.
+    */
+  private def bpeEncodeOracle(rounds: Int, minCount: Int,
+                              applyRounds: Int): String = {
+    val v0 = """v0 AS MATERIALIZED (
+  SELECT word,
+    [CASE WHEN i = length(word) THEN word[i:i] || '</w>'
+          ELSE word[i:i] END FOR i IN range(1, length(word)+1)] AS syms
+  FROM (SELECT DISTINCT w AS word FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> ''))"""
+    val blocks = (1 to applyRounds).map { n =>
+      val p = n - 1
+      s"""f$n AS MATERIALIZED (
+  SELECT word, t.i, syms[t.i] AS sym,
+    CASE WHEN t.i < len(syms) THEN syms[t.i+1] ELSE NULL END AS nxt
+  FROM v$p, LATERAL (SELECT unnest(range(1, len(syms)+1)) AS i) t),
+pb$n AS MATERIALIZED (
+  SELECT r.word, m.a, m.b FROM (
+    SELECT f.word, min(m.rank) AS mr
+    FROM f$n f JOIN mt m ON f.sym = m.a AND f.nxt = m.b
+    GROUP BY f.word) r JOIN mt m ON m.rank = r.mr),
+kk$n AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS rs FROM (
+      SELECT f.word, f.i,
+        (f.i - row_number() OVER (PARTITION BY f.word ORDER BY f.i)) AS grp
+      FROM f$n f JOIN pb$n p ON f.word = p.word
+      WHERE f.sym = p.a AND f.nxt = p.b))
+  WHERE (i - rs) % 2 = 0),
+v$n AS MATERIALIZED (
+  SELECT f.word,
+    list(CASE WHEN k.i IS NOT NULL THEN f.sym || f.nxt ELSE f.sym END
+         ORDER BY f.i) AS syms
+  FROM f$n f
+  LEFT JOIN kk$n k ON f.word = k.word AND f.i = k.i
+  LEFT JOIN kk$n k2 ON f.word = k2.word AND f.i = k2.i + 1
+  WHERE k2.i IS NULL
+  GROUP BY f.word)"""
+    }
+    val dw = """dw AS MATERIALIZED (
+  SELECT doc_id, t.j, wl[t.j] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+  LATERAL (SELECT unnest(range(1, len(wl)+1)) AS j) t
+  WHERE wl[t.j] <> '')"""
+    s"""WITH ${bpeTrainCtes(rounds, minCount)},
+${(v0 +: blocks).mkString(",\n")},
+$dw
+SELECT d0.doc_id,
+  CAST(coalesce(sum(len(v.syms)), 0) AS INTEGER) AS n_tokens,
+  min(CASE WHEN d.j = fw.mj THEN v.syms[1] END) AS first_token
+FROM (SELECT doc_id FROM documents) d0
+LEFT JOIN dw d ON d0.doc_id = d.doc_id
+LEFT JOIN v$applyRounds v ON d.word = v.word
+LEFT JOIN (SELECT doc_id, min(j) AS mj FROM dw GROUP BY doc_id) fw
+  ON d0.doc_id = fw.doc_id
+GROUP BY d0.doc_id"""
+  }
+
+  /** q_wordpiece_encode: the greedy longest-prefix walk unrolled — the
+    * vocabulary (chars + ##chars + topWords whole words) derives in SQL,
+    * then `rounds` per-word state rounds each match the LONGEST piece at
+    * the cursor (try every end, join vocab, max end) or mark the word
+    * [UNK] whole (the BERT all-or-nothing rule; length > 64 pre-UNKs).
+    * Every round consumes >= 1 char, so rounds >= max word length makes
+    * the tail rounds no-ops.
+    */
+  private def wordPieceOracle(topWords: Int, rounds: Int): String = {
+    val stateBlocks = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+  SELECT s.word, s.len,
+    CASE WHEN s.start >= s.len THEN s.start
+         WHEN b.e IS NULL THEN s.len ELSE b.e END AS start,
+    CASE WHEN s.start >= s.len THEN s.npieces
+         WHEN b.e IS NULL THEN 1 ELSE s.npieces + 1 END AS npieces,
+    CASE WHEN s.start >= s.len THEN s.unk
+         WHEN b.e IS NULL THEN 1 ELSE s.unk END AS unk
+  FROM s${r - 1} s LEFT JOIN (
+    SELECT word, max(e) AS e FROM (
+      SELECT s.word, t.e
+      FROM s${r - 1} s,
+      LATERAL (SELECT unnest(range(s.start+1, s.len+1)) AS e) t
+      JOIN vocab v ON v.piece =
+        (CASE WHEN s.start > 0 THEN '##' ELSE '' END)
+        || s.word[s.start+1:t.e]
+      WHERE s.start < s.len) GROUP BY word) b ON s.word = b.word)"""
+    }.mkString(",\n")
+    s"""WITH dict AS MATERIALIZED (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY w),
+chars AS (
+  SELECT DISTINCT w[i:i] AS c FROM dict,
+  LATERAL (SELECT unnest(range(1, length(w)+1)) AS i) t),
+vocab AS MATERIALIZED (
+  SELECT c AS piece FROM chars
+  UNION SELECT '##' || c FROM chars
+  UNION SELECT w FROM (SELECT w FROM dict ORDER BY n DESC, w
+                       LIMIT $topWords)),
+words AS (SELECT DISTINCT w AS word FROM dict),
+s0 AS MATERIALIZED (
+  SELECT word, length(word) AS len,
+    CASE WHEN length(word) > 64 THEN length(word) ELSE 0 END AS start,
+    CASE WHEN length(word) > 64 THEN 1 ELSE 0 END AS npieces,
+    CASE WHEN length(word) > 64 THEN 1 ELSE 0 END AS unk
+  FROM words),
+$stateBlocks,
+dw AS MATERIALIZED (
+  SELECT doc_id, wl[j] AS word FROM (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wl
+    FROM documents),
+  LATERAL (SELECT unnest(range(1, len(wl)+1)) AS j) t
+  WHERE wl[j] <> '')
+SELECT d0.doc_id,
+  CAST(coalesce(sum(s.npieces), 0) AS INTEGER) AS n_tokens,
+  CAST(coalesce(sum(s.unk), 0) AS INTEGER) AS n_unk
+FROM (SELECT doc_id FROM documents) d0
+LEFT JOIN dw d ON d0.doc_id = d.doc_id
+LEFT JOIN s$rounds s ON d.word = s.word
+GROUP BY d0.doc_id"""
+  }
 
   private def baseOracleSql: Map[String, String] = Map(
     "q_scan_filter_project" ->
