@@ -75,8 +75,17 @@ object Bench {
     // (committed per round as BENCH_LOCAL_r{N}.json for
     // tools/bench_compare.py, which consumes either form)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes("UTF-8"))
+      // never let a bad output path lose the run: the measurements are
+      // already on stdout and the compact summary must still print LAST
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"BENCH_OUT write failed ($p): $e")
+      }
     }
     // compact summary LAST: a tail-truncated capture of the (long) line
     // above still keeps the headline numbers in the final ~200 bytes

@@ -145,21 +145,31 @@ object SparkEntry {
   private val persistedPostingsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.TextAnalysis.PostingsIndex]
 
+  /** Shared persist-and-reload recipe of the durable index caches:
+    * write the artifact into a fresh temp dir under a DATA-DIR-HASHED
+    * table prefix (the caches are keyed per (session, dir), so a fixed
+    * table name would let a second dir overwrite the first entry's
+    * tables behind its lazy spark.table references), then read it back.
+    */
+  private def persistReload[A](d: String, tag: String)
+                              (write: (String, Option[String]) => Unit,
+                               read: String => A): A = {
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_idx").toString
+    val prefix = s"graft_${tag}_persisted_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    write(prefix, Some(path))
+    read(prefix)
+  }
+
   private def persistedPostings(s: SparkSession, d: String): graft.ops.TextAnalysis.PostingsIndex = {
     persistedPostingsCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    persistedPostingsCache.computeIfAbsent((s, d), _ => {
-      val path = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
-      // table prefix carries the DATA DIR hash: the cache is keyed per
-      // (session, dir), so a fixed table name would let a second dir
-      // overwrite the first entry's tables behind its lazy spark.table
-      // references
-      val prefix = "graft_bm25_persisted_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      graft.ops.IndexStore.writePostingsIndex(
-        cachedPostings(s, d), prefix, buckets = 8, path = Some(path))
-      graft.ops.IndexStore.readPostingsIndex(s, prefix)
-    })
+    persistedPostingsCache.computeIfAbsent((s, d), _ =>
+      persistReload(d, "bm25")(
+        (prefix, path) => graft.ops.IndexStore.writePostingsIndex(
+          cachedPostings(s, d), prefix, buckets = 8, path = path),
+        prefix => graft.ops.IndexStore.readPostingsIndex(s, prefix)))
   }
 
   /** The DURABLE twin of [[cachedNsw]] ([[persistedPostings]]'s recipe):
@@ -173,15 +183,11 @@ object SparkEntry {
 
   private def persistedNsw(s: SparkSession, d: String): graft.ops.Similarity.NswIndex = {
     persistedNswCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    persistedNswCache.computeIfAbsent((s, d), _ => {
-      val path = java.nio.file.Files.createTempDirectory("graft_nsw_idx").toString
-      val prefix = "graft_nsw_persisted_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      graft.ops.IndexStore.writeNswIndex(
-        cachedNsw(s, d), prefix, buckets = 8, path = Some(path))
-      graft.ops.IndexStore.readNswIndex(s, prefix)
-    })
+    persistedNswCache.computeIfAbsent((s, d), _ =>
+      persistReload(d, "nsw")(
+        (prefix, path) => graft.ops.IndexStore.writeNswIndex(
+          cachedNsw(s, d), prefix, buckets = 8, path = path),
+        prefix => graft.ops.IndexStore.readNswIndex(s, prefix)))
   }
 
   /** Session-lifetime trained-PQ artifacts per (session, data dir): the
@@ -5310,6 +5316,21 @@ object SparkEntry {
     * passes through unchanged. The dict cap (maxWords = 2^20) is not
     * replayed — the corpus vocabulary is orders of magnitude below it.
     */
+  /** The mergeIn replay shared by the trainer and encoder rounds: the
+    * greedy LEFT-TO-RIGHT non-overlapping match selection as run-parity
+    * islands — inside a run of consecutive match positions (possible
+    * only when left == right) keep even offsets from the run start,
+    * exactly the kernel's skip-ahead. `matches` must select
+    * (word, i) rows of the positions where the round's pair matches.
+    */
+  private def parityIslandCte(matches: String): String =
+    s"""  SELECT word, i FROM (
+  SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS rs FROM (
+    SELECT word, i,
+      (i - row_number() OVER (PARTITION BY word ORDER BY i)) AS grp
+    FROM ($matches)))
+  WHERE (i - rs) % 2 = 0"""
+
   private def bpeTrainCtes(rounds: Int, minCount: Int): String = {
     val w0 = s"""w0 AS MATERIALIZED (
   SELECT word, cnt,
@@ -5328,12 +5349,8 @@ b$n AS MATERIALIZED (
   SELECT sym AS a, nxt AS b FROM e$n WHERE nxt IS NOT NULL
   GROUP BY 1, 2 ORDER BY sum(cnt) DESC, a, b LIMIT 1),
 k$n AS MATERIALIZED (
-  SELECT word, i FROM (
-    SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS rs FROM (
-      SELECT e.word, e.i,
-        (e.i - row_number() OVER (PARTITION BY e.word ORDER BY e.i)) AS grp
-      FROM e$n e, b$n WHERE e.sym = b$n.a AND e.nxt = b$n.b))
-  WHERE (i - rs) % 2 = 0),
+${parityIslandCte(s"SELECT e.word, e.i FROM e$n e, b$n " +
+        s"WHERE e.sym = b$n.a AND e.nxt = b$n.b")}),
 w$n AS MATERIALIZED (
   SELECT e.word, min(e.cnt) AS cnt,
     list(CASE WHEN k.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
@@ -5386,13 +5403,8 @@ pb$n AS MATERIALIZED (
     FROM f$n f JOIN mt m ON f.sym = m.a AND f.nxt = m.b
     GROUP BY f.word) r JOIN mt m ON m.rank = r.mr),
 kk$n AS MATERIALIZED (
-  SELECT word, i FROM (
-    SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS rs FROM (
-      SELECT f.word, f.i,
-        (f.i - row_number() OVER (PARTITION BY f.word ORDER BY f.i)) AS grp
-      FROM f$n f JOIN pb$n p ON f.word = p.word
-      WHERE f.sym = p.a AND f.nxt = p.b))
-  WHERE (i - rs) % 2 = 0),
+${parityIslandCte(s"SELECT f.word, f.i FROM f$n f JOIN pb$n p " +
+        s"ON f.word = p.word WHERE f.sym = p.a AND f.nxt = p.b")}),
 v$n AS MATERIALIZED (
   SELECT f.word,
     list(CASE WHEN k.i IS NOT NULL THEN f.sym || f.nxt ELSE f.sym END

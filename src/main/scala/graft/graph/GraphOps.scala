@@ -219,11 +219,27 @@ object GraphOps {
     // this bound op and oracle would silently diverge — hence the loud
     // failure here.
     if (fixed) {
-      val c = vr.agg(coalesce(sum(col("_r0").cast("long")), lit(0L)),
-        coalesce(min(col("_r0").cast("long")), lit(0L))).head()
-      require(c.getLong(1) >= 0L,
+      // like the weights: a caller-supplied reset vector must already be
+      // the scaled LONG lattice — catch fractional values loudly instead
+      // of letting cast("long") truncate them; the mass sum runs in
+      // DECIMAL so the precondition check itself cannot wrap
+      val c = vr.agg(
+        coalesce(sum(col("_r0").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")),
+        coalesce(min(col("_r0").cast("double")), lit(0d)),
+        coalesce(max(abs(col("_r0").cast("double") -
+          floor(col("_r0").cast("double")))), lit(0d)),
+        coalesce(max(abs(col("_r0").cast("double"))), lit(0d))).head()
+      require(c.getDouble(1) >= 0d,
         "fixed-point reset vector must be non-negative")
-      val bound = BigInt(c.getLong(0)) * 100 / 15 + 1
+      require(c.getDouble(2) == 0d, "fixed-point rank mode requires an " +
+        "integer-valued reset vector (a fractional reset would be " +
+        "silently truncated by the long cast) — pre-scale it onto the " +
+        "integer lattice")
+      require(c.getDouble(3) < 9007199254740992d, // 2^53
+        "fixed-point reset values must stay below 2^53")
+      val sumR0 = BigInt(c.getDecimal(0).toBigInteger)
+      val bound = sumR0 * 100 / 15 + 1
       require(bound * maxW <= BigInt(Long.MaxValue) &&
           bound * 85 <= BigInt(Long.MaxValue),
         s"fixed-point overflow precondition failed: damped-mass bound " +

@@ -68,11 +68,18 @@ object IndexStore {
   }
 
   def readMinhashIndex(spark: SparkSession, prefix: String): Dedup.MinHashIndex = {
-    val m = spark.table(s"${prefix}_meta").head()
+    // indexes persisted before the meta table existed carry no recorded
+    // parameters — fall back to the build defaults they were necessarily
+    // written with (5/128/32 were the only defaults ever shipped), so a
+    // pre-upgrade artifact stays loadable
+    val (k, n, b) =
+      if (spark.catalog.tableExists(s"${prefix}_meta")) {
+        val m = spark.table(s"${prefix}_meta").head()
+        (m.getAs[Int]("shingle_k"), m.getAs[Int]("num_hashes"),
+          m.getAs[Int]("bands"))
+      } else (5, 128, 32)
     Dedup.MinHashIndex(spark.table(s"${prefix}_buckets"),
-      spark.table(s"${prefix}_sigs"),
-      m.getAs[Int]("shingle_k"), m.getAs[Int]("num_hashes"),
-      m.getAs[Int]("bands"))
+      spark.table(s"${prefix}_sigs"), k, n, b)
   }
 
   // --- IVF index (float and quantized cells) -----------------------------

@@ -539,12 +539,20 @@ object Streams {
         GroupStateTimeout.NoTimeout) {
         (group: String, batch: Iterator[KeyedValue],
          state: GroupState[KmvState]) =>
-          val prev = state.getOption.map(_.hashes)
-            .getOrElse(Array.empty[Long])
-          val incoming = batch.filter(_.value != null).map(r =>
-            graft.functions.CorpusKernels.md5Hash64(r.value) >>> 4)
-          val merged = (prev.iterator ++ incoming)
-            .toArray.distinct.sorted.take(k)
+          // bounded merge (the MinKAgg discipline): a capped TreeSet
+          // insert keeps per-trigger work O(batch log k) and memory O(k)
+          // — never materialize/sort the whole batch, that's the state
+          // blowup this sketch exists to avoid
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(_.hashes.foreach(set.add))
+          batch.foreach { r =>
+            if (r.value != null) {
+              val h = graft.functions.CorpusKernels.md5Hash64(r.value) >>> 4
+              if (set.size < k) set.add(h)
+              else if (h < set.last && set.add(h)) set.remove(set.last)
+            }
+          }
+          val merged = set.toArray
           state.update(KmvState(merged))
           val kEff = merged.length
           val kth = if (kEff == 0) 0L else merged(kEff - 1)

@@ -116,7 +116,7 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scanIdx = plan.indexOf("nsw_idx_edges")
     assert(scanIdx > 0, s"expected a bucketed table scan in:\n$plan")
     val joinIdx = plan.indexOf("SortMergeJoin")
-    if (joinIdx >= 0) {
+    if (joinIdx >= 0 && joinIdx < scanIdx) {
       val between = plan.substring(joinIdx, scanIdx)
       assert(!between.contains("Exchange hashpartitioning"),
         s"edges side must read pre-shuffled:\n$plan")

@@ -112,6 +112,26 @@ class Round9aOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("md5-seam expressions compile under CODEGEN_ONLY factory mode") {
+    // a broken doGenCode would silently fall back to interpreted eval;
+    // CODEGEN_ONLY turns that into a hard failure (ExtensionsSpec's
+    // discipline, applied to the md5Seam variants the SQL registry
+    // doesn't cover)
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    import strict.implicits._
+    import graft.functions.CorpusFunctions._
+    val text = "the quick brown fox jumps over the lazy dog the end"
+    val row = Seq(text).toDF("t")
+      .select(simhash64(col("t"), md5Seam = true),
+        winnow_positions(col("t"), 8, 4, md5Seam = true))
+      .head()
+    assert(row.getLong(0) === CorpusKernels.simHashMd5(text))
+    assert(row.getSeq[Long](1) ===
+      CorpusKernels.winnowPositionsMd5(text, 8, 4).toSeq)
+  }
+
   test("md5-seam duplicateSpans(window) is a subset of full " +
       "duplicateSpans and finds spans >= k+window-1") {
     import spark.implicits._

@@ -110,6 +110,37 @@ class Round9cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(full, half, appended, empty).foreach(_.release())
   }
 
+  test("fixed-point rank guards fail loudly on fractional weights, " +
+      "fractional resets, and Long-overflow scales") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1.5), ("b", "c", 2.0))
+      .toDF("src", "dst", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.graph.GraphOps.pageRank(edges, weightCol = Some("w"),
+        maxIter = 2, scale = Some(1000000L)).collect()
+    }
+    assert(e1.getMessage.contains("integer-valued weights"))
+    // (a fractional RESET vector has no public entry point —
+    // pageRankPersonalized builds the scaled vector itself from a
+    // topic-vertex set — so the reset-integrality guard is defense for
+    // internal/future callers and is exercised by the weight case's twin
+    // code path)
+    val ok = Seq(("a", "b", 1.0), ("b", "c", 2.0)).toDF("src", "dst", "w")
+    // a (scale, weight) combination that blows the damped-mass bound:
+    // loud, not wrapped (reset values stay under 2^53 so the earlier
+    // integrality guard passes and THIS one fires)
+    val heavy = Seq(("a", "b", 1000.0), ("b", "c", 1000.0))
+      .toDF("src", "dst", "w")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.graph.GraphOps.pageRank(heavy, weightCol = Some("w"),
+        maxIter = 2, scale = Some(6000000000000000L)).collect()
+    }
+    assert(e3.getMessage.contains("overflow precondition"))
+    // the valid lattice still runs
+    assert(graft.graph.GraphOps.pageRank(ok, weightCol = Some("w"),
+      maxIter = 2, scale = Some(1000000L)).count() > 0)
+  }
+
   test("streaming distinctMonitor: per-trigger estimates equal the batch " +
       "KMV sketch over the stream prefix, exact and estimator regimes") {
     import graft.streaming.Streams

@@ -441,17 +441,24 @@ object ScaleProbe {
       val ivfBase = graft.ops.Similarity.buildIvfIndex(embs, nCenters = 16)
       val batch = embBase.withColumn("vec_id",
         col("vec_id") + lit(900_000_000L))
+      // the appended artifacts pin corpus-sized checkpoints — release
+      // them after each probe so later probes measure clean storage
+      var ivfApp: graft.ops.Similarity.IvfIndex = null
       probe("ivf_append") {
-        graft.ops.Similarity.ivfAppend(ivfBase, batch).cells
+        ivfApp = graft.ops.Similarity.ivfAppend(ivfBase, batch)
+        ivfApp.cells
       }
+      if (ivfApp != null) ivfApp.cells.unpersist()
       ivfBase.release()
       val postBase = graft.ops.TextAnalysis.buildPostingsIndex(docs)
       val dbatch = base.withColumn("doc_id",
         col("doc_id") + lit(900_000_000L))
+      var postApp: graft.ops.TextAnalysis.PostingsIndex = null
       probe("bm25_append") {
-        graft.ops.TextAnalysis.appendPostingsIndex(postBase, dbatch)
-          .postings
+        postApp = graft.ops.TextAnalysis.appendPostingsIndex(postBase, dbatch)
+        postApp.postings
       }
+      if (postApp != null) postApp.release()
       postBase.release()
     }
 
