@@ -870,12 +870,22 @@ object Similarity {
     val found = nswSearch(q, index, corpus, k = m, ef = math.max(ef, m),
       hops = hops, entries = entries, corpusIdCol = corpusIdCol)
     val nn = found.select(col("query_id").as("src"), col("vec_id").as("dst"))
-    val edges = index.edges
-      .union(nn)
+    // O(batch) maintenance: the append NEVER touches the existing
+    // adjacency. The new edge set (forward ∪ mirror, ≤ 2·m·|batch| rows)
+    // is disjoint from index.edges by the id-uniqueness contract — batch
+    // ids are new, so every new edge has a batch id endpoint and every
+    // existing edge has none — and internally duplicate-free unless the
+    // caller ships duplicate batch ids, so one batch-sized dropDuplicates
+    // reproduces the edge SET a full union().distinct() would have built
+    // without shuffling or re-checkpointing the O(index) table (at scale:
+    // append the pinned new-edge table into the bucketed persisted
+    // adjacency, [[graft.ops.IndexStore.writeNswIndex]]).
+    val newEdges = nn
       .union(nn.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    found.unpersist() // the search's pinned result is folded into edges
-    NswIndex(edges, index.entries)
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(true)
+    found.unpersist() // the search's pinned result is folded into newEdges
+    NswIndex(index.edges.union(newEdges), index.entries)
   }
 
   /** kNN LABEL CLASSIFICATION — propagate labels from the k nearest

@@ -978,7 +978,17 @@ object TextAnalysis {
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("_tf"))
     val dl = tf.groupBy(idCol).agg(sum(col("_tf")).as("_dl"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("_df"))
-    val stats = dl.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    // stats carry the ADDITIVE state (_n, _sum_dl) alongside the derived
+    // _avgdl, so an append can merge two 1-row tables instead of
+    // re-averaging the full docLens union. _avgdl = exact-integer-sum /
+    // count is bit-identical to avg(_dl) below 2^53 total tokens (avg's
+    // double-space partial sums are exact integers there) and strictly
+    // better above.
+    val stats = dl
+      .agg(count(lit(1)).as("_n"), coalesce(sum(col("_dl")), lit(0L))
+        .as("_sum_dl"))
+      .withColumn("_avgdl", when(col("_n") > 0,
+        col("_sum_dl").cast("double") / col("_n").cast("double")))
     PostingsIndex(tf, dl, dfT, stats, idCol)
   }
 
@@ -995,31 +1005,61 @@ object TextAnalysis {
 
   /** MAINTAIN a [[PostingsIndex]] under append — the lexical tier's
     * ivfAppend: every component is ADDITIVE, so a batch appends with one
-    * postings pass over the NEW docs only (no corpus re-scan):
-    * postings/docLens union, docFreqs merge by term-count sum, corpus
-    * stats recomputed over the unioned docLens. Unlike the vector tiers
-    * there is no model to go stale — df/N/avgdl update EXACTLY, so a
-    * probe of the appended index equals a probe of a fresh full build
-    * (bit-equal: _df sums are integer-exact, and avg(_dl) sums exact
-    * integers in double — exact below 2^53 total tokens, i.e. far past
+    * postings pass over the NEW docs only (literally no corpus re-scan or
+    * re-shuffle): postings/docLens pin the BATCH rows and union lazily
+    * (at scale: an append into the bucketed postings tables,
+    * [[graft.ops.IndexStore]]); corpus stats merge as two 1-row additive
+    * states (_n, _sum_dl — _avgdl derived by one division); docFreqs
+    * merge with batch-terms-only work — one broadcast of the batch term
+    * counts bumps existing terms and one broadcast anti-join appends
+    * novel terms, so the index side streams with NO shuffle and NO
+    * re-aggregation. Unlike the vector tiers there is no model to go
+    * stale — df/N/avgdl update EXACTLY, so a probe of the appended index
+    * equals a probe of a fresh full build (bit-equal: _df and _sum_dl
+    * are integer sums, exact below 2^53 total tokens, i.e. far past
     * 100 TB of text). Caller conventions match [[graft.ops.Similarity
     * .ivfAppend]]: batch ids unique vs the corpus, previous index
-    * released by the caller; at scale this is an append into the
-    * bucketed postings tables ([[graft.ops.IndexStore]]).
+    * released by the caller.
     */
   def appendPostingsIndex(index: PostingsIndex, docs: DataFrame,
                           textCol: String = "text"): PostingsIndex = {
     val add = postingsOf(docs, index.idCol, textCol)
-    val postings = index.postings.unionByName(add.postings)
-      .localCheckpoint(true)
-    val docLens = index.docLens.unionByName(add.docLens)
-      .localCheckpoint(true)
-    val docFreqs = index.docFreqs.unionByName(add.docFreqs)
-      .groupBy("term").agg(sum(col("_df")).as("_df"))
-      .localCheckpoint(true)
-    val stats = docLens
-      .agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
-      .localCheckpoint(true)
+    val postings = index.postings
+      .unionByName(add.postings.localCheckpoint(true))
+    val docLens = index.docLens
+      .unionByName(add.docLens.localCheckpoint(true))
+    val addDf = add.docFreqs.localCheckpoint(true) // batch vocabulary
+    val bump = broadcast(addDf.withColumnRenamed("_df", "_dfa"))
+    val bumped = index.docFreqs.join(bump, Seq("term"), "left")
+      .select(col("term"),
+        (col("_df") + coalesce(col("_dfa"), lit(0L))).as("_df"))
+    val known = index.docFreqs.join(bump, Seq("term"), "left_semi")
+      .select("term")
+    val novel = addDf.join(broadcast(known), Seq("term"), "left_anti")
+    // the merged dictionary pins (it is vocabulary-sized — compact, and
+    // probes broadcast slices of it); the corpus-sized tables above do not
+    val docFreqs = bumped.unionByName(novel).localCheckpoint(true)
+    // pre-upgrade artifacts persisted stats as (_n, _avgdl) only — fall
+    // back to one docLens re-aggregation for those (loud in the plan, not
+    // silent in the answer); fresh builds always carry the additive state
+    val stats =
+      if (index.stats.columns.contains("_sum_dl")) {
+        index.stats.select(col("_n"), col("_sum_dl"))
+          .crossJoin(add.stats.select(col("_n").as("_na"),
+            col("_sum_dl").as("_sa")))
+          .select((col("_n") + col("_na")).as("_n"),
+            (col("_sum_dl") + col("_sa")).as("_sum_dl"))
+          .withColumn("_avgdl", when(col("_n") > 0,
+            col("_sum_dl").cast("double") / col("_n").cast("double")))
+          .localCheckpoint(true)
+      } else {
+        docLens
+          .agg(count(lit(1)).as("_n"), coalesce(sum(col("_dl")), lit(0L))
+            .as("_sum_dl"))
+          .withColumn("_avgdl", when(col("_n") > 0,
+            col("_sum_dl").cast("double") / col("_n").cast("double")))
+          .localCheckpoint(true)
+      }
     PostingsIndex(postings, docLens, docFreqs, stats, index.idCol)
   }
 

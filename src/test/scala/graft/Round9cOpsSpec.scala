@@ -54,6 +54,29 @@ class Round9cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     appended.edges.unpersist(); base.release()
   }
 
+  test("O(batch) nswAppend builds the same edge SET the full " +
+      "union().distinct() formulation would have") {
+    val base = Similarity.buildNswGraph(emb, nCenters = 4)
+    val batch = emb.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val appended = Similarity.nswAppend(base, batch, emb, m = 4,
+      ef = 1 << 18, hops = 0, entries = Some(emb.select("vec_id")))
+    // the r9 implementation, replayed inline: search → forward+mirror →
+    // full-table distinct — the appended index must be SET-equal to it
+    val found = Similarity.nswSearch(
+      batch.select(col("vec_id").as("query_id"), col("embedding")),
+      base, emb, k = 4, ef = 1 << 18, hops = 0,
+      entries = Some(emb.select("vec_id")))
+    val nn = found.select(col("query_id").as("src"), col("vec_id").as("dst"))
+    val old = base.edges.union(nn)
+      .union(nn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    assert(edgeSet(appended.edges) === edgeSet(old))
+    // and no edge appears twice (union of disjoint deduped parts)
+    assert(appended.edges.count() === appended.edges.distinct().count())
+    appended.edges.unpersist(); found.unpersist(); base.release()
+  }
+
   test("nswAppend of an EMPTY batch leaves the edge set unchanged") {
     val base = Similarity.buildNswGraph(emb, nCenters = 4)
     val appended = Similarity.nswAppend(base, emb.limit(0), emb)

@@ -462,6 +462,44 @@ object ScaleProbe {
       postBase.release()
     }
 
+    // round-10: the remaining two append tiers. The graph tier's append
+    // is one batch beam search (frontier = queries × ef) plus an
+    // O(batch) new-edge dedup — after the r10 fix it never unions or
+    // re-distincts the existing adjacency, so append time should stay
+    // ~flat as the indexed corpus (and its edge table) grows with mult.
+    if (only.isEmpty || only("nsw_append")) {
+      val nswBase = graft.ops.Similarity.buildNswGraph(embs,
+        nCenters = 16 * mult)
+      nswBase.edges.count() // force the pinned build outside the probe
+      val batch = embBase.filter(col("vec_id") % 100 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(900_000_000L))
+        .localCheckpoint(true)
+      var nswApp: graft.ops.Similarity.NswIndex = null
+      probe("nsw_append") {
+        nswApp = graft.ops.Similarity.nswAppend(nswBase, batch, embs)
+        nswApp.edges
+      }
+      if (nswApp != null) nswApp.edges.unpersist()
+      nswBase.release()
+    }
+    // PQ tier: append = assign-to-cells + PQ-encode against the FROZEN
+    // codebooks — both batch-sized (subvector scoring is batch ×
+    // codebook entries); the union/pin term is the only index-sized
+    // input and it is narrow code rows, so time should stay ~flat too.
+    if (only.isEmpty || only("ivfpq_append")) {
+      val pqBase = graft.ops.Similarity.buildIvfPqIndex(embs,
+        nCenters = 16)
+      val batch = embBase.withColumn("vec_id",
+        col("vec_id") + lit(900_000_000L))
+      var pqApp: graft.ops.Similarity.IvfPqIndex = null
+      probe("ivfpq_append") {
+        pqApp = graft.ops.Similarity.ivfPqAppend(pqBase, batch)
+        pqApp.cells
+      }
+      if (pqApp != null) pqApp.cells.unpersist()
+      pqBase.release()
+    }
+
     // round-7e: normalize/winsorize DEFAULTS (GK sketch) on the same
     // all-distinct doubles regime as the robust-stats probes — task
     // memory O(accuracy) whatever the cardinality; time scan-linear
