@@ -1282,9 +1282,12 @@ object SparkEntry {
       // sketched distinct via the partial-sketch -> merge path, in the
       // KMV EXACT-BELOW-K regime (ops.Sketches.kmvPartials/kmvMerge):
       // per-(type, day) bottom-k sketches of the 60-bit md5 key lattice,
-      // merged per type with k = 4096 >= NDV, so the sketch holds every
-      // distinct hash, every published field is an integer, and the
-      // DuckDB oracle replays them exactly (count distinct + max hash).
+      // merged per type with k = 4096 > NDV at gate SFs, so the sketch
+      // holds every distinct hash and every published field is an
+      // integer. The oracle replays the bottom-k CONSTRUCTION itself
+      // (row_number <= k over the hash order + the HUGEINT estimator),
+      // so it stays hash-exact in every regime — including the
+      // NDV == k boundary, where the op answers with the estimator.
       // The same code path at k < NDV is the Beyer et al. estimator
       // (spec-pinned, Round9bOpsSpec); HLL (hllPartials/hllMerge) stays
       // the at-scale default when NDV >> k — sketch-defined floats, so
@@ -7494,15 +7497,29 @@ GROUP BY d0.doc_id"""
     // kth_hash60 = the max hash, approx_distinct = the exact count —
     // all engine-replayable integers (distinct-by-hash on both sides,
     // so even a 60-bit collision could not diverge op from oracle)
+    // replays the bottom-k SKETCH itself (row_number <= k over the hash
+    // order), so the oracle is total: exact regime (NDV < k), the
+    // NDV == k boundary, and the estimator regime all hash-match —
+    // estimator as HUGEINT floor-div, kth == 0 guarded like the op
     "q_sketch_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
         |         AS BIGINT) AS h
-        |  FROM events WHERE user_id IS NOT NULL)
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+        |  FROM h)
         |SELECT event_type, CAST(count(*) AS INTEGER) AS k_eff,
-        |  max(h) AS kth_hash60, CAST(count(*) AS BIGINT) AS approx_distinct
-        |FROM h GROUP BY event_type""".stripMargin,
+        |  max(h) AS kth_hash60,
+        |  CASE WHEN count(*) < 4096 OR max(h) = 0
+        |       THEN CAST(count(*) AS BIGINT)
+        |       ELSE CAST(CAST(4095 AS HUGEINT)
+        |         * CAST(1152921504606846976 AS HUGEINT)
+        |         // CAST(max(h) AS HUGEINT) AS BIGINT)
+        |  END AS approx_distinct
+        |FROM b WHERE r <= 4096
+        |GROUP BY event_type""".stripMargin,
 
     // capacity >= |distinct items per group| at verify scale => MG counts
     // are provably exact, so the oracle is the exact two-stage top-k

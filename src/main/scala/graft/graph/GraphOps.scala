@@ -173,8 +173,11 @@ object GraphOps {
       "scale must be a positive multiple of 20 (0.15·S must be integral)"))
     val fixed = scale.isDefined
     // guard 1: weights integral (checked in double space, so also < 2^53
-    // where that check is itself exact) and strictly positive (a zero
-    // weight can zero a source's out-degree and divide by it)
+    // where that check is itself exact) and non-negative. The division
+    // hazard is NOT a zero weight per se (a zero edge alongside positive
+    // siblings contributes 0 and cannot zero the source's out-degree) —
+    // it is an ALL-zero out-degree source, so that is what's guarded:
+    // min per-source weighted out-degree must be strictly positive.
     val maxW: Long =
       if (!fixed) 1L
       else {
@@ -183,8 +186,8 @@ object GraphOps {
           max(col("w").cast("double")), min(col("w").cast("double"))).head()
         if (c.isNullAt(0)) 1L // empty edge list: nothing to overflow
         else {
-          require(c.getDouble(2) > 0d, "fixed-point rank mode requires " +
-            s"strictly positive weights (min w = ${c.getDouble(2)})")
+          require(c.getDouble(2) >= 0d, "fixed-point rank mode requires " +
+            s"non-negative weights (min w = ${c.getDouble(2)})")
           require(c.getDouble(1) < 9007199254740992d, // 2^53
             s"fixed-point rank mode requires weights < 2^53 " +
               s"(max w = ${c.getDouble(1)})")
@@ -192,6 +195,12 @@ object GraphOps {
             "integer-valued weights (a fractional weight would be " +
             "silently truncated by the long cast) — scale the weights " +
             "onto the integer lattice first")
+          val minDeg = wedges.groupBy("src")
+            .agg(sum(col("w").cast("double")).as("_wd"))
+            .agg(min(col("_wd"))).head().getDouble(0)
+          require(minDeg > 0d, "fixed-point rank mode requires every " +
+            s"source's weighted out-degree > 0 (min out-degree = $minDeg " +
+            "— an all-zero-out-degree source would divide by zero)")
           c.getDouble(1).toLong
         }
       }

@@ -68,18 +68,38 @@ object IndexStore {
   }
 
   def readMinhashIndex(spark: SparkSession, prefix: String): Dedup.MinHashIndex = {
+    val buckets = spark.table(s"${prefix}_buckets")
+    val sigs = spark.table(s"${prefix}_sigs")
     // indexes persisted before the meta table existed carry no recorded
-    // parameters — fall back to the build defaults they were necessarily
-    // written with (5/128/32 were the only defaults ever shipped), so a
-    // pre-upgrade artifact stays loadable
+    // parameters — the build defaults (5/128/32) were the only defaults
+    // ever shipped, but a pre-upgrade artifact persisted with OVERRIDES
+    // would reload with wrong banding and probe silently wrong/empty, so
+    // the guess is VALIDATED against the artifact itself (signature width
+    // must equal numHashes; band ids must fit the band count) and the
+    // load fails loudly on mismatch instead of assuming
     val (k, n, b) =
       if (spark.catalog.tableExists(s"${prefix}_meta")) {
         val m = spark.table(s"${prefix}_meta").head()
         (m.getAs[Int]("shingle_k"), m.getAs[Int]("num_hashes"),
           m.getAs[Int]("bands"))
-      } else (5, 128, 32)
-    Dedup.MinHashIndex(spark.table(s"${prefix}_buckets"),
-      spark.table(s"${prefix}_sigs"), k, n, b)
+      } else {
+        import org.apache.spark.sql.functions.{col, countDistinct, size}
+        val sigW = sigs.select(size(col("sig")).as("_w"))
+          .limit(1).collect().headOption.map(_.getInt(0))
+        // every doc fans out to ALL its bands, so a non-empty bucket
+        // table observes exactly `bands` distinct band ids — this
+        // catches overridden bandings in BOTH directions (more bands
+        // than 32 and fewer), where a max-id check would miss the latter
+        val nBands = buckets.agg(countDistinct(col("band"))).head().getLong(0)
+        require(sigW.forall(_ == 128) && (nBands == 0L || nBands == 32L),
+          s"minhash index '$prefix' has no parameter meta table and does " +
+            s"not match the shipped defaults (numHashes=128, bands=32): " +
+            s"signature width=$sigW, observed bands=$nBands — re-persist " +
+            "it with writeMinhashIndex to record its build parameters " +
+            "(shingleK cannot be recovered from the artifact)")
+        (5, 128, 32)
+      }
+    Dedup.MinHashIndex(buckets, sigs, k, n, b)
   }
 
   // --- IVF index (float and quantized cells) -----------------------------

@@ -134,9 +134,14 @@ object Sketches {
     *   - `k_eff`           |sketch| = min(k, distinct hashes seen)
     *   - `kth_hash60`      the largest sketch hash (threshold U·2⁶⁰)
     *   - `approx_distinct` k_eff when k_eff < k (EXACT: the sketch holds
-    *                       every distinct hash); else the Beyer et al.
+    *                       every distinct hash — so the exact regime is
+    *                       NDV < k; at NDV == k the sketch is full and
+    *                       indistinguishable from NDV > k, so the
+    *                       estimator answers); else the Beyer et al.
     *                       estimator floor((k−1)·2⁶⁰ / kth_hash60),
-    *                       computed in DECIMAL so it cannot overflow.
+    *                       computed in DECIMAL so it cannot overflow,
+    *                       with the streaming twin's kth == 0 guard
+    *                       (degenerate all-zero-hash sketch → k_eff).
     *
     * 60-bit hashing keeps collision odds negligible below ~10⁹ distinct
     * keys ([[overlapEstimate]]'s convention); null values are skipped on
@@ -152,7 +157,8 @@ object Sketches {
       .withColumn("k_eff", size(col("_kmv")))
       .withColumn("kth_hash60", element_at(col("_kmv"), -1))
       .withColumn("approx_distinct",
-        when(col("k_eff") < k, col("k_eff").cast("long"))
+        when(col("k_eff") < k || col("kth_hash60") === 0L,
+          col("k_eff").cast("long"))
           .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
             "CAST(1152921504606846976 AS DECIMAL(38,0))) DIV " +
             "CAST(kth_hash60 AS DECIMAL(38,0)) AS BIGINT)")))

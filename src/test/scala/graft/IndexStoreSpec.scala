@@ -63,6 +63,26 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == back)
   }
 
+  test("pre-meta MinHash artifact: default-parameter index reloads with " +
+      "validated defaults; an overridden index fails loudly") {
+    // a default-parameter artifact whose meta table is gone (pre-upgrade
+    // layout): the fallback guess must be VALIDATED against the artifact
+    val idx = Dedup.buildMinhashIndex(docs)
+    IndexStore.writeMinhashIndex(idx, "mh_premeta", buckets = 4)
+    spark.sql("DROP TABLE mh_premeta_meta")
+    val back = IndexStore.readMinhashIndex(spark, "mh_premeta")
+    assert((back.shingleK, back.numHashes, back.bands) === ((5, 128, 32)))
+    // an OVERRIDDEN pre-meta artifact must refuse to load with guessed
+    // banding (the silent-mismatch class the meta table eliminates)
+    val odd = Dedup.buildMinhashIndex(docs, numHashes = 64, bands = 16)
+    IndexStore.writeMinhashIndex(odd, "mh_premeta_odd", buckets = 4)
+    spark.sql("DROP TABLE mh_premeta_odd_meta")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.readMinhashIndex(spark, "mh_premeta_odd")
+    }
+    assert(e.getMessage.contains("re-persist"))
+  }
+
   test("IVF index round-trips; ivfProbe identical; cells side reads pre-shuffled") {
     val idx = Similarity.buildIvfIndex(vecs, nCenters = 4, iters = 2)
     IndexStore.writeIvfIndex(idx, "ivf_idx", buckets = 4)
