@@ -834,19 +834,20 @@ object SparkEntry {
       // MinHash-LSH near-dup pairs in the STAGED-FORM certification:
       // numHashes = 0 / bands = 1 puts every pair of the 1-in-10 sample
       // into one bucket, so the band-join/dedup/verify code path must
-      // equal exact all-pairs shingle-Jaccard — replayed in SQL over the
-      // same distinct char-5-gram sets, threshold 0.25 as the integer
-      // cross-multiply 4·inter >= union (a ratio that lands exactly on
-      // 0.25 is IEEE-exact, so the double filter and the integer filter
-      // agree). Pairs only ride the hash: the kernel dedups shingles by
-      // 32-bit hash, the oracle by string — equal unless a 5-gram
-      // collision lands inside a near-threshold pair (P < 1e-4 per
-      // corpus at these set sizes; exact at both gate SFs). Deployment
-      // parameters (128 hashes / 32 bands, full corpus) remain on
-      // q_dedup_minhash_clusters/_incr and the recall specs.
+      // equal exact all-pairs shingle-Jaccard — replayed in SQL over
+      // IDENTICAL shingle sets: the md5 shingle seam
+      // (CorpusKernels.shingleHashesMd5) hashes each char-5-gram with
+      // md5, and the oracle recomputes the same hash and dedups by IT,
+      // so op and oracle agree by CONSTRUCTION (collisions collapse
+      // identically on both sides — no probability argument). Threshold
+      // 0.25 as the integer cross-multiply 4·inter >= union (a ratio
+      // that lands exactly on 0.25 is IEEE-exact, so the double filter
+      // and the integer filter agree). Deployment parameters (murmur
+      // hashing, 128 hashes / 32 bands, full corpus) remain on the
+      // recall specs.
       graft.ops.Dedup.minhashLsh(
         par(s, t(s, d, "documents")).filter(col("doc_id") % 10 === 0),
-        threshold = 0.25, numHashes = 0, bands = 1)
+        threshold = 0.25, numHashes = 0, bands = 1, md5Seam = true)
         .select("id_a", "id_b")
     }),
 
@@ -1302,16 +1303,17 @@ object SparkEntry {
 
     "q_dedup_minhash_clusters" -> ((s, d) => {
       // LSH pairs -> connected components -> canonical doc per cluster,
-      // in the q_dedup_minhash STAGED FORM (numHashes = 0 / bands = 1 on
-      // the 1-in-10 sample): the pair set equals exact all-pairs
-      // char-5-gram Jaccard, so the CC + canonical labeling rides an
-      // exact recursive min-label oracle through the REAL clusters code
-      // path (minhashLsh -> ConnectedComponents -> is_canonical).
-      // Deployment blocking stays covered by q_dedup_minhash_incr and
-      // the recall specs.
+      // in the q_dedup_minhash STAGED FORM (numHashes = 0 / bands = 1 /
+      // md5 shingle seam on the 1-in-10 sample): the pair set equals
+      // exact all-pairs Jaccard over CONSTRUCTION-identical md5 shingle
+      // sets, so the CC + canonical labeling rides an exact recursive
+      // min-label oracle through the REAL clusters code path
+      // (minhashLsh -> ConnectedComponents -> is_canonical). Deployment
+      // blocking stays covered by q_dedup_minhash_incr and the recall
+      // specs.
       graft.ops.Dedup.clusters(
         par(s, t(s, d, "documents")).filter(col("doc_id") % 10 === 0),
-        threshold = 0.25, numHashes = 0, bands = 1)
+        threshold = 0.25, numHashes = 0, bands = 1, md5Seam = true)
     }),
 
     "q_dedup_clusters" -> ((s, d) => {
@@ -2011,13 +2013,14 @@ object SparkEntry {
     "q_split_leakage" -> ((s, d) => {
       // split-leakage audit (ops.Pipelines.auditSplitLeakage): near-dup
       // pairs crossing the deterministic hash-split boundary. STAGED
-      // FORM (numHashes = 0 / bands = 1 through auditSplitLeakage's own
-      // lsh params): the pair stage equals exact all-pairs char-5-gram
-      // Jaccard >= 0.8 on the 1-in-10 sample, so the audit — pair set,
-      // split labels, boundary filter — rides an exact oracle through
-      // the REAL composition. Planted near-dups (tweaked tails, NEGATED
-      // ids so they can never collide with real ids) guarantee a
-      // non-empty audit; jaccard floor-scaled to the u6 lattice.
+      // FORM (numHashes = 0 / bands = 1 / md5 shingle seam through
+      // auditSplitLeakage's own lsh params): the pair stage equals exact
+      // all-pairs Jaccard >= 0.8 over construction-identical md5 shingle
+      // sets on the 1-in-10 sample, so the audit — pair set, split
+      // labels, boundary filter — rides an exact oracle through the REAL
+      // composition. Planted near-dups (tweaked tails, NEGATED ids so
+      // they can never collide with real ids) guarantee a non-empty
+      // audit; jaccard floor-scaled to the u6 lattice.
       val docs = par(s, t(s, d, "documents"))
         .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
       val planted = docs
@@ -2026,7 +2029,7 @@ object SparkEntry {
       val corpus = docs.union(planted)
         .withColumn("split", graft.ops.CorpusOps.hashSplit("doc_id"))
       graft.ops.Pipelines.auditSplitLeakage(corpus, threshold = 0.8,
-        numHashes = 0, bands = 1)
+        numHashes = 0, bands = 1, md5Seam = true)
         .select(col("id_a"), col("id_b"),
           floor(col("jaccard") * 1e6).cast("long").as("jaccard_u6"),
           col("split_a"), col("split_b"))
@@ -2211,18 +2214,20 @@ object SparkEntry {
       // docs the arriving batch — the daily-ingest near-dup gate. The
       // index's two tables mirror the deployment shape (band buckets
       // without signature replication; signatures joined per-candidate
-      // only). STAGED FORM (numHashes = 0 / bands = 1, the q_dedup_minhash
-      // seam): one global bucket admits every cross pair, so the result
-      // equals exact cross-axis char-5-gram Jaccard >= 0.5 and rides an
-      // exact oracle through the REAL index+probe code path. The batch
-      // side is capped at doc_id < 1000 so the all-pairs verify stays
-      // bounded at every SF; deployment banding recall is pinned by
-      // Round5bOpsSpec (equivalence with corpus-wide LSH on the cross
-      // axis).
+      // only). STAGED FORM (numHashes = 0 / bands = 1 / md5 shingle
+      // seam, the q_dedup_minhash convention): one global bucket admits
+      // every cross pair, so the result equals exact cross-axis Jaccard
+      // >= 0.5 over construction-identical md5 shingle sets and rides an
+      // exact oracle through the REAL index+probe code path (the seam
+      // travels ON the index, like the banding). The batch side is
+      // capped at doc_id < 1000 so the all-pairs verify stays bounded at
+      // every SF; deployment banding recall is pinned by Round5bOpsSpec
+      // (equivalence with corpus-wide LSH on the cross axis).
       val docs = par(s, t(s, d, "documents"))
       val half = 250
       val idx = graft.ops.Dedup.buildMinhashIndex(
-        docs.filter(col("doc_id") < half), numHashes = 0, bands = 1)
+        docs.filter(col("doc_id") < half), numHashes = 0, bands = 1,
+        md5Seam = true)
       graft.ops.Dedup.nearDupAgainstIndex(idx,
         docs.filter(col("doc_id") >= half && col("doc_id") < 1000),
         threshold = 0.5) // banding read from the index itself
@@ -4283,11 +4288,15 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // q_dedup_minhash's staged pair set + the q_dedup_clusters
-    // min-label recursive closure, over the sample universe
+    // min-label recursive closure, over the sample universe; shingles
+    // dedup by the SAME md5-32 hash the op's seam computes, so the sets
+    // are construction-identical (no collision caveat)
     "q_dedup_minhash_clusters" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-        |sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |sh AS (SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8))
+        |      AS BIGINT) AS s
         |  FROM d, LATERAL (SELECT unnest(generate_series(1,
         |    len(text) - 4)) AS i) g),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -4319,12 +4328,15 @@ object SparkEntry {
         |GROUP BY d.doc_id""".stripMargin,
 
     // the minhashLsh staged form: one global bucket admits every sample
-    // pair, exact-jaccard verify == all-pairs distinct char-5-gram
-    // Jaccard, threshold 0.25 as 4·inter >= |A|+|B|−inter
+    // pair, exact-jaccard verify == all-pairs Jaccard over md5-32
+    // shingle hash sets (the op's seam hash, recomputed here — sets are
+    // identical by construction), threshold 0.25 as 4·inter >= |A|+|B|−inter
     "q_dedup_minhash" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           WHERE doc_id % 10 = 0),
-        |sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |sh AS (SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8))
+        |      AS BIGINT) AS s
         |  FROM d, LATERAL (SELECT unnest(generate_series(1,
         |    len(text) - 4)) AS i) g),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -4345,17 +4357,20 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id""".stripMargin,
 
     // the staged index+probe form: one global bucket admits every
-    // (batch, corpus) pair, exact-jaccard verify == cross-axis distinct
-    // char-5-gram Jaccard; threshold 0.5 as the integer cross-multiply
+    // (batch, corpus) pair, exact-jaccard verify == cross-axis Jaccard
+    // over md5-32 shingle hash sets (the op's seam hash — identical sets
+    // by construction); threshold 0.5 as the integer cross-multiply
     // (2·inter >= union, exactly the double predicate for any real
     // corpus size), jaccard_u6 replayed divide-then-scale like the op
     "q_dedup_minhash_incr" ->
       """WITH csh AS MATERIALIZED (SELECT DISTINCT doc_id,
-        |    substr(text, i, 5) AS s
+        |    CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8))
+        |      AS BIGINT) AS s
         |  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 250) c,
         |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
         |bsh AS MATERIALIZED (SELECT DISTINCT doc_id,
-        |    substr(text, i, 5) AS s
+        |    CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8))
+        |      AS BIGINT) AS s
         |  FROM (SELECT doc_id, text FROM documents
         |        WHERE doc_id >= 250 AND doc_id < 1000) b,
         |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
@@ -4386,8 +4401,10 @@ object SparkEntry {
 
     // the staged auditSplitLeakage form: exact all-pairs Jaccard >= 0.8
     // (5·inter >= 4·union — exactly the double predicate) over the
-    // sampled+planted corpus, then the md5-4-hex split lattice and the
-    // boundary filter — the full audit composition replayed
+    // sampled+planted corpus with md5-32 shingle hash sets (the op's
+    // seam hash — identical sets by construction), then the md5-4-hex
+    // split lattice and the boundary filter — the full audit composition
+    // replayed
     "q_split_leakage" ->
       """WITH base AS (SELECT doc_id, text FROM documents
         |              WHERE doc_id % 10 = 0),
@@ -4403,7 +4420,9 @@ object SparkEntry {
         |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
         |        AS BIGINT) % 100 AS b
         |    FROM corpus) t),
-        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8))
+        |      AS BIGINT) AS s
         |  FROM corpus,
         |  LATERAL (SELECT unnest(generate_series(1, len(text) - 4)) AS i) g),
         |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh

@@ -233,6 +233,45 @@ case class SortedShingles(child: Expression, k: Int)
   override def prettyName: String = "sorted_shingles"
 }
 
+/** [[SortedShingles]] with md5-derived gram hashes
+  * ([[CorpusKernels.shingleHashesMd5]], unsigned 32-bit values in Longs)
+  * — the minhash family's certification seam: a SQL oracle recomputes
+  * the same hash per k-gram from `md5()` and dedups by IT, so op and
+  * oracle shingle sets are identical by construction. Production keeps
+  * the MurmurHash3 [[SortedShingles]].
+  */
+case class SortedShinglesMd5(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(CorpusKernels.shingleHashesMd5(
+      input.asInstanceOf[UTF8String].toString, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.CorpusKernels.shingleHashesMd5($c.toString(), $k))")
+  override protected def withNewChildInternal(c: Expression): SortedShinglesMd5 =
+    copy(child = c)
+  override def prettyName: String = "sorted_shingles_md5"
+}
+
+/** Jaccard of two pre-sorted distinct long arrays (merge intersection) —
+  * the md5-seam twin of [[JaccardSortedArrays]].
+  */
+case class JaccardSortedLongArrays(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CorpusKernels.jaccardSortedLongArrays(
+      l.asInstanceOf[ArrayData].toLongArray(), r.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.CorpusKernels.jaccardSortedLongArrays($l.toLongArray(), $r.toLongArray())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedLongArrays =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted_long_arrays"
+}
+
 /** Jaccard of two pre-sorted distinct int arrays (merge intersection). */
 case class JaccardSortedArrays(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -351,10 +390,14 @@ object CorpusFunctions {
     column(JaccardCharShingles(expression(a), expression(b), k))
   def word_shingles(c: Column, n: Int = 3): Column =
     column(WordShingles(expression(c), n))
-  def sorted_shingles(c: Column, k: Int = 5): Column =
-    column(SortedShingles(expression(c), k))
-  def jaccard_sorted_arrays(a: Column, b: Column): Column =
-    column(JaccardSortedArrays(expression(a), expression(b)))
+  def sorted_shingles(c: Column, k: Int = 5,
+                      md5Seam: Boolean = false): Column =
+    if (md5Seam) column(SortedShinglesMd5(expression(c), k))
+    else column(SortedShingles(expression(c), k))
+  def jaccard_sorted_arrays(a: Column, b: Column,
+                            md5Seam: Boolean = false): Column =
+    if (md5Seam) column(JaccardSortedLongArrays(expression(a), expression(b)))
+    else column(JaccardSortedArrays(expression(a), expression(b)))
   def sig_agreement(a: Column, b: Column): Column =
     column(SigAgreement(expression(a), expression(b)))
   def cosine_sim(a: Column, b: Column): Column =

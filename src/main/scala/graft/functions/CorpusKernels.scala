@@ -36,6 +36,33 @@ object CorpusKernels {
     java.util.Arrays.copyOf(out, w)
   }
 
+  /** [[shingleHashes]] with md5-derived gram hashes ([[md5Hash32]],
+    * unsigned 32-bit values carried in Longs) — the minhash family's
+    * certification seam: a SQL engine with `md5()` recomputes the SAME
+    * hash per k-gram and dedups by IT, so op and oracle operate on
+    * literally identical shingle sets (collisions collapse identically
+    * on both sides — a construction, not a probability argument).
+    * Production shingling stays on the MurmurHash3 [[shingleHashes]].
+    */
+  def shingleHashesMd5(text: String, k: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = md5Hash32(text.substring(i, i + k))
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
   /** Word n-gram shingle hashes (whitespace tokens), sorted distinct. */
   def wordShingleHashes(text: String, n: Int): Array[Int] = {
     if (text == null) return Array.empty
@@ -134,6 +161,21 @@ object CorpusKernels {
   def sortedShingles(text: String, k: Int): Array[Int] = shingleHashes(text, k)
 
   private def jaccardSorted(sa: Array[Int], sb: Array[Int]): Double = {
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
+  }
+
+  /** [[jaccardSortedArrays]] over Long arrays — the md5-seam shingle
+    * sets' verify step ([[shingleHashesMd5]]).
+    */
+  def jaccardSortedLongArrays(sa: Array[Long], sb: Array[Long]): Double = {
     if (sa.isEmpty && sb.isEmpty) return 1.0
     if (sa.isEmpty || sb.isEmpty) return 0.0
     var i = 0; var j = 0; var inter = 0

@@ -256,18 +256,26 @@ object Dedup {
     * [[Similarity.cosinePairs]]). Deployment always uses
     * numHashes ≥ bands ≥ 1.
     *
+    * `md5Seam = true` switches the shingle hash to the md5-derived
+    * certification seam ([[graft.functions.CorpusKernels
+    * .shingleHashesMd5]]): the oracle recomputes the SAME per-gram hash
+    * from `md5()` and dedups by it, so op and oracle verify over
+    * IDENTICAL shingle sets by construction (no hash-collision
+    * probability argument). Production keeps the MurmurHash3 default.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
                  shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 md5Seam: Boolean = false): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // one narrow pass per doc: signature + sorted shingle set (verification
-    // is then a merge over int arrays — the text is never re-hashed)
+    // is then a merge over hash arrays — the text is never re-hashed)
     val sig = docs.select(col(idCol).as("_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("_sig"),
-      sorted_shingles(col(textCol), shingleK).as("_sh"))
+      sorted_shingles(col(textCol), shingleK, md5Seam).as("_sh"))
 
     // fan out band keys: (band_idx, hash(slice)) — bands is a plan-time
     // constant, so the key array is built statically (pure codegen'd exprs)
@@ -301,7 +309,8 @@ object Dedup {
       else verified.filter(
         sig_agreement(col("_sig_a"), col("_sig_b")) >= threshold - margin)
     pruned
-      .withColumn("jaccard", jaccard_sorted_arrays(col("_sh_a"), col("_sh_b")))
+      .withColumn("jaccard",
+        jaccard_sorted_arrays(col("_sh_a"), col("_sh_b"), md5Seam))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -327,24 +336,29 @@ object Dedup {
     * candidate sets). [[IndexStore]] persists them alongside the tables.
     */
   case class MinHashIndex(buckets: DataFrame, sigs: DataFrame,
-                          shingleK: Int, numHashes: Int, bands: Int) {
+                          shingleK: Int, numHashes: Int, bands: Int,
+                          md5Seam: Boolean = false) {
     require(bands > 0 && (numHashes == 0 || numHashes % bands == 0),
       s"bands ($bands) must divide numHashes ($numHashes)")
   }
 
   /** Build the [[MinHashIndex]] of a corpus (one narrow signature pass +
     * a static band fan-out — no shuffle; partitioning happens when the
-    * caller persists the two tables).
+    * caller persists the two tables). `md5Seam` follows [[minhashLsh]]'s
+    * convention and — like the banding — is RECORDED on the index, so a
+    * probe can never verify a batch with a different shingle hash than
+    * the corpus was shingled with.
     */
   def buildMinhashIndex(docs: DataFrame, shingleK: Int = 5,
                         numHashes: Int = 128, bands: Int = 32,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): MinHashIndex = {
+                        textCol: String = "text",
+                        md5Seam: Boolean = false): MinHashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = docs.select(col(idCol).as("doc_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("sig"),
-      sorted_shingles(col(textCol), shingleK).as("shingles"))
+      sorted_shingles(col(textCol), shingleK, md5Seam).as("shingles"))
     // numHashes = 0 is [[minhashLsh]]'s staged-form seam: one global
     // bucket, so probing the index is exact all-pairs verification —
     // the cross-axis twin of the oracle certification there
@@ -355,7 +369,7 @@ object Dedup {
     val buckets = sigs.select(col("doc_id"),
       posexplode(bandKeys).as(Seq("band", "bucket")))
       .select("band", "bucket", "doc_id")
-    MinHashIndex(buckets, sigs, shingleK, numHashes, bands)
+    MinHashIndex(buckets, sigs, shingleK, numHashes, bands, md5Seam)
   }
 
   /** Incremental (cross-batch) NEAR-dup: every batch doc within `threshold`
@@ -384,10 +398,11 @@ object Dedup {
     val shingleK = index.shingleK
     val numHashes = index.numHashes
     val bands = index.bands
+    val md5Seam = index.md5Seam
     val rowsPerBand = numHashes / bands
     val bsig = batch.select(col(idCol).as("batch_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("_bsig"),
-      sorted_shingles(col(textCol), shingleK).as("_bsh"))
+      sorted_shingles(col(textCol), shingleK, md5Seam).as("_bsh"))
     // the numHashes = 0 staged seam mirrors [[buildMinhashIndex]]'s:
     // every batch doc probes the one global bucket and there is no
     // signature to estimate, so the result is exact cross-axis Jaccard
@@ -414,7 +429,8 @@ object Dedup {
           sig_agreement(col("_bsig"), col("_csig")) >= threshold - margin)
       }
     pruned
-      .withColumn("jaccard", jaccard_sorted_arrays(col("_bsh"), col("_csh")))
+      .withColumn("jaccard",
+        jaccard_sorted_arrays(col("_bsh"), col("_csh"), md5Seam))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")
   }
@@ -1283,9 +1299,11 @@ object Dedup {
     */
   def clusters(docs: DataFrame, threshold: Double = 0.8, shingleK: Int = 5,
                numHashes: Int = 128, bands: Int = 32,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+               idCol: String = "doc_id", textCol: String = "text",
+               md5Seam: Boolean = false): DataFrame =
     clustersFromPairs(docs,
-      minhashLsh(docs, threshold, shingleK, numHashes, bands, idCol, textCol),
+      minhashLsh(docs, threshold, shingleK, numHashes, bands, idCol,
+        textCol, md5Seam),
       idCol)
 
   /** Connected-components clustering over an arbitrary near-dup pair set

@@ -62,8 +62,8 @@ object IndexStore {
     val spark = index.buckets.sparkSession
     import spark.implicits._
     writeSmallTable(
-      Seq((index.shingleK, index.numHashes, index.bands))
-        .toDF("shingle_k", "num_hashes", "bands"),
+      Seq((index.shingleK, index.numHashes, index.bands, index.md5Seam))
+        .toDF("shingle_k", "num_hashes", "bands", "md5_seam"),
       s"${prefix}_meta", path)
   }
 
@@ -77,11 +77,16 @@ object IndexStore {
     // the guess is VALIDATED against the artifact itself (signature width
     // must equal numHashes; band ids must fit the band count) and the
     // load fails loudly on mismatch instead of assuming
-    val (k, n, b) =
+    val (k, n, b, seam) =
       if (spark.catalog.tableExists(s"${prefix}_meta")) {
-        val m = spark.table(s"${prefix}_meta").head()
+        val meta = spark.table(s"${prefix}_meta")
+        val m = meta.head()
+        // metas written before the md5_seam column existed are always
+        // production murmur indexes (the seam did not exist yet)
+        val seam = meta.columns.contains("md5_seam") &&
+          m.getAs[Boolean]("md5_seam")
         (m.getAs[Int]("shingle_k"), m.getAs[Int]("num_hashes"),
-          m.getAs[Int]("bands"))
+          m.getAs[Int]("bands"), seam)
       } else {
         import org.apache.spark.sql.functions.{col, countDistinct, size}
         val sigW = sigs.select(size(col("sig")).as("_w"))
@@ -97,9 +102,9 @@ object IndexStore {
             s"signature width=$sigW, observed bands=$nBands — re-persist " +
             "it with writeMinhashIndex to record its build parameters " +
             "(shingleK cannot be recovered from the artifact)")
-        (5, 128, 32)
+        (5, 128, 32, false)
       }
-    Dedup.MinHashIndex(buckets, sigs, k, n, b)
+    Dedup.MinHashIndex(buckets, sigs, k, n, b, seam)
   }
 
   // --- IVF index (float and quantized cells) -----------------------------

@@ -498,6 +498,12 @@ object Pipelines {
         s"bands=$bands) does not match the state's index " +
         s"(${state.minhash.shingleK}, ${state.minhash.numHashes}, " +
         s"${state.minhash.bands})")
+    // curateBatch always shingles arriving batches with the production
+    // MurmurHash3 hash — a state whose index was built on the md5
+    // certification seam would silently mix hash lattices on union
+    require(!state.minhash.md5Seam,
+      "curateBatch requires a production (MurmurHash3) minhash index; " +
+        "the md5 certification seam is for contract oracles only")
     val nearNew = stage("near-dedup-incremental", nearBatch.join(
       Dedup.nearDupAgainstIndex(state.minhash, nearBatch,
         nearDupThreshold, idCol, textCol)
@@ -553,7 +559,7 @@ object Pipelines {
         state.minhash.buckets.union(admittedIdx.minhash.buckets),
         state.minhash.sigs.union(admittedIdx.minhash.sigs),
         state.minhash.shingleK, state.minhash.numHashes,
-        state.minhash.bands),
+        state.minhash.bands, state.minhash.md5Seam),
       (state.urls, admittedIdx.urls) match {
         case (Some(a), Some(b)) => Some(a.union(b).distinct())
         case (a, b) => a.orElse(b)
@@ -588,7 +594,8 @@ object Pipelines {
                         threshold: Double = 0.7, shingleK: Int = 5,
                         numHashes: Int = 128, bands: Int = 32,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        md5Seam: Boolean = false): DataFrame = {
     // the corpus is referenced five times downstream (three in the pair
     // generator, two label joins) and Catalyst has no cross-branch scan
     // reuse — pin the narrow projection once (the semanticDedup
@@ -596,7 +603,7 @@ object Pipelines {
     val pinned = docs.select(col(idCol), col(textCol), col(splitCol))
       .localCheckpoint(true)
     val pairs = Dedup.minhashLsh(pinned, threshold, shingleK, numHashes,
-      bands, idCol, textCol)
+      bands, idCol, textCol, md5Seam)
     val lab = pinned.select(col(idCol), col(splitCol))
     pairs
       .join(lab.select(col(idCol).as("id_a"), col(splitCol).as("split_a")),

@@ -63,6 +63,26 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == back)
   }
 
+  test("MinHash meta round-trips the md5-seam flag; pre-seam metas read " +
+      "as production murmur") {
+    val seamed = Dedup.buildMinhashIndex(docs, numHashes = 0, bands = 1,
+      md5Seam = true)
+    IndexStore.writeMinhashIndex(seamed, "mh_seam", buckets = 4)
+    val back = IndexStore.readMinhashIndex(spark, "mh_seam")
+    assert(back.md5Seam && back.numHashes === 0 && back.bands === 1)
+    // a meta written before the md5_seam column existed (simulated by
+    // re-persisting without the column) must read as the production
+    // murmur index it was
+    val legacy = spark.table("mh_seam_meta")
+      .select("shingle_k", "num_hashes", "bands").collect().toSeq
+    spark.sql("DROP TABLE mh_seam_meta")
+    import spark.implicits._
+    legacy.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .toDF("shingle_k", "num_hashes", "bands")
+      .write.saveAsTable("mh_seam_meta")
+    assert(!IndexStore.readMinhashIndex(spark, "mh_seam").md5Seam)
+  }
+
   test("pre-meta MinHash artifact: default-parameter index reloads with " +
       "validated defaults; an overridden index fails loudly") {
     // a default-parameter artifact whose meta table is gone (pre-upgrade

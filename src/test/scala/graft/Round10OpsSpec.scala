@@ -40,6 +40,60 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("out-degree"))
   }
 
+  test("shingleHashesMd5 golden: first 4 md5 bytes per char k-gram, " +
+      "sorted distinct, unsigned in Long") {
+    import graft.functions.CorpusKernels
+    def ref(text: String, k: Int): Array[Long] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      (0 to text.length - k).map { i =>
+        val b = d.digest(text.substring(i, i + k).getBytes("UTF-8"))
+        ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+          ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      }.distinct.sorted.toArray
+    }
+    val s = "the quick brown fox jumps over the lazy dog"
+    assert(CorpusKernels.shingleHashesMd5(s, 5).toSeq === ref(s, 5).toSeq)
+    assert(CorpusKernels.shingleHashesMd5("abc", 5).isEmpty)
+    assert(CorpusKernels.shingleHashesMd5(null, 5).isEmpty)
+    // values are unsigned 32-bit: non-negative, < 2^32
+    assert(CorpusKernels.shingleHashesMd5(s, 5)
+      .forall(h => h >= 0L && h < (1L << 32)))
+    // jaccard twin agrees with the int-array kernel's semantics
+    assert(CorpusKernels.jaccardSortedLongArrays(
+      Array.empty[Long], Array.empty[Long]) === 1.0)
+    assert(CorpusKernels.jaccardSortedLongArrays(
+      Array(1L, 2L, 3L), Array(2L, 3L, 4L)) === 0.5)
+  }
+
+  test("md5-seam staged minhashLsh equals the production-hash staged " +
+      "form on a collision-free fixture, and the seam rides the " +
+      "persisted index") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docs = (0 until 40).map { i =>
+      val fam = i % 5
+      (i.toLong, s"family $fam body sentence alpha beta gamma token$fam" +
+        (if (i % 2 == 0) s" tail$i" else ""))
+    }.toDF("doc_id", "text")
+    def pairs(seam: Boolean): Set[(Long, Long)] =
+      Dedup.minhashLsh(docs, threshold = 0.5, numHashes = 0, bands = 1,
+        md5Seam = seam)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val md5 = pairs(seam = true)
+    assert(md5.nonEmpty && md5 === pairs(seam = false))
+    // the seam is RECORDED on the index (like the banding) and read back
+    // by the probe, so batch and corpus always shingle identically
+    val idx = Dedup.buildMinhashIndex(docs, numHashes = 0, bands = 1,
+      md5Seam = true)
+    assert(idx.md5Seam)
+    val hits = Dedup.nearDupAgainstIndex(idx,
+      docs.filter(col("doc_id") < 2)
+        .withColumn("doc_id", col("doc_id") + 1000L),
+      threshold = 0.99)
+    // each probed doc is an exact duplicate of its corpus twin
+    assert(hits.filter(col("jaccard") === 1.0).count() >= 2)
+  }
+
   test("kmvDistinct regimes at the k boundary: exact strictly below k, " +
       "Beyer estimator at NDV == k") {
     import spark.implicits._
