@@ -528,39 +528,69 @@ object Streams {
     * mapGroupsWithState, Update output mode — the state-store twin of
     * the batch partials → merge path, sharing its hash lattice
     * (first 15 md5 hex digits = md5Hash64 >>> 4).
+    *
+    * Per-group state is O(k) but the GROUP COUNT is unbounded — a
+    * monitor over a high-cardinality key (urls, session ids) would grow
+    * the state store forever. `idleTimeoutMs` bounds it: a group that
+    * receives no rows for that long EXPIRES — it emits one final
+    * estimate and its state is dropped (processing-time timeout). A
+    * value redelivered AFTER expiry restarts the group's count from
+    * zero — the documented trade of the TTL (idempotence holds within a
+    * group's lifetime; expiry is a deliberate forget). Default: no
+    * timeout, the prior semantics exactly. With a TTL set, pair the
+    * query with a processing-time trigger interval: timeout sweeps run
+    * as no-data batches on the trigger cadence (and starve
+    * `processAllAvailable`-style quiescence waits, which is why the
+    * spec polls the sink instead).
     */
-  def distinctMonitor(rows: Dataset[KeyedValue],
-                      k: Int = 1024): Dataset[KmvEstimate] = {
+  def distinctMonitor(rows: Dataset[KeyedValue], k: Int = 1024,
+                      idleTimeoutMs: Option[Long] = None): Dataset[KmvEstimate] = {
     require(k > 0, s"k must be > 0, got $k")
+    require(idleTimeoutMs.forall(_ > 0),
+      s"idleTimeoutMs must be positive, got $idleTimeoutMs")
     val spark = rows.sparkSession
     import spark.implicits._
+    val timeoutConf = idleTimeoutMs
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     rows.groupByKey(_.group)
-      .mapGroupsWithState[KmvState, KmvEstimate](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[KmvState, KmvEstimate](timeoutConf) {
         (group: String, batch: Iterator[KeyedValue],
          state: GroupState[KmvState]) =>
-          // bounded merge (the MinKAgg discipline): a capped TreeSet
-          // insert keeps per-trigger work O(batch log k) and memory O(k)
-          // — never materialize/sort the whole batch, that's the state
-          // blowup this sketch exists to avoid
-          val set = scala.collection.mutable.TreeSet.empty[Long]
-          state.getOption.foreach(_.hashes.foreach(set.add))
-          batch.foreach { r =>
-            if (r.value != null) {
-              val h = graft.functions.CorpusKernels.md5Hash64(r.value) >>> 4
-              if (set.size < k) set.add(h)
-              else if (h < set.last && set.add(h)) set.remove(set.last)
-            }
+          def estimate(merged: Array[Long]): KmvEstimate = {
+            val kEff = merged.length
+            val kth = if (kEff == 0) 0L else merged(kEff - 1)
+            val est =
+              if (kEff < k || kth == 0L) kEff.toLong
+              else (BigInt(k - 1) * BigInt(1152921504606846976L) / kth)
+                .toLong
+            KmvEstimate(group, kEff, kth, est)
           }
-          val merged = set.toArray
-          state.update(KmvState(merged))
-          val kEff = merged.length
-          val kth = if (kEff == 0) 0L else merged(kEff - 1)
-          val est =
-            if (kEff < k || kth == 0L) kEff.toLong
-            else (BigInt(k - 1) * BigInt(1152921504606846976L) / kth)
-              .toLong
-          KmvEstimate(group, kEff, kth, est)
+          if (state.hasTimedOut) {
+            // idle group: publish the final estimate, drop the state
+            val last = state.getOption.map(_.hashes)
+              .getOrElse(Array.empty[Long])
+            state.remove()
+            estimate(last)
+          } else {
+            // bounded merge (the MinKAgg discipline): a capped TreeSet
+            // insert keeps per-trigger work O(batch log k) and memory
+            // O(k) — never materialize/sort the whole batch, that's the
+            // state blowup this sketch exists to avoid
+            val set = scala.collection.mutable.TreeSet.empty[Long]
+            state.getOption.foreach(_.hashes.foreach(set.add))
+            batch.foreach { r =>
+              if (r.value != null) {
+                val h = graft.functions.CorpusKernels.md5Hash64(r.value) >>> 4
+                if (set.size < k) set.add(h)
+                else if (h < set.last && set.add(h)) set.remove(set.last)
+              }
+            }
+            val merged = set.toArray
+            state.update(KmvState(merged))
+            idleTimeoutMs.foreach(ms => state.setTimeoutDuration(ms))
+            estimate(merged)
+          }
       }
   }
 

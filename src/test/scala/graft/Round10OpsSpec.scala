@@ -94,6 +94,46 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.filter(col("jaccard") === 1.0).count() >= 2)
   }
 
+  test("distinctMonitor idle-TTL: an expired group emits a final " +
+      "estimate, drops its state, and a redelivery after expiry " +
+      "restarts from zero") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.KeyedValue]
+    val q = Streams.distinctMonitor(mem.toDS(), k = 8,
+        idleTimeoutMs = Some(1L))
+      .writeStream.format("memory").queryName("kmv_ttl")
+      .outputMode("update").start()
+    def rowsFor(g: String): Seq[(Int, Long)] =
+      spark.table("kmv_ttl").filter(col("group") === g)
+        .select("k_eff", "approx_distinct")
+        .as[(Int, Long)].collect().toSeq
+    // processAllAvailable STARVES under a processing-time TTL (the
+    // engine keeps scheduling no-data batches to sweep timeouts, so the
+    // quiescent point never arrives) — poll the sink with a deadline
+    def await(cond: => Boolean): Unit = {
+      val end = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < end) Thread.sleep(100)
+      assert(cond)
+    }
+    // batch 1: group a sees 3 distinct values
+    mem.addData((0 until 3).map(i => Streams.KeyedValue("a", s"u$i")): _*)
+    await(rowsFor("a").headOption.contains((3, 3L)))
+    // the 1 ms idle timeout then fires on a no-data sweep batch: one
+    // FINAL estimate for a (unchanged count), then its state drops —
+    // exactly one expiry row (a removed state cannot time out again)
+    await(rowsFor("a").count(_ == ((3, 3L))) == 2)
+    Thread.sleep(300)
+    assert(rowsFor("a").count(_ == ((3, 3L))) === 2)
+    // a redelivery AFTER expiry restarts the count at 1 (expiry is a
+    // deliberate forget — idempotence held while the group lived)
+    mem.addData(Streams.KeyedValue("a", "u0"))
+    await(rowsFor("a").lastOption.contains((1, 1L)))
+    q.stop()
+  }
+
   test("kmvDistinct regimes at the k boundary: exact strictly below k, " +
       "Beyer estimator at NDV == k") {
     import spark.implicits._
