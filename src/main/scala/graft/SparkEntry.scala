@@ -1231,6 +1231,33 @@ object SparkEntry {
         .orderBy("center_id")
     }),
 
+    "q_ivf_drift" -> ((s, d) => {
+      // drift-triggered retrain signal (ops.Similarity.indexDriftReport)
+      // made EXACT via the q_ivf_assign literal-model seam: the indexed
+      // corpus is the 1-in-10 sample routed through the REAL ivfAssign
+      // path against the 16 formula centroids, the "arriving batch" is
+      // a disjoint 1-in-10 sample — per-cell occupancies are integer
+      // counts and the report-level total-variation distance replays as
+      // one HUGEINT floor-division, so the retrain DECISION itself is
+      // oracle-certified. K-means-built drift cadence stays spec-pinned
+      // (Round10OpsSpec: zero-drift identity, planted-shift retrain).
+      import s.implicits._
+      val cents = (0 until 16).map(j =>
+        (j, Array.tabulate(64)(i0 =>
+          (((1 + (i0 + 1) * (j + 1)) % 67) - 33).toFloat)))
+        .toDF("center_id", "centroid")
+      val emb = t(s, d, "embeddings")
+      val router = graft.ops.Similarity.IvfIndex(cents,
+        emb.limit(0).select(col("vec_id"), col("embedding").as("_cv"),
+          lit(0).as("center_id")))
+      val idx = graft.ops.Similarity.IvfIndex(cents,
+        graft.ops.Similarity.ivfAssign(
+          emb.filter(col("vec_id") % 10 === 0), router))
+      graft.ops.Similarity.indexDriftReport(idx,
+          emb.filter(col("vec_id") % 10 === 5))
+        .orderBy("center_id")
+    }),
+
     "q_ann_ivf_append" -> ((s, d) => {
       // incremental index MAINTENANCE certified exactly: the base index
       // holds only the even half of the corpus (built once per session —
@@ -4199,6 +4226,51 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT center_id, count(*) AS appended
         |FROM best GROUP BY center_id""".stripMargin,
+
+    // the drift report over the same literal-model routing: two cell
+    // histograms (index sample / batch sample), then the report-level
+    // total-variation distance as ONE HUGEINT floor-division and the
+    // integer threshold compare — the retrain decision replayed exactly
+    "q_ivf_drift" ->
+      """WITH cents AS (
+        |  SELECT CAST(j AS INTEGER) AS center_id,
+        |    [CAST(((1 + i * (j + 1)) % 67) - 33 AS DOUBLE)
+        |     FOR i IN range(1, 65)] AS c
+        |  FROM range(0, 16) t(j)),
+        |ih AS (SELECT center_id, count(*) AS n_index FROM (
+        |    SELECT e.vec_id, cents.center_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |          CAST(e.embedding AS DOUBLE[]), cents.c) DESC,
+        |          cents.center_id) AS rn
+        |    FROM embeddings e, cents WHERE e.vec_id % 10 = 0)
+        |  WHERE rn = 1 GROUP BY center_id),
+        |bh AS (SELECT center_id, count(*) AS n_batch FROM (
+        |    SELECT e.vec_id, cents.center_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |          CAST(e.embedding AS DOUBLE[]), cents.c) DESC,
+        |          cents.center_id) AS rn
+        |    FROM embeddings e, cents WHERE e.vec_id % 10 = 5)
+        |  WHERE rn = 1 GROUP BY center_id),
+        |hist AS MATERIALIZED (SELECT cents.center_id,
+        |    coalesce(ih.n_index, 0) AS n_index,
+        |    coalesce(bh.n_batch, 0) AS n_batch
+        |  FROM cents LEFT JOIN ih USING (center_id)
+        |             LEFT JOIN bh USING (center_id)),
+        |tot AS (SELECT CAST(sum(n_index) AS HUGEINT) AS ni,
+        |    CAST(sum(n_batch) AS HUGEINT) AS nb FROM hist),
+        |tv AS (SELECT CASE WHEN ni > 0 AND nb > 0 THEN
+        |      CAST((CAST(1000000 AS HUGEINT)
+        |        * sum(abs(CAST(n_batch AS HUGEINT) * ni
+        |                - CAST(n_index AS HUGEINT) * nb)))
+        |        // (CAST(2 AS HUGEINT) * ni * nb) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS tv_u6
+        |  FROM hist, tot GROUP BY ni, nb)
+        |SELECT h.center_id, CAST(h.n_index AS BIGINT) AS n_index,
+        |  CAST(h.n_batch AS BIGINT) AS n_batch, tv.tv_u6,
+        |  tv.tv_u6 >= 250000 AS retrain
+        |FROM hist h, tv""".stripMargin,
     "q_knn_classify_ann" -> baseOracleSql("q_knn_classify"),
     "q_emb_near_pairs_lsh" -> baseOracleSql("q_emb_near_pairs"),
 

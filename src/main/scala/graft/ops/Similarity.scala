@@ -241,6 +241,69 @@ object Similarity {
       index.cells.unionByName(ivfAssign(batch, index, idCol, vecCol))
         .localCheckpoint(true))
 
+  /** DRIFT report for a frozen-model index under append cadence — the
+    * retrain SIGNAL the append tiers defer to ("retrain on drift
+    * cadence, not append cadence"): route the arriving batch through
+    * the index's frozen centroids (the REAL [[ivfAssign]] path) and
+    * compare its cell histogram against the indexed corpus's. Every
+    * published field is an integer, so the whole report is
+    * engine-exact: per cell the raw occupancies (n_index, n_batch), and
+    * replicated on every row the report-level total-variation distance
+    * `tv_u6` = floor(1e6 · TV), TV = Σ_c |n_b(c)/N_b − n_i(c)/N_i| / 2,
+    * computed as ONE DECIMAL integer division (1e6·Σ|n_b·N_i − n_i·N_b|
+    * DIV 2·N_i·N_b — no float path, exact for counts past 10^15), plus
+    * `retrain` = tv_u6 ≥ tvThresholdU6. An empty batch or empty index
+    * reports tv_u6 = 0 / retrain = false — no evidence is not drift.
+    *
+    * Scale shape: the index histogram is one map-side-combinable count
+    * over the bucketed cells table, the batch histogram is batch-sized,
+    * and every join frame after that is centroid-sized — nothing
+    * corpus-wide shuffles. For a finer signal over assignment-distance
+    * DISTRIBUTIONS, compose [[ivfAssign]]'s cosines with
+    * [[graft.ops.CorpusOps.ksDrift]]; this report is the integer
+    * contract tier. The same histogram comparison serves the quantized
+    * and PQ tiers — their routing shares these centroids.
+    *
+    * @return one row per centroid (center_id, n_index, n_batch, tv_u6,
+    *         retrain), tv_u6/retrain identical on every row
+    */
+  def indexDriftReport(index: IvfIndex, batch: DataFrame,
+                       tvThresholdU6: Long = 250000L,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(tvThresholdU6 >= 0 && tvThresholdU6 <= 1000000L,
+      s"tvThresholdU6 must be on the u6 lattice [0, 1e6], got $tvThresholdU6")
+    val dec = "decimal(38,0)"
+    val idxHist = index.cells.groupBy("center_id")
+      .agg(count(lit(1)).as("_ni"))
+    val bHist = ivfAssign(batch, index, idCol, vecCol)
+      .groupBy("center_id").agg(count(lit(1)).as("_nb"))
+    // centroid-sized frame, pinned: it feeds the totals, the TV sum and
+    // the published rows (three consumers of two aggregations)
+    val hist = index.centroids.select("center_id")
+      .join(idxHist, Seq("center_id"), "left")
+      .join(bHist, Seq("center_id"), "left")
+      .select(col("center_id"),
+        coalesce(col("_ni"), lit(0L)).as("n_index"),
+        coalesce(col("_nb"), lit(0L)).as("n_batch"))
+      .localCheckpoint(true)
+    val totals = hist.agg(
+      coalesce(sum(col("n_index")), lit(0L)).cast(dec).as("_Ni"),
+      coalesce(sum(col("n_batch")), lit(0L)).cast(dec).as("_Nb"))
+    val tvRow = hist.crossJoin(totals)
+      .agg(coalesce(sum(abs(col("n_batch").cast(dec) * col("_Ni") -
+          col("n_index").cast(dec) * col("_Nb"))),
+          lit(0).cast(dec)).as("_sumabs"),
+        max(col("_Ni")).as("_Ni"), max(col("_Nb")).as("_Nb"))
+      .select(when(col("_Ni") > 0 && col("_Nb") > 0,
+          expr(s"CAST((CAST(1000000 AS $dec) * _sumabs) DIV " +
+            s"(CAST(2 AS $dec) * _Ni * _Nb) AS BIGINT)"))
+        .otherwise(lit(0L)).as("tv_u6"))
+      .withColumn("retrain", col("tv_u6") >= tvThresholdU6)
+    hist.crossJoin(tvRow)
+      .select("center_id", "n_index", "n_batch", "tv_u6", "retrain")
+  }
+
   /** One-shot IVF top-k (build + probe). Convenience for ad-hoc use and
     * tests; anything that probes more than once should [[buildIvfIndex]]
     * once and [[ivfProbe]] against it (and `release()` when done).

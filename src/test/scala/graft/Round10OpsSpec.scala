@@ -134,6 +134,39 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("indexDriftReport: an identically-distributed batch reports zero " +
+      "drift; a planted single-cell shift recommends retrain; an empty " +
+      "batch reports no evidence") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.buildIvfIndex(emb, nCenters = 4, iters = 2)
+    // the corpus itself as the batch: per-cell n_batch == n_index, so
+    // TV = 0 exactly and no retrain fires
+    val same = Similarity.indexDriftReport(idx,
+      emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    assert(same.filter(col("tv_u6") =!= 0L || col("retrain")).count() === 0)
+    assert(same.count() === 4)
+    val sameRows = same.select("center_id", "n_index", "n_batch")
+      .as[(Int, Long, Long)].collect()
+    assert(sameRows.forall { case (_, ni, nb) => ni === nb })
+    // planted shift: every batch vector is the same single corpus vector
+    // — one cell takes the whole batch, TV = 1 − (that cell's index
+    // share), far past any sane threshold
+    val one = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).crossJoin(
+        emb.select((col("vec_id") + 2000000L).as("vec_id")))
+      .select("vec_id", "embedding")
+    val shifted = Similarity.indexDriftReport(idx, one)
+    assert(shifted.filter(col("retrain")).count() === 4)
+    // the batch landed in exactly one cell
+    assert(shifted.filter(col("n_batch") > 0).count() === 1)
+    // empty batch: no evidence is not drift
+    val empty = Similarity.indexDriftReport(idx, emb.limit(0))
+    assert(empty.filter(col("tv_u6") =!= 0L || col("retrain")).count() === 0)
+    idx.release()
+  }
+
   test("kmvDistinct regimes at the k boundary: exact strictly below k, " +
       "Beyer estimator at NDV == k") {
     import spark.implicits._
