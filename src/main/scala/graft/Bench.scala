@@ -2,6 +2,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Queries whose DEFINITION changed in a past round — what they
+    * measure is discontinuous across artifacts, so cross-round deltas on
+    * them are apples-to-oranges, not regressions/speedups. Emitted in
+    * the artifact (`"discontinuities"`) and consumed by
+    * tools/bench_compare.py, which reports them separately instead of
+    * flagging them. Keep entries until the change has an artifact on
+    * BOTH sides of every comparison anyone still runs (2+ rounds).
+    */
+  val DISCONTINUITIES: Map[String, String] = Map(
+    "q_pca_project" -> "r9: measures projection only (fit moved to spec coverage)",
+    "q_dedup_simhash" -> "r9: md5 certification seam replaced the murmur word hash (~10x hash cost)",
+    "q_dup_spans_winnow" -> "r9: md5 gram-hash seam replaced murmur",
+    "q_wordpiece_encode" -> "r9: topWords 200 -> 10",
+    "q_sketch_distinct" -> "r9: KMV exact-below-k swapped in for HLL",
+    "q_dedup_minhash" -> "r10: md5 shingle seam replaced the murmur shingle hash",
+    "q_dedup_minhash_clusters" -> "r10: md5 shingle seam",
+    "q_dedup_minhash_incr" -> "r10: md5 shingle seam",
+    "q_split_leakage" -> "r10: md5 shingle seam",
+    "q_ivf_drift" -> "r10: new query")
+
   /** Timed best-of-N over a query map through the noop sink. Returns
     * (per-query min seconds, per-query error) — errors are RECORDED, not
     * swallowed: a failing query must show up as `err` in the artifact
@@ -67,7 +87,10 @@ object Bench {
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     // wall seconds since JVM start: a contended host shows wall >> measured
     val wall = (System.currentTimeMillis() - jvmStart) / 1e3
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"n_errors":${errors.size},"jvm_wall_sec":$wall}"""
+    val disc = DISCONTINUITIES.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"n_errors":${errors.size},"jvm_wall_sec":$wall,"discontinuities":$disc}"""
     println(line)
     // the driver's BENCH_r{N}.json keeps only a tail of this (long) line,
     // so cross-round regression tracking would cover a fraction of the

@@ -32,13 +32,26 @@ SENTINELS = [
 KV = re.compile(r'"(q_[a-z0-9_]+)":\s*([0-9][0-9.eE+-]*)')
 
 
+DISC = re.compile(r'"discontinuities"\s*:\s*\{([^}]*)\}')
+DISC_KEY = re.compile(r'"(q_[a-z0-9_]+)"\s*:')
+
+
+def load_discontinuities(raw):
+    """Query names the artifact itself declares definition-discontinuous
+    (the op changed what it measures in some round) — deltas on them are
+    apples-to-oranges, reported separately rather than flagged."""
+    m = DISC.search(raw)
+    return set(DISC_KEY.findall(m.group(1))) if m else set()
+
+
 def load_queries(path):
     raw = open(path).read()
+    disc = load_discontinuities(raw)
     try:
         doc = json.loads(raw)
         if isinstance(doc, dict):
             if isinstance(doc.get("queries"), dict):
-                return {k: float(v) for k, v in doc["queries"].items()}
+                return {k: float(v) for k, v in doc["queries"].items()}, disc
             raw = str(doc.get("tail", "")) + raw  # driver wrapper
     except json.JSONDecodeError:
         pass  # raw stdout capture — scan it directly
@@ -47,7 +60,9 @@ def load_queries(path):
     out = {}
     for m in KV.finditer(raw):
         out[m.group(1)] = float(m.group(2))
-    return out
+    # the discontinuities dict's own entries match KV only if numeric —
+    # they are strings, so no cleanup needed
+    return out, disc
 
 
 def median(xs):
@@ -65,7 +80,8 @@ def main():
                         else sys.argv[sys.argv.index(a) + 1])
     if len(args) != 2:
         sys.exit(__doc__)
-    old, new = load_queries(args[0]), load_queries(args[1])
+    (old, disc_o), (new, disc_n) = load_queries(args[0]), load_queries(args[1])
+    disc = disc_o | disc_n
     shared = sorted(set(old) & set(new))
     if not shared:
         sys.exit("no shared queries between the two artifacts")
@@ -80,18 +96,26 @@ def main():
     print(f"sentinels used : {len(sent)} -> host drift x{drift:.3f} "
           f"(median {', '.join(sent[:4])}{', ...' if len(sent) > 4 else ''})")
     print(f"threshold      : x{thr} AFTER drift normalization\n")
-    rows = []
+    rows, disc_rows = [], []
     for q in shared:
         if old[q] <= 0:
             continue
         norm = (new[q] / old[q]) / drift
-        rows.append((norm, q, old[q], new[q]))
+        (disc_rows if q in disc else rows).append((norm, q, old[q], new[q]))
     regressions = sorted((r for r in rows if r[0] >= thr), reverse=True)
     improvements = sorted(r for r in rows if r[0] <= 1.0 / thr)
     for title, rs in (("REGRESSIONS (normalized)", regressions),
                       ("improvements (normalized)", improvements)):
         print(f"{title}: {len(rs)}")
         for norm, q, o, n in rs:
+            print(f"  {q:<32} x{norm:5.2f}   {o:8.3f}s -> {n:8.3f}s")
+        print()
+    flagged = [r for r in disc_rows if r[0] >= thr or r[0] <= 1.0 / thr]
+    if flagged:
+        print(f"definition-discontinuous (NOT regressions — the artifact "
+              f"declares these ops changed what they measure): "
+              f"{len(flagged)}")
+        for norm, q, o, n in sorted(flagged, reverse=True):
             print(f"  {q:<32} x{norm:5.2f}   {o:8.3f}s -> {n:8.3f}s")
         print()
     tot_o = sum(old[q] for q in shared)
