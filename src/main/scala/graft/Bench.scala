@@ -20,6 +20,7 @@ object Bench {
     "q_dedup_minhash_clusters" -> "r10: md5 shingle seam",
     "q_dedup_minhash_incr" -> "r10: md5 shingle seam",
     "q_split_leakage" -> "r10: md5 shingle seam",
+    "q_decontaminate_dialogs" -> "r10: md5 word-gram seam replaced the murmur word-shingle hash",
     "q_ivf_drift" -> "r10: new query")
 
   /** Timed best-of-N over a query map through the noop sink. Returns

@@ -3620,10 +3620,13 @@ object SparkEntry {
       // dialog's user turn carrying a full document text; eval = docs
       // 300..399, so those dialogs must flag. EXACT oracle: rendering is
       // a pure string template and the gate is the q_decontaminate shape
-      // over the rendered text (DISTINCT word 3-grams; the kernel dedups
-      // by 32-bit hash, the oracle by string — equal unless a murmur
-      // collision lands in a counted pair, empirically exact at both
-      // gate SFs)
+      // over the rendered text with the md5 WORD-GRAM seam
+      // (CorpusKernels.wordShingleHashesMd5): both engines hash each
+      // space-joined 3-gram with md5 and dedup/join by that hash, so the
+      // gram sets are identical by construction (the q_dedup_minhash
+      // recipe; no collision caveat). The seam is recorded on the
+      // shingle index (_md5, like _n) so probe and index can never hash
+      // differently; production decontamination keeps MurmurHash3.
       val docs = t(s, d, "documents").filter(col("doc_id") < 500)
       val dialogs = docs.select(col("doc_id").as("dialog_id"),
         array(
@@ -3635,7 +3638,8 @@ object SparkEntry {
       val evalDocs = t(s, d, "documents")
         .filter(col("doc_id") >= 300 && col("doc_id") < 400)
         .select("doc_id", "text")
-      graft.ops.DialogOps.decontaminateDialogs(dialogs, evalDocs)
+      graft.ops.DialogOps.decontaminateDialogs(dialogs, evalDocs,
+        md5Seam = true)
     }),
 
     "q_retention" -> ((s, d) => {
@@ -4337,19 +4341,25 @@ object SparkEntry {
         |  FROM scored) WHERE rank <= 10""".stripMargin,
 
     // renderDialogs' template replayed as a string expression, then the
-    // q_decontaminate shape over the rendered text (distinct 3-grams)
+    // q_decontaminate shape over the rendered text — distinct word
+    // 3-grams hashed with the op's md5-32 seam on both sides, so the
+    // gram sets are construction-identical (no collision caveat)
     "q_decontaminate_dialogs" ->
       """WITH r AS (SELECT doc_id AS dialog_id,
         |    '<|user|>' || text || chr(10) || '<|assistant|>re: '
         |      || coalesce(lang, '') AS rt
         |  FROM documents WHERE doc_id < 500),
         |tsh AS (SELECT DISTINCT dialog_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |    CAST(('0x' || substr(md5(
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))
+        |      AS BIGINT) AS s
         |  FROM (SELECT dialog_id, list_filter(
         |      string_split_regex(rt, '\s+'), x -> x <> '') AS w FROM r) t,
         |  LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g),
         |esh AS (SELECT DISTINCT doc_id AS eval_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |    CAST(('0x' || substr(md5(
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))
+        |      AS BIGINT) AS s
         |  FROM (SELECT doc_id, list_filter(
         |      string_split_regex(text, '\s+'), x -> x <> '') AS w
         |    FROM documents WHERE doc_id >= 300 AND doc_id < 400) t,

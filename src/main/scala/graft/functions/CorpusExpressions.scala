@@ -217,6 +217,25 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** [[WordShingles]] with md5-derived gram hashes
+  * ([[CorpusKernels.wordShingleHashesMd5]]) — the word-gram
+  * certification seam; production keeps the MurmurHash3 [[WordShingles]].
+  */
+case class WordShinglesMd5(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ArrayData.toArrayData(CorpusKernels.wordShingleHashesMd5(
+      input.asInstanceOf[UTF8String].toString, n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.CorpusKernels.wordShingleHashesMd5($c.toString(), $n))")
+  override protected def withNewChildInternal(c: Expression): WordShinglesMd5 =
+    copy(child = c)
+  override def prettyName: String = "word_shingles_md5"
+}
+
 /** Sorted distinct char-k-shingle hash array of a string. */
 case class SortedShingles(child: Expression, k: Int)
     extends UnaryExpression {
@@ -388,8 +407,10 @@ object CorpusFunctions {
     column(JaccardWordShingles(expression(a), expression(b), n))
   def jaccard_char_shingles(a: Column, b: Column, k: Int = 5): Column =
     column(JaccardCharShingles(expression(a), expression(b), k))
-  def word_shingles(c: Column, n: Int = 3): Column =
-    column(WordShingles(expression(c), n))
+  def word_shingles(c: Column, n: Int = 3,
+                    md5Seam: Boolean = false): Column =
+    if (md5Seam) column(WordShinglesMd5(expression(c), n))
+    else column(WordShingles(expression(c), n))
   def sorted_shingles(c: Column, k: Int = 5,
                       md5Seam: Boolean = false): Column =
     if (md5Seam) column(SortedShinglesMd5(expression(c), k))

@@ -86,6 +86,34 @@ object CorpusKernels {
     java.util.Arrays.copyOf(out, w)
   }
 
+  /** [[wordShingleHashes]] with md5-derived gram hashes — the word-gram
+    * certification seam ([[shingleHashesMd5]]'s recipe): each n-gram is
+    * the single-space join of its words and its hash is [[md5Hash32]],
+    * which a SQL oracle recomputes verbatim (`md5(w1 || ' ' || w2 ||
+    * ' ' || w3)`) and dedups/joins by — identical gram sets on both
+    * sides by construction. Production keeps the MurmurHash3 default.
+    */
+  def wordShingleHashesMd5(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return Array.empty
+    val m = words.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = md5Hash32(words.slice(i, i + n).mkString(" "))
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
   private final val MersennePrime = (1L << 61) - 1
 
   /** splitmix64 finalizer (public-domain avalanche mix) — a full-period

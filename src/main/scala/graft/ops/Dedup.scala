@@ -604,10 +604,11 @@ object Dedup {
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
                     minSharedShingles: Int = 2,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text",
+                    md5Seam: Boolean = false): DataFrame =
     decontaminateAgainstIndex(train,
-      evalShingleIndex(eval, n, idCol, textCol),
-      minSharedShingles, idCol, textCol, n)
+      evalShingleIndex(eval, n, idCol, textCol, md5Seam),
+      minSharedShingles, idCol, textCol, n, md5Seam)
 
   /** The eval set's exploded shingle INDEX: (eval_id, _shingle, _n) —
     * the decontamination state to build ONCE and reuse (persist it next
@@ -616,14 +617,18 @@ object Dedup {
     * built with, so a probe with a DIFFERENT n fails fast instead of
     * silently matching nothing — a contamination gate that joins 3-gram
     * probes against a 5-gram index would pass every leaking doc as
-    * clean, the fail-open failure mode.
+    * clean, the fail-open failure mode. `_md5` records the gram hash the
+    * same way (seamed and production hashes never match — fail-open in
+    * the identical sense), with absent-column back-compat reading as the
+    * production murmur hash every pre-seam index was built with.
     */
   def evalShingleIndex(eval: DataFrame, n: Int = 3,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame =
+                       textCol: String = "text",
+                       md5Seam: Boolean = false): DataFrame =
     eval.select(col(idCol).as("eval_id"),
-      explode(word_shingles(col(textCol), n)).as("_shingle"),
-      lit(n).as("_n"))
+      explode(word_shingles(col(textCol), n, md5Seam)).as("_shingle"),
+      lit(n).as("_n"), lit(md5Seam).as("_md5"))
 
   /** [[decontaminate]] against a PREBUILT [[evalShingleIndex]] — the
     * deployment/streaming shape: only the train side is shingled per
@@ -635,19 +640,29 @@ object Dedup {
                                 minSharedShingles: Int = 2,
                                 idCol: String = "doc_id",
                                 textCol: String = "text",
-                                n: Int = 3): DataFrame = {
+                                n: Int = 3,
+                                md5Seam: Boolean = false): DataFrame = {
     require(index.columns.contains("_n"),
       "decontaminateAgainstIndex: index lacks the _n width column — " +
         "rebuild it with Dedup.evalShingleIndex")
-    index.select("_n").head(1).foreach { r =>
-      require(r.getInt(0) == n,
-        s"decontaminateAgainstIndex: probe n=$n but the index was built " +
-          s"with n=${r.getInt(0)} — shingles would never match " +
-          "(fail-open); rebuild one side")
-    }
+    // pre-seam indexes carry no _md5 column: they were necessarily
+    // built with the production murmur hash
+    val hasSeamCol = index.columns.contains("_md5")
+    index.select(col("_n"),
+        (if (hasSeamCol) col("_md5") else lit(false)).as("_md5"))
+      .head(1).foreach { r =>
+        require(r.getInt(0) == n,
+          s"decontaminateAgainstIndex: probe n=$n but the index was built " +
+            s"with n=${r.getInt(0)} — shingles would never match " +
+            "(fail-open); rebuild one side")
+        require(r.getBoolean(1) == md5Seam,
+          s"decontaminateAgainstIndex: probe md5Seam=$md5Seam but the " +
+            s"index was built with md5Seam=${r.getBoolean(1)} — gram " +
+            "hashes would never match (fail-open); rebuild one side")
+      }
     train.select(col(idCol).as("train_id"),
-        explode(word_shingles(col(textCol), n)).as("_shingle"))
-      .join(index.drop("_n"), Seq("_shingle"))
+        explode(word_shingles(col(textCol), n, md5Seam)).as("_shingle"))
+      .join(index.drop("_n", "_md5"), Seq("_shingle"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedShingles)
@@ -1325,10 +1340,16 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
   }
 
-  /** Distinct word-n-gram shingle hashes as a column (array<int>). */
-  def word_shingles(c: Column, n: Int): Column = {
+  /** Distinct word-n-gram shingle hashes as a column (array<int>, or
+    * array<bigint> of md5-32 gram hashes with `md5Seam` — the word-gram
+    * certification seam, [[graft.functions.CorpusKernels
+    * .wordShingleHashesMd5]]).
+    */
+  def word_shingles(c: Column, n: Int, md5Seam: Boolean = false): Column = {
     import org.apache.spark.sql.graft.Bridge
-    Bridge.column(graft.functions.WordShingles(Bridge.expression(c), n))
+    if (md5Seam)
+      Bridge.column(graft.functions.WordShinglesMd5(Bridge.expression(c), n))
+    else Bridge.column(graft.functions.WordShingles(Bridge.expression(c), n))
   }
 
   /** Embedding-cosine near-dup pairs — delegates to the LSH-bucketed

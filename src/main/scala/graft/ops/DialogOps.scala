@@ -106,13 +106,14 @@ object DialogOps {
                            idCol: String = "dialog_id",
                            turnsCol: String = "turns",
                            evalIdCol: String = "doc_id",
-                           evalTextCol: String = "text"): DataFrame =
+                           evalTextCol: String = "text",
+                           md5Seam: Boolean = false): DataFrame =
     Dedup.decontaminate(
       renderDialogs(dialogs, idCol, turnsCol)
         .select(col(idCol), col("rendered_text")),
       eval.select(col(evalIdCol).as(idCol),
         col(evalTextCol).as("rendered_text")),
-      n, minSharedShingles, idCol, "rendered_text")
+      n, minSharedShingles, idCol, "rendered_text", md5Seam)
 
   /** Context-budget truncation: keep the leading system turn (if any)
     * plus the LONGEST SUFFIX of the remaining turns whose total content

@@ -94,6 +94,52 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.filter(col("jaccard") === 1.0).count() >= 2)
   }
 
+  test("word-gram md5 seam: golden hashes, seam parity with the " +
+      "production gate, and fail-loud probe/index hash mismatch") {
+    import spark.implicits._
+    import graft.functions.CorpusKernels
+    import graft.ops.Dedup
+    // golden: md5-32 of the space-joined 3-gram, sorted distinct
+    def ref(text: String): Array[Long] = {
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      val d = java.security.MessageDigest.getInstance("MD5")
+      (0 to w.length - 3).map { i =>
+        val b = d.digest(w.slice(i, i + 3).mkString(" ").getBytes("UTF-8"))
+        ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+          ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      }.distinct.sorted.toArray
+    }
+    val s0 = "alpha beta gamma delta beta gamma delta"
+    assert(CorpusKernels.wordShingleHashesMd5(s0, 3).toSeq === ref(s0).toSeq)
+    assert(CorpusKernels.wordShingleHashesMd5("a b", 3).isEmpty)
+    // seam parity: same contamination flags either hash (no collisions
+    // on a small fixture)
+    val train = Seq((100L, "leak alpha beta gamma delta end"),
+      (101L, "clean text with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val eval = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    def flags(seam: Boolean): Set[(Long, Long, Long)] =
+      Dedup.decontaminate(train, eval, md5Seam = seam)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(flags(seam = true) === Set((100L, 1L, 2L)))
+    assert(flags(seam = true) === flags(seam = false))
+    // a probe whose hash differs from the index's fails LOUD, both ways
+    val seamedIdx = Dedup.evalShingleIndex(eval, md5Seam = true)
+    val murmurIdx = Dedup.evalShingleIndex(eval)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateAgainstIndex(train, seamedIdx).collect()
+    }
+    assert(e1.getMessage.contains("md5Seam"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.decontaminateAgainstIndex(train, murmurIdx, md5Seam = true)
+        .collect()
+    }
+    assert(e2.getMessage.contains("md5Seam"))
+    // a pre-seam index (no _md5 column) reads as production murmur
+    assert(Dedup.decontaminateAgainstIndex(train, murmurIdx.drop("_md5"))
+      .count() === 1)
+  }
+
   test("distinctMonitor idle-TTL: an expired group emits a final " +
       "estimate, drops its state, and a redelivery after expiry " +
       "restarts from zero") {
