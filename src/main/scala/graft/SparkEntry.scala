@@ -1262,7 +1262,7 @@ object SparkEntry {
       // incremental index MAINTENANCE certified exactly: the base index
       // holds only the even half of the corpus (built once per session —
       // the persisted artifact), each execution APPENDS the odd half
-      // (ops.Similarity.ivfAppend: nearest-cell routing + union + pin,
+      // (ops.Similarity.ivfAppend: nearest-cell routing, batch-side pin,
       // the honest per-append cost), and the staged probe
       // (nProbe = nCenters) over the appended index must equal brute
       // force over the FULL corpus — q_sim_topk's oracle — which fails

@@ -219,7 +219,9 @@ object Similarity {
 
   /** MAINTAIN an [[IvfIndex]] under append: route the new batch to its
     * nearest cells ([[ivfAssign]] — no Lloyd re-run; retrain on drift
-    * cadence, not append cadence) and pin the unioned cell table. The
+    * cadence, not append cadence), pin the BATCH-sized assignment rows,
+    * and union them lazily onto the existing cells — O(batch) work, the
+    * index block is never re-materialized. The
     * centroid table is shared unchanged, so an appended index probes
     * with the identical cell routing — probing after appending an empty
     * batch is bit-equal to probing the original (spec-pinned), and the
@@ -237,9 +239,13 @@ object Similarity {
   def ivfAppend(index: IvfIndex, batch: DataFrame,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): IvfIndex =
+    // O(batch) maintenance (the nswAppend discipline): pin only the NEW
+    // assignment rows and union lazily — the existing cells block is
+    // never re-materialized (at scale: append the pinned rows into the
+    // center_id-bucketed persisted table)
     IvfIndex(index.centroids,
-      index.cells.unionByName(ivfAssign(batch, index, idCol, vecCol))
-        .localCheckpoint(true))
+      index.cells.unionByName(
+        ivfAssign(batch, index, idCol, vecCol).localCheckpoint(true)))
 
   /** DRIFT report for a frozen-model index under append cadence — the
     * retrain SIGNAL the append tiers defer to ("retrain on drift
@@ -374,8 +380,8 @@ object Similarity {
 
   /** [[ivfAppend]] for the quantized tier: route the batch to its
     * nearest cells, int8-quantize the new vectors ([[quantizeInt8]] —
-    * per-vector min/scale, same encoding as the build), and pin the
-    * unioned byte-cell table. Same ownership conventions as
+    * per-vector min/scale, same encoding as the build), and pin the NEW
+    * byte rows only (lazy union — O(batch)). Same ownership conventions as
     * [[ivfAppend]] (caller-unique ids; previous index released by the
     * caller; at 100 TB this is an append into the bucketed cells table).
     */
@@ -390,8 +396,9 @@ object Similarity {
     val q = quantizeInt8(assigned, "embedding")
       .select(col("vec_id"), col("center_id"), col("codes"),
         col("q_min"), col("q_scale"))
+    // batch-side pin + lazy union, as ivfAppend
     IvfIndexQ(index.centroids,
-      index.cells.unionByName(q).localCheckpoint(true))
+      index.cells.unionByName(q.localCheckpoint(true)))
   }
 
   /** Probe a quantized IVF index: identical cell ranking to [[ivfProbe]],
@@ -644,7 +651,8 @@ object Similarity {
   /** [[ivfAppend]] for the combined tier: route the batch to its nearest
     * cells, PQ-encode the new vectors against the index's EXISTING
     * codebooks ([[pqEncode]] — codebooks retrain on drift cadence, like
-    * the centroids), and pin the unioned byte-cell table. Centroids and
+    * the centroids), and pin the NEW byte rows only (lazy union —
+    * O(batch)). Centroids and
     * codebooks are shared unchanged, so probe routing and the ADC table
     * are identical before and after an append; same ownership
     * conventions as [[ivfAppend]].
@@ -658,8 +666,9 @@ object Similarity {
       .select(col("_id").as("vec_id"), col("center_id"))
     val newCells = assigned
       .join(pqEncode(batch, index.cb, idCol, vecCol), Seq("vec_id"))
+    // batch-side pin + lazy union, as ivfAppend
     IvfPqIndex(index.centroids,
-      index.cells.unionByName(newCells).localCheckpoint(true), index.cb)
+      index.cells.unionByName(newCells.localCheckpoint(true)), index.cb)
   }
 
   /** Probe the combined index: (1) rank cells per query against the
