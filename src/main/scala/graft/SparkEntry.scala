@@ -1061,6 +1061,20 @@ object SparkEntry {
       out
     }),
 
+    "q_bm25_drift" -> ((s, d) => {
+      // the lexical tier's drift signal (ops.TextAnalysis
+      // .postingsDriftReport — the q_ivf_drift sibling): the cached
+      // even-half index vs the odd half as the arriving batch. Both
+      // signals are integers — OOV token mass over the batch, and the
+      // avgdl shift as one DECIMAL floor-division over the additive
+      // (_n, _sum_dl) states — and the term sets are exact STRINGS on
+      // both sides, so the whole report (the rebuild decision included)
+      // replays in SQL with no hash caveat.
+      graft.ops.TextAnalysis.postingsDriftReport(
+        cachedPostingsHalf(s, d),
+        par(s, t(s, d, "documents")).filter(col("doc_id") % 2 === 1))
+    }),
+
     "q_bm25_probe_persisted" -> ((s, d) => {
       // the CROSS-SESSION deployment shape: the postings index written to
       // bucketed tables (IndexStore) and read back from disk — the probe
@@ -5977,6 +5991,56 @@ GROUP BY d0.doc_id"""
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
         |  FROM scored) WHERE rnk <= 10""".stripMargin,
+
+    // the lexical drift report: term sets are exact strings on both
+    // sides and both signals are HUGEINT floor-divisions over integer
+    // token masses and the additive (_n, _sum_dl) states — the rebuild
+    // decision replays exactly (thresholds = the op defaults)
+    "q_bm25_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |idl AS (SELECT doc_id, sum(tf) AS dl FROM tf
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |istats AS (SELECT CAST(count(*) AS BIGINT) AS n_index_docs,
+        |  CAST(coalesce(sum(dl), 0) AS HUGEINT) AS sum_i FROM idl),
+        |bdl AS (SELECT doc_id, sum(tf) AS dl FROM tf
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_docs,
+        |  CAST(coalesce(sum(dl), 0) AS HUGEINT) AS sum_b FROM bdl),
+        |iterms AS (SELECT DISTINCT term FROM tf WHERE doc_id % 2 = 0),
+        |bterms AS MATERIALIZED (SELECT term, sum(tf) AS toks FROM tf
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |bagg AS (SELECT
+        |  CAST(coalesce(sum(toks), 0) AS BIGINT) AS n_batch_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_batch_terms FROM bterms),
+        |oov AS (SELECT
+        |  CAST(coalesce(sum(toks), 0) AS BIGINT) AS n_oov_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_oov_terms
+        |  FROM bterms WHERE term NOT IN (SELECT term FROM iterms)),
+        |calc AS (SELECT i.n_index_docs, b.n_batch_docs,
+        |  g.n_batch_tokens, o.n_oov_tokens, g.n_batch_terms,
+        |  o.n_oov_terms,
+        |  CASE WHEN g.n_batch_tokens > 0 THEN
+        |    CAST((CAST(1000000 AS HUGEINT)
+        |      * CAST(o.n_oov_tokens AS HUGEINT))
+        |      // CAST(g.n_batch_tokens AS HUGEINT) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS oov_u6,
+        |  CASE WHEN i.sum_i > 0 AND i.n_index_docs > 0
+        |      AND b.n_batch_docs > 0 THEN
+        |    CAST((CAST(1000000 AS HUGEINT)
+        |      * abs(b.sum_b * CAST(i.n_index_docs AS HUGEINT)
+        |          - i.sum_i * CAST(b.n_batch_docs AS HUGEINT)))
+        |      // (i.sum_i * CAST(b.n_batch_docs AS HUGEINT)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS dl_shift_u6
+        |  FROM istats i, bstats b, bagg g, oov o)
+        |SELECT n_index_docs, n_batch_docs, n_batch_tokens, n_oov_tokens,
+        |  n_batch_terms, n_oov_terms, oov_u6, dl_shift_u6,
+        |  oov_u6 >= 100000 OR dl_shift_u6 >= 250000 AS rebuild
+        |FROM calc""".stripMargin,
 
     "q_bm25_probe" ->  // same result as q_bm25_topk: certifies the index probe
       """WITH tok AS (

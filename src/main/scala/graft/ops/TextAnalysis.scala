@@ -1063,6 +1063,90 @@ object TextAnalysis {
     PostingsIndex(postings, docLens, docFreqs, stats, index.idCol)
   }
 
+  /** DRIFT report for a [[PostingsIndex]] under append cadence — the
+    * lexical sibling of [[graft.ops.Similarity.indexDriftReport]]: the
+    * postings append is exact (no model to go stale), but the RANKING
+    * model drifts — idf rests on the indexed df distribution and the
+    * length normalization on avgdl, so a batch whose vocabulary or
+    * document lengths shifted degrades score quality until a
+    * cap/stopword/parameter refresh. Two integer signals, one row:
+    *
+    *   - `oov_u6` = floor(1e6 · oov_tokens / batch_tokens) — the
+    *     fraction of batch TOKENS whose term is absent from the index
+    *     dictionary (those score at the df = 0 idf ceiling);
+    *   - `dl_shift_u6` = floor(1e6 · |batch_avgdl − index_avgdl| /
+    *     index_avgdl), computed as ONE DECIMAL integer division over
+    *     the additive (_n, _sum_dl) states — no float path;
+    *   - `rebuild` = either signal at or past its u6 threshold.
+    *
+    * Empty batch or empty index ⇒ zeros / false (no evidence is not
+    * drift). Scale shape: one postings pass over the BATCH only, then
+    * the batch term set (broadcast) semi/anti-joins the index
+    * dictionary — the dictionary streams, nothing corpus-wide shuffles.
+    * Pre-upgrade stats without `_sum_dl` fall back to one docLens
+    * re-aggregation (the [[appendPostingsIndex]] convention).
+    *
+    * @return one row: (n_index_docs, n_batch_docs, n_batch_tokens,
+    *         n_oov_tokens, n_batch_terms, n_oov_terms, oov_u6,
+    *         dl_shift_u6, rebuild)
+    */
+  def postingsDriftReport(index: PostingsIndex, docs: DataFrame,
+                          oovThresholdU6: Long = 100000L,
+                          dlThresholdU6: Long = 250000L,
+                          textCol: String = "text"): DataFrame = {
+    require(oovThresholdU6 >= 0 && oovThresholdU6 <= 1000000L &&
+        dlThresholdU6 >= 0,
+      "thresholds must sit on the u6 lattice (oov within [0, 1e6])")
+    val dec = "decimal(38,0)"
+    val add = postingsOf(docs, index.idCol, textCol)
+    // batch vocabulary with its token mass — batch-sized, pinned (it
+    // feeds the semi-prune, the anti-join and two aggregates)
+    val bTerms = add.postings.groupBy("term")
+      .agg(sum(col("_tf")).as("_toks"))
+      .localCheckpoint(true)
+    // known terms: stream the big dictionary against the broadcast
+    // batch vocabulary; OOV = batch terms minus the (small) known set
+    val known = index.docFreqs
+      .join(broadcast(bTerms.select("term")), Seq("term"), "left_semi")
+      .select("term")
+    val oov = bTerms.join(broadcast(known), Seq("term"), "left_anti")
+    val bAgg = bTerms.agg(
+      coalesce(sum(col("_toks")), lit(0L)).as("n_batch_tokens"),
+      count(lit(1)).as("n_batch_terms"))
+    val oovAgg = oov.agg(
+      coalesce(sum(col("_toks")), lit(0L)).as("n_oov_tokens"),
+      count(lit(1)).as("n_oov_terms"))
+    val iStats =
+      (if (index.stats.columns.contains("_sum_dl")) index.stats
+       else index.docLens.agg(count(lit(1)).as("_n"),
+         coalesce(sum(col("_dl")), lit(0L)).as("_sum_dl")))
+        .select(col("_n").as("n_index_docs"), col("_sum_dl").as("_sum_i"))
+    val bStats = add.stats
+      .select(col("_n").as("n_batch_docs"), col("_sum_dl").as("_sum_b"))
+    iStats.crossJoin(bStats).crossJoin(bAgg).crossJoin(oovAgg)
+      .withColumn("oov_u6",
+        when(col("n_batch_tokens") > 0,
+          expr(s"CAST((CAST(1000000 AS $dec) * " +
+            s"CAST(n_oov_tokens AS $dec)) DIV " +
+            s"CAST(n_batch_tokens AS $dec) AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .withColumn("dl_shift_u6",
+        when(col("_sum_i") > 0 && col("n_index_docs") > 0 &&
+            col("n_batch_docs") > 0,
+          expr(s"CAST((CAST(1000000 AS $dec) * " +
+            s"abs(CAST(_sum_b AS $dec) * CAST(n_index_docs AS $dec) - " +
+            s"CAST(_sum_i AS $dec) * CAST(n_batch_docs AS $dec))) DIV " +
+            s"(CAST(_sum_i AS $dec) * CAST(n_batch_docs AS $dec)) " +
+            "AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .withColumn("rebuild",
+        col("oov_u6") >= oovThresholdU6 ||
+          col("dl_shift_u6") >= dlThresholdU6)
+      .select("n_index_docs", "n_batch_docs", "n_batch_tokens",
+        "n_oov_tokens", "n_batch_terms", "n_oov_terms", "oov_u6",
+        "dl_shift_u6", "rebuild")
+  }
+
   /** BM25 against a prebuilt [[PostingsIndex]] — the probe half of
     * [[bm25TopK]] (identical scores; see there for the formula and the
     * scale shape: broadcast semi-prune of postings to query terms before

@@ -213,6 +213,30 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     idx.release()
   }
 
+  test("postingsDriftReport: an identical batch reports zero OOV and " +
+      "zero length shift; novel vocabulary triggers rebuild; an empty " +
+      "batch reports no evidence") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val idx = TextAnalysis.buildPostingsIndex(docs)
+    def report(batch: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.postingsDriftReport(idx, batch)
+        .select("n_oov_tokens", "oov_u6", "dl_shift_u6", "rebuild")
+        .as[(Long, Long, Long, Boolean)].head()
+    // the corpus itself: same vocabulary, same avgdl — all zeros
+    assert(report(docs.withColumn("doc_id", col("doc_id") + 1000000L)) ===
+      ((0L, 0L, 0L, false)))
+    // a batch of entirely novel vocabulary: oov_u6 = 1e6, rebuild fires
+    val novel = Seq((2000000L, "zzqx1 zzqx2 zzqx3 zzqx4")).toDF("doc_id", "text")
+    val r = report(novel)
+    assert(r._1 === 4L && r._2 === 1000000L && r._4)
+    // empty batch: no evidence is not drift
+    assert(report(docs.limit(0)) === ((0L, 0L, 0L, false)))
+    idx.release()
+  }
+
   test("kmvDistinct regimes at the k boundary: exact strictly below k, " +
       "Beyer estimator at NDV == k") {
     import spark.implicits._
