@@ -1055,9 +1055,9 @@ object SparkEntry {
         par(s, t(s, d, "documents")).filter(col("doc_id") % 2 === 1))
       val out = graft.ops.TextAnalysis.bm25Probe(appended, qs)
         .localCheckpoint(true)
-      // per-execution artifact: release everything but the cached base
-      appended.postings.unpersist(); appended.docLens.unpersist()
-      appended.docFreqs.unpersist(); appended.stats.unpersist()
+      // per-execution artifact: free the append legs + the appended
+      // index's own merged dictionary/stats; the cached base stays
+      appended.releaseDelta()
       out
     }),
 
@@ -1294,7 +1294,7 @@ object SparkEntry {
           nProbe = 16)
         .select("query_id", "vec_id", "rank")
         .localCheckpoint(true)
-      appended.cells.unpersist() // per-execution artifact; base is cached
+      appended.releaseDelta() // per-execution artifact; base is cached
       out
     }),
 
@@ -1316,7 +1316,7 @@ object SparkEntry {
           nProbe = 8, overfetch = 1 << 18)
         .select("query_id", "vec_id", "rank")
         .localCheckpoint(true)
-      appended.cells.unpersist()
+      appended.releaseDelta()
       out
     }),
 
@@ -3306,7 +3306,7 @@ object SparkEntry {
       val out = appended.edges
         .filter(col("src") >= 1000000L || col("dst") >= 1000000L)
         .localCheckpoint(true)
-      appended.edges.unpersist() // per-execution artifact; base is cached
+      appended.releaseDelta() // per-execution artifact; base is cached
       out
     }),
 

@@ -13,6 +13,30 @@ import scala.util.hashing.MurmurHash3
   */
 object CorpusKernels {
 
+  /** Sort + in-place distinct, shared by the shingle kernels. */
+  private def sortedDistinct(out: Array[Int]): Array[Int] = {
+    java.util.Arrays.sort(out)
+    var w = 0
+    var i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  /** [[sortedDistinct]] for the md5-seam Long lattices. */
+  private def sortedDistinct(out: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(out)
+    var w = 0
+    var i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
   // --- shingling + MinHash ----------------------------------------------
 
   /** Character k-shingle hash set (sorted, distinct) of a string. */
@@ -25,15 +49,7 @@ object CorpusKernels {
       out(i) = MurmurHash3.stringHash(text.substring(i, i + k), 0x9747b28c)
       i += 1
     }
-    java.util.Arrays.sort(out)
-    // distinct in place
-    var w = 0
-    i = 0
-    while (i < n) {
-      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
-      i += 1
-    }
-    java.util.Arrays.copyOf(out, w)
+    sortedDistinct(out)
   }
 
   /** [[shingleHashes]] with md5-derived gram hashes ([[md5Hash32]],
@@ -53,14 +69,7 @@ object CorpusKernels {
       out(i) = md5Hash32(text.substring(i, i + k))
       i += 1
     }
-    java.util.Arrays.sort(out)
-    var w = 0
-    i = 0
-    while (i < n) {
-      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
-      i += 1
-    }
-    java.util.Arrays.copyOf(out, w)
+    sortedDistinct(out)
   }
 
   /** Word n-gram shingle hashes (whitespace tokens), sorted distinct. */
@@ -76,14 +85,7 @@ object CorpusKernels {
         words.iterator.slice(i, i + n).toSeq, 0x85ebca6b).toInt
       i += 1
     }
-    java.util.Arrays.sort(out)
-    var w = 0
-    i = 0
-    while (i < m) {
-      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
-      i += 1
-    }
-    java.util.Arrays.copyOf(out, w)
+    sortedDistinct(out)
   }
 
   /** [[wordShingleHashes]] with md5-derived gram hashes — the word-gram
@@ -104,14 +106,7 @@ object CorpusKernels {
       out(i) = md5Hash32(words.slice(i, i + n).mkString(" "))
       i += 1
     }
-    java.util.Arrays.sort(out)
-    var w = 0
-    i = 0
-    while (i < m) {
-      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
-      i += 1
-    }
-    java.util.Arrays.copyOf(out, w)
+    sortedDistinct(out)
   }
 
   private final val MersennePrime = (1L << 61) - 1

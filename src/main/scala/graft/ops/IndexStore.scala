@@ -102,6 +102,15 @@ object IndexStore {
             s"signature width=$sigW, observed bands=$nBands — re-persist " +
             "it with writeMinhashIndex to record its build parameters " +
             "(shingleK cannot be recovered from the artifact)")
+        // shingleK is NOT recoverable from the artifact (shingles are
+        // hashes) — warn loudly that it is ASSUMED, the one parameter
+        // the validation above cannot cover; a shingleK-overridden
+        // pre-meta artifact would pass and verify with wrong Jaccards,
+        // so re-persisting with the meta table is the real fix
+        System.err.println(s"WARN IndexStore: minhash index '$prefix' " +
+          "has no meta table; numHashes/bands validated from the " +
+          "artifact, shingleK=5 ASSUMED (unrecoverable) — re-persist " +
+          "with writeMinhashIndex to record parameters")
         (5, 128, 32, false)
       }
     Dedup.MinHashIndex(buckets, sigs, k, n, b, seam)

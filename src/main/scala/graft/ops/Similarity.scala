@@ -154,9 +154,20 @@ object Similarity {
     * probes many times — the build cost (Lloyd iterations + assignment)
     * never appears on the query path.
     */
-  final case class IvfIndex(centroids: DataFrame, cells: DataFrame) {
-    /** Drop the pinned blocks (the index is unusable afterwards). */
-    def release(): Unit = { centroids.unpersist(); cells.unpersist() }
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame,
+                            delta: Option[DataFrame] = None) {
+    /** Drop the pinned blocks THIS index object owns (eager checkpoints
+      * plus, for an appended index, its pinned batch leg). An appended
+      * index SHARES its base's blocks — retire a chain by releasing the
+      * appended indexes first, the base last.
+      */
+    def release(): Unit = {
+      centroids.unpersist(); cells.unpersist(); delta.foreach(_.unpersist())
+    }
+    /** Free ONLY the append leg (the per-execution artifact) — the
+      * shared base blocks stay live for the next append.
+      */
+    def releaseDelta(): Unit = delta.foreach(_.unpersist())
   }
 
   /** Build the IVF index: deterministic k-means centroids + nearest-cell
@@ -243,9 +254,10 @@ object Similarity {
     // assignment rows and union lazily — the existing cells block is
     // never re-materialized (at scale: append the pinned rows into the
     // center_id-bucketed persisted table)
-    IvfIndex(index.centroids,
-      index.cells.unionByName(
-        ivfAssign(batch, index, idCol, vecCol).localCheckpoint(true)))
+    {
+      val leg = ivfAssign(batch, index, idCol, vecCol).localCheckpoint(true)
+      IvfIndex(index.centroids, index.cells.unionByName(leg), Some(leg))
+    }
 
   /** DRIFT report for a frozen-model index under append cadence — the
     * retrain SIGNAL the append tiers defer to ("retrain on drift
@@ -306,8 +318,14 @@ object Similarity {
             s"(CAST(2 AS $dec) * _Ni * _Nb) AS BIGINT)"))
         .otherwise(lit(0L)).as("tv_u6"))
       .withColumn("retrain", col("tv_u6") >= tvThresholdU6)
-    hist.crossJoin(tvRow)
+    // pin the (centroid-sized) report and release the working frame —
+    // a drift check on an ingest cadence must not accumulate pinned
+    // intermediates across calls
+    val out = hist.crossJoin(tvRow)
       .select("center_id", "n_index", "n_batch", "tv_u6", "retrain")
+      .localCheckpoint(true)
+    hist.unpersist()
+    out
   }
 
   /** One-shot IVF top-k (build + probe). Convenience for ad-hoc use and
@@ -361,8 +379,13 @@ object Similarity {
     * scans/shuffles a quarter of the bytes. Probing is asymmetric-distance:
     * the full-precision query scores against dequantized candidates.
     */
-  final case class IvfIndexQ(centroids: DataFrame, cells: DataFrame) {
-    def release(): Unit = { centroids.unpersist(); cells.unpersist() }
+  final case class IvfIndexQ(centroids: DataFrame, cells: DataFrame,
+                             delta: Option[DataFrame] = None) {
+    def release(): Unit = {
+      centroids.unpersist(); cells.unpersist(); delta.foreach(_.unpersist())
+    }
+    /** See [[IvfIndex.releaseDelta]]. */
+    def releaseDelta(): Unit = delta.foreach(_.unpersist())
   }
 
   /** Quantize a built IVF index's cells ([[quantizeInt8]] per vector). The
@@ -397,8 +420,8 @@ object Similarity {
       .select(col("vec_id"), col("center_id"), col("codes"),
         col("q_min"), col("q_scale"))
     // batch-side pin + lazy union, as ivfAppend
-    IvfIndexQ(index.centroids,
-      index.cells.unionByName(q.localCheckpoint(true)))
+    val leg = q.localCheckpoint(true)
+    IvfIndexQ(index.centroids, index.cells.unionByName(leg), Some(leg))
   }
 
   /** Probe a quantized IVF index: identical cell ranking to [[ivfProbe]],
@@ -624,10 +647,14 @@ object Similarity {
     * per-(query, cell).
     */
   final case class IvfPqIndex(centroids: DataFrame, cells: DataFrame,
-                              cb: PqCodebooks) {
+                              cb: PqCodebooks,
+                              delta: Option[DataFrame] = None) {
     def release(): Unit = {
       centroids.unpersist(); cells.unpersist(); cb.release()
+      delta.foreach(_.unpersist())
     }
+    /** See [[IvfIndex.releaseDelta]]. */
+    def releaseDelta(): Unit = delta.foreach(_.unpersist())
   }
 
   /** Build the combined index: IVF cell assignment + PQ codes joined on
@@ -667,8 +694,9 @@ object Similarity {
     val newCells = assigned
       .join(pqEncode(batch, index.cb, idCol, vecCol), Seq("vec_id"))
     // batch-side pin + lazy union, as ivfAppend
-    IvfPqIndex(index.centroids,
-      index.cells.unionByName(newCells.localCheckpoint(true)), index.cb)
+    val leg = newCells.localCheckpoint(true)
+    IvfPqIndex(index.centroids, index.cells.unionByName(leg), index.cb,
+      Some(leg))
   }
 
   /** Probe the combined index: (1) rank cells per query against the
@@ -759,8 +787,13 @@ object Similarity {
     * runs as set-at-a-time joins — per hop: broadcast the (queries × ef)
     * frontier against the adjacency, score only new candidates.
     */
-  final case class NswIndex(edges: DataFrame, entries: DataFrame) {
-    def release(): Unit = { edges.unpersist(); entries.unpersist() }
+  final case class NswIndex(edges: DataFrame, entries: DataFrame,
+                            delta: Option[DataFrame] = None) {
+    def release(): Unit = {
+      edges.unpersist(); entries.unpersist(); delta.foreach(_.unpersist())
+    }
+    /** See [[IvfIndex.releaseDelta]]. */
+    def releaseDelta(): Unit = delta.foreach(_.unpersist())
   }
 
   /** Build the NSW graph. Three edge families, each covering a failure
@@ -957,7 +990,7 @@ object Similarity {
       .dropDuplicates("src", "dst")
       .localCheckpoint(true)
     found.unpersist() // the search's pinned result is folded into newEdges
-    NswIndex(index.edges.union(newEdges), index.entries)
+    NswIndex(index.edges.union(newEdges), index.entries, Some(newEdges))
   }
 
   /** kNN LABEL CLASSIFICATION — propagate labels from the k nearest

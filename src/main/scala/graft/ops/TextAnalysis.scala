@@ -962,10 +962,24 @@ object TextAnalysis {
     */
   final case class PostingsIndex(postings: DataFrame, docLens: DataFrame,
                                  docFreqs: DataFrame, stats: DataFrame,
-                                 idCol: String) {
+                                 idCol: String,
+                                 delta: Seq[DataFrame] = Nil) {
+    /** Drop the pinned blocks THIS index object owns (its eager
+      * checkpoints plus, for an appended index, its pinned batch legs).
+      * An appended index SHARES its base's postings/docLens blocks —
+      * retire a chain by releasing the appended indexes first, the base
+      * last.
+      */
     def release(): Unit = {
       postings.unpersist(); docLens.unpersist(); docFreqs.unpersist()
-      stats.unpersist()
+      stats.unpersist(); delta.foreach(_.unpersist())
+    }
+    /** Free ONLY the append legs (the per-execution artifact) plus this
+      * index's own merged dictionary/stats checkpoints — the shared base
+      * blocks stay live for the next append.
+      */
+    def releaseDelta(): Unit = {
+      delta.foreach(_.unpersist()); docFreqs.unpersist(); stats.unpersist()
     }
   }
 
@@ -1024,10 +1038,10 @@ object TextAnalysis {
   def appendPostingsIndex(index: PostingsIndex, docs: DataFrame,
                           textCol: String = "text"): PostingsIndex = {
     val add = postingsOf(docs, index.idCol, textCol)
-    val postings = index.postings
-      .unionByName(add.postings.localCheckpoint(true))
-    val docLens = index.docLens
-      .unionByName(add.docLens.localCheckpoint(true))
+    val addPostings = add.postings.localCheckpoint(true)
+    val addDocLens = add.docLens.localCheckpoint(true)
+    val postings = index.postings.unionByName(addPostings)
+    val docLens = index.docLens.unionByName(addDocLens)
     val addDf = add.docFreqs.localCheckpoint(true) // batch vocabulary
     val bump = broadcast(addDf.withColumnRenamed("_df", "_dfa"))
     val bumped = index.docFreqs.join(bump, Seq("term"), "left")
@@ -1042,7 +1056,7 @@ object TextAnalysis {
     // pre-upgrade artifacts persisted stats as (_n, _avgdl) only — fall
     // back to one docLens re-aggregation for those (loud in the plan, not
     // silent in the answer); fresh builds always carry the additive state
-    val stats =
+    val statsNew =
       if (index.stats.columns.contains("_sum_dl")) {
         index.stats.select(col("_n"), col("_sum_dl"))
           .crossJoin(add.stats.select(col("_n").as("_na"),
@@ -1060,7 +1074,8 @@ object TextAnalysis {
             col("_sum_dl").cast("double") / col("_n").cast("double")))
           .localCheckpoint(true)
       }
-    PostingsIndex(postings, docLens, docFreqs, stats, index.idCol)
+    PostingsIndex(postings, docLens, docFreqs, statsNew, index.idCol,
+      delta = Seq(addPostings, addDocLens, addDf))
   }
 
   /** DRIFT report for a [[PostingsIndex]] under append cadence — the
@@ -1123,7 +1138,7 @@ object TextAnalysis {
         .select(col("_n").as("n_index_docs"), col("_sum_dl").as("_sum_i"))
     val bStats = add.stats
       .select(col("_n").as("n_batch_docs"), col("_sum_dl").as("_sum_b"))
-    iStats.crossJoin(bStats).crossJoin(bAgg).crossJoin(oovAgg)
+    val out = iStats.crossJoin(bStats).crossJoin(bAgg).crossJoin(oovAgg)
       .withColumn("oov_u6",
         when(col("n_batch_tokens") > 0,
           expr(s"CAST((CAST(1000000 AS $dec) * " +
@@ -1145,6 +1160,11 @@ object TextAnalysis {
       .select("n_index_docs", "n_batch_docs", "n_batch_tokens",
         "n_oov_tokens", "n_batch_terms", "n_oov_terms", "oov_u6",
         "dl_shift_u6", "rebuild")
+      // pin the 1-row report, release the batch-vocabulary frame — no
+      // pinned intermediates accumulate across ingest-cadence calls
+      .localCheckpoint(true)
+    bTerms.unpersist()
+    out
   }
 
   /** BM25 against a prebuilt [[PostingsIndex]] — the probe half of

@@ -448,7 +448,7 @@ object ScaleProbe {
         ivfApp = graft.ops.Similarity.ivfAppend(ivfBase, batch)
         ivfApp.cells
       }
-      if (ivfApp != null) ivfApp.cells.unpersist()
+      if (ivfApp != null) ivfApp.releaseDelta()
       ivfBase.release()
       val postBase = graft.ops.TextAnalysis.buildPostingsIndex(docs)
       val dbatch = base.withColumn("doc_id",
@@ -458,7 +458,7 @@ object ScaleProbe {
         postApp = graft.ops.TextAnalysis.appendPostingsIndex(postBase, dbatch)
         postApp.postings
       }
-      if (postApp != null) postApp.release()
+      if (postApp != null) postApp.releaseDelta()
       postBase.release()
     }
 
@@ -479,7 +479,7 @@ object ScaleProbe {
         nswApp = graft.ops.Similarity.nswAppend(nswBase, batch, embs)
         nswApp.edges
       }
-      if (nswApp != null) nswApp.edges.unpersist()
+      if (nswApp != null) nswApp.releaseDelta()
       nswBase.release()
     }
     // PQ tier: append = assign-to-cells + PQ-encode against the FROZEN
@@ -496,7 +496,7 @@ object ScaleProbe {
         pqApp = graft.ops.Similarity.ivfPqAppend(pqBase, batch)
         pqApp.cells
       }
-      if (pqApp != null) pqApp.cells.unpersist()
+      if (pqApp != null) pqApp.releaseDelta()
       pqBase.release()
     }
 
