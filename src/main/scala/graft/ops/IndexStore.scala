@@ -132,6 +132,29 @@ object IndexStore {
     Similarity.IvfIndex(spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_cells"))
 
+  /** [[readIvfIndex]] plus the streaming append deltas written by
+    * [[graft.streaming.Streams.ivfAppendIngest]]: the bucketed base
+    * cells union the batch_id-partitioned delta rows (the base side of
+    * a probe's candidate join stays pre-shuffled; the delta side is
+    * batch-sized and shuffles — the same split every in-session append
+    * makes). A missing/empty delta tree reads as the base index alone,
+    * so the reader works before the first batch lands. Fold deltas into
+    * a rewritten base on retrain/compaction cadence.
+    */
+  def readIvfIndexWithDelta(spark: SparkSession, prefix: String,
+                            deltaPath: String): Similarity.IvfIndex = {
+    val base = readIvfIndex(spark, prefix)
+    val delta =
+      try spark.read.parquet(deltaPath)
+        .select(base.cells.columns.map(org.apache.spark.sql.functions.col): _*)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+          base.cells.limit(0)
+      }
+    Similarity.IvfIndex(base.centroids, base.cells.unionByName(delta))
+  }
+
   /** Persist an [[Similarity.NswIndex]]: the adjacency bucketed on `src`
     * (each beam hop's frontier join is one-sided against it — the
     * graph-tier equivalent of the cells/center_id bucketing), the entry

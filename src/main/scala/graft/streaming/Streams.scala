@@ -482,6 +482,56 @@ object Streams {
       .start()
   }
 
+  /** Streaming ANN INDEX MAINTENANCE — the IVF append path run
+    * continuously as vectors land (the 14th streaming op; the
+    * [[curatedLandingIngest]] discipline applied to the vector tier):
+    * every micro-batch routes against the PERSISTED index's frozen
+    * centroids ([[graft.ops.Similarity.ivfAssign]] — the real append
+    * path, no Lloyd re-run) and lands two sinks, both via
+    * [[writeBatchIdempotent]] so a replayed batch rewrites its own
+    * `batch_id` partition:
+    *
+    *   - `deltaPath`: the batch's assignment rows (vec_id, _cv,
+    *     center_id — the cells schema). [[graft.ops.IndexStore
+    *     .readIvfIndexWithDelta]] unions them under the bucketed base
+    *     for probing; on retrain/compaction cadence the deltas fold
+    *     into a rewritten base (the persisted-artifact lifecycle).
+    *   - `auditPath`: one [[graft.ops.Similarity.indexDriftReport]]
+    *     row-set per batch (per-cell occupancies + tv_u6 + retrain) —
+    *     the drift-cadence signal computed AT ingest, so "retrain on
+    *     drift cadence" is an alertable log, not a manual check.
+    *
+    * foreachBatch because both sinks need the whole batch against the
+    * whole index (not bounded keyed state), and batches are complete
+    * drops by construction. Caller conventions are the append family's:
+    * vec_ids unique across the stream and vs the corpus.
+    */
+  def ivfAppendIngest(vectors: DataFrame, indexPrefix: String,
+                      deltaPath: String, auditPath: String,
+                      checkpoint: String,
+                      tvThresholdU6: Long = 250000L
+                     ): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val idx = graft.ops.IndexStore.readIvfIndex(spark, indexPrefix)
+          val pinned = batch.localCheckpoint(true) // one scan, two sinks
+          writeBatchIdempotent(
+            graft.ops.Similarity.ivfAssign(pinned, idx),
+            batchId, deltaPath)
+          val report = graft.ops.Similarity.indexDriftReport(idx, pinned,
+            tvThresholdU6)
+          writeBatchIdempotent(report, batchId, auditPath)
+          report.unpersist()
+          pinned.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming DRIFT MONITOR: score every arriving micro-batch against a
     * STATIC reference snapshot with the binned KS gate
     * ([[graft.ops.CorpusOps.ksDrift]]) and append one audit row per

@@ -309,6 +309,49 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g1.fingerprints.count() == 3)
   }
 
+  test("ivfAppendIngest: streamed vectors route against the persisted " +
+      "index, a staged probe over base+delta equals brute force, and " +
+      "the drift audit appends one report per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("ivfing-ck").toString
+    val delta = Files.createTempDirectory("ivfing-delta").toString + "/cells"
+    val audit = Files.createTempDirectory("ivfing-audit").toString
+    val even = vecs.filter(col("vec_id") % 2 === 0)
+    val odd = vecs.filter(col("vec_id") % 2 === 1)
+    val base = Similarity.buildIvfIndex(even, nCenters = 4, iters = 2)
+    IndexStore.writeIvfIndex(base, "s_ivf", buckets = 4)
+    base.release()
+    // the reader tolerates the not-yet-existing delta tree
+    assert(IndexStore.readIvfIndexWithDelta(spark, "s_ivf", delta)
+      .cells.count() === even.count())
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def run() = graft.streaming.Streams.ivfAppendIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "s_ivf", delta, audit, ckpt)
+      .awaitTermination()
+    val oddRows = odd.as[(Long, Seq[Float])].collect()
+    val (b1, b2) = oddRows.splitAt(oddRows.length / 2)
+    mem.addData(b1.toSeq: _*); run()
+    mem.addData(b2.toSeq: _*); run()
+    // staged probe (nProbe = nCenters) over base ∪ streamed deltas must
+    // equal brute force over the FULL corpus — the append-family gate
+    val full = IndexStore.readIvfIndexWithDelta(spark, "s_ivf", delta)
+    val q = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = rowsOf(Similarity.ivfProbe(q, full, k = 5, nProbe = 4)
+      .select("query_id", "vec_id", "rank"))
+    val exact = rowsOf(Similarity.bruteForceTopK(q, vecs, k = 5)
+      .select("query_id", "vec_id", "rank"))
+    assert(got.nonEmpty && got == exact)
+    // drift audit: one report per batch, one row per centroid
+    val auditDf = spark.read.parquet(audit)
+    assert(auditDf.select("batch_id").distinct().count() === 2)
+    assert(auditDf.count() === 8)
+    assert(auditDf.columns.toSet.contains("tv_u6") &&
+      auditDf.columns.toSet.contains("retrain"))
+  }
+
   test("NB model round-trips; classify identical on reload") {
     import spark.implicits._
     val labeled = docs.withColumn("label",
