@@ -500,6 +500,30 @@ object ScaleProbe {
       pqBase.release()
     }
 
+    // round-10: drift reports on a growing index with a FIXED batch.
+    // ivf_drift's index histogram is ONE map-side-combinable count over
+    // the cells table — time should be ~scan-linear in mult with no
+    // shuffle growth; bm25_drift's dictionary joins stream O(vocab)
+    // (constant under replication — same text) so it should stay ~flat.
+    if (only.isEmpty || only("ivf_drift")) {
+      val ivfBase = graft.ops.Similarity.buildIvfIndex(embs, nCenters = 16)
+      val batch = embBase.withColumn("vec_id",
+        col("vec_id") + lit(900_000_000L))
+      probe("ivf_drift") {
+        graft.ops.Similarity.indexDriftReport(ivfBase, batch)
+      }
+      ivfBase.release()
+    }
+    if (only.isEmpty || only("bm25_drift")) {
+      val postBase = graft.ops.TextAnalysis.buildPostingsIndex(docs)
+      val dbatch = base.withColumn("doc_id",
+        col("doc_id") + lit(900_000_000L))
+      probe("bm25_drift") {
+        graft.ops.TextAnalysis.postingsDriftReport(postBase, dbatch)
+      }
+      postBase.release()
+    }
+
     // round-7e: normalize/winsorize DEFAULTS (GK sketch) on the same
     // all-distinct doubles regime as the robust-stats probes — task
     // memory O(accuracy) whatever the cardinality; time scan-linear
