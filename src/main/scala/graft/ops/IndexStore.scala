@@ -144,14 +144,13 @@ object IndexStore {
   def readIvfIndexWithDelta(spark: SparkSession, prefix: String,
                             deltaPath: String): Similarity.IvfIndex = {
     val base = readIvfIndex(spark, prefix)
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(p)
     val delta =
-      try spark.read.parquet(deltaPath)
+      if (exists) spark.read.parquet(deltaPath)
         .select(base.cells.columns.map(org.apache.spark.sql.functions.col): _*)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
-          base.cells.limit(0)
-      }
+      else base.cells.limit(0)
     Similarity.IvfIndex(base.centroids, base.cells.unionByName(delta))
   }
 

@@ -165,7 +165,9 @@ object Similarity {
       centroids.unpersist(); cells.unpersist(); delta.foreach(_.unpersist())
     }
     /** Free ONLY the append leg (the per-execution artifact) — the
-      * shared base blocks stay live for the next append.
+      * shared base blocks stay live for the next append. Like
+      * [[release]], THIS index object is unusable afterwards: its big
+      * table references the freed leg.
       */
     def releaseDelta(): Unit = delta.foreach(_.unpersist())
   }

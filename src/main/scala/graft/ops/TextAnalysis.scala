@@ -976,7 +976,9 @@ object TextAnalysis {
     }
     /** Free ONLY the append legs (the per-execution artifact) plus this
       * index's own merged dictionary/stats checkpoints — the shared base
-      * blocks stay live for the next append.
+      * blocks stay live for the next append. Like [[release]], THIS
+      * index object is unusable afterwards: its tables reference the
+      * freed legs.
       */
     def releaseDelta(): Unit = {
       delta.foreach(_.unpersist()); docFreqs.unpersist(); stats.unpersist()
