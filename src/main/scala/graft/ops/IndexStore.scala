@@ -252,6 +252,41 @@ object IndexStore {
       spark.table(s"${prefix}_stats"),
       spark.table(s"${prefix}_meta").head().getString(0))
 
+  /** [[readPostingsIndex]] plus the streaming append deltas written by
+    * [[graft.streaming.Streams.bm25AppendIngest]]: postings/docLens
+    * union the batch_id-partitioned delta rows under the bucketed base;
+    * the dictionary merges with delta-terms-only broadcast work (the
+    * [[TextAnalysis.appendPostingsIndex]] merge, streamed big side) and
+    * the 1-row stats merge additively — so the loaded index probes
+    * BIT-EQUAL to a full rebuild over base ∪ stream. A missing delta
+    * tree reads as the base alone.
+    */
+  def readPostingsIndexWithDelta(spark: SparkSession, prefix: String,
+                                 deltaPath: String): TextAnalysis.PostingsIndex = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val base = readPostingsIndex(spark, prefix)
+    val pp = new org.apache.hadoop.fs.Path(s"$deltaPath/postings")
+    val exists = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(pp)
+    if (!exists) base
+    else {
+      val dp = spark.read.parquet(s"$deltaPath/postings")
+        .select(base.postings.columns.map(col): _*)
+      val dl = spark.read.parquet(s"$deltaPath/doclens")
+        .select(base.docLens.columns.map(col): _*)
+      val addDf = dp.groupBy("term").agg(count(lit(1)).as("_df"))
+        .localCheckpoint(true) // delta vocabulary (bounded by the stream)
+      val docFreqs = TextAnalysis.mergeDocFreqs(base.docFreqs, addDf)
+      val addStats = dl.agg(count(lit(1)).as("_n"),
+        coalesce(sum(col("_dl")), lit(0L)).as("_sum_dl"))
+      val stats = TextAnalysis.mergeStats(
+        TextAnalysis.additiveStatsOf(base), addStats)
+      addDf.unpersist() // folded into the pinned merged dictionary
+      TextAnalysis.PostingsIndex(base.postings.unionByName(dp),
+        base.docLens.unionByName(dl), docFreqs, stats, base.idCol)
+    }
+  }
+
   // --- incremental-curation corpus state ---------------------------------
 
   /** Persist a [[Pipelines.CorpusState]] — the artifact `curateBatch`

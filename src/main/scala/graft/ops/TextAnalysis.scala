@@ -1045,40 +1045,63 @@ object TextAnalysis {
     val postings = index.postings.unionByName(addPostings)
     val docLens = index.docLens.unionByName(addDocLens)
     val addDf = add.docFreqs.localCheckpoint(true) // batch vocabulary
-    val bump = broadcast(addDf.withColumnRenamed("_df", "_dfa"))
-    val bumped = index.docFreqs.join(bump, Seq("term"), "left")
-      .select(col("term"),
-        (col("_df") + coalesce(col("_dfa"), lit(0L))).as("_df"))
-    val known = index.docFreqs.join(bump, Seq("term"), "left_semi")
-      .select("term")
-    val novel = addDf.join(broadcast(known), Seq("term"), "left_anti")
-    // the merged dictionary pins (it is vocabulary-sized — compact, and
-    // probes broadcast slices of it); the corpus-sized tables above do not
-    val docFreqs = bumped.unionByName(novel).localCheckpoint(true)
-    // pre-upgrade artifacts persisted stats as (_n, _avgdl) only — fall
-    // back to one docLens re-aggregation for those (loud in the plan, not
-    // silent in the answer); fresh builds always carry the additive state
-    val statsNew =
-      if (index.stats.columns.contains("_sum_dl")) {
-        index.stats.select(col("_n"), col("_sum_dl"))
-          .crossJoin(add.stats.select(col("_n").as("_na"),
-            col("_sum_dl").as("_sa")))
-          .select((col("_n") + col("_na")).as("_n"),
-            (col("_sum_dl") + col("_sa")).as("_sum_dl"))
-          .withColumn("_avgdl", when(col("_n") > 0,
-            col("_sum_dl").cast("double") / col("_n").cast("double")))
-          .localCheckpoint(true)
-      } else {
-        docLens
-          .agg(count(lit(1)).as("_n"), coalesce(sum(col("_dl")), lit(0L))
-            .as("_sum_dl"))
-          .withColumn("_avgdl", when(col("_n") > 0,
-            col("_sum_dl").cast("double") / col("_n").cast("double")))
-          .localCheckpoint(true)
-      }
+    val docFreqs = mergeDocFreqs(index.docFreqs, addDf)
+    val statsNew = mergeStats(additiveStatsOf(index), add.stats)
     PostingsIndex(postings, docLens, docFreqs, statsNew, index.idCol,
       delta = Seq(addPostings, addDocLens, addDf))
   }
+
+  /** Dictionary merge with batch-terms-only work: one broadcast of the
+    * (pinned) batch term counts bumps existing terms, one broadcast
+    * anti-join appends novel terms — the big dictionary streams twice
+    * with NO shuffle and NO re-aggregation. The merged dictionary pins
+    * (it is vocabulary-sized — compact, and probes broadcast slices of
+    * it).
+    */
+  private[graft] def mergeDocFreqs(baseDf: DataFrame,
+                                   addDf: DataFrame): DataFrame = {
+    val bump = broadcast(addDf.withColumnRenamed("_df", "_dfa"))
+    val bumped = baseDf.join(bump, Seq("term"), "left")
+      .select(col("term"),
+        (col("_df") + coalesce(col("_dfa"), lit(0L))).as("_df"))
+    val known = baseDf.join(bump, Seq("term"), "left_semi").select("term")
+    val novel = addDf.join(broadcast(known), Seq("term"), "left_anti")
+    bumped.unionByName(novel).localCheckpoint(true)
+  }
+
+  /** Merge two additive (_n, _sum_dl) corpus-stat states into a pinned
+    * 1-row stats table with the derived _avgdl.
+    */
+  private[graft] def mergeStats(baseStats: DataFrame,
+                                addStats: DataFrame): DataFrame =
+    baseStats.select(col("_n"), col("_sum_dl"))
+      .crossJoin(addStats.select(col("_n").as("_na"),
+        col("_sum_dl").as("_sa")))
+      .select((col("_n") + col("_na")).as("_n"),
+        (col("_sum_dl") + col("_sa")).as("_sum_dl"))
+      .withColumn("_avgdl", when(col("_n") > 0,
+        col("_sum_dl").cast("double") / col("_n").cast("double")))
+      .localCheckpoint(true)
+
+  /** The index's additive (_n, _sum_dl) state — read from the stats
+    * table when present; pre-upgrade artifacts persisted (_n, _avgdl)
+    * only, for which one loud docLens re-aggregation recovers it.
+    */
+  private[graft] def additiveStatsOf(index: PostingsIndex): DataFrame =
+    if (index.stats.columns.contains("_sum_dl"))
+      index.stats.select(col("_n"), col("_sum_dl"))
+    else
+      index.docLens.agg(count(lit(1)).as("_n"),
+        coalesce(sum(col("_dl")), lit(0L)).as("_sum_dl"))
+
+  /** The batch's postings components (tf/docLens/docFreqs/additive
+    * stats) — the per-batch half of [[appendPostingsIndex]], exposed for
+    * the streaming ingest ([[graft.streaming.Streams.bm25AppendIngest]])
+    * which persists the components instead of unioning in-session.
+    */
+  private[graft] def batchPostings(docs: DataFrame, idCol: String,
+                                   textCol: String): PostingsIndex =
+    postingsOf(docs, idCol, textCol)
 
   /** DRIFT report for a [[PostingsIndex]] under append cadence — the
     * lexical sibling of [[graft.ops.Similarity.indexDriftReport]]: the

@@ -532,6 +532,53 @@ object Streams {
       }
       .start()
 
+  /** [[ivfAppendIngest]] for the LEXICAL tier — BM25 postings
+    * maintenance run continuously as documents land: every micro-batch
+    * tokenizes ONCE (the real append path's batch half) and lands three
+    * replay-idempotent sinks — its postings and docLens rows under
+    * batch_id-partitioned delta trees (`deltaPath/postings`,
+    * `deltaPath/doclens`), and one [[graft.ops.TextAnalysis
+    * .postingsDriftReport]] row per batch to `auditPath` (OOV/avgdl
+    * drift vs the PERSISTED base — the refresh-cadence signal computed
+    * at ingest). [[graft.ops.IndexStore.readPostingsIndexWithDelta]]
+    * merges the deltas under the bucketed base for probing — because
+    * every component is additive, the merged index probes BIT-EQUAL to
+    * a full rebuild over base ∪ stream (the append family's
+    * unconditional lexical guarantee). Fold deltas into a rewritten
+    * base on compaction cadence.
+    */
+  def bm25AppendIngest(docs: DataFrame, indexPrefix: String,
+                       deltaPath: String, auditPath: String,
+                       checkpoint: String,
+                       oovThresholdU6: Long = 100000L,
+                       dlThresholdU6: Long = 250000L,
+                       textCol: String = "text"
+                      ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val base = graft.ops.IndexStore.readPostingsIndex(spark,
+            indexPrefix)
+          val pinned = batch.localCheckpoint(true) // one scan, two sinks
+          val add = graft.ops.TextAnalysis.batchPostings(pinned,
+            base.idCol, textCol)
+          writeBatchIdempotent(add.postings, batchId,
+            s"$deltaPath/postings")
+          writeBatchIdempotent(add.docLens, batchId,
+            s"$deltaPath/doclens")
+          val report = graft.ops.TextAnalysis.postingsDriftReport(base,
+            pinned, oovThresholdU6, dlThresholdU6, textCol)
+          writeBatchIdempotent(report, batchId, auditPath)
+          report.unpersist()
+          pinned.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming DRIFT MONITOR: score every arriving micro-batch against a
     * STATIC reference snapshot with the binned KS gate
     * ([[graft.ops.CorpusOps.ksDrift]]) and append one audit row per

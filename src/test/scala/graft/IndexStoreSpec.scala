@@ -352,6 +352,54 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       auditDf.columns.toSet.contains("retrain"))
   }
 
+  test("bm25AppendIngest: streamed docs land postings/doclens deltas; " +
+      "the merged index probes bit-equal to a full rebuild; the drift " +
+      "audit appends one report per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("bming-ck").toString
+    val delta = Files.createTempDirectory("bming-delta").toString + "/t"
+    val audit = Files.createTempDirectory("bming-audit").toString
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val base = TextAnalysis.buildPostingsIndex(even)
+    IndexStore.writePostingsIndex(base, "s_post", buckets = 4)
+    base.release()
+    // the reader tolerates the not-yet-existing delta tree
+    assert(IndexStore.readPostingsIndexWithDelta(spark, "s_post", delta)
+      .docLens.count() === even.count())
+    val mem = MemoryStream[(Long, String)]
+    def run() = graft.streaming.Streams.bm25AppendIngest(
+      mem.toDF().toDF("doc_id", "text"), "s_post", delta, audit, ckpt)
+      .awaitTermination()
+    val oddRows = odd.as[(Long, String)].collect()
+    val (b1, b2) = oddRows.splitAt(oddRows.length / 2)
+    mem.addData(b1.toSeq: _*); run()
+    mem.addData(b2.toSeq: _*); run()
+    // additive components: the merged (base + streamed deltas) index
+    // probes BIT-EQUAL to a fresh full build over the whole corpus
+    val merged = IndexStore.readPostingsIndexWithDelta(spark, "s_post",
+      delta)
+    val full = TextAnalysis.buildPostingsIndex(docs)
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val got = rowsOf(TextAnalysis.bm25Probe(merged, qs))
+    val exp = rowsOf(TextAnalysis.bm25Probe(full, qs))
+    assert(got.nonEmpty && got == exp)
+    // drift audit: one 1-row report per batch — and the signal is REAL:
+    // odd docs carry the odd families' vocabulary (token1/3/5/7, the odd
+    // fam digits), all absent from the even-half dictionary, so the OOV
+    // fraction clears the threshold and rebuild fires on both batches
+    val auditDf = spark.read.parquet(audit)
+    assert(auditDf.select("batch_id").distinct().count() === 2)
+    assert(auditDf.count() === 2)
+    assert(auditDf.filter(col("rebuild") &&
+      col("oov_u6") > 100000L).count() === 2,
+      "disjoint-family batches must recommend rebuild via OOV")
+    full.release(); merged.release()
+  }
+
   test("NB model round-trips; classify identical on reload") {
     import spark.implicits._
     val labeled = docs.withColumn("label",
