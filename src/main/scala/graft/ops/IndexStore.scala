@@ -132,26 +132,40 @@ object IndexStore {
     Similarity.IvfIndex(spark.table(s"${prefix}_centroids"),
       spark.table(s"${prefix}_cells"))
 
+  /** True when the delta tree has at least one non-hidden entry —
+    * a missing root OR an existing-but-empty one (compaction deleted
+    * every batch partition) both read as "no deltas".
+    */
+  private def deltaTreeHasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** [[readIvfIndex]] plus the streaming append deltas written by
     * [[graft.streaming.Streams.ivfAppendIngest]]: the bucketed base
-    * cells union the batch_id-partitioned delta rows (the base side of
-    * a probe's candidate join stays pre-shuffled; the delta side is
-    * batch-sized and shuffles — the same split every in-session append
-    * makes). A missing/empty delta tree reads as the base index alone,
-    * so the reader works before the first batch lands. Fold deltas into
-    * a rewritten base on retrain/compaction cadence.
+    * cells union the batch_id-partitioned delta rows. NOTE the honest
+    * partitioning cost: a UNION reports unknown output partitioning, so
+    * a probe against the unioned cells re-shuffles BOTH sides — the
+    * zero-Exchange base-side plan holds only for the delta-free reader
+    * (which this returns verbatim when no deltas exist) and returns at
+    * every compaction, which folds the deltas into a rewritten bucketed
+    * base. Between compactions, keep deltas small relative to probe
+    * volume — or probe base and delta separately and merge candidates
+    * (global top-k = top-k over the two sides' top-k unions).
     */
   def readIvfIndexWithDelta(spark: SparkSession, prefix: String,
                             deltaPath: String): Similarity.IvfIndex = {
     val base = readIvfIndex(spark, prefix)
-    val p = new org.apache.hadoop.fs.Path(deltaPath)
-    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(p)
-    val delta =
-      if (exists) spark.read.parquet(deltaPath)
+    if (!deltaTreeHasData(spark, deltaPath)) base
+    else {
+      val delta = spark.read.parquet(deltaPath)
         .select(base.cells.columns.map(org.apache.spark.sql.functions.col): _*)
-      else base.cells.limit(0)
-    Similarity.IvfIndex(base.centroids, base.cells.unionByName(delta))
+      Similarity.IvfIndex(base.centroids, base.cells.unionByName(delta))
+    }
   }
 
   /** Persist an [[Similarity.NswIndex]]: the adjacency bucketed on `src`
@@ -253,35 +267,34 @@ object IndexStore {
       spark.table(s"${prefix}_meta").head().getString(0))
 
   /** [[readPostingsIndex]] plus the streaming append deltas written by
-    * [[graft.streaming.Streams.bm25AppendIngest]]: postings/docLens
-    * union the batch_id-partitioned delta rows under the bucketed base;
-    * the dictionary merges with delta-terms-only broadcast work (the
-    * [[TextAnalysis.appendPostingsIndex]] merge, streamed big side) and
-    * the 1-row stats merge additively — so the loaded index probes
-    * BIT-EQUAL to a full rebuild over base ∪ stream. A missing delta
-    * tree reads as the base alone.
+    * [[graft.streaming.Streams.bm25AppendIngest]]: the single per-batch
+    * tf artifact is the ONLY thing on disk — docLens, the dictionary
+    * merge and the additive stats all REBUILD from it at load (a crash
+    * can never leave derived tables mutually skewed), so the loaded
+    * index probes BIT-EQUAL to a full rebuild over base ∪ stream. The
+    * dictionary merge deliberately does NOT broadcast the accumulated
+    * delta vocabulary (it grows until compaction — one bounded
+    * vocab-sized shuffle agg at load instead). A missing or empty delta
+    * tree reads as the base alone. Same union-partitioning caveat as
+    * [[readIvfIndexWithDelta]]; compaction restores the zero-Exchange
+    * base.
     */
   def readPostingsIndexWithDelta(spark: SparkSession, prefix: String,
                                  deltaPath: String): TextAnalysis.PostingsIndex = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
     val base = readPostingsIndex(spark, prefix)
-    val pp = new org.apache.hadoop.fs.Path(s"$deltaPath/postings")
-    val exists = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(pp)
-    if (!exists) base
+    if (!deltaTreeHasData(spark, deltaPath)) base
     else {
-      val dp = spark.read.parquet(s"$deltaPath/postings")
+      val dp = spark.read.parquet(deltaPath)
         .select(base.postings.columns.map(col): _*)
-      val dl = spark.read.parquet(s"$deltaPath/doclens")
-        .select(base.docLens.columns.map(col): _*)
+      val dl = dp.groupBy(base.idCol).agg(sum(col("_tf")).as("_dl"))
       val addDf = dp.groupBy("term").agg(count(lit(1)).as("_df"))
-        .localCheckpoint(true) // delta vocabulary (bounded by the stream)
-      val docFreqs = TextAnalysis.mergeDocFreqs(base.docFreqs, addDf)
+      val docFreqs = TextAnalysis.mergeDocFreqs(base.docFreqs, addDf,
+        broadcastAdd = false)
       val addStats = dl.agg(count(lit(1)).as("_n"),
         coalesce(sum(col("_dl")), lit(0L)).as("_sum_dl"))
       val stats = TextAnalysis.mergeStats(
         TextAnalysis.additiveStatsOf(base), addStats)
-      addDf.unpersist() // folded into the pinned merged dictionary
       TextAnalysis.PostingsIndex(base.postings.unionByName(dp),
         base.docLens.unionByName(dl), docFreqs, stats, base.idCol)
     }

@@ -290,13 +290,24 @@ object Similarity {
   def indexDriftReport(index: IvfIndex, batch: DataFrame,
                        tvThresholdU6: Long = 250000L,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding"): DataFrame =
+    indexDriftReportFromAssigned(index,
+      ivfAssign(batch, index, idCol, vecCol), tvThresholdU6)
+
+  /** [[indexDriftReport]] over PRECOMPUTED assignment rows (any frame
+    * with one row per routed batch vector carrying `center_id`) — the
+    * streaming ingest shares one routing pass between the delta sink
+    * and this report.
+    */
+  private[graft] def indexDriftReportFromAssigned(index: IvfIndex,
+                                                  assigned: DataFrame,
+                                                  tvThresholdU6: Long = 250000L): DataFrame = {
     require(tvThresholdU6 >= 0 && tvThresholdU6 <= 1000000L,
       s"tvThresholdU6 must be on the u6 lattice [0, 1e6], got $tvThresholdU6")
     val dec = "decimal(38,0)"
     val idxHist = index.cells.groupBy("center_id")
       .agg(count(lit(1)).as("_ni"))
-    val bHist = ivfAssign(batch, index, idCol, vecCol)
+    val bHist = assigned
       .groupBy("center_id").agg(count(lit(1)).as("_nb"))
     // centroid-sized frame, pinned: it feeds the totals, the TV sum and
     // the published rows (three consumers of two aggregations)

@@ -985,9 +985,11 @@ object TextAnalysis {
     }
   }
 
-  /** The postings dataflow (not pinned — [[buildPostingsIndex]] pins). */
-  private def postingsOf(docs: DataFrame, idCol: String,
-                         textCol: String): PostingsIndex = {
+  /** The postings dataflow (not pinned — [[buildPostingsIndex]] pins;
+    * [[graft.streaming.Streams.bm25AppendIngest]] pins just the tf leg).
+    */
+  private[graft] def postingsOf(docs: DataFrame, idCol: String,
+                                textCol: String): PostingsIndex = {
     val toks = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
@@ -1058,16 +1060,24 @@ object TextAnalysis {
     * (it is vocabulary-sized — compact, and probes broadcast slices of
     * it).
     */
-  private[graft] def mergeDocFreqs(baseDf: DataFrame,
-                                   addDf: DataFrame): DataFrame = {
-    val bump = broadcast(addDf.withColumnRenamed("_df", "_dfa"))
-    val bumped = baseDf.join(bump, Seq("term"), "left")
-      .select(col("term"),
-        (col("_df") + coalesce(col("_dfa"), lit(0L))).as("_df"))
-    val known = baseDf.join(bump, Seq("term"), "left_semi").select("term")
-    val novel = addDf.join(broadcast(known), Seq("term"), "left_anti")
-    bumped.unionByName(novel).localCheckpoint(true)
-  }
+  private[graft] def mergeDocFreqs(baseDf: DataFrame, addDf: DataFrame,
+                                   broadcastAdd: Boolean = true): DataFrame =
+    if (broadcastAdd) {
+      // one-batch vocabulary: broadcast it, stream the big dictionary
+      val bump = broadcast(addDf.withColumnRenamed("_df", "_dfa"))
+      val bumped = baseDf.join(bump, Seq("term"), "left")
+        .select(col("term"),
+          (col("_df") + coalesce(col("_dfa"), lit(0L))).as("_df"))
+      val known = baseDf.join(bump, Seq("term"), "left_semi").select("term")
+      val novel = addDf.join(broadcast(known), Seq("term"), "left_anti")
+      bumped.unionByName(novel).localCheckpoint(true)
+    } else {
+      // unbounded add side (a whole stream's accumulated vocabulary):
+      // never force a broadcast — one vocab-sized shuffle agg instead
+      baseDf.unionByName(addDf)
+        .groupBy("term").agg(sum(col("_df")).as("_df"))
+        .localCheckpoint(true)
+    }
 
   /** Merge two additive (_n, _sum_dl) corpus-stat states into a pinned
     * 1-row stats table with the derived _avgdl.
@@ -1094,14 +1104,6 @@ object TextAnalysis {
       index.docLens.agg(count(lit(1)).as("_n"),
         coalesce(sum(col("_dl")), lit(0L)).as("_sum_dl"))
 
-  /** The batch's postings components (tf/docLens/docFreqs/additive
-    * stats) — the per-batch half of [[appendPostingsIndex]], exposed for
-    * the streaming ingest ([[graft.streaming.Streams.bm25AppendIngest]])
-    * which persists the components instead of unioning in-session.
-    */
-  private[graft] def batchPostings(docs: DataFrame, idCol: String,
-                                   textCol: String): PostingsIndex =
-    postingsOf(docs, idCol, textCol)
 
   /** DRIFT report for a [[PostingsIndex]] under append cadence — the
     * lexical sibling of [[graft.ops.Similarity.indexDriftReport]]: the
@@ -1133,15 +1135,26 @@ object TextAnalysis {
   def postingsDriftReport(index: PostingsIndex, docs: DataFrame,
                           oovThresholdU6: Long = 100000L,
                           dlThresholdU6: Long = 250000L,
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text"): DataFrame =
+    postingsDriftReportFrom(index,
+      postingsOf(docs, index.idCol, textCol).postings,
+      oovThresholdU6, dlThresholdU6)
+
+  /** [[postingsDriftReport]] over PRECOMPUTED batch tf rows
+    * (idCol, term, _tf) — the streaming ingest shares one tokenize pass
+    * between the delta sink and this report.
+    */
+  private[graft] def postingsDriftReportFrom(index: PostingsIndex,
+                                             tf: DataFrame,
+                                             oovThresholdU6: Long = 100000L,
+                                             dlThresholdU6: Long = 250000L): DataFrame = {
     require(oovThresholdU6 >= 0 && oovThresholdU6 <= 1000000L &&
         dlThresholdU6 >= 0,
       "thresholds must sit on the u6 lattice (oov within [0, 1e6])")
     val dec = "decimal(38,0)"
-    val add = postingsOf(docs, index.idCol, textCol)
     // batch vocabulary with its token mass — batch-sized, pinned (it
     // feeds the semi-prune, the anti-join and two aggregates)
-    val bTerms = add.postings.groupBy("term")
+    val bTerms = tf.groupBy("term")
       .agg(sum(col("_tf")).as("_toks"))
       .localCheckpoint(true)
     // known terms: stream the big dictionary against the broadcast
@@ -1161,8 +1174,9 @@ object TextAnalysis {
        else index.docLens.agg(count(lit(1)).as("_n"),
          coalesce(sum(col("_dl")), lit(0L)).as("_sum_dl")))
         .select(col("_n").as("n_index_docs"), col("_sum_dl").as("_sum_i"))
-    val bStats = add.stats
-      .select(col("_n").as("n_batch_docs"), col("_sum_dl").as("_sum_b"))
+    val bStats = tf.groupBy(index.idCol).agg(sum(col("_tf")).as("_dl"))
+      .agg(count(lit(1)).as("n_batch_docs"),
+        coalesce(sum(col("_dl")), lit(0L)).as("_sum_b"))
     val out = iStats.crossJoin(bStats).crossJoin(bAgg).crossJoin(oovAgg)
       .withColumn("oov_u6",
         when(col("n_batch_tokens") > 0,

@@ -518,15 +518,16 @@ object Streams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val idx = graft.ops.IndexStore.readIvfIndex(spark, indexPrefix)
-          val pinned = batch.localCheckpoint(true) // one scan, two sinks
-          writeBatchIdempotent(
-            graft.ops.Similarity.ivfAssign(pinned, idx),
-            batchId, deltaPath)
-          val report = graft.ops.Similarity.indexDriftReport(idx, pinned,
-            tvThresholdU6)
+          // route ONCE: the pinned assignment feeds both the delta sink
+          // and the drift histogram (no second batch x centroids pass)
+          val assigned = graft.ops.Similarity.ivfAssign(batch, idx)
+            .localCheckpoint(true)
+          writeBatchIdempotent(assigned, batchId, deltaPath)
+          val report = graft.ops.Similarity
+            .indexDriftReportFromAssigned(idx, assigned, tvThresholdU6)
           writeBatchIdempotent(report, batchId, auditPath)
           report.unpersist()
-          pinned.unpersist()
+          assigned.unpersist()
           ()
         }
       }
@@ -534,18 +535,19 @@ object Streams {
 
   /** [[ivfAppendIngest]] for the LEXICAL tier — BM25 postings
     * maintenance run continuously as documents land: every micro-batch
-    * tokenizes ONCE (the real append path's batch half) and lands three
-    * replay-idempotent sinks — its postings and docLens rows under
-    * batch_id-partitioned delta trees (`deltaPath/postings`,
-    * `deltaPath/doclens`), and one [[graft.ops.TextAnalysis
-    * .postingsDriftReport]] row per batch to `auditPath` (OOV/avgdl
-    * drift vs the PERSISTED base — the refresh-cadence signal computed
-    * at ingest). [[graft.ops.IndexStore.readPostingsIndexWithDelta]]
-    * merges the deltas under the bucketed base for probing — because
-    * every component is additive, the merged index probes BIT-EQUAL to
-    * a full rebuild over base ∪ stream (the append family's
-    * unconditional lexical guarantee). Fold deltas into a rewritten
-    * base on compaction cadence.
+    * tokenizes ONCE and lands exactly ONE replay-idempotent data sink —
+    * its tf (postings) rows under a batch_id-partitioned delta tree —
+    * plus one [[graft.ops.TextAnalysis.postingsDriftReport]] row per
+    * batch to `auditPath` (OOV/avgdl drift vs the PERSISTED base — the
+    * refresh-cadence signal computed at ingest, sharing the same
+    * tokenize pass). docLens/df/stats all DERIVE from tf, so
+    * [[graft.ops.IndexStore.readPostingsIndexWithDelta]] rebuilds them
+    * at load — a single data artifact per batch means a crash can never
+    * leave the sinks mutually skewed, and because every component is
+    * additive the merged index probes BIT-EQUAL to a full rebuild over
+    * base ∪ stream (the append family's unconditional lexical
+    * guarantee). Fold deltas into a rewritten base on compaction
+    * cadence.
     */
   def bm25AppendIngest(docs: DataFrame, indexPrefix: String,
                        deltaPath: String, auditPath: String,
@@ -562,18 +564,20 @@ object Streams {
           val spark = batch.sparkSession
           val base = graft.ops.IndexStore.readPostingsIndex(spark,
             indexPrefix)
-          val pinned = batch.localCheckpoint(true) // one scan, two sinks
-          val add = graft.ops.TextAnalysis.batchPostings(pinned,
-            base.idCol, textCol)
-          writeBatchIdempotent(add.postings, batchId,
-            s"$deltaPath/postings")
-          writeBatchIdempotent(add.docLens, batchId,
-            s"$deltaPath/doclens")
-          val report = graft.ops.TextAnalysis.postingsDriftReport(base,
-            pinned, oovThresholdU6, dlThresholdU6, textCol)
+          // tokenize ONCE: the pinned tf rows are the ONLY delta sink
+          // (docLens/df/stats all derive from tf, so the reader rebuilds
+          // them — one artifact per batch means no cross-sink crash
+          // window can skew the merged index) and they feed the drift
+          // report without a second tokenize pass
+          val tf = graft.ops.TextAnalysis
+            .postingsOf(batch, base.idCol, textCol).postings
+            .localCheckpoint(true)
+          writeBatchIdempotent(tf, batchId, deltaPath)
+          val report = graft.ops.TextAnalysis.postingsDriftReportFrom(
+            base, tf, oovThresholdU6, dlThresholdU6)
           writeBatchIdempotent(report, batchId, auditPath)
           report.unpersist()
-          pinned.unpersist()
+          tf.unpersist()
           ()
         }
       }
