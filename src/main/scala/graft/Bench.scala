@@ -22,6 +22,7 @@ object Bench {
     "q_split_leakage" -> "r10: md5 shingle seam",
     "q_decontaminate_dialogs" -> "r10: md5 word-gram seam replaced the murmur word-shingle hash",
     "q_ivf_drift" -> "r10: new query",
+    "q_ann_ivf_split" -> "r10: new query",
     "q_bm25_drift" -> "r10: new query")
 
   /** Timed best-of-N over a query map through the noop sink. Returns

@@ -1298,6 +1298,27 @@ object SparkEntry {
       out
     }),
 
+    "q_ann_ivf_split" -> ((s, d) => {
+      // the SPLIT probe (ops.Similarity.ivfProbeSplit — the
+      // pre-compaction deployment shape): base = the cached even-half
+      // index (the persisted bucketed artifact, probed zero-Exchange),
+      // delta = the odd half routed through ivfAssign (the streamed
+      // delta tree's shape), probed separately and merged by one rank
+      // layer over <= 2k rows per query. Staged exhaustive
+      // (nProbe = nCenters), so the merged result must equal brute
+      // force over the FULL corpus — q_sim_topk's oracle — certifying
+      // the top-k merge algebra end-to-end.
+      val emb = par(s, t(s, d, "embeddings"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val base = cachedIvfHalf(s, d)
+      val delta = graft.ops.Similarity.ivfAssign(
+        emb.filter(col("vec_id") % 2 === 1), base)
+      graft.ops.Similarity.ivfProbeSplit(q, base, delta, k = 5,
+          nProbe = 16)
+        .select("query_id", "vec_id", "rank")
+    }),
+
     "q_ivfpq_append" -> ((s, d) => {
       // the combined tier's append path (ops.Similarity.ivfPqAppend):
       // route the odd half to the even-half index's cells and PQ-encode
@@ -4195,6 +4216,9 @@ object SparkEntry {
     // append-maintenance staged forms: probe-after-append over the full
     // (base ∪ delta = whole corpus) must equal brute force
     "q_ann_ivf_append" -> baseOracleSql("q_sim_topk"),
+    // the split probe's per-side top-k merge must reproduce the same
+    // global exact top-k (staged exhaustive on both sides)
+    "q_ann_ivf_split" -> baseOracleSql("q_sim_topk"),
     "q_ivfpq_append" -> baseOracleSql("q_sim_topk"),
     "q_nsw_topk" -> baseOracleSql("q_sim_topk"),
     // write -> read -> staged search over the reloaded on-disk graph

@@ -154,8 +154,9 @@ object IndexStore {
     * (which this returns verbatim when no deltas exist) and returns at
     * every compaction, which folds the deltas into a rewritten bucketed
     * base. Between compactions, keep deltas small relative to probe
-    * volume — or probe base and delta separately and merge candidates
-    * (global top-k = top-k over the two sides' top-k unions).
+    * volume — or use [[Similarity.ivfProbeSplit]], which probes base
+    * and delta separately (base keeps the zero-Exchange plan) and
+    * merges the per-side top-k exactly.
     */
   def readIvfIndexWithDelta(spark: SparkSession, prefix: String,
                             deltaPath: String): Similarity.IvfIndex = {

@@ -213,6 +213,38 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** [[ivfProbe]] over a SPLIT index — the bucketed persisted base plus
+    * a small delta cell table (e.g. [[graft.streaming.Streams
+    * .ivfAppendIngest]]'s accumulated batches) — WITHOUT unioning them:
+    * a union reports unknown partitioning and re-shuffles the
+    * corpus-sized base on every probe, so instead each side is probed
+    * separately (the base side keeps its zero-Exchange pre-shuffled
+    * plan; the delta side is delta-sized) and the per-side top-k merge
+    * by ONE more rank layer over ≤ 2k rows per query. EXACT by the
+    * top-k algebra: both sides route through the SAME centroids, so the
+    * probed cells agree, their candidate sets partition across the
+    * sides, and any global top-k candidate is necessarily in its own
+    * side's top-k — global top-k = top-k of the union of per-side
+    * top-k. Row-for-row equal to probing the unioned index
+    * (spec-pinned), at the pre-compaction plan cost the delta reader's
+    * scaladoc asks for.
+    */
+  def ivfProbeSplit(queries: DataFrame, base: IvfIndex, delta: DataFrame,
+                    k: Int = 10, nProbe: Int = 4,
+                    queryIdCol: String = "query_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val sides =
+      ivfProbe(queries, base, k, nProbe, queryIdCol, vecCol)
+        .unionByName(ivfProbe(queries, IvfIndex(base.centroids, delta),
+          k, nProbe, queryIdCol, vecCol))
+        .drop("rank")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    sides.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** Assign a batch of NEW vectors to an existing index's cells — the
     * incremental-ingest seam: an embedding append (nightly crawl, new
     * corpus shard) lands in the persisted cell table without re-running

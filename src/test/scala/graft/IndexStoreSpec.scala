@@ -344,6 +344,16 @@ class IndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = rowsOf(Similarity.bruteForceTopK(q, vecs, k = 5)
       .select("query_id", "vec_id", "rank"))
     assert(got.nonEmpty && got == exact)
+    // the SPLIT probe — base and delta probed separately, per-side
+    // top-k merged — must agree row-for-row (and keeps the bucketed
+    // base side's zero-Exchange plan, which the union forfeits)
+    val deltaCells = spark.read.parquet(delta)
+      .select("vec_id", "_cv", "center_id")
+    val split = rowsOf(Similarity.ivfProbeSplit(q,
+        IndexStore.readIvfIndex(spark, "s_ivf"), deltaCells,
+        k = 5, nProbe = 4)
+      .select("query_id", "vec_id", "rank"))
+    assert(split == exact)
     // drift audit: one report per batch, one row per centroid
     val auditDf = spark.read.parquet(audit)
     assert(auditDf.select("batch_id").distinct().count() === 2)
