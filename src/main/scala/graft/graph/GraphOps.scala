@@ -181,9 +181,22 @@ object GraphOps {
     val maxW: Long =
       if (!fixed) 1L
       else {
-        val c = wedges.agg(
-          max(abs(col("w").cast("double") - floor(col("w").cast("double")))),
-          max(col("w").cast("double")), min(col("w").cast("double"))).head()
+        // ONE O(E) pass for all four guard quantities: the per-source
+        // grouping the out-degree hazard needs anyway carries the
+        // integrality/range stats as extra aggregate columns (map-side
+        // combinable), and the global reduction then runs over the
+        // V-sized frame — vs the previous two separate full-edge jobs.
+        // The out-degree sum runs in double space, which is exact for
+        // the > 0 decision: weights are non-negative (checked from the
+        // same frame), so no cancellation can fake a zero.
+        val perSrc = wedges.groupBy("src").agg(
+          max(abs(col("w").cast("double") - floor(col("w").cast("double"))))
+            .as("_mf"),
+          max(col("w").cast("double")).as("_mx"),
+          min(col("w").cast("double")).as("_mn"),
+          sum(col("w").cast("double")).as("_wd"))
+        val c = perSrc.agg(max(col("_mf")), max(col("_mx")),
+          min(col("_mn")), min(col("_wd"))).head()
         if (c.isNullAt(0)) 1L // empty edge list: nothing to overflow
         else {
           require(c.getDouble(2) >= 0d, "fixed-point rank mode requires " +
@@ -195,12 +208,10 @@ object GraphOps {
             "integer-valued weights (a fractional weight would be " +
             "silently truncated by the long cast) — scale the weights " +
             "onto the integer lattice first")
-          val minDeg = wedges.groupBy("src")
-            .agg(sum(col("w").cast("double")).as("_wd"))
-            .agg(min(col("_wd"))).head().getDouble(0)
-          require(minDeg > 0d, "fixed-point rank mode requires every " +
-            s"source's weighted out-degree > 0 (min out-degree = $minDeg " +
-            "— an all-zero-out-degree source would divide by zero)")
+          require(c.getDouble(3) > 0d, "fixed-point rank mode requires " +
+            "every source's weighted out-degree > 0 (min out-degree = " +
+            s"${c.getDouble(3)} — an all-zero-out-degree source would " +
+            "divide by zero)")
           c.getDouble(1).toLong
         }
       }

@@ -270,6 +270,15 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text",
                  md5Seam: Boolean = false): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0, "bands must divide numHashes")
+    // the seam exists to make op and oracle verify IDENTICAL shingle
+    // sets; with numHashes > 0 the signature/margin prune would still
+    // estimate Jaccard over MURMUR shingle minima while verification
+    // uses md5 sets — the mixed hash lattice the seam is meant to
+    // remove. Same guard as Pipelines.curateBatch's.
+    require(!md5Seam || numHashes == 0,
+      "md5Seam is the staged certification seam — it requires " +
+        s"numHashes = 0 (got numHashes = $numHashes); production " +
+        "banding uses the MurmurHash3 default")
     val rowsPerBand = numHashes / bands
     // one narrow pass per doc: signature + sorted shingle set (verification
     // is then a merge over hash arrays — the text is never re-hashed)
@@ -355,6 +364,11 @@ object Dedup {
                         textCol: String = "text",
                         md5Seam: Boolean = false): MinHashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // see [[minhashLsh]]: a seamed index with a live signature would
+    // band on murmur minima while verifying md5 sets — mixed lattices
+    require(!md5Seam || numHashes == 0,
+      "md5Seam is the staged certification seam — it requires " +
+        s"numHashes = 0 (got numHashes = $numHashes)")
     val rowsPerBand = numHashes / bands
     val sigs = docs.select(col(idCol).as("doc_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("sig"),

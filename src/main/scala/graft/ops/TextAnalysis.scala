@@ -1031,7 +1031,11 @@ object TextAnalysis {
     * merge with batch-terms-only work — one broadcast of the batch term
     * counts bumps existing terms and one broadcast anti-join appends
     * novel terms, so the index side streams with NO shuffle and NO
-    * re-aggregation. Unlike the vector tiers there is no model to go
+    * re-aggregation (the broadcast is taken only while the batch
+    * vocabulary is under `broadcastTermCap`; a shard-sized "batch"
+    * falls back to the vocab-sized shuffle aggregation instead of
+    * forcing an unbounded driver broadcast). Unlike the vector tiers
+    * there is no model to go
     * stale — df/N/avgdl update EXACTLY, so a probe of the appended index
     * equals a probe of a fresh full build (bit-equal: _df and _sum_dl
     * are integer sums, exact below 2^53 total tokens, i.e. far past
@@ -1040,18 +1044,35 @@ object TextAnalysis {
     * released by the caller.
     */
   def appendPostingsIndex(index: PostingsIndex, docs: DataFrame,
-                          textCol: String = "text"): PostingsIndex = {
+                          textCol: String = "text",
+                          broadcastTermCap: Long = BroadcastTermCap
+                         ): PostingsIndex = {
     val add = postingsOf(docs, index.idCol, textCol)
     val addPostings = add.postings.localCheckpoint(true)
     val addDocLens = add.docLens.localCheckpoint(true)
     val postings = index.postings.unionByName(addPostings)
     val docLens = index.docLens.unionByName(addDocLens)
     val addDf = add.docFreqs.localCheckpoint(true) // batch vocabulary
-    val docFreqs = mergeDocFreqs(index.docFreqs, addDf)
+    // a "batch" is bounded by convention, but nothing enforces it — an
+    // append of a whole shard (a day of crawl can carry 1e8+ distinct
+    // terms) must not force an unbounded driver broadcast. The batch
+    // vocabulary is already pinned, so counting it is one cheap job;
+    // past the cap the merge takes mergeDocFreqs' shuffle aggregation
+    // (identical result — spec-pinned at the boundary).
+    val docFreqs = mergeDocFreqs(index.docFreqs, addDf,
+      broadcastAdd = addDf.count() <= broadcastTermCap)
     val statsNew = mergeStats(additiveStatsOf(index), add.stats)
     PostingsIndex(postings, docLens, docFreqs, statsNew, index.idCol,
       delta = Seq(addPostings, addDocLens, addDf))
   }
+
+  /** Batch-vocabulary size above which the append/drift paths stop
+    * force-broadcasting it and fall back to a shuffle join/aggregation:
+    * ~2M (term, count) rows ≈ tens of MB serialized — comfortably under
+    * the driver/executor broadcast budget; anything bigger is a shard,
+    * not a batch, and shuffles instead.
+    */
+  private[graft] val BroadcastTermCap: Long = 2000000L
 
   /** Dictionary merge with batch-terms-only work: one broadcast of the
     * (pinned) batch term counts bumps existing terms, one broadcast
@@ -1135,10 +1156,11 @@ object TextAnalysis {
   def postingsDriftReport(index: PostingsIndex, docs: DataFrame,
                           oovThresholdU6: Long = 100000L,
                           dlThresholdU6: Long = 250000L,
-                          textCol: String = "text"): DataFrame =
+                          textCol: String = "text",
+                          broadcastTermCap: Long = BroadcastTermCap): DataFrame =
     postingsDriftReportFrom(index,
       postingsOf(docs, index.idCol, textCol).postings,
-      oovThresholdU6, dlThresholdU6)
+      oovThresholdU6, dlThresholdU6, broadcastTermCap)
 
   /** [[postingsDriftReport]] over PRECOMPUTED batch tf rows
     * (idCol, term, _tf) — the streaming ingest shares one tokenize pass
@@ -1147,7 +1169,8 @@ object TextAnalysis {
   private[graft] def postingsDriftReportFrom(index: PostingsIndex,
                                              tf: DataFrame,
                                              oovThresholdU6: Long = 100000L,
-                                             dlThresholdU6: Long = 250000L): DataFrame = {
+                                             dlThresholdU6: Long = 250000L,
+                                             broadcastTermCap: Long = BroadcastTermCap): DataFrame = {
     require(oovThresholdU6 >= 0 && oovThresholdU6 <= 1000000L &&
         dlThresholdU6 >= 0,
       "thresholds must sit on the u6 lattice (oov within [0, 1e6])")
@@ -1157,12 +1180,18 @@ object TextAnalysis {
     val bTerms = tf.groupBy("term")
       .agg(sum(col("_tf")).as("_toks"))
       .localCheckpoint(true)
-    // known terms: stream the big dictionary against the broadcast
-    // batch vocabulary; OOV = batch terms minus the (small) known set
+    // known terms: stream the big dictionary against the batch
+    // vocabulary; OOV = batch terms minus the known set (bounded by the
+    // batch vocabulary either way). The public API accepts arbitrarily
+    // large batch frames, so the broadcasts are GUARDED: past the cap
+    // (counted on the pinned frame — one cheap job) the two joins run
+    // unhinted and the planner shuffles — same rows, spec-pinned.
+    val small = bTerms.count() <= broadcastTermCap
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val known = index.docFreqs
-      .join(broadcast(bTerms.select("term")), Seq("term"), "left_semi")
+      .join(hinted(bTerms.select("term")), Seq("term"), "left_semi")
       .select("term")
-    val oov = bTerms.join(broadcast(known), Seq("term"), "left_anti")
+    val oov = bTerms.join(hinted(known), Seq("term"), "left_anti")
     val bAgg = bTerms.agg(
       coalesce(sum(col("_toks")), lit(0L)).as("n_batch_tokens"),
       count(lit(1)).as("n_batch_terms"))

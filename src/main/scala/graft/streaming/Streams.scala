@@ -613,8 +613,13 @@ object Streams {
 
   case class KeyedValue(group: String, value: String)
   case class KmvState(hashes: Array[Long])
+  /** `expired = true` marks the TTL's final emission ("state dropped —
+    * a later redelivery restarts this group's count"); normal updates
+    * are false, so the deliberate forget is OBSERVABLE in the sink
+    * instead of schema-identical to a live row.
+    */
   case class KmvEstimate(group: String, k_eff: Int, kth_hash60: Long,
-                         approx_distinct: Long)
+                         approx_distinct: Long, expired: Boolean = false)
 
   /** Streaming DISTINCT-COUNT monitor — the KMV bottom-k sketch
     * ([[graft.ops.Sketches.kmvDistinct]]) as typed streaming state:
@@ -634,7 +639,9 @@ object Streams {
     * monitor over a high-cardinality key (urls, session ids) would grow
     * the state store forever. `idleTimeoutMs` bounds it: a group that
     * receives no rows for that long EXPIRES — it emits one final
-    * estimate and its state is dropped (processing-time timeout). A
+    * estimate flagged `expired = true` (so a consumer can tell the
+    * deliberate forget from a live update) and its state is dropped
+    * (processing-time timeout). A
     * value redelivered AFTER expiry restarts the group's count from
     * zero — the documented trade of the TTL (idempotence holds within a
     * group's lifetime; expiry is a deliberate forget). Default: no
@@ -658,21 +665,23 @@ object Streams {
       .mapGroupsWithState[KmvState, KmvEstimate](timeoutConf) {
         (group: String, batch: Iterator[KeyedValue],
          state: GroupState[KmvState]) =>
-          def estimate(merged: Array[Long]): KmvEstimate = {
+          def estimate(merged: Array[Long],
+                       expired: Boolean = false): KmvEstimate = {
             val kEff = merged.length
             val kth = if (kEff == 0) 0L else merged(kEff - 1)
             val est =
               if (kEff < k || kth == 0L) kEff.toLong
               else (BigInt(k - 1) * BigInt(1152921504606846976L) / kth)
                 .toLong
-            KmvEstimate(group, kEff, kth, est)
+            KmvEstimate(group, kEff, kth, est, expired)
           }
           if (state.hasTimedOut) {
-            // idle group: publish the final estimate, drop the state
+            // idle group: publish the final estimate FLAGGED as the
+            // TTL's deliberate forget, drop the state
             val last = state.getOption.map(_.hashes)
               .getOrElse(Array.empty[Long])
             state.remove()
-            estimate(last)
+            estimate(last, expired = true)
           } else {
             // bounded merge (the MinKAgg discipline): a capped TreeSet
             // insert keeps per-trigger work O(batch log k) and memory

@@ -156,6 +156,9 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.table("kmv_ttl").filter(col("group") === g)
         .select("k_eff", "approx_distinct")
         .as[(Int, Long)].collect().toSeq
+    def expiredFor(g: String): Seq[Boolean] =
+      spark.table("kmv_ttl").filter(col("group") === g)
+        .select("expired").as[Boolean].collect().toSeq
     // processAllAvailable STARVES under a processing-time TTL (the
     // engine keeps scheduling no-data batches to sweep timeouts, so the
     // quiescent point never arrives) — poll the sink with a deadline
@@ -173,10 +176,18 @@ class Round10OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     await(rowsFor("a").count(_ == ((3, 3L))) == 2)
     Thread.sleep(300)
     assert(rowsFor("a").count(_ == ((3, 3L))) === 2)
+    // the forget is OBSERVABLE: exactly the expiry row carries
+    // expired = true, the live update false
+    assert(expiredFor("a").sorted === Seq(false, true))
     // a redelivery AFTER expiry restarts the count at 1 (expiry is a
     // deliberate forget — idempotence held while the group lived)
     mem.addData(Streams.KeyedValue("a", "u0"))
-    await(rowsFor("a").lastOption.contains((1, 1L)))
+    await(rowsFor("a").contains((1, 1L)))
+    // the restart row is a LIVE update (expired = false); the restarted
+    // group's own 1 ms TTL may already have appended a second, FLAGGED
+    // expiry row for it — exactly one live k_eff = 1 row either way
+    assert(spark.table("kmv_ttl").filter(col("group") === "a" &&
+      col("k_eff") === 1 && !col("expired")).count() === 1)
     q.stop()
   }
 
