@@ -255,6 +255,80 @@ object SparkEntry {
         nCenters = 8, m = 16, ksub = 16))
   }
 
+  /** COMPACTED IVF artifact per (session, dir) — the crash-window shape
+    * of the delta-maintenance lifecycle: the even-half base persisted to
+    * bucketed tables, the odd half landed as ONE batch_id = 0 delta
+    * partition (the streamed form), folded by
+    * [[graft.ops.IndexStore.compactIvfDeltas]] into a committed
+    * generation — and the delta tree DELIBERATELY LEFT on disk, the
+    * exact crash window between the commit and the (lazy) delta
+    * cleanup. q_ann_ivf_compact probes through the WithDelta reader, so
+    * a reader that failed to skip the folded partition would
+    * double-count every odd vector and hash-fail the exact oracle.
+    * Returns (table prefix, delta path).
+    */
+  private val ivfCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+
+  private def compactedIvf(s: SparkSession, d: String): (String, String) = {
+    ivfCompactCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfCompactCache.computeIfAbsent((s, d), _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfc_idx").toString
+      val prefix = "graft_ivfc_persisted_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val emb = par(s, t(s, d, "embeddings"))
+      val base = graft.ops.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), nCenters = 16)
+      graft.ops.IndexStore.writeIvfIndex(base, prefix, buckets = 8,
+        path = Some(s"$root/base"))
+      val deltaPath = s"$root/delta"
+      graft.ops.Similarity
+        .ivfAssign(emb.filter(col("vec_id") % 2 === 1), base)
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(deltaPath)
+      base.release()
+      graft.ops.IndexStore.compactIvfDeltas(s, prefix, deltaPath,
+        buckets = 8, path = Some(s"$root/base"))
+      (prefix, deltaPath)
+    })
+  }
+
+  /** The lexical twin of [[compactedIvf]]: even-half postings base
+    * persisted, the odd half's tf rows as one delta partition, folded by
+    * [[graft.ops.IndexStore.compactPostingsDeltas]] — delta tree left on
+    * disk (the crash window q_bm25_compact certifies across).
+    */
+  private val postingsCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+
+  private def compactedPostings(s: SparkSession, d: String): (String, String) = {
+    postingsCompactCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    postingsCompactCache.computeIfAbsent((s, d), _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bmc_idx").toString
+      val prefix = "graft_bmc_persisted_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val docs = par(s, t(s, d, "documents"))
+      val base = graft.ops.TextAnalysis.buildPostingsIndex(
+        docs.filter(col("doc_id") % 2 === 0))
+      graft.ops.IndexStore.writePostingsIndex(base, prefix, buckets = 8,
+        path = Some(s"$root/base"))
+      base.release()
+      val deltaPath = s"$root/delta"
+      graft.ops.TextAnalysis
+        .postingsOf(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .postings
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(deltaPath)
+      graft.ops.IndexStore.compactPostingsDeltas(s, prefix, deltaPath,
+        buckets = 8, path = Some(s"$root/base"))
+      (prefix, deltaPath)
+    })
+  }
+
   /** Session-lifetime BPE merge table per (session, data dir) — train-once/
     * encode-many, the deployment shape of a real tokenizer (the model is an
     * artifact, not a per-query cost). Same stopped-session eviction
@@ -1075,6 +1149,27 @@ object SparkEntry {
         par(s, t(s, d, "documents")).filter(col("doc_id") % 2 === 1))
     }),
 
+    "q_bm25_compact" -> ((s, d) => {
+      // the lexical tier's crash-safe COMPACTION
+      // (ops.IndexStore.compactPostingsDeltas), q_ann_ivf_compact's
+      // sibling: the session-cached artifact folded the odd half's tf
+      // delta into a committed generation (postings re-bucketed,
+      // dictionary/stats re-derived) with the delta tree LEFT on disk.
+      // The WithDelta reader must skip the folded partition — a
+      // double-count would double every odd doc's tf and df and shift
+      // the scores — and the probe must equal the full-corpus probe:
+      // the SAME exact oracle as q_bm25_topk/q_bm25_probe.
+      val (prefix, deltaPath) = compactedPostings(s, d)
+      val qs = t(s, d, "documents").filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            tk => tk =!= ""), 1, 8), " ").as("text"))
+      graft.ops.TextAnalysis.bm25Probe(
+        graft.ops.IndexStore.readPostingsIndexWithDelta(s, prefix,
+          deltaPath), qs)
+    }),
+
     "q_bm25_probe_persisted" -> ((s, d) => {
       // the CROSS-SESSION deployment shape: the postings index written to
       // bucketed tables (IndexStore) and read back from disk — the probe
@@ -1316,6 +1411,28 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1), base)
       graft.ops.Similarity.ivfProbeSplit(q, base, delta, k = 5,
           nProbe = 16)
+        .select("query_id", "vec_id", "rank")
+    }),
+
+    "q_ann_ivf_compact" -> ((s, d) => {
+      // crash-safe delta COMPACTION certified exactly
+      // (ops.IndexStore.compactIvfDeltas): the session-cached artifact
+      // folded the odd-half delta partition into a committed generation
+      // and LEFT the delta tree on disk — the crash window between the
+      // commit marker and the lazy delta cleanup. The WithDelta reader
+      // must skip the folded partition (a double-count would insert
+      // every odd vector twice into the ranking and shift ranks), and
+      // the staged probe (nProbe = nCenters) over the compacted index
+      // must equal brute force over the FULL corpus — q_sim_topk's
+      // oracle. Crash-before-commit fallback and re-run convergence are
+      // CompactionSpec's.
+      val (prefix, deltaPath) = compactedIvf(s, d)
+      val emb = par(s, t(s, d, "embeddings"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val idx = graft.ops.IndexStore.readIvfIndexWithDelta(s, prefix,
+        deltaPath)
+      graft.ops.Similarity.ivfProbe(q, idx, k = 5, nProbe = 16)
         .select("query_id", "vec_id", "rank")
     }),
 
@@ -3331,6 +3448,34 @@ object SparkEntry {
       out
     }),
 
+    "q_nsw_drift" -> ((s, d) => {
+      // the graph tier's rebuild-cadence signal (ops.Similarity
+      // .nswDriftReport — the q_ivf_drift/q_bm25_drift sibling) made
+      // EXACT via the staged search seam: the index adjacency is a
+      // deterministic RING over the 1-in-10 sample (whose edge COUNT —
+      // the only thing the report reads from it — replays as one SQL
+      // count), the arriving batch is the disjoint offset-5 sample, and
+      // the insertion search runs STAGED (entries = whole corpus,
+      // exhaustive ef, 0 hops) so the found set is exact brute-force
+      // top-8 — n_new_edges replays as q_nsw_append's forward ∪ mirror
+      // count, reach/growth as HUGEINT floor-divisions, and the REBUILD
+      // decision itself is oracle-certified. Deployment-parameter drift
+      // (real beam search over the k-means graph) is spec-pinned in
+      // CompactionSpec.
+      val emb = t(s, d, "embeddings")
+      val sample = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+      val ring = sample
+        .agg(array_sort(collect_list(col("vec_id"))).as("_a"))
+        .select(col("_a"), posexplode(col("_a")).as(Seq("_i", "src")))
+        .select(col("src"), element_at(col("_a"),
+          ((col("_i") + 1) % size(col("_a"))) + 1).as("dst"))
+      val idx = graft.ops.Similarity.NswIndex(ring, sample)
+      val batch = emb.filter(col("vec_id") % 10 === 5)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      graft.ops.Similarity.nswDriftReport(idx, batch, emb, m = 8,
+        ef = 1 << 18, hops = 0, entries = Some(emb.select("vec_id")))
+    }),
+
     "q_nsw_probe" -> ((s, d) => {
       // the same graph at DEPLOYMENT parameters: beam from the nCenters
       // cell gateways, ef = 32, 3 hops — per hop only the (queries × ef)
@@ -3886,6 +4031,10 @@ object SparkEntry {
     // append maintenance: additive stats make the appended-index probe
     // unconditionally equal to the full-corpus probe
     "q_bm25_append" -> baseOracleSql("q_bm25_probe"),
+    // compaction: the folded generation ∪ (skipped) leftover delta tree
+    // must probe exactly like the full corpus — same oracle; a reader
+    // that double-counted the folded partition would double tf/df
+    "q_bm25_compact" -> baseOracleSql("q_bm25_probe"),
 
     // ---- round 7 -----------------------------------------------------
 
@@ -4219,6 +4368,11 @@ object SparkEntry {
     // the split probe's per-side top-k merge must reproduce the same
     // global exact top-k (staged exhaustive on both sides)
     "q_ann_ivf_split" -> baseOracleSql("q_sim_topk"),
+    // compaction: probing the committed generation through the WithDelta
+    // reader (folded delta tree still on disk — the crash window) must
+    // equal brute force over the full corpus; a double-counted partition
+    // would occupy duplicate ranks
+    "q_ann_ivf_compact" -> baseOracleSql("q_sim_topk"),
     "q_ivfpq_append" -> baseOracleSql("q_sim_topk"),
     "q_nsw_topk" -> baseOracleSql("q_sim_topk"),
     // write -> read -> staged search over the reloaded on-disk graph
@@ -4243,6 +4397,52 @@ object SparkEntry {
         |SELECT bid AS src, vec_id AS dst FROM nn
         |UNION
         |SELECT vec_id AS src, bid AS dst FROM nn""".stripMargin,
+
+    // the graph drift report over the STAGED insertion search: found =
+    // exact brute-force top-8 per batch vector (q_nsw_append's nn CTE on
+    // the offset-5 sample), n_new_edges = the deduped forward ∪ mirror
+    // count, n_index_edges = the ring's size (one edge per sampled id),
+    // reach/growth as HUGEINT floor-divisions, then the rebuild decision
+    "q_nsw_drift" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT vec_id + 1000000 AS bid, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 5),
+        |scored AS (
+        |  SELECT b.bid, e.vec_id,
+        |    list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM b, embeddings e),
+        |nn AS MATERIALIZED (
+        |  SELECT bid, vec_id FROM (
+        |    SELECT bid, vec_id, row_number() OVER (PARTITION BY bid
+        |      ORDER BY cos DESC, vec_id) AS rn FROM scored)
+        |  WHERE rn <= 8),
+        |edges AS (
+        |  SELECT bid AS src, vec_id AS dst FROM nn
+        |  UNION
+        |  SELECT vec_id AS src, bid AS dst FROM nn),
+        |cnt AS (SELECT
+        |    (SELECT count(*) FROM b) AS n_batch,
+        |    (SELECT count(DISTINCT bid) FROM nn) AS n_reached,
+        |    (SELECT count(*) FROM edges) AS n_new_edges,
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)
+        |      AS n_index_edges),
+        |u6 AS (SELECT n_batch, n_reached, n_new_edges, n_index_edges,
+        |    CASE WHEN n_batch > 0 THEN
+        |      CAST((CAST(1000000 AS HUGEINT) * n_reached)
+        |        // CAST(n_batch AS HUGEINT) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS reach_u6,
+        |    CASE WHEN n_index_edges + n_new_edges > 0 THEN
+        |      CAST((CAST(1000000 AS HUGEINT) * n_new_edges)
+        |        // (CAST(n_index_edges AS HUGEINT) + n_new_edges)
+        |        AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS growth_u6
+        |  FROM cnt)
+        |SELECT n_batch, n_reached, n_new_edges, n_index_edges, reach_u6,
+        |  growth_u6,
+        |  (n_batch > 0 AND reach_u6 < 990000) OR growth_u6 >= 250000
+        |    AS degrade
+        |FROM u6""".stripMargin,
 
     // literal-model seam: the 16 formula centroids rebuild verbatim in
     // SQL (integer-valued floats), so nearest-cell routing replays as

@@ -130,41 +130,196 @@ object IndexStore {
 
   def readIvfIndex(spark: SparkSession, prefix: String): Similarity.IvfIndex =
     Similarity.IvfIndex(spark.table(s"${prefix}_centroids"),
-      spark.table(s"${prefix}_cells"))
+      genTable(spark, prefix, "cells"))
 
-  /** True when the delta tree has at least one non-hidden entry —
-    * a missing root OR an existing-but-empty one (compaction deleted
-    * every batch partition) both read as "no deltas".
+  // --- crash-safe delta compaction (generations) --------------------------
+  //
+  // The streaming-maintenance lifecycle ("fold deltas into a rewritten
+  // base on compaction cadence") cannot be executed safely as
+  // rewrite-base-then-delete-deltas: a crash between the two steps leaves
+  // a base that already CONTAINS the delta rows plus a delta tree the
+  // reader unions in again — silent double-counting. Compaction here is
+  // therefore GENERATIONAL with a commit-last marker (the
+  // [[graft.streaming.Streams.curatedLandingIngest]] discipline):
+  //
+  //   1. the folded base lands under NEW table names
+  //      `<prefix>_gen<N>_<table>` (never touching the tables readers
+  //      currently resolve);
+  //   2. a 1-row `<prefix>_gen<N>_commit` marker (gen, folded_batch_id)
+  //      is written LAST.
+  //
+  // Readers resolve the newest COMMITTED generation and skip delta
+  // partitions with batch_id ≤ its folded high-water. A crash anywhere
+  // before the marker leaves the new generation invisible — the previous
+  // base plus ALL its live deltas still read exactly-once — and a crash
+  // after the marker only leaves folded partitions on disk, which every
+  // reader already skips. Deleting them ([[pruneFoldedDeltas]]) is lazy
+  // hygiene, never a correctness step. Single compactor at a time (the
+  // usual maintenance-job convention); concurrent APPENDS are safe — the
+  // fold is bounded to the batch ids it saw at start, so a batch landing
+  // mid-compaction stays live under the new high-water.
+
+  private val BatchDir = "batch_id=(\\d+)".r
+
+  /** Batch ids present as partitions of a [[graft.streaming.Streams
+    * .writeBatchIdempotent]] delta tree (`batch_id=N` directories); a
+    * missing root reads as empty. A non-hidden entry that is NOT a
+    * batch-partition directory fails loudly — the high-water skip is
+    * only sound over partitioned trees, and silently including (or
+    * worse, skipping) unpartitioned data would corrupt the exactly-once
+    * account.
     */
-  private def deltaTreeHasData(spark: SparkSession, path: String): Boolean = {
+  private def deltaBatchIds(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case n if n.startsWith("_") || n.startsWith(".") => None
+        case BatchDir(id) => Some(id.toLong)
+        case n => throw new IllegalArgumentException(
+          s"delta tree $path contains non-batch entry '$n' — delta " +
+            "trees must be batch_id-partitioned (writeBatchIdempotent)")
+      }
     }
   }
 
-  /** [[readIvfIndex]] plus the streaming append deltas written by
+  /** Newest COMMITTED compaction generation of `prefix`:
+    * (gen, folded high-water batch id), None when only the
+    * builder-written base exists. One catalog listing per call —
+    * resolve once and hold the index object on probe-many paths.
+    */
+  private[graft] def latestGeneration(spark: SparkSession,
+                                      prefix: String): Option[(Long, Long)] = {
+    val pat = (s"^${java.util.regex.Pattern.quote(prefix.toLowerCase)}" +
+      "_gen(\\d+)_commit$").r
+    val gens = spark.catalog.listTables().collect().toSeq.map(_.name)
+      .collect { case pat(n) => n.toLong }
+    gens.sorted.lastOption.map { g =>
+      val r = spark.table(s"${prefix}_gen${g}_commit").head()
+      (g, r.getAs[Long]("folded_batch_id"))
+    }
+  }
+
+  /** Folded high-water batch id of `prefix` (−1 when nothing was ever
+    * compacted): delta partitions at or below it are already inside the
+    * committed base and must be skipped by every reader.
+    */
+  private[graft] def foldedHighWater(spark: SparkSession,
+                                     prefix: String): Long =
+    latestGeneration(spark, prefix).map(_._2).getOrElse(-1L)
+
+  /** Resolve an artifact table through the generations: the newest
+    * committed generation's copy when one exists, the builder-written
+    * original otherwise.
+    */
+  private def genTable(spark: SparkSession, prefix: String,
+                       table: String): org.apache.spark.sql.DataFrame =
+    latestGeneration(spark, prefix)
+      .map { case (g, _) => spark.table(s"${prefix}_gen${g}_$table") }
+      .getOrElse(spark.table(s"${prefix}_$table"))
+
+  /** Next generation number: one past anything already on disk —
+    * committed OR half-written (a crashed compaction's uncommitted
+    * tables are never overwritten, just orphaned).
+    */
+  private def nextGeneration(spark: SparkSession, prefix: String): Long = {
+    val pat = (s"^${java.util.regex.Pattern.quote(prefix.toLowerCase)}" +
+      "_gen(\\d+)_[a-z]+$").r
+    val seen = spark.catalog.listTables().collect().toSeq.map(_.name)
+      .collect { case pat(n) => n.toLong }
+    seen.sorted.lastOption.getOrElse(0L) + 1L
+  }
+
+  /** The commit-LAST marker that makes a generation visible. */
+  private def commitGeneration(spark: SparkSession, prefix: String,
+                               gen: Long, highWater: Long,
+                               path: Option[String]): Unit = {
+    import spark.implicits._
+    writeSmallTable(Seq((gen, highWater)).toDF("gen", "folded_batch_id"),
+      s"${prefix}_gen${gen}_commit", path)
+  }
+
+  /** Delete delta partitions already folded into the newest COMMITTED
+    * generation (batch_id ≤ its high-water). Pure disk hygiene: readers
+    * skip folded partitions whether or not this ever runs, so a crash
+    * here costs bytes, not correctness. @return partitions removed
+    */
+  def pruneFoldedDeltas(spark: SparkSession, prefix: String,
+                        deltaPath: String): Int = {
+    val hw = foldedHighWater(spark, prefix)
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      st.getPath.getName match {
+        case BatchDir(id) if id.toLong <= hw =>
+          fs.delete(st.getPath, true)
+        case _ => false
+      }
+    }
+  }
+
+  /** Fold the live IVF append deltas into a rewritten bucketed base —
+    * the compaction the delta readers' scaladocs defer to, crash-safe
+    * via the commit-last generation recipe above. The fold is BOUNDED to
+    * the batch ids visible at start (a concurrent
+    * [[graft.streaming.Streams.ivfAppendIngest]] batch landing
+    * mid-compaction stays live under the new high-water instead of
+    * being silently absorbed without acknowledgment). Centroids are the
+    * frozen model — never rewritten. After the commit, probes through
+    * [[readIvfIndex]]/[[readIvfIndexWithDelta]] regain the zero-Exchange
+    * bucketed plan (spec-asserted); [[pruneFoldedDeltas]] reclaims the
+    * folded partitions whenever convenient.
+    *
+    * @return the committed folded high-water batch id (unchanged, and
+    *         nothing written, when the delta tree holds nothing new)
+    */
+  def compactIvfDeltas(spark: SparkSession, prefix: String,
+                       deltaPath: String, buckets: Int = 8,
+                       path: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val hw = foldedHighWater(spark, prefix)
+    val ids = deltaBatchIds(spark, deltaPath).filter(_ > hw)
+    if (ids.isEmpty) hw
+    else {
+      val hwNew = ids.max
+      val base = readIvfIndex(spark, prefix)
+      val delta = spark.read.parquet(deltaPath)
+        .filter(col("batch_id") > hw && col("batch_id") <= hwNew)
+        .select(base.cells.columns.map(col): _*)
+      val gen = nextGeneration(spark, prefix)
+      writeBucketedTable(base.cells.unionByName(delta),
+        s"${prefix}_gen${gen}_cells", Seq("center_id"), buckets, path)
+      commitGeneration(spark, prefix, gen, hwNew, path)
+      hwNew
+    }
+  }
+
+  /** [[readIvfIndex]] plus the LIVE streaming append deltas written by
     * [[graft.streaming.Streams.ivfAppendIngest]]: the bucketed base
-    * cells union the batch_id-partitioned delta rows. NOTE the honest
-    * partitioning cost: a UNION reports unknown output partitioning, so
-    * a probe against the unioned cells re-shuffles BOTH sides — the
-    * zero-Exchange base-side plan holds only for the delta-free reader
-    * (which this returns verbatim when no deltas exist) and returns at
-    * every compaction, which folds the deltas into a rewritten bucketed
-    * base. Between compactions, keep deltas small relative to probe
-    * volume — or use [[Similarity.ivfProbeSplit]], which probes base
-    * and delta separately (base keeps the zero-Exchange plan) and
-    * merges the per-side top-k exactly.
+    * cells union the batch_id-partitioned delta rows with batch_id ABOVE
+    * the committed folded high-water (partitions a [[compactIvfDeltas]]
+    * already absorbed are skipped — present or deleted, they can never
+    * double-count). With no live deltas the base returns VERBATIM,
+    * zero-Exchange plan intact. NOTE the honest partitioning cost while
+    * live deltas exist: a UNION reports unknown output partitioning, so
+    * a probe against the unioned cells re-shuffles BOTH sides — keep
+    * deltas small relative to probe volume between compactions, or use
+    * [[Similarity.ivfProbeSplit]], which probes base and delta
+    * separately (base keeps the zero-Exchange plan) and merges the
+    * per-side top-k exactly.
     */
   def readIvfIndexWithDelta(spark: SparkSession, prefix: String,
                             deltaPath: String): Similarity.IvfIndex = {
+    import org.apache.spark.sql.functions.col
     val base = readIvfIndex(spark, prefix)
-    if (!deltaTreeHasData(spark, deltaPath)) base
+    val hw = foldedHighWater(spark, prefix)
+    if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
     else {
       val delta = spark.read.parquet(deltaPath)
-        .select(base.cells.columns.map(org.apache.spark.sql.functions.col): _*)
+        .filter(col("batch_id") > hw)
+        .select(base.cells.columns.map(col): _*)
       Similarity.IvfIndex(base.centroids, base.cells.unionByName(delta))
     }
   }
@@ -182,8 +337,112 @@ object IndexStore {
   }
 
   def readNswIndex(spark: SparkSession, prefix: String): Similarity.NswIndex =
-    Similarity.NswIndex(spark.table(s"${prefix}_edges"),
+    Similarity.NswIndex(genTable(spark, prefix, "edges"),
       spark.table(s"${prefix}_entries"))
+
+  /** Derive the edges a delta batch appends from its single data
+    * artifact (vec_id, embedding, nbrs): forward explode ∪ mirror,
+    * deduped alone — the [[Similarity.nswAppend]] algebra. Null/missing
+    * neighbor lists (a batch vector that found nothing) derive no edges
+    * but still carry their vector.
+    */
+  private def nswDeltaEdges(dp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    val fwd = dp.select(col("vec_id").as("src"),
+      explode(col("nbrs")).as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+  }
+
+  /** [[readNswIndex]] plus the LIVE streaming append deltas written by
+    * [[graft.streaming.Streams.nswAppendIngest]]: per delta row the
+    * neighbor list derives its forward + mirror edges at load (ONE data
+    * artifact per batch — edges can never skew against vectors across a
+    * crash), unioned under the bucketed base adjacency. Partitions at
+    * or below the committed folded high-water ([[compactNswDeltas]])
+    * are skipped; with no live deltas the base returns verbatim,
+    * zero-Exchange frontier-join plan intact. Entries stay the build's
+    * gateway set (entry refresh is build-cadence, like centroids). The
+    * batch VECTORS ride [[readNswDeltaVectors]] — callers union them
+    * with the search corpus.
+    */
+  def readNswIndexWithDelta(spark: SparkSession, prefix: String,
+                            deltaPath: String): Similarity.NswIndex = {
+    import org.apache.spark.sql.functions.col
+    val base = readNswIndex(spark, prefix)
+    val hw = foldedHighWater(spark, prefix)
+    if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
+    else {
+      val dp = spark.read.parquet(deltaPath).filter(col("batch_id") > hw)
+      Similarity.NswIndex(base.edges.unionByName(nswDeltaEdges(dp)),
+        base.entries)
+    }
+  }
+
+  /** All appended vectors of an NSW maintenance stream: the committed
+    * generations' folded vector table plus the live delta partitions —
+    * the corpus GROWTH a caller unions with its vector store when
+    * searching/appending (the graph artifact itself never stores
+    * vectors; search takes the corpus separately). None when nothing
+    * was ever appended.
+    */
+  def readNswDeltaVectors(spark: SparkSession, prefix: String,
+                          deltaPath: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val folded = latestGeneration(spark, prefix)
+      .filter { case (g, _) =>
+        spark.catalog.tableExists(s"${prefix}_gen${g}_vecs") }
+      .map { case (g, _) => spark.table(s"${prefix}_gen${g}_vecs") }
+    val hw = foldedHighWater(spark, prefix)
+    val live =
+      if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) None
+      else Some(spark.read.parquet(deltaPath)
+        .filter(col("batch_id") > hw)
+        .select("vec_id", "embedding"))
+    (folded, live) match {
+      case (Some(f), Some(l)) => Some(f.unionByName(l))
+      case (f, l) => f.orElse(l)
+    }
+  }
+
+  /** [[compactIvfDeltas]] for the graph tier: fold the live delta
+    * batches' derived edges into a rewritten src-bucketed adjacency AND
+    * their vectors into the generation's `_vecs` table (so
+    * [[pruneFoldedDeltas]] never orphans the only copy of an appended
+    * vector), commit-last. Entries are untouched — gateway refresh is a
+    * rebuild, not a compaction.
+    *
+    * @return the committed folded high-water batch id (unchanged, and
+    *         nothing written, when the delta tree holds nothing new)
+    */
+  def compactNswDeltas(spark: SparkSession, prefix: String,
+                       deltaPath: String, buckets: Int = 8,
+                       path: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val hw = foldedHighWater(spark, prefix)
+    val ids = deltaBatchIds(spark, deltaPath).filter(_ > hw)
+    if (ids.isEmpty) hw
+    else {
+      val hwNew = ids.max
+      val base = readNswIndex(spark, prefix)
+      val dp = spark.read.parquet(deltaPath)
+        .filter(col("batch_id") > hw && col("batch_id") <= hwNew)
+      val newVecs = dp.select("vec_id", "embedding")
+      val vecs = latestGeneration(spark, prefix)
+        .filter { case (g, _) =>
+          spark.catalog.tableExists(s"${prefix}_gen${g}_vecs") }
+        .map { case (g, _) =>
+          spark.table(s"${prefix}_gen${g}_vecs").unionByName(newVecs) }
+        .getOrElse(newVecs)
+      val gen = nextGeneration(spark, prefix)
+      writeBucketedTable(base.edges.unionByName(nswDeltaEdges(dp)),
+        s"${prefix}_gen${gen}_edges", Seq("src"), buckets, path)
+      writeBucketedTable(vecs, s"${prefix}_gen${gen}_vecs",
+        Seq("vec_id"), buckets, path)
+      commitGeneration(spark, prefix, gen, hwNew, path)
+      hwNew
+    }
+  }
 
   def writeIvfIndexQ(index: Similarity.IvfIndexQ, prefix: String,
                      buckets: Int = 8, path: Option[String] = None): Unit = {
@@ -261,43 +520,99 @@ object IndexStore {
   def readPostingsIndex(spark: SparkSession,
                         prefix: String): TextAnalysis.PostingsIndex =
     TextAnalysis.PostingsIndex(
-      spark.table(s"${prefix}_postings"),
-      spark.table(s"${prefix}_doclens"),
-      spark.table(s"${prefix}_docfreqs"),
-      spark.table(s"${prefix}_stats"),
+      genTable(spark, prefix, "postings"),
+      genTable(spark, prefix, "doclens"),
+      genTable(spark, prefix, "docfreqs"),
+      genTable(spark, prefix, "stats"),
       spark.table(s"${prefix}_meta").head().getString(0))
 
-  /** [[readPostingsIndex]] plus the streaming append deltas written by
-    * [[graft.streaming.Streams.bm25AppendIngest]]: the single per-batch
-    * tf artifact is the ONLY thing on disk — docLens, the dictionary
-    * merge and the additive stats all REBUILD from it at load (a crash
-    * can never leave derived tables mutually skewed), so the loaded
-    * index probes BIT-EQUAL to a full rebuild over base ∪ stream. The
-    * dictionary merge deliberately does NOT broadcast the accumulated
-    * delta vocabulary (it grows until compaction — one bounded
-    * vocab-sized shuffle agg at load instead). A missing or empty delta
-    * tree reads as the base alone. Same union-partitioning caveat as
-    * [[readIvfIndexWithDelta]]; compaction restores the zero-Exchange
-    * base.
+  /** Derive the merged index from a base plus RAW delta tf rows — the
+    * shared tail of [[readPostingsIndexWithDelta]] and
+    * [[compactPostingsDeltas]]: docLens, the dictionary merge and the
+    * additive stats all REBUILD from tf (a crash can never leave derived
+    * tables mutually skewed), so the result probes BIT-EQUAL to a full
+    * rebuild over base ∪ delta.
+    */
+  private def mergePostingsDelta(base: TextAnalysis.PostingsIndex,
+                                 dpRaw: DataFrame): TextAnalysis.PostingsIndex = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val dp = dpRaw.select(base.postings.columns.map(col): _*)
+    val dl = dp.groupBy(base.idCol).agg(sum(col("_tf")).as("_dl"))
+    val addDf = dp.groupBy("term").agg(count(lit(1)).as("_df"))
+    val docFreqs = TextAnalysis.mergeDocFreqs(base.docFreqs, addDf,
+      broadcastAdd = false)
+    val addStats = dl.agg(count(lit(1)).as("_n"),
+      coalesce(sum(col("_dl")), lit(0L)).as("_sum_dl"))
+    val stats = TextAnalysis.mergeStats(
+      TextAnalysis.additiveStatsOf(base), addStats)
+    TextAnalysis.PostingsIndex(base.postings.unionByName(dp),
+      base.docLens.unionByName(dl), docFreqs, stats, base.idCol)
+  }
+
+  /** [[readPostingsIndex]] plus the LIVE streaming append deltas written
+    * by [[graft.streaming.Streams.bm25AppendIngest]]: the single
+    * per-batch tf artifact is the ONLY thing on disk — docLens, the
+    * dictionary merge and the additive stats all REBUILD from it at load
+    * (a crash can never leave derived tables mutually skewed), so the
+    * loaded index probes BIT-EQUAL to a full rebuild over base ∪ stream.
+    * The dictionary merge deliberately does NOT broadcast the
+    * accumulated delta vocabulary (it grows until compaction — one
+    * bounded vocab-sized shuffle agg at load instead). Partitions at or
+    * below the committed folded high-water ([[compactPostingsDeltas]])
+    * are skipped — present or deleted, they can never double-count; a
+    * missing/empty/fully-folded delta tree reads as the (generation-
+    * resolved) base verbatim, zero-Exchange plan intact. Same
+    * union-partitioning caveat as [[readIvfIndexWithDelta]] while live
+    * deltas exist.
     */
   def readPostingsIndexWithDelta(spark: SparkSession, prefix: String,
                                  deltaPath: String): TextAnalysis.PostingsIndex = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    import org.apache.spark.sql.functions.col
     val base = readPostingsIndex(spark, prefix)
-    if (!deltaTreeHasData(spark, deltaPath)) base
+    val hw = foldedHighWater(spark, prefix)
+    if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
+    else mergePostingsDelta(base,
+      spark.read.parquet(deltaPath).filter(col("batch_id") > hw))
+  }
+
+  /** [[compactIvfDeltas]] for the lexical tier: fold the live tf deltas
+    * into a rewritten generation (postings re-bucketed on term, docLens
+    * on the id column, dictionary and additive stats re-derived —
+    * [[mergePostingsDelta]], so the compacted base probes bit-equal to
+    * a full rebuild), commit-last. Same crash/concurrency contract as
+    * the IVF recipe: invisible until the marker lands, bounded to the
+    * batch ids seen at start.
+    *
+    * @return the committed folded high-water batch id (unchanged, and
+    *         nothing written, when the delta tree holds nothing new)
+    */
+  def compactPostingsDeltas(spark: SparkSession, prefix: String,
+                            deltaPath: String, buckets: Int = 8,
+                            path: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val hw = foldedHighWater(spark, prefix)
+    val ids = deltaBatchIds(spark, deltaPath).filter(_ > hw)
+    if (ids.isEmpty) hw
     else {
-      val dp = spark.read.parquet(deltaPath)
-        .select(base.postings.columns.map(col): _*)
-      val dl = dp.groupBy(base.idCol).agg(sum(col("_tf")).as("_dl"))
-      val addDf = dp.groupBy("term").agg(count(lit(1)).as("_df"))
-      val docFreqs = TextAnalysis.mergeDocFreqs(base.docFreqs, addDf,
-        broadcastAdd = false)
-      val addStats = dl.agg(count(lit(1)).as("_n"),
-        coalesce(sum(col("_dl")), lit(0L)).as("_sum_dl"))
-      val stats = TextAnalysis.mergeStats(
-        TextAnalysis.additiveStatsOf(base), addStats)
-      TextAnalysis.PostingsIndex(base.postings.unionByName(dp),
-        base.docLens.unionByName(dl), docFreqs, stats, base.idCol)
+      val hwNew = ids.max
+      val base = readPostingsIndex(spark, prefix)
+      val merged = mergePostingsDelta(base,
+        spark.read.parquet(deltaPath)
+          .filter(col("batch_id") > hw && col("batch_id") <= hwNew))
+      val gen = nextGeneration(spark, prefix)
+      writeBucketedTable(merged.postings, s"${prefix}_gen${gen}_postings",
+        Seq("term"), buckets, path)
+      writeBucketedTable(merged.docLens, s"${prefix}_gen${gen}_doclens",
+        Seq(base.idCol), buckets, path)
+      writeSmallTable(merged.docFreqs, s"${prefix}_gen${gen}_docfreqs", path)
+      writeSmallTable(merged.stats, s"${prefix}_gen${gen}_stats", path)
+      commitGeneration(spark, prefix, gen, hwNew, path)
+      // the derivation pinned the merged dictionary/stats; the artifact
+      // is on disk now — a compaction-cadence job must not accumulate
+      // session blocks
+      merged.docFreqs.unpersist()
+      merged.stats.unpersist()
+      hwNew
     }
   }
 

@@ -1038,6 +1038,96 @@ object Similarity {
     NswIndex(index.edges.union(newEdges), index.entries, Some(newEdges))
   }
 
+  /** DRIFT report for an [[NswIndex]] under append cadence — the graph
+    * tier's [[indexDriftReport]]: appended nodes attach only via
+    * beam-search neighbors and the entry set goes stale at build
+    * cadence, so graph QUALITY decays with append volume even though
+    * every append is individually correct. Two integer signals, one
+    * row, engine-exact like the IVF/BM25 siblings:
+    *
+    *   - `reach_u6` = floor(1e6 · n_reached / n_batch): the fraction of
+    *     batch vectors whose beam search (the REAL append search — same
+    *     parameters the insertion uses) found ≥ 1 neighbor. A batch
+    *     vector that finds NOTHING would be inserted edge-less and
+    *     unreachable — the recall-collapse failure mode, measured at
+    *     ingest.
+    *   - `growth_u6` = floor(1e6 · n_new_edges / (n_index_edges +
+    *     n_new_edges)): the appended share of the adjacency. Appended
+    *     nodes never receive the build's cell-local/finger/gateway
+    *     structure, so past a share threshold the graph should REBUILD
+    *     (the centroid-retrain analogue).
+    *
+    * `degrade` = reach below / growth at-or-past its threshold; an
+    * empty batch reports zeros / false (no evidence is not drift).
+    * Scale shape: one batch-sized beam search (the append already pays
+    * it — the streaming ingest shares the pass via the `From` variant),
+    * one map-side-combinable count of the bucketed adjacency, and
+    * 1-row crossjoins; nothing corpus-wide shuffles beyond the search
+    * itself.
+    *
+    * @return one row: (n_batch, n_reached, n_new_edges, n_index_edges,
+    *         reach_u6, growth_u6, degrade)
+    */
+  def nswDriftReport(index: NswIndex, batch: DataFrame, corpus: DataFrame,
+                     m: Int = 8, ef: Int = 32, hops: Int = 3,
+                     entries: Option[DataFrame] = None,
+                     reachThresholdU6: Long = 990000L,
+                     growthThresholdU6: Long = 250000L,
+                     batchIdCol: String = "vec_id",
+                     corpusIdCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = batch.select(col(batchIdCol).as("query_id"),
+      col(vecCol).as("embedding"))
+    val found = nswSearch(q, index, corpus, k = m, ef = math.max(ef, m),
+      hops = hops, entries = entries, corpusIdCol = corpusIdCol)
+    val out = nswDriftReportFrom(index, found, q.select("query_id"),
+      reachThresholdU6, growthThresholdU6)
+    found.unpersist() // the report is pinned; the search leg can go
+    out
+  }
+
+  /** [[nswDriftReport]] over a PRECOMPUTED neighbor search result — the
+    * streaming ingest shares one beam-search pass between the delta
+    * sink and this report.
+    */
+  private[graft] def nswDriftReportFrom(index: NswIndex, found: DataFrame,
+                                        batchIds: DataFrame,
+                                        reachThresholdU6: Long = 990000L,
+                                        growthThresholdU6: Long = 250000L): DataFrame = {
+    require(reachThresholdU6 >= 0 && reachThresholdU6 <= 1000000L &&
+        growthThresholdU6 >= 0 && growthThresholdU6 <= 1000000L,
+      "thresholds must sit on the u6 lattice [0, 1e6]")
+    val dec = "decimal(38,0)"
+    val nb = batchIds.agg(count(lit(1)).as("n_batch"))
+    val nr = found.agg(countDistinct(col("query_id")).as("n_reached"))
+    // the edge set an append would connect: forward ∪ mirror, deduped
+    // alone (disjoint from index.edges by the id-uniqueness contract —
+    // the nswAppend algebra)
+    val nn = found.select(col("query_id").as("src"), col("vec_id").as("dst"))
+    val ne = nn.union(nn.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .agg(count(lit(1)).as("n_new_edges"))
+    val ni = index.edges.agg(count(lit(1)).as("n_index_edges"))
+    val out = nb.crossJoin(nr).crossJoin(ne).crossJoin(ni)
+      .withColumn("reach_u6", when(col("n_batch") > 0,
+        expr(s"CAST((CAST(1000000 AS $dec) * CAST(n_reached AS $dec)) " +
+          s"DIV CAST(n_batch AS $dec) AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .withColumn("growth_u6",
+        when(col("n_index_edges") + col("n_new_edges") > 0,
+          expr(s"CAST((CAST(1000000 AS $dec) * CAST(n_new_edges AS $dec))" +
+            s" DIV (CAST(n_index_edges AS $dec) + " +
+            s"CAST(n_new_edges AS $dec)) AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .withColumn("degrade",
+        (col("n_batch") > 0 && col("reach_u6") < reachThresholdU6) ||
+          col("growth_u6") >= growthThresholdU6)
+      .select("n_batch", "n_reached", "n_new_edges", "n_index_edges",
+        "reach_u6", "growth_u6", "degrade")
+      .localCheckpoint(true) // 1-row report; no pinned intermediates ride
+    out
+  }
+
   /** kNN LABEL CLASSIFICATION — propagate labels from the k nearest
     * corpus vectors to each query (label transfer / semi-supervised
     * labeling / quality-tag propagation over an embedding store):

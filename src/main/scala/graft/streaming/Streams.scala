@@ -583,6 +583,80 @@ object Streams {
       }
       .start()
 
+  /** [[ivfAppendIngest]] for the GRAPH tier — NSW maintenance run
+    * continuously as vectors land: every micro-batch beam-searches the
+    * persisted graph (base ∪ the deltas streamed so far — batch 2 must
+    * be able to attach to batch 1's nodes) for each new vector's `m`
+    * nearest, exactly [[graft.ops.Similarity.nswAppend]]'s insertion
+    * search, and lands ONE data artifact per batch: rows
+    * `(vec_id, embedding, nbrs)` — the vector plus its ordered neighbor
+    * list. Forward and mirror edges DERIVE from `nbrs` at load
+    * ([[graft.ops.IndexStore.readNswIndexWithDelta]]), so a crash can
+    * never skew edges against vectors, and the vectors ride the same
+    * rows ([[graft.ops.IndexStore.readNswDeltaVectors]]) because the
+    * graph artifact never stores them. One
+    * [[graft.ops.Similarity.nswDriftReport]] row per batch lands in
+    * `auditPath` off the SAME search pass — reach (a vector that finds
+    * no neighbor would insert unreachable) and appended-share growth,
+    * the rebuild-cadence signal computed at ingest. Both sinks are
+    * [[writeBatchIdempotent]] — a replayed batch rewrites its own
+    * partition. Fold deltas with
+    * [[graft.ops.IndexStore.compactNswDeltas]] on compaction cadence.
+    *
+    * `corpus` is the static vector store the graph was built over
+    * (searches need vectors; the adjacency carries only ids) — the
+    * caller conventions are [[graft.ops.Similarity.nswAppend]]'s:
+    * vec_ids unique across the stream and vs the corpus.
+    */
+  def nswAppendIngest(vectors: DataFrame, indexPrefix: String,
+                      corpus: DataFrame, deltaPath: String,
+                      auditPath: String, checkpoint: String,
+                      m: Int = 8, ef: Int = 32, hops: Int = 3,
+                      reachThresholdU6: Long = 990000L,
+                      growthThresholdU6: Long = 250000L,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"
+                     ): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val idx = graft.ops.IndexStore
+            .readNswIndexWithDelta(spark, indexPrefix, deltaPath)
+          val corpusAll = graft.ops.IndexStore
+            .readNswDeltaVectors(spark, indexPrefix, deltaPath)
+            .foldLeft(corpus.select(col(idCol).as("vec_id"),
+              col(vecCol).as("embedding")))(_ unionByName _)
+          val q = batch.select(col(idCol).as("query_id"),
+            col(vecCol).as("embedding"))
+          // search ONCE: the pinned neighbor set feeds the delta rows
+          // AND the drift report (nswSearch pins its result)
+          val found = graft.ops.Similarity.nswSearch(q, idx, corpusAll,
+            k = m, ef = math.max(ef, m), hops = hops)
+          // ordered neighbor list per batch vector; vectors that found
+          // nothing keep a NULL list (they still land — explode skips
+          // null at edge derivation, the reach signal flags them)
+          val nbrs = found.groupBy("query_id")
+            .agg(transform(
+              array_sort(collect_list(struct(col("rank"), col("vec_id")))),
+              x => x.getField("vec_id")).as("nbrs"))
+            .withColumnRenamed("query_id", "vec_id")
+          val rows = batch.select(col(idCol).as("vec_id"),
+              col(vecCol).as("embedding"))
+            .join(nbrs, Seq("vec_id"), "left")
+          writeBatchIdempotent(rows, batchId, deltaPath)
+          val report = graft.ops.Similarity.nswDriftReportFrom(idx, found,
+            q.select("query_id"), reachThresholdU6, growthThresholdU6)
+          writeBatchIdempotent(report, batchId, auditPath)
+          report.unpersist()
+          found.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming DRIFT MONITOR: score every arriving micro-batch against a
     * STATIC reference snapshot with the binned KS gate
     * ([[graft.ops.CorpusOps.ksDrift]]) and append one audit row per

@@ -40,6 +40,8 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_knn_classify_ann"    -> "IVF-backed kNN: query set x broadcast centroid table for cell ranking",
     "q_ann_ivf"             -> "IVF probe: query set x broadcast centroid table (nCenters rows)",
     "q_ann_ivf_split"       -> "split probe: the same broadcast centroid ranking on each side (base + delta)",
+    "q_ann_ivf_compact"     -> "compacted-generation probe: the same broadcast centroid ranking (nCenters rows)",
+    "q_bm25_compact"        -> "same 1-row stats table through the COMPACTED postings generation",
     "q_ann_ivf_quant"       -> "quantized IVF probe: same broadcast centroid ranking",
     "q_ivf_assign"          -> "cell assignment: corpus x broadcast centroid table",
     "q_centroid_classify"   -> "Rocchio: queries x broadcast per-label centroid table (label-count rows)",
