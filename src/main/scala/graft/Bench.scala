@@ -23,7 +23,16 @@ object Bench {
     "q_decontaminate_dialogs" -> "r10: md5 word-gram seam replaced the murmur word-shingle hash",
     "q_ivf_drift" -> "r10: new query",
     "q_ann_ivf_split" -> "r10: new query",
-    "q_bm25_drift" -> "r10: new query")
+    "q_bm25_drift" -> "r10: new query",
+    "q_ann_ivf_compact" -> "r11: new query",
+    "q_bm25_compact" -> "r11: new query",
+    "q_nsw_drift" -> "r11: new query",
+    "q_dedup_minhash_prod" -> "r11: new bench-only production twin (murmur, deployment banding)",
+    "q_dedup_minhash_incr_prod" -> "r11: new bench-only production twin",
+    "q_dedup_simhash_prod" -> "r11: new bench-only production twin",
+    "q_dup_spans_winnow_prod" -> "r11: new bench-only production twin",
+    "q_split_leakage_prod" -> "r11: new bench-only production twin",
+    "q_decontaminate_dialogs_prod" -> "r11: new bench-only production twin")
 
   /** Timed best-of-N over a query map through the noop sink. Returns
     * (per-query min seconds, per-query error) — errors are RECORDED, not
@@ -76,11 +85,15 @@ object Bench {
     // ride out transient host-contention spikes, approximating steady-state
     // plan cost rather than luck-of-draw.
     // optional args: bench only the named queries (dev iteration; the
-    // driver harness always invokes with no args = full suite)
+    // driver harness always invokes with no args = full suite).
+    // benchOnly = production-parameter twins of the seam-converted
+    // queries: benched for regression tracking, never oracled (murmur
+    // hashes have no SQL replay — Verify skips them by construction)
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
     val only = args.toSet
     val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (k, _) => only(k) }
+      if (only.isEmpty) all
+      else all.filter { case (k, _) => only(k) }
     val (results, errors) = run(selected, spark, sfDir, passes)
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) =>

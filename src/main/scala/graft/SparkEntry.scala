@@ -3876,6 +3876,72 @@ object SparkEntry {
     })
   )
 
+  /** BENCH-ONLY production twins of the seam-converted dedup queries:
+    * the contract entries above run the md5 certification seams on
+    * bounded staged samples (exact-oracle-able but definition-
+    * discontinuous vs the production paths), which left the MURMUR
+    * deployment-parameter paths unbenched — spec-covered but invisible
+    * to cross-round regression tracking. These entries run exactly what
+    * production runs (MurmurHash3, deployment banding, full corpus);
+    * they ride [[graft.Bench]] but NOT the correctness gate (no SQL
+    * oracle can replay murmur — that is the reason the seams exist).
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash_prod" -> ((s, d) =>
+      // deployment banding over the full corpus (the recall-spec'd path)
+      graft.ops.Dedup.minhashLsh(par(s, t(s, d, "documents")),
+          threshold = 0.8, numHashes = 128, bands = 32)
+        .select("id_a", "id_b")),
+
+    "q_dedup_minhash_incr_prod" -> ((s, d) => {
+      // production incremental near-dup: deployment-banded index over
+      // the first half, second half probed against it
+      val docs = par(s, t(s, d, "documents")).select("doc_id", "text")
+      val half = 250
+      val idx = graft.ops.Dedup.buildMinhashIndex(
+        docs.filter(col("doc_id") < half))
+      graft.ops.Dedup.nearDupAgainstIndex(idx,
+        docs.filter(col("doc_id") >= half), threshold = 0.8)
+    }),
+
+    "q_dedup_simhash_prod" -> ((s, d) =>
+      // murmur word hash (the deployed signature), same banded join
+      graft.ops.Dedup.simhashPairs(par(s, t(s, d, "documents")),
+        maxHamming = 3)),
+
+    "q_dup_spans_winnow_prod" -> ((s, d) =>
+      // murmur gram hash through the same winnowing selection loop
+      graft.ops.Dedup.duplicateSpans(par(s, t(s, d, "documents")),
+        k = 60, window = Some(8))),
+
+    "q_split_leakage_prod" -> ((s, d) => {
+      // deployment banding over the FULL corpus + planted near-dups
+      val docs = par(s, t(s, d, "documents")).select("doc_id", "text")
+      val planted = docs
+        .select((-(col("doc_id") + 1)).as("doc_id"),
+          concat(col("text"), lit(" tail tweak")).as("text"))
+      val corpus = docs.union(planted)
+        .withColumn("split", graft.ops.CorpusOps.hashSplit("doc_id"))
+      graft.ops.Pipelines.auditSplitLeakage(corpus, threshold = 0.8)
+    }),
+
+    "q_decontaminate_dialogs_prod" -> ((s, d) => {
+      // the murmur word-gram gate over the same rendered-dialog fixture
+      val docs = t(s, d, "documents").filter(col("doc_id") < 500)
+      val dialogs = docs.select(col("doc_id").as("dialog_id"),
+        array(
+          struct(lit("user").as("role"), col("text").as("content")),
+          struct(lit("assistant").as("role"),
+            concat(lit("re: "), coalesce(col("lang"), lit("")))
+              .as("content")))
+          .as("turns"))
+      val evalDocs = t(s, d, "documents")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select("doc_id", "text")
+      graft.ops.DialogOps.decontaminateDialogs(dialogs, evalDocs)
+    })
+  )
+
   /** Shared arena-battle fixture for q_win_matrix / q_bradley_terry:
     * deterministic (model_a, model_b, winner) rows derived from doc_id
     * (%5 vs //5%5; winner by %3 — 'a'/'b'/'tie'). */

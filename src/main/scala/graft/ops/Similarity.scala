@@ -164,10 +164,18 @@ object Similarity {
     def release(): Unit = {
       centroids.unpersist(); cells.unpersist(); delta.foreach(_.unpersist())
     }
-    /** Free ONLY the append leg (the per-execution artifact) — the
-      * shared base blocks stay live for the next append. Like
-      * [[release]], THIS index object is unusable afterwards: its big
-      * table references the freed leg.
+    /** Free every pinned block the APPEND created (the per-execution
+      * artifact) — the shared base blocks stay live for the next
+      * append/probe. This is the ONE ownership rule across all four
+      * index families: releaseDelta frees exactly what the append
+      * pinned, release() frees the base's own blocks too. The vector
+      * tiers' appends pin only their batch leg;
+      * [[graft.ops.TextAnalysis.PostingsIndex]]'s append additionally
+      * derives (and pins) the merged dictionary/stats, so its
+      * releaseDelta frees those as well — same rule, different append
+      * footprint. Like [[release]], THIS index object is unusable
+      * afterwards: its big tables reference the freed legs. Retire a
+      * chain appended-first, base-last.
       */
     def releaseDelta(): Unit = delta.foreach(_.unpersist())
   }

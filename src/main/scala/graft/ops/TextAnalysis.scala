@@ -974,11 +974,13 @@ object TextAnalysis {
       postings.unpersist(); docLens.unpersist(); docFreqs.unpersist()
       stats.unpersist(); delta.foreach(_.unpersist())
     }
-    /** Free ONLY the append legs (the per-execution artifact) plus this
-      * index's own merged dictionary/stats checkpoints — the shared base
-      * blocks stay live for the next append. Like [[release]], THIS
-      * index object is unusable afterwards: its tables reference the
-      * freed legs.
+    /** See [[graft.ops.Similarity.IvfIndex.releaseDelta]] — the shared
+      * ownership rule: free every pinned block the APPEND created, keep
+      * the base's. This tier's append derives (and pins) the merged
+      * dictionary and stats in addition to its batch legs, so they are
+      * append-owned and freed here; the base's own docFreqs/stats
+      * blocks are untouched (they are different objects — the merge
+      * never mutates them).
       */
     def releaseDelta(): Unit = {
       delta.foreach(_.unpersist()); docFreqs.unpersist(); stats.unpersist()

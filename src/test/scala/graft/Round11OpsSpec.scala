@@ -72,6 +72,39 @@ class Round11OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     idx.release()
   }
 
+  test("releaseDelta ownership rule: freeing an appended index's " +
+      "per-append blocks leaves the shared base fully probe-able, for " +
+      "BOTH the vector and the lexical family") {
+    import spark.implicits._
+    import graft.ops.{Similarity, TextAnalysis}
+    val d = docs()
+    // lexical: append pins legs + merged dictionary/stats — all
+    // append-owned; the base's own blocks must survive their release
+    val pBase = TextAnalysis.buildPostingsIndex(d.filter(col("doc_id") < 20))
+    val qs = Seq((1L, "shared t3")).toDF("query_id", "text")
+    val before = TextAnalysis.bm25Probe(pBase, qs).collect().toSeq
+    val appended = TextAnalysis.appendPostingsIndex(pBase,
+      d.filter(col("doc_id") >= 20))
+    appended.releaseDelta()
+    assert(TextAnalysis.bm25Probe(pBase, qs).collect().toSeq === before)
+    pBase.release()
+    // vector: append pins only its batch leg
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.3 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val vBase = Similarity.buildIvfIndex(
+      vecs.filter(col("vec_id") < 40), nCenters = 4, iters = 2)
+    val q = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val vBefore = Similarity.ivfProbe(q, vBase, k = 3, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val vApp = Similarity.ivfAppend(vBase, vecs.filter(col("vec_id") >= 40))
+    vApp.releaseDelta()
+    assert(Similarity.ivfProbe(q, vBase, k = 3, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq === vBefore)
+    vBase.release()
+  }
+
   test("md5Seam with a live signature fails loudly in both builders " +
       "(mixed murmur-prune/md5-verify lattices are rejected)") {
     import graft.ops.Dedup

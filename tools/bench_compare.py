@@ -39,7 +39,10 @@ DISC_KEY = re.compile(r'"(q_[a-z0-9_]+)"\s*:')
 def load_discontinuities(raw):
     """Query names the artifact itself declares definition-discontinuous
     (the op changed what it measures in some round) — deltas on them are
-    apples-to-oranges, reported separately rather than flagged."""
+    apples-to-oranges, reported separately rather than flagged. The
+    brace-free regex is the FALLBACK for truncated/raw captures; a valid
+    JSON artifact is parsed properly (a '}' inside a reason string would
+    truncate the regex's view)."""
     m = DISC.search(raw)
     return set(DISC_KEY.findall(m.group(1))) if m else set()
 
@@ -50,6 +53,8 @@ def load_queries(path):
     try:
         doc = json.loads(raw)
         if isinstance(doc, dict):
+            if isinstance(doc.get("discontinuities"), dict):
+                disc = set(doc["discontinuities"])  # exact, not regex
             if isinstance(doc.get("queries"), dict):
                 return {k: float(v) for k, v in doc["queries"].items()}, disc
             raw = str(doc.get("tail", "")) + raw  # driver wrapper
@@ -118,6 +123,24 @@ def main():
         for norm, q, o, n in sorted(flagged, reverse=True):
             print(f"  {q:<32} x{norm:5.2f}   {o:8.3f}s -> {n:8.3f}s")
         print()
+    # headline total over COMPARABLE queries only — a declared definition
+    # change (e.g. a 10x hash-cost seam) must not silently shift the
+    # number the tool refuses to interpret per-query; the discontinuous
+    # subtotal prints separately
+    comp = [q for q in shared if q not in disc]
+    if comp:
+        tot_o = sum(old[q] for q in comp)
+        tot_n = sum(new[q] for q in comp)
+        print(f"comparable total ({len(comp)} queries): "
+              f"{tot_o:.1f}s -> {tot_n:.1f}s "
+              f"(raw x{tot_n / tot_o:.2f}, normalized "
+              f"x{tot_n / tot_o / drift:.2f})")
+    dshared = [q for q in shared if q in disc]
+    if dshared:
+        d_o = sum(old[q] for q in dshared)
+        d_n = sum(new[q] for q in dshared)
+        print(f"discontinuous subtotal ({len(dshared)} queries, "
+              f"not comparable): {d_o:.1f}s -> {d_n:.1f}s")
     tot_o = sum(old[q] for q in shared)
     tot_n = sum(new[q] for q in shared)
     print(f"shared total   : {tot_o:.1f}s -> {tot_n:.1f}s "
