@@ -124,6 +124,26 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.cells.count() === vecs.count())
     assert(rowsOf(Similarity.ivfProbe(q, after, k = 5, nProbe = 4)
       .select("query_id", "vec_id", "rank")) === exact)
+    // the stream CONTINUES after compaction: a new batch lands above
+    // the high-water and is unioned in; nothing else double-counts
+    import spark.implicits._
+    val late = (1000 until 1010).map { i =>
+      val v = Array.tabulate(16)(dd =>
+        (math.sin(i * 0.37 + dd) + (if (dd == i % 4) 2.0 else 0.0)).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.ivfAssign(late,
+        IndexStore.readIvfIndex(spark, "c_ivf"))
+      .withColumn("batch_id", lit(2L))
+      .write.mode("append").partitionBy("batch_id").parquet(delta)
+    val withLate = IndexStore.readIvfIndexWithDelta(spark, "c_ivf", delta)
+    assert(withLate.cells.count() === vecs.count() + 10)
+    // a second compaction folds ONLY the live batch and the reader
+    // stays exactly-once
+    assert(IndexStore.compactIvfDeltas(spark, "c_ivf", delta,
+      buckets = 4) === 2L)
+    assert(IndexStore.readIvfIndexWithDelta(spark, "c_ivf", delta)
+      .cells.count() === vecs.count() + 10)
   }
 
   test("a compaction that crashed before its commit marker is invisible " +
