@@ -494,8 +494,11 @@ object Streams {
     *   - `deltaPath`: the batch's assignment rows (vec_id, _cv,
     *     center_id — the cells schema). [[graft.ops.IndexStore
     *     .readIvfIndexWithDelta]] unions them under the bucketed base
-    *     for probing; on retrain/compaction cadence the deltas fold
-    *     into a rewritten base (the persisted-artifact lifecycle).
+    *     for probing; on retrain/compaction cadence
+    *     [[graft.ops.IndexStore.compactIvfDeltas]] folds them into a
+    *     rewritten base crash-safely (commit-last generation; folded
+    *     partitions are skipped by every reader, deleted lazily by
+    *     [[graft.ops.IndexStore.pruneFoldedDeltas]]).
     *   - `auditPath`: one [[graft.ops.Similarity.indexDriftReport]]
     *     row-set per batch (per-cell occupancies + tv_u6 + retrain) —
     *     the drift-cadence signal computed AT ingest, so "retrain on
@@ -546,8 +549,10 @@ object Streams {
     * leave the sinks mutually skewed, and because every component is
     * additive the merged index probes BIT-EQUAL to a full rebuild over
     * base ∪ stream (the append family's unconditional lexical
-    * guarantee). Fold deltas into a rewritten base on compaction
-    * cadence.
+    * guarantee). On compaction cadence
+    * [[graft.ops.IndexStore.compactPostingsDeltas]] folds the deltas
+    * into a rewritten base crash-safely (commit-last generation +
+    * lazy [[graft.ops.IndexStore.pruneFoldedDeltas]]).
     */
   def bm25AppendIngest(docs: DataFrame, indexPrefix: String,
                        deltaPath: String, auditPath: String,

@@ -183,6 +183,7 @@ class Round9cOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
     def latest(): Map[String, (Int, Long, Long)] =
       spark.table("kmv_monitor")
+        .select("group", "k_eff", "kth_hash60", "approx_distinct")
         .as[(String, Int, Long, Long)].collect()
         .zipWithIndex.groupBy(_._1._1).view
         .mapValues(_.maxBy(_._2)._1).toMap
