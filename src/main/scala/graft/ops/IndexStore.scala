@@ -120,9 +120,13 @@ object IndexStore {
 
   /** Persist an [[Similarity.IvfIndex]]: `cells` bucketed on center_id
     * (the probe join key), centroid table plain (it broadcasts at probe).
+    * A REBUILD over a previously-compacted prefix resets the generation
+    * lineage first — otherwise the stale newest generation would shadow
+    * the retrained base at read time.
     */
   def writeIvfIndex(index: Similarity.IvfIndex, prefix: String,
                     buckets: Int = 8, path: Option[String] = None): Unit = {
+    dropGenerations(index.cells.sparkSession, prefix)
     writeBucketedTable(index.cells, s"${prefix}_cells",
       Seq("center_id"), buckets, path)
     writeSmallTable(index.centroids, s"${prefix}_centroids", path)
@@ -231,6 +235,25 @@ object IndexStore {
     seen.sorted.lastOption.getOrElse(0L) + 1L
   }
 
+  /** Drop every compaction-generation table of `prefix` — the REBUILD
+    * reset: a retrained base written by the plain writers must not stay
+    * shadowed by a stale committed generation. Commit markers drop
+    * FIRST (each generation turns invisible atomically-enough — a crash
+    * mid-reset leaves readers on the previous base, never on a
+    * half-dropped generation), data tables after. The delta TREE is the
+    * stream's artifact, not touched here: a retrain redeploys its
+    * ingest with a fresh deltaPath + checkpoint (stale deltas would
+    * read as live again once the high-water resets).
+    */
+  private def dropGenerations(spark: SparkSession, prefix: String): Unit = {
+    val pat = (s"^${java.util.regex.Pattern.quote(prefix.toLowerCase)}" +
+      "_gen(\\d+)_([a-z]+)$").r
+    val tables = spark.catalog.listTables().collect().toSeq.map(_.name)
+      .filter(pat.pattern.matcher(_).matches())
+    val (commits, data) = tables.partition(_.endsWith("_commit"))
+    (commits ++ data).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** The commit-LAST marker that makes a generation visible. */
   private def commitGeneration(spark: SparkSession, prefix: String,
                                gen: Long, highWater: Long,
@@ -331,6 +354,8 @@ object IndexStore {
     */
   def writeNswIndex(index: Similarity.NswIndex, prefix: String,
                     buckets: Int = 8, path: Option[String] = None): Unit = {
+    // rebuild resets the compaction lineage (see writeIvfIndex)
+    dropGenerations(index.edges.sparkSession, prefix)
     writeBucketedTable(index.edges, s"${prefix}_edges",
       Seq("src"), buckets, path)
     writeSmallTable(index.entries, s"${prefix}_entries", path)
@@ -506,6 +531,8 @@ object IndexStore {
   def writePostingsIndex(index: TextAnalysis.PostingsIndex, prefix: String,
                          buckets: Int = 8,
                          path: Option[String] = None): Unit = {
+    // rebuild resets the compaction lineage (see writeIvfIndex)
+    dropGenerations(index.stats.sparkSession, prefix)
     writeBucketedTable(index.postings, s"${prefix}_postings",
       Seq("term"), buckets, path)
     writeBucketedTable(index.docLens, s"${prefix}_doclens",

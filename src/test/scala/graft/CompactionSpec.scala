@@ -293,6 +293,32 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     after1.releaseDelta(); after2.releaseDelta(); base.release()
   }
 
+  test("a REBUILD over a compacted prefix resets the generation lineage " +
+      "— the retrained base is what readers resolve, not the stale " +
+      "newest generation") {
+    val even = vecs.filter(col("vec_id") % 2 === 0)
+    val base = Similarity.buildIvfIndex(even, nCenters = 4, iters = 2)
+    IndexStore.writeIvfIndex(base, "c_ivf_rb", buckets = 4)
+    val delta = writeDelta(Seq(0L -> Similarity.ivfAssign(
+      vecs.filter(col("vec_id") % 2 === 1), base)), "ivfrb")
+    base.release()
+    assert(IndexStore.compactIvfDeltas(spark, "c_ivf_rb", delta,
+      buckets = 4) === 0L)
+    assert(spark.catalog.tableExists("c_ivf_rb_gen1_commit"))
+    // retrain cadence: a FULL rebuild lands under the same prefix with
+    // a fresh delta tree (the stream redeploys); the stale generation
+    // must not shadow it
+    val retrained = Similarity.buildIvfIndex(vecs, nCenters = 4, iters = 2)
+    IndexStore.writeIvfIndex(retrained, "c_ivf_rb", buckets = 4)
+    retrained.release()
+    assert(!spark.catalog.tableExists("c_ivf_rb_gen1_commit"))
+    assert(IndexStore.readIvfIndex(spark, "c_ivf_rb").cells.count() ===
+      vecs.count())
+    val fresh = Files.createTempDirectory("compact-ivfrb2").toString + "/d"
+    assert(IndexStore.readIvfIndexWithDelta(spark, "c_ivf_rb", fresh)
+      .cells.count() === vecs.count())
+  }
+
   test("nswDriftReport: full reach on a connected graph; an empty entry " +
       "set flags degrade; an empty batch is no evidence; growth past " +
       "the threshold recommends rebuild") {
