@@ -27,6 +27,8 @@ object Bench {
     "q_ann_ivf_compact" -> "r11: new query",
     "q_bm25_compact" -> "r11: new query",
     "q_nsw_drift" -> "r11: new query",
+    "q_ann_ivfq_split" -> "r11: new query",
+    "q_ivfpq_compact" -> "r11: new query",
     "q_dedup_minhash_prod" -> "r11: new bench-only production twin (murmur, deployment banding)",
     "q_dedup_minhash_incr_prod" -> "r11: new bench-only production twin",
     "q_dedup_simhash_prod" -> "r11: new bench-only production twin",

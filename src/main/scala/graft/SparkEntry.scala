@@ -329,6 +329,54 @@ object SparkEntry {
     })
   }
 
+  /** Even-half QUANTIZED IVF index per (session, dir) — the byte-code
+    * base of q_ann_ivfq_split (int8 cells over [[cachedIvfHalf]]'s
+    * centroids; the delta side quantizes per execution).
+    */
+  private val ivfQHalfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.ops.Similarity.IvfIndexQ]
+
+  private def cachedIvfQHalf(s: SparkSession, d: String): graft.ops.Similarity.IvfIndexQ = {
+    ivfQHalfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfQHalfCache.computeIfAbsent((s, d), _ =>
+      graft.ops.Similarity.quantizeIndex(cachedIvfHalf(s, d)))
+  }
+
+  /** [[compactedIvf]] for the COMBINED tier: the even-half IVF-PQ base
+    * persisted (centroids + byte cells + codebooks), the odd half's
+    * code rows as one delta partition, folded by the SCHEMA-GENERIC
+    * compactIvfDeltas — delta tree left on disk (the crash window
+    * q_ivfpq_compact certifies across).
+    */
+  private val ivfPqCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+
+  private def compactedIvfPq(s: SparkSession, d: String): (String, String) = {
+    ivfPqCompactCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfPqCompactCache.computeIfAbsent((s, d), _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pqc_idx").toString
+      val prefix = "graft_pqc_persisted_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val emb = par(s, t(s, d, "embeddings"))
+      val base = cachedIvfPqHalf(s, d)
+      graft.ops.IndexStore.writeIvfPqIndex(base, prefix, buckets = 8,
+        path = Some(s"$root/base"))
+      val deltaPath = s"$root/delta"
+      val odd = emb.filter(col("vec_id") % 2 === 1)
+      graft.ops.Similarity.ivfAssign(odd, graft.ops.Similarity
+          .IvfIndex(base.centroids, base.cells))
+        .select("vec_id", "center_id")
+        .join(graft.ops.Similarity.pqEncode(odd, base.cb), Seq("vec_id"))
+        .withColumn("batch_id", lit(0L))
+        .write.partitionBy("batch_id").parquet(deltaPath)
+      graft.ops.IndexStore.compactIvfDeltas(s, prefix, deltaPath,
+        buckets = 8, path = Some(s"$root/base"))
+      (prefix, deltaPath)
+    })
+  }
+
   /** Session-lifetime BPE merge table per (session, data dir) — train-once/
     * encode-many, the deployment shape of a real tokenizer (the model is an
     * artifact, not a per-query cost). Same stopped-session eviction
@@ -1295,6 +1343,51 @@ object SparkEntry {
         cachedIvfIndex(s, d,
           graft.ops.Similarity.buildIvfIndex(emb, nCenters = 16))))
       graft.ops.Similarity.ivfProbeQuantized(q, qidx, k = 5, nProbe = 16)
+        .select("query_id", "vec_id", "rank")
+    }),
+
+    "q_ann_ivfq_split" -> ((s, d) => {
+      // the quantized tier's SPLIT probe (ops.Similarity
+      // .ivfProbeQuantizedSplit — q_ann_ivf_split's byte-code sibling,
+      // the pre-compaction deployment shape at 4x less scanned bytes):
+      // base = the even-half int8 index (session-cached), delta = the
+      // odd half routed + quantized per execution (the streamed delta
+      // tree's schema). Staged exhaustive (nProbe = nCenters) the
+      // merged per-side top-k equals the GLOBAL quantized top-k — the
+      // per-candidate quantized cosine depends only on its own
+      // codes/min/scale, never on which side it sat — so
+      // q_ann_ivf_quant's exact oracle certifies the merge algebra.
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val baseQ = cachedIvfQHalf(s, d)
+      val delta = graft.ops.Similarity.quantizeInt8(
+          graft.ops.Similarity.ivfAssign(
+            emb.filter(col("vec_id") % 2 === 1), cachedIvfHalf(s, d))
+            .withColumnRenamed("_cv", "embedding"), "embedding")
+        .select("vec_id", "center_id", "codes", "q_min", "q_scale")
+      graft.ops.Similarity.ivfProbeQuantizedSplit(qs, baseQ, delta,
+          k = 5, nProbe = 16)
+        .select("query_id", "vec_id", "rank")
+    }),
+
+    "q_ivfpq_compact" -> ((s, d) => {
+      // crash-safe compaction for the COMBINED byte-code tier
+      // (q_ann_ivf_compact's sibling through the SCHEMA-GENERIC
+      // compactIvfDeltas): the session-cached artifact folded the odd
+      // half's PQ code rows into a committed generation with the delta
+      // tree left on disk. The WithDelta reader must skip the folded
+      // partition, and the staged probe (all cells, exhaustive
+      // overfetch, exact re-rank tail) must equal brute force over the
+      // FULL corpus — q_sim_topk's oracle.
+      val (prefix, deltaPath) = compactedIvfPq(s, d)
+      val emb = par(s, t(s, d, "embeddings"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val idx = graft.ops.IndexStore.readIvfPqIndexWithDelta(s, prefix,
+        deltaPath)
+      graft.ops.Similarity.ivfPqProbe(qs, idx, emb, k = 5, nProbe = 8,
+          overfetch = 1 << 18)
         .select("query_id", "vec_id", "rank")
     }),
 
@@ -3942,6 +4035,37 @@ object SparkEntry {
     })
   )
 
+  /** The quantized-probe oracle shared by q_ann_ivf_quant and its split
+    * twin: all cells probed (nProbe = nCenters), candidates ranked on
+    * the QUANTIZED cosine — codes/min/scale replayed exactly as in
+    * q_quantize_int8, dequantized through the same double→float cast,
+    * ranked by list_cosine_similarity (dot / sqrt(na·nb), the CosineSim
+    * kernel's formula).
+    */
+  private def quantProbeOracleSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, e, list_min(e) AS mn,
+      |    (list_max(e) - list_min(e)) / 255.0 AS sc FROM v),
+      |dq AS (SELECT vec_id,
+      |    CASE WHEN sc > 0 THEN list_transform(e,
+      |        x -> CAST(CAST(mn + round((x - mn) / sc) * sc AS FLOAT)
+      |          AS DOUBLE))
+      |      ELSE list_transform(e, x -> CAST(CAST(mn AS FLOAT)
+      |          AS DOUBLE)) END AS dv
+      |  FROM s),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 10),
+      |scored AS (SELECT q.query_id, dq.vec_id,
+      |    list_cosine_similarity(q.qv, dq.dv) AS cos
+      |  FROM q, dq WHERE q.query_id <> dq.vec_id)
+      |SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
   /** Shared arena-battle fixture for q_win_matrix / q_bradley_terry:
     * deterministic (model_a, model_b, winner) rows derived from doc_id
     * (%5 vs //5%5; winner by %3 — 'a'/'b'/'tie'). */
@@ -4439,6 +4563,10 @@ object SparkEntry {
     // equal brute force over the full corpus; a double-counted partition
     // would occupy duplicate ranks
     "q_ann_ivf_compact" -> baseOracleSql("q_sim_topk"),
+    // the byte-code tier's compaction: staged exhaustive probe through
+    // the crash window (folded PQ delta partition still on disk) with
+    // the exact re-rank tail — brute force's oracle again
+    "q_ivfpq_compact" -> baseOracleSql("q_sim_topk"),
     "q_ivfpq_append" -> baseOracleSql("q_sim_topk"),
     "q_nsw_topk" -> baseOracleSql("q_sim_topk"),
     // write -> read -> staged search over the reloaded on-disk graph
@@ -4587,29 +4715,12 @@ object SparkEntry {
     // q_quantize_int8, dequantized through the same double→float cast,
     // ranked by the same dot/(sqrt·sqrt)-free list_cosine_similarity
     // formula the CosineSim kernel uses (dot / sqrt(na·nb))
-    "q_ann_ivf_quant" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |s AS (SELECT vec_id, e, list_min(e) AS mn,
-        |    (list_max(e) - list_min(e)) / 255.0 AS sc FROM v),
-        |dq AS (SELECT vec_id,
-        |    CASE WHEN sc > 0 THEN list_transform(e,
-        |        x -> CAST(CAST(mn + round((x - mn) / sc) * sc AS FLOAT)
-        |          AS DOUBLE))
-        |      ELSE list_transform(e, x -> CAST(CAST(mn AS FLOAT)
-        |          AS DOUBLE)) END AS dv
-        |  FROM s),
-        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |      FROM embeddings WHERE vec_id < 10),
-        |scored AS (SELECT q.query_id, dq.vec_id,
-        |    list_cosine_similarity(q.qv, dq.dv) AS cos
-        |  FROM q, dq WHERE q.query_id <> dq.vec_id)
-        |SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT query_id, vec_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, vec_id) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q_ann_ivf_quant" -> quantProbeOracleSql,
+    // the quantized SPLIT probe merges per-side top-k over the SAME
+    // per-vector quantization (codes/min/scale are side-independent),
+    // so staged exhaustive it equals the global quantized top-k —
+    // q_ann_ivf_quant's oracle verbatim
+    "q_ann_ivfq_split" -> quantProbeOracleSql,
 
     // the m = 1 staged ADC replica: data-row codebooks (16 lowest-id
     // vectors), argmin-L2 code per vector (q_pq_encode's argmin, full

@@ -290,8 +290,12 @@ object IndexStore {
     * [[graft.streaming.Streams.ivfAppendIngest]] batch landing
     * mid-compaction stays live under the new high-water instead of
     * being silently absorbed without acknowledgment). Centroids are the
-    * frozen model — never rewritten. After the commit, probes through
-    * [[readIvfIndex]]/[[readIvfIndexWithDelta]] regain the zero-Exchange
+    * frozen model — never rewritten. SCHEMA-GENERIC over the cell
+    * families: the fold rewrites exactly `cells`' own columns bucketed
+    * on center_id, so the same operator compacts the float
+    * ([[readIvfIndexWithDelta]]), int8 ([[readIvfIndexQWithDelta]]) and
+    * PQ ([[readIvfPqIndexWithDelta]]) delta trees. After the commit,
+    * probes through the family's readers regain the zero-Exchange
     * bucketed plan (spec-asserted); [[pruneFoldedDeltas]] reclaims the
     * folded partitions whenever convenient.
     *
@@ -471,6 +475,8 @@ object IndexStore {
 
   def writeIvfIndexQ(index: Similarity.IvfIndexQ, prefix: String,
                      buckets: Int = 8, path: Option[String] = None): Unit = {
+    // rebuild resets the compaction lineage (see writeIvfIndex)
+    dropGenerations(index.cells.sparkSession, prefix)
     writeBucketedTable(index.cells, s"${prefix}_cells",
       Seq("center_id"), buckets, path)
     writeSmallTable(index.centroids, s"${prefix}_centroids", path)
@@ -478,7 +484,29 @@ object IndexStore {
 
   def readIvfIndexQ(spark: SparkSession, prefix: String): Similarity.IvfIndexQ =
     Similarity.IvfIndexQ(spark.table(s"${prefix}_centroids"),
-      spark.table(s"${prefix}_cells"))
+      genTable(spark, prefix, "cells"))
+
+  /** [[readIvfIndexWithDelta]] for the QUANTIZED tier: byte-code cells
+    * streamed by [[graft.streaming.Streams.ivfQAppendIngest]] union
+    * under the bucketed base above the folded high-water. Compaction is
+    * the SAME operator — [[compactIvfDeltas]] is schema-generic over
+    * the cell families (it rewrites `base.cells`' own columns bucketed
+    * on center_id and never touches centroids/codebooks), so one
+    * recipe serves float, int8 and PQ cells.
+    */
+  def readIvfIndexQWithDelta(spark: SparkSession, prefix: String,
+                             deltaPath: String): Similarity.IvfIndexQ = {
+    import org.apache.spark.sql.functions.col
+    val base = readIvfIndexQ(spark, prefix)
+    val hw = foldedHighWater(spark, prefix)
+    if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
+    else {
+      val delta = spark.read.parquet(deltaPath)
+        .filter(col("batch_id") > hw)
+        .select(base.cells.columns.map(col): _*)
+      Similarity.IvfIndexQ(base.centroids, base.cells.unionByName(delta))
+    }
+  }
 
   /** Persist an [[Similarity.IvfPqIndex]]: byte-code cells bucketed on
     * center_id (the probe routing join — only the query side ever
@@ -488,6 +516,8 @@ object IndexStore {
     */
   def writeIvfPqIndex(index: Similarity.IvfPqIndex, prefix: String,
                       buckets: Int = 8, path: Option[String] = None): Unit = {
+    // rebuild resets the compaction lineage (see writeIvfIndex)
+    dropGenerations(index.cells.sparkSession, prefix)
     writeBucketedTable(index.cells, s"${prefix}_cells",
       Seq("center_id"), buckets, path)
     writeSmallTable(index.centroids, s"${prefix}_centroids", path)
@@ -497,8 +527,29 @@ object IndexStore {
   def readIvfPqIndex(spark: SparkSession,
                      prefix: String): Similarity.IvfPqIndex =
     Similarity.IvfPqIndex(spark.table(s"${prefix}_centroids"),
-      spark.table(s"${prefix}_cells"),
+      genTable(spark, prefix, "cells"),
       readPqCodebooks(spark, s"${prefix}_pq"))
+
+  /** [[readIvfIndexWithDelta]] for the COMBINED tier: PQ-code cells
+    * streamed by [[graft.streaming.Streams.ivfPqAppendIngest]] union
+    * under the bucketed base above the folded high-water; centroids and
+    * codebooks are the frozen models, shared unchanged. Compaction is
+    * the schema-generic [[compactIvfDeltas]].
+    */
+  def readIvfPqIndexWithDelta(spark: SparkSession, prefix: String,
+                              deltaPath: String): Similarity.IvfPqIndex = {
+    import org.apache.spark.sql.functions.col
+    val base = readIvfPqIndex(spark, prefix)
+    val hw = foldedHighWater(spark, prefix)
+    if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
+    else {
+      val delta = spark.read.parquet(deltaPath)
+        .filter(col("batch_id") > hw)
+        .select(base.cells.columns.map(col): _*)
+      Similarity.IvfPqIndex(base.centroids,
+        base.cells.unionByName(delta), base.cb)
+    }
+  }
 
   // --- PQ codebooks ------------------------------------------------------
 

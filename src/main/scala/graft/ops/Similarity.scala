@@ -253,6 +253,30 @@ object Similarity {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** [[ivfProbeSplit]] for the QUANTIZED tier: base and delta code
+    * cells probed separately (the bucketed base keeps its zero-Exchange
+    * plan), per-side top-k merged by one rank layer. Exact w.r.t. the
+    * unioned quantized probe by the same top-k partition algebra — the
+    * per-candidate quantized cosine depends only on the candidate's own
+    * (codes, q_min, q_scale), never on which side it sat.
+    */
+  def ivfProbeQuantizedSplit(queries: DataFrame, base: IvfIndexQ,
+                             delta: DataFrame, k: Int = 10,
+                             nProbe: Int = 4,
+                             queryIdCol: String = "query_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val sides =
+      ivfProbeQuantized(queries, base, k, nProbe, queryIdCol, vecCol)
+        .unionByName(ivfProbeQuantized(queries,
+          IvfIndexQ(base.centroids, delta), k, nProbe, queryIdCol, vecCol))
+        .drop("rank")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    sides.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
   /** Assign a batch of NEW vectors to an existing index's cells — the
     * incremental-ingest seam: an embedding append (nightly crawl, new
     * corpus shard) lands in the persisted cell table without re-running

@@ -536,6 +536,88 @@ object Streams {
       }
       .start()
 
+  /** [[ivfAppendIngest]] for the QUANTIZED tier: every micro-batch
+    * routes against the persisted index's frozen centroids (the real
+    * [[graft.ops.Similarity.ivfQAppend]] path) and int8-quantizes the
+    * new vectors — the delta tree carries CODE rows (vec_id, center_id,
+    * codes, q_min, q_scale), 4× less landed bytes than the float tier,
+    * plus the same per-batch drift audit off the shared routing pass
+    * (the quantized tier routes through the SAME centroids, so the
+    * histogram signal is identical). [[graft.ops.IndexStore
+    * .readIvfIndexQWithDelta]] loads base ∪ live deltas; the
+    * schema-generic [[graft.ops.IndexStore.compactIvfDeltas]] folds
+    * them. Caller conventions are [[ivfAppendIngest]]'s.
+    */
+  def ivfQAppendIngest(vectors: DataFrame, indexPrefix: String,
+                       deltaPath: String, auditPath: String,
+                       checkpoint: String,
+                       tvThresholdU6: Long = 250000L
+                      ): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val idx = graft.ops.IndexStore.readIvfIndexQ(spark, indexPrefix)
+          val shim = graft.ops.Similarity.IvfIndex(idx.centroids, idx.cells)
+          // route ONCE; the pinned code rows feed both sinks
+          val q = graft.ops.Similarity.quantizeInt8(
+              graft.ops.Similarity.ivfAssign(batch, shim)
+                .withColumnRenamed("_cv", "embedding"), "embedding")
+            .select("vec_id", "center_id", "codes", "q_min", "q_scale")
+            .localCheckpoint(true)
+          writeBatchIdempotent(q, batchId, deltaPath)
+          val report = graft.ops.Similarity
+            .indexDriftReportFromAssigned(shim, q, tvThresholdU6)
+          writeBatchIdempotent(report, batchId, auditPath)
+          report.unpersist()
+          q.unpersist()
+          ()
+        }
+      }
+      .start()
+
+  /** [[ivfAppendIngest]] for the COMBINED tier: route against the
+    * frozen centroids AND PQ-encode against the frozen codebooks (the
+    * real [[graft.ops.Similarity.ivfPqAppend]] path) — the delta tree
+    * carries the byte-cell schema (vec_id, center_id, codes,
+    * recon_norm), the per-vector footprint a billion-vector store
+    * actually lands. Same shared-pass drift audit; load with
+    * [[graft.ops.IndexStore.readIvfPqIndexWithDelta]], fold with the
+    * schema-generic [[graft.ops.IndexStore.compactIvfDeltas]].
+    */
+  def ivfPqAppendIngest(vectors: DataFrame, indexPrefix: String,
+                        deltaPath: String, auditPath: String,
+                        checkpoint: String,
+                        tvThresholdU6: Long = 250000L
+                       ): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val idx = graft.ops.IndexStore.readIvfPqIndex(spark, indexPrefix)
+          val shim = graft.ops.Similarity.IvfIndex(idx.centroids, idx.cells)
+          // one routing pass + one encode pass (the ivfPqAppend shape);
+          // the joined code rows are the single data artifact
+          val rows = graft.ops.Similarity.ivfAssign(batch, shim)
+            .select("vec_id", "center_id")
+            .join(graft.ops.Similarity.pqEncode(batch, idx.cb),
+              Seq("vec_id"))
+            .localCheckpoint(true)
+          writeBatchIdempotent(rows, batchId, deltaPath)
+          val report = graft.ops.Similarity
+            .indexDriftReportFromAssigned(shim, rows, tvThresholdU6)
+          writeBatchIdempotent(report, batchId, auditPath)
+          report.unpersist()
+          rows.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** [[ivfAppendIngest]] for the LEXICAL tier — BM25 postings
     * maintenance run continuously as documents land: every micro-batch
     * tokenizes ONCE and lands exactly ONE replay-idempotent data sink —

@@ -41,6 +41,8 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ann_ivf"             -> "IVF probe: query set x broadcast centroid table (nCenters rows)",
     "q_ann_ivf_split"       -> "split probe: the same broadcast centroid ranking on each side (base + delta)",
     "q_ann_ivf_compact"     -> "compacted-generation probe: the same broadcast centroid ranking (nCenters rows)",
+    "q_ann_ivfq_split"      -> "quantized split probe: the same broadcast centroid ranking on each side",
+    "q_ivfpq_compact"       -> "compacted IVF-PQ probe: broadcast centroid + m*ksub codebook tables (staged exhaustive)",
     "q_bm25_compact"        -> "same 1-row stats table through the COMPACTED postings generation",
     "q_ann_ivf_quant"       -> "quantized IVF probe: same broadcast centroid ranking",
     "q_ivf_assign"          -> "cell assignment: corpus x broadcast centroid table",
