@@ -4632,8 +4632,8 @@ object SparkEntry {
         |        AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS growth_u6
         |  FROM cnt)
-        |SELECT n_batch, n_reached, n_new_edges, n_index_edges, reach_u6,
-        |  growth_u6,
+        |SELECT n_batch, n_reached, n_new_edges, n_index_edges,
+        |  n_index_edges AS n_built_edges, reach_u6, growth_u6,
         |  (n_batch > 0 AND reach_u6 < 990000) OR growth_u6 >= 250000
         |    AS degrade
         |FROM u6""".stripMargin,

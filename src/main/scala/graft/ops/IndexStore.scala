@@ -158,10 +158,19 @@ object IndexStore {
   // base plus ALL its live deltas still read exactly-once — and a crash
   // after the marker only leaves folded partitions on disk, which every
   // reader already skips. Deleting them ([[pruneFoldedDeltas]]) is lazy
-  // hygiene, never a correctness step. Single compactor at a time (the
-  // usual maintenance-job convention); concurrent APPENDS are safe — the
-  // fold is bounded to the batch ids it saw at start, so a batch landing
-  // mid-compaction stays live under the new high-water.
+  // hygiene with one retention caveat documented there. Single compactor
+  // at a time (the usual maintenance-job convention); concurrent APPENDS
+  // are safe — the fold is bounded to the batch ids it saw at start, so
+  // a batch landing mid-compaction stays live under the new high-water.
+  //
+  // READ ATOMICITY RULE: every reader resolves latestGeneration exactly
+  // ONCE and derives ALL its tables AND the high-water from that one
+  // resolution. Resolving twice would tear the read against a commit
+  // landing in between — e.g. base cells from the old generation but the
+  // new generation's high-water skipping batches the old base never
+  // absorbed (silent row loss), or a postings index mixing generations
+  // across postings/docFreqs (skewed df/N). One resolution = one
+  // consistent snapshot, because committed generations are immutable.
 
   private val BatchDir = "batch_id=(\\d+)".r
 
@@ -213,15 +222,22 @@ object IndexStore {
                                      prefix: String): Long =
     latestGeneration(spark, prefix).map(_._2).getOrElse(-1L)
 
-  /** Resolve an artifact table through the generations: the newest
-    * committed generation's copy when one exists, the builder-written
-    * original otherwise.
+  /** Resolve an artifact table AT a pre-resolved generation (the read
+    * atomicity rule above: one latestGeneration call per reader, all
+    * tables + high-water derived from it).
+    */
+  private def resolvedTable(spark: SparkSession, prefix: String,
+                            gen: Option[(Long, Long)],
+                            table: String): DataFrame =
+    gen.map { case (g, _) => spark.table(s"${prefix}_gen${g}_$table") }
+      .getOrElse(spark.table(s"${prefix}_$table"))
+
+  /** Single-table convenience of [[resolvedTable]] — ONLY for readers
+    * that touch one generation-resolved table and no high-water.
     */
   private def genTable(spark: SparkSession, prefix: String,
-                       table: String): org.apache.spark.sql.DataFrame =
-    latestGeneration(spark, prefix)
-      .map { case (g, _) => spark.table(s"${prefix}_gen${g}_$table") }
-      .getOrElse(spark.table(s"${prefix}_$table"))
+                       table: String): DataFrame =
+    resolvedTable(spark, prefix, latestGeneration(spark, prefix), table)
 
   /** Next generation number: one past anything already on disk —
     * committed OR half-written (a crashed compaction's uncommitted
@@ -264,9 +280,16 @@ object IndexStore {
   }
 
   /** Delete delta partitions already folded into the newest COMMITTED
-    * generation (batch_id ≤ its high-water). Pure disk hygiene: readers
-    * skip folded partitions whether or not this ever runs, so a crash
-    * here costs bytes, not correctness. @return partitions removed
+    * generation (batch_id ≤ its high-water). Disk hygiene for every
+    * FUTURE read — readers resolve the generation and skip folded
+    * partitions whether or not this ever runs, and a crash mid-prune
+    * costs bytes, not correctness. The one retention caveat (the
+    * standard vacuum trade, as in Delta/Iceberg): an index object
+    * resolved BEFORE the compaction committed still references the
+    * now-folded files in its lazy plan — run prune only after such
+    * in-flight readers have retired (probe services re-resolve on their
+    * own cadence; give them one cadence of grace).
+    * @return partitions removed
     */
   def pruneFoldedDeltas(spark: SparkSession, prefix: String,
                         deltaPath: String): Int = {
@@ -306,17 +329,18 @@ object IndexStore {
                        deltaPath: String, buckets: Int = 8,
                        path: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
-    val hw = foldedHighWater(spark, prefix)
+    val genNow = latestGeneration(spark, prefix) // one snapshot
+    val hw = genNow.map(_._2).getOrElse(-1L)
     val ids = deltaBatchIds(spark, deltaPath).filter(_ > hw)
     if (ids.isEmpty) hw
     else {
       val hwNew = ids.max
-      val base = readIvfIndex(spark, prefix)
+      val baseCells = resolvedTable(spark, prefix, genNow, "cells")
       val delta = spark.read.parquet(deltaPath)
         .filter(col("batch_id") > hw && col("batch_id") <= hwNew)
-        .select(base.cells.columns.map(col): _*)
+        .select(baseCells.columns.map(col): _*)
       val gen = nextGeneration(spark, prefix)
-      writeBucketedTable(base.cells.unionByName(delta),
+      writeBucketedTable(baseCells.unionByName(delta),
         s"${prefix}_gen${gen}_cells", Seq("center_id"), buckets, path)
       commitGeneration(spark, prefix, gen, hwNew, path)
       hwNew
@@ -340,8 +364,12 @@ object IndexStore {
   def readIvfIndexWithDelta(spark: SparkSession, prefix: String,
                             deltaPath: String): Similarity.IvfIndex = {
     import org.apache.spark.sql.functions.col
-    val base = readIvfIndex(spark, prefix)
-    val hw = foldedHighWater(spark, prefix)
+    // ONE resolution: base cells and high-water from the same snapshot
+    // (the read atomicity rule)
+    val gen = latestGeneration(spark, prefix)
+    val base = Similarity.IvfIndex(spark.table(s"${prefix}_centroids"),
+      resolvedTable(spark, prefix, gen, "cells"))
+    val hw = gen.map(_._2).getOrElse(-1L)
     if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
     else {
       val delta = spark.read.parquet(deltaPath)
@@ -359,11 +387,31 @@ object IndexStore {
   def writeNswIndex(index: Similarity.NswIndex, prefix: String,
                     buckets: Int = 8, path: Option[String] = None): Unit = {
     // rebuild resets the compaction lineage (see writeIvfIndex)
-    dropGenerations(index.edges.sparkSession, prefix)
+    val spark = index.edges.sparkSession
+    dropGenerations(spark, prefix)
     writeBucketedTable(index.edges, s"${prefix}_edges",
       Seq("src"), buckets, path)
     writeSmallTable(index.entries, s"${prefix}_entries", path)
+    // the BUILD-time edge count rides a 1-row meta table (one count job
+    // on the build path): the streaming drift audit needs it as the
+    // denominator of the CUMULATIVE appended share — the adjacency
+    // itself absorbs folded appends at compaction, so "built edges" is
+    // unrecoverable from the tables afterwards
+    import spark.implicits._
+    writeSmallTable(Seq(index.edges.count()).toDF("n_built_edges"),
+      s"${prefix}_meta", path)
   }
+
+  /** The build-time edge count recorded by [[writeNswIndex]] — None for
+    * pre-upgrade artifacts (the drift audit then falls back to
+    * per-batch share semantics, documented there).
+    */
+  private[graft] def nswBuiltEdges(spark: SparkSession,
+                                   prefix: String): Option[Long] =
+    if (spark.catalog.tableExists(s"${prefix}_meta"))
+      Some(spark.table(s"${prefix}_meta").head()
+        .getAs[Long]("n_built_edges"))
+    else None
 
   def readNswIndex(spark: SparkSession, prefix: String): Similarity.NswIndex =
     Similarity.NswIndex(genTable(spark, prefix, "edges"),
@@ -377,10 +425,8 @@ object IndexStore {
     */
   private def nswDeltaEdges(dp: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
-    val fwd = dp.select(col("vec_id").as("src"),
-      explode(col("nbrs")).as("dst"))
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .dropDuplicates("src", "dst")
+    Similarity.mirrorEdges(dp.select(col("vec_id").as("src"),
+      explode(col("nbrs")).as("dst")))
   }
 
   /** [[readNswIndex]] plus the LIVE streaming append deltas written by
@@ -394,15 +440,29 @@ object IndexStore {
     * gateway set (entry refresh is build-cadence, like centroids). The
     * batch VECTORS ride [[readNswDeltaVectors]] — callers union them
     * with the search corpus.
+    *
+    * @param excludeBatchId skip this batch's own partition — the
+    *   REPLAY-idempotence hook: a replayed micro-batch must not read
+    *   the partial partition its first attempt wrote (its vectors would
+    *   join the graph it searches, changing the recomputed neighbor
+    *   lists — [[graft.streaming.Streams.nswAppendIngest]] passes its
+    *   current batch id here)
     */
   def readNswIndexWithDelta(spark: SparkSession, prefix: String,
-                            deltaPath: String): Similarity.NswIndex = {
-    import org.apache.spark.sql.functions.col
-    val base = readNswIndex(spark, prefix)
-    val hw = foldedHighWater(spark, prefix)
-    if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
+                            deltaPath: String,
+                            excludeBatchId: Option[Long] = None): Similarity.NswIndex = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val gen = latestGeneration(spark, prefix) // one snapshot: edges + hw
+    val base = Similarity.NswIndex(resolvedTable(spark, prefix, gen, "edges"),
+      spark.table(s"${prefix}_entries"))
+    val hw = gen.map(_._2).getOrElse(-1L)
+    val live = deltaBatchIds(spark, deltaPath)
+      .filter(id => id > hw && !excludeBatchId.contains(id))
+    if (live.isEmpty) base
     else {
-      val dp = spark.read.parquet(deltaPath).filter(col("batch_id") > hw)
+      val dp = spark.read.parquet(deltaPath).filter(col("batch_id") > hw &&
+        excludeBatchId.map(id => col("batch_id") =!= lit(id))
+          .getOrElse(lit(true)))
       Similarity.NswIndex(base.edges.unionByName(nswDeltaEdges(dp)),
         base.entries)
     }
@@ -416,17 +476,22 @@ object IndexStore {
     * was ever appended.
     */
   def readNswDeltaVectors(spark: SparkSession, prefix: String,
-                          deltaPath: String): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.col
-    val folded = latestGeneration(spark, prefix)
+                          deltaPath: String,
+                          excludeBatchId: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val gen = latestGeneration(spark, prefix) // one snapshot: vecs + hw
+    val folded = gen
       .filter { case (g, _) =>
         spark.catalog.tableExists(s"${prefix}_gen${g}_vecs") }
       .map { case (g, _) => spark.table(s"${prefix}_gen${g}_vecs") }
-    val hw = foldedHighWater(spark, prefix)
+    val hw = gen.map(_._2).getOrElse(-1L)
+    val liveIds = deltaBatchIds(spark, deltaPath)
+      .filter(id => id > hw && !excludeBatchId.contains(id))
     val live =
-      if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) None
+      if (liveIds.isEmpty) None
       else Some(spark.read.parquet(deltaPath)
-        .filter(col("batch_id") > hw)
+        .filter(col("batch_id") > hw && excludeBatchId
+          .map(id => col("batch_id") =!= lit(id)).getOrElse(lit(true)))
         .select("vec_id", "embedding"))
     (folded, live) match {
       case (Some(f), Some(l)) => Some(f.unionByName(l))
@@ -448,23 +513,24 @@ object IndexStore {
                        deltaPath: String, buckets: Int = 8,
                        path: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
-    val hw = foldedHighWater(spark, prefix)
+    val genNow = latestGeneration(spark, prefix) // one snapshot
+    val hw = genNow.map(_._2).getOrElse(-1L)
     val ids = deltaBatchIds(spark, deltaPath).filter(_ > hw)
     if (ids.isEmpty) hw
     else {
       val hwNew = ids.max
-      val base = readNswIndex(spark, prefix)
+      val baseEdges = resolvedTable(spark, prefix, genNow, "edges")
       val dp = spark.read.parquet(deltaPath)
         .filter(col("batch_id") > hw && col("batch_id") <= hwNew)
       val newVecs = dp.select("vec_id", "embedding")
-      val vecs = latestGeneration(spark, prefix)
+      val vecs = genNow
         .filter { case (g, _) =>
           spark.catalog.tableExists(s"${prefix}_gen${g}_vecs") }
         .map { case (g, _) =>
           spark.table(s"${prefix}_gen${g}_vecs").unionByName(newVecs) }
         .getOrElse(newVecs)
       val gen = nextGeneration(spark, prefix)
-      writeBucketedTable(base.edges.unionByName(nswDeltaEdges(dp)),
+      writeBucketedTable(baseEdges.unionByName(nswDeltaEdges(dp)),
         s"${prefix}_gen${gen}_edges", Seq("src"), buckets, path)
       writeBucketedTable(vecs, s"${prefix}_gen${gen}_vecs",
         Seq("vec_id"), buckets, path)
@@ -497,8 +563,10 @@ object IndexStore {
   def readIvfIndexQWithDelta(spark: SparkSession, prefix: String,
                              deltaPath: String): Similarity.IvfIndexQ = {
     import org.apache.spark.sql.functions.col
-    val base = readIvfIndexQ(spark, prefix)
-    val hw = foldedHighWater(spark, prefix)
+    val gen = latestGeneration(spark, prefix) // one snapshot: cells + hw
+    val base = Similarity.IvfIndexQ(spark.table(s"${prefix}_centroids"),
+      resolvedTable(spark, prefix, gen, "cells"))
+    val hw = gen.map(_._2).getOrElse(-1L)
     if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
     else {
       val delta = spark.read.parquet(deltaPath)
@@ -539,8 +607,11 @@ object IndexStore {
   def readIvfPqIndexWithDelta(spark: SparkSession, prefix: String,
                               deltaPath: String): Similarity.IvfPqIndex = {
     import org.apache.spark.sql.functions.col
-    val base = readIvfPqIndex(spark, prefix)
-    val hw = foldedHighWater(spark, prefix)
+    val gen = latestGeneration(spark, prefix) // one snapshot: cells + hw
+    val base = Similarity.IvfPqIndex(spark.table(s"${prefix}_centroids"),
+      resolvedTable(spark, prefix, gen, "cells"),
+      readPqCodebooks(spark, s"${prefix}_pq"))
+    val hw = gen.map(_._2).getOrElse(-1L)
     if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
     else {
       val delta = spark.read.parquet(deltaPath)
@@ -597,11 +668,20 @@ object IndexStore {
 
   def readPostingsIndex(spark: SparkSession,
                         prefix: String): TextAnalysis.PostingsIndex =
+    readPostingsIndexAt(spark, prefix, latestGeneration(spark, prefix))
+
+  /** All four tables from ONE pre-resolved generation — a commit
+    * landing between per-table resolutions must not mix generations
+    * (postings from one, docFreqs/stats from another would skew every
+    * idf/length term).
+    */
+  private def readPostingsIndexAt(spark: SparkSession, prefix: String,
+                                  gen: Option[(Long, Long)]): TextAnalysis.PostingsIndex =
     TextAnalysis.PostingsIndex(
-      genTable(spark, prefix, "postings"),
-      genTable(spark, prefix, "doclens"),
-      genTable(spark, prefix, "docfreqs"),
-      genTable(spark, prefix, "stats"),
+      resolvedTable(spark, prefix, gen, "postings"),
+      resolvedTable(spark, prefix, gen, "doclens"),
+      resolvedTable(spark, prefix, gen, "docfreqs"),
+      resolvedTable(spark, prefix, gen, "stats"),
       spark.table(s"${prefix}_meta").head().getString(0))
 
   /** Derive the merged index from a base plus RAW delta tf rows — the
@@ -646,8 +726,10 @@ object IndexStore {
   def readPostingsIndexWithDelta(spark: SparkSession, prefix: String,
                                  deltaPath: String): TextAnalysis.PostingsIndex = {
     import org.apache.spark.sql.functions.col
-    val base = readPostingsIndex(spark, prefix)
-    val hw = foldedHighWater(spark, prefix)
+    // ONE resolution for all four tables AND the high-water
+    val gen = latestGeneration(spark, prefix)
+    val base = readPostingsIndexAt(spark, prefix, gen)
+    val hw = gen.map(_._2).getOrElse(-1L)
     if (!deltaBatchIds(spark, deltaPath).exists(_ > hw)) base
     else mergePostingsDelta(base,
       spark.read.parquet(deltaPath).filter(col("batch_id") > hw))
@@ -668,12 +750,13 @@ object IndexStore {
                             deltaPath: String, buckets: Int = 8,
                             path: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
-    val hw = foldedHighWater(spark, prefix)
+    val genNow = latestGeneration(spark, prefix) // one snapshot
+    val hw = genNow.map(_._2).getOrElse(-1L)
     val ids = deltaBatchIds(spark, deltaPath).filter(_ > hw)
     if (ids.isEmpty) hw
     else {
       val hwNew = ids.max
-      val base = readPostingsIndex(spark, prefix)
+      val base = readPostingsIndexAt(spark, prefix, genNow)
       val merged = mergePostingsDelta(base,
         spark.read.parquet(deltaPath)
           .filter(col("batch_id") > hw && col("batch_id") <= hwNew))

@@ -1053,22 +1053,31 @@ object Similarity {
       hops = hops, entries = entries, corpusIdCol = corpusIdCol)
     val nn = found.select(col("query_id").as("src"), col("vec_id").as("dst"))
     // O(batch) maintenance: the append NEVER touches the existing
-    // adjacency. The new edge set (forward ∪ mirror, ≤ 2·m·|batch| rows)
-    // is disjoint from index.edges by the id-uniqueness contract — batch
-    // ids are new, so every new edge has a batch id endpoint and every
-    // existing edge has none — and internally duplicate-free unless the
-    // caller ships duplicate batch ids, so one batch-sized dropDuplicates
-    // reproduces the edge SET a full union().distinct() would have built
-    // without shuffling or re-checkpointing the O(index) table (at scale:
-    // append the pinned new-edge table into the bucketed persisted
-    // adjacency, [[graft.ops.IndexStore.writeNswIndex]]).
-    val newEdges = nn
-      .union(nn.select(col("dst").as("src"), col("src").as("dst")))
-      .dropDuplicates("src", "dst")
-      .localCheckpoint(true)
+    // adjacency. The new edge set ([[mirrorEdges]] — forward ∪ mirror,
+    // ≤ 2·m·|batch| rows) is disjoint from index.edges by the
+    // id-uniqueness contract — batch ids are new, so every new edge has
+    // a batch id endpoint and every existing edge has none — and
+    // internally duplicate-free unless the caller ships duplicate batch
+    // ids, so one batch-sized dropDuplicates reproduces the edge SET a
+    // full union().distinct() would have built without shuffling or
+    // re-checkpointing the O(index) table (at scale: append the pinned
+    // new-edge table into the bucketed persisted adjacency,
+    // [[graft.ops.IndexStore.writeNswIndex]]).
+    val newEdges = mirrorEdges(nn).localCheckpoint(true)
     found.unpersist() // the search's pinned result is folded into newEdges
     NswIndex(index.edges.union(newEdges), index.entries, Some(newEdges))
   }
+
+  /** The bidirectional-connect edge set over a (src, dst) neighbor
+    * table: forward ∪ mirror, deduped ALONE. The ONE definition shared
+    * by the batch append ([[nswAppend]]), the drift report's
+    * n_new_edges ([[nswDriftReportFrom]]) and the delta-tree edge
+    * derivation ([[graft.ops.IndexStore.readNswIndexWithDelta]]), so
+    * the counted set and the loaded set can never drift apart.
+    */
+  private[graft] def mirrorEdges(nn: DataFrame): DataFrame =
+    nn.union(nn.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
 
   /** DRIFT report for an [[NswIndex]] under append cadence — the graph
     * tier's [[indexDriftReport]]: appended nodes attach only via
@@ -1098,7 +1107,11 @@ object Similarity {
     * itself.
     *
     * @return one row: (n_batch, n_reached, n_new_edges, n_index_edges,
-    *         reach_u6, growth_u6, degrade)
+    *         n_built_edges, reach_u6, growth_u6, degrade) — here
+    *         n_built_edges = n_index_edges (a one-shot call treats the
+    *         given index as the build; the STREAMING audit passes the
+    *         recorded build count so growth_u6 is the cumulative
+    *         appended share, see [[nswDriftReportFrom]])
     */
   def nswDriftReport(index: NswIndex, batch: DataFrame, corpus: DataFrame,
                      m: Int = 8, ef: Int = 32, hops: Int = 3,
@@ -1121,33 +1134,48 @@ object Similarity {
   /** [[nswDriftReport]] over a PRECOMPUTED neighbor search result — the
     * streaming ingest shares one beam-search pass between the delta
     * sink and this report.
+    *
+    * @param builtEdges the BUILD-time edge count when known
+    *   ([[graft.ops.IndexStore.nswBuiltEdges]] — the streaming audit
+    *   passes it): growth_u6 then measures the CUMULATIVE appended
+    *   share (built edges excluded from the numerator), so the rebuild
+    *   threshold is reachable under micro-batch cadence — per-batch
+    *   share against an already-appended adjacency would asymptote far
+    *   below any sane threshold. None (a one-shot call against a built
+    *   index, where n_index IS the build) degenerates to the per-batch
+    *   share — the same formula with n_built = n_index.
     */
   private[graft] def nswDriftReportFrom(index: NswIndex, found: DataFrame,
                                         batchIds: DataFrame,
                                         reachThresholdU6: Long = 990000L,
-                                        growthThresholdU6: Long = 250000L): DataFrame = {
+                                        growthThresholdU6: Long = 250000L,
+                                        builtEdges: Option[Long] = None): DataFrame = {
     require(reachThresholdU6 >= 0 && reachThresholdU6 <= 1000000L &&
         growthThresholdU6 >= 0 && growthThresholdU6 <= 1000000L,
       "thresholds must sit on the u6 lattice [0, 1e6]")
     val dec = "decimal(38,0)"
     val nb = batchIds.agg(count(lit(1)).as("n_batch"))
     val nr = found.agg(countDistinct(col("query_id")).as("n_reached"))
-    // the edge set an append would connect: forward ∪ mirror, deduped
-    // alone (disjoint from index.edges by the id-uniqueness contract —
-    // the nswAppend algebra)
+    // the edge set an append would connect ([[mirrorEdges]] — the same
+    // construction the append and the delta loader use, so this count
+    // is the count of what actually lands)
     val nn = found.select(col("query_id").as("src"), col("vec_id").as("dst"))
-    val ne = nn.union(nn.select(col("dst").as("src"), col("src").as("dst")))
-      .dropDuplicates("src", "dst")
-      .agg(count(lit(1)).as("n_new_edges"))
+    val ne = mirrorEdges(nn).agg(count(lit(1)).as("n_new_edges"))
     val ni = index.edges.agg(count(lit(1)).as("n_index_edges"))
     val out = nb.crossJoin(nr).crossJoin(ne).crossJoin(ni)
+      .withColumn("n_built_edges",
+        builtEdges.map(lit(_)).getOrElse(col("n_index_edges")))
       .withColumn("reach_u6", when(col("n_batch") > 0,
         expr(s"CAST((CAST(1000000 AS $dec) * CAST(n_reached AS $dec)) " +
           s"DIV CAST(n_batch AS $dec) AS BIGINT)"))
         .otherwise(lit(0L)))
+      // ONE formula for both modes: appended-so-far = total-after-batch
+      // minus built (clamped at 0 — a pre-upgrade meta could overstate)
       .withColumn("growth_u6",
         when(col("n_index_edges") + col("n_new_edges") > 0,
-          expr(s"CAST((CAST(1000000 AS $dec) * CAST(n_new_edges AS $dec))" +
+          expr(s"CAST((CAST(1000000 AS $dec) * " +
+            "CAST(greatest(CAST(0 AS BIGINT), n_index_edges + " +
+            s"n_new_edges - n_built_edges) AS $dec))" +
             s" DIV (CAST(n_index_edges AS $dec) + " +
             s"CAST(n_new_edges AS $dec)) AS BIGINT)"))
         .otherwise(lit(0L)))
@@ -1155,7 +1183,7 @@ object Similarity {
         (col("n_batch") > 0 && col("reach_u6") < reachThresholdU6) ||
           col("growth_u6") >= growthThresholdU6)
       .select("n_batch", "n_reached", "n_new_edges", "n_index_edges",
-        "reach_u6", "growth_u6", "degrade")
+        "n_built_edges", "reach_u6", "growth_u6", "degrade")
       .localCheckpoint(true) // 1-row report; no pinned intermediates ride
     out
   }

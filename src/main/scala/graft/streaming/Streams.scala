@@ -710,10 +710,17 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // REPLAY idempotence: exclude THIS batch id from the loaded
+          // graph/vectors — a replayed batch must not read the partial
+          // partition its first attempt wrote (its own vectors would
+          // join the graph it searches and change the recomputed
+          // neighbor lists, breaking the rewrite-own-partition contract)
           val idx = graft.ops.IndexStore
-            .readNswIndexWithDelta(spark, indexPrefix, deltaPath)
+            .readNswIndexWithDelta(spark, indexPrefix, deltaPath,
+              excludeBatchId = Some(batchId))
           val corpusAll = graft.ops.IndexStore
-            .readNswDeltaVectors(spark, indexPrefix, deltaPath)
+            .readNswDeltaVectors(spark, indexPrefix, deltaPath,
+              excludeBatchId = Some(batchId))
             .foldLeft(corpus.select(col(idCol).as("vec_id"),
               col(vecCol).as("embedding")))(_ unionByName _)
           val q = batch.select(col(idCol).as("query_id"),
@@ -734,8 +741,13 @@ object Streams {
               col(vecCol).as("embedding"))
             .join(nbrs, Seq("vec_id"), "left")
           writeBatchIdempotent(rows, batchId, deltaPath)
+          // growth is the CUMULATIVE appended share: the recorded
+          // build-time edge count is the denominator's built part, so
+          // the rebuild threshold stays reachable under micro-batches
           val report = graft.ops.Similarity.nswDriftReportFrom(idx, found,
-            q.select("query_id"), reachThresholdU6, growthThresholdU6)
+            q.select("query_id"), reachThresholdU6, growthThresholdU6,
+            builtEdges = graft.ops.IndexStore
+              .nswBuiltEdges(spark, indexPrefix))
           writeBatchIdempotent(report, batchId, auditPath)
           report.unpersist()
           found.unpersist()

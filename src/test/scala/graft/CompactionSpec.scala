@@ -256,14 +256,31 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dv.get.select("vec_id").as[Long].collect().toSet ===
       oddRows.map(_._1).toSet)
     // one drift-audit row per batch, integer signals populated: every
-    // batch vector found neighbors (full reach), and the appended share
-    // is a real fraction
+    // batch vector found neighbors (full reach), and growth is the
+    // CUMULATIVE appended share (built count from the persisted meta) —
+    // strictly increasing across batches, so the rebuild threshold is
+    // reachable under micro-batch cadence
     val auditDf = spark.read.parquet(audit)
     assert(auditDf.count() === 2)
     assert(auditDf.filter(col("reach_u6") === 1000000L).count() === 2)
     assert(auditDf.filter(col("n_reached") === col("n_batch")).count() === 2)
-    assert(auditDf.select("growth_u6").as[Long].collect()
-      .forall(g => g > 0L && g < 1000000L))
+    assert(auditDf.filter(col("n_built_edges") ===
+      base.edges.count()).count() === 2)
+    val growths = auditDf.orderBy("batch_id")
+      .select("growth_u6").as[Long].collect()
+    assert(growths.forall(g => g > 0L && g < 1000000L))
+    assert(growths(1) > growths(0), s"cumulative growth must rise: " +
+      growths.mkString(","))
+    // replay idempotence hook: excluding a batch id reads the graph /
+    // vectors exactly as that batch's FIRST attempt saw them, so a
+    // replayed foreachBatch recomputes identical neighbor lists and
+    // rewrites its own partition bit-for-bit
+    assert(edgeSet(IndexStore.readNswIndexWithDelta(spark, "c_nsw", delta,
+      excludeBatchId = Some(1L)).edges) === edgeSet(after1.edges))
+    assert(IndexStore.readNswDeltaVectors(spark, "c_nsw", delta,
+        excludeBatchId = Some(1L))
+      .get.select("vec_id").as[Long].collect().toSet ===
+      b1.map(_._1).toSet)
     // compaction folds edges AND vectors into the generation; the
     // leftover delta tree is skipped, then pruned
     assert(IndexStore.compactNswDeltas(spark, "c_nsw", delta,
@@ -327,27 +344,30 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = Similarity.buildNswGraph(corpus, nCenters = 4)
     val batch = vecs.filter(col("vec_id") >= 80 && col("vec_id") < 96)
       .withColumn("vec_id", col("vec_id") + 1000L)
+    // row: (n_batch, n_reached, n_new_edges, n_index_edges,
+    //       n_built_edges, reach_u6, growth_u6, degrade)
     val r = Similarity.nswDriftReport(idx, batch, corpus)
-      .as[(Long, Long, Long, Long, Long, Long, Boolean)].head()
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
     assert(r._1 === 16L && r._2 === 16L) // every vector reached the graph
-    assert(r._5 === 1000000L)            // reach_u6
-    assert(r._3 > 0L && r._6 > 0L)       // new edges, appended share
+    assert(r._6 === 1000000L)            // reach_u6
+    assert(r._3 > 0L && r._7 > 0L)       // new edges, appended share
+    assert(r._5 === r._4)                // one-shot: built = index
     // an empty entry set means NO batch vector can attach — the
     // recall-collapse failure mode the reach signal exists to catch
     val dead = Similarity.nswDriftReport(idx, batch, corpus,
       entries = Some(corpus.select("vec_id").limit(0)))
-      .as[(Long, Long, Long, Long, Long, Long, Boolean)].head()
-    assert(dead._2 === 0L && dead._5 === 0L && dead._7)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(dead._2 === 0L && dead._6 === 0L && dead._8)
     // empty batch: no evidence is not drift
     val none = Similarity.nswDriftReport(idx, batch.limit(0), corpus)
-      .as[(Long, Long, Long, Long, Long, Long, Boolean)].head()
-    assert(none._1 === 0L && !none._7)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(none._1 === 0L && !none._8)
     // a batch large relative to the graph trips the growth signal even
     // at full reach
     val big = Similarity.nswDriftReport(idx, batch, corpus,
       growthThresholdU6 = 1L)
-      .as[(Long, Long, Long, Long, Long, Long, Boolean)].head()
-    assert(big._5 === 1000000L && big._7)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(big._6 === 1000000L && big._8)
     idx.release()
   }
 }
