@@ -95,7 +95,11 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("no contract query plans a CartesianProduct; BNLJ only where allowlisted") {
     val d = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // bench-only production twins ride the same sweep: they are part of
+    // the benched surface, and a product plan there is a real perf bug
+    // even without an oracle
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
@@ -106,7 +110,7 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"product plans outside the allowlist:\n${offenders.mkString("\n")}")
     // the allowlist itself stays honest: no stale entries for queries
     // that no longer exist
-    val stale = bnljAllowed.keySet -- SparkEntry.queries.keySet
+    val stale = bnljAllowed.keySet -- all.keySet
     assert(stale.isEmpty, s"allowlist entries for unknown queries: $stale")
   }
 }
