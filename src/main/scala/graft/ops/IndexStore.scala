@@ -245,7 +245,7 @@ object IndexStore {
     */
   private def nextGeneration(spark: SparkSession, prefix: String): Long = {
     val pat = (s"^${java.util.regex.Pattern.quote(prefix.toLowerCase)}" +
-      "_gen(\\d+)_[a-z]+$").r
+      "_gen(\\d+)_[a-z_]+$").r
     val seen = spark.catalog.listTables().collect().toSeq.map(_.name)
       .collect { case pat(n) => n.toLong }
     seen.sorted.lastOption.getOrElse(0L) + 1L
@@ -263,7 +263,7 @@ object IndexStore {
     */
   private def dropGenerations(spark: SparkSession, prefix: String): Unit = {
     val pat = (s"^${java.util.regex.Pattern.quote(prefix.toLowerCase)}" +
-      "_gen(\\d+)_([a-z]+)$").r
+      "_gen(\\d+)_([a-z_]+)$").r
     val tables = spark.catalog.listTables().collect().toSeq.map(_.name)
       .filter(pat.pattern.matcher(_).matches())
     val (commits, data) = tables.partition(_.endsWith("_commit"))
@@ -788,6 +788,8 @@ object IndexStore {
   def writeCorpusState(state: Pipelines.CorpusState, prefix: String,
                        buckets: Int = 8,
                        path: Option[String] = None): Unit = {
+    // rebuild resets the compaction lineage (see writeIvfIndex)
+    dropGenerations(state.fingerprints.sparkSession, prefix)
     writeBucketedTable(state.fingerprints, s"${prefix}_fingerprints",
       Seq("fingerprint"), buckets, path)
     writeBucketedTable(state.lines, s"${prefix}_lines",
@@ -808,13 +810,154 @@ object IndexStore {
 
   def readCorpusState(spark: SparkSession,
                       prefix: String): Pipelines.CorpusState =
+    readCorpusStateAt(spark, prefix, latestGeneration(spark, prefix))
+
+  /** All state tables from ONE pre-resolved generation (the read
+    * atomicity rule); minhash PARAMETERS always come from the base
+    * `<prefix>_mh_meta` (frozen — compaction never re-bands).
+    */
+  private def readCorpusStateAt(spark: SparkSession, prefix: String,
+                                gen: Option[(Long, Long)]): Pipelines.CorpusState = {
+    val mhBase = readMinhashIndex(spark, s"${prefix}_mh")
+    val mh = gen.map { case (g, _) =>
+      Dedup.MinHashIndex(spark.table(s"${prefix}_gen${g}_mh_buckets"),
+        spark.table(s"${prefix}_gen${g}_mh_sigs"),
+        mhBase.shingleK, mhBase.numHashes, mhBase.bands, mhBase.md5Seam)
+    }.getOrElse(mhBase)
+    val urlsTable = gen
+      .map { case (g, _) => s"${prefix}_gen${g}_urls" }
+      .getOrElse(s"${prefix}_urls")
     Pipelines.CorpusState(
-      spark.table(s"${prefix}_fingerprints"),
-      spark.table(s"${prefix}_lines"),
-      readMinhashIndex(spark, s"${prefix}_mh"),
-      if (spark.catalog.tableExists(s"${prefix}_urls"))
-        Some(spark.table(s"${prefix}_urls"))
+      resolvedTable(spark, prefix, gen, "fingerprints"),
+      resolvedTable(spark, prefix, gen, "lines"),
+      mh,
+      if (spark.catalog.tableExists(urlsTable))
+        Some(spark.table(urlsTable))
       else None)
+  }
+
+  /** [[readCorpusState]] plus the LIVE admitted-doc deltas written by
+    * [[graft.streaming.Streams.curatedDeltaLandingIngest]] — the
+    * O(batch) state-maintenance path: instead of rewriting the full
+    * (corpus-sized) state tables every micro-batch, each batch lands
+    * ONE artifact — its admitted pre-scrub rows — and every state view
+    * (fingerprint index, line index, minhash bands + signatures, url
+    * set) DERIVES from it at load, so no cross-sink crash skew is
+    * possible (the bm25AppendIngest discipline). Probing semantics are
+    * UNCHANGED by the base/delta split: every consumer is an
+    * anti-join/band-join insensitive to duplicates and splits —
+    * fingerprints/urls/lines probe by existence (n_occ is maintained
+    * but never read on a probe path; the per-batch delta counts fold
+    * additively at compaction), and each admitted doc's minhash rows
+    * appear exactly once across the union (cross-batch exact dedup
+    * guarantees distinct texts). Derivation cost is LIVE-delta-sized
+    * (re-shingling the un-compacted admissions) — bounded between
+    * [[compactCorpusStateDeltas]] folds. The md5-seam staged states are
+    * refused (this is a production path, mirroring curateBatch's
+    * guard).
+    *
+    * @param excludeBatchId the replay-idempotence hook, as
+    *   [[readNswIndexWithDelta]]
+    */
+  def readCorpusStateWithDelta(spark: SparkSession, prefix: String,
+                               deltaPath: String,
+                               excludeBatchId: Option[Long] = None,
+                               delim: String = "\n",
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               urlCol: Option[String] = None): Pipelines.CorpusState = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val gen = latestGeneration(spark, prefix) // one snapshot: tables + hw
+    val base = readCorpusStateAt(spark, prefix, gen)
+    require(!base.minhash.md5Seam,
+      "delta state maintenance is a production path; the md5-seam " +
+        "staged states exist only for oracle certification " +
+        "(curateBatch's guard)")
+    require(urlCol.isEmpty == base.urls.isEmpty,
+      s"urlCol (${urlCol.isDefined}) must match the base state's URL " +
+        s"index (${base.urls.isDefined})")
+    val hw = gen.map(_._2).getOrElse(-1L)
+    val liveIds = deltaBatchIds(spark, deltaPath)
+      .filter(id => id > hw && !excludeBatchId.contains(id))
+    if (liveIds.isEmpty) base
+    else {
+      val dd = spark.read.parquet(deltaPath)
+        .filter(col("batch_id") > hw && excludeBatchId
+          .map(id => col("batch_id") =!= lit(id)).getOrElse(lit(true)))
+      val d = Pipelines.initCorpusState(dd, base.minhash.shingleK,
+        base.minhash.numHashes, base.minhash.bands, delim, idCol,
+        textCol, urlCol)
+      Pipelines.CorpusState(
+        base.fingerprints.unionByName(d.fingerprints),
+        base.lines.unionByName(d.lines),
+        Dedup.MinHashIndex(
+          base.minhash.buckets.unionByName(d.minhash.buckets),
+          base.minhash.sigs.unionByName(d.minhash.sigs),
+          base.minhash.shingleK, base.minhash.numHashes,
+          base.minhash.bands, base.minhash.md5Seam),
+        (base.urls, d.urls) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        })
+    }
+  }
+
+  /** [[compactIvfDeltas]] for the curation state: re-derive the live
+    * admitted docs' index rows, fold them into rewritten bucketed state
+    * tables (fingerprints/urls distinct, line counts summed additively,
+    * minhash rows appended — exactly the merge curateBatch performs
+    * per batch, moved to compaction cadence), commit-last. Minhash
+    * PARAMETERS (`<prefix>_mh_meta`) are frozen — never rewritten.
+    *
+    * @return the committed folded high-water batch id (unchanged, and
+    *         nothing written, when the delta tree holds nothing new)
+    */
+  def compactCorpusStateDeltas(spark: SparkSession, prefix: String,
+                               deltaPath: String, buckets: Int = 8,
+                               path: Option[String] = None,
+                               delim: String = "\n",
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               urlCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val genNow = latestGeneration(spark, prefix) // one snapshot
+    val hw = genNow.map(_._2).getOrElse(-1L)
+    val ids = deltaBatchIds(spark, deltaPath).filter(_ > hw)
+    if (ids.isEmpty) hw
+    else {
+      val hwNew = ids.max
+      val base = readCorpusStateAt(spark, prefix, genNow)
+      val dd = spark.read.parquet(deltaPath)
+        .filter(col("batch_id") > hw && col("batch_id") <= hwNew)
+      val d = Pipelines.initCorpusState(dd, base.minhash.shingleK,
+        base.minhash.numHashes, base.minhash.bands, delim, idCol,
+        textCol, urlCol)
+      val gen = nextGeneration(spark, prefix)
+      writeBucketedTable(
+        base.fingerprints.unionByName(d.fingerprints).distinct(),
+        s"${prefix}_gen${gen}_fingerprints", Seq("fingerprint"),
+        buckets, path)
+      writeBucketedTable(
+        base.lines.unionByName(d.lines)
+          .groupBy("line_h", "line").agg(sum(col("n_occ")).as("n_occ")),
+        s"${prefix}_gen${gen}_lines", Seq("line_h"), buckets, path)
+      writeBucketedTable(
+        base.minhash.buckets.unionByName(d.minhash.buckets),
+        s"${prefix}_gen${gen}_mh_buckets", Seq("band", "bucket"),
+        buckets, path)
+      writeBucketedTable(
+        base.minhash.sigs.unionByName(d.minhash.sigs),
+        s"${prefix}_gen${gen}_mh_sigs", Seq("doc_id"), buckets, path)
+      (base.urls, d.urls) match {
+        case (Some(a), Some(b)) => writeBucketedTable(
+          a.unionByName(b).distinct(), s"${prefix}_gen${gen}_urls",
+          Seq("canonical_url"), buckets, path)
+        case _ => ()
+      }
+      commitGeneration(spark, prefix, gen, hwNew, path)
+      hwNew
+    }
+  }
 
   // --- tokenizer models --------------------------------------------------
 

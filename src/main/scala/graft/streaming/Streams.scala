@@ -1022,6 +1022,77 @@ object Streams {
       .start()
   }
 
+  /** [[curatedLandingIngest]] with O(batch) STATE maintenance — the
+    * delta-tree lifecycle applied to the curation state: instead of
+    * rewriting the full (corpus-sized) state tables as a fresh
+    * generation every micro-batch, each batch lands ONE artifact — its
+    * ADMITTED pre-scrub rows — under a batch_id-partitioned delta tree,
+    * and [[graft.ops.IndexStore.readCorpusStateWithDelta]] derives
+    * every state view (fingerprints, line index, minhash bands +
+    * signatures, url set) from base ∪ live deltas at load. Per batch
+    * the state write is admitted-sized; the corpus-sized rewrite moves
+    * to compaction cadence
+    * ([[graft.ops.IndexStore.compactCorpusStateDeltas]]).
+    *
+    * Exactly-once discipline: the loaded state EXCLUDES the current
+    * batch id, so a replayed batch cannot read the partial artifact its
+    * first attempt wrote — it re-reads the same pre-batch state,
+    * recomputes the same (deterministic) result, and dynamic-overwrites
+    * its own chunk + admitted partitions. A crash between the two sinks
+    * is also safe: both rewrite on replay, and no later batch runs
+    * before the replay (same checkpointed query).
+    *
+    * The BASE state must be a persisted [[graft.ops.IndexStore
+    * .writeCorpusState]] artifact (day-0: persist
+    * `initCorpusState(docs.limit(0), ...)` — the parameters ride the
+    * minhash meta). Production parameters only — the reader refuses
+    * md5-seam staged states, like curateBatch.
+    */
+  def curatedDeltaLandingIngest(docs: DataFrame, eval: DataFrame,
+                                statePrefix: String, stateDeltaPath: String,
+                                outPath: String, checkpoint: String,
+                                langs: Seq[String] = Seq("en"),
+                                minQuality: Double = 0.3,
+                                maxRepetition: Double = 0.3,
+                                nearDupThreshold: Double = 0.7,
+                                dedupLinesDelim: Option[String] = None,
+                                urlCol: Option[String] = None,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delim = dedupLinesDelim.getOrElse("\n")
+          val state = graft.ops.IndexStore.readCorpusStateWithDelta(
+            spark, statePrefix, stateDeltaPath,
+            excludeBatchId = Some(batchId), delim = delim,
+            idCol = idCol, textCol = textCol, urlCol = urlCol)
+          val r = graft.ops.Pipelines.curateBatch(state, batch, eval,
+            langs, minQuality, maxRepetition,
+            nearDupThreshold = nearDupThreshold,
+            blocklist = None, dedupLinesDelim = dedupLinesDelim,
+            urlCol = urlCol,
+            shingleK = state.minhash.shingleK,
+            numHashes = state.minhash.numHashes,
+            bands = state.minhash.bands,
+            audit = false, idCol = idCol, textCol = textCol)
+          writeBatchIdempotent(r.chunks, batchId, outPath)
+          // ONE state artifact: the admitted pre-scrub rows (plus the
+          // url column when carried) — every index view derives at load
+          val stateCols = Seq(idCol, textCol) ++ urlCol.toSeq
+          writeBatchIdempotent(
+            r.admitted.select(stateCols.map(col): _*), batchId,
+            stateDeltaPath)
+          r.chunks.unpersist()
+          r.admitted.unpersist()
+          ()
+        }
+      }
+      .start()
+
   def doiLandingIngest(spark: SparkSession, landingDir: String,
                        payloads: DataFrame, store: graft.graph.GraphStore,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
