@@ -172,31 +172,41 @@ object GraphOps {
     scale.foreach(s => require(s >= 20 && s % 20 == 0,
       "scale must be a positive multiple of 20 (0.15·S must be integral)"))
     val fixed = scale.isDefined
+    // The per-source weighted out-degree rides a src-partitioned WINDOW
+    // over the edge frame, not a groupBy + self-join: the caller's edge
+    // subtree (which can be an expensive construction — the k² pair join
+    // of authorRankWeighted) then executes exactly ONCE into the pin,
+    // where the join shape ran it once per join side plus once per guard
+    // pass. One exchange on src (the sort-merge join needed the same
+    // sort anyway) and, in fixed mode, the guard statistics ride the
+    // same frame as extra columns, so guard 1 costs one reduction over
+    // the pinned rows instead of a separate full-edge aggregation job.
+    val wsrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val withDeg = (if (fixed)
+        // the long cast is validated by guard 1 BELOW the pin: if a
+        // fractional weight slipped in, the integrality require throws
+        // before any truncated value feeds a computation
+        wedges.select(col("src"), col("dst"),
+          col("w").cast("double").as("_wd0"), col("w").cast("long").as("w"))
+      else wedges.select(col("src"), col("dst"), col("w")))
+      .withColumn("_wdeg", sum(col("w")).over(wsrc))
+      .localCheckpoint(true)
     // guard 1: weights integral (checked in double space, so also < 2^53
     // where that check is itself exact) and non-negative. The division
     // hazard is NOT a zero weight per se (a zero edge alongside positive
     // siblings contributes 0 and cannot zero the source's out-degree) —
     // it is an ALL-zero out-degree source, so that is what's guarded:
-    // min per-source weighted out-degree must be strictly positive.
+    // min per-source weighted out-degree must be strictly positive
+    // (min over the window-annotated edge rows = min over sources, every
+    // source owning ≥ 1 edge row; exact in long given integrality, which
+    // is validated first).
     val maxW: Long =
       if (!fixed) 1L
       else {
-        // ONE O(E) pass for all four guard quantities: the per-source
-        // grouping the out-degree hazard needs anyway carries the
-        // integrality/range stats as extra aggregate columns (map-side
-        // combinable), and the global reduction then runs over the
-        // V-sized frame — vs the previous two separate full-edge jobs.
-        // The out-degree sum runs in double space, which is exact for
-        // the > 0 decision: weights are non-negative (checked from the
-        // same frame), so no cancellation can fake a zero.
-        val perSrc = wedges.groupBy("src").agg(
-          max(abs(col("w").cast("double") - floor(col("w").cast("double"))))
-            .as("_mf"),
-          max(col("w").cast("double")).as("_mx"),
-          min(col("w").cast("double")).as("_mn"),
-          sum(col("w").cast("double")).as("_wd"))
-        val c = perSrc.agg(max(col("_mf")), max(col("_mx")),
-          min(col("_mn")), min(col("_wd"))).head()
+        val c = withDeg.agg(
+          max(abs(col("_wd0") - floor(col("_wd0")))),
+          max(col("_wd0")), min(col("_wd0")),
+          min(col("_wdeg").cast("double"))).head()
         if (c.isNullAt(0)) 1L // empty edge list: nothing to overflow
         else {
           require(c.getDouble(2) >= 0d, "fixed-point rank mode requires " +
@@ -215,11 +225,6 @@ object GraphOps {
           c.getDouble(1).toLong
         }
       }
-    val wNorm =
-      if (fixed) wedges.withColumn("w", col("w").cast("long")) else wedges
-    val withDeg = wNorm
-      .join(wNorm.groupBy("src").agg(sum(col("w")).as("_wdeg")), Seq("src"))
-      .localCheckpoint(true)
     val damp = 0.85
     // uniform 0.15 reset (classic PageRank) or a per-vertex reset
     // vector (personalized PageRank — teleport mass only onto the

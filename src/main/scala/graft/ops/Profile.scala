@@ -30,14 +30,25 @@ object Profile {
                      exact: Boolean = true): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "nothing to profile")
+    // min/max run in a SEPARATE global aggregate from the counts: a
+    // string column's min/max needs a var-length aggregation buffer,
+    // which HashAggregate cannot hold — one such column used to demote
+    // the whole multi-countDistinct Expand chain to SortAggregate,
+    // paying two full sorts of the k-times-expanded stream. Split, the
+    // Expand chain hash-aggregates (its buffers are all counts) and the
+    // min/max pass is a global sort-free fold; the two 1-row results
+    // recombine with a literal-style crossJoin.
     val aggs = names.flatMap { c =>
       Seq(count(col(c)).as(s"_cnt_$c"),
         (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"_nd_$c"),
-        min(col(c)).cast("string").as(s"_min_$c"),
+         else approx_count_distinct(col(c))).as(s"_nd_$c"))
+    }
+    val mmAggs = names.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
     val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+      .crossJoin(df.agg(mmAggs.head, mmAggs.tail: _*))
     val stacked = explode(array(names.map(c => struct(
       lit(c).as("column"),
       col("_rows").as("n_rows"),

@@ -361,25 +361,42 @@ object TextAnalysis {
     val tf = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("_id"), explode(terms).as("term"))
       .groupBy("_id", "term").agg(count(lit(1)).as("_tf"))
-      .localCheckpoint(true) // shared by df + the pair join, as in tfidf
+      .localCheckpoint(true) // shared by df + the weight table build
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col(idCol)).as("_n"))
+    // The weight table is pinned and the tf pin released: norms and BOTH
+    // sides of the inverted-index self-join read `w`, and unpinned each
+    // consumer would re-run the df aggregation + joins from the tf blocks
+    // (the plan cannot reuse the exchange across the duplicated subtrees
+    // — distinct expression ids defeat ReuseExchange), multiplying the
+    // dimension work by the consumer count. Same materialized-row
+    // footprint class as the tf pin it replaces.
     val w = tf.join(dfreq, "term")
       .crossJoin(nDocs) // 1-row count table: literal-style broadcast
       .withColumn("tfidf",
         round(col("_tf") * log(col("_n").cast("double") / col("df")), 6))
       .filter(col("tfidf") > 0)
       .select(col("_id"), col("term"), col("df"), col("tfidf"))
+      .localCheckpoint(true)
+    tf.unpersist()
     val norms = w.groupBy("_id")
       .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("_norm"))
-    val inv = w.filter(col("df") <= maxDocFreq).join(norms, Seq("_id"))
-    inv.select(col("term"), col("_id").as("id_a"),
-        col("tfidf").as("_wa"), col("_norm").as("_na"))
+    // Norms attach AFTER the dot-product aggregate, on the (id-keyed)
+    // pair stream: carrying them through the term-keyed self-join would
+    // widen every candidate row by 16 bytes across the heaviest exchange
+    // for values that are a per-doc lookup (shuffle fewer bytes; the
+    // groupBy keys also shrink from 4 columns to the 2 real ones).
+    val inv = w.filter(col("df") <= maxDocFreq)
+    inv.select(col("term"), col("_id").as("id_a"), col("tfidf").as("_wa"))
       .join(inv.select(col("term"), col("_id").as("id_b"),
-        col("tfidf").as("_wb"), col("_norm").as("_nb")), Seq("term"))
+        col("tfidf").as("_wb")), Seq("term"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "_na", "_nb")
+      .groupBy("id_a", "id_b")
       .agg(sum(col("_wa") * col("_wb")).as("_dot"))
+      .join(norms.select(col("_id").as("id_a"), col("_norm").as("_na")),
+        Seq("id_a"))
+      .join(norms.select(col("_id").as("id_b"), col("_norm").as("_nb")),
+        Seq("id_b"))
       .withColumn("cosine",
         round(col("_dot") / (col("_na") * col("_nb")), 6))
       .filter(col("cosine") >= threshold)
@@ -1014,13 +1031,30 @@ object TextAnalysis {
 
   /** Build (and pin) the [[PostingsIndex]] of a corpus — pay the
     * explode-agg passes once, probe many times ([[bm25Probe]]).
+    *
+    * The tf table pins FIRST and every other component derives from the
+    * pinned rows: pinning the four [[postingsOf]] frames independently
+    * would re-run the corpus tokenize+explode once per pin (each lazy
+    * frame roots at the docs scan), i.e. four full corpus passes for one
+    * build. Derived this way it is one tokenize pass + three
+    * postings-sized aggregations — the derivations are the same
+    * groupBy expressions [[postingsOf]] uses, so the tables are
+    * identical.
     */
   def buildPostingsIndex(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): PostingsIndex = {
-    val ix = postingsOf(docs, idCol, textCol)
-    PostingsIndex(ix.postings.localCheckpoint(true),
-      ix.docLens.localCheckpoint(true), ix.docFreqs.localCheckpoint(true),
-      ix.stats.localCheckpoint(true), idCol)
+    val tf = postingsOf(docs, idCol, textCol).postings.localCheckpoint(true)
+    val dl = tf.groupBy(idCol).agg(sum(col("_tf")).as("_dl"))
+      .localCheckpoint(true)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+      .localCheckpoint(true)
+    val stats = dl
+      .agg(count(lit(1)).as("_n"), coalesce(sum(col("_dl")), lit(0L))
+        .as("_sum_dl"))
+      .withColumn("_avgdl", when(col("_n") > 0,
+        col("_sum_dl").cast("double") / col("_n").cast("double")))
+      .localCheckpoint(true)
+    PostingsIndex(tf, dl, dfT, stats, idCol)
   }
 
   /** MAINTAIN a [[PostingsIndex]] under append — the lexical tier's
@@ -1049,12 +1083,21 @@ object TextAnalysis {
                           textCol: String = "text",
                           broadcastTermCap: Long = BroadcastTermCap
                          ): PostingsIndex = {
-    val add = postingsOf(docs, index.idCol, textCol)
-    val addPostings = add.postings.localCheckpoint(true)
-    val addDocLens = add.docLens.localCheckpoint(true)
+    // ONE tokenize pass over the batch: the tf leg pins first and the
+    // docLens / docFreqs / stats legs derive from the pinned rows (the
+    // buildPostingsIndex discipline — pinning the lazy postingsOf frames
+    // independently re-ran the batch tokenize once per pin)
+    val addPostings = postingsOf(docs, index.idCol, textCol).postings
+      .localCheckpoint(true)
+    val addDocLens = addPostings.groupBy(index.idCol)
+      .agg(sum(col("_tf")).as("_dl")).localCheckpoint(true)
+    val addStats = addDocLens
+      .agg(count(lit(1)).as("_n"), coalesce(sum(col("_dl")), lit(0L))
+        .as("_sum_dl"))
     val postings = index.postings.unionByName(addPostings)
     val docLens = index.docLens.unionByName(addDocLens)
-    val addDf = add.docFreqs.localCheckpoint(true) // batch vocabulary
+    val addDf = addPostings.groupBy("term").agg(count(lit(1)).as("_df"))
+      .localCheckpoint(true) // batch vocabulary
     // a "batch" is bounded by convention, but nothing enforces it — an
     // append of a whole shard (a day of crawl can carry 1e8+ distinct
     // terms) must not force an unbounded driver broadcast. The batch
@@ -1063,7 +1106,7 @@ object TextAnalysis {
     // (identical result — spec-pinned at the boundary).
     val docFreqs = mergeDocFreqs(index.docFreqs, addDf,
       broadcastAdd = addDf.count() <= broadcastTermCap)
-    val statsNew = mergeStats(additiveStatsOf(index), add.stats)
+    val statsNew = mergeStats(additiveStatsOf(index), addStats)
     PostingsIndex(postings, docLens, docFreqs, statsNew, index.idCol,
       delta = Seq(addPostings, addDocLens, addDf))
   }
@@ -1159,10 +1202,17 @@ object TextAnalysis {
                           oovThresholdU6: Long = 100000L,
                           dlThresholdU6: Long = 250000L,
                           textCol: String = "text",
-                          broadcastTermCap: Long = BroadcastTermCap): DataFrame =
-    postingsDriftReportFrom(index,
-      postingsOf(docs, index.idCol, textCol).postings,
+                          broadcastTermCap: Long = BroadcastTermCap): DataFrame = {
+    // pin the batch tf once: the report consumes it twice (vocabulary +
+    // per-doc lengths), and lazy each consumer would re-tokenize the
+    // batch; released after the (pinned 1-row) report materializes
+    val tf = postingsOf(docs, index.idCol, textCol).postings
+      .localCheckpoint(true)
+    val out = postingsDriftReportFrom(index, tf,
       oovThresholdU6, dlThresholdU6, broadcastTermCap)
+    tf.unpersist()
+    out
+  }
 
   /** [[postingsDriftReport]] over PRECOMPUTED batch tf rows
     * (idCol, term, _tf) — the streaming ingest shares one tokenize pass

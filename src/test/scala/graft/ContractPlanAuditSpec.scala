@@ -89,6 +89,7 @@ class ContractPlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_normalize_robust"    -> "1-row exact-percentile stats table (med, q1, q3) crossJoin",
     "q_winsorize"           -> "1-row quantile-cut table crossJoin",
     "q_rfm"                 -> "1-row reference-date table + three 1-row quantile-cut tables crossJoin",
+    "q_profile"             -> "two 1-row aggregate results (count/distinct pass x min/max pass) crossJoin into the per-column report",
     "q_ivf_drift"           -> "cell routing's broadcast centroid table + 1-row totals and 1-row tv_u6 tables crossJoin onto the centroid-sized histogram",
     "q_bm25_drift"          -> "four 1-row aggregate tables (index stats x batch stats x batch-term mass x OOV mass) crossJoin")
 
