@@ -963,9 +963,26 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id", textCol: String = "text",
                queryIdCol: String = "query_id",
-               queryTextCol: String = "text"): DataFrame =
-    bm25Probe(postingsOf(docs, idCol, textCol), queries, k, k1, b,
+               queryTextCol: String = "text"): DataFrame = {
+    // ONE tokenize pass: the probe consumes four index tables (postings,
+    // docFreqs, docLens, stats), and handing it the lazy [[postingsOf]]
+    // frames re-ran the corpus tokenize+tf aggregation once per table
+    // (4 full passes per one-shot retrieval — chunked callers like the
+    // RAG path paid the chunker 4x too). The tf table pins once and the
+    // other three derive from the pinned rows, each one aggregation
+    // (same derivations as [[buildPostingsIndex]], so scores are
+    // unchanged).
+    val tf = postingsOf(docs, idCol, textCol).postings.localCheckpoint(true)
+    val dl = tf.groupBy(idCol).agg(sum(col("_tf")).as("_dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+    val stats = dl
+      .agg(count(lit(1)).as("_n"), coalesce(sum(col("_dl")), lit(0L))
+        .as("_sum_dl"))
+      .withColumn("_avgdl", when(col("_n") > 0,
+        col("_sum_dl").cast("double") / col("_n").cast("double")))
+    bm25Probe(PostingsIndex(tf, dl, dfT, stats, idCol), queries, k, k1, b,
       idCol, queryIdCol, queryTextCol)
+  }
 
   /** A lexical (BM25) index: `postings` (term, doc id, _tf), `docLens`
     * (doc id, _dl), `docFreqs` (term, _df — vocabulary-sized, computed at
