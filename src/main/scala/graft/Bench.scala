@@ -74,6 +74,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry codegen class cache evicts constantly
+      // under a 250+-query suite (each query compiles dozens of codegen
+      // units), so every pass re-pays Janino compilation; scale-free
+      // JVM-level setting (a long-lived production driver wants it too)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

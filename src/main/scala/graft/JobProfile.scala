@@ -18,6 +18,8 @@ object JobProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,8 +30,13 @@ object JobProfile {
     val done = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.sortBy(_.stageId).lastOption
-          .map(_.name).getOrElse("?")
+        // attribute a job by its DEEPEST interesting stage: broadcast /
+        // subquery jobs end in an anonymous future lambda, but their
+        // earlier stages carry the real call sites of the subtree they
+        // execute — pick the first non-lambda name walking from the root
+        val names = js.stageInfos.sortBy(_.stageId).map(_.name)
+        val site = names.reverse.find(n => !n.contains("$anonfun"))
+          .orElse(names.headOption).getOrElse("?")
         jobs.put(js.jobId, (site, js.time))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
