@@ -30,12 +30,16 @@ object JobProfile {
     val done = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        // attribute a job by its DEEPEST interesting stage: broadcast /
-        // subquery jobs end in an anonymous future lambda, but their
-        // earlier stages carry the real call sites of the subtree they
-        // execute — pick the first non-lambda name walking from the root
+        // prefer the job description (set by labeled operators, guide
+        // §1.5 — propagated into broadcast/subquery futures by
+        // withThreadLocalCaptured); fall back to the deepest
+        // non-lambda stage call site
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
         val names = js.stageInfos.sortBy(_.stageId).map(_.name)
-        val site = names.reverse.find(n => !n.contains("$anonfun"))
+        val site = desc
+          .orElse(names.reverse.find(n => !n.contains("$anonfun")))
           .orElse(names.headOption).getOrElse("?")
         jobs.put(js.jobId, (site, js.time))
       }

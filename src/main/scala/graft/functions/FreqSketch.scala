@@ -33,29 +33,39 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Buffer serialization is a plain (size, [len, utf8, count]*) byte
   * stream — no kryo, stable across JVMs.
+  *
+  * Buffer keys are UTF8String (copied on first insert so no buffer
+  * aliases Spark's transient row memory): the per-row update path skips
+  * the UTF-8 → UTF-16 decode a String key would pay on every input row.
+  * `eval` converts the ≤ capacity survivors to String before the final
+  * (-count, item) sort, so the reported tie-break order is EXACTLY the
+  * String-lexicographic order of the original implementation (UTF-16
+  * order differs from UTF-8 byte order for supplementary code points).
   */
 case class MisraGriesTopK(child: Expression, capacity: Int, k: Int,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
     with UnaryLike[Expression] {
   require(capacity > 0 && k > 0 && k <= capacity,
     "need 0 < k <= capacity")
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
-    mutable.HashMap.empty[String, Long]
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty[UTF8String, Long]
 
-  override def update(buf: mutable.HashMap[String, Long],
-                      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: mutable.HashMap[UTF8String, Long],
+                      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      val s = v.asInstanceOf[UTF8String]
       buf.get(s) match {
         case Some(c) => buf.update(s, c + 1)
-        case None if buf.size < capacity => buf.update(s, 1L)
+        // copy on FIRST insert only: the evaluated key may alias Spark's
+        // reused row buffer; a retained key must own its bytes
+        case None if buf.size < capacity => buf.update(s.copy(), 1L)
         case None =>
           // classic MG decrement-all step; drop exhausted counters
-          val dead = List.newBuilder[String]
+          val dead = List.newBuilder[UTF8String]
           buf.foreach { case (key, c) =>
             if (c == 1L) dead += key else buf.update(key, c - 1)
           }
@@ -65,15 +75,15 @@ case class MisraGriesTopK(child: Expression, capacity: Int, k: Int,
     buf
   }
 
-  override def merge(buf: mutable.HashMap[String, Long],
-                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+  override def merge(buf: mutable.HashMap[UTF8String, Long],
+                     other: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
     other.foreach { case (key, c) =>
       buf.update(key, buf.getOrElse(key, 0L) + c)
     }
     if (buf.size > capacity) {
       // subtract the (capacity+1)-th largest count, keep positives
       val cut = buf.values.toArray.sorted(Ordering[Long].reverse)(capacity)
-      val dead = List.newBuilder[String]
+      val dead = List.newBuilder[UTF8String]
       buf.foreach { case (key, c) =>
         if (c - cut <= 0L) dead += key else buf.update(key, c - cut)
       }
@@ -82,9 +92,10 @@ case class MisraGriesTopK(child: Expression, capacity: Int, k: Int,
     buf
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
     val top = buf.toSeq
-      .sortBy { case (item, c) => (-c, item) }
+      .map { case (item, c) => (item.toString, c) } // ≤ capacity decodes
+      .sortBy { case (item, c) => (-c, item) }      // String order, as ever
       .take(k)
       .map { case (item, c) =>
         InternalRow(UTF8String.fromString(item), c)
@@ -92,27 +103,27 @@ case class MisraGriesTopK(child: Expression, capacity: Int, k: Int,
     new GenericArrayData(top.toArray[Any])
   }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (key, c) =>
-      val b = key.getBytes("UTF-8")
+      val b = key.getBytes
       out.writeInt(b.length); out.write(b); out.writeLong(c)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Long]
+    val buf = mutable.HashMap.empty[UTF8String, Long]
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len); in.readFully(b)
-      buf.update(new String(b, "UTF-8"), in.readLong())
+      buf.update(UTF8String.fromBytes(b), in.readLong())
       i += 1
     }
     buf

@@ -281,10 +281,16 @@ object Dedup {
         "banding uses the MurmurHash3 default")
     val rowsPerBand = numHashes / bands
     // one narrow pass per doc: signature + sorted shingle set (verification
-    // is then a merge over hash arrays — the text is never re-hashed)
+    // is then a merge over hash arrays — the text is never re-hashed).
+    // PINNED: three consumers read this frame (the band fan-out and both
+    // verification sides), and lazily each would re-run the signature +
+    // shingle kernels over the full corpus — the most expensive narrow
+    // work in the operator, tripled. Write-once-read-thrice is the tfidf
+    // trade; blocks spill under storage pressure.
     val sig = docs.select(col(idCol).as("_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("_sig"),
       sorted_shingles(col(textCol), shingleK, md5Seam).as("_sh"))
+      .localCheckpoint(true)
 
     // fan out band keys: (band_idx, hash(slice)) — bands is a plan-time
     // constant, so the key array is built statically (pure codegen'd exprs)
@@ -414,9 +420,13 @@ object Dedup {
     val bands = index.bands
     val md5Seam = index.md5Seam
     val rowsPerBand = numHashes / bands
+    // pinned: both the band fan-out and the candidate join read this
+    // batch-sized frame — lazy, each re-ran the signature + shingle
+    // kernels over the batch (the minhashLsh discipline)
     val bsig = batch.select(col(idCol).as("batch_id"),
       minhash_sig(col(textCol), shingleK, numHashes).as("_bsig"),
       sorted_shingles(col(textCol), shingleK, md5Seam).as("_bsh"))
+      .localCheckpoint(true)
     // the numHashes = 0 staged seam mirrors [[buildMinhashIndex]]'s:
     // every batch doc probes the one global bucket and there is no
     // signature to estimate, so the result is exact cross-axis Jaccard
@@ -495,7 +505,11 @@ object Dedup {
     // maxHamming=0 degenerates to ONE 64-bit band (an exact-equality
     // equi-join); the mask must not wrap (1L << 64 == 1L in JVM shift)
     val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1)
+    // pinned: both self-join sides read the banded frame, and lazily each
+    // would re-run the caller's signature kernel (simhash64 / image dHash)
+    // over the corpus — 16 bytes + id per row, the minhashLsh discipline
     val sig = hashed.select(col(idCol).as("_id"), col(hashCol).as("_sh"))
+      .localCheckpoint(true)
     val bandKeys = array((0 until nBands).map(b =>
       shiftrightunsigned(col("_sh"), b * bandBits).bitwiseAND(mask)): _*)
     val banded = sig.select(col("_id"), col("_sh"),
@@ -536,8 +550,12 @@ object Dedup {
       word_shingles(col(textCol), n).as("_sh"))
       .withColumn("_setsize", size(col("_sh")))
       .filter(col("_setsize") > 0)
+    // pinned: the df-cap aggregation and both self-join sides read the
+    // exploded index — lazy, each re-ran the word-shingle kernel over
+    // the corpus (3 full passes); ~24 bytes/row pinned
     val inv0 = shingled.select(col("_id"), col("_setsize"),
       explode(col("_sh")).as("_shingle"))
+      .localCheckpoint(true)
     // df-cap: one extra agg pass over the inverted index, then only
     // informative shingles enter the quadratic join
     val rare = inv0.groupBy("_shingle")
@@ -581,8 +599,10 @@ object Dedup {
       word_shingles(col(textCol), n).as("_sh"))
       .withColumn("_setsize", size(col("_sh")))
       .filter(col("_setsize") > 0)
+    // pinned for the same three consumers as [[ngramJaccardPairs]]
     val inv0 = shingled.select(col("_id"), col("_setsize"),
       explode(col("_sh")).as("_shingle"))
+      .localCheckpoint(true)
     val rare = inv0.groupBy("_shingle")
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDocFreq)

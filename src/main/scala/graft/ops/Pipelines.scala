@@ -123,8 +123,13 @@ object Pipelines {
     // single-read anti-joins.
     var prevPinned: Option[DataFrame] = None
     def stage(name: String, df: DataFrame): DataFrame = {
+      // label the stage's jobs (guide §1.5 practice): the pin + count +
+      // any broadcast builds they trigger show up attributable in the
+      // UI / listener instead of as anonymous future lambdas
+      spark.sparkContext.setJobDescription(s"curate: $name")
       val pinned = df.localCheckpoint(true)
       if (audit) stages += name -> pinned.count()
+      spark.sparkContext.setJobDescription(null)
       prevPinned.foreach(_.unpersist())
       prevPinned = Some(pinned)
       pinned
@@ -429,8 +434,12 @@ object Pipelines {
     def stage(name: String, df: DataFrame,
               fanout: Boolean = false): DataFrame =
       if (audit || fanout) {
+        // labeled as in curateCorpus (guide §1.5): pins/counts and the
+        // broadcast builds they trigger are attributable per stage
+        spark.sparkContext.setJobDescription(s"curate-batch: $name")
         val pinned = df.localCheckpoint(true)
         if (audit) stages += name -> pinned.count()
+        spark.sparkContext.setJobDescription(null)
         prevPinned.foreach(_.unpersist())
         prevPinned = Some(pinned)
         pinned

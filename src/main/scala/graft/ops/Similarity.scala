@@ -431,9 +431,13 @@ object Similarity {
     require(bands >= 1 && planes % bands == 0, "bands must divide planes")
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
+    // pinned: both self-join sides read the signed frame — lazy, each
+    // would re-run the hyperplane-signature kernel over every embedding
+    // (the minhashLsh/hammingPairs discipline)
     val base = embeddings.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_sig",
         if (planes == 0) lit(0L) else hyperplane_sig(col("_v"), planes))
+      .localCheckpoint(true)
     val bandKeys = array((0 until bands).map(b =>
       shiftrightunsigned(col("_sig"), b * bandBits).bitwiseAND(lit(mask))): _*)
     val banded = base.select(col("_id"), col("_v"),

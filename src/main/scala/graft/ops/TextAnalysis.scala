@@ -911,9 +911,18 @@ object TextAnalysis {
                    textCol: String = "text"): DataFrame = {
     require(buckets > 0 && buckets <= 65536,
       "buckets must fit the 16-bit portable hash")
+    // pinned (projected to 16-byte rows): the bucket-count aggregation
+    // and the final scoring join both read the raw gram stream — lazy,
+    // each re-ran the md5 feature hash over every gram of the corpus.
+    // The target side is aggregated once into the (≤ buckets)-row count
+    // table and pinned for the same reason (its lazy frame appeared
+    // twice inside the ratio plan: the join side and the total).
     val rawG = gramBuckets(raw, buckets, textCol, Seq(idCol))
+      .select(col(idCol), col("bucket"))
+      .localCheckpoint(true)
     val tgtCnt = gramBuckets(target, buckets, textCol, Nil)
       .groupBy("bucket").agg(count(lit(1)).as("_nt"))
+      .localCheckpoint(true)
     val rawCnt = rawG.groupBy("bucket").agg(count(lit(1)).as("_nr"))
     val rawTot = rawCnt.agg(sum(col("_nr")).as("_tr"))
     val tgtTot = tgtCnt.agg(coalesce(sum(col("_nt")), lit(0L)).as("_tt"))
@@ -927,6 +936,7 @@ object TextAnalysis {
           / (col("_tr").cast("double") + b)))
       .select("bucket", "_lr")
       .localCheckpoint(true) // ≤ buckets rows, read by every scoring task
+    tgtCnt.unpersist() // ratio (its only consumer) is materialized
     rawG.join(broadcast(ratio), Seq("bucket"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),

@@ -210,12 +210,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sample_rank<=n should push a group limit below the window")
   }
 
-  test("profile is ONE aggregation pass — a single Expand, no per-column jobs") {
+  test("profile is one Expand pass + one min/max fold — no per-column jobs") {
     val p = plan("q_profile")
     assert("Expand".r.findAllIn(p).size == 1,
       "multi-countDistinct should rewrite into one Expand")
-    assert(!p.contains("Join") && !p.contains("Union"),
+    assert(!p.contains("Union"),
       "profiling must not union per-column subqueries")
+    // r11 optimization shape: min/max (string buffers) run in a SEPARATE
+    // global fold so the Expand chain can hash-aggregate — the two 1-row
+    // results recombine with exactly one literal-style BNLJ, and the
+    // expanded stream must never pay a SortAggregate's sorts again
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      "expected exactly the 1-row stats recombination join")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the Expand distinct chain must hash-aggregate")
   }
 
   test("containment pairs join on the shingle key — no product") {
