@@ -98,7 +98,23 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, nCenters: Int, iters: Int = 3,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    // pinned for the Lloyd loop: the init sample + every iteration's
+    // assignment re-read the corpus (iters+1 full scans of the caller's
+    // subtree); the classic cache-during-iterations trade — released
+    // before returning (the centroid table is the build's artifact)
     val base = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .localCheckpoint(true)
+    val out = kmeansCentroidsPinned(base, nCenters, iters)
+    base.unpersist()
+    out
+  }
+
+  /** The Lloyd loop over an ALREADY-PINNED (_id, _v) frame — shared by
+    * [[kmeansCentroids]] and [[buildIvfIndex]] (which reuses one pin for
+    * the loop AND the final cell assignment).
+    */
+  private def kmeansCentroidsPinned(base: DataFrame, nCenters: Int,
+                                    iters: Int): DataFrame = {
     // center ids via array positions over the (≤ nCenters-row) hash-ordered
     // sample — no global window (a partition-less WindowExec would both
     // warn and single-task; collect_list on ≤ nCenters rows is trivial)
@@ -187,12 +203,16 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, nCenters: Int = 16, iters: Int = 3,
                     corpusIdCol: String = "vec_id",
                     vecCol: String = "embedding"): IvfIndex = {
-    val centroids = kmeansCentroids(corpus, nCenters, iters, corpusIdCol, vecCol)
-    val cells = assignToCentroids(
-      corpus.select(col(corpusIdCol).as("_id"), col(vecCol).as("_v")),
-      centroids)
+    // ONE pin serves the Lloyd loop's iters+1 corpus reads AND the final
+    // cell assignment (previously every one of them re-ran the caller's
+    // scan subtree); released once the cells materialize
+    val base = corpus.select(col(corpusIdCol).as("_id"), col(vecCol).as("_v"))
+      .localCheckpoint(true)
+    val centroids = kmeansCentroidsPinned(base, nCenters, iters)
+    val cells = assignToCentroids(base, centroids)
       .select(col("_id").as("vec_id"), col("_v").as("_cv"), col("center_id"))
       .localCheckpoint(true)
+    base.unpersist()
     IvfIndex(centroids, cells)
   }
 
