@@ -547,6 +547,28 @@ object TextAnalysis {
         round(avg(-log(col("_p")) / ln2), 6).as("bits_per_token"))
   }
 
+  /** Broadcast cap for the denominator-enriched n-gram dimension tables
+    * of the Stupid Backoff scorers: ~4M rows of (terms, longs) is a few
+    * hundred MB as a HashedRelation — the same order as
+    * [[graft.ops.Dedup]]'s survivor cap. Below it the probe join
+    * broadcasts explicitly (the enriched table is a JOIN of two pins, so
+    * its estimated size is the pessimistic product and Catalyst would
+    * demote the probe join to a full-stream shuffle — measured 1.2×-2×
+    * on the lm scorers); above it the plain equi-join keeps the linear
+    * no-memory-ceiling fallback of the raw tables.
+    */
+  private val LmDimBroadcastCap = 4L * 1000 * 1000
+
+  /** Pin a derived dimension table and pick the probe-join strategy from
+    * its MEASURED row count (the [[graft.ops.Dedup]] gateBroadcast
+    * discipline): explicit broadcast under `cap`, plain join above.
+    */
+  private def gatedDim(df: DataFrame,
+                       cap: Long = LmDimBroadcastCap): DataFrame = {
+    val pinned = df.localCheckpoint(true)
+    if (pinned.count() <= cap) broadcast(pinned) else pinned
+  }
+
   /** Unigram + bigram count tables of a trained bigram LM — both pinned
     * (the build-once artifacts a scoring pass joins against).
     */
@@ -621,9 +643,20 @@ object TextAnalysis {
       count(lit(1)).as("_v"))
     val toks = tokenPairs(docs, Seq(idCol), textCol)
     val uni = lm.unigrams.select(col("term"), col("n").as("_n1"))
-    val uniPrev = lm.unigrams.select(col("term").as("prev"),
-      col("n").as("_np"))
-    val big = lm.bigrams.select(col("prev"), col("term"), col("n").as("_n2"))
+    // the n1(prev) denominator is only READ on the bigram-hit branch, so
+    // it rides the (dimension-sized) bigram table instead of a third join
+    // over the corpus token stream: one build-side join of two pinned
+    // dimension tables replaces a full-stream join stage (guide §1.2.1 /
+    // §2.4). left_outer keeps the null algebra bit-identical (a missing
+    // prev unigram — impossible under the minCount contract — still
+    // yields the same null propagation as the old standalone join). The
+    // enriched table rides [[gatedDim]]: pinned + count-gated broadcast,
+    // because the composite join estimate is pessimistic (sizes multiply)
+    // and would silently demote the probe join to a full-stream shuffle.
+    val big = gatedDim(
+      lm.bigrams.select(col("prev"), col("term"), col("n").as("_n2"))
+        .join(lm.unigrams.select(col("term").as("prev"), col("n").as("_np")),
+          Seq("prev"), "left_outer"))
     val base = (coalesce(col("_n1"), lit(0L)).cast("double") + 1.0d) /
       (col("_tot").cast("double") + col("_v").cast("double") + 1.0d)
     val s = when(col("_n2").isNotNull,
@@ -632,7 +665,6 @@ object TextAnalysis {
         .otherwise(lit(alpha) * base))
     toks.join(big, Seq("prev", "term"), "left_outer")
       .join(uni, Seq("term"), "left_outer")
-      .join(uniPrev, Seq("prev"), "left_outer")
       .crossJoin(totals) // 1-row totals table: literal-style broadcast
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
@@ -714,14 +746,27 @@ object TextAnalysis {
     val totals = lm.unigrams.agg(sum(col("n")).as("_tot"),
       count(lit(1)).as("_v"))
     val toks = tokenTriples(docs, Seq(idCol), textCol)
-    val tri = lm.trigrams.select(col("prev2"), col("prev"), col("term"),
-      col("n").as("_n3"))
-    val big = lm.bigrams.select(col("prev"), col("term"), col("n").as("_n2"))
-    val bigCtx = lm.bigrams.select(col("prev").as("prev2"),
-      col("term").as("prev"), col("n").as("_nc"))
+    // denominators ride the n-gram tables they gate on (see
+    // [[stupidBackoffBits]]): n_ctx(p2,p) is only read on the trigram-hit
+    // branch and n1(p) only on the bigram-hit branch, so each attaches to
+    // its numerator's dimension table in a build-side join of pinned
+    // dimension tables — FIVE full-stream join stages collapse to THREE
+    // (guide §1.2.1 / §2.4). left_outer keeps the null algebra
+    // bit-identical to the old standalone joins; the enriched tables ride
+    // [[gatedDim]] (pinned + count-gated broadcast) because the composite
+    // join estimate would demote the probe joins to full-stream shuffles
+    // (see [[stupidBackoffBits]]).
+    val tri = gatedDim(
+      lm.trigrams.select(col("prev2"), col("prev"), col("term"),
+        col("n").as("_n3"))
+        .join(lm.bigrams.select(col("prev").as("prev2"),
+          col("term").as("prev"), col("n").as("_nc")),
+          Seq("prev2", "prev"), "left_outer"))
+    val big = gatedDim(
+      lm.bigrams.select(col("prev"), col("term"), col("n").as("_n2"))
+        .join(lm.unigrams.select(col("term").as("prev"), col("n").as("_np")),
+          Seq("prev"), "left_outer"))
     val uni = lm.unigrams.select(col("term"), col("n").as("_n1"))
-    val uniPrev = lm.unigrams.select(col("term").as("prev"),
-      col("n").as("_np"))
     val base = (coalesce(col("_n1"), lit(0L)).cast("double") + 1.0d) /
       (col("_tot").cast("double") + col("_v").cast("double") + 1.0d)
     val bigramScore = when(col("_n2").isNotNull,
@@ -734,9 +779,7 @@ object TextAnalysis {
           .otherwise(lit(alpha) * bigramScore)))
     toks.join(tri, Seq("prev2", "prev", "term"), "left_outer")
       .join(big, Seq("prev", "term"), "left_outer")
-      .join(bigCtx, Seq("prev2", "prev"), "left_outer")
       .join(uni, Seq("term"), "left_outer")
-      .join(uniPrev, Seq("prev"), "left_outer")
       .crossJoin(totals) // 1-row totals table: literal-style broadcast
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
