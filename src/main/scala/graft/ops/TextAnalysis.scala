@@ -1412,10 +1412,14 @@ object TextAnalysis {
     * lattice where cross-engine hashes flake (the [[classifyLinear]] /
     * corpusReport lesson).
     *
-    * Scale shape: each side explodes to positional n-grams and reduces to
-    * per-(pair, gram) counts (map-side combinable); the clip is one
-    * equi-join on (pair id, gram) + a per-pair sum — candidates only,
-    * no cross term. Tokens are the module's shared whitespace tokenizer.
+    * Scale shape: BOTH sides live on the same pair row, so one explode
+    * pass emits every gram tagged with its side and one aggregation
+    * produces the per-(pair, gram) count pair — the clip is then a plain
+    * per-pair sum of min(count_a, count_b), where a gram present on only
+    * one side contributes min(c, 0) = 0, exactly the rows the old
+    * two-pass inner join dropped. Half the explode passes, one shuffle
+    * instead of two aggregations + an equi-join (guide §2.4). Tokens are
+    * the module's shared whitespace tokenizer.
     *
     * @return (idCol, n_overlap, n_a, n_b) — pairs where either side has
     *         no n-gram report zeros for that side
@@ -1423,19 +1427,24 @@ object TextAnalysis {
   def rougeNCounts(pairs: DataFrame, n: Int = 2, idCol: String = "pair_id",
                    aCol: String = "text_a", bCol: String = "text_b"): DataFrame = {
     require(n > 0)
-    def gramCounts(c: String, as: String): DataFrame = {
-      val arr0 = split(lower(trim(col(c))), "\\s+")
-      val arr = filter(arr0, t => t =!= "")
-      val grams = when(size(arr) >= n,
+    def gramsOf(c: String): Column = {
+      val arr = filter(split(lower(trim(col(c))), "\\s+"), t => t =!= "")
+      when(size(arr) >= n,
         transform(sequence(lit(1), size(arr) - (n - 1)), i =>
           array_join(slice(arr, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
-      pairs.select(col(idCol), explode(grams).as("_g"))
-        .groupBy(idCol, "_g").agg(count(lit(1)).as(as))
     }
-    val a = gramCounts(aCol, "_ca")
-    val b = gramCounts(bCol, "_cb")
-    val overlap = a.join(b, Seq(idCol, "_g"))
+    // one UNION of the two side explodes feeds ONE aggregation: the side
+    // tag replaces the old per-(pair, gram) equi-join of two separately
+    // aggregated sides (one shuffle instead of two aggregations + a
+    // join, guide §2.4); each explode generator stays the plain
+    // single-array expression of the old per-side pass (a combined
+    // two-side array row was measured 5-8× slower under memory pressure)
+    def sideRows(c: String, a: Long): DataFrame =
+      pairs.select(col(idCol), lit(a).as("_a"), explode(gramsOf(c)).as("_g"))
+    val sided = sideRows(aCol, 1L).unionByName(sideRows(bCol, 0L))
+    val overlap = sided.groupBy(idCol, "_g")
+      .agg(sum(col("_a")).as("_ca"), sum(lit(1L) - col("_a")).as("_cb"))
       .groupBy(idCol).agg(sum(least(col("_ca"), col("_cb"))).as("n_overlap"))
     val totals = pairs.select(col(idCol),
       greatest(size(filter(split(lower(trim(col(aCol))), "\\s+"),
@@ -1459,12 +1468,14 @@ object TextAnalysis {
     * integers sit on the 6-dp rounding lattice where cross-engine
     * hashes flake; the [[rougeNCounts]] precedent).
     *
-    * Scale shape (one generalization of [[rougeNCounts]]'s): each side
-    * explodes ONCE to (pair, n, gram) positional n-grams for all n —
-    * one pass, not maxN scans — and reduces to per-(pair, n, gram)
-    * counts (map-side combinable); the clip is one equi-join on
-    * (pair id, n, gram) + a per-(pair, n) sum. Candidates only, no
-    * cross term. Tokens are the module's shared whitespace tokenizer.
+    * Scale shape (one generalization of [[rougeNCounts]]'s): BOTH sides
+    * explode in ONE pass to side-tagged (pair, n, gram) positional
+    * n-grams for all n, and one aggregation produces the per-(pair, n,
+    * gram) count pair; the clip is a per-(pair, n) sum of
+    * min(count_cand, count_ref) — one-sided grams contribute 0, exactly
+    * the rows the old two-pass inner join dropped. Half the explode
+    * passes, one shuffle instead of two aggregations + an equi-join
+    * (guide §2.4). Tokens are the module's shared whitespace tokenizer.
     *
     * @return one row per (idCol, n ∈ 1..maxN): (idCol, n, n_match,
     *         n_cand, cand_len, ref_len); sides too short for n report
@@ -1475,23 +1486,27 @@ object TextAnalysis {
                  refCol: String = "text_b"): DataFrame = {
     require(maxN >= 1 && maxN <= 16, s"need 1 <= maxN <= 16 (got $maxN)")
     val gramType = "array<struct<n:int,_g:string>>"
-    def gramCounts(c: String, as: String): DataFrame = {
+    def gramsOf(c: String): Column = {
       val arr0 = split(lower(trim(col(c))), "\\s+")
       val arr = filter(arr0, t => t =!= "")
       // all n in one expression tree: flatten the per-n positional gram
       // lists, so the source scans once however large maxN is
-      val grams = flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+      flatten(transform(sequence(lit(1), lit(maxN)), nn =>
         when(size(arr) >= nn,
           transform(sequence(lit(1), size(arr) - nn + 1), i =>
             struct(nn.as("n"), array_join(slice(arr, i, nn), " ").as("_g"))))
           .otherwise(array().cast(gramType))))
-      pairs.select(col(idCol), explode(grams).as("_s"))
-        .select(col(idCol), col("_s.n").as("n"), col("_s._g").as("_g"))
-        .groupBy(idCol, "n", "_g").agg(count(lit(1)).as(as))
     }
-    val a = gramCounts(candCol, "_ca")
-    val b = gramCounts(refCol, "_cb")
-    val overlap = a.join(b, Seq(idCol, "n", "_g"))
+    // one UNION of the two side explodes feeds ONE aggregation (see
+    // [[rougeNCounts]]): the side tag replaces the old per-(pair, n,
+    // gram) equi-join of two separately aggregated sides
+    def sideRows(c: String, a: Long): DataFrame =
+      pairs.select(col(idCol), lit(a).as("_a"), explode(gramsOf(c)).as("_s"))
+        .select(col(idCol), col("_s.n").as("n"), col("_s._g").as("_g"),
+          col("_a"))
+    val sided = sideRows(candCol, 1L).unionByName(sideRows(refCol, 0L))
+    val overlap = sided.groupBy(idCol, "n", "_g")
+      .agg(sum(col("_a")).as("_ca"), sum(lit(1L) - col("_a")).as("_cb"))
       .groupBy(idCol, "n")
       .agg(sum(least(col("_ca"), col("_cb"))).as("n_match"))
     def toks(c: String): Column =
@@ -1525,7 +1540,9 @@ object TextAnalysis {
     * are UTF-16-unit based on the Spark side and code-point based in
     * DuckDB — identical on the BMP text the oracles run on.
     *
-    * Same one-pass all-n explode shape as [[bleuCounts]].
+    * Same one-pass all-n side-tagged explode shape as [[bleuCounts]]
+    * (both sides in one pass, clip = per-(pair, n) sum of min counts —
+    * one-sided grams contribute 0).
     *
     * @return one row per (idCol, n): (idCol, n, n_match, n_cand, n_ref)
     */
@@ -1534,20 +1551,24 @@ object TextAnalysis {
                  refCol: String = "text_b"): DataFrame = {
     require(maxN >= 1 && maxN <= 16, s"need 1 <= maxN <= 16 (got $maxN)")
     val gramType = "array<struct<n:int,_g:string>>"
-    def gramCounts(c: String, as: String): DataFrame = {
+    def gramsOf(c: String): Column = {
       val t = regexp_replace(lower(trim(col(c))), "\\s+", "")
-      val grams = flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+      flatten(transform(sequence(lit(1), lit(maxN)), nn =>
         when(length(t) >= nn,
           transform(sequence(lit(1), length(t) - nn + 1), i =>
             struct(nn.as("n"), t.substr(i, nn).as("_g"))))
           .otherwise(array().cast(gramType))))
-      pairs.select(col(idCol), explode(grams).as("_s"))
-        .select(col(idCol), col("_s.n").as("n"), col("_s._g").as("_g"))
-        .groupBy(idCol, "n", "_g").agg(count(lit(1)).as(as))
     }
-    val a = gramCounts(candCol, "_ca")
-    val b = gramCounts(refCol, "_cb")
-    val overlap = a.join(b, Seq(idCol, "n", "_g"))
+    // one UNION of the two side explodes feeds ONE aggregation (see
+    // [[rougeNCounts]]): the side tag replaces the old per-(pair, n,
+    // gram) equi-join of two separately aggregated sides
+    def sideRows(c: String, a: Long): DataFrame =
+      pairs.select(col(idCol), lit(a).as("_a"), explode(gramsOf(c)).as("_s"))
+        .select(col(idCol), col("_s.n").as("n"), col("_s._g").as("_g"),
+          col("_a"))
+    val sided = sideRows(candCol, 1L).unionByName(sideRows(refCol, 0L))
+    val overlap = sided.groupBy(idCol, "n", "_g")
+      .agg(sum(col("_a")).as("_ca"), sum(lit(1L) - col("_a")).as("_cb"))
       .groupBy(idCol, "n")
       .agg(sum(least(col("_ca"), col("_cb"))).as("n_match"))
     def chars(c: String): Column =
