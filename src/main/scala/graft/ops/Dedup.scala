@@ -1051,11 +1051,16 @@ object Dedup {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     require(k > 0 && minOcc > 1)
-    // every verified non-owner occurrence is a cut position
+    // every verified non-owner occurrence is a cut position. No distinct:
+    // (id, pos) is unique by construction — the unwinnowed gram stream
+    // emits each position once, and the verified table is unique per
+    // (hash, gram) (it IS a groupBy of those keys), so the position join
+    // never fans out. The old defensive distinct() was a full extra
+    // shuffle of the cut set.
     val cutPos = dupGramPositions(docs, k, minOcc, idCol, textCol,
       window = None, keepOwner = true)
       .filter(!(col(idCol) === col("_own.d") && col("_pos") === col("_own.p")))
-      .select(col(idCol), col("_pos")).distinct()
+      .select(col(idCol), col("_pos"))
     applyCutPositions(docs, cutPos, k, idCol, textCol, "text_deduped")
   }
 
@@ -1143,10 +1148,12 @@ object Dedup {
       // rows carry the k-char gram text: same byte-budget cap as the
       // verified-survivor table of the dedup trio
       SurvivorBroadcastCap / 8)
+    // no distinct: the unwinnowed gram stream emits each (id, pos) once
+    // and evalGrams is unique per (hash, gram) — see [[cutDuplicateSpans]]
     val cutPos = gramStream(train, k, None, idCol, textCol)
       .withColumn("_h", xxhash64(col("gram")))
       .join(evalGrams, Seq("_h", "gram"))
-      .select(col(idCol), col("_pos")).distinct()
+      .select(col(idCol), col("_pos"))
     applyCutPositions(train, cutPos, k, idCol, textCol,
       "text_decontaminated")
   }
