@@ -426,13 +426,16 @@ object SparkEntry {
     * the oracle's string_split construction exactly.
     */
   private def shingles3(text: org.apache.spark.sql.Column) = {
-    val w = split(text, " ")
-    array_distinct(
+    // let-binding via a 1-element transform (the repetitionRatio trick):
+    // higher-order functions are interpreted, so a lambda body that
+    // references the split() SUBTREE re-runs it per element (O(len²) per
+    // doc); bound to a lambda variable it evaluates once
+    array_distinct(flatten(transform(array(split(text, " ")), w =>
       when(size(w) >= 3,
         transform(sequence(lit(0), size(w) - 3), i =>
           concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
             element_at(w, i + 3))))
-        .otherwise(array().cast("array<string>")))
+        .otherwise(array().cast("array<string>")))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -465,15 +465,22 @@ object CorpusOps {
     * shuffle, codegen'd — so it composes with any scan for free.
     */
   def repetitionRatio(textCol: Column, n: Int = 2): Column = {
-    val w = split(textCol, " ")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-    when(size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double")
-        / size(grams).cast("double"))
-      .otherwise(lit(0.0))
+    // let-binding via a 1-element transform: higher-order functions are
+    // interpreted, so a lambda body referencing the split() SUBTREE
+    // re-runs the regex split per element (O(len²) per doc); binding the
+    // array to a lambda variable evaluates it once and per-element access
+    // is a variable read
+    val ratio = transform(array(split(textCol, " ")), w => {
+      val grams = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      when(size(grams) > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double")
+          / size(grams).cast("double"))
+        .otherwise(lit(0.0))
+    })
+    element_at(ratio, 1)
   }
 
   /** Overlapping fixed-width token chunks: each doc fans out to windows of

@@ -143,11 +143,16 @@ object TextAnalysis {
     val nEllip = size(filter(lines, l =>
       rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
     val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
-    val stops = array(Seq("the", "be", "to", "of", "and", "that", "have",
-      "with").map(lit): _*)
+    val stops = typedLit(Seq("the", "be", "to", "of", "and", "that", "have",
+      "with"))
     val lowToks = transform(toks, lower(_))
-    val nStop = size(filter(stops, s => array_contains(lowToks, s)))
-      .cast("long")
+    // array_intersect (distinct common elements — the same distinct-stop
+    // count) evaluates lowToks ONCE; the old filter-lambda captured it
+    // and re-split + re-lowercased the whole doc per stopword. The
+    // coalesce keeps the null-text value at 0, as the old filter's
+    // null-predicate-is-false semantics produced (size(null) is -1).
+    val nStop = size(array_intersect(stops,
+      coalesce(lowToks, array().cast("array<string>")))).cast("long")
     def u6(num: Column, den: Column): Column =
       when(den > 0, floor(num.cast("double") / den.cast("double") * 1e6))
         .otherwise(0d).cast("long")
@@ -348,12 +353,15 @@ object TextAnalysis {
         "a positive df cap and n >= 1")
     val words = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => x =!= "")
+    // n >= 2 let-binds the word array (1-element transform): the gram
+    // lambda referencing the split() subtree re-ran it per element
     val terms =
       if (n == 1) words
-      else when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
-        .otherwise(array().cast("array<string>"))
+      else flatten(transform(array(words), ws =>
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+          .otherwise(array().cast("array<string>"))))
     // null-key story (the repo inner-join rule): a null-id doc cannot
     // pair, but left in it would inflate every shared term's df (wrong
     // idf for VALID pairs) and then vanish at the norms join — drop it
@@ -582,12 +590,17 @@ object TextAnalysis {
     */
   private def tokenPairs(df: DataFrame, idCols: Seq[String],
                          textCol: String): DataFrame = {
-    val arr = split(lower(trim(col(textCol))), "\\s+")
-    val pairs = when(size(arr) > 0 && element_at(arr, 1) =!= "",
-      transform(sequence(lit(1), size(arr)), i =>
-        struct(element_at(arr, i).as("term"),
-          when(i > 1, element_at(arr, i - 1)).as("prev"))))
-      .otherwise(array().cast("array<struct<term:string,prev:string>>"))
+    // the token array is let-bound (1-element transform): the pair lambda
+    // referencing the split() subtree re-ran the regex split per token
+    // (O(len²) per doc — higher-order functions are interpreted)
+    val pairs = flatten(transform(
+      array(split(lower(trim(col(textCol))), "\\s+")), arr =>
+        when(size(arr) > 0 && element_at(arr, 1) =!= "",
+          transform(sequence(lit(1), size(arr)), i =>
+            struct(element_at(arr, i).as("term"),
+              when(i > 1, element_at(arr, i - 1)).as("prev"))))
+          .otherwise(
+            array().cast("array<struct<term:string,prev:string>>"))))
     df.select(idCols.map(col) :+ explode(pairs).as("_tp"): _*)
       .select(idCols.map(col) :+ col("_tp.term") :+ col("_tp.prev"): _*)
   }
@@ -684,14 +697,16 @@ object TextAnalysis {
     */
   private def tokenTriples(df: DataFrame, idCols: Seq[String],
                            textCol: String): DataFrame = {
-    val arr = split(lower(trim(col(textCol))), "\\s+")
-    val triples = when(size(arr) > 0 && element_at(arr, 1) =!= "",
-      transform(sequence(lit(1), size(arr)), i =>
-        struct(element_at(arr, i).as("term"),
-          when(i > 1, element_at(arr, i - 1)).as("prev"),
-          when(i > 2, element_at(arr, i - 2)).as("prev2"))))
-      .otherwise(array()
-        .cast("array<struct<term:string,prev:string,prev2:string>>"))
+    // token array let-bound, as in [[tokenPairs]]
+    val triples = flatten(transform(
+      array(split(lower(trim(col(textCol))), "\\s+")), arr =>
+        when(size(arr) > 0 && element_at(arr, 1) =!= "",
+          transform(sequence(lit(1), size(arr)), i =>
+            struct(element_at(arr, i).as("term"),
+              when(i > 1, element_at(arr, i - 1)).as("prev"),
+              when(i > 2, element_at(arr, i - 2)).as("prev2"))))
+          .otherwise(array()
+            .cast("array<struct<term:string,prev:string,prev2:string>>"))))
     df.select(idCols.map(col) :+ explode(triples).as("_tp"): _*)
       .select(idCols.map(col) :+ col("_tp.term") :+ col("_tp.prev") :+
         col("_tp.prev2"): _*)
@@ -1427,13 +1442,16 @@ object TextAnalysis {
   def rougeNCounts(pairs: DataFrame, n: Int = 2, idCol: String = "pair_id",
                    aCol: String = "text_a", bCol: String = "text_b"): DataFrame = {
     require(n > 0)
-    def gramsOf(c: String): Column = {
-      val arr = filter(split(lower(trim(col(c))), "\\s+"), t => t =!= "")
-      when(size(arr) >= n,
-        transform(sequence(lit(1), size(arr) - (n - 1)), i =>
-          array_join(slice(arr, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    }
+    // token array let-bound (1-element transform): the gram lambda
+    // referencing the split() subtree re-ran it per element (O(len²)
+    // per doc — higher-order functions are interpreted)
+    def gramsOf(c: String): Column = flatten(transform(
+      array(filter(split(lower(trim(col(c))), "\\s+"), t => t =!= "")),
+      arr =>
+        when(size(arr) >= n,
+          transform(sequence(lit(1), size(arr) - (n - 1)), i =>
+            array_join(slice(arr, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
     // one UNION of the two side explodes feeds ONE aggregation: the side
     // tag replaces the old per-(pair, gram) equi-join of two separately
     // aggregated sides (one shuffle instead of two aggregations + a
@@ -1486,17 +1504,19 @@ object TextAnalysis {
                  refCol: String = "text_b"): DataFrame = {
     require(maxN >= 1 && maxN <= 16, s"need 1 <= maxN <= 16 (got $maxN)")
     val gramType = "array<struct<n:int,_g:string>>"
-    def gramsOf(c: String): Column = {
-      val arr0 = split(lower(trim(col(c))), "\\s+")
-      val arr = filter(arr0, t => t =!= "")
-      // all n in one expression tree: flatten the per-n positional gram
-      // lists, so the source scans once however large maxN is
-      flatten(transform(sequence(lit(1), lit(maxN)), nn =>
-        when(size(arr) >= nn,
-          transform(sequence(lit(1), size(arr) - nn + 1), i =>
-            struct(nn.as("n"), array_join(slice(arr, i, nn), " ").as("_g"))))
-          .otherwise(array().cast(gramType))))
-    }
+    // all n in one expression tree (source scans once however large maxN
+    // is); the token array is let-bound so the per-gram lambda reads a
+    // variable instead of re-running the split() subtree (see
+    // [[rougeNCounts]])
+    def gramsOf(c: String): Column = flatten(transform(
+      array(filter(split(lower(trim(col(c))), "\\s+"), t => t =!= "")),
+      arr =>
+        flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+          when(size(arr) >= nn,
+            transform(sequence(lit(1), size(arr) - nn + 1), i =>
+              struct(nn.as("n"),
+                array_join(slice(arr, i, nn), " ").as("_g"))))
+            .otherwise(array().cast(gramType))))))
     // one UNION of the two side explodes feeds ONE aggregation (see
     // [[rougeNCounts]]): the side tag replaces the old per-(pair, n,
     // gram) equi-join of two separately aggregated sides
@@ -1551,14 +1571,17 @@ object TextAnalysis {
                  refCol: String = "text_b"): DataFrame = {
     require(maxN >= 1 && maxN <= 16, s"need 1 <= maxN <= 16 (got $maxN)")
     val gramType = "array<struct<n:int,_g:string>>"
-    def gramsOf(c: String): Column = {
-      val t = regexp_replace(lower(trim(col(c))), "\\s+", "")
-      flatten(transform(sequence(lit(1), lit(maxN)), nn =>
-        when(length(t) >= nn,
-          transform(sequence(lit(1), length(t) - nn + 1), i =>
-            struct(nn.as("n"), t.substr(i, nn).as("_g"))))
-          .otherwise(array().cast(gramType))))
-    }
+    // the squashed text is let-bound (1-element transform over a string):
+    // the per-gram lambda's substr referenced the regexp_replace subtree,
+    // re-running the whitespace-strip regex per character position
+    // (O(len²) regex work per pair — see [[rougeNCounts]])
+    def gramsOf(c: String): Column = flatten(transform(
+      array(regexp_replace(lower(trim(col(c))), "\\s+", "")), t =>
+        flatten(transform(sequence(lit(1), lit(maxN)), nn =>
+          when(length(t) >= nn,
+            transform(sequence(lit(1), length(t) - nn + 1), i =>
+              struct(nn.as("n"), t.substr(i, nn).as("_g"))))
+            .otherwise(array().cast(gramType))))))
     // one UNION of the two side explodes feeds ONE aggregation (see
     // [[rougeNCounts]]): the side tag replaces the old per-(pair, n,
     // gram) equi-join of two separately aggregated sides
