@@ -418,6 +418,43 @@ object SparkEntry {
         par(s, t(s, d, "documents")), vocabSize = 200, minCount = 2))
   }
 
+  /** RDD ids of every pin (localCheckpoint block set) reachable from a
+    * session-lifetime cache entry of `s` — the pins that MUST survive
+    * across queries (the build-once/probe-many index and tokenizer-model
+    * artifacts above). Everything else in `sc.getPersistentRDDs` after a
+    * query completes is a dead pin: a frame the query had to checkpoint
+    * but could not release because its result depended on it. Bench uses
+    * this to drop dead pins between timed queries (hygiene, outside the
+    * timed region) without truncating a cached index's lineage.
+    *
+    * Walks cache values generically (case classes / tuples / Options via
+    * Product) for Datasets and collects LogicalRDD leaves including
+    * subquery plans; driver-side model caches (Seq values) contribute
+    * nothing and protect nothing, correctly.
+    */
+  private[graft] def livePinRddIds(s: SparkSession): Set[Int] = {
+    def framesOf(v: Any): Seq[org.apache.spark.sql.Dataset[_]] = v match {
+      case df: org.apache.spark.sql.Dataset[_] => Seq(df)
+      case p: Product => p.productIterator.flatMap(framesOf).toSeq
+      case _ => Nil
+    }
+    val caches: Seq[java.util.concurrent.ConcurrentHashMap[(SparkSession, String), _]] =
+      Seq(ivfIndexCache, ivfIndexQCache, nswCache, postingsCache,
+        postingsHalfCache, persistedPostingsCache, persistedNswCache,
+        pqCache, ivfPqCache, ivfHalfCache, ivfPqHalfCache,
+        ivfCompactCache, postingsCompactCache, ivfQHalfCache,
+        ivfPqCompactCache, bpeMergesCache, byteBpeMergesCache,
+        unigramPiecesCache)
+    import scala.jdk.CollectionConverters._
+    caches.iterator
+      .flatMap(_.asScala.iterator.collect { case ((ss, _), v) if ss eq s => v })
+      .flatMap(framesOf)
+      .flatMap(_.queryExecution.analyzed.collectWithSubqueries {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      })
+      .toSet
+  }
+
   private val stopwords15 =
     Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it",
       "on", "as", "with", "are", "this")
